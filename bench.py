@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a cheap count() action (no driver collect of
+full results). A warmup run of one query absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from flink_elasticsearch_ingestion_spark import get_spark  # noqa: E402
+
+#: headline set: the flagship copy pipeline + one per operator family
+HEADLINE = [
+    "copy_incremental",
+    "latest_event_per_user",
+    "pricing_summary",
+    "top_revenue_orders",
+    "local_supplier_volume",
+    "top_order_per_customer",
+    "revenue_rollup",
+    "ship_within_30d",
+    "events_by_day",
+    "text_stats",
+    "quality_scores",
+    "fingerprints",
+    "dedup_content",
+    "minhash_near_dup",
+    "cosine_topk",
+    "knn_join",
+    "media_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    queries = E.queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    queries["pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""The copy-pipeline operators — the reference's entire reason to exist.
+
+Reference semantics rebuilt Spark-first:
+
+- record shape (doc_id, index_id, body...) — the emitter's 3-field
+  projection (reference core.clj:55-66);
+- incremental timestamp-range scan — the TODO'd scroll source
+  ("if saved timestamp: provide range in query", core.clj:133-136);
+- last-write-wins per doc_id — ES upsert semantics from preserved ids
+  (core.clj:62-63);
+- max-ts checkpoint — "Store timestamp of last doc" (core.clj:137);
+- bulk chunking — flush every 64 actions (core.clj:72).
+
+All pure DataFrame ops: the ts filter pushes into the parquet scan
+(row-group pruning at 100 TB), the dedup window shuffles once on doc_id,
+and the checkpoint agg is a partial+final max with no full shuffle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: events-table column mapping onto the reference's document record
+DOC_ID = "event_id"
+INDEX_ID = "event_type"
+TS = "ts"
+BODY_COLS = ("user_id", "value", "props")
+
+#: reference bulk-flush max actions (core.clj:72)
+BULK_MAX_ACTIONS = 64
+
+
+def shape_documents(events: DataFrame) -> DataFrame:
+    """Emitter projection (core.clj:58-61): narrow the stream to the
+    document record. Column pruning reaches the scan via Catalyst.
+    A nanos-long ts (the legacy-parquet streaming path) is normalized
+    to Spark's microsecond timestamp grain here so batch and streaming
+    agree."""
+    ts_col = F.col(TS)
+    if dict(events.dtypes).get(TS) == "bigint":
+        ts_col = F.timestamp_micros(F.expr(f"{TS} div 1000"))
+    return events.select(
+        F.col(DOC_ID).alias("doc_id"),
+        F.col(INDEX_ID).alias("index_id"),
+        ts_col.alias("ts"),
+        *[F.col(c) for c in BODY_COLS],
+    )
+
+
+def incremental_filter(df: DataFrame, checkpoint_ts: dt.datetime | str | None, ts_col: str = TS) -> DataFrame:
+    """Timestamp-range predicate (core.clj:133-136): only docs newer than
+    the saved checkpoint; no checkpoint -> full scan ("else perform
+    normal query")."""
+    if checkpoint_ts is None:
+        return df
+    return df.filter(F.col(ts_col) > F.lit(checkpoint_ts))
+
+
+def last_wins(df: DataFrame, key: str = "doc_id", order_col: str = "ts") -> DataFrame:
+    """Last-write-wins per document id (upsert semantics, core.clj:62-63).
+
+    One shuffle on ``key``; ties broken deterministically by the full
+    column tuple so re-runs are stable.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), *[
+        F.col(c).desc() for c in df.columns if c not in (key, order_col)
+    ])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def max_ts_checkpoint(df: DataFrame, ts_col: str = TS) -> DataFrame:
+    """'Store timestamp of last doc' (core.clj:137) — partial+final max."""
+    return df.agg(F.max(ts_col).alias("checkpoint_ts"))
+
+
+def bulk_chunks(df: DataFrame, max_actions: int = BULK_MAX_ACTIONS, order_col: str = "doc_id") -> DataFrame:
+    """Assign each doc a bulk-flush chunk id, mirroring the sink's
+    64-action batching (core.clj:72). Global row_number is a single-
+    partition window — acceptable only because chunking is a *sink-side*
+    per-partition concern; at scale chunk within partitions instead
+    (see ``bulk_chunks_distributed``)."""
+    w = Window.orderBy(F.col(order_col))
+    return df.withColumn(
+        "chunk_id",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(max_actions)).cast("bigint"),
+    )
+
+
+def bulk_chunks_distributed(df: DataFrame, max_actions: int = BULK_MAX_ACTIONS) -> DataFrame:
+    """Scale path: chunk ids local to each spark partition
+    (spark_partition_id, intra-partition counter) — no global sort, no
+    single-partition window. Chunk boundaries differ from the global
+    version but the flush-every-N contract is identical."""
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(F.monotonically_increasing_id())
+    return df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "chunk_id",
+        F.concat_ws(
+            "-",
+            F.col("__pid"),
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(max_actions)).cast("bigint"),
+        ),
+    ).drop("__pid")
+
+
+def incremental_copy(
+    events: DataFrame,
+    checkpoint_ts: dt.datetime | str | None = None,
+) -> DataFrame:
+    """The flagship pipeline (SURVEY.md §7.1): scan -> ts filter ->
+    emitter projection -> last-wins dedup. Returns the document stream
+    ready for any DocumentSink."""
+    # shape first so the ts filter always sees the normalized timestamp;
+    # Catalyst pushes the filter back through the projection into the scan
+    docs = incremental_filter(shape_documents(events), checkpoint_ts, ts_col="ts")
+    return last_wins(docs, key="doc_id", order_col="ts")
+
+
+def ingestion_diff(source_docs: DataFrame, target_docs: DataFrame) -> DataFrame:
+    """Docs present in source but absent from target (left anti) —
+    the incremental diff a re-ingestion run needs. Broadcast is left to
+    AQE; at 100 TB both sides are large so this is a shuffled anti join
+    on doc_id, which is the right plan."""
+    return source_docs.join(target_docs.select("doc_id"), on="doc_id", how="left_anti")

@@ -1,0 +1,238 @@
+"""Deduplication operators (north-star ext): exact, content-hash,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: exact dedup is one hash-shuffle on the dedup key. The
+near-dup path never goes O(n^2): shingle -> MinHash signature (map-side,
+per row) -> LSH band keys -> self-join on band key only (candidates
+sharing a band) -> exact Jaccard verify on the candidate pairs. At
+100 TB the band join is the only shuffle and its key cardinality is
+tunable via (bands, rows-per-band).
+
+Everything below is built-in expressions (hash/xxhash64/transform/
+aggregate) — no MLlib, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Exact dedup by key — one shuffle; deterministic representative
+    (min of all other columns per key) so tests and re-runs agree."""
+    others = [c for c in df.columns if c != key]
+    return df.groupBy(key).agg(*[F.min(c).alias(c) for c in others])
+
+
+def dedup_by_content(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-hash dedup: sha256 of normalized text; keeps the smallest
+    doc_id per distinct content (deterministic)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    hashed = documents.withColumn("content_hash", F.sha2(normalized, 256))
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def char_shingles(col: str = "text", k: int = 5) -> F.Column:
+    """Distinct k-char shingles of the normalized text, as an array.
+    Pure expression: sequence + transform + substring (no explode until
+    the caller wants rows)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(col))), "\\s+", " ")
+    n = F.greatest(F.length(normalized) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: normalized.substr(i, F.lit(k)),
+        )
+    )
+
+
+def word_shingles(col: str = "text", k: int = 3) -> F.Column:
+    """Distinct k-word shingles (n-grams) as an array of strings."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), "\\s+", " "), " ")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), k)),
+        )
+    )
+
+
+def minhash_signature(shingles: F.Column, num_hashes: int = 32) -> F.Column:
+    """MinHash signature: for hash function j, min over shingles of
+    xxhash64(shingle, seed=j). Map-side only; signature is an
+    array<bigint> of length num_hashes."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j)))) for j in range(num_hashes)]
+    )
+
+
+def simhash_votes(shingles: F.Column, bits: int = 64) -> F.Column:
+    """Per-bit vote array for SimHash: one ``aggregate`` fold over the
+    shingle array; bit positions are static Python ints so everything
+    stays codegen'd. Materialize this column once, then derive the
+    signature with ``simhash_from_votes`` (keeps the big fold out of
+    repeated subtrees)."""
+    return F.aggregate(
+        shingles,
+        F.array(*[F.lit(0).cast("long") for _ in range(bits)]),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long"))
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def simhash_from_votes(votes: F.Column, bits: int = 64) -> F.Column:
+    """Fold a vote array into the signed 64-bit SimHash signature."""
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(votes, b + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact verify.
+
+    Plan shape (the 100 TB path):
+      1. map: shingle set + MinHash signature per doc (no shuffle)
+      2. explode signature into ``bands`` band-hash keys
+      3. self-equi-join on (band_index, band_hash)  <- the ONLY shuffle
+      4. distinct candidate pairs, exact Jaccard on shingle sets
+      5. filter >= threshold
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            char_shingles(text_col, shingle_k).alias("shingles"),
+        )
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    )
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ":",
+                        F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band).cast("array<string>"),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    *,
+    word_k: int = 3,
+    threshold: float = 0.1,
+    max_docs: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs that share at
+    least one n-gram (inverted-index join — never all-pairs).
+
+    Shuffle profile: explode n-grams -> join on the n-gram (candidate
+    generation) -> exact verify on the pair. Sharing one rare n-gram is
+    a far tighter candidate set than a cross join at scale; the shared-
+    ngram count from the join itself IS the intersection size, so the
+    verify step needs no second pass over the texts.
+    """
+    docs = documents.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, word_k).alias("grams"))
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
+    sizes = docs.select("doc_id", F.size("grams").alias("n_grams"))
+    exploded = docs.select("doc_id", F.explode("grams").alias("gram"))
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "grams_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "grams_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_shared") / (F.col("grams_a") + F.col("grams_b") - F.col("n_shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_buckets(documents: DataFrame, *, shingle_k: int = 5, prefix_bits: int = 16) -> DataFrame:
+    """SimHash each doc and bucket by the top ``prefix_bits`` bits —
+    near-dup candidates share a bucket. Map-side except the final
+    group-by."""
+    sig = documents.select(
+        "doc_id",
+        simhash_votes(char_shingles("text", shingle_k)).alias("votes"),
+    ).select("doc_id", simhash_from_votes(F.col("votes")).alias("simhash"))
+    return (
+        sig.withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.collect_list("doc_id").alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,138 @@
+"""Multimodal column plumbing (north-star ext).
+
+Images/audio/video travel as opaque ``binary`` columns with a typed
+metadata struct. The Spark-side plumbing (schema, Arrow-batched UDF
+signatures, partition-aware batch shapes) is real and tested; the
+actual codec work is stubbed — the container ships no image/audio
+libraries — behind ``DECODERS`` so a real decoder drops in without
+touching the engine.
+
+Scale notes: binary payloads ride the normal columnar path (parquet
+binary + metadata struct prunes independently); feature extraction is
+``mapInPandas`` so payload bytes stream through Arrow record batches
+instead of being collected; per-batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("content_sha", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, kind: str) -> list[float]:
+    """Deterministic stand-in for a real decoder: 8 floats derived from
+    the payload digest. Replace via DECODERS[kind]."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def _real_decode(payload: bytes, kind: str) -> list[float]:  # pragma: no cover
+    raise NotImplementedError(
+        "real image/audio/video decoding needs codec libraries not present "
+        "in this container; register one in DECODERS"
+    )
+
+
+#: pluggable decode registry; swap _fake_decode for a real codec per kind
+DECODERS: dict[str, object] = {
+    "image": _fake_decode,
+    "audio": _fake_decode,
+    "video": _fake_decode,
+}
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter for the test fixtures: treat document text bytes as an
+    opaque payload so the multimodal plumbing is exercised end-to-end
+    on real data."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decode = DECODERS
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "content_sha": [
+                        hashlib.sha256(p or b"").hexdigest() for p in pdf["payload"]
+                    ],
+                    "feature": [
+                        decode[k](p, k) for k, p in zip(pdf["kind"], pdf["payload"])
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Declarative metadata profile — no decode, no Python: payload
+    sizes and hashes via built-ins only."""
+    return (
+        media.select(
+            "kind",
+            F.length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("content_sha"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("content_sha").alias("n_distinct"),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,194 @@
+"""Relational operator surface: joins, aggregations, windows, sorts,
+top-k, set ops, grouping sets — SURVEY.md §2.3-2.6.
+
+The reference performs zero joins/aggs (single linear pipeline); this
+surface exists because the engine must serve the star-schema query load
+the correctness harness (and any real user of a 100 TB corpus) issues.
+Everything is declarative DataFrame ops: Catalyst picks broadcast vs
+sort-merge via AQE; dims like region (5 rows) and nation (25 rows) get
+explicit ``F.broadcast`` hints so the plan never sort-merges them even
+with stale stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-style hash aggregate: partial+final automatically;
+    single shuffle on the two low-cardinality group keys."""
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.sum("l_discount").alias("sum_disc"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, segment: str = "BUILDING", k: int = 10) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter -> joins -> agg -> top-k.
+    customer filter prunes before the join; top-k plans as
+    TakeOrderedAndProject (no global sort materialization)."""
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = "REGION#0",
+) -> DataFrame:
+    """TPC-H Q5-style multi-join: dims broadcast, facts shuffle on join
+    keys once each; supplier-nation == customer-nation constraint."""
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == region_name)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def nation_region_broadcast(nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Explicit broadcast equi-join of the two tiny dims."""
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join == EXISTS; never widens rows, no fact columns move."""
+    return customer.join(
+        orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame, priority: str | None = "1-URGENT") -> DataFrame:
+    """Left-anti join == NOT EXISTS — the ingestion-diff shape (§2.1).
+    Filtering the right side first (urgent orders) keeps the anti join
+    selective; with ``priority=None`` it is the plain no-orders diff."""
+    right = orders
+    if priority is not None:
+        right = right.filter(F.col("o_orderpriority") == priority)
+    return customer.join(
+        right.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def top_order_per_customer(orders: DataFrame) -> DataFrame:
+    """Ranking window: one shuffle on o_custkey; deterministic tie-break
+    on o_orderkey."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def revenue_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP grouping sets; Spark expands to a union of grouping sets in
+    one pass (Expand operator), not multiple scans."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+def order_priority_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("sum_price"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+def returnflag_pivot(lineitem: DataFrame) -> DataFrame:
+    """Pivot linestatus into columns; explicit value list keeps the plan
+    a single pass (no extra distinct-values job)."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+        .orderBy("l_returnflag")
+    )
+
+
+def segment_set_ops(customer: DataFrame) -> DataFrame:
+    """Set operators: customers in AUTOMOBILE union BUILDING, minus those
+    with negative balance, intersected with high-balance keys."""
+    auto = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    negative = customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    positive = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return (
+        auto.union(building).exceptAll(negative).intersect(positive).orderBy("c_custkey")
+    )
+
+
+def top_orders(orders: DataFrame, k: int = 25) -> DataFrame:
+    """Global top-k -> TakeOrderedAndProject: per-partition heap + driver
+    merge, no total sort."""
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def ship_within_30d(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Equi + range (theta) join: lineitems shipped within 30 days of
+    order date. The equi key carries the shuffle; the range predicate is
+    a post-join filter, so no nested-loop blowup."""
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy("o_orderpriority")
+    )

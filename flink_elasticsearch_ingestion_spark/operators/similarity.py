@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (north-star ext).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Expression-only dot product (zip_with + aggregate) stays JVM-side;
+  top-k plans as TakeOrderedAndProject (per-partition heaps, no global
+  sort). At 100 TB brute force is a single full scan — embarrassingly
+  parallel, no shuffle before the final k-row merge.
+- ``lsh_topk``: the scale path — random-hyperplane LSH bucket key per
+  vector, search only the probe's bucket(s); trades recall for a
+  ~(1/2^bits) scan fraction. Hyperplanes are derived deterministically
+  from a seed so plans are reproducible.
+- ``knn_join``: top-k neighbors for EVERY query row (window rank over a
+  candidate join) — the batch ANN-join used for embedding-dedup.
+
+All floats are cast to double before accumulation so results are
+deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (Gaussian, seeded)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
+    """Random-hyperplane signature -> integer bucket id (sign bits)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec_col, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rescore only vectors in the query's LSH bucket.
+
+    Scan fraction ~ 1/2^bits; with a bucketed/partitioned-by-bucket
+    layout at 100 TB this becomes partition pruning instead of a filter.
+    """
+    planes = _hyperplanes(len(query_vector), bits, seed)
+    q_bucket = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vector, plane)) >= 0:
+            q_bucket |= 1 << i
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        .filter(F.col("bucket") == q_bucket)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN for every query row: candidate cross join + per-query
+    window rank. Correctness baseline; pair with ``lsh_bucket`` as the
+    join key to make the candidate set sub-quadratic at scale."""
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket self-join: only
+    vectors sharing a bucket are compared (the only shuffle), then exact
+    cosine verifies. Returns (vec_a, vec_b, cosine >= threshold)."""
+    sample = embeddings.select(vec_col).first()
+    dim = len(sample[0]) if sample else 0
+    planes = _hyperplanes(dim, bits, seed)
+    bucketed = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators over the documents corpus (north-star ext:
+language-ID, quality scoring, token counting, fingerprinting).
+
+All JVM-side built-ins (split/regexp/length/sha2) — no Python UDFs, so
+every expression stays inside whole-stage codegen and the scan only
+reads the columns each query touches. At 100 TB the corpus is the big
+table; these are embarrassingly parallel map-side transforms with at
+most one shuffle for the final group-by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny deterministic stopword lists for the n-gram/stopword language
+#: heuristic. Real language-ID plugs in behind the same column contract.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+#: BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens(col: str = "text") -> F.Column:
+    """Whitespace tokenization; trim first so no empty edge tokens."""
+    return F.split(F.trim(F.col(col)), "\\s+")
+
+
+def token_count(col: str = "text") -> F.Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str = "text") -> F.Column:
+    """Token count under a BPE-ish regex (letters / digits / symbol)."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(TOKEN_PATTERN), 0))
+
+
+def stopword_hits(col: str, words: tuple[str, ...]) -> F.Column:
+    """How many tokens are in the given stopword list."""
+    toks = tokens(col)
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-language corpus profile: doc counts, char/token averages."""
+    return (
+        documents.select(
+            "lang",
+            F.length("text").alias("n_chars"),
+            token_count("text").alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length band + punctuation density +
+    stopword ratio -> [0,1] score. Mirrors common LLM-corpus filters
+    (C4/Gopher-style) with fully declarative expressions."""
+    n_tokens = token_count("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0))
+    n_stop = stopword_hits("text", STOPWORDS["en"])
+    length_ok = (F.length("text") >= 50) & (F.length("text") <= 10000)
+    punct_ratio = n_punct / F.greatest(F.length("text"), F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-vote language guess: the language whose stopword list
+    hits most tokens wins; ties/zero -> 'und' (undetermined)."""
+    hits = {lang: stopword_hits("text", words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(STOPWORDS):  # deterministic tie-break: alphabetical
+        guess = guess.when(hits[lang] == best, F.lit(lang))
+    return documents.select(
+        "doc_id",
+        "lang",
+        *[hits[lang].alias(f"hits_{lang}") for lang in sorted(STOPWORDS)],
+        guess.otherwise(F.lit("und")).alias("lang_guess"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: sha256 over the
+    whitespace-normalized, lowercased text. Content-addressable id for
+    exact dedup across 100 TB (collision-safe unlike 64-bit hashes)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return documents.select(
+        "doc_id",
+        F.sha2(normalized, 256).alias("fingerprint"),
+        F.length(normalized).alias("n_chars_norm"),
+    )

@@ -1,0 +1,64 @@
+"""Config model: the reference's ParameterTool bugs are unrepresentable
+(duplicate key core.clj:95/97, key mismatch core.clj:84 vs 91)."""
+
+import pytest
+
+from flink_elasticsearch_ingestion_spark.config import PipelineConfig, SinkConfig
+from flink_elasticsearch_ingestion_spark.functions.urls import urls_to_http_hosts
+from flink_elasticsearch_ingestion_spark.sources.sinks import elasticsearch_writer_options
+
+
+def test_from_flat_roundtrip():
+    cfg = PipelineConfig.from_flat(
+        {
+            "source.elasticsearch-urls": "http://a:9201,http://b",
+            "source.batch-size": "500",
+            "source.poll-interval": "1000",
+            "sink.elasticsearch-url": "https://c",
+            "sink.username": "elastic",
+        }
+    )
+    assert cfg.source.urls == "http://a:9201,http://b"
+    assert cfg.source.batch_size == 500
+    assert cfg.source.poll_interval_ms == 1000
+    assert cfg.sink.username == "elastic"
+
+
+def test_both_url_spellings_accepted():
+    # reference bug: job-graph read "-urls", defaults defined "-url"
+    a = PipelineConfig.from_flat({"source.elasticsearch-url": "http://x"})
+    b = PipelineConfig.from_flat({"source.elasticsearch-urls": "http://x"})
+    assert a.source.urls == b.source.urls == "http://x"
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        PipelineConfig.from_flat({"source.pol-interval": "99"})  # typo'd key
+
+
+def test_reference_sink_defaults():
+    # bulk/retry constants carried from core.clj:72-78
+    sink = SinkConfig()
+    assert sink.bulk_max_actions == 64
+    assert sink.bulk_flush_interval_ms == 5000
+    assert sink.retry_count == 10
+    assert sink.retry_base_delay_ms == 2000
+    assert sink.backoff_policy == "EXPONENTIAL"
+
+
+def test_urls_to_http_hosts_port_default():
+    # port defaults to 9200 when absent (core.clj:43)
+    hosts = urls_to_http_hosts("http://a:9201,b,https://c")
+    assert [(h.host, h.port, h.scheme) for h in hosts] == [
+        ("a", 9201, "http"),
+        ("b", 9200, "http"),
+        ("c", 9200, "https"),
+    ]
+
+
+def test_es_writer_options_carry_reference_semantics():
+    opts = elasticsearch_writer_options(SinkConfig(urls="http://es1:9200", username="u", password="p"))
+    assert opts["es.batch.size.entries"] == "64"
+    assert opts["es.batch.write.retry.count"] == "10"
+    assert opts["es.mapping.id"] == "doc_id"
+    assert opts["es.resource.write"] == "{index_id}"  # dynamic routing

@@ -1,0 +1,108 @@
+"""Extension operators: planted-duplicate detection, similarity recall,
+multimodal plumbing — the non-SQL-expressible paths (SURVEY.md §5.2.3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_elasticsearch_ingestion_spark.operators import dedup as D
+from flink_elasticsearch_ingestion_spark.operators import multimodal as M
+from flink_elasticsearch_ingestion_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant: an exact copy of doc 0 as 9000, a near-copy of doc 1 as 9001
+    base = docs.limit(2).collect()
+    near = base[1].text.rsplit(" ", 2)[0] + " zzz"
+    planted = spark.createDataFrame(
+        [
+            (9000, base[0].text, base[0].lang, "planted", len(base[0].text)),
+            (9001, near, base[1].lang, "planted", len(near)),
+        ],
+        docs.schema,
+    )
+    return docs.union(planted)
+
+
+def test_dedup_by_content_finds_exact_copy(docs_with_dupes):
+    out = D.dedup_by_content(docs_with_dupes)
+    dupes = out.filter(F.col("n_copies") > 1).collect()
+    assert len(dupes) == 1
+    assert dupes[0].doc_id == 0  # keeps smallest id
+
+
+def test_minhash_finds_planted_near_dup(docs_with_dupes):
+    pairs = D.minhash_near_duplicates(docs_with_dupes, jaccard_threshold=0.5)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 9000) in found  # exact copy: jaccard 1.0
+    assert (1, 9001) in found  # near copy
+    exact = [r.jaccard for r in pairs.collect() if (r.doc_a, r.doc_b) == (0, 9000)]
+    assert exact[0] == 1.0
+
+
+def test_simhash_exact_copy_same_signature(spark, docs_with_dupes):
+    sig = docs_with_dupes.select(
+        "doc_id",
+        D.simhash_votes(D.char_shingles("text", 5)).alias("votes"),
+    ).select("doc_id", D.simhash_from_votes(F.col("votes")).alias("simhash"))
+    by_id = {r.doc_id: r.simhash for r in sig.filter(F.col("doc_id").isin(0, 9000, 1, 9001)).collect()}
+    assert by_id[0] == by_id[9000]
+    # near-dup: small hamming distance
+    ham = bin((by_id[1] ^ by_id[9001]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8
+
+
+def test_ngram_jaccard_planted_pair(docs_with_dupes):
+    pairs = D.ngram_jaccard_pairs(docs_with_dupes, threshold=0.5)
+    found = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert found[(0, 9000)] == 1.0
+    assert (1, 9001) in found
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    exact = {r.vec_id for r in S.cosine_topk(emb, qv, k=10).collect()}
+    approx = {r.vec_id for r in S.lsh_topk(emb, qv, k=10, bits=2).collect()}
+    # 2-bit LSH scans ~1/4 of vectors; the query itself must always hit
+    assert 0 in approx
+    assert len(exact & approx) >= 2
+
+
+def test_knn_join_shape(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = S.knn_join(emb.filter(F.col("vec_id") < 3), emb, k=4).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        assert -1.0001 <= r.cosine <= 1.0001
+
+
+def test_embedding_near_dup_planted(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(99999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    out = S.embedding_near_duplicates(emb.unionByName(clone), threshold=0.999)
+    pairs = {(r.vec_a, r.vec_b) for r in out.collect()}
+    assert (0, 99999) in pairs  # identical vector always shares the bucket
+
+
+def test_multimodal_features(spark, sf_dir):
+    media = M.documents_as_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    feats = M.extract_features(media)
+    rows = feats.limit(5).collect()
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.feature)
+    # deterministic: same payload -> same feature
+    again = {r.media_id: r.feature for r in M.extract_features(media).limit(5).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+
+
+def test_media_stats_counts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = M.media_stats(M.documents_as_media(docs)).collect()
+    assert len(out) == 1
+    assert out[0].n_items == docs.count()

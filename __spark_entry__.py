@@ -23,7 +23,9 @@ from flink_elasticsearch_ingestion_spark.operators import (
     relational as R,
     similarity as S,
     text as X,
+    windows as W,
 )
+from flink_elasticsearch_ingestion_spark.operators.asof import as_of_join
 from flink_elasticsearch_ingestion_spark.functions import urls as U
 
 #: fixed incremental checkpoint used by the ts-range queries (UTC)
@@ -136,9 +138,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # avgs derived from 2-decimal-rounded sums: both engines then
         # divide bit-identical doubles, so round(.,4) can't straddle an
         # FP half-boundary differently (raw avg() did, on real data)
-        F.round(F.round("sum_qty", 2) / F.col("count_order"), 4).alias("avg_qty"),
-        F.round(F.round("sum_base_price", 2) / F.col("count_order"), 4).alias("avg_price"),
-        F.round(F.round("sum_disc", 2) / F.col("count_order"), 4).alias("avg_disc"),
+        F.round(F.round("sum_qty", 2) / F.col("count_order") + 1e-9, 4).alias("avg_qty"),
+        F.round(F.round("sum_base_price", 2) / F.col("count_order") + 1e-9, 4).alias("avg_price"),
+        F.round(F.round("sum_disc", 2) / F.col("count_order") + 1e-9, 4).alias("avg_disc"),
         "count_order",
     )
 
@@ -227,7 +229,7 @@ def q_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)) + 1e-9, 4).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("day", "event_type")
@@ -257,6 +259,73 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("p_retailprice") - 1000).alias("price_dev"),
         (F.col("p_size") % 5).alias("size_mod"),
     ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# windows (event-time + analytic) and as-of join
+# --------------------------------------------------------------------------
+
+
+def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_event_windows(_t(spark, sf_dir, "events"))
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_windows(_t(spark, sf_dir, "events"))
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.event_gaps(_t(spark, sf_dir, "events"))
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.running_revenue(_t(spark, sf_dir, "orders"))
+
+
+def q_next_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.next_event_type(_t(spark, sf_dir, "events"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the customer's latest order at
+    or before the event time. Right side pre-aggregated to one row per
+    (custkey, date) so the match is deterministic."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+    )
+    out = as_of_join(
+        events, orders, on_left="user_id", on_right="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", payload_cols=["day_total"],
+    )
+    return out.select("event_id", "user_id", "ts", "day_total", "matched_ts").orderBy("event_id")
+
+
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.price_quantiles(_t(spark, sf_dir, "orders"))
+
+
+def q_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.order_stats(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+def q_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.arg_extremes(_t(spark, sf_dir, "events"))
+
+
+def q_user_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.user_event_sets(_t(spark, sf_dir, "events"))
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.grouping_sets_revenue(spark, _t(spark, sf_dir, "lineitem"))
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: HLL++ estimates are engine-specific."""
+    return R.approx_distinct_counts(_t(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------
@@ -406,6 +475,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_day": q_events_by_day,
         "string_functions": q_string_functions,
         "math_functions": q_math_functions,
+        # windows / asof / stats
+        "tumbling_windows": q_tumbling_windows,
+        "session_windows": q_session_windows,
+        "event_gaps": q_event_gaps,
+        "running_revenue": q_running_revenue,
+        "next_event_type": q_next_event_type,
+        "asof_join": q_asof_join,
+        "price_quantiles": q_price_quantiles,
+        "order_stats": q_order_stats,
+        "arg_extremes": q_arg_extremes,
+        "user_event_sets": q_user_event_sets,
+        "grouping_sets": q_grouping_sets,
+        "approx_distinct": q_approx_distinct,
         # text analysis
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
@@ -488,9 +570,9 @@ def oracle_sql() -> dict[str, str]:
             " round(sum(l_extendedprice), 2) AS sum_base_price,"
             " round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
             " round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,"
-            " round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,"
-            " round(round(sum(l_extendedprice), 2) / count(*), 4) AS avg_price,"
-            " round(round(sum(l_discount), 2) / count(*), 4) AS avg_disc,"
+            " round(round(sum(l_quantity), 2) / count(*) + 1e-9, 4) AS avg_qty,"
+            " round(round(sum(l_extendedprice), 2) / count(*) + 1e-9, 4) AS avg_price,"
+            " round(round(sum(l_discount), 2) / count(*) + 1e-9, 4) AS avg_disc,"
             " count(*) AS count_order"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus"
             " ORDER BY l_returnflag, l_linestatus"
@@ -575,7 +657,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_by_day": (
             "SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day, event_type,"
-            " count(*) AS n_events, round(round(sum(value), 2) / count(*), 4) AS avg_value,"
+            " count(*) AS n_events, round(round(sum(value), 2) / count(*) + 1e-9, 4) AS avg_value,"
             " count(DISTINCT user_id) AS n_users"
             " FROM events GROUP BY 1, 2 ORDER BY day, event_type"
         ),
@@ -595,6 +677,91 @@ def oracle_sql() -> dict[str, str]:
             " p_size % 5 AS size_mod"
             " FROM part ORDER BY p_partkey"
         ),
+        "tumbling_windows": (
+            "SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,"
+            " event_type, count(*) AS n_events,"
+            " round(round(sum(value), 2) / count(*) + 1e-9, 4) AS avg_value"
+            " FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"
+        ),
+        "session_windows": (
+            "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),"
+            " flagged AS (SELECT user_id, ts,"
+            "  CASE WHEN lag(ts) OVER w IS NULL"
+            "   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess"
+            "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),"
+            " sess AS (SELECT user_id, ts, sum(new_sess) OVER"
+            "  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged)"
+            " SELECT user_id, min(ts) AS session_start, count(*) AS n_events"
+            " FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"
+        ),
+        "event_gaps": (
+            "WITH g AS (SELECT user_id,"
+            "  epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))"
+            "   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us"
+            " FROM events)"
+            " SELECT user_id, count(*) AS n_gaps,"
+            " CAST(floor(sum(gap_us) / 1000000) AS BIGINT) AS total_gap_s,"
+            " CAST(floor(max(gap_us) / 1000000) AS BIGINT) AS max_gap_s"
+            " FROM g WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id"
+        ),
+        "running_revenue": (
+            "SELECT o_custkey, o_orderkey,"
+            " round(sum(o_totalprice) OVER (PARTITION BY o_custkey"
+            "  ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total,"
+            " CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+            "  AS INTEGER) AS order_seq"
+            " FROM orders"
+        ),
+        "next_event_type": (
+            "WITH nxt AS (SELECT event_type, lead(event_type) OVER"
+            " (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type"
+            " FROM events)"
+            " SELECT event_type, next_type, count(*) AS n_transitions FROM nxt"
+            " WHERE next_type IS NOT NULL GROUP BY event_type, next_type"
+            " ORDER BY event_type, next_type"
+        ),
+        "asof_join": (
+            "WITH day_orders AS (SELECT o_custkey, o_orderdate,"
+            "  round(sum(o_totalprice), 2) AS day_total FROM orders"
+            "  GROUP BY o_custkey, o_orderdate),"
+            " e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)"
+            " SELECT e.event_id, e.user_id, e.ts, d.day_total,"
+            "  d.o_orderdate AS matched_ts"
+            " FROM e ASOF LEFT JOIN day_orders d"
+            "  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate"
+            " ORDER BY event_id"
+        ),
+        "price_quantiles": (
+            "SELECT o_orderpriority,"
+            " round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,"
+            " round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,"
+            " count(*) AS n_orders"
+            " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "order_stats": (
+            "WITH li AS (SELECT round(corr(l_quantity, l_extendedprice), 4)"
+            "  AS qty_price_corr FROM lineitem)"
+            " SELECT o_orderstatus, round(stddev_samp(o_totalprice), 2) AS price_stddev,"
+            " round(round(sum(o_totalprice), 2) / count(*) + 1e-9, 4) AS price_mean,"
+            " count(*) AS n_orders, li.qty_price_corr"
+            " FROM orders, li GROUP BY o_orderstatus, li.qty_price_corr"
+            " ORDER BY o_orderstatus"
+        ),
+        "arg_extremes": (
+            "SELECT event_type, arg_max(user_id, event_id) AS last_user,"
+            " arg_min(user_id, event_id) AS first_user, max(event_id) AS last_event_id"
+            " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "user_event_sets": (
+            "SELECT user_id, array_agg(DISTINCT event_type ORDER BY event_type)"
+            " AS event_types FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "grouping_sets": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,"
+            " count(*) AS n_rows FROM lineitem"
+            " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+            " ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
+        ),
         "text_stats": (
             "WITH toks AS (SELECT lang, length(text) AS n_chars,"
             "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents)"
@@ -610,8 +777,8 @@ def oracle_sql() -> dict[str, str]:
             "      t -> lower(t) IN ('the','a','of','and','to'))) AS n_stop"
             "  FROM documents)"
             " SELECT doc_id, lang, n_chars, n_tokens,"
-            " round(n_punct / greatest(length(text), 1), 6) AS punct_ratio,"
-            " round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,"
+            " round(n_punct / greatest(length(text), 1) + 1e-9, 6) AS punct_ratio,"
+            " round(n_stop / greatest(n_tokens, 1) + 1e-9, 6) AS stopword_ratio,"
             " round((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)"
             "  + (CASE WHEN n_punct / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END)"
             "  + (CASE WHEN n_stop / greatest(n_tokens, 1) > 0.01 THEN 0.3 ELSE 0.0 END), 2)"

@@ -112,8 +112,9 @@ def simhash_from_votes(votes: F.Column, bits: int = 64) -> F.Column:
 def minhash_near_duplicates(
     documents: DataFrame,
     *,
+    word_k: int | None = 3,
     shingle_k: int = 5,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.6,
     id_col: str = "doc_id",
@@ -121,38 +122,56 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
+    Shingling is word-level by default (``word_k`` w-shingles — an
+    order of magnitude fewer set elements than char shingles on prose,
+    so 32 minhash passes stay cheap); pass ``word_k=None`` to use
+    ``shingle_k`` char shingles.
+
     Plan shape (the 100 TB path):
       1. map: shingle set + MinHash signature per doc (no shuffle)
-      2. explode signature into ``bands`` band-hash keys
-      3. self-equi-join on (band_index, band_hash)  <- the ONLY shuffle
-      4. distinct candidate pairs, exact Jaccard on shingle sets
+      2. explode signature into ``bands`` band-hash keys (ids only)
+      3. self-equi-join on (band_index, band_hash)  <- the ONLY wide shuffle
+      4. distinct candidate pairs -> re-attach shingles -> exact Jaccard
       5. filter >= threshold
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sig = (
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            char_shingles(text_col, shingle_k).alias("shingles"),
-        )
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    shingled = documents.select(
+        F.col(id_col).alias("doc_id"),
+        (word_shingles(text_col, word_k) if word_k else char_shingles(text_col, shingle_k)).alias(
+            "shingles"
+        ),
+    )
+    # materialize shingles once: the self-join + verify step would
+    # otherwise recompute the (expensive) shingle/minhash subtree up to
+    # 4x. At 100 TB the same role is played by writing the signature
+    # table out (it is ~1% of corpus size), not by executor cache.
+    shingled = shingled.persist()
+    # sig projected in its own step so the band explode references the
+    # computed array instead of re-deriving 32 minhash passes per band
+    sig = shingled.select(
+        "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
     )
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.xxhash64(
                     F.concat_ws(
                         ":",
-                        F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band).cast("array<string>"),
+                        F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band).cast(
+                            "array<string>"
+                        ),
                     )
                 ),
             )
         ).alias("band_idx", "band_hash"),
     )
+    # candidate generation carries ONLY ids through the shuffle;
+    # shingle arrays re-attach after pair dedup (2 narrow hash joins
+    # on far fewer rows than the exploded band table)
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
@@ -162,18 +181,17 @@ def minhash_near_duplicates(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        candidates.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

@@ -178,6 +178,93 @@ def top_orders(orders: DataFrame, k: int = 25) -> DataFrame:
     )
 
 
+def price_quantiles(orders: DataFrame) -> DataFrame:
+    """Exact continuous percentiles (single-pass sort-based agg per
+    group; at scale prefer approx_percentile — see approx_stats)."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def order_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Statistical aggregates: stddev + correlation."""
+    li = lineitem.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr")
+    )
+    per_status = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("price_stddev"),
+            F.round(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)) + 1e-9, 4).alias(
+                "price_mean"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return per_status.crossJoin(li)
+
+
+def arg_extremes(events: DataFrame) -> DataFrame:
+    """max_by/min_by (argmax/argmin) — keyed on the unique event_id so
+    ties cannot occur."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", "event_id").alias("last_user"),
+            F.min_by("user_id", "event_id").alias("first_user"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_event_sets(events: DataFrame) -> DataFrame:
+    """Bounded collect: distinct event types per user as a sorted array
+    (cardinality <= 5 — safe; unbounded collect_list is banned at scale)."""
+    return (
+        events.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("event_types"))
+        .orderBy("user_id")
+    )
+
+
+def grouping_sets_revenue(spark, lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (not expressible with
+    the cube/rollup DataFrame helpers)."""
+    lineitem.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n_rows
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+def approx_distinct_counts(events: DataFrame) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB path for cardinality
+    (exact countDistinct needs a full shuffle of the key universe).
+    Oracle-unfriendly (estimator differs per engine) -> rows-only."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def ship_within_30d(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Equi + range (theta) join: lineitems shipped within 30 days of
     order date. The equi key carries the shuffle; the range predicate is

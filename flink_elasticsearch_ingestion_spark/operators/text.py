@@ -84,8 +84,8 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         "lang",
         F.col("n_chars").alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio + 1e-9, 6).alias("punct_ratio"),
+        F.round(stop_ratio + 1e-9, 6).alias("stopword_ratio"),
         F.round(score, 2).alias("quality_score"),
     )
 

@@ -1,0 +1,104 @@
+"""Event-time and analytic window operators (SURVEY.md §2.5, §2.7).
+
+Tumbling/session windows are the Structured-Streaming-native
+aggregations (identical expressions run under ``readStream`` with a
+watermark); analytic windows (lag/lead, running frames) serve the
+event-sequence queries. Each shuffles exactly once on its partition
+key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_event_windows(events: DataFrame, width: str = "6 hours") -> DataFrame:
+    """Fixed tumbling event-time windows (UTC-epoch aligned, exactly
+    what `window()` emits under streaming with a watermark)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)) + 1e-9, 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events merge while consecutive gaps are
+    < gap (half-open [start, last+gap) semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def event_gaps(events: DataFrame) -> DataFrame:
+    """lag() sequence analysis: per-user inter-event gap stats in
+    seconds (exact integer µs arithmetic — deterministic)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    return (
+        with_gap.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.sum("gap_us") / F.lit(1000000)).cast("bigint").alias("total_gap_s"),
+            (F.max("gap_us") / F.lit(1000000)).cast("bigint").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def running_revenue(orders: DataFrame) -> DataFrame:
+    """Cumulative frame: running total of order value per customer in
+    order-date order (rowsBetween unboundedPreceding..current)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+    )
+
+
+def next_event_type(events: DataFrame) -> DataFrame:
+    """lead(): per user, which event type follows each event (Markov-ish
+    transition counts)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("event_type", "next_type")
+    )

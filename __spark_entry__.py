@@ -303,6 +303,54 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "day_total", "matched_ts").orderBy("event_id")
 
 
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.orders_above_customer_avg(_t(spark, sf_dir, "orders"))
+
+
+def q_purchases_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.purchases_after_click(_t(spark, sf_dir, "events"))
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.date_functions(_t(spark, sf_dir, "orders"))
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface over the embedding column: size, element_at,
+    slice + aggregate (fold), array_max — all JVM-side expressions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dv = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.element_at(dv, 1), 6).alias("first_val"),
+        F.round(
+            F.aggregate(F.slice(dv, 1, 8), F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("head_sum"),
+        F.round(F.array_max(dv), 6).alias("max_val"),
+    ).orderBy("vec_id")
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UNNEST) -> per-dimension profile of the embedding
+    corpus. The explode is map-side; the per-dim agg is one shuffle on a
+    64-key space."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    ).select((F.col("pos") + 1).alias("dim"), "val")
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.round(F.round(F.sum("val"), 6) / F.count(F.lit(1)) + 1e-9, 6).alias("avg_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+            F.count(F.lit(1)).alias("n_vals"),
+        )
+        .orderBy("dim")
+    )
+
+
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.price_quantiles(_t(spark, sf_dir, "orders"))
 
@@ -419,8 +467,12 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH-bucketed near-dup (plane literals impractical in SQL)."""
-    return S.embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+    """Rows-only: multi-table LSH near-dup (plane literals impractical in
+    SQL). Threshold/bits/tables tuned so the synthetic corpus (random
+    vectors, max pairwise cosine ~0.5) yields a non-trivial result."""
+    return S.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, bits=4, tables=8
+    )
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,6 +497,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media).select(
         "media_id", "kind", "n_bytes", "content_sha", F.round(F.element_at("feature", 1), 6).alias("f0")
     ).orderBy("media_id")
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: binary->binary resize plumbing (stub resampler);
+    checked for schema-composability + determinism in unit tests."""
+    media = M.documents_as_media(_t(spark, sf_dir, "documents"))
+    return M.resize_images(media, width=8, height=8).select(
+        "media_id", "kind", F.length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+    ).orderBy("media_id")
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: 1->N frame-sampling fan-out via mapInPandas."""
+    media = M.documents_as_media(_t(spark, sf_dir, "documents"))
+    return (
+        M.sample_frames(media, frame_bytes=64, stride=2)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.sum(F.length("frame")).alias("frame_bytes"))
+        .orderBy("media_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -482,6 +555,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue": q_running_revenue,
         "next_event_type": q_next_event_type,
         "asof_join": q_asof_join,
+        "orders_above_cust_avg": q_orders_above_cust_avg,
+        "purchases_after_click": q_purchases_after_click,
+        "date_functions": q_date_functions,
+        "array_functions": q_array_functions,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "price_quantiles": q_price_quantiles,
         "order_stats": q_order_stats,
         "arg_extremes": q_arg_extremes,
@@ -508,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "media_stats": q_media_stats,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
@@ -731,6 +811,50 @@ def oracle_sql() -> dict[str, str]:
             "  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate"
             " ORDER BY event_id"
         ),
+        "orders_above_cust_avg": (
+            "SELECT o_orderkey, o_custkey, o_totalprice,"
+            " round(cust_avg + 1e-9, 4) AS cust_avg FROM ("
+            "  SELECT o_orderkey, o_custkey, o_totalprice,"
+            "  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg FROM orders)"
+            " WHERE o_totalprice > cust_avg ORDER BY o_orderkey"
+        ),
+        "purchases_after_click": (
+            "SELECT c.user_id, count(*) AS n_conversions,"
+            " count(DISTINCT c.event_id) AS n_converting_clicks"
+            " FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id"
+            "   FROM events WHERE event_type = 'click') c"
+            " JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts"
+            "   FROM events WHERE event_type = 'purchase') p"
+            " ON c.user_id = p.user_id"
+            " WHERE purchase_ts >= click_ts"
+            "  AND purchase_ts < click_ts + INTERVAL 7 DAY"
+            " GROUP BY c.user_id ORDER BY c.user_id"
+        ),
+        "date_functions": (
+            "SELECT o_orderkey,"
+            " strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,"
+            " year(o_orderdate) AS order_year,"
+            " quarter(o_orderdate) AS order_quarter,"
+            " dayofweek(o_orderdate) + 1 AS order_dow,"
+            " date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,"
+            " CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s"
+            " FROM orders ORDER BY o_orderkey"
+        ),
+        "array_functions": (
+            "SELECT vec_id, len(embedding) AS n_dims,"
+            " round(CAST(embedding AS DOUBLE[])[1], 6) AS first_val,"
+            " round(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]), 'sum'), 6) AS head_sum,"
+            " round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS max_val"
+            " FROM embeddings ORDER BY vec_id"
+        ),
+        "embedding_dim_stats": (
+            "WITH e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,"
+            "  unnest(range(1, len(embedding)+1)) AS dim FROM embeddings)"
+            " SELECT dim, round(round(sum(val), 6) / count(*) + 1e-9, 6) AS avg_val,"
+            " round(min(val), 6) AS min_val, round(max(val), 6) AS max_val,"
+            " count(*) AS n_vals"
+            " FROM e GROUP BY dim ORDER BY dim"
+        ),
         "price_quantiles": (
             "SELECT o_orderpriority,"
             " round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,"
@@ -847,6 +971,23 @@ def oracle_sql() -> dict[str, str]:
             " sum(octet_length(encode(text))) AS total_bytes,"
             " count(DISTINCT sha256(text)) AS n_distinct"
             " FROM documents GROUP BY 1 ORDER BY kind"
+        ),
+        "media_resize": (
+            "SELECT doc_id AS media_id, 'image' AS kind,"
+            " least(octet_length(encode(text)), 64) AS n_bytes,"
+            " 8 AS width, 8 AS height"
+            " FROM documents ORDER BY media_id"
+        ),
+        "media_frames": (
+            "WITH sized AS (SELECT doc_id, octet_length(encode(text)) AS n"
+            "  FROM documents WHERE octet_length(encode(text)) > 0),"
+            " chunked AS (SELECT doc_id, n,"
+            "  CAST(ceil(n / 64.0) AS BIGINT) AS n_chunks FROM sized)"
+            " SELECT doc_id AS media_id,"
+            " len(range(0, n_chunks, 2)) AS n_frames,"
+            " list_sum(list_transform(range(0, n_chunks, 2),"
+            "  i -> least(64, n - i * 64))) AS frame_bytes"
+            " FROM chunked ORDER BY media_id"
         ),
         # rows-only (no SQL parity): minhash_near_dup, ngram_jaccard,
         # simhash_buckets, embedding_near_dup, lsh_topk, media_features

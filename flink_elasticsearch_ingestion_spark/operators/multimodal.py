@@ -119,6 +119,81 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: a real implementation
+    decodes, resamples to (width, height), re-encodes. The stub keeps
+    the transform deterministic and size-bounded so the Spark plumbing
+    (binary in -> binary out, meta rewrite) is testable without codecs."""
+    cap = max(width * height, 1)
+    return (payload or b"")[:cap]
+
+
+RESIZERS: dict[str, object] = {"image": _fake_resize}
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Arrow-batched resize over image payloads: binary in, binary out,
+    metadata struct rewritten to the new dimensions. Non-image rows pass
+    through untouched. Output schema == input schema, so resize stages
+    compose/pipeline freely."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            resized_payload = []
+            resized_meta = []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                if kind in RESIZERS:
+                    resized_payload.append(RESIZERS[kind](payload, width, height))
+                    new_meta = dict(meta) if meta is not None else {}
+                    new_meta["width"] = width
+                    new_meta["height"] = height
+                    resized_meta.append(new_meta)
+                else:
+                    resized_payload.append(payload)
+                    resized_meta.append(meta)
+            out["payload"] = resized_payload
+            out["meta"] = resized_meta
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256, stride: int = 4) -> DataFrame:
+    """Frame sampling: one input row fans out to N frame rows (a real
+    implementation seeks the container every ``stride`` frames; the stub
+    slices the payload into deterministic ``frame_bytes`` chunks and
+    keeps every ``stride``-th). mapInPandas yields more rows than it
+    consumes — the UDTF-shaped fan-out — while Arrow keeps the payload
+    bytes off the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                chunks = [
+                    payload[off : off + frame_bytes]
+                    for off in range(0, len(payload), frame_bytes)
+                ]
+                for i, chunk in enumerate(chunks[::stride]):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(chunk)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Declarative metadata profile — no decode, no Python: payload
     sizes and hashes via built-ins only."""

@@ -41,11 +41,20 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
 def top_revenue_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, segment: str = "BUILDING", k: int = 10) -> DataFrame:
     """TPC-H Q3-style: selective dim filter -> joins -> agg -> top-k.
     customer filter prunes before the join; top-k plans as
-    TakeOrderedAndProject (no global sort materialization)."""
+    TakeOrderedAndProject (no global sort materialization).
+
+    Join shape matters at scale: lineitem is the probe side and the
+    customer-filtered orders subtree is the build side, with NO manual
+    broadcast hint — static file-size stats would otherwise pick
+    BuildRight on lineitem itself (it's under the 10 MB threshold at
+    small SF), funneling the biggest table through the driver. With AQE
+    on, the runtime size of the filtered orders side decides broadcast
+    vs shuffle, which stays correct when orders itself is fact-sized."""
+    filtered_orders = customer.filter(F.col("c_mktsegment") == segment).join(
+        orders, F.col("c_custkey") == F.col("o_custkey")
+    )
     return (
-        customer.filter(F.col("c_mktsegment") == segment)
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        lineitem.join(filtered_orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -279,3 +288,65 @@ def ship_within_30d(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lineitems"))
         .orderBy("o_orderpriority")
     )
+
+
+def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Correlated-subquery shape: orders whose price exceeds their
+    customer's average. Expressed as a window avg (one shuffle on
+    o_custkey) instead of a per-row subquery — the scalable plan: the
+    subquery form would re-aggregate per outer row, the window form is
+    a single partial+final agg co-partitioned with the probe."""
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(F.col("cust_avg") + 1e-9, 4).alias("cust_avg"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def purchases_after_click(events: DataFrame, days: int = 7) -> DataFrame:
+    """Range join: purchase events within ``days`` after a click by the
+    same user. Equi key (user) carries the shuffle; the time-range
+    predicate filters inside the join, so the plan stays a hash/sort-merge
+    join — never a broadcast-nested-loop. At 100 TB, bucketing the event
+    log by user id makes this join shuffle-free."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"), "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    return (
+        clicks.join(purchases, F.col("c_user") == F.col("user_id"))
+        .filter(
+            (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {days} DAYS"))
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.countDistinct("event_id").alias("n_converting_clicks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def date_functions(orders: DataFrame) -> DataFrame:
+    """Date/time scalar surface: trunc, extract, diff, unix epoch."""
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_eoy"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    ).orderBy("o_orderkey")

@@ -141,28 +141,55 @@ def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
     bits: int = 8,
+    tables: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucket self-join: only
-    vectors sharing a bucket are compared (the only shuffle), then exact
-    cosine verifies. Returns (vec_a, vec_b, cosine >= threshold)."""
+    """Embedding-cosine near-dup pairs via multi-table LSH self-join.
+
+    Standard sign-random-projection LSH: ``tables`` independent hash
+    tables of ``bits`` hyperplanes each. A pair is a candidate if it
+    collides in ANY table (explode table keys -> the only wide shuffle
+    is the equi-join on (table, bucket)), then exact cosine verifies.
+    Recall for a pair at angle θ is 1-(1-(1-θ/π)^bits)^tables — tune
+    bits up for precision (fewer candidates), tables up for recall.
+    Candidate pairs dedupe before the verify so each pair is rescored
+    once even when it collides in several tables.
+    """
     sample = embeddings.select(vec_col).first()
     dim = len(sample[0]) if sample else 0
-    planes = _hyperplanes(dim, bits, seed)
-    bucketed = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    keyed = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    buckets = [
+        lsh_bucket(F.col("vec"), _hyperplanes(dim, bits, seed + t)).alias(f"b{t}")
+        for t in range(tables)
+    ]
+    banded = keyed.select("vid", *buckets).select(
+        "vid",
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(tables)])).alias(
+            "table_idx", "bucket"
+        ),
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = keyed.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va"))
+    vb = keyed.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")))
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")

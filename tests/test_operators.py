@@ -106,3 +106,26 @@ def test_media_stats_counts(spark, sf_dir):
     out = M.media_stats(M.documents_as_media(docs)).collect()
     assert len(out) == 1
     assert out[0].n_items == docs.count()
+
+
+def test_resize_images_rewrites_meta_and_payload(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = M.documents_as_media(docs)
+    resized = M.resize_images(media, width=8, height=8)
+    # composable: same column names/types (nullability may differ)
+    assert resized.dtypes == media.dtypes
+    row = resized.filter(F.col("media_id") == 0).first()
+    assert row.meta.width == 8 and row.meta.height == 8
+    assert len(row.payload) <= 64
+
+
+def test_sample_frames_fan_out(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = M.documents_as_media(docs)
+    frames = M.sample_frames(media, frame_bytes=64, stride=2)
+    assert frames.count() > media.count()  # fan-out happened
+    per = frames.groupBy("media_id").count().agg(F.max("count")).first()[0]
+    assert per >= 2
+    # deterministic: same input -> same frames
+    again = M.sample_frames(media, frame_bytes=64, stride=2)
+    assert frames.exceptAll(again).count() == 0

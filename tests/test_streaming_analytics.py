@@ -1,0 +1,49 @@
+"""Streaming analytics: watermarked event-time windows and the custom
+stateful operator produce the same answers as their batch formulations
+(stream ≡ batch on a finite fixture, SURVEY.md §5.2.4 analog)."""
+
+from pyspark.sql import functions as F
+
+from flink_elasticsearch_ingestion_spark.sources.tables import load_events
+from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+    stream_user_stats,
+    stream_windowed_counts,
+    windowed_event_counts,
+)
+
+
+def _staged_events(tmp_path, spark, sf_dir):
+    """Stage normalized events (us-timestamp ts) as a parquet dir for the
+    file stream source."""
+    d = str(tmp_path / "events_in")
+    load_events(spark, sf_dir).write.parquet(d)
+    return d
+
+
+def test_stream_windowed_counts_match_batch(tmp_path, spark, sf_dir):
+    in_dir = _staged_events(tmp_path, spark, sf_dir)
+    q = stream_windowed_counts(spark, in_dir, str(tmp_path / "ck"), query_name="wc_test")
+    q.awaitTermination(120)
+
+    streamed = spark.table("wc_test")
+    batch = windowed_event_counts(spark.read.parquet(in_dir))
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch.select(*streamed.columns)).count() == 0
+
+
+def test_stateful_user_stats_match_batch(tmp_path, spark, sf_dir):
+    in_dir = _staged_events(tmp_path, spark, sf_dir)
+    q = stream_user_stats(spark, in_dir, str(tmp_path / "ck2"), query_name="us_test")
+    q.awaitTermination(120)
+
+    # update-mode memory sink: keep the LAST emitted row per user
+    streamed = spark.table("us_test").groupBy("user_id").agg(
+        F.max("n_events").alias("n_events")
+    )
+    batch = (
+        spark.read.parquet(in_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0

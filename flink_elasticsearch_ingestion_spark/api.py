@@ -1,0 +1,68 @@
+"""User-facing entry points: the engine as a library.
+
+``Engine`` wraps a SparkSession + a scale-factor directory and exposes
+the three ways users consume this engine:
+
+- ``engine.table(name)`` — DataFrame handle per fixture table
+- ``engine.sql(query)`` — ANSI SQL over the registered views (Catalyst
+  plans it identically to the DataFrame form)
+- ``engine.query(name)`` — the named operator catalog from
+  ``__spark_entry__.queries()`` (every SURVEY.md §2 operator)
+
+The reference's only entry point was a CLI main that assembled one
+hard-wired pipeline (core.clj:102-112); this replaces it with the
+standard Spark triad while `copy_run` keeps the reference's one-command
+batch-copy semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_elasticsearch_ingestion_spark.session import get_spark
+from flink_elasticsearch_ingestion_spark.sources.tables import (
+    TABLES,
+    load_table,
+    register_views,
+)
+
+
+class Engine:
+    def __init__(self, sf_dir: str, spark: SparkSession | None = None):
+        self.spark = spark or get_spark("engine")
+        self.sf_dir = sf_dir
+        register_views(self.spark, sf_dir)
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def tables(self) -> tuple[str, ...]:
+        return TABLES
+
+    def sql(self, query: str) -> DataFrame:
+        """ANSI SQL over the registered table views."""
+        return self.spark.sql(query)
+
+    def query(self, name: str) -> DataFrame:
+        """Run a named operator from the driver-contract catalog."""
+        import __spark_entry__ as entry
+
+        return entry.queries()[name](self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        import __spark_entry__ as entry
+
+        return sorted(entry.queries())
+
+    def copy_run(self, checkpoint_path: str, sink_path: str) -> int:
+        """The reference's headline behavior as one call: incremental
+        batch copy of the event stream with a persisted ts offset."""
+        from flink_elasticsearch_ingestion_spark.sources.sinks import ParquetSink
+        from flink_elasticsearch_ingestion_spark.streaming.shell import (
+            CheckpointStore,
+            run_incremental_batch,
+        )
+
+        events = self.table("events")
+        sink = ParquetSink(path=sink_path, mode="append")
+        return run_incremental_batch(events, sink, CheckpointStore(checkpoint_path))

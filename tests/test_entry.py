@@ -31,3 +31,18 @@ def test_all_queries_run_at_sf0001(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(1).collect()
+
+
+def test_engine_api(tmp_path, spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.api import Engine
+
+    eng = Engine(sf_dir, spark=spark)
+    assert eng.sql("SELECT count(*) AS n FROM nation").first().n == 25
+    assert eng.query("nation_region_join").count() == 25
+    assert "pricing_summary" in eng.query_names()
+    # one-command incremental copy: second run ingests nothing new
+    ck = str(tmp_path / "ck.json")
+    out = str(tmp_path / "copied")
+    n1 = eng.copy_run(ck, out)
+    assert n1 > 0
+    assert eng.copy_run(ck, out) == 0

@@ -116,10 +116,32 @@ def incremental_copy(
     """The flagship pipeline (SURVEY.md §7.1): scan -> ts filter ->
     emitter projection -> last-wins dedup. Returns the document stream
     ready for any DocumentSink."""
-    # shape first so the ts filter always sees the normalized timestamp;
-    # Catalyst pushes the filter back through the projection into the scan
+    # When the source carries the raw nanos column (ts_ns, see
+    # load_events), add a coarse pushable predicate on it: the exact
+    # filter compares the DERIVED us-truncated timestamp, which can
+    # never reach the parquet reader, but ts_ns > checkpoint_ns is a
+    # plain column comparison -> PushedFilters -> row-group pruning at
+    # scale. The exact us filter still runs after (the coarse bound
+    # admits rows whose truncated us equals the checkpoint).
+    if checkpoint_ts is not None and "ts_ns" in events.columns:
+        events = events.filter(F.col("ts_ns") > F.lit(_to_nanos(checkpoint_ts)))
+    # shape next so the exact ts filter sees the normalized timestamp;
+    # Catalyst pushes it back through the projection
     docs = incremental_filter(shape_documents(events), checkpoint_ts, ts_col="ts")
     return last_wins(docs, key="doc_id", order_col="ts")
+
+
+def _to_nanos(checkpoint_ts: dt.datetime | str) -> int:
+    """UTC checkpoint -> integer epoch nanoseconds (exact int math; a
+    float timestamp() would lose ns precision)."""
+    import calendar
+
+    ck = (
+        dt.datetime.fromisoformat(checkpoint_ts)
+        if isinstance(checkpoint_ts, str)
+        else checkpoint_ts
+    )
+    return calendar.timegm(ck.utctimetuple()) * 10**9 + ck.microsecond * 1000
 
 
 def ingestion_diff(source_docs: DataFrame, target_docs: DataFrame) -> DataFrame:

@@ -42,7 +42,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # keep the raw nanos column (ts_ns): predicates on the DERIVED
+        # timestamp cannot reach the parquet scan, but a coarse range
+        # predicate on ts_ns pushes down and prunes row groups — the
+        # incremental copy uses both (coarse pushed + exact post-filter)
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return df
 
 

@@ -1,0 +1,72 @@
+"""Physical-plan audit over the whole query catalog (SURVEY.md §4).
+
+Guards the scale properties that correctness tests can't see:
+- no accidental cartesian / broadcast-nested-loop joins (quadratic at
+  100 TB) anywhere except the operators that are intentionally
+  brute-force (knn_join's cross join is the exact-kNN baseline);
+- parquet scans prune columns (never read full-width documents/lineitem
+  when the query projects a few columns);
+- selective filters reach the scan as pushed predicates.
+"""
+
+import pytest
+
+import __spark_entry__ as E
+
+#: brute-force-by-design: exact kNN scores every (query, corpus) pair
+CROSS_JOIN_OK = {"knn_join"}
+#: joins a single-row scalar aggregate (corr over lineitem) — a 1-row
+#: broadcast nested loop is the correct plan for a scalar subquery
+SCALAR_JOIN_OK = {"order_stats"}
+
+
+def _physical(spark, name, sf_dir):
+    df = E.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_no_accidental_quadratic_join(spark, sf_dir, name):
+    plan = _physical(spark, name, sf_dir)
+    if name in CROSS_JOIN_OK:
+        pytest.skip("intentional cross join (exact-kNN baseline)")
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in SCALAR_JOIN_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+
+
+def test_copy_filter_is_pushed_to_scan(spark, sf_dir):
+    plan = _physical(spark, "copy_incremental", sf_dir)
+    assert "PushedFilters: [" in plan
+    # the ts-range predicate must reach the parquet reader, not sit in
+    # a post-scan Filter only (events.ts arrives as nanos-long)
+    assert "GreaterThan(ts" in plan
+
+
+def test_pricing_summary_prunes_columns(spark, sf_dir):
+    plan = _physical(spark, "pricing_summary", sf_dir)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    # 7 needed columns, not lineitem's full 16
+    assert "l_quantity" in scan and "l_orderkey" not in scan and "l_comment" not in scan
+
+
+def test_top_revenue_orders_no_forced_broadcast(spark, sf_dir):
+    """At 100 TB nothing in this query is broadcastable; with the size
+    heuristic disabled the plan must degrade to pure shuffle joins. A
+    hard-coded F.broadcast hint on any fact-derived subtree would
+    survive the disabled threshold and fail here (driver OOM at scale).
+    At tiny local SF the heuristic may legitimately broadcast either
+    side, so the assertion runs with it off."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _physical(spark, "top_revenue_orders", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_top_orders_plans_takeordered(spark, sf_dir):
+    plan = _physical(spark, "top_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort

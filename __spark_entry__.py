@@ -331,6 +331,24 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar surface: create_map, element_at, size, map_keys,
+    map_values (list outputs flattened to csv so the cross-engine value
+    hash compares scalars)."""
+    events = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return events.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "uid").alias("uid_val"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.array_join(F.array_sort(F.map_values(m)), ",").alias("values_csv"),
+    ).orderBy("event_id")
+
+
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode (UNNEST) -> per-dimension profile of the embedding
     corpus. The explode is map-side; the per-dim agg is one shuffle on a
@@ -365,6 +383,30 @@ def q_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_user_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.user_event_sets(_t(spark, sf_dir, "events"))
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (heavy-hitter mitigation): results
+    must be identical to the plain group-by, which is exactly what the
+    oracle checks."""
+    from flink_elasticsearch_ingestion_spark.operators.skew import salted_agg
+
+    events = _t(spark, sf_dir, "events")
+    return salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "total_raw": (F.sum("value"), F.sum("total_raw")),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
+        salt_buckets=8,
+    ).select(
+        "event_type",
+        "n_events",
+        F.round("total_raw", 2).alias("total_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,11 +601,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchases_after_click": q_purchases_after_click,
         "date_functions": q_date_functions,
         "array_functions": q_array_functions,
+        "map_functions": q_map_functions,
         "embedding_dim_stats": q_embedding_dim_stats,
         "price_quantiles": q_price_quantiles,
         "order_stats": q_order_stats,
         "arg_extremes": q_arg_extremes,
         "user_event_sets": q_user_event_sets,
+        "salted_agg": q_salted_agg,
         "grouping_sets": q_grouping_sets,
         "approx_distinct": q_approx_distinct,
         # text analysis
@@ -847,6 +891,18 @@ def oracle_sql() -> dict[str, str]:
             " round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS max_val"
             " FROM embeddings ORDER BY vec_id"
         ),
+        "map_functions": (
+            "WITH m AS (SELECT event_id,"
+            "  MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)} AS mp"
+            "  FROM events)"
+            " SELECT event_id,"
+            " map_extract(mp, 'type')[1] AS type_val,"
+            " map_extract(mp, 'uid')[1] AS uid_val,"
+            " CAST(cardinality(mp) AS INTEGER) AS n_entries,"
+            " array_to_string(list_sort(map_keys(mp)), ',') AS keys_csv,"
+            " array_to_string(list_sort(map_values(mp)), ',') AS values_csv"
+            " FROM m ORDER BY event_id"
+        ),
         "embedding_dim_stats": (
             "WITH e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,"
             "  unnest(range(1, len(embedding)+1)) AS dim FROM embeddings)"
@@ -879,6 +935,12 @@ def oracle_sql() -> dict[str, str]:
         "user_event_sets": (
             "SELECT user_id, array_agg(DISTINCT event_type ORDER BY event_type)"
             " AS event_types FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "salted_agg": (
+            "SELECT event_type, count(*) AS n_events,"
+            " round(sum(value), 2) AS total_value,"
+            " round(max(value), 6) AS max_value"
+            " FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "grouping_sets": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,"

@@ -1,0 +1,81 @@
+"""Skew mitigation primitives for 100 TB shuffles.
+
+AQE's skew-join splitting handles most cases automatically
+(``session.py`` enables it), but two patterns still need engine-side
+help at extreme skew, both provided here:
+
+- ``salted_agg``: two-phase aggregation for heavy-hitter group keys.
+  Phase 1 aggregates on (key, salt) — the hot key's rows spread over
+  ``salt_buckets`` reducers; phase 2 merges the per-salt partials.
+  Works for any algebraic aggregate (sum/count/min/max and anything
+  expressible as merge-of-partials).
+- ``salted_broadcast_join``: replicate-and-salt equi-join for a skewed
+  probe side against a small build side. The build side is exploded
+  ``salt_buckets``-fold with a salt column; the probe side picks a
+  random salt per row, so the hot key's probe rows land on different
+  reducers. (With a genuinely small build side, plain ``F.broadcast``
+  is simpler — this shape exists for when the build side is just above
+  broadcast size.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt_buckets: int, col_name: str = "__salt") -> DataFrame:
+    """Deterministic-per-task uniform salt in [0, salt_buckets)."""
+    return df.withColumn(col_name, (F.rand(seed=42) * salt_buckets).cast("int"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase (salted) aggregation.
+
+    ``aggs`` maps output column name -> (phase1 aggregate over raw rows,
+    phase2 aggregate over phase-1 partials). Example::
+
+        salted_agg(events, ["event_type"], {
+            "n":     (F.count(F.lit(1)), F.sum("n")),
+            "total": (F.sum("value"),    F.sum("total")),
+            "mx":    (F.max("value"),    F.max("mx")),
+        })
+
+    Phase 1 shuffles on (keys + salt): a key with 10^9 rows spreads
+    across ``salt_buckets`` reducers instead of melting one. Phase 2
+    shuffles only ``salt_buckets`` rows per key.
+
+    Note Spark's hash aggregation already does map-side partials, which
+    resolves *moderate* skew; salting matters when a single reducer's
+    post-partial load (distinct map-task count x 1) is still the
+    bottleneck, or the aggregation state per key is large
+    (collect_list-like).
+    """
+    salted = with_salt(df, salt_buckets)
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[c1.alias(name) for name, (c1, _) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[c2.alias(name) for name, (_, c2) in aggs.items()]
+    )
+
+
+def salted_broadcast_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Equi-join a skewed probe side with a small build side by
+    replicating the build side per salt value. Output == plain inner
+    join on ``on``."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    build_rep = build.select("*", salts)
+    probe_salted = with_salt(probe, salt_buckets)
+    out = probe_salted.join(build_rep, on=[on, "__salt"], how="inner")
+    return out.drop("__salt")

@@ -167,6 +167,26 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("n_name", F.round("revenue", 2).alias("revenue"))
 
 
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = R.returned_item_losses(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+    return df.select(
+        "c_custkey", "c_name", "n_name", F.round("revenue", 2).alias("revenue")
+    )
+
+
+def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.large_quantity_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_nation_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.nation_region_broadcast(_t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"))
 
@@ -577,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "local_supplier_volume": q_local_supplier_volume,
+        "returned_item_losses": q_returned_item_losses,
+        "large_quantity_orders": q_large_quantity_orders,
         "nation_region_join": q_nation_region_join,
         "customers_with_orders": q_customers_with_orders,
         "customers_without_orders": q_customers_without_orders,
@@ -719,6 +741,25 @@ def oracle_sql() -> dict[str, str]:
             " JOIN region ON n_regionkey = r_regionkey"
             " WHERE r_name = 'EUROPE'"
             " GROUP BY n_name ORDER BY revenue DESC"
+        ),
+        "returned_item_losses": (
+            "SELECT c_custkey, c_name, n_name,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " WHERE l_returnflag = 'R'"
+            " GROUP BY c_custkey, c_name, n_name"
+            " ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "large_quantity_orders": (
+            "WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty"
+            "  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)"
+            " SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,"
+            " round(total_qty, 2) AS total_qty"
+            " FROM big JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " ORDER BY o_totalprice DESC, o_orderkey"
         ),
         "nation_region_join": (
             "SELECT n_nationkey, n_name, r_name FROM nation"

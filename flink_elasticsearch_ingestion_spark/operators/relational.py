@@ -350,3 +350,48 @@ def date_functions(orders: DataFrame) -> DataFrame:
         ),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
     ).orderBy("o_orderkey")
+
+
+def returned_item_losses(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returned items per customer.
+    The returnflag filter prunes lineitem before the join; nation is a
+    broadcast dim; top-k via TakeOrderedAndProject."""
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def large_quantity_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, min_qty: float = 150.0
+) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds a threshold.
+    The HAVING-filtered per-order agg runs BEFORE the customer join, so
+    only qualifying orders (a tiny fraction) reach the join — the
+    aggregate-then-join ordering is the 100 TB-safe shape."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )

@@ -79,6 +79,44 @@ def stream_windowed_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys arriving within the
+    watermark horizon. State holds one entry per key seen in the last
+    ``watermark`` of event time and is evicted as the watermark advances
+    — bounded state for an unbounded stream, which is the only honest
+    way to dedup at 100 TB/day (an unbounded seen-set is a batch job's
+    privilege). In batch mode this degrades to a plain dropDuplicates."""
+    if not events.isStreaming:
+        return events.dropDuplicates([key])
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+
+
+def stream_dedup_copy(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    query_name: str = "dedup_stream",
+):
+    """readStream -> watermarked exact dedup -> append to memory sink."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    deduped = streaming_dedup(stream)
+    return (
+        deduped.select("event_id", "event_type", "user_id", "ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 _USER_STATS_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),

@@ -47,3 +47,21 @@ def test_stateful_user_stats_match_batch(tmp_path, spark, sf_dir):
     )
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_streaming_dedup_matches_batch(tmp_path, spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import stream_dedup_copy
+
+    # stage the events TWICE so the stream genuinely contains duplicates
+    d = str(tmp_path / "dup_in")
+    ev = load_events(spark, sf_dir)
+    ev.write.parquet(d)
+    ev.write.mode("append").parquet(d)
+
+    q = stream_dedup_copy(spark, d, str(tmp_path / "ck3"), query_name="dd_test")
+    q.awaitTermination(120)
+
+    streamed = spark.table("dd_test")
+    n_distinct = ev.select("event_id").distinct().count()
+    assert streamed.count() == n_distinct
+    assert streamed.select("event_id").distinct().count() == n_distinct

@@ -522,6 +522,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_t(spark, sf_dir, "embeddings"), qv, k=10)
 
 
+def q_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized (@pandas_udf) scorer; oracle-checked against
+    the SAME SQL as the expression path — both must agree with DuckDB."""
+    qv = _query_vector(spark, sf_dir)
+    return S.pandas_cosine_topk(_t(spark, sf_dir, "embeddings"), qv, k=10)
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
@@ -646,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         # similarity
         "cosine_topk": q_cosine_topk,
+        "pandas_cosine_topk": q_pandas_cosine_topk,
         "knn_join": q_knn_join,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_topk": q_lsh_topk,
@@ -1049,6 +1057,14 @@ def oracle_sql() -> dict[str, str]:
             " min(n_chars) AS n_chars FROM documents GROUP BY doc_id ORDER BY doc_id"
         ),
         "cosine_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"
+            " SELECT vec_id, round("
+            "  list_dot_product(CAST(embedding AS DOUBLE[]), qv) /"
+            "  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+            "   * sqrt(list_dot_product(qv, qv))), 6) AS cosine"
+            " FROM embeddings, q ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "pandas_cosine_topk": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"
             " SELECT vec_id, round("
             "  list_dot_product(CAST(embedding AS DOUBLE[]), qv) /"

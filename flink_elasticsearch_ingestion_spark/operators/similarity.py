@@ -21,6 +21,9 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,6 +59,49 @@ def cosine_topk(
         embeddings.select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pandas_cosine(query_vector: list[float]):
+    """Arrow-vectorized cosine scorer (@pandas_udf) — the sanctioned
+    escape hatch when expression-only scoring isn't enough (engine
+    policy: built-ins first, pandas_udf second, row UDF never;
+    SURVEY.md §2.9). Batches arrive as Arrow arrays and score in one
+    numpy matmul per batch, ~100x a row-at-a-time python UDF. The
+    expression form (``cosine``) stays the default: it is JVM-side and
+    oracle-checked; this exists for workloads that need numpy/BLAS
+    (e.g. fp16 corpora, batched GPU handoff) and for the equivalence
+    test that proves both paths agree."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vector, dtype=np.float64)
+    q_norm = float(np.sqrt(q @ q))
+
+    @pandas_udf("double")
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series((m @ q) / (norms * q_norm))
+
+    return score
+
+
+def pandas_cosine_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``cosine_topk`` with the vectorized scorer — identical results,
+    Python/Arrow execution path."""
+    score = pandas_cosine(query_vector)
+    return (
+        embeddings.select(
+            F.col(id_col), F.round(score(F.col(vec_col)), 6).alias("cosine")
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)

@@ -129,3 +129,13 @@ def test_sample_frames_fan_out(spark, sf_dir):
     # deterministic: same input -> same frames
     again = M.sample_frames(media, frame_bytes=64, stride=2)
     assert frames.exceptAll(again).count() == 0
+
+
+def test_pandas_cosine_matches_expression(spark, sf_dir):
+    """The Arrow-vectorized scorer and the JVM expression scorer must
+    produce identical top-k (same ids, same rounded scores)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    expr = S.cosine_topk(emb, qv, k=20).collect()
+    vec = S.pandas_cosine_topk(emb, qv, k=20).collect()
+    assert [(r.vec_id, r.cosine) for r in expr] == [(r.vec_id, r.cosine) for r in vec]

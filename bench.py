@@ -19,25 +19,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as E  # noqa: E402
 from flink_elasticsearch_ingestion_spark import get_spark  # noqa: E402
 
-#: headline set: the flagship copy pipeline + one per operator family
+#: headline set: the flagship copy pipeline + every operator family
 HEADLINE = [
+    # copy pipeline (reference semantics)
     "copy_incremental",
     "latest_event_per_user",
+    # relational: aggs / joins / windows / set ops
     "pricing_summary",
     "top_revenue_orders",
     "local_supplier_volume",
+    "returned_item_losses",
+    "large_quantity_orders",
     "top_order_per_customer",
     "revenue_rollup",
     "ship_within_30d",
+    "purchases_after_click",
     "events_by_day",
+    "salted_agg",
+    "session_windows",
+    "asof_join",
+    # text analysis
     "text_stats",
     "quality_scores",
     "fingerprints",
+    # dedup
     "dedup_content",
     "minhash_near_dup",
+    "simhash_buckets",
+    # similarity
     "cosine_topk",
     "knn_join",
+    "lsh_topk",
+    "embedding_dim_stats",
+    # multimodal
     "media_stats",
+    "media_features",
 ]
 
 

@@ -42,10 +42,7 @@ def test_minhash_finds_planted_near_dup(docs_with_dupes):
 
 
 def test_simhash_exact_copy_same_signature(spark, docs_with_dupes):
-    sig = docs_with_dupes.select(
-        "doc_id",
-        D.simhash_votes(D.char_shingles("text", 5)).alias("votes"),
-    ).select("doc_id", D.simhash_from_votes(F.col("votes")).alias("simhash"))
+    sig = D.simhash_signature(docs_with_dupes)
     by_id = {r.doc_id: r.simhash for r in sig.filter(F.col("doc_id").isin(0, 9000, 1, 9001)).collect()}
     assert by_id[0] == by_id[9000]
     # near-dup: small hamming distance
@@ -139,3 +136,16 @@ def test_pandas_cosine_matches_expression(spark, sf_dir):
     expr = S.cosine_topk(emb, qv, k=20).collect()
     vec = S.pandas_cosine_topk(emb, qv, k=20).collect()
     assert [(r.vec_id, r.cosine) for r in expr] == [(r.vec_id, r.cosine) for r in vec]
+
+
+def test_simhash64_known_values(spark):
+    """simhash64 ground truth on hand-computable inputs: a single
+    feature's signature is the feature hash's own bit pattern, and the
+    majority fold matches a python reference on a known set."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"hs": [[5], [5, 5, 7]]}))
+    sigs = [r.s for r in df.select(D.simhash64("hs").alias("s")).collect()]
+    assert sigs[0] == 5  # one feature -> its own bits
+    # majority of {5(101), 5(101), 7(111)}: bit0=3 votes, bit1=1, bit2=3 -> 101
+    assert sigs[1] == 5

@@ -67,11 +67,21 @@ def main() -> None:
     queries["pricing_summary"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # second run: plan/codegen caches hot -> steady-state latency,
+        # the number that scales with data volume (first-run deltas are
+        # one-time Janino/analysis costs that amortize to zero at 100 TB)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t0, 4)
+        # isolate queries: drop operator-internal persist()s so later
+        # timings don't pay GC/eviction for earlier queries' caches
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(
@@ -81,6 +91,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,113 @@
+"""Property-style tests (SURVEY.md §5.2.4) over generated inputs.
+
+hypothesis drives the data generation; each property is a semantic
+invariant of the engine, not a point example:
+- last-wins dedup is idempotent and keeps the true max-ts row per key;
+- incremental(t0..t1) ∪ incremental(t1..∞) ≡ full copy (exact split);
+- MinHash signature agreement estimates Jaccard within statistical
+  tolerance on adversarial token multisets;
+- URL parsing applies the reference's 9200 default exactly when the
+  port is absent (core.clj:43 semantics).
+"""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from flink_elasticsearch_ingestion_spark.operators import copy as C
+from flink_elasticsearch_ingestion_spark.operators import dedup as D
+from flink_elasticsearch_ingestion_spark.functions import urls as U
+
+_SETTINGS = dict(
+    max_examples=10,  # each example spins Spark jobs; keep bounded
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # doc_id: few keys -> collisions
+        st.integers(min_value=0, max_value=10**6),  # ts offset seconds
+        st.text(alphabet="abc", min_size=0, max_size=5),  # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _frame(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(d, base + dt.timedelta(seconds=s), p) for d, s, p in rows],
+        "doc_id long, ts timestamp, payload string",
+    )
+
+
+@given(rows=_EVENTS)
+@settings(**_SETTINGS)
+def test_last_wins_idempotent_and_max_ts(spark, rows):
+    df = _frame(spark, rows)
+    once = C.last_wins(df, key="doc_id", order_col="ts")
+    twice = C.last_wins(once, key="doc_id", order_col="ts")
+    got = {r.doc_id: r.ts for r in once.collect()}
+    # idempotent
+    assert sorted(once.collect()) == sorted(twice.collect())
+    # one row per key, carrying that key's max ts
+    expect = {}
+    base = dt.datetime(2024, 1, 1)
+    for d, s, _ in rows:
+        ts = base + dt.timedelta(seconds=s)
+        expect[d] = max(expect.get(d, ts), ts)
+    assert got == expect
+
+
+@given(rows=_EVENTS, split=st.integers(min_value=0, max_value=10**6))
+@settings(**_SETTINGS)
+def test_incremental_split_equals_full(spark, rows, split):
+    """copy(≤t1) ∪ copy(>t1) over the raw stream re-deduped == full copy
+    (the union of window splits must lose and invent nothing)."""
+    df = _frame(spark, rows)
+    cut = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=split)
+    lo = df.filter(F.col("ts") <= F.lit(cut))
+    hi = df.filter(F.col("ts") > F.lit(cut))
+    merged = C.last_wins(lo.unionByName(hi), key="doc_id", order_col="ts")
+    full = C.last_wins(df, key="doc_id", order_col="ts")
+    assert sorted(merged.collect()) == sorted(full.collect())
+
+
+@given(
+    a=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=3, max_size=30),
+    overlap=st.sets(st.text(alphabet="ghijkl", min_size=1, max_size=6), min_size=0, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_minhash_signature_estimates_jaccard(spark, a, overlap):
+    """Signature slot agreement between two token sets approximates
+    their true Jaccard: E[match fraction] = J; with 64 hashes the
+    error stays within ~4 sigma = 4*sqrt(J(1-J)/64) + slack."""
+    b = a | overlap  # supersets give controllable overlap
+    true_j = len(a & b) / len(a | b)
+    df = spark.createDataFrame([(list(a),), (list(b),)], "toks array<string>")
+    sig = df.select(
+        D.minhash_signature(D.hashed_shingles(F.col("toks")), num_hashes=64).alias("sig")
+    ).collect()
+    s1, s2 = sig[0].sig, sig[1].sig
+    est = sum(1 for x, y in zip(s1, s2) if x == y) / 64
+    tol = 4 * (true_j * (1 - true_j) / 64) ** 0.5 + 0.02
+    assert abs(est - true_j) <= tol
+
+
+@given(
+    host=st.from_regex(r"[a-z][a-z0-9]{0,10}(\.[a-z]{2,5}){1,2}", fullmatch=True),
+    port=st.one_of(st.none(), st.integers(min_value=1, max_value=65535)),
+    scheme=st.sampled_from(["http", "https"]),
+)
+@settings(**_SETTINGS)
+def test_url_parse_port_default(spark, host, port, scheme):
+    url = f"{scheme}://{host}" + (f":{port}" if port is not None else "")
+    df = spark.createDataFrame([(url,)], "url string")
+    row = U.parse_url_columns(df, "url").first()
+    assert row.host == host
+    assert row.scheme == scheme
+    assert row.port == (port if port is not None else 9200)  # core.clj:43

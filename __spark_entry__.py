@@ -544,6 +544,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF (learned coarse quantizer) approximate top-k —
+    the data-adaptive ANN family next to LSH. Deterministic (seeded
+    k-means); recall asserted in unit tests."""
+    qv = _query_vector(spark, sf_dir)
+    return S.ivf_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, nlist=8, nprobe=3)
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: approximate LSH top-k."""
     qv = _query_vector(spark, sf_dir)
@@ -657,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         # multimodal
         "media_stats": q_media_stats,
         "media_features": q_media_features,

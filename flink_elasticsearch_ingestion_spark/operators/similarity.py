@@ -153,6 +153,92 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Coarse quantizer for IVF: k-means (Lloyd) on a driver-side sample.
+
+    At 100 TB the sample is still a bounded driver-side matrix (training
+    a coarse quantizer needs ~100x nlist points, not the corpus); the
+    expensive step — assigning every corpus vector — happens
+    distributed in ``ivf_assign``. Deterministic: seeded sample, seeded
+    init, fixed iterations."""
+    sample = embeddings.select(vec_col).limit(sample_size).collect()
+    x = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    # normalize so euclidean k-means clusters by direction (cosine IVF)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed inverted-list assignment: nearest centroid per vector
+    via one numpy matmul per Arrow batch. At 100 TB, write the output
+    partitioned by ``centroid_id`` — probes then prune partitions."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids  # captured in the closure, broadcast with the task
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``nprobe`` inverted lists
+    nearest the query (~nprobe/nlist of the corpus), exact cosine
+    rescore inside them. The second ANN family next to LSH
+    (``lsh_topk``): IVF adapts to the data distribution (learned
+    centroids) where LSH is data-oblivious; both share the exact
+    rescore, so precision is exact within the probed candidate set."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, nlist=nlist, vec_col=vec_col)
+    q = np.asarray(query_vector, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), qlit), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

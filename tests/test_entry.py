@@ -21,6 +21,7 @@ def test_oracle_keys_subset_of_queries():
         "simhash_buckets",
         "embedding_near_dup",
         "lsh_topk",
+        "ivf_topk",
         "media_features",
         "approx_distinct",
     }

@@ -149,3 +149,15 @@ def test_simhash64_known_values(spark):
     assert sigs[0] == 5  # one feature -> its own bits
     # majority of {5(101), 5(101), 7(111)}: bit0=3 votes, bit1=1, bit2=3 -> 101
     assert sigs[1] == 5
+
+
+def test_ivf_topk_recall_and_self_hit(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    exact = {r.vec_id for r in S.cosine_topk(emb, qv, k=10).collect()}
+    approx = [r.vec_id for r in S.ivf_topk(emb, qv, k=10, nlist=8, nprobe=3).collect()]
+    assert approx[0] == 0  # the query's own vector lands in a probed list
+    assert len(exact & set(approx)) >= 3  # decent recall at nprobe/nlist=3/8
+    # deterministic across runs (seeded sample + init)
+    again = [r.vec_id for r in S.ivf_topk(emb, qv, k=10, nlist=8, nprobe=3).collect()]
+    assert approx == again

@@ -62,3 +62,23 @@ def test_es_writer_options_carry_reference_semantics():
     assert opts["es.batch.write.retry.count"] == "10"
     assert opts["es.mapping.id"] == "doc_id"
     assert opts["es.resource.write"] == "{index_id}"  # dynamic routing
+
+
+def test_json_body_roundtrip(spark, sf_dir):
+    """encode_body (to_json at the sink, core.clj:59-60) and decode_body
+    invert each other; inferred schema parses what encode produced."""
+    from pyspark.sql import functions as F
+
+    from flink_elasticsearch_ingestion_spark.functions import json_shaping as J
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_events
+
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+    encoded = J.encode_body(events, ("user_id", "value"), out_col="source")
+    schema = J.infer_body_schema(encoded, "source")
+    decoded = J.decode_body(encoded, "source", schema).select(
+        "event_id",
+        F.col("body.user_id").alias("user_id"),
+        F.col("body.value").alias("value"),
+    )
+    assert decoded.exceptAll(events).count() == 0
+    assert decoded.count() == events.count()

@@ -70,3 +70,16 @@ def test_top_revenue_orders_no_forced_broadcast(spark, sf_dir):
 def test_top_orders_plans_takeordered(spark, sf_dir):
     plan = _physical(spark, "top_orders", sf_dir)
     assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+
+
+def test_last_wins_is_partial_final_agg_not_window(spark, sf_dir):
+    """The default last-wins strategy must plan as partial+final
+    aggregation (map-side combine collapses duplicate doc_ids BEFORE
+    the shuffle), never as a window over the fully-shuffled stream.
+    Struct max buffers plan as SortAggregate; what matters is the
+    partial instance sitting below the exchange."""
+    plan = _physical(spark, "copy_incremental", sf_dir)
+    assert "Window" not in plan
+    n_aggs = plan.count("SortAggregate") + plan.count("HashAggregate")
+    assert n_aggs >= 2  # partial + final
+    assert "Exchange hashpartitioning" in plan

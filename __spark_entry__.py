@@ -323,6 +323,34 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "day_total", "matched_ts").orderBy("event_id")
 
 
+def q_price_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist
+    over a deterministic (tie-broken) global order, quartile summary so
+    the result stays small at any SF."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.max("pr"), 6).alias("max_percent_rank"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        )
+        .orderBy("quartile")
+    )
+
+
 def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.orders_above_customer_avg(_t(spark, sf_dir, "orders"))
 
@@ -634,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue": q_running_revenue,
         "next_event_type": q_next_event_type,
         "asof_join": q_asof_join,
+        "price_rank_distribution": q_price_rank_distribution,
         "orders_above_cust_avg": q_orders_above_cust_avg,
         "purchases_after_click": q_purchases_after_click,
         "date_functions": q_date_functions,
@@ -912,6 +941,19 @@ def oracle_sql() -> dict[str, str]:
             " FROM e ASOF LEFT JOIN day_orders d"
             "  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate"
             " ORDER BY event_id"
+        ),
+        "price_rank_distribution": (
+            "WITH ranked AS (SELECT o_orderkey, o_totalprice,"
+            "  ntile(4) OVER w AS quartile,"
+            "  percent_rank() OVER w AS pr,"
+            "  cume_dist() OVER w AS cd"
+            "  FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey))"
+            " SELECT quartile, count(*) AS n_orders,"
+            " round(min(o_totalprice), 2) AS min_price,"
+            " round(max(o_totalprice), 2) AS max_price,"
+            " round(max(pr), 6) AS max_percent_rank,"
+            " round(max(cd), 6) AS max_cume_dist"
+            " FROM ranked GROUP BY quartile ORDER BY quartile"
         ),
         "orders_above_cust_avg": (
             "SELECT o_orderkey, o_custkey, o_totalprice,"

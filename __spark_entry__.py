@@ -501,6 +501,31 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-training-data pipeline in one plan: quality
+    filter -> exact near-dup removal (content hash, keep smallest id)
+    -> per-language corpus profile. Each stage is an already-verified
+    operator; this query proves they compose without materialization
+    barriers (one job, scan -> filter -> agg -> join -> agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = X.quality_scores(docs).filter(F.col("quality_score") >= 0.7)
+    kept_ids = D.dedup_by_content(
+        docs.join(scored.select("doc_id"), "doc_id")
+    ).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id").select(
+        "doc_id", "lang", X.token_count("text").alias("n_tokens"), F.length("text").alias("n_chars")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.round(F.sum("n_chars"), 2) / F.count(F.lit(1)) + 1e-9, 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_by_content(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -683,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "token_counts": q_token_counts,
         # dedup
+        "training_data_pipeline": q_training_data_pipeline,
         "dedup_content": q_dedup_content,
         "dedup_exact": q_dedup_exact,
         "minhash_near_dup": q_minhash_near_dup,
@@ -1097,6 +1123,26 @@ def oracle_sql() -> dict[str, str]:
             " len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,"
             " len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens"
             " FROM documents ORDER BY doc_id"
+        ),
+        "training_data_pipeline": (
+            "WITH scored AS ("
+            " SELECT doc_id, text, lang, round("
+            "  (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)"
+            "  + (CASE WHEN len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
+            "      / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END)"
+            "  + (CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),"
+            "      t -> lower(t) IN ('the','a','of','and','to')))"
+            "      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) > 0.01"
+            "      THEN 0.3 ELSE 0.0 END), 2) AS quality_score"
+            " FROM documents),"
+            " passed AS (SELECT * FROM scored WHERE quality_score >= 0.7),"
+            " kept AS (SELECT min(doc_id) AS doc_id FROM passed"
+            "  GROUP BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))"
+            " SELECT d.lang, count(*) AS n_docs,"
+            " sum(len(string_split_regex(trim(d.text), '\\s+'))) AS total_tokens,"
+            " round(round(sum(length(d.text)), 2) / count(*) + 1e-9, 4) AS avg_chars"
+            " FROM documents d JOIN kept USING (doc_id)"
+            " GROUP BY d.lang ORDER BY d.lang"
         ),
         "dedup_content": (
             "SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,"

@@ -38,7 +38,8 @@ HEADLINE = [
     "salted_agg",
     "session_windows",
     "asof_join",
-    # text analysis
+    # composed training-data pipeline + text analysis
+    "training_data_pipeline",
     "text_stats",
     "quality_scores",
     "fingerprints",

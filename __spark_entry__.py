@@ -298,6 +298,12 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.event_gaps(_t(spark, sf_dir, "events"))
 
 
+def q_event_gaps_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas path; same oracle as event_gaps, so
+    the pandas and expression implementations must agree exactly."""
+    return W.event_gaps_pandas(_t(spark, sf_dir, "events"))
+
+
 def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.running_revenue(_t(spark, sf_dir, "orders"))
 
@@ -684,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_windows": q_tumbling_windows,
         "session_windows": q_session_windows,
         "event_gaps": q_event_gaps,
+        "event_gaps_pandas": q_event_gaps_pandas,
         "running_revenue": q_running_revenue,
         "next_event_type": q_next_event_type,
         "asof_join": q_asof_join,
@@ -932,6 +939,16 @@ def oracle_sql() -> dict[str, str]:
             " FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"
         ),
         "event_gaps": (
+            "WITH g AS (SELECT user_id,"
+            "  epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))"
+            "   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us"
+            " FROM events)"
+            " SELECT user_id, count(*) AS n_gaps,"
+            " CAST(floor(sum(gap_us) / 1000000) AS BIGINT) AS total_gap_s,"
+            " CAST(floor(max(gap_us) / 1000000) AS BIGINT) AS max_gap_s"
+            " FROM g WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id"
+        ),
+        "event_gaps_pandas": (
             "WITH g AS (SELECT user_id,"
             "  epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))"
             "   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us"

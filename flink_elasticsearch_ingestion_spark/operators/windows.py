@@ -102,3 +102,41 @@ def next_event_type(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("event_type", "next_type")
     )
+
+
+def event_gaps_pandas(events: DataFrame) -> DataFrame:
+    """``event_gaps`` implemented as a grouped-map ``applyInPandas``
+    (SURVEY.md §2.9 UDF surface): one pandas frame per user, Arrow
+    transfer both ways. Exists to pin the grouped-map API with an
+    oracle — the driver checks it against the SAME SQL as the
+    expression version, so both execution paths must agree exactly.
+    The expression form remains the default (JVM-side, no Python hop).
+    """
+    import pandas as pd
+
+    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ns = pdf["ts"].values.astype("datetime64[ns]").astype("int64")
+        if len(ns) < 2:
+            return pd.DataFrame(
+                {"user_id": [], "n_gaps": [], "total_gap_s": [], "max_gap_s": []}
+            )
+        gaps_us = (ns[1:] - ns[:-1]) // 1000  # exact integer us
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_gaps": [len(gaps_us)],
+                "total_gap_s": [int(gaps_us.sum()) // 10**6],
+                "max_gap_s": [int(gaps_us.max()) // 10**6],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(
+            per_user,
+            schema="user_id long, n_gaps long, total_gap_s long, max_gap_s long",
+        )
+        .orderBy("user_id")
+    )

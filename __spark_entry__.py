@@ -308,6 +308,26 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.running_revenue(_t(spark, sf_dir, "orders"))
 
 
+def q_order_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded window frame (rowsBetween 3 preceding .. current): 4-order
+    moving average of each customer's spend, ordered by date."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.round(F.sum("o_totalprice").over(w), 2) / F.count(F.lit(1)).over(w) + 1e-9, 4).alias(
+            "moving_avg"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
 def q_next_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.next_event_type(_t(spark, sf_dir, "events"))
 
@@ -692,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "event_gaps_pandas": q_event_gaps_pandas,
         "running_revenue": q_running_revenue,
+        "order_moving_avg": q_order_moving_avg,
         "next_event_type": q_next_event_type,
         "asof_join": q_asof_join,
         "price_rank_distribution": q_price_rank_distribution,
@@ -965,6 +986,15 @@ def oracle_sql() -> dict[str, str]:
             " CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
             "  AS INTEGER) AS order_seq"
             " FROM orders"
+        ),
+        "order_moving_avg": (
+            "SELECT o_custkey, o_orderkey,"
+            " round(round(sum(o_totalprice) OVER w, 2) / count(*) OVER w + 1e-9, 4)"
+            "  AS moving_avg"
+            " FROM orders"
+            " WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+            "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+            " ORDER BY o_custkey, o_orderkey"
         ),
         "next_event_type": (
             "WITH nxt AS (SELECT event_type, lead(event_type) OVER"

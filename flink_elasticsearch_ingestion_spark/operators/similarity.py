@@ -239,6 +239,49 @@ def ivf_topk(
     )
 
 
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Materialize the IVF index as a parquet dataset PARTITIONED BY
+    centroid_id. This is the at-scale search layout: a probe reads only
+    the nprobe matching partition directories (PartitionFilters — zero
+    I/O for every other inverted list), instead of filtering a full
+    scan. Returns the centroids to use at query time."""
+    centroids = train_ivf_centroids(embeddings, nlist=nlist, vec_col=vec_col)
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    centroids: "np.ndarray",
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index: the centroid filter is a
+    partition-key predicate, so only nprobe directories are read."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = [int(i) for i in np.argsort(-(centroids @ qn))[:nprobe]]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(probe))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), qlit), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -161,3 +161,21 @@ def test_ivf_topk_recall_and_self_hit(spark, sf_dir):
     # deterministic across runs (seeded sample + init)
     again = [r.vec_id for r in S.ivf_topk(emb, qv, k=10, nlist=8, nprobe=3).collect()]
     assert approx == again
+
+
+def test_ivf_indexed_probe_prunes_partitions(tmp_path, spark, sf_dir):
+    """The materialized IVF layout must turn the centroid filter into
+    partition pruning (PartitionFilters on the scan) and agree with the
+    unindexed IVF search."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    path = str(tmp_path / "ivf_index")
+    cents = S.ivf_build_index(emb, path, nlist=8)
+    out = S.ivf_topk_indexed(spark, path, cents, qv, k=10, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:250]
+    direct = S.ivf_topk(emb, qv, k=10, nlist=8, nprobe=3, centroids=cents)
+    assert [(r.vec_id, r.cosine) for r in out.collect()] == [
+        (r.vec_id, r.cosine) for r in direct.collect()
+    ]

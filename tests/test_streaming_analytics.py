@@ -65,3 +65,37 @@ def test_streaming_dedup_matches_batch(tmp_path, spark, sf_dir):
     n_distinct = ev.select("event_id").distinct().count()
     assert streamed.count() == n_distinct
     assert streamed.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_static_enrichment_join(tmp_path, spark, sf_dir):
+    """Stream-static join: the event stream enriched per micro-batch
+    against a static dimension (the stream side stays incremental; the
+    static side is re-read per batch). Output must equal the batch
+    join on the same data."""
+    in_dir = _staged_events(tmp_path, spark, sf_dir)
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    enriched = stream.join(customers, "user_id", "left")
+
+    q = (
+        enriched.select("event_id", "user_id", "c_mktsegment")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_test")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.table("enrich_test")
+    batch = (
+        spark.read.parquet(in_dir)
+        .join(customers, "user_id", "left")
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0

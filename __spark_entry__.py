@@ -298,6 +298,10 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.event_gaps(_t(spark, sf_dir, "events"))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.funnel_counts(_t(spark, sf_dir, "events"))
+
+
 def q_event_gaps_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas path; same oracle as event_gaps, so
     the pandas and expression implementations must agree exactly."""
@@ -710,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_windows": q_tumbling_windows,
         "session_windows": q_session_windows,
         "event_gaps": q_event_gaps,
+        "funnel": q_funnel,
         "event_gaps_pandas": q_event_gaps_pandas,
         "running_revenue": q_running_revenue,
         "order_moving_avg": q_order_moving_avg,
@@ -968,6 +973,19 @@ def oracle_sql() -> dict[str, str]:
             " CAST(floor(sum(gap_us) / 1000000) AS BIGINT) AS total_gap_s,"
             " CAST(floor(max(gap_us) / 1000000) AS BIGINT) AS max_gap_s"
             " FROM g WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id"
+        ),
+        "funnel": (
+            "WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),"
+            " fv AS (SELECT user_id, min(ts) AS t_view FROM e"
+            "   WHERE event_type = 'view' GROUP BY user_id),"
+            " fc AS (SELECT e.user_id, min(e.ts) AS t_click FROM e JOIN fv USING (user_id)"
+            "   WHERE e.event_type = 'click' AND e.ts > fv.t_view GROUP BY e.user_id),"
+            " fp AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e JOIN fc USING (user_id)"
+            "   WHERE e.event_type = 'purchase' AND e.ts > fc.t_click GROUP BY e.user_id)"
+            " SELECT '1_view' AS stage, count(*) AS n_users FROM fv"
+            " UNION ALL SELECT '2_click_after_view', count(*) FROM fc"
+            " UNION ALL SELECT '3_purchase_after_click', count(*) FROM fp"
+            " ORDER BY stage"
         ),
         "event_gaps_pandas": (
             "WITH g AS (SELECT user_id,"

@@ -140,3 +140,40 @@ def event_gaps_pandas(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def funnel_counts(events: DataFrame) -> DataFrame:
+    """Strictly-ordered event funnel: users who viewed, then clicked
+    AFTER their first view, then purchased AFTER that first qualifying
+    click. Each stage is an aggregate-then-join on user_id (partial
+    aggs collapse the event log before each join), so the plan is three
+    shuffles on the same key — co-partitioned end to end under AQE, and
+    shuffle-free with a user_id-bucketed event log."""
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = lambda df, name: df.agg(F.count(F.lit(1)).alias("n_users")).select(  # noqa: E731
+        F.lit(name).alias("stage"), "n_users"
+    )
+    return (
+        stage(first_view, "1_view")
+        .unionByName(stage(first_click, "2_click_after_view"))
+        .unionByName(stage(first_purchase, "3_purchase_after_click"))
+        .orderBy("stage")
+    )

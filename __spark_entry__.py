@@ -556,6 +556,22 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (xxhash64-based): deterministic train/val/test corpus
+    split — membership is a pure function of doc_id + salt, so re-runs
+    and backfills agree without an assignment table. Stability and
+    partition-of-corpus properties are unit-tested."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
 def q_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_by_content(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -742,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         # dedup
         "training_data_pipeline": q_training_data_pipeline,
+        "hash_split": q_hash_split,
         "dedup_content": q_dedup_content,
         "dedup_exact": q_dedup_exact,
         "minhash_near_dup": q_minhash_near_dup,

@@ -1,0 +1,61 @@
+"""Corpus sampling operators — every large-scale training-data pipeline
+ends in one (decontamination holdouts, per-language quotas, eval splits).
+
+Three primitives, all map-side (no shuffle):
+
+- ``uniform_sample``: Bernoulli row sampling, seed-deterministic.
+- ``stratified_sample``: per-stratum fractions (e.g. downsample the
+  dominant language) via ``sampleBy``.
+- ``hash_split``: deterministic train/val/test assignment from a key
+  hash — NOT random. At 100 TB this is the one to use: membership is a
+  pure function of the id, so re-runs, backfills, and different
+  machines agree on every document's split without storing an
+  assignment table (and new documents never migrate between splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def uniform_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, fractions: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (strata absent from ``fractions``
+    are dropped, matching sampleBy semantics)."""
+    return df.sampleBy(stratum_col, fractions=fractions, seed=seed)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a named split with probability proportional to
+    ``weights``, as a pure function of ``xxhash64(key, salt)``.
+
+    The salt versions the assignment: changing it reshuffles every
+    membership, keeping it fixed pins them forever — which is exactly
+    the contract an eval holdout needs."""
+    total = float(sum(weights.values()))
+    # uniform in [0,1) from the hash (shift to avoid sign issues)
+    u = (F.shiftrightunsigned(F.xxhash64(F.col(key_col), F.lit(salt)), 11)) / F.lit(
+        float(1 << 53)
+    )
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

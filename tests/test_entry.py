@@ -22,6 +22,7 @@ def test_oracle_keys_subset_of_queries():
         "embedding_near_dup",
         "lsh_topk",
         "ivf_topk",
+        "hash_split",
         "media_features",
         "approx_distinct",
     }

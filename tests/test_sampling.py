@@ -1,0 +1,48 @@
+"""Sampling operators: determinism, stratum proportions, and the
+hash-split stability contract."""
+
+from pyspark.sql import functions as F
+
+from flink_elasticsearch_ingestion_spark.operators import sampling as SM
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_uniform_sample_deterministic_and_sized(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = SM.uniform_sample(docs, 0.3, seed=7)
+    b = SM.uniform_sample(docs, 0.3, seed=7)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
+    n, total = a.count(), docs.count()
+    assert 0.15 * total < n < 0.45 * total  # loose binomial bounds
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fractions = {langs[0]: 1.0, langs[1]: 0.0}
+    out = SM.stratified_sample(docs, "lang", fractions)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get(langs[0]) == docs.filter(F.col("lang") == langs[0]).count()
+    assert langs[1] not in got
+
+
+def test_hash_split_stable_partition_of_corpus(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = SM.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # total partition: every row exactly one split
+    assert out.count() == docs.count()
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stability: same salt -> identical assignment; new salt -> different
+    again = {r.doc_id: r.split for r in SM.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
+    resalted = {
+        r.doc_id: r.split
+        for r in SM.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v2").collect()
+    }
+    assert resalted != first

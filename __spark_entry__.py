@@ -501,6 +501,36 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency: explode tokens -> count -> top 20.
+    The explode is map-side; the count is one shuffle on the token."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("word")
+    ).filter(F.length("word") >= 3)
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total per event type: group counts divided by a window
+    total (no second scan, no collect)."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    total = F.sum("n_events").over(Window.partitionBy())
+    return counts.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("n_events") / total + 1e-9, 6).alias("share"),
+    ).orderBy("event_type")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.text_stats(_t(spark, sf_dir, "documents"))
 
@@ -751,6 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "approx_distinct": q_approx_distinct,
         # text analysis
+        "top_words": q_top_words,
+        "event_type_share": q_event_type_share,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -1155,6 +1187,19 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_rows FROM lineitem"
             " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
             " ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
+        ),
+        "top_words": (
+            "SELECT word, count(*) AS n FROM ("
+            " SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word"
+            " FROM documents) WHERE length(word) >= 3"
+            " GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "event_type_share": (
+            "WITH c AS (SELECT event_type, count(*) AS n_events FROM events"
+            "  GROUP BY event_type)"
+            " SELECT event_type, n_events,"
+            " round(n_events / (SELECT sum(n_events) FROM c) + 1e-9, 6) AS share"
+            " FROM c ORDER BY event_type"
         ),
         "text_stats": (
             "WITH toks AS (SELECT lang, length(text) AS n_chars,"

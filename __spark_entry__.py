@@ -86,6 +86,25 @@ def q_bulk_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bulk_chunks_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path bulk chunking (per-partition chunk ids — no global
+    single-partition window). The chunk layout depends on the physical
+    partitioning, so the contract surface checks the deterministic
+    invariants instead: every chunk holds <= 64 docs and no doc is
+    lost or duplicated."""
+    docs = C.shape_documents(_t(spark, sf_dir, "events"))
+    per_chunk = (
+        C.bulk_chunks_distributed(docs)
+        .groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("doc_id").alias("n_distinct"))
+    )
+    return per_chunk.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("n_distinct").alias("total_distinct"),
+        (F.max("n_docs") <= C.BULK_MAX_ACTIONS).alias("within_cap"),
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return events.select(
@@ -460,7 +479,13 @@ def q_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_user_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.user_event_sets(_t(spark, sf_dir, "events"))
+    """Bounded collect_set per user; the array is flattened to a sorted
+    CSV string for the contract surface (the driver's value-hash
+    canonicalizer can't sort raw array cells — same convention as
+    map_functions' keys_csv)."""
+    return R.user_event_sets(_t(spark, sf_dir, "events")).select(
+        "user_id", F.array_join("event_types", ",").alias("event_types_csv")
+    )
 
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,8 +752,45 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Catalog order note: the driver's correctness run checks a bounded
+    prefix of this dict (50 entries in round 1), so entries WITHOUT a
+    recorded green row are listed first — the round-1 unchecked
+    text/dedup/similarity/multimodal block, the repaired
+    ``user_event_sets``, and new round-2 queries — followed by the
+    queries already green in CORRECTNESS_r01.json."""
     return {
-        # copy pipeline (reference semantics)
+        # --- round-1 unchecked: text analysis ---
+        "text_stats": q_text_stats,
+        "quality_scores": q_quality_scores,
+        "language_id": q_language_id,
+        "fingerprints": q_fingerprints,
+        "token_counts": q_token_counts,
+        "event_type_share": q_event_type_share,
+        # --- round-1 unchecked: dedup / sampling / pipeline ---
+        "training_data_pipeline": q_training_data_pipeline,
+        "hash_split": q_hash_split,
+        "dedup_content": q_dedup_content,
+        "dedup_exact": q_dedup_exact,
+        "minhash_near_dup": q_minhash_near_dup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_buckets": q_simhash_buckets,
+        # --- round-1 unchecked: similarity ---
+        "cosine_topk": q_cosine_topk,
+        "pandas_cosine_topk": q_pandas_cosine_topk,
+        "knn_join": q_knn_join,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        # --- round-1 unchecked: multimodal ---
+        "media_stats": q_media_stats,
+        "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
+        # --- round-1 red row, repaired (array -> csv) ---
+        "user_event_sets": q_user_event_sets,
+        # --- new in round 2 ---
+        "bulk_chunks_distributed": q_bulk_chunks_distributed,
+        # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
         "latest_event_per_user": q_latest_event_per_user,
@@ -737,7 +799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "users_never_purchased": q_users_never_purchased,
         "url_parse": q_url_parse,
-        # relational surface
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "local_supplier_volume": q_local_supplier_volume,
@@ -756,7 +817,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_day": q_events_by_day,
         "string_functions": q_string_functions,
         "math_functions": q_math_functions,
-        # windows / asof / stats
         "tumbling_windows": q_tumbling_windows,
         "session_windows": q_session_windows,
         "event_gaps": q_event_gaps,
@@ -776,38 +836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles": q_price_quantiles,
         "order_stats": q_order_stats,
         "arg_extremes": q_arg_extremes,
-        "user_event_sets": q_user_event_sets,
         "salted_agg": q_salted_agg,
         "grouping_sets": q_grouping_sets,
         "approx_distinct": q_approx_distinct,
-        # text analysis
         "top_words": q_top_words,
-        "event_type_share": q_event_type_share,
-        "text_stats": q_text_stats,
-        "quality_scores": q_quality_scores,
-        "language_id": q_language_id,
-        "fingerprints": q_fingerprints,
-        "token_counts": q_token_counts,
-        # dedup
-        "training_data_pipeline": q_training_data_pipeline,
-        "hash_split": q_hash_split,
-        "dedup_content": q_dedup_content,
-        "dedup_exact": q_dedup_exact,
-        "minhash_near_dup": q_minhash_near_dup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash_buckets": q_simhash_buckets,
-        # similarity
-        "cosine_topk": q_cosine_topk,
-        "pandas_cosine_topk": q_pandas_cosine_topk,
-        "knn_join": q_knn_join,
-        "embedding_near_dup": q_embedding_near_dup,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        # multimodal
-        "media_stats": q_media_stats,
-        "media_features": q_media_features,
-        "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
     }
 
 
@@ -834,7 +866,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, ts, event_type FROM ("
             "  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,"
             "  row_number() OVER ("
-            "    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_type DESC, event_id DESC"
+            # tie-break mirrors last_wins' max(struct(ts, event_id,
+            # event_type)) field order exactly, so a (user_id, us-ts) tie
+            # resolves identically in both engines
+            "    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC, event_type DESC"
             "  ) AS rn FROM events) WHERE rn = 1"
         ),
         "checkpoint_max_ts": (
@@ -846,6 +881,12 @@ def oracle_sql() -> dict[str, str]:
             "   AS BIGINT) AS chunk_id FROM docs)"
             " SELECT chunk_id, count(*) AS n_docs, min(doc_id) AS first_doc,"
             " max(doc_id) AS last_doc FROM chunked GROUP BY chunk_id ORDER BY chunk_id"
+        ),
+        "bulk_chunks_distributed": (
+            # chunk layout is partition-dependent; the deterministic
+            # contract is row preservation + the 64-action cap
+            "SELECT count(*) AS total_docs, count(DISTINCT event_id) AS total_distinct,"
+            " true AS within_cap FROM events"
         ),
         "json_extract": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k"
@@ -1173,8 +1214,9 @@ def oracle_sql() -> dict[str, str]:
             " FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "user_event_sets": (
-            "SELECT user_id, array_agg(DISTINCT event_type ORDER BY event_type)"
-            " AS event_types FROM events GROUP BY user_id ORDER BY user_id"
+            "SELECT user_id, array_to_string("
+            " array_agg(DISTINCT event_type ORDER BY event_type), ',')"
+            " AS event_types_csv FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "salted_agg": (
             "SELECT event_type, count(*) AS n_events,"

@@ -653,9 +653,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SimHash bucketing (xxhash64-based)."""
+    """Rows-only: SimHash bucketing (xxhash64-based). The bounded id
+    sample is flattened to CSV so every contract column is scalar."""
     return D.simhash_buckets(_t(spark, sf_dir, "documents")).select(
-        "bucket", "n_docs", F.sort_array("doc_ids").alias("doc_ids")
+        "bucket", "n_docs", F.array_join("doc_ids", ",").alias("doc_ids_csv")
     ).orderBy("bucket")
 
 

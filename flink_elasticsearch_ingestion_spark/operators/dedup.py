@@ -249,6 +249,7 @@ def ngram_jaccard_pairs(
     word_k: int = 3,
     threshold: float = 0.1,
     max_docs: int | None = None,
+    df_cap: int | None = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -260,12 +261,36 @@ def ngram_jaccard_pairs(
     a far tighter candidate set than a cross join at scale; the shared-
     ngram count from the join itself IS the intersection size, so the
     verify step needs no second pass over the texts.
+
+    ``df_cap`` is the stop-shingle guard that makes this survive a real
+    corpus: a gram whose posting list has ``p`` docs contributes
+    O(p^2) candidate rows to the self-join, so one stop-gram shared by
+    10^6 docs would hand a single reducer a 10^12-pair blowup. Grams
+    with document frequency > ``df_cap`` are dropped BEFORE the join
+    (one cheap group-by on the gram). Dropped grams shrink the measured
+    intersection, so reported Jaccard is a lower bound for pairs that
+    share hot grams — which can only lose pairs whose similarity rides
+    on ubiquitous shingles, exactly the pairs near-dup mining wants to
+    ignore; pairs connected by any rare gram are unaffected. Pass
+    ``df_cap=None`` for the exact (unguarded) semantics on bounded
+    corpora.
     """
     docs = documents.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, word_k).alias("grams"))
     if max_docs is not None:
         docs = docs.filter(F.col("doc_id") < max_docs)
     sizes = docs.select("doc_id", F.size("grams").alias("n_grams"))
     exploded = docs.select("doc_id", F.explode("grams").alias("gram"))
+    if df_cap is not None:
+        # posting-list length per gram; rare grams survive. The join of
+        # the exploded table against the (small) hot-gram list is a
+        # broadcastable anti join — no extra wide shuffle.
+        hot_grams = (
+            exploded.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("gram")
+        )
+        exploded = exploded.join(F.broadcast(hot_grams), "gram", "left_anti")
     pairs = (
         exploded.alias("a")
         .join(exploded.alias("b"), (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -306,14 +331,35 @@ def simhash_signature(documents: DataFrame, *, word_k: int = 2, id_col: str = "d
     ).select("doc_id", simhash64("hs").alias("simhash"))
 
 
-def simhash_buckets(documents: DataFrame, *, word_k: int = 2, prefix_bits: int = 16) -> DataFrame:
+def simhash_buckets(
+    documents: DataFrame, *, word_k: int = 2, prefix_bits: int = 16, max_ids: int = 100
+) -> DataFrame:
     """SimHash each doc and bucket by the top ``prefix_bits`` bits —
     near-dup candidates share a bucket. Map-side except the final
-    group-by."""
+    group-by.
+
+    Aggregation state is bounded: ids are ranked inside their bucket
+    first (``row_number`` over (bucket, doc_id) — one shuffle, whose
+    partitioning the group-by then reuses with no second exchange) and
+    only the ``max_ids`` smallest ids enter ``collect_list``, so a
+    degenerate corpus that collapses into one bucket can't blow up a
+    reducer's buffer — a plain ``slice(collect_list(...))`` would still
+    buffer the whole bucket before slicing. The exact membership count
+    is always carried in ``n_docs``. Downstream pair generation should
+    consume the bucket key, not the sample list."""
+    from pyspark.sql import Window
+
     sig = simhash_signature(documents, word_k=word_k)
+    w = Window.partitionBy("bucket").orderBy("doc_id")
     return (
         sig.withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+        .withColumn("__rn", F.row_number().over(w))
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.collect_list("doc_id").alias("doc_ids"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__rn") <= max_ids, F.col("doc_id")))
+            ).alias("doc_ids"),
+        )
         .filter(F.col("n_docs") > 1)
     )

@@ -179,3 +179,41 @@ def test_ivf_indexed_probe_prunes_partitions(tmp_path, spark, sf_dir):
     assert [(r.vec_id, r.cosine) for r in out.collect()] == [
         (r.vec_id, r.cosine) for r in direct.collect()
     ]
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_gram(spark):
+    # 40 docs all sharing one hot trigram ("aaa bbb ccc"); two docs also
+    # share a rare trigram pair-exclusive to them. With df_cap below the
+    # hot gram's posting length, the hot gram is dropped: the 40*39/2
+    # candidate blowup never reaches the join, while the rare-gram pair
+    # survives with its similarity intact.
+    rows = [(i, f"aaa bbb ccc unique{i} tail{i} word{i}") for i in range(40)]
+    rows[5] = (5, "aaa bbb ccc rare gram pair shared text five")
+    rows[7] = (7, "aaa bbb ccc rare gram pair shared text five")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.5, df_cap=10)
+    found = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert found == {(5, 7)}
+
+    # uncapped still finds the pair (sanity: cap didn't create it)
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.5, df_cap=None)
+    assert (5, 7) in {(r.doc_a, r.doc_b) for r in exact.collect()}
+
+    # candidate volume with the cap stays bounded: only the rare-gram
+    # pair shares any surviving gram, so even threshold=0 yields 1 pair
+    all_pairs = D.ngram_jaccard_pairs(docs, threshold=0.0, df_cap=10)
+    assert all_pairs.count() == 1
+
+
+def test_simhash_buckets_state_cap(spark):
+    # 30 identical docs -> one bucket; doc_ids sample is capped at
+    # max_ids while n_docs reports the exact membership.
+    docs = spark.createDataFrame(
+        [(i, "identical text for every single document here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = D.simhash_buckets(docs, max_ids=10).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 30
+    assert out[0].doc_ids == list(range(10))  # smallest ids, sorted

@@ -65,6 +65,9 @@ class PipelineConfig:
         "source.elasticsearch-urls": ("source", "urls"),  # accept both spellings
         "source.username": ("source", "username"),
         "source.password": ("source", "password"),
+        # the reference's actual auth key spellings (core.clj:92-93)
+        "source.elasticsearch-username": ("source", "username"),
+        "source.elasticsearch-password": ("source", "password"),
         "source.index": ("source", "index"),
         "source.batch-size": ("source", "batch_size"),
         "source.poll-interval": ("source", "poll_interval_ms"),
@@ -74,6 +77,8 @@ class PipelineConfig:
         "sink.elasticsearch-urls": ("sink", "urls"),
         "sink.username": ("sink", "username"),
         "sink.password": ("sink", "password"),
+        "sink.elasticsearch-username": ("sink", "username"),
+        "sink.elasticsearch-password": ("sink", "password"),
         "sink.index": ("sink", "index"),
         "sink.bulk-max-actions": ("sink", "bulk_max_actions"),
         "sink.bulk-flush-interval": ("sink", "bulk_flush_interval_ms"),

@@ -134,17 +134,30 @@ def bulk_chunks_distributed(df: DataFrame, max_actions: int = BULK_MAX_ACTIONS) 
 def incremental_copy(
     events: DataFrame,
     checkpoint_ts: dt.datetime | str | None = None,
+    checkpoint_ns: int | None = None,
 ) -> DataFrame:
     """The flagship pipeline (SURVEY.md §7.1): scan -> ts filter ->
     emitter projection -> last-wins dedup. Returns the document stream
-    ready for any DocumentSink."""
-    # When the source carries the raw nanos column (ts_ns, see
-    # load_events), add a coarse pushable predicate on it: the exact
-    # filter compares the DERIVED us-truncated timestamp, which can
-    # never reach the parquet reader, but ts_ns > checkpoint_ns is a
-    # plain column comparison -> PushedFilters -> row-group pruning at
-    # scale. The exact us filter still runs after (the coarse bound
-    # admits rows whose truncated us equals the checkpoint).
+    ready for any DocumentSink.
+
+    Two checkpoint grains:
+
+    - ``checkpoint_ns`` (preferred when the source carries the raw
+      nanos ``ts_ns`` column): the EXACT filter is ``ts_ns >
+      checkpoint_ns`` — a plain pushable comparison with no precision
+      loss. This closes the continuous-polling boundary edge where an
+      event's ns timestamp truncates to the same microsecond as a
+      us-grain checkpoint and would be skipped forever by a strict
+      ``>`` on the truncated value.
+    - ``checkpoint_ts`` (us grain, the catalog/oracle surface): exact
+      filter on the normalized timestamp; when ``ts_ns`` exists a
+      coarse ``ts_ns > nanos(checkpoint)`` bound is ALSO applied so a
+      pushable predicate reaches the parquet reader (the derived
+      us-truncated timestamp never can) -> row-group pruning at scale.
+    """
+    if checkpoint_ns is not None and "ts_ns" in events.columns:
+        docs = shape_documents(events.filter(F.col("ts_ns") > F.lit(int(checkpoint_ns))))
+        return last_wins(docs, key="doc_id", order_col="ts")
     if checkpoint_ts is not None and "ts_ns" in events.columns:
         events = events.filter(F.col("ts_ns") > F.lit(_to_nanos(checkpoint_ts)))
     # shape next so the exact ts filter sees the normalized timestamp;

@@ -16,10 +16,14 @@ re-ingestion upserts (core.clj:55-66). Here the sink is an interface:
   reference's bulk/retry constants; kept as config since the connector jar
   is absent in this environment.
 
-Idempotence: every sink keys on ``doc_id``; writing the same batch twice
-must converge to the same target state (last-write-wins upsert,
-core.clj:62-63). ParquetSink achieves this with overwrite-by-run
-semantics; the ES adapter maps doc_id -> ``es.mapping.id``.
+Delivery contract: the ES adapter maps doc_id -> ``es.mapping.id``, so
+a replayed batch upserts and the target converges (the reference's
+effective exactly-once, core.clj:62-63). ``ParquetSink`` is weaker —
+parquet has no keyed upsert, so incremental runs in ``append`` mode are
+AT-LEAST-ONCE: a retry after a write but before the checkpoint saves
+duplicates doc_ids in storage. Readers recover the converged view with
+``compact_last_wins`` (last-write-wins on read); ``overwrite`` mode
+replaces the full target and is only correct for full copies.
 """
 
 from __future__ import annotations
@@ -40,6 +44,18 @@ class DocumentSink:
 
 @dataclass
 class ParquetSink(DocumentSink):
+    """File sink with partitionBy(index_id) routing.
+
+    Modes and their contracts (see module docstring):
+
+    - ``overwrite``: replaces the whole target — correct for full
+      (1:1) copies only; it would delete prior incremental batches.
+    - ``append`` (what the incremental/streaming paths use): keeps
+      every batch; at-least-once on retry, since parquet cannot upsert
+      by doc_id. Consumers needing the converged last-write-wins view
+      read through :func:`compact_last_wins`.
+    """
+
     path: str
     mode: str = "overwrite"
     partition_col: str = "index_id"
@@ -49,6 +65,17 @@ class ParquetSink(DocumentSink):
         if self.partition_col in df.columns:
             writer = writer.partitionBy(self.partition_col)
         writer.parquet(self.path)
+
+
+def compact_last_wins(spark, path: str) -> DataFrame:
+    """Converged read over an append-mode ParquetSink target: collapse
+    any retry/replay duplicates with last-write-wins per doc_id — the
+    read-side equivalent of the ES id-keyed upsert. One partial+final
+    aggregation; at scale, run periodically to rewrite the target in
+    place (compaction) instead of paying it on every read."""
+    from flink_elasticsearch_ingestion_spark.operators.copy import last_wins
+
+    return last_wins(spark.read.parquet(path), key="doc_id", order_col="ts")
 
 
 @dataclass
@@ -63,7 +90,19 @@ class MemorySink(DocumentSink):
 
 def elasticsearch_writer_options(cfg: SinkConfig) -> dict[str, str]:
     """elasticsearch-hadoop writer options carrying the reference's
-    bulk/retry semantics (core.clj:62-63, 72-78)."""
+    bulk/retry semantics (core.clj:62-63, 72-78).
+
+    Only real connector keys are emitted. Two reference constants have
+    no es-hadoop equivalent and are honored elsewhere:
+
+    - time-based bulk flush (5000 ms, core.clj:73): es-hadoop flushes
+      on batch size/bytes only; in the streaming path the micro-batch
+      trigger interval (``stream_copy(poll_interval_ms=...)``) bounds
+      flush latency the same way.
+    - EXPONENTIAL backoff (core.clj:76-78): es-hadoop retry waits are
+      constant; ``retry_base_delay_ms`` maps to that constant wait and
+      ``backoff_policy`` stays config-only.
+    """
     host_port = cfg.urls.split(",")[0].replace("http://", "").replace("https://", "")
     host, _, port = host_port.partition(":")
     return {

@@ -30,21 +30,38 @@ from flink_elasticsearch_ingestion_spark.sources.sinks import DocumentSink
 
 class CheckpointStore:
     """Batch-mode incremental offset: persist max(ts) between runs
-    ('Store timestamp of last doc', core.clj:137)."""
+    ('Store timestamp of last doc', core.clj:137).
+
+    When the source exposes the raw nanosecond column, the ns value is
+    checkpointed alongside the us-grain timestamp: comparing on the
+    truncated us value with a strict ``>`` silently and permanently
+    skips any later event whose ns timestamp truncates to the same
+    microsecond as the checkpoint. The ns offset makes the boundary
+    exact."""
 
     def __init__(self, path: str):
         self.path = path
 
-    def load(self) -> str | None:
+    def _read(self) -> dict:
         if not os.path.exists(self.path):
-            return None
+            return {}
         with open(self.path) as f:
-            return json.load(f).get("checkpoint_ts")
+            return json.load(f)
 
-    def save(self, checkpoint_ts: str) -> None:
+    def load(self) -> str | None:
+        return self._read().get("checkpoint_ts")
+
+    def load_ns(self) -> int | None:
+        ns = self._read().get("checkpoint_ns")
+        return int(ns) if ns is not None else None
+
+    def save(self, checkpoint_ts: str, checkpoint_ns: int | None = None) -> None:
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        state: dict = {"checkpoint_ts": checkpoint_ts}
+        if checkpoint_ns is not None:
+            state["checkpoint_ns"] = int(checkpoint_ns)
         with open(self.path, "w") as f:
-            json.dump({"checkpoint_ts": checkpoint_ts}, f)
+            json.dump(state, f)
 
 
 def run_incremental_batch(
@@ -53,15 +70,34 @@ def run_incremental_batch(
     store: CheckpointStore,
 ) -> int:
     """One poll of the batch-mode incremental copy: filter past the saved
-    offset, copy, advance the offset. Returns rows written."""
-    docs = incremental_copy(events, checkpoint_ts=store.load())
+    offset, copy, advance the offset. Returns rows written.
+
+    Prefers the exact ns offset whenever the source carries ``ts_ns``
+    (see CheckpointStore); falls back to the us-grain timestamp offset
+    for sources without it."""
+    from pyspark.sql import functions as F
+
+    has_ns = "ts_ns" in events.columns
+    ck_ns = store.load_ns() if has_ns else None
+    if ck_ns is not None:
+        docs = incremental_copy(events, checkpoint_ns=ck_ns)
+    else:
+        docs = incremental_copy(events, checkpoint_ts=store.load())
     docs = docs.cache()
     try:
         n = docs.count()
         if n:
             sink.write(docs)
             max_ts = docs.agg({"ts": "max"}).first()[0]
-            store.save(max_ts.isoformat(sep=" "))
+            max_ns = None
+            if has_ns:
+                # max over the already-filtered source slice; the filter
+                # is pushed to the scan so this agg reads only new rows
+                src = events
+                if ck_ns is not None:
+                    src = src.filter(F.col("ts_ns") > F.lit(ck_ns))
+                max_ns = src.agg(F.max("ts_ns")).first()[0]
+            store.save(max_ts.isoformat(sep=" "), checkpoint_ns=max_ns)
         return n
     finally:
         docs.unpersist()
@@ -75,6 +111,7 @@ def stream_copy(
     schema: str | None = None,
     available_now: bool = True,
     poll_interval_ms: int = 5000,
+    batch_size_files: int | None = None,
 ):
     """Streaming copy: file source -> identical batch transform per
     micro-batch -> DocumentSink via foreachBatch.
@@ -82,12 +119,19 @@ def stream_copy(
     ``available_now=True`` drains all available input then stops
     (deterministic tests); ``False`` polls forever at the reference's
     poll interval.
-    """
+
+    ``batch_size_files`` is the per-trigger batch-size cap
+    (``source.batch-size``, core.clj:94): the file-source analog of the
+    scroll page size, mapped to ``maxFilesPerTrigger`` — honored by
+    AvailableNow too, which then drains in multiple rate-limited
+    micro-batches instead of one."""
     reader = spark.readStream.format("parquet")
     if schema:
         reader = reader.schema(schema)
     else:
         reader = reader.schema(spark.read.parquet(source_path).schema)
+    if batch_size_files is not None:
+        reader = reader.option("maxFilesPerTrigger", str(batch_size_files))
     stream = reader.load(source_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

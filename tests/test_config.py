@@ -82,3 +82,42 @@ def test_json_body_roundtrip(spark, sf_dir):
     )
     assert decoded.exceptAll(events).count() == 0
     assert decoded.count() == events.count()
+
+
+def test_reference_auth_key_spellings_accepted():
+    """The reference's actual flat auth keys (core.clj:92-93 spellings)
+    must build a config, not raise KeyError."""
+    from flink_elasticsearch_ingestion_spark.config import PipelineConfig
+
+    cfg = PipelineConfig.from_flat(
+        {
+            "source.elasticsearch-username": "su",
+            "source.elasticsearch-password": "sp",
+            "sink.elasticsearch-username": "ku",
+            "sink.elasticsearch-password": "kp",
+        }
+    )
+    assert (cfg.source.username, cfg.source.password) == ("su", "sp")
+    assert (cfg.sink.username, cfg.sink.password) == ("ku", "kp")
+
+
+def test_es_writer_options_full_reference_contract():
+    """Every reference sink constant round-trips: 64 actions, 10
+    retries, 2000 ms delay into real es-hadoop keys; 5000 ms flush
+    interval and EXPONENTIAL policy live in SinkConfig (honored by the
+    streaming trigger / documented constant-wait mapping)."""
+    cfg = SinkConfig(urls="https://es1:9243,http://es2", username="u", password="p")
+    opts = elasticsearch_writer_options(cfg)
+    assert opts["es.nodes"] == "es1"
+    assert opts["es.port"] == "9243"
+    assert opts["es.net.http.auth.user"] == "u"
+    assert opts["es.net.http.auth.pass"] == "p"
+    assert opts["es.batch.size.entries"] == str(cfg.bulk_max_actions) == "64"
+    assert opts["es.batch.write.retry.count"] == str(cfg.retry_count) == "10"
+    assert opts["es.batch.write.retry.wait"] == f"{cfg.retry_base_delay_ms}ms" == "2000ms"
+    assert opts["es.write.operation"] == "index"
+    assert opts["es.batch.write.refresh"] == "false"
+    assert cfg.bulk_flush_interval_ms == 5000
+    assert cfg.backoff_policy == "EXPONENTIAL"
+    # every emitted key is a real elasticsearch-hadoop option namespace
+    assert all(k.startswith("es.") for k in opts)

@@ -101,3 +101,49 @@ def test_ingestion_diff(spark, sf_dir):
     missing = C.ingestion_diff(docs, half)
     assert missing.count() == docs.count() - half.count()
     assert missing.filter(F.col("doc_id") % 2 == 0).count() == 0
+
+
+def test_ns_checkpoint_boundary_not_lost(tmp_path, spark):
+    """Continuous-polling boundary edge: an event whose ns timestamp
+    truncates to the same MICROSECOND as the saved checkpoint must be
+    picked up by the next poll (the us-grain strict > skipped it
+    forever; the ns-grain offset is exact)."""
+    base_ns = 1_700_000_000_000_000_000  # multiple of 1000: us-aligned
+    schema = "event_id long, event_type string, ts long, ts_ns long, user_id long, value double, props string"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, "click", ns, ns, 1, 1.0, "{}") for i, ns in rows], schema
+        )
+
+    store = CheckpointStore(str(tmp_path / "ck.json"))
+    sink = MemorySink()
+    # poll 1: two events; checkpoint lands on base_ns (and its us truncation)
+    n1 = run_incremental_batch(mk([(1, base_ns - 5000), (2, base_ns)]), sink, store)
+    assert n1 == 2
+    assert store.load_ns() == base_ns
+    # poll 2: a late event 500 ns later — SAME microsecond as checkpoint
+    late = mk([(1, base_ns - 5000), (2, base_ns), (3, base_ns + 500)])
+    n2 = run_incremental_batch(late, sink, store)
+    assert n2 == 1  # us-grain comparison would yield 0: silent data loss
+    assert {r.doc_id for r in sink.rows} == {1, 2, 3}
+    assert store.load_ns() == base_ns + 500
+    # poll 3: nothing new -> nothing re-emitted
+    assert run_incremental_batch(late, sink, store) == 0
+
+
+def test_compact_last_wins_converges_append_sink(tmp_path, spark, sf_dir):
+    """Retried append-mode writes duplicate doc_ids in storage; the
+    read-side compaction recovers the exact converged document set."""
+    from flink_elasticsearch_ingestion_spark.sources.sinks import compact_last_wins
+
+    docs = C.incremental_copy(_events(spark, sf_dir))
+    sink = ParquetSink(path=str(tmp_path / "out"), mode="append")
+    sink.write(docs)
+    sink.write(docs)  # the retry
+    raw = spark.read.parquet(sink.path)
+    assert raw.count() == 2 * docs.count()
+    converged = compact_last_wins(spark, sink.path)
+    assert converged.count() == docs.count()
+    cols = docs.columns
+    assert converged.select(*cols).exceptAll(docs).count() == 0

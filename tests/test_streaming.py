@@ -50,3 +50,35 @@ def test_stream_is_resumable(tmp_path, spark, sf_dir):
     q2 = stream_copy(spark, in_dir, sink, ck_dir)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_batch_size_cap_limits_files_per_trigger(tmp_path, spark, sf_dir):
+    """source.batch-size analog (core.clj:94): with batch_size_files=1
+    a 2-file source must drain in 2 micro-batches, each reading one
+    file's worth of rows."""
+    import pyspark.sql.functions as F
+
+    from flink_elasticsearch_ingestion_spark.sources.sinks import MemorySink
+
+    d = tmp_path / "in2"
+    d.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", d / "a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", d / "b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batches: list[int] = []
+
+    class CountingSink(MemorySink):
+        def write(self, df):
+            batches.append(df.count())
+            super().write(df)
+
+    sink = CountingSink()
+    q = stream_copy(
+        spark, str(d), sink, str(tmp_path / "ck2"), batch_size_files=1
+    )
+    q.awaitTermination(120)
+    assert len(batches) == 2
+    n_one_file = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # each micro-batch saw one file; last-wins dedup keeps counts <= file rows
+    assert all(0 < b <= n_one_file for b in batches)

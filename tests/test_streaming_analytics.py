@@ -99,3 +99,31 @@ def test_stream_static_enrichment_join(tmp_path, spark, sf_dir):
     )
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_catalog_window_queries_stream_parity(tmp_path, spark, sf_dir):
+    """Batch/stream parity on the EXACT driver-facing window operators
+    (tumbling_windows / session_windows are oracle-green in batch): the
+    same operator function run as a structured-streaming aggregation
+    (complete mode, AvailableNow) must emit the identical result table."""
+    from flink_elasticsearch_ingestion_spark.operators import windows as W
+
+    in_dir = _staged_events(tmp_path, spark, sf_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    for name, op in [("tw_parity", W.tumbling_event_windows), ("sw_parity", W.session_windows)]:
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            op(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.table(name)
+        batch = op(spark.read.parquet(in_dir))
+        assert streamed.count() == batch.count(), name
+        assert streamed.exceptAll(batch.select(*streamed.columns)).count() == 0, name

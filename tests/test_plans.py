@@ -83,3 +83,17 @@ def test_last_wins_is_partial_final_agg_not_window(spark, sf_dir):
     n_aggs = plan.count("SortAggregate") + plan.count("HashAggregate")
     assert n_aggs >= 2  # partial + final
     assert "Exchange hashpartitioning" in plan
+
+
+def test_bulk_chunks_distributed_no_global_window(spark, sf_dir):
+    """The scale-path chunker must never serialize the stream through a
+    single-partition global window (the semantics-mirror bulk_chunks
+    does, documented); its window partitions by spark_partition_id."""
+    plan = _physical(spark, "bulk_chunks_distributed", sf_dir)
+    # every Window operator must sit on a hash-partitioned exchange (its
+    # windowspecdefinition names a partition expression _wN); the only
+    # SinglePartition exchange allowed is the final 1-row summary agg
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "windowspecdefinition(_w" in ln, f"global window: {ln}"
+    assert plan.count("Exchange SinglePartition") == 1, "only the 1-row summary may gather"

@@ -652,6 +652,56 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (MinHash/xxhash64 basis): the dedup capstone — near-dup
+    pairs resolved into clusters via iterative connected components;
+    one row per cluster with size + kept representative."""
+    return D.near_dup_clusters(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.4
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smoothed TF-IDF; rank ties
+    break alphabetically so both engines order identically."""
+    return X.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of token counts into capacity-512 bins
+    per (lang, doc_id%8) stream (applyInPandas per group), summarized
+    as per-stream packing efficiency. The oracle replays the identical
+    greedy recurrence as a DuckDB recursive CTE."""
+    from flink_elasticsearch_ingestion_spark.operators.packing import (
+        pack_documents,
+        packing_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", X.token_count("text").cast("long")
+    )
+    assigned = pack_documents(docs, capacity=512, n_shards=8)
+    return packing_summary(assigned, capacity=512)
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic corpus mixing: keep 50% of 'en' and
+    20% of every other language, membership a pure function of doc_id."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        deterministic_stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = deterministic_stratified_sample(
+        docs, "lang", {"en": 0.5}, default_rate=0.2
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash bucketing (xxhash64-based). The bounded id
     sample is flattened to CSV so every contract column is scalar."""
@@ -791,6 +841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_sets": q_user_event_sets,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
+        "near_dup_clusters": q_near_dup_clusters,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pack_documents": q_pack_documents,
+        "deterministic_sample": q_deterministic_sample,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1313,6 +1367,53 @@ def oracle_sql() -> dict[str, str]:
             " round(round(sum(length(d.text)), 2) / count(*) + 1e-9, 4) AS avg_chars"
             " FROM documents d JOIN kept USING (doc_id)"
             " GROUP BY d.lang ORDER BY d.lang"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id,"
+            "  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term"
+            "  FROM documents),"
+            " filt AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),"
+            " tf AS (SELECT doc_id, term, count(*) AS tf FROM filt GROUP BY 1, 2),"
+            " dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),"
+            " n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),"
+            " weighted AS (SELECT doc_id, term, tf, df,"
+            "  round(tf * (ln((n + 1) / (df + 1)) + 1) + 1e-9, 6) AS tfidf"
+            "  FROM tf JOIN dfq USING (term) CROSS JOIN n),"
+            " ranked AS (SELECT *, CAST(row_number() OVER ("
+            "  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank"
+            "  FROM weighted)"
+            " SELECT doc_id, rank, term, tf, df, tfidf FROM ranked"
+            " WHERE rank <= 3 ORDER BY doc_id, rank"
+        ),
+        "pack_documents": (
+            # replay of the engine's greedy sequential packing recurrence
+            # (same order, same overflow rule) as a recursive CTE
+            "WITH RECURSIVE docs AS (SELECT doc_id, lang, doc_id % 8 AS shard,"
+            "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),"
+            " ordered AS (SELECT *, row_number() OVER ("
+            "  PARTITION BY lang, shard ORDER BY doc_id) AS rn FROM docs),"
+            " packed AS ("
+            "  SELECT lang, shard, doc_id, n_tokens, rn,"
+            "   CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill"
+            "  FROM ordered WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,"
+            "   CASE WHEN p.fill + o.n_tokens > 512 THEN p.bin_id + 1 ELSE p.bin_id END,"
+            "   CASE WHEN p.fill + o.n_tokens > 512 THEN o.n_tokens ELSE p.fill + o.n_tokens END"
+            "  FROM packed p JOIN ordered o"
+            "   ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1),"
+            " per_bin AS (SELECT lang, shard, bin_id, sum(n_tokens) AS bin_fill,"
+            "  count(*) AS nd FROM packed GROUP BY 1, 2, 3)"
+            " SELECT lang, shard, count(*) AS n_bins, sum(nd) AS n_docs,"
+            " sum(bin_fill) AS total_tokens, max(bin_fill) AS max_fill,"
+            " round(sum(bin_fill) / (count(*) * 512) + 1e-9, 6) AS fill_ratio"
+            " FROM per_bin GROUP BY lang, shard ORDER BY lang, shard"
+        ),
+        "deterministic_sample": (
+            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars"
+            " FROM documents"
+            " WHERE doc_id % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END"
+            " GROUP BY lang ORDER BY lang"
         ),
         "dedup_content": (
             "SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,"

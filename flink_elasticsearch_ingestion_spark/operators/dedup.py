@@ -310,6 +310,130 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into CLUSTERS: connected components
+    by iterative min-label propagation over DataFrames.
+
+    Each iteration joins the label table to the edge list and takes the
+    min label per node — one shuffle on the node id per step, and the
+    loop converges in O(graph diameter) iterations. That is the right
+    trade for near-dup graphs, which are unions of small cliques
+    (diameter 1-2, so 2-3 iterations); for adversarial long-path graphs
+    the O(log n) alternating large-star/small-star scheme (Kiveris et
+    al., SoCC'14) is the documented upgrade path. The loop runs on the
+    driver but every step is a distributed DataFrame op — no collect.
+    A fixed-point check (one short-circuit count per iteration) stops
+    early; ``max_iterations`` bounds the worst case.
+
+    Returns (node, component) where component = min doc_id reachable —
+    the canonical cluster representative.
+    """
+    # undirected edge list, deduped; self-loops dropped
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .dropDuplicates(["u", "v"])
+    )
+    # label table: every endpoint starts as its own component.
+    # Each iteration references the label table THREE times (both join
+    # directions + the union), so without truncation the logical plan
+    # grows ~3x per iteration and Catalyst analysis goes exponential —
+    # localCheckpoint materializes the iterate and cuts the lineage
+    # (on a real cluster, a reliable checkpoint dir plays this role).
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # propagate: each node adopts the min component among itself
+        # and its neighbors (one join per direction + one group-by)
+        lu = labels.select(F.col("node").alias("u"), F.col("component").alias("cu"))
+        lv = labels.select(F.col("node").alias("v"), F.col("component").alias("cv"))
+        via_edges = (
+            edges.join(lu, "u")
+            .join(lv, "v")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("node"), F.col("cv").alias("component")),
+                        F.struct(F.col("v").alias("node"), F.col("cu").alias("component")),
+                    )
+                ).alias("e")
+            )
+            .select("e.node", "e.component")
+        )
+        new_labels = (
+            labels.union(via_edges)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("component"))
+
+
+def near_dup_clusters(
+    documents: DataFrame,
+    *,
+    jaccard_threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The dedup capstone: MinHash near-dup pairs -> connected
+    components -> one row per cluster with its size and kept
+    representative (min doc_id). Documents with no near-duplicate are
+    singletons and simply keep themselves — they never enter the
+    component computation, so the iterative step runs only on the
+    (tiny) duplicate subgraph."""
+    pairs = minhash_near_duplicates(
+        documents, jaccard_threshold=jaccard_threshold, id_col=id_col, text_col=text_col
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("keep_doc_id"),
+        )
+        .orderBy("component")
+    )
+
+
+def dedup_near(documents: DataFrame, *, jaccard_threshold: float = 0.6, id_col: str = "doc_id") -> DataFrame:
+    """Corpus minus near-duplicates: every document except non-
+    representative members of a near-dup cluster (keeps min doc_id per
+    cluster). One anti join against the (small) drop list."""
+    pairs = minhash_near_duplicates(documents, jaccard_threshold=jaccard_threshold, id_col=id_col)
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return documents.join(drop, id_col, "left_anti")
+
+
 def simhash_signature(documents: DataFrame, *, word_k: int = 2, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) over word ``word_k``-gram features.
 

@@ -31,6 +31,37 @@ def stratified_sample(
     return df.sampleBy(stratum_col, fractions=fractions, seed=seed)
 
 
+def deterministic_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float | None = None,
+    key_col: str = "doc_id",
+    modulus: int = 1000,
+) -> DataFrame:
+    """Per-stratum DETERMINISTIC sampling by key residue: a row is kept
+    iff ``key % modulus < rate * modulus`` for its stratum's rate.
+
+    Unlike ``sampleBy`` (seeded RNG over partition/row order, so the
+    kept set shifts when the layout does), membership here is a pure
+    function of the key — re-runs, backfills, and other engines agree
+    row-for-row, which is what corpus-mixing recipes need (e.g.
+    "2x en, 0.2x everything else"). Map-side only, no shuffle.
+    Strata absent from ``rates`` take ``default_rate``; with no
+    default they are dropped (sampleBy semantics)."""
+    res = F.col(key_col) % modulus
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = (F.col(stratum_col) == stratum) & (res < int(rate * modulus))
+        expr = cond if expr is None else expr | cond
+    if default_rate is not None:
+        listed = F.col(stratum_col).isin(*rates) if rates else F.lit(False)
+        dflt = (~listed) & (res < int(default_rate * modulus))
+        expr = dflt if expr is None else expr | dflt
+    return df.filter(expr)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

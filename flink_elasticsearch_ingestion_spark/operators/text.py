@@ -106,6 +106,59 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    documents: DataFrame,
+    *,
+    k: int = 3,
+    min_token_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Shuffle profile at 100 TB: explode tokens (map-side) -> tf agg on
+    (doc, term) -> df agg on term (the document-frequency table is
+    vocabulary-sized, orders of magnitude smaller than the corpus) ->
+    broadcast-eligible join of weights back onto (doc, term) -> per-doc
+    top-k via a keyed window (never a global sort). idf uses the
+    smoothed ``ln((N+1)/(df+1)) + 1`` form so terms present in every
+    document still get a finite positive weight.
+
+    Ties (equal tf-idf within a doc) break alphabetically on the term
+    so both engines rank identically.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("term"),
+    ).filter(F.length("term") >= min_token_len)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(F.countDistinct(id_col).alias("n")).crossJoin(
+        df_tbl
+    )  # 1-row broadcast of the corpus size onto the vocab table
+    idf = n_docs.select(
+        "term",
+        "df",
+        (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+    )
+    weighted = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.col("idf") + 1e-9, 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: sha256 over the
     whitespace-normalized, lowercased text. Content-addressable id for

@@ -25,6 +25,7 @@ def test_oracle_keys_subset_of_queries():
         "hash_split",
         "media_features",
         "approx_distinct",
+        "near_dup_clusters",  # MinHash/xxhash64 basis, like minhash_near_dup
     }
 
 

@@ -217,3 +217,131 @@ def test_simhash_buckets_state_cap(spark):
     assert len(out) == 1
     assert out[0].n_docs == 30
     assert out[0].doc_ids == list(range(10))  # smallest ids, sorted
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair {20,21}
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    comp = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_matches_union_find(spark):
+    # random graph vs an in-test union-find reference implementation
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # expected: min node id per component, only for nodes touching an edge
+    touched = {n for e in edges for n in e}
+    expected = {}
+    for n in touched:
+        root = find(n)
+        expected.setdefault(root, []).append(n)
+    want = {n: min(ns) for root, ns in expected.items() for n in ns}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_near_dup_clusters_and_filtered_corpus(docs_with_dupes):
+    # the fixture corpus has organic near-dups at this threshold too, so
+    # assert structure, not exact sizes: planted copies land in their
+    # originals' clusters, representatives are cluster minima, and the
+    # filtered corpus drops exactly the non-representatives.
+    clusters = D.near_dup_clusters(docs_with_dupes, jaccard_threshold=0.5)
+    rows = clusters.collect()
+    by_rep = {r.component: r for r in rows}
+    assert all(r.keep_doc_id == r.component for r in rows)  # min-id reps
+    assert 0 in by_rep and by_rep[0].cluster_size >= 2  # holds planted 9000
+    assert 1 in by_rep and by_rep[1].cluster_size >= 2  # holds planted 9001
+
+    kept = D.dedup_near(docs_with_dupes, jaccard_threshold=0.5)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in kept_ids and 9000 not in kept_ids
+    assert 1 in kept_ids and 9001 not in kept_ids
+    n_dropped = sum(r.cluster_size - 1 for r in rows)
+    assert kept.count() == docs_with_dupes.count() - n_dropped
+
+
+def test_pack_documents_greedy_invariants(spark):
+    from flink_elasticsearch_ingestion_spark.operators.packing import (
+        pack_documents,
+        packing_summary,
+    )
+
+    rows = [(i, "x", int(s)) for i, s in enumerate([100, 200, 300, 250, 600, 50, 120])]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = pack_documents(docs, capacity=512, group_cols=("lang",), n_shards=1)
+    got = {r.doc_id: r.bin_id for r in out.collect()}
+    # greedy replay: 100+200=300 | +300>512 -> bin1: 300+250=550? no:
+    # 300, fill 300; doc2 300 -> 600>512 new bin (300); doc3 250 ->
+    # 550>512 new bin (250); doc4 600 -> 850>512 new bin (600, oversize
+    # alone); doc5 50 -> 650>512 new bin; doc6 120 -> 170 same bin
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4}
+
+    summ = packing_summary(out, capacity=512).collect()[0]
+    assert summ.n_bins == 5 and summ.n_docs == 7
+    assert summ.total_tokens == sum(s for _, _, s in rows)
+    # every bin respects capacity unless it holds a single oversize doc
+    per_bin = out.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n")
+    )
+    for r in per_bin.collect():
+        assert r.fill <= 512 or r.n == 1
+
+
+def test_deterministic_stratified_sample_is_stable(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        deterministic_stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = deterministic_stratified_sample(docs, "lang", {"en": 0.5}, default_rate=0.2)
+    b = deterministic_stratified_sample(
+        docs.repartition(7), "lang", {"en": 0.5}, default_rate=0.2
+    )
+    ids_a = {r.doc_id for r in a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # layout-independent membership
+    # every kept doc satisfies its stratum's residue rule
+    for r in a.select("doc_id", "lang").collect():
+        cap = 500 if r.lang == "en" else 200
+        assert r.doc_id % 1000 < cap
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from flink_elasticsearch_ingestion_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common unicorn"),
+            (2, "common words here again"),
+            (3, "common words there also"),
+        ],
+        "doc_id long, text string",
+    )
+    out = X.tfidf_top_terms(docs, k=2)
+    top1 = {r.doc_id: r.term for r in out.collect() if r.rank == 1}
+    # 'unicorn' (df=1) beats 'common' (df=3) despite tf 1 vs 3? tf*idf:
+    # common: 3*(ln(4/4)+1)=3.0; unicorn: 1*(ln(4/2)+1)=1.69 -> common
+    # wins doc 1 on raw weight; rank order must reflect the math
+    assert top1[1] == "common"
+    doc1 = {r.term: r.tfidf for r in out.collect() if r.doc_id == 1}
+    assert doc1["common"] > doc1["unicorn"]

@@ -15,9 +15,10 @@ import __spark_entry__ as E
 
 #: brute-force-by-design: exact kNN scores every (query, corpus) pair
 CROSS_JOIN_OK = {"knn_join"}
-#: joins a single-row scalar aggregate (corr over lineitem) — a 1-row
-#: broadcast nested loop is the correct plan for a scalar subquery
-SCALAR_JOIN_OK = {"order_stats"}
+#: join a single-row scalar aggregate (corr over lineitem; the corpus
+#: size N for idf) — a 1-row broadcast nested loop is the correct plan
+#: for a scalar subquery
+SCALAR_JOIN_OK = {"order_stats", "tfidf_top_terms"}
 
 
 def _physical(spark, name, sf_dir):

@@ -702,6 +702,46 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repeated-trigram fraction (Gopher-style repetition
+    filter) — map-side only."""
+    return X.repetition_ratio(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: corpus docs (doc_id >= 25) sharing >= 2
+    distinct trigrams with any probe doc (doc_id < 25)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.cross_corpus_contamination(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        min_shared=2,
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub contract: deterministic synthetic PII is appended to
+    each doc (same construction in the oracle), then redacted; the
+    sha256 of the redacted text pins the exact replacement behavior."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +123456789"),
+        ),
+    )
+    out = X.redact_pii(docs)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("redacted_text").alias("n_chars"),
+        F.sha2("redacted_text", 256).alias("redacted_sha"),
+    ).orderBy("doc_id")
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash bucketing (xxhash64-based). The bounded id
     sample is flattened to CSV so every contract column is scalar."""
@@ -845,6 +885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pack_documents": q_pack_documents,
         "deterministic_sample": q_deterministic_sample,
+        "repetition_ratio": q_repetition_ratio,
+        "contamination": q_contamination,
+        "redact_pii": q_redact_pii,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1367,6 +1410,45 @@ def oracle_sql() -> dict[str, str]:
             " round(round(sum(length(d.text)), 2) / count(*) + 1e-9, 4) AS avg_chars"
             " FROM documents d JOIN kept USING (doc_id)"
             " GROUP BY d.lang ORDER BY d.lang"
+        ),
+        "repetition_ratio": (
+            "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks"
+            "  FROM documents),"
+            " g AS (SELECT doc_id, list_transform("
+            "  range(1, greatest(len(toks) - 2, 1) + 1),"
+            "  i -> array_to_string(toks[i:i+2], ' ')) AS grams FROM t)"
+            " SELECT doc_id, len(grams) AS total_grams,"
+            " len(list_distinct(grams)) AS distinct_grams,"
+            " round((len(grams) - len(list_distinct(grams)))"
+            "  / greatest(len(grams), 1) + 1e-9, 6) AS repetition_ratio"
+            " FROM g ORDER BY doc_id"
+        ),
+        "contamination": (
+            "WITH toks AS (SELECT doc_id,"
+            "  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t"
+            "  FROM documents),"
+            " g AS (SELECT doc_id, list_distinct(list_transform("
+            "  range(1, greatest(len(t) - 2, 1) + 1),"
+            "  i -> array_to_string(t[i:i+2], ' '))) AS grams FROM toks),"
+            " ce AS (SELECT doc_id AS corpus_id, unnest(grams) AS gram FROM g WHERE doc_id >= 25),"
+            " pe AS (SELECT doc_id AS probe_id, unnest(grams) AS gram FROM g WHERE doc_id < 25)"
+            " SELECT corpus_id, probe_id, count(*) AS n_shared"
+            " FROM ce JOIN pe USING (gram) GROUP BY 1, 2"
+            " HAVING count(*) >= 2 ORDER BY corpus_id, probe_id"
+        ),
+        "redact_pii": (
+            "WITH aug AS (SELECT doc_id,"
+            "  text || ' contact user' || doc_id || '@example.com or +123456789' AS t"
+            "  FROM documents),"
+            " red AS (SELECT doc_id, t,"
+            "  regexp_replace(regexp_replace(t,"
+            "   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),"
+            "   '\\+[0-9]{7,15}', '<PHONE>', 'g') AS rt FROM aug)"
+            " SELECT doc_id,"
+            " len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,"
+            " len(regexp_extract_all(t, '\\+[0-9]{7,15}')) AS n_phones,"
+            " length(rt) AS n_chars, sha256(rt) AS redacted_sha"
+            " FROM red ORDER BY doc_id"
         ),
         "tfidf_top_terms": (
             "WITH toks AS (SELECT doc_id,"

@@ -57,6 +57,19 @@ HEADLINE = [
     "media_features",
 ]
 
+#: round-2 additions, timed separately so the headline total stays
+#: comparable round-over-round (these do NOT count into "value")
+EXTENDED = [
+    "near_dup_clusters",
+    "tfidf_top_terms",
+    "pack_documents",
+    "repetition_ratio",
+    "contamination",
+    "redact_pii",
+    "deterministic_sample",
+    "bulk_chunks_distributed",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,6 +97,14 @@ def main() -> None:
         # timings don't pay GC/eviction for earlier queries' caches
         spark.catalog.clearCache()
 
+    ext: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        ext[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -94,6 +115,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "value_warm": round(sum(warm.values()), 4),
+                "queries_ext": ext,
+                "value_ext": round(sum(ext.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -434,6 +434,67 @@ def dedup_near(documents: DataFrame, *, jaccard_threshold: float = 0.6, id_col: 
     return documents.join(drop, id_col, "left_anti")
 
 
+def cross_corpus_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    word_k: int = 3,
+    min_shared: int = 1,
+    df_cap: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-set decontamination: (corpus_id, probe_id, n_shared) for
+    every corpus document sharing >= ``min_shared`` distinct word
+    ``word_k``-grams with a probe (eval/benchmark) document.
+
+    Plan shape for 100 TB: the probe (eval) side is small by
+    definition, so its distinct gram set is BROADCAST and the corpus
+    gram stream is filtered against it in the same map stage as the
+    shingling — the full corpus is scanned exactly once and no
+    corpus-wide gram aggregation ever happens. Only the (tiny) matched
+    remainder is materialized; the ``df_cap`` stop-shingle guard (a
+    probe gram that is ubiquitous in the corpus would still fan out)
+    and the pair count both run on that remainder. Since each doc's
+    gram set is distinct, the join's row count per pair IS the
+    shared-gram count.
+    """
+    # shingling is the CPU-heavy map stage; spread a narrow local scan
+    # to full parallelism first (no-op at real scale where the scan
+    # already has thousands of splits)
+    sc = corpus.sparkSession.sparkContext
+    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
+        corpus = corpus.repartition(sc.defaultParallelism)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.explode(word_shingles(text_col, word_k)).alias("gram")
+    )
+    p = probe.select(
+        F.col(id_col).alias("probe_id"), F.explode(word_shingles(text_col, word_k)).alias("gram")
+    )
+    probe_grams = p.select("gram").distinct()
+    # one corpus pass: shingle -> broadcast-hash semi join on the probe
+    # gram set; persist the small matched stream so the cap and the
+    # pair join don't rescan the corpus
+    # (persist stays owned by Spark's LRU: an eager unpersist here would
+    # undercut the still-lazy returned plan)
+    matched = c.join(F.broadcast(probe_grams), "gram", "semi").persist()
+    if df_cap is not None:
+        hot = (
+            matched.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("gram")
+        )
+        matched = matched.join(F.broadcast(hot), "gram", "left_anti")
+    return (
+        matched.join(F.broadcast(p), "gram")
+        .groupBy("corpus_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("corpus_id", "probe_id")
+    )
+
+
 def simhash_signature(documents: DataFrame, *, word_k: int = 2, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) over word ``word_k``-gram features.
 

@@ -159,6 +159,56 @@ def tfidf_top_terms(
     )
 
 
+def repetition_ratio(documents: DataFrame, *, word_k: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Intra-document repetition: the fraction of word ``word_k``-grams
+    that are duplicates of an earlier one (Gopher-style repetition
+    filter — high ratio flags boilerplate/spam). Pure map-side
+    expression: one token split, one n-gram transform, one
+    array_distinct; no shuffle at all."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n = F.greatest(F.size(toks) - F.lit(word_k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, word_k))
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        total.alias("total_grams"),
+        distinct.alias("distinct_grams"),
+        F.round((total - distinct) / F.greatest(total, F.lit(1)) + 1e-9, 6).alias(
+            "repetition_ratio"
+        ),
+    )
+
+
+#: deliberately simple, engine-portable patterns (no lookaround): the
+#: real scrubber plugs stricter patterns into the same column contract
+EMAIL_PATTERN = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_PATTERN = "\\+[0-9]{7,15}"
+
+
+def redact_pii(documents: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII scrubbing: replace email addresses and +international phone
+    numbers with typed placeholder tokens, reporting per-doc match
+    counts. Map-side regexp work only — the standard pre-training
+    compliance pass, run before any content hashing so near-dup
+    detection sees the redacted form."""
+    email_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_PATTERN), 0))
+    phone_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PHONE_PATTERN), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        email_hits.alias("n_emails"),
+        phone_hits.alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: sha256 over the
     whitespace-normalized, lowercased text. Content-addressable id for

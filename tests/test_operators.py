@@ -345,3 +345,46 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert top1[1] == "common"
     doc1 = {r.term: r.tfidf for r in out.collect() if r.doc_id == 1}
     assert doc1["common"] > doc1["unicorn"]
+
+
+def test_repetition_ratio_values(spark):
+    from flink_elasticsearch_ingestion_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "all words here are different ones")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in X.repetition_ratio(docs).collect()}
+    # doc 1: 9 tokens -> 7 trigrams, 3 distinct -> 4/7 repeated
+    assert got[1].total_grams == 7 and got[1].distinct_grams == 3
+    assert abs(got[1].repetition_ratio - 4 / 7) < 1e-4
+    assert got[2].repetition_ratio == 0.0
+
+
+def test_cross_corpus_contamination_planted(spark):
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "completely unrelated corpus text nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = D.cross_corpus_contamination(corpus, probe, min_shared=2).collect()
+    # shares 'quick brown fox' and 'brown fox jumps' -> n_shared == 2
+    assert len(out) == 1
+    assert (out[0].corpus_id, out[0].probe_id, out[0].n_shared) == (100, 1, 2)
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from flink_elasticsearch_ingestion_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "mail alice.b+test@ex-ample.org or call +4915112345678 now")],
+        "doc_id long, text string",
+    )
+    r = X.redact_pii(docs).collect()[0]
+    assert r.n_emails == 1 and r.n_phones == 1
+    assert r.redacted_text == "mail <EMAIL> or call <PHONE> now"

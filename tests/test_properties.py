@@ -111,3 +111,84 @@ def test_url_parse_port_default(spark, host, port, scheme):
     assert row.host == host
     assert row.scheme == scheme
     assert row.port == (port if port is not None else 9200)  # core.clj:43
+
+
+_SIZES = st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=30)
+
+
+@given(sizes=_SIZES)
+@settings(**_SETTINGS)
+def test_packing_invariants(spark, sizes):
+    """For any size sequence: no doc lost, bins fill <= capacity unless
+    a single oversize doc, bin ids are contiguous from 0, and the greedy
+    assignment matches a sequential python replay."""
+    from flink_elasticsearch_ingestion_spark.operators.packing import pack_documents
+
+    cap = 512
+    docs = spark.createDataFrame(
+        [(i, "x", s) for i, s in enumerate(sizes)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = pack_documents(docs, capacity=cap, group_cols=("lang",), n_shards=1)
+    rows = sorted(out.collect(), key=lambda r: r.doc_id)
+    assert [r.doc_id for r in rows] == list(range(len(sizes)))
+
+    # python replay of the greedy recurrence
+    bin_id, fill, want = 0, 0, []
+    for s in sizes:
+        if fill > 0 and fill + s > cap:
+            bin_id, fill = bin_id + 1, 0
+        fill += s
+        want.append(bin_id)
+    assert [r.bin_id for r in rows] == want
+
+    fills: dict[int, list[int]] = {}
+    for r in rows:
+        fills.setdefault(r.bin_id, []).append(int(r.n_tokens))
+    assert sorted(fills) == list(range(len(fills)))  # contiguous ids
+    for members in fills.values():
+        assert sum(members) <= cap or len(members) == 1
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40, unique=True),
+    rate=st.sampled_from([0.0, 0.1, 0.5, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_deterministic_sample_is_pure_residue_function(spark, ids, rate):
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        deterministic_stratified_sample,
+    )
+
+    df = spark.createDataFrame([(i, "en") for i in ids], "doc_id long, lang string")
+    kept = {
+        r.doc_id
+        for r in deterministic_stratified_sample(df, "lang", {"en": rate}).collect()
+    }
+    assert kept == {i for i in ids if i % 1000 < int(rate * 1000)}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=25), st.integers(min_value=0, max_value=25)),
+        min_size=0,
+        max_size=35,
+    )
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_fixed_point(spark, edges):
+    """For any pair set: labels are a fixed point (every node's label ==
+    min label in its neighborhood) and each component's label is a
+    member of that component."""
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    comp = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for n, c in comp.items():
+        assert c == min([comp[n]] + [comp[m] for m in adj[n]])  # fixed point
+        assert c in comp and comp[c] == c  # label is its own representative

@@ -742,6 +742,22 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.promo_revenue_share(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.idle_rich_customers(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+def q_lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.lonely_late_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash bucketing (xxhash64-based). The bounded id
     sample is flattened to CSV so every contract column is scalar."""
@@ -888,6 +904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "contamination": q_contamination,
         "redact_pii": q_redact_pii,
+        "promo_revenue_share": q_promo_revenue_share,
+        "idle_rich_customers": q_idle_rich_customers,
+        "lonely_late_suppliers": q_lonely_late_suppliers,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1410,6 +1429,41 @@ def oracle_sql() -> dict[str, str]:
             " round(round(sum(length(d.text)), 2) / count(*) + 1e-9, 4) AS avg_chars"
             " FROM documents d JOIN kept USING (doc_id)"
             " GROUP BY d.lang ORDER BY d.lang"
+        ),
+        "promo_revenue_share": (
+            "SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,"
+            " round(round(sum(CASE WHEN p_type LIKE 'PROMO%'"
+            "   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) * 100"
+            "  / round(sum(l_extendedprice * (1 - l_discount)), 2) + 1e-9, 4)"
+            "  AS promo_share_pct,"
+            " count(*) AS n_lineitems"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " GROUP BY 1 ORDER BY ship_month"
+        ),
+        "idle_rich_customers": (
+            "WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer"
+            "  WHERE c_acctbal > 0)"
+            " SELECT c_mktsegment, count(*) AS n_customers,"
+            " round(sum(c_acctbal), 2) AS total_bal"
+            " FROM customer, ab"
+            " WHERE c_acctbal > avg_bal"
+            "  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+            "   AND o_orderpriority = '1-URGENT')"
+            " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "lonely_late_suppliers": (
+            "WITH li AS (SELECT l_orderkey, l_suppkey,"
+            "  max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY"
+            "   THEN 1 ELSE 0 END) AS late"
+            "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            "  GROUP BY l_orderkey, l_suppkey),"
+            " per_o AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late"
+            "  FROM li GROUP BY l_orderkey)"
+            " SELECT s_name, count(*) AS n_orders"
+            " FROM li JOIN per_o USING (l_orderkey)"
+            " JOIN supplier ON s_suppkey = l_suppkey"
+            " WHERE li.late = 1 AND per_o.n_supp >= 2 AND per_o.n_late = 1"
+            " GROUP BY s_name ORDER BY n_orders DESC, s_name LIMIT 20"
         ),
         "repetition_ratio": (
             "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks"

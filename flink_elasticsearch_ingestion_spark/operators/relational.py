@@ -395,3 +395,94 @@ def large_quantity_orders(
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-style: monthly share of revenue from PROMO parts.
+    One fact-dim join (part is broadcast-eligible; AQE decides from
+    runtime size) + one agg on the month key — conditional aggregation
+    replaces a second scan."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        joined.groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.round(
+                F.round(F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))), 2)
+                * 100
+                / F.round(F.sum(rev), 2)
+                + 1e-9,
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q22-style: customers richer than the average positive
+    balance with no ``priority`` order, profiled per market segment.
+    The scalar average is a 1-row broadcast; the no-matching-orders
+    test is a shuffled anti join on the customer key (both sides
+    fact-sized at 100 TB — the correct degradation; the priority
+    filter pushes to the orders scan first)."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = customer.crossJoin(avg_bal).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(
+        orders.filter(F.col("o_orderpriority") == priority)
+        .select("o_custkey")
+        .distinct(),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def lonely_late_suppliers(
+    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q21-style: suppliers who were the SOLE late shipper on a
+    multi-supplier order. The classic formulation is exists/not-exists
+    self-joins on lineitem; the Spark-first shape aggregates once per
+    (order, supplier) and once per order, then filters — two keyed
+    shuffles instead of two fact-fact self-joins, same semantics."""
+    li = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)).cast("int").alias("late"),
+    )
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    culprit = (
+        per_supp.filter(F.col("late") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        culprit.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "s_name")
+        .limit(20)
+    )

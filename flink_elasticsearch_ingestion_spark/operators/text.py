@@ -127,11 +127,22 @@ def tfidf_top_terms(
     Ties (equal tf-idf within a doc) break alphabetically on the term
     so both engines rank identically.
     """
+    # tokenize at full parallelism: a narrow local scan (single parquet
+    # row group) would otherwise run the explode on one core — no-op at
+    # real scale where the scan has thousands of splits
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        documents = documents.repartition(sc.defaultParallelism)
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("term"),
     ).filter(F.length("term") >= min_token_len)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df aggregation and the weight join, and Spark
+    # does not reuse the common subtree — without a barrier the corpus
+    # is scanned + exploded twice. Persist is the local analog of the
+    # scale path (write the tf table to parquet; it is narrow and far
+    # smaller than the exploded token stream).
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.select(F.countDistinct(id_col).alias("n")).crossJoin(
         df_tbl

@@ -18,7 +18,7 @@ CROSS_JOIN_OK = {"knn_join"}
 #: join a single-row scalar aggregate (corr over lineitem; the corpus
 #: size N for idf) — a 1-row broadcast nested loop is the correct plan
 #: for a scalar subquery
-SCALAR_JOIN_OK = {"order_stats", "tfidf_top_terms"}
+SCALAR_JOIN_OK = {"order_stats", "tfidf_top_terms", "idle_rich_customers"}
 
 
 def _physical(spark, name, sf_dir):

@@ -145,6 +145,92 @@ def simhash64(hashed_col: str, bits: int = 64) -> F.Column:
     return F.expr(sig)
 
 
+def minhash_signature_table(
+    documents: DataFrame,
+    *,
+    word_k: int | None = 3,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shingles, sig): the materializable signature table —
+    hashed shingle sets (``array<bigint>``, ~1% of corpus size on
+    prose) plus the MinHash signature. At 100 TB, write THIS to parquet
+    once and run every near-dup pass against it
+    (``write_signature_table`` / ``near_duplicates_from_signatures``)
+    instead of re-shingling the corpus per run."""
+    shingle_expr = (
+        hashed_word_shingles(text_col, word_k)
+        if word_k
+        else hashed_shingles(char_shingles(text_col, shingle_k))
+    )
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        documents = documents.repartition(sc.defaultParallelism)
+    shingled = documents.select(
+        F.col(id_col).alias("doc_id"), shingle_expr.alias("shingles")
+    )
+    return shingled.select(
+        "doc_id", "shingles", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+
+
+def write_signature_table(documents: DataFrame, path: str, **kwargs) -> None:
+    """Materialize the MinHash signature table to parquet — the scale
+    analog of the in-memory persist barrier the direct operator uses."""
+    minhash_signature_table(documents, **kwargs).write.mode("overwrite").parquet(path)
+
+
+def near_duplicates_from_signatures(
+    signatures: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs from an existing (doc_id, shingles, sig) table
+    (see ``minhash_signature_table``): band explode -> ids-only band
+    self-join -> exact Jaccard verify. ``num_hashes``/``bands`` must
+    match the values the table was built with."""
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band)
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_a = signatures.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = signatures.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def minhash_near_duplicates(
     documents: DataFrame,
     *,
@@ -171,75 +257,28 @@ def minhash_near_duplicates(
       5. filter >= threshold
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    The signature table is persisted before the band join: the
+    self-join + verify step would otherwise recompute the shingle
+    subtree up to 4x (and Catalyst's projection collapse can inline it
+    per-output-row — measured 15x worse without the barrier). At
+    100 TB the same role is played by ``write_signature_table`` +
+    ``near_duplicates_from_signatures`` against parquet, not by
+    executor cache.
     """
-    rows_per_band = num_hashes // bands
-    shingle_expr = (
-        hashed_word_shingles(text_col, word_k)
-        if word_k
-        else hashed_shingles(char_shingles(text_col, shingle_k))
-    )
-    # Shingling + hashing is the CPU-heavy map stage; a small local
-    # fixture arrives as 1-2 parquet splits, which would serialize it on
-    # one core. Spread it to the cluster's parallelism first (no-op at
-    # real scale, where the scan already has thousands of splits).
-    sc = documents.sparkSession.sparkContext
-    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
-        documents = documents.repartition(sc.defaultParallelism)
-    shingled = documents.select(
-        F.col(id_col).alias("doc_id"),
-        shingle_expr.alias("shingles"),  # array<bigint>, one string pass
-    )
-    # materialize hashed shingles once: the self-join + verify step would
-    # otherwise recompute the shingle subtree up to 4x (and Catalyst's
-    # projection collapse can inline it per-output-row — measured 15x
-    # worse without the barrier). At 100 TB the same role is played by
-    # writing the signature table to parquet (~1% of corpus size), not
-    # by executor cache.
-    shingled = shingled.persist()
-    # sig projected in its own step so the band explode references the
-    # computed array instead of re-deriving 32 minhash passes per band
-    sig = shingled.select(
-        "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
-    )
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                # xxhash64 hashes the array<bigint> slice directly — no
-                # string round-trip for the band key
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band)
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
-    # candidate generation carries ONLY ids through the shuffle;
-    # shingle arrays re-attach after pair dedup (2 narrow hash joins
-    # on far fewer rows than the exploded band table)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+    sig_table = minhash_signature_table(
+        documents,
+        word_k=word_k,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        id_col=id_col,
+        text_col=text_col,
+    ).persist()
+    return near_duplicates_from_signatures(
+        sig_table,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
     )
 
 

@@ -96,6 +96,29 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
 
 
+def streaming_content_dedup(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming CONTENT dedup: the batch content-hash operator's
+    streaming twin. The sha256 of the normalized text is computed
+    map-side per micro-batch, then duplicate hashes arriving within the
+    watermark horizon are dropped — bounded state (one entry per
+    distinct content seen in the horizon), the only honest contract for
+    an unbounded stream. Batch mode degrades to exact content dedup
+    keeping the first row per content hash."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    hashed = documents.withColumn("content_hash", F.sha2(normalized, 256))
+    if not documents.isStreaming:
+        return hashed.dropDuplicates(["content_hash"])
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def stream_dedup_copy(
     spark: SparkSession,
     source_path: str,

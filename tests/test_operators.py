@@ -388,3 +388,18 @@ def test_redact_pii_replaces_and_counts(spark):
     r = X.redact_pii(docs).collect()[0]
     assert r.n_emails == 1 and r.n_phones == 1
     assert r.redacted_text == "mail <EMAIL> or call <PHONE> now"
+
+
+def test_signature_table_roundtrip_matches_direct(tmp_path, spark, docs_with_dupes):
+    """write_signature_table -> near_duplicates_from_signatures (the
+    100 TB materialized path) must produce exactly the direct
+    operator's pairs."""
+    direct = D.minhash_near_duplicates(docs_with_dupes, jaccard_threshold=0.5)
+    path = str(tmp_path / "sigs")
+    D.write_signature_table(docs_with_dupes, path)
+    from_table = D.near_duplicates_from_signatures(
+        spark.read.parquet(path), jaccard_threshold=0.5
+    )
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in direct.collect()] == [
+        (r.doc_a, r.doc_b, r.jaccard) for r in from_table.collect()
+    ]

@@ -127,3 +127,41 @@ def test_catalog_window_queries_stream_parity(tmp_path, spark, sf_dir):
         batch = op(spark.read.parquet(in_dir))
         assert streamed.count() == batch.count(), name
         assert streamed.exceptAll(batch.select(*streamed.columns)).count() == 0, name
+
+
+def test_streaming_content_dedup_matches_batch(tmp_path, spark, sf_dir):
+    """Planted exact-content duplicates across micro-batch files are
+    dropped by the streaming content dedup; final doc set == batch
+    content dedup of the union."""
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        streaming_content_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir.replace('sf0.001', 'sf0.001')}/documents.parquet")
+    base = docs.select(
+        "doc_id", "text", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts")
+    )
+    clones = base.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "ts"
+    )
+    d = str(tmp_path / "cd_in")
+    base.write.parquet(d)
+    clones.write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(base.schema).parquet(d)
+    q = (
+        streaming_content_dedup(stream)
+        .select("doc_id", "content_hash")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cd_test")
+        .option("checkpointLocation", str(tmp_path / "cd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("cd_test")
+    batch = streaming_content_dedup(spark.read.parquet(d))
+    assert streamed.count() == batch.count()
+    # one row per distinct content hash, none of the planted clones' hash duplicated
+    assert streamed.select("content_hash").distinct().count() == streamed.count()

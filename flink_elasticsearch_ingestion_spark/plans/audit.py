@@ -1,0 +1,70 @@
+"""Physical-plan introspection: the plan-audit checks as a library.
+
+The 100 TB posture of this engine is enforced by READING plans, not by
+hoping: scans must prune columns and carry pushed/partition filters,
+joins must never degenerate to cartesian products, and the hot path
+should sit inside whole-stage codegen. These helpers extract those
+facts from a DataFrame's executed plan so tests (`tests/test_plans.py`)
+and users (`Engine.query(...)` consumers tuning a deployment) assert
+them programmatically instead of eyeballing `.explain()` output.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_summary(df: DataFrame) -> list[dict]:
+    """One dict per file scan: read schema columns, pushed filters,
+    partition filters. The things that decide I/O volume at scale."""
+    plan = physical_plan(df)
+    scans = []
+    for m in re.finditer(r"FileScan (\w+) \[([^\]]*)\]", plan):
+        # the scan's output column list (col#id, ...) IS the pruned
+        # read set and always sits on the FileScan line itself
+        window = plan[m.start() : m.start() + 4000]
+        entry: dict = {
+            "format": m.group(1),
+            "columns": [
+                c.strip().split("#")[0] for c in m.group(2).split(",") if c.strip()
+            ],
+        }
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", window)
+        if pf:
+            entry["pushed_filters"] = [
+                f.strip() for f in pf.group(1).split(",") if f.strip()
+            ]
+        part = re.search(r"PartitionFilters: \[([^\]]*)\]", window)
+        if part:
+            entry["partition_filters"] = [
+                f.strip() for f in part.group(1).split(",") if f.strip()
+            ]
+        scans.append(entry)
+    return scans
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Number of distinct WholeStageCodegen spans — wider spans mean
+    more of the plan runs as generated JVM code."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", physical_plan(df))))
+
+
+def assert_no_accidental_quadratic_join(
+    df: DataFrame, *, allow_nested_loop: bool = False
+) -> None:
+    """Raise AssertionError if the plan contains a cartesian product or
+    (unless ``allow_nested_loop``, for 1-row scalar-subquery joins) a
+    broadcast nested-loop join — both quadratic at scale."""
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, "plan contains a cartesian product"
+    if not allow_nested_loop:
+        assert (
+            "BroadcastNestedLoopJoin" not in plan
+        ), "plan contains a broadcast nested-loop join"

@@ -21,19 +21,23 @@ CROSS_JOIN_OK = {"knn_join"}
 SCALAR_JOIN_OK = {"order_stats", "tfidf_top_terms", "idle_rich_customers"}
 
 
+from flink_elasticsearch_ingestion_spark.plans import (
+    assert_no_accidental_quadratic_join,
+    physical_plan,
+    scan_summary,
+)
+
+
 def _physical(spark, name, sf_dir):
-    df = E.queries()[name](spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return physical_plan(E.queries()[name](spark, sf_dir))
 
 
 @pytest.mark.parametrize("name", sorted(E.queries()))
 def test_no_accidental_quadratic_join(spark, sf_dir, name):
-    plan = _physical(spark, name, sf_dir)
     if name in CROSS_JOIN_OK:
         pytest.skip("intentional cross join (exact-kNN baseline)")
-    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
-    if name not in SCALAR_JOIN_OK:
-        assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+    df = E.queries()[name](spark, sf_dir)
+    assert_no_accidental_quadratic_join(df, allow_nested_loop=name in SCALAR_JOIN_OK)
 
 
 def test_copy_filter_is_pushed_to_scan(spark, sf_dir):
@@ -45,10 +49,20 @@ def test_copy_filter_is_pushed_to_scan(spark, sf_dir):
 
 
 def test_pricing_summary_prunes_columns(spark, sf_dir):
-    plan = _physical(spark, "pricing_summary", sf_dir)
-    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
-    # 7 needed columns, not lineitem's full 16
-    assert "l_quantity" in scan and "l_orderkey" not in scan and "l_comment" not in scan
+    scans = scan_summary(E.queries()["pricing_summary"](spark, sf_dir))
+    assert len(scans) == 1
+    cols = scans[0]["columns"]
+    # needed columns only, not lineitem's full width
+    assert "l_quantity" in cols and "l_orderkey" not in cols and "l_comment" not in cols
+
+
+def test_scan_summary_reports_pushed_filters(spark, sf_dir):
+    """The audit library itself: copy_incremental's scan must report
+    the pushed ts predicate and the pruned column set."""
+    scans = scan_summary(E.queries()["copy_incremental"](spark, sf_dir))
+    assert len(scans) == 1
+    assert any("GreaterThan(ts" in f for f in scans[0].get("pushed_filters", []))
+    assert "event_id" in scans[0]["columns"]
 
 
 def test_top_revenue_orders_no_forced_broadcast(spark, sf_dir):

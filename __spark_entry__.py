@@ -742,6 +742,29 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_ingestion_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-ingestion diff (anti join on doc_id): docs in the source not
+    yet present in the target — the target here is the pre-checkpoint
+    slice, so the diff must equal the post-checkpoint docs."""
+    docs = C.shape_documents(_t(spark, sf_dir, "events"))
+    target = docs.filter(F.col("ts") <= F.lit(CHECKPOINT))
+    return C.ingestion_diff(docs, target).select("doc_id", "index_id", "ts").orderBy("doc_id")
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (integer bucket arithmetic
+    — exact on both engines; profiling primitive for corpus numeric
+    columns). One map-side bucket expr + one small agg."""
+    events = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50).cast("int").alias("bucket")
+    return (
+        events.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("bucket")
+    )
+
+
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.promo_revenue_share(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
 
@@ -907,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": q_promo_revenue_share,
         "idle_rich_customers": q_idle_rich_customers,
         "lonely_late_suppliers": q_lonely_late_suppliers,
+        "ingestion_diff": q_ingestion_diff,
+        "value_histogram": q_value_histogram,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1429,6 +1454,17 @@ def oracle_sql() -> dict[str, str]:
             " round(round(sum(length(d.text)), 2) / count(*) + 1e-9, 4) AS avg_chars"
             " FROM documents d JOIN kept USING (doc_id)"
             " GROUP BY d.lang ORDER BY d.lang"
+        ),
+        "ingestion_diff": (
+            f"WITH docs AS ({copy_projection}),"
+            " target AS (SELECT doc_id FROM docs WHERE ts <= {ck})"
+            " SELECT doc_id, index_id, ts FROM docs"
+            " WHERE doc_id NOT IN (SELECT doc_id FROM target)"
+            " ORDER BY doc_id"
+        ).replace("{ck}", ck),
+        "value_histogram": (
+            "SELECT CAST(floor(value / 50) AS INTEGER) AS bucket,"
+            " count(*) AS n_events FROM events GROUP BY 1 ORDER BY bucket"
         ),
         "promo_revenue_share": (
             "SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,"

@@ -781,6 +781,68 @@ def q_lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.revenue_forecast(_t(spark, sf_dir, "lineitem"))
+
+
+def q_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.late_shipment_priorities(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.product_type_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.order_count_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_supplier(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"))
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.disjunctive_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash bucketing (xxhash64-based). The bounded id
     sample is flattened to CSV so every contract column is scalar."""
@@ -932,6 +994,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lonely_late_suppliers": q_lonely_late_suppliers,
         "ingestion_diff": q_ingestion_diff,
         "value_histogram": q_value_histogram,
+        # --- round-2: TPC-H-style relational depth ---
+        "revenue_forecast": q_revenue_forecast,
+        "late_shipment_priorities": q_late_shipment_priorities,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "order_count_distribution": q_order_count_distribution,
+        "top_supplier": q_top_supplier,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1465,6 +1537,106 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": (
             "SELECT CAST(floor(value / 50) AS INTEGER) AS bucket,"
             " count(*) AS n_events FROM events GROUP BY 1 ORDER BY bucket"
+        ),
+        "revenue_forecast": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,"
+            " count(*) AS n_lineitems FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01'"
+            " AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        ),
+        "late_shipment_priorities": (
+            "WITH in_year AS (SELECT * FROM orders"
+            "  WHERE o_orderdate >= TIMESTAMP '1997-01-01'"
+            "  AND o_orderdate < TIMESTAMP '1998-01-01')"
+            " SELECT o_orderpriority, count(*) AS n_orders FROM in_year o"
+            " WHERE EXISTS (SELECT 1 FROM lineitem l"
+            "   WHERE l.l_orderkey = o.o_orderkey"
+            "   AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)"
+            " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+            " year(l_shipdate) AS ship_year,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume,"
+            " count(*) AS n_lineitems"
+            " FROM lineitem"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+            " WHERE n1.n_name IN ('NATION_1', 'NATION_2')"
+            " AND n2.n_name IN ('NATION_1', 'NATION_2')"
+            " AND n1.n_name <> n2.n_name"
+            " GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year"
+        ),
+        "market_share": (
+            "SELECT year(o_orderdate) AS order_year,"
+            " round(round(sum(CASE WHEN n_name = 'NATION_5'"
+            "   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) * 100"
+            "  / round(sum(l_extendedprice * (1 - l_discount)), 2) + 1e-9, 4)"
+            "  AS share_pct,"
+            " count(*) AS n_lineitems"
+            " FROM lineitem"
+            " JOIN part ON l_partkey = p_partkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " WHERE p_type = 'ECONOMY'"
+            " GROUP BY 1 ORDER BY order_year"
+        ),
+        "product_type_profit": (
+            "SELECT n_name AS supp_nation, year(o_orderdate) AS order_year,"
+            " round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)"
+            "   AS DECIMAL(18,4))) AS DOUBLE), 2) AS profit"
+            " FROM lineitem"
+            " JOIN part ON l_partkey = p_partkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " WHERE p_name LIKE '%blue%'"
+            " GROUP BY 1, 2 ORDER BY supp_nation, order_year"
+        ),
+        "order_count_distribution": (
+            "WITH per_cust AS (SELECT c_custkey, count(o_orderkey) AS n_orders"
+            "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+            "  GROUP BY c_custkey)"
+            " SELECT n_orders, count(*) AS n_customers FROM per_cust"
+            " GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC"
+        ),
+        "top_supplier": (
+            "WITH rev AS (SELECT l_suppkey,"
+            "  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue"
+            "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            "  AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey)"
+            " SELECT s_suppkey, s_name, total_revenue"
+            " FROM rev JOIN supplier ON l_suppkey = s_suppkey"
+            " WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"
+            " ORDER BY s_suppkey"
+        ),
+        "small_quantity_revenue": (
+            "WITH branded AS (SELECT l.* FROM lineitem l"
+            "  JOIN part p ON l_partkey = p_partkey WHERE p_brand = 'Brand#13'),"
+            " avg_q AS (SELECT l_partkey AS ap_partkey,"
+            "  round(round(sum(l_quantity), 2) / count(*) + 1e-9, 4) AS avg_qty"
+            "  FROM branded GROUP BY l_partkey)"
+            " SELECT round(round(sum(l_extendedprice), 2) / 7.0 + 1e-9, 4) AS avg_yearly,"
+            " count(*) AS n_lineitems"
+            " FROM branded JOIN avg_q ON l_partkey = ap_partkey"
+            " WHERE l_quantity < avg_qty * 0.5"
+        ),
+        "disjunctive_revenue": (
+            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+            " count(*) AS n_lineitems"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10"
+            "   AND l_quantity BETWEEN 1 AND 15)"
+            " OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20"
+            "   AND l_quantity BETWEEN 10 AND 25)"
+            " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30"
+            "   AND l_quantity BETWEEN 20 AND 35)"
         ),
         "promo_revenue_share": (
             "SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,"

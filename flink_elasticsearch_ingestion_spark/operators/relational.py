@@ -486,3 +486,301 @@ def lonely_late_suppliers(
         .orderBy(F.col("n_orders").desc(), "s_name")
         .limit(20)
     )
+
+
+def revenue_forecast(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6-style: revenue delta from a discount change — a pure
+    scan-side query. Every predicate (date range, discount band,
+    quantity cap) is a deterministic literal comparison that Catalyst
+    pushes into the parquet scan (PushedFilters), and only 4 columns
+    survive pruning; the agg is a 1-row global partial+final. At 100 TB
+    this reads a fraction of the fact table and shuffles ~nothing."""
+    f = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "forecast_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def late_shipment_priorities(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 60, year: int = 1997
+) -> DataFrame:
+    """TPC-H Q4-style (EXISTS rewritten as a left-semi join): count
+    orders per priority having >= 1 lineitem shipped more than
+    ``late_days`` after the order date. The order-date filter prunes the
+    orders scan; the semi join keeps only order keys (no fan-out,
+    no duplicate elimination needed); the final agg is tiny."""
+    in_year = orders.filter(
+        (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    )
+    late_keys = (
+        lineitem.join(
+            in_year.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days))
+        .select("l_orderkey")
+    )
+    return (
+        in_year.join(late_keys, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7-style: bilateral shipping volume between two nations by
+    year. Both nation dims are filtered to 1 row each BEFORE their
+    joins, so supplier/customer shrink to ~1/25 early; the only
+    fact-sized shuffles are lineitem->orders and orders->customer.
+    nation is broadcast (25 rows)."""
+    n1 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("cust_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nkey"))
+    cust = customer.join(F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nkey"))
+    joined = (
+        lineitem.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "volume"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_5",
+    part_type: str = "ECONOMY",
+    region_name: str | None = None,
+) -> DataFrame:
+    """TPC-H Q8-style: the target nation's share of revenue for one part
+    type, per order year. Share-of-total is conditional aggregation in
+    ONE pass (no second scan, no self-join); part is filtered before the
+    join so the fact fan-in shrinks at the scan. region/nation are
+    broadcast dims."""
+    p = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = customer
+    if region_name is not None:
+        in_region = (
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == region_name)),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select(F.col("n_nationkey").alias("cust_nkey"))
+        )
+        cust = customer.join(
+            F.broadcast(in_region), F.col("c_nationkey") == F.col("cust_nkey")
+        )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.round(
+                    F.sum(
+                        F.when(F.col("supp_nation") == target_nation, rev).otherwise(
+                            F.lit(0.0)
+                        )
+                    ),
+                    2,
+                )
+                * 100
+                / F.round(F.sum(rev), 2)
+                + 1e-9,
+                4,
+            ).alias("share_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_contains: str = "blue",
+) -> DataFrame:
+    """TPC-H Q9-style (adapted: fixtures carry no partsupp/supplycost,
+    so profit = discounted revenue): revenue from parts whose name
+    contains a color, by supplier nation and year. The LIKE filter on
+    part runs before its join; nation broadcasts."""
+    p = part.filter(F.col("p_name").contains(name_contains)).select("p_partkey")
+    joined = (
+        lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    # sum in exact decimal, not double: with ~1e4 terms per group the
+    # double accumulation order differs between engines and flips the
+    # last cent at a .005 boundary; decimal(18,4) terms make the sum
+    # associative and bit-identical everywhere
+    profit_term = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        joined.groupBy("supp_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(F.sum(profit_term).cast("double"), 2).alias("profit"))
+        .orderBy("supp_nation", "order_year")
+    )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-style: distribution of per-customer order counts,
+    including zero-order customers (left join). Two keyed shuffles
+    (custkey, then the tiny count key); the left join preserves
+    customers with no orders as count 0."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_custkey", "o_orderkey"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    quarter_start: str = "1996-01-01",
+    quarter_end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with maximum revenue over a quarter.
+    The per-supplier agg happens first (fact -> |suppliers| rows); the
+    scalar max is a 1-row broadcast cross join, and ties are kept —
+    exactly the view + subquery semantics, with no second fact scan."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(quarter_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(quarter_end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#13", factor: float = 0.5
+) -> DataFrame:
+    """TPC-H Q17-style: average yearly revenue from orders of less than
+    ``factor`` x the part's average quantity. The correlated scalar
+    subquery (per-part avg) is a partial+final agg joined back on
+    partkey — NOT a window over the fact (the brand filter shrinks both
+    sides first, and the agg-then-join shape keeps the shuffle keyed on
+    the small filtered set)."""
+    branded = lineitem.join(
+        part.filter(F.col("p_brand") == brand).select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)) + 1e-9, 4)).alias(
+            "avg_qty"
+        )
+    )
+    small = branded.join(avg_qty, F.col("l_partkey") == F.col("ap_partkey")).filter(
+        F.col("l_quantity") < F.col("avg_qty") * factor
+    )
+    return small.agg(
+        F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0 + 1e-9, 4).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-style: revenue under three OR'd brand/size/quantity
+    branches. The disjunction references both join sides, so it can't
+    be a join key — but each branch's part-side conjuncts (brand, size)
+    and lineitem-side conjuncts (quantity bounds) are pushed below the
+    join by Catalyst as a derived common filter; the join itself stays
+    an equi hash join on partkey."""
+    j = lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 15))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 20))
+            & (F.col("l_quantity").between(10, 25))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 30))
+            & (F.col("l_quantity").between(20, 35))
+        )
+    )
+    return j.filter(branch).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

@@ -23,8 +23,19 @@ def physical_plan(df: DataFrame) -> str:
 
 def scan_summary(df: DataFrame) -> list[dict]:
     """One dict per file scan: read schema columns, pushed filters,
-    partition filters. The things that decide I/O volume at scale."""
-    plan = physical_plan(df)
+    partition filters. The things that decide I/O volume at scale.
+
+    Rendered with ``spark.sql.maxMetadataStringLength`` raised: the
+    default (100 chars) truncates longer PushedFilters lists mid-bracket
+    and they'd silently parse as absent."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "100000")
+    try:
+        plan = physical_plan(df)
+    finally:
+        spark.conf.set(key, old)
     scans = []
     for m in re.finditer(r"FileScan (\w+) \[([^\]]*)\]", plan):
         # the scan's output column list (col#id, ...) IS the pruned

@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # plan-audit tooling (plans/audit.py) parses PushedFilters out of
+        # rendered plans; the 100-char default truncates them mid-bracket
+        .config("spark.sql.maxMetadataStringLength", "100000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )

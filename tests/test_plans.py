@@ -112,3 +112,30 @@ def test_bulk_chunks_distributed_no_global_window(spark, sf_dir):
         if "windowspecdefinition" in ln:
             assert "windowspecdefinition(_w" in ln, f"global window: {ln}"
     assert plan.count("Exchange SinglePartition") == 1, "only the 1-row summary may gather"
+
+
+def test_revenue_forecast_filters_reach_scan(spark, sf_dir):
+    """Q6-style is THE pushdown query: all three predicate families
+    (date range, discount band, quantity cap) must be pushed into the
+    parquet scan and only the 4 referenced columns read."""
+    scans = scan_summary(E.queries()["revenue_forecast"](spark, sf_dir))
+    assert len(scans) == 1
+    pushed = " ".join(scans[0].get("pushed_filters", []))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    cols = scans[0]["columns"]
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_disjunctive_revenue_pushes_per_side_disjuncts(spark, sf_dir):
+    """Q19-style: the OR spans both join sides, but Catalyst must derive
+    per-side residuals (an Or over l_quantity bounds on the lineitem
+    scan, an Or over brand/size on the part scan) and keep the join an
+    equi hash/merge join — never a nested loop on the raw disjunction."""
+    # NOTE: scan metadata strings are lazy vals on the exec nodes — the
+    # first render freezes them — so each helper gets a fresh DataFrame
+    plan = physical_plan(E.queries()["disjunctive_revenue"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    scans = scan_summary(E.queries()["disjunctive_revenue"](spark, sf_dir))
+    joined = " ".join(" ".join(s.get("pushed_filters", [])) for s in scans)
+    assert "Or(" in joined and "l_quantity" in joined
+    assert "p_brand" in joined

@@ -843,6 +843,38 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.disjunctive_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
 
 
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.passage_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.top_bigrams(_t(spark, sf_dir, "documents"))
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.source_mix(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import embedding_norms
+
+    return embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        quantize_embeddings,
+    )
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_elasticsearch_ingestion_spark.operators.sampling import shuffle_order
+
+    return shuffle_order(_t(spark, sf_dir, "documents"))
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash bucketing (xxhash64-based). The bounded id
     sample is flattened to CSV so every contract column is scalar."""
@@ -1004,6 +1036,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "small_quantity_revenue": q_small_quantity_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
+        # --- round-2: LLM-data-pipeline depth ---
+        "passage_dedup": q_passage_dedup,
+        "top_bigrams": q_top_bigrams,
+        "source_mix": q_source_mix,
+        "embedding_norms": q_embedding_norms,
+        "quantize_embeddings": q_quantize_embeddings,
+        "shuffle_order": q_shuffle_order,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1626,6 +1665,62 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_lineitems"
             " FROM branded JOIN avg_q ON l_partkey = ap_partkey"
             " WHERE l_quantity < avg_qty * 0.5"
+        ),
+        "passage_dedup": (
+            "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t"
+            "  FROM documents),"
+            " chunks AS (SELECT doc_id,"
+            "  unnest(list_transform(range(0, CAST(ceil(len(t) / 10.0) AS INT)),"
+            "   i -> md5(array_to_string(t[(i*10+1):(i*10+10)], ' ')))) AS passage_hash"
+            "  FROM toks)"
+            " SELECT passage_hash, count(*) AS n_occurrences,"
+            " count(DISTINCT doc_id) AS n_docs"
+            " FROM chunks GROUP BY 1 HAVING count(*) > 1"
+            " ORDER BY n_occurrences DESC, passage_hash"
+        ),
+        "top_bigrams": (
+            "WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),"
+            " bg AS (SELECT unnest(list_transform(range(1, len(t)),"
+            "   i -> t[i] || ' ' || t[i+1])) AS bigram"
+            "  FROM toks WHERE len(t) >= 2)"
+            " SELECT bigram, count(*) AS n_occurrences FROM bg"
+            " GROUP BY 1 ORDER BY n_occurrences DESC, bigram LIMIT 20"
+        ),
+        "source_mix": (
+            "SELECT source, count(*) AS n_docs,"
+            " count(DISTINCT lang) AS n_langs,"
+            " sum(len(string_split(trim(text), ' '))) AS total_tokens,"
+            " round(round(CAST(sum(length(text)) AS DOUBLE), 2) / count(*) + 1e-9, 4)"
+            "  AS avg_chars"
+            " FROM documents GROUP BY source ORDER BY source"
+        ),
+        "embedding_norms": (
+            "WITH norms AS (SELECT label,"
+            "  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),"
+            "   x -> x * x))) + 1e-9, 6) AS norm FROM embeddings)"
+            " SELECT label, count(*) AS n_vectors,"
+            " round(round(sum(norm), 2) / count(*) + 1e-9, 4) AS avg_norm,"
+            " round(min(norm), 4) AS min_norm, round(max(norm), 4) AS max_norm"
+            " FROM norms GROUP BY label ORDER BY label"
+        ),
+        "quantize_embeddings": (
+            "WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,"
+            "  list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))"
+            "   / 127.0 AS s FROM embeddings)"
+            " SELECT vec_id, label, round(s + 1e-12, 8) AS scale,"
+            " CAST(list_min(list_transform(e, v -> round(v / s))) AS INT) AS q_min,"
+            " CAST(list_max(list_transform(e, v -> round(v / s))) AS INT) AS q_max,"
+            " round(list_max(list_transform(e, v -> abs(v - round(v / s) * s)))"
+            "  + 1e-12, 6) AS recon_err"
+            " FROM p ORDER BY vec_id"
+        ),
+        "shuffle_order": (
+            "SELECT doc_id,"
+            " md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,"
+            " CAST(row_number() OVER ("
+            "  ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id"
+            " ) AS INT) AS shuffle_pos"
+            " FROM documents ORDER BY shuffle_pos"
         ),
         "disjunctive_revenue": (
             "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"

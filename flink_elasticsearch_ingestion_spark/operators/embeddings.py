@@ -1,0 +1,71 @@
+"""Embedding-column maintenance operators (north-star ext: the vector
+side of a training-data pipeline — norm QA, storage quantization).
+
+Everything here is a map-side expression over ``array<float>`` with at
+most one small aggregation; no Python UDFs, no shuffling of raw
+vectors beyond the final per-group agg rows. At 100 TB of embeddings
+these run inside the scan stage and the exchange carries only scalar
+per-vector/per-group summaries.
+
+Float arrays are cast to double element-wise BEFORE arithmetic (the
+same left-fold order as the DuckDB oracle's ``CAST(... AS DOUBLE[])``)
+so both engines accumulate identical IEEE doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _l2_norm(col: str = "embedding") -> F.Column:
+    """sqrt(sum(x^2)) as a left fold over the array order."""
+    sq = F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-label L2-norm profile: count, avg/min/max norm. The norm is
+    rounded per vector first (a stable scalar), then aggregated with the
+    engine-portable rounding convention."""
+    norm6 = F.round(_l2_norm() + 1e-9, 6)
+    return (
+        embeddings.select("label", norm6.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.round(F.sum("norm"), 2) / F.count(F.lit(1)) + 1e-9, 4
+            ).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization parameters + worst-case
+    reconstruction error — the storage/serving compression report.
+
+    scale = max|x| / 127; q_i = round(x_i / scale);
+    recon_err = max_i |x_i - q_i * scale|.
+
+    All per-row expression work (zero shuffles); the quantized codes
+    themselves are recomputable from (embedding, scale) so only the
+    audit scalars are materialized here."""
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    err = F.array_max(
+        F.transform(xs, lambda x: F.abs(x - F.round(x / scale) * scale))
+    )
+    q = F.transform(xs, lambda x: F.round(x / scale).cast("int"))
+    return embeddings.select(
+        "vec_id",
+        "label",
+        F.round(scale + 1e-12, 8).alias("scale"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.round(err + 1e-12, 6).alias("recon_err"),
+    ).orderBy("vec_id")

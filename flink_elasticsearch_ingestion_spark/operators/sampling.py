@@ -90,3 +90,56 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def shuffle_order(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    seed: str = "epoch0",
+    buckets: int = 256,
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    stable dense position from ``md5(seed || key)`` — reshuffling is a
+    new seed, and any two runs (or engines) agree bit-for-bit.
+
+    Scale shape — two-phase global ranking, NEVER a single-partition
+    window: the first hash byte buckets rows (uniform by construction,
+    so no skew), ranks are computed per bucket in parallel, and each
+    bucket's offset is a prefix sum over the tiny ``buckets``-row count
+    table (broadcast back). Because the bucket is a PREFIX of the sort
+    key, (bucket, hash) order == global hash order, so
+    offset + within-bucket rank is the exact global row_number at the
+    cost of one keyed shuffle + one broadcast join.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % buckets
+    hashed = df.select(F.col(key_col), h.alias("shuffle_key"), bucket.alias("__bucket"))
+    within = F.row_number().over(
+        Window.partitionBy("__bucket").orderBy("shuffle_key", key_col)
+    )
+    ranked = hashed.withColumn("__within", within)
+    # prefix-sum over the bucket histogram: |buckets| rows, a broadcastable
+    # driver-side-free cumulative window on a deliberately tiny frame
+    counts = hashed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__bucket", "__offset")
+    return (
+        ranked.join(F.broadcast(offsets), "__bucket")
+        .select(
+            F.col(key_col),
+            "shuffle_key",
+            (F.col("__offset") + F.col("__within")).cast("int").alias(out_col),
+        )
+        .orderBy(out_col)
+    )

@@ -230,3 +230,84 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.sha2(normalized, 256).alias("fingerprint"),
         F.length(normalized).alias("n_chars_norm"),
     )
+
+
+def passage_dedup(
+    documents: DataFrame, *, chunk_words: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Passage-level duplicate detection: split each document into
+    fixed-width word windows ("passages" — the sentence/paragraph analog
+    for unpunctuated corpora), hash each, and report passages occurring
+    more than once corpus-wide.
+
+    Spark-first shape: the chunking is a pure expression tree
+    (split -> sequence -> transform/slice -> explode) that runs map-side
+    inside the scan stage; the ONLY shuffle is the group-by on the
+    passage hash. At 100 TB that is one keyed exchange of (hash, doc_id)
+    pairs — no document text ever shuffles. Cross-doc duplicate passages
+    are exactly what paragraph-dedup pipelines (C4, RefinedWeb) drop.
+    """
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    exploded = documents.select(
+        "doc_id", F.explode(chunks).alias("passage")
+    ).select("doc_id", F.md5("passage").alias("passage_hash"))
+    return (
+        exploded.groupBy("passage_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.col("n_occurrences").desc(), "passage_hash")
+    )
+
+
+def top_bigrams(documents: DataFrame, *, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k word bigrams (n-gram frequency table — the
+    vocabulary/statistics primitive for tokenizer training and corpus
+    QA). Map-side expression fan-out, one hash-agg shuffle on the bigram
+    key, TakeOrderedAndProject for the top-k — no global sort."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        documents.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "bigram")
+        .limit(k)
+    )
+
+
+def source_mix(documents: DataFrame) -> DataFrame:
+    """Per-source corpus profile: doc share, language spread, token
+    volume — the mixture report every training-data pipeline keeps in
+    front of sampling decisions. One partial+final agg."""
+    return (
+        documents.select(
+            "source",
+            "lang",
+            F.length("text").alias("n_chars"),
+            token_count("text").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.round(F.sum("n_chars").cast("double"), 2) / F.count(F.lit(1)) + 1e-9, 4
+            ).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )

@@ -403,3 +403,102 @@ def test_signature_table_roundtrip_matches_direct(tmp_path, spark, docs_with_dup
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in direct.collect()] == [
         (r.doc_a, r.doc_b, r.jaccard) for r in from_table.collect()
     ]
+
+
+# --------------------------------------------------------------------------
+# round-2 LLM-pipeline ops: passage dedup, bigrams, embedding maintenance,
+# deterministic shuffle order
+# --------------------------------------------------------------------------
+
+
+def test_passage_dedup_finds_planted_shared_chunk(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.text import passage_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    planted = spark.createDataFrame(
+        [
+            (9100, shared + " tail one two three four five six seven eight nine", "en", "p", 1),
+            (9101, shared + " other words follow here now ok go stop end done", "en", "p", 1),
+        ],
+        docs.schema,
+    )
+    out = passage_dedup(docs.union(planted))
+    import hashlib
+
+    h = hashlib.md5(shared.encode()).hexdigest()
+    hit = [r for r in out.collect() if r.passage_hash == h]
+    assert hit and hit[0].n_docs == 2 and hit[0].n_occurrences == 2
+
+
+def test_top_bigrams_counts(spark):
+    from flink_elasticsearch_ingestion_spark.operators.text import top_bigrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    rows = {r.bigram: r.n_occurrences for r in top_bigrams(df, k=10).collect()}
+    # "a b" occurs twice in doc1 (positions 1,3? no - pairs: (a,b),(b,a),(a,b)) + once in doc2
+    assert rows["a b"] == 3 and rows["b a"] == 1 and rows["b c"] == 1
+
+
+def test_shuffle_order_matches_naive_global_window(spark, sf_dir):
+    """The two-phase (bucketed rank + prefix-sum offsets) global
+    ordering must equal the naive single-partition row_number."""
+    from pyspark.sql import Window
+
+    from flink_elasticsearch_ingestion_spark.operators.sampling import shuffle_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    fast = shuffle_order(docs)
+    h = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    naive = docs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(h.asc(), F.col("doc_id").asc())).alias("pos"),
+    )
+    joined = fast.join(naive, "doc_id")
+    assert joined.filter(F.col("shuffle_pos") != F.col("pos")).count() == 0
+    # dense 1..N
+    n = docs.count()
+    assert fast.agg(F.min("shuffle_pos"), F.max("shuffle_pos")).first() == (1, n)
+
+
+def test_shuffle_order_big_window_is_partitioned(spark, sf_dir):
+    """Plan audit: the per-row rank window must be hash-partitioned on
+    the bucket; only the <=256-row offset table may gather."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import shuffle_order
+    from flink_elasticsearch_ingestion_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = physical_plan(shuffle_order(docs))
+    row_windows = [
+        ln for ln in plan.splitlines() if "row_number()" in ln and "__within" in ln
+    ]
+    assert row_windows and all("windowspecdefinition(__bucket" in ln for ln in row_windows)
+
+
+def test_quantize_embeddings_bounds(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings(emb)
+    bad_q = out.filter((F.col("q_min") < -127) | (F.col("q_max") > 127)).count()
+    assert bad_q == 0
+    # worst-case reconstruction error of round-to-nearest is scale/2
+    # (recon_err is reported rounded to 6 decimals -> 5e-7 quantum)
+    bad_err = out.filter(F.col("recon_err") > F.col("scale") / 2 + 5e-7).count()
+    assert bad_err == 0
+
+
+def test_embedding_norms_planted_unit_vector(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import embedding_norms
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    unit = spark.createDataFrame(
+        [(99999, [1.0] + [0.0] * (dim - 1), 777)], emb.schema
+    )
+    out = embedding_norms(emb.union(unit)).filter(F.col("label") == 777).first()
+    assert out.n_vectors == 1 and abs(out.avg_norm - 1.0) < 1e-6

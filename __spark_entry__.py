@@ -313,6 +313,10 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_windows(_t(spark, sf_dir, "events"))
 
 
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_event_windows(_t(spark, sf_dir, "events"))
+
+
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.event_gaps(_t(spark, sf_dir, "events"))
 
@@ -1043,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "quantize_embeddings": q_quantize_embeddings,
         "shuffle_order": q_shuffle_order,
+        "sliding_windows": q_sliding_windows,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1713,6 +1718,18 @@ def oracle_sql() -> dict[str, str]:
             " round(list_max(list_transform(e, v -> abs(v - round(v / s) * s)))"
             "  + 1e-12, 6) AS recon_err"
             " FROM p ORDER BY vec_id"
+        ),
+        "sliding_windows": (
+            # each event lands in width/slide = 2 overlapping windows:
+            # the slide-aligned bucket and the one slide earlier
+            "WITH w AS (SELECT"
+            "  time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))"
+            "   - k * INTERVAL 30 MINUTE AS window_start,"
+            "  event_type, value"
+            "  FROM events, (SELECT unnest([0, 1]) AS k))"
+            " SELECT window_start, event_type, count(*) AS n_events,"
+            " round(round(sum(value), 2) / count(*) + 1e-9, 4) AS avg_value"
+            " FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"
         ),
         "shuffle_order": (
             "SELECT doc_id,"

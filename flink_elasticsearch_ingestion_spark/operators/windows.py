@@ -177,3 +177,29 @@ def funnel_counts(events: DataFrame) -> DataFrame:
         .unionByName(stage(first_purchase, "3_purchase_after_click"))
         .orderBy("stage")
     )
+
+
+def sliding_event_windows(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    width/slide overlapping windows — `window()` with a slide duration,
+    which Structured Streaming expands map-side BEFORE the keyed
+    shuffle (the fan-out costs width/slide rows, not an extra
+    exchange). Same expression runs under readStream + watermark."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)) + 1e-9, 4).alias(
+                "avg_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

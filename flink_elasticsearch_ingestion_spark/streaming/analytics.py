@@ -222,3 +222,71 @@ def stream_user_stats(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def purchases_after_click_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    within: str = "7 days",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a prior
+    click by the same user within ``within`` — the streaming twin of the
+    batch range-join attribution query.
+
+    Both sides carry watermarks and the join condition bounds the event
+    time range, so the state store holds only rows inside
+    [watermark + within] per side — the textbook bounded-state
+    stream-stream join. In batch mode the same expression is an
+    ordinary range join the oracle can check."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("c_user", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
+def stream_sliding_counts(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    query_name: str = "sliding_counts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """readStream -> watermarked sliding windows -> memory sink (update
+    mode). The hop fan-out happens map-side before the keyed shuffle;
+    watermark eviction bounds state to the active window set."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    counts = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    return (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -165,3 +165,61 @@ def test_streaming_content_dedup_matches_batch(tmp_path, spark, sf_dir):
     assert streamed.count() == batch.count()
     # one row per distinct content hash, none of the planted clones' hash duplicated
     assert streamed.select("content_hash").distinct().count() == streamed.count()
+
+
+def test_stream_stream_interval_join_matches_batch(tmp_path, spark, sf_dir):
+    """Stream-stream interval join (clicks x purchases, both streaming,
+    watermarked on each side): inner-join matches emit eagerly, so the
+    drained result must equal the identical batch-mode range join."""
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        purchases_after_click_stream,
+    )
+
+    in_dir = _staged_events(tmp_path, spark, sf_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purchases = sides(spark.readStream.schema(schema).parquet(in_dir))
+    q = (
+        purchases_after_click_stream(s_clicks, s_purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_test")
+        .option("checkpointLocation", str(tmp_path / "ssj_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("ssj_test")
+    b_clicks, b_purchases = sides(spark.read.parquet(in_dir))
+    batch = purchases_after_click_stream(b_clicks, b_purchases)
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch.select(*streamed.columns)).count() == 0
+
+
+def test_stream_sliding_windows_match_batch(tmp_path, spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        stream_sliding_counts,
+    )
+
+    in_dir = _staged_events(tmp_path, spark, sf_dir)
+    q = stream_sliding_counts(spark, in_dir, str(tmp_path / "sw_ck"), query_name="sw_test")
+    q.awaitTermination(120)
+    streamed = spark.table("sw_test")
+    batch = (
+        spark.read.parquet(in_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    # hop fan-out sanity: every event lands in exactly 2 windows
+    n_events = spark.read.parquet(in_dir).count()
+    total = streamed.agg(F.sum("n_events")).first()[0]
+    assert total == 2 * n_events

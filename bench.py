@@ -68,6 +68,19 @@ EXTENDED = [
     "redact_pii",
     "deterministic_sample",
     "bulk_chunks_distributed",
+    # TPC-H-style depth (the multi-join/planner-pattern set)
+    "revenue_forecast",
+    "volume_shipping",
+    "market_share",
+    "order_count_distribution",
+    "disjunctive_revenue",
+    # LLM-pipeline depth
+    "passage_dedup",
+    "top_bigrams",
+    "shuffle_order",
+    "embedding_norms",
+    "quantize_embeddings",
+    "sliding_windows",
 ]
 
 

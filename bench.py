@@ -116,11 +116,15 @@ def main() -> None:
         spark.catalog.clearCache()
 
     ext: dict[str, float] = {}
+    ext_warm: dict[str, float] = {}
     for name in EXTENDED:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         ext[name] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        ext_warm[name] = round(time.perf_counter() - t0, 4)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
@@ -135,6 +139,8 @@ def main() -> None:
                 "value_warm": round(sum(warm.values()), 4),
                 "queries_ext": ext,
                 "value_ext": round(sum(ext.values()), 4),
+                "queries_ext_warm": ext_warm,
+                "value_ext_warm": round(sum(ext_warm.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

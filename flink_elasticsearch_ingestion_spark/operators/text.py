@@ -247,6 +247,9 @@ def passage_dedup(
     pairs — no document text ever shuffles. Cross-doc duplicate passages
     are exactly what paragraph-dedup pipelines (C4, RefinedWeb) drop.
     """
+    from flink_elasticsearch_ingestion_spark.operators.util import ensure_parallelism
+
+    documents = ensure_parallelism(documents)
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
     chunks = F.transform(
@@ -274,10 +277,16 @@ def top_bigrams(documents: DataFrame, *, k: int = 20, text_col: str = "text") ->
     vocabulary/statistics primitive for tokenizer training and corpus
     QA). Map-side expression fan-out, one hash-agg shuffle on the bigram
     key, TakeOrderedAndProject for the top-k — no global sort."""
+    from flink_elasticsearch_ingestion_spark.operators.util import ensure_parallelism
+
+    documents = ensure_parallelism(documents)
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    # zip_with over two shifted slices: ONE interpreted-lambda pass per
+    # bigram (vs transform + 2x element_at = 3 array probes each)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     return (
         documents.filter(F.size(toks) >= 2)

@@ -879,6 +879,18 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_order(_t(spark, sf_dir, "documents"))
 
 
+def q_trailing_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.trailing_revenue_window(_t(spark, sf_dir, "orders"))
+
+
+def q_priority_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.priority_value_percentiles(_t(spark, sf_dir, "orders"))
+
+
+def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.similar_part_names(_t(spark, sf_dir, "part"))
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash bucketing (xxhash64-based). The bounded id
     sample is flattened to CSV so every contract column is scalar."""
@@ -1055,6 +1067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "product_type_profit": q_product_type_profit,
         "small_quantity_revenue": q_small_quantity_revenue,
+        "trailing_revenue_window": q_trailing_revenue_window,
+        "priority_value_percentiles": q_priority_value_percentiles,
+        "similar_part_names": q_similar_part_names,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1756,6 +1771,34 @@ def oracle_sql() -> dict[str, str]:
             "   AND l_quantity BETWEEN 10 AND 25)"
             " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30"
             "   AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "trailing_revenue_window": (
+            "SELECT o_orderkey, o_custkey, o_orderdate,"
+            " round(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w,"
+            "  0) AS DOUBLE), 2) AS trailing_revenue,"
+            " CAST(count(*) OVER w AS INT) AS n_trailing_orders"
+            " FROM orders"
+            " WINDOW w AS (PARTITION BY o_custkey"
+            "  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)"
+            "  RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING)"
+            " ORDER BY o_orderkey"
+        ),
+        "priority_value_percentiles": (
+            "SELECT o_orderpriority, count(*) AS n_orders,"
+            " round(quantile_cont(o_totalprice, 0.5) + 1e-9, 4) AS p50,"
+            " round(quantile_cont(o_totalprice, 0.9) + 1e-9, 4) AS p90,"
+            " round(quantile_cont(o_totalprice, 0.99) + 1e-9, 4) AS p99"
+            " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "similar_part_names": (
+            "WITH names AS (SELECT DISTINCT p_name AS name FROM part)"
+            " SELECT a.name AS name_a, b.name AS name_b,"
+            " levenshtein(a.name, b.name) AS distance"
+            " FROM names a JOIN names b"
+            " ON a.name < b.name"
+            " AND abs(length(a.name) - length(b.name)) <= 2"
+            " WHERE levenshtein(a.name, b.name) <= 2"
+            " ORDER BY name_a, name_b"
         ),
         "promo_revenue_share": (
             "SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,"

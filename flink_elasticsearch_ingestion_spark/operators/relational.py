@@ -784,3 +784,50 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+def priority_value_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact percentiles (interpolated, percentile_cont semantics) and
+    median per order priority — the exact twin of the approx_percentile
+    family. Exact percentiles need the full sorted group; at 100 TB
+    prefer the approx sketch (`price_quantiles`) and reserve this for
+    the final small-group reporting layer."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)") + 1e-9, 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)") + 1e-9, 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)") + 1e-9, 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def similar_part_names(part: DataFrame, max_distance: int = 2) -> DataFrame:
+    """Fuzzy self-match over the DISTINCT part-name vocabulary:
+    levenshtein pairs within ``max_distance``. The candidate space is
+    the distinct-name dimension (vocabulary-sized, NOT fact-sized), so
+    the all-pairs comparison is a broadcast nested-loop by design —
+    the fact-scale analog is LSH/n-gram blocking (see dedup.py), which
+    this exact small-domain matcher complements. A length-difference
+    band (|len(a)-len(b)| <= d, a levenshtein lower bound) prunes the
+    comparison before the distance runs."""
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.name") < F.col("b.name"))
+            & (
+                F.abs(F.length("a.name") - F.length("b.name")) <= max_distance
+            ),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .orderBy("name_a", "name_b")
+    )

@@ -203,3 +203,30 @@ def sliding_event_windows(
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def trailing_revenue_window(orders: DataFrame, days: int = 30) -> DataFrame:
+    """RANGE-frame analytic window: per order, the same customer's
+    order-value total over the PRECEDING ``days`` (value-based frame —
+    rows with equal order dates are excluded together, unlike a ROWS
+    frame). One shuffle on the customer key; the frame is evaluated
+    per partition with a sliding aggregate, and the sum runs in exact
+    decimal so frames are associative across engines."""
+    # parquet NTZ timestamp -> epoch seconds (session tz is UTC, so the
+    # LTZ hop is wall-clock-identity and matches DuckDB's epoch())
+    secs = F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(secs)
+        .rangeBetween(-days * 86400, -1)
+    )
+    trailing = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.coalesce(trailing.cast("double"), F.lit(0.0)), 2).alias(
+            "trailing_revenue"
+        ),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_trailing_orders"),
+    ).orderBy("o_orderkey")

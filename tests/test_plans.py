@@ -13,8 +13,10 @@ import pytest
 
 import __spark_entry__ as E
 
-#: brute-force-by-design: exact kNN scores every (query, corpus) pair
-CROSS_JOIN_OK = {"knn_join"}
+#: brute-force-by-design: exact kNN scores every (query, corpus) pair;
+#: similar_part_names all-pairs the DISTINCT name vocabulary (dimension-
+#: sized, never fact-sized — LSH/n-gram blocking is the fact-scale path)
+CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: join a single-row scalar aggregate (corr over lineitem; the corpus
 #: size N for idf) — a 1-row broadcast nested loop is the correct plan
 #: for a scalar subquery

@@ -891,6 +891,26 @@ def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.similar_part_names(_t(spark, sf_dir, "part"))
 
 
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.parts_supplier_counts(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.dominant_suppliers(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"))
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.cheapest_supplier_per_part(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def q_prior_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.prior_event_counts_cogroup(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders")
+    )
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash bucketing (xxhash64-based). The bounded id
     sample is flattened to CSV so every contract column is scalar."""
@@ -1070,6 +1090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_revenue_window": q_trailing_revenue_window,
         "priority_value_percentiles": q_priority_value_percentiles,
         "similar_part_names": q_similar_part_names,
+        "parts_supplier_counts": q_parts_supplier_counts,
+        "dominant_suppliers": q_dominant_suppliers,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "prior_event_counts": q_prior_event_counts,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1799,6 +1823,42 @@ def oracle_sql() -> dict[str, str]:
             " AND abs(length(a.name) - length(b.name)) <= 2"
             " WHERE levenshtein(a.name, b.name) <= 2"
             " ORDER BY name_a, name_b"
+        ),
+        "prior_event_counts": (
+            "SELECT o.o_orderkey, o.o_custkey, count(e.event_id) AS n_prior_events"
+            " FROM orders o LEFT JOIN events e"
+            " ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate"
+            " GROUP BY 1, 2 ORDER BY o_orderkey"
+        ),
+        "parts_supplier_counts": (
+            "WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
+            " SELECT p_brand, p_type,"
+            " CAST(floor(p_size / 10) * 10 AS INT) AS size_band,"
+            " count(DISTINCT l_suppkey) AS n_suppliers"
+            " FROM rel JOIN part ON l_partkey = p_partkey"
+            " GROUP BY 1, 2, 3"
+            " ORDER BY n_suppliers DESC, p_brand, p_type, size_band"
+        ),
+        "dominant_suppliers": (
+            "WITH per_ps AS (SELECT l_partkey, l_suppkey,"
+            "  sum(l_quantity) AS ps_qty FROM lineitem GROUP BY 1, 2),"
+            " per_part AS (SELECT l_partkey, sum(ps_qty) AS part_qty"
+            "  FROM per_ps GROUP BY 1)"
+            " SELECT s_suppkey, s_name FROM supplier"
+            " WHERE s_suppkey IN (SELECT l_suppkey FROM per_ps"
+            "  JOIN per_part USING (l_partkey) WHERE ps_qty > part_qty * 0.2)"
+            " ORDER BY s_suppkey"
+        ),
+        "cheapest_supplier_per_part": (
+            "WITH ap AS (SELECT l_partkey, l_suppkey,"
+            "  round(round(sum(l_extendedprice), 2) / count(*) + 1e-9, 4) AS avg_price"
+            "  FROM lineitem WHERE l_partkey < 200 GROUP BY 1, 2),"
+            " best AS (SELECT l_partkey, l_suppkey, avg_price,"
+            "  row_number() OVER (PARTITION BY l_partkey"
+            "   ORDER BY avg_price, l_suppkey) AS rn FROM ap)"
+            " SELECT l_partkey, s_suppkey, s_name, avg_price AS best_avg_price"
+            " FROM best JOIN supplier ON l_suppkey = s_suppkey"
+            " WHERE rn = 1 ORDER BY l_partkey"
         ),
         "promo_revenue_share": (
             "SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,"

@@ -831,3 +831,83 @@ def similar_part_names(part: DataFrame, max_distance: int = 2) -> DataFrame:
         .filter(F.col("distance") <= max_distance)
         .orderBy("name_a", "name_b")
     )
+
+
+def parts_supplier_counts(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q16-style (adapted: lineitem IS the part-supplier relation
+    in this schema): distinct supplier count per (brand, type, size
+    band). The fact is projected to (partkey, suppkey) pairs and
+    de-duplicated BEFORE the dim join — the distinct is keyed on
+    partkey so it shuffles ids only; the final count-distinct groups a
+    vocabulary-sized frame."""
+    rel = lineitem.select("l_partkey", "l_suppkey").dropDuplicates(
+        ["l_partkey", "l_suppkey"]
+    )
+    return (
+        rel.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            "p_type",
+            (F.floor(F.col("p_size") / 10) * 10).cast("int").alias("size_band"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy(F.col("n_suppliers").desc(), "p_brand", "p_type", "size_band")
+    )
+
+
+def dominant_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, share: float = 0.2
+) -> DataFrame:
+    """TPC-H Q20-style (adapted): suppliers who shipped more than
+    ``share`` of some part's total quantity — the nested-aggregate +
+    semi-join shape. Per-(part, supplier) quantities aggregate first
+    (one keyed shuffle); the per-part total derives from a second agg
+    over that SAME frame (not a second fact scan); qualifying supplier
+    keys semi-join the supplier dim."""
+    per_ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("ps_qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(F.sum("ps_qty").alias("part_qty"))
+    qualifying = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("ps_qty") > F.col("part_qty") * share)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def cheapest_supplier_per_part(
+    lineitem: DataFrame, supplier: DataFrame, max_parts: int = 200
+) -> DataFrame:
+    """TPC-H Q2-style (adapted: observed min average sell price stands
+    in for ps_supplycost): per part, the supplier with the lowest
+    average sell price. The correlated min is a ``min(struct(price,
+    suppkey))`` partial+final aggregation — the arg-min travels WITH
+    the min through the map-side combiner, so no second join back and
+    no window over the fact. Deterministic tie-break: lowest suppkey."""
+    avg_price = lineitem.filter(F.col("l_partkey") < max_parts).groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(
+        F.round(
+            F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)) + 1e-9, 4
+        ).alias("avg_price")
+    )
+    best = avg_price.groupBy("l_partkey").agg(
+        F.min(F.struct("avg_price", "l_suppkey")).alias("b")
+    )
+    return (
+        best.select(
+            "l_partkey",
+            F.col("b.l_suppkey").alias("s_suppkey_ref"),
+            F.col("b.avg_price").alias("best_avg_price"),
+        )
+        .join(supplier, F.col("s_suppkey_ref") == F.col("s_suppkey"))
+        .select("l_partkey", "s_suppkey", "s_name", "best_avg_price")
+        .orderBy("l_partkey")
+    )

@@ -230,3 +230,49 @@ def trailing_revenue_window(orders: DataFrame, days: int = 30) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).cast("int").alias("n_trailing_orders"),
     ).orderBy("o_orderkey")
+
+
+_PRIOR_EVENTS_SCHEMA = "o_orderkey long, o_custkey long, n_prior_events long"
+
+
+def prior_event_counts_cogroup(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Arrow cogroup (``groupBy.cogroup().applyInPandas``): per user,
+    merge the event and order streams and count, for each order, the
+    user's events STRICTLY before the order date.
+
+    This covers the two-frame grouped-Arrow UDF surface: both sides
+    shuffle once on the user key, each (events, orders) group pair
+    arrives as two pandas frames, and the merge is a vectorized
+    ``searchsorted`` over the sorted event-time array — no per-row
+    Python. The same semantics as the expression-only range-join
+    aggregation (which the DuckDB oracle replicates), so the custom
+    operator is differential-tested, not just plumbing-tested.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def merge(_key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        if od.empty:
+            return pd.DataFrame(
+                {"o_orderkey": [], "o_custkey": [], "n_prior_events": []}
+            ).astype({"o_orderkey": "int64", "o_custkey": "int64", "n_prior_events": "int64"})
+        ts = np.sort(ev["ts"].to_numpy()) if len(ev) else np.array([], dtype="datetime64[us]")
+        order_ts = od["o_orderdate"].to_numpy()
+        if len(ts):
+            order_ts = order_ts.astype(ts.dtype)
+        n = np.searchsorted(ts, order_ts, side="left")
+        return pd.DataFrame(
+            {
+                "o_orderkey": od["o_orderkey"].to_numpy(),
+                "o_custkey": od["o_custkey"].to_numpy(),
+                "n_prior_events": n.astype("int64"),
+            }
+        )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .cogroup(orders.select("o_orderkey", "o_custkey", "o_orderdate").groupBy("o_custkey"))
+        .applyInPandas(merge, _PRIOR_EVENTS_SCHEMA)
+        .orderBy("o_orderkey")
+    )

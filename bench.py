@@ -81,6 +81,11 @@ EXTENDED = [
     "embedding_norms",
     "quantize_embeddings",
     "sliding_windows",
+    "trailing_revenue_window",
+    "priority_value_percentiles",
+    "parts_supplier_counts",
+    "dominant_suppliers",
+    "prior_event_counts",
 ]
 
 

@@ -192,3 +192,44 @@ def test_connected_components_fixed_point(spark, edges):
     for n, c in comp.items():
         assert c == min([comp[n]] + [comp[m] for m in adj[n]])  # fixed point
         assert c in comp and comp[c] == c  # label is its own representative
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60, unique=True),
+    seed=st.sampled_from(["epoch0", "epoch1", "x"]),
+    buckets=st.sampled_from([1, 7, 256]),
+)
+@settings(**_SETTINGS)
+def test_shuffle_order_is_dense_permutation(spark, ids, seed, buckets):
+    """shuffle_order emits a dense 1..N bijection for ANY bucket count,
+    and the order is a pure function of (seed, key) — layout-independent
+    (the two-phase rank must agree with itself across partitionings)."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = shuffle_order(df, seed=seed, buckets=buckets).collect()
+    assert sorted(r.shuffle_pos for r in out) == list(range(1, len(ids) + 1))
+    # purity: same assignment when the input arrives in 1 partition
+    out2 = shuffle_order(df.coalesce(1), seed=seed, buckets=buckets).collect()
+    assert {r.doc_id: r.shuffle_pos for r in out} == {
+        r.doc_id: r.shuffle_pos for r in out2
+    }
+
+
+@given(
+    words=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=35),
+    chunk=st.sampled_from([3, 10]),
+)
+@settings(**_SETTINGS)
+def test_passage_dedup_counts_duplicated_doc(spark, words, chunk):
+    """A corpus of one doc and its exact copy: EVERY chunk of the doc
+    must surface as a duplicated passage with n_docs == 2, and chunk
+    counts must match the ceil(len/chunk) fan-out."""
+    from flink_elasticsearch_ingestion_spark.operators.text import passage_dedup
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    rows = passage_dedup(df, chunk_words=chunk).collect()
+    n_chunks = -(-len(words) // chunk)
+    assert len(rows) == n_chunks
+    assert all(r.n_docs == 2 and r.n_occurrences >= 2 for r in rows)

@@ -911,6 +911,14 @@ def q_prior_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.chunk_documents_udtf(_t(spark, sf_dir, "documents"))
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash bucketing (xxhash64-based). The bounded id
     sample is flattened to CSV so every contract column is scalar."""
@@ -1094,6 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_suppliers": q_dominant_suppliers,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "prior_event_counts": q_prior_event_counts,
+        "chunk_documents": q_chunk_documents,
+        "chunk_documents_udtf": q_chunk_documents_udtf,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1829,6 +1839,27 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders o LEFT JOIN events e"
             " ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate"
             " GROUP BY 1, 2 ORDER BY o_orderkey"
+        ),
+        # chunker: step = chunk_words(40) - overlap(10) = 30; DuckDB list
+        # slice l[a:b] is 1-based inclusive == F.slice(l, a, b-a+1), and
+        # generate_series is end-INCLUSIVE (unlike range)
+        "chunk_documents": (
+            "WITH w AS (SELECT doc_id,"
+            " regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),"
+            " e AS (SELECT doc_id, words,"
+            " unnest(generate_series(0, (len(words)+29)//30 - 1)) AS s FROM w)"
+            " SELECT doc_id, CAST(s AS INT) AS chunk_id,"
+            " CAST(len(words[s*30+1 : s*30+40]) AS INT) AS n_chunk_words,"
+            " array_to_string(words[s*30+1 : s*30+40], ' ') AS chunk_text FROM e"
+        ),
+        "chunk_documents_udtf": (
+            "WITH w AS (SELECT doc_id,"
+            " regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),"
+            " e AS (SELECT doc_id, words,"
+            " unnest(generate_series(0, (len(words)+29)//30 - 1)) AS s FROM w)"
+            " SELECT doc_id, CAST(s AS INT) AS chunk_id,"
+            " CAST(len(words[s*30+1 : s*30+40]) AS INT) AS n_chunk_words,"
+            " array_to_string(words[s*30+1 : s*30+40], ' ') AS chunk_text FROM e"
         ),
         "parts_supplier_counts": (
             "WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"

@@ -86,6 +86,7 @@ EXTENDED = [
     "parts_supplier_counts",
     "dominant_suppliers",
     "prior_event_counts",
+    "chunk_documents",
 ]
 
 

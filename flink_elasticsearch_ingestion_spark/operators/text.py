@@ -320,3 +320,97 @@ def source_mix(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_CHUNK_SCHEMA = "doc_id bigint, chunk_id int, n_chunk_words int, chunk_text string"
+
+
+def chunk_documents(
+    documents: DataFrame,
+    *,
+    chunk_words: int = 40,
+    overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunker (the RAG / context-window prep
+    primitive): overlapping ``chunk_words``-word windows every
+    ``chunk_words - overlap`` words, one output row per chunk.
+
+    Expression form: split -> sequence over chunk starts ->
+    transform/slice -> posexplode, all map-side inside the scan stage
+    with zero shuffles — at 100 TB this is embarrassingly parallel and
+    the output is ~(1 + overlap/step)x the input text, so the operator
+    is write-bound, not compute-bound. ``chunk_documents_udtf`` is the
+    lateral table-function twin (same rows; parity-tested).
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("need 0 <= overlap < chunk_words")
+    step = chunk_words - overlap
+    toks = tokens(text_col)
+    n_chunks = F.floor((F.size(toks) + step - 1) / F.lit(step)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.size(F.slice(toks, i * step + 1, chunk_words)).alias("n_chunk_words"),
+            F.array_join(F.slice(toks, i * step + 1, chunk_words), " ").alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.col("c.n_chunk_words").alias("n_chunk_words"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def chunk_documents_udtf(
+    documents: DataFrame,
+    *,
+    chunk_words: int = 40,
+    overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Python UDTF twin of :func:`chunk_documents` — covers the
+    user-defined TABLE function surface (SURVEY.md §2.9): one input row
+    fans out to N output rows via a lateral join, the shape Spark's
+    scalar/pandas UDFs cannot express.
+
+    The reference has no UDTFs (its per-record fan-out lives in the
+    emitter, core.clj:55-66); this is the Spark-4 form a user would
+    reach for when chunk logic outgrows expressions (real tokenizers,
+    sentence splitters). Engine policy still holds — the expression
+    form is the hot path; the UDTF exists for API parity and is
+    differential-tested against the same DuckDB oracle.
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("need 0 <= overlap < chunk_words")
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    step = chunk_words - overlap
+
+    class ChunkDocs:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            words = re.split(r"\s+", text.strip())
+            for chunk_id, start in enumerate(range(0, len(words), step)):
+                piece = words[start : start + chunk_words]
+                yield doc_id, chunk_id, len(piece), " ".join(piece)
+
+    spark = documents.sparkSession
+    fn = udtf(ChunkDocs, returnType=_CHUNK_SCHEMA)
+    spark.udtf.register("chunk_docs", fn)
+    documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).createOrReplaceTempView(
+        "_chunk_docs_in"
+    )
+    return spark.sql(
+        "SELECT c.* FROM _chunk_docs_in, LATERAL chunk_docs(doc_id, text) c"
+    )

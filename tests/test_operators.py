@@ -502,3 +502,29 @@ def test_embedding_norms_planted_unit_vector(spark, sf_dir):
     )
     out = embedding_norms(emb.union(unit)).filter(F.col("label") == 777).first()
     assert out.n_vectors == 1 and abs(out.avg_norm - 1.0) < 1e-6
+
+
+def test_chunk_documents_expr_udtf_parity(spark):
+    from flink_elasticsearch_ingestion_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7"),  # 7 words, chunk 3/overlap 1 -> starts 0,2,4,6
+            (2, "a"),  # single word -> one 1-word chunk
+            (3, "x y z"),  # exactly one full chunk
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(chunk_words=3, overlap=1)
+    expr = X.chunk_documents(docs, **kw).orderBy("doc_id", "chunk_id").collect()
+    udtf = X.chunk_documents_udtf(docs, **kw).orderBy("doc_id", "chunk_id").collect()
+    assert expr == udtf
+    d1 = [r for r in expr if r.doc_id == 1]
+    assert [r.chunk_text for r in d1] == ["w1 w2 w3", "w3 w4 w5", "w5 w6 w7", "w7"]
+    assert [r.n_chunk_words for r in d1] == [3, 3, 3, 1]
+    assert [r.chunk_text for r in expr if r.doc_id == 2] == ["a"]
+    # overlap >= chunk_words must be rejected, not loop forever
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        X.chunk_documents(docs, chunk_words=3, overlap=3)

@@ -911,6 +911,10 @@ def q_prior_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.approx_stats(_t(spark, sf_dir, "orders"))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_documents(_t(spark, sf_dir, "documents"))
 
@@ -1104,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prior_event_counts": q_prior_event_counts,
         "chunk_documents": q_chunk_documents,
         "chunk_documents_udtf": q_chunk_documents_udtf,
+        "approx_stats": q_approx_stats,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1851,6 +1856,13 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(s AS INT) AS chunk_id,"
             " CAST(len(words[s*30+1 : s*30+40]) AS INT) AS n_chunk_words,"
             " array_to_string(words[s*30+1 : s*30+40], ' ') AS chunk_text FROM e"
+        ),
+        "approx_stats": (
+            "SELECT o_orderpriority,"
+            " quantile_disc(o_totalprice, 0.5) AS p50_sketch,"
+            " quantile_disc(o_totalprice, 0.9) AS p90_sketch,"
+            " count(*) AS n_orders"
+            " FROM orders GROUP BY 1 ORDER BY 1"
         ),
         "chunk_documents_udtf": (
             "WITH w AS (SELECT doc_id,"

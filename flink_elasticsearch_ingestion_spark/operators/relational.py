@@ -201,6 +201,31 @@ def price_quantiles(orders: DataFrame) -> DataFrame:
     )
 
 
+def approx_stats(orders: DataFrame, *, accuracy: int = 2147483647) -> DataFrame:
+    """Sketch-based percentiles (Greenwald-Khanna ``approx_percentile``)
+    — the 100 TB path for :func:`price_quantiles`: the sketch is a
+    bounded-size partial aggregate that merges map-side, so a quantile
+    over 10^12 rows shuffles kilobytes per partition instead of sorting
+    the group. ``accuracy`` trades sketch size for error (1/accuracy
+    relative-rank error); the default max makes the result the EXACT
+    discrete percentile, which is what the DuckDB ``quantile_disc``
+    oracle checks — production jobs drop it to ~10^4.
+    """
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile(
+                "o_totalprice", F.lit(0.5), F.lit(accuracy)
+            ).alias("p50_sketch"),
+            F.approx_percentile(
+                "o_totalprice", F.lit(0.9), F.lit(accuracy)
+            ).alias("p90_sketch"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def order_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Statistical aggregates: stddev + correlation."""
     li = lineitem.agg(

@@ -911,6 +911,17 @@ def q_prior_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir)
+    return S.hybrid_search(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        ["spark", "window"],
+        qv,
+        k=10,
+    )
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.approx_stats(_t(spark, sf_dir, "orders"))
 
@@ -1109,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "chunk_documents_udtf": q_chunk_documents_udtf,
         "approx_stats": q_approx_stats,
+        "hybrid_search": q_hybrid_search,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1856,6 +1868,25 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(s AS INT) AS chunk_id,"
             " CAST(len(words[s*30+1 : s*30+40]) AS INT) AS n_chunk_words,"
             " array_to_string(words[s*30+1 : s*30+40], ' ') AS chunk_text FROM e"
+        ),
+        "hybrid_search": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),"
+            " kw AS (SELECT doc_id, len(list_filter("
+            "   regexp_split_to_array(trim(lower(text)), '\\s+'),"
+            "   t -> t IN ('spark', 'window'))) AS tf FROM documents),"
+            " kwt AS (SELECT doc_id, tf FROM kw WHERE tf > 0"
+            "   ORDER BY tf DESC, doc_id LIMIT 100),"
+            " kwr AS (SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS kw_rank FROM kwt),"
+            " vs AS (SELECT vec_id AS doc_id, round("
+            "   list_dot_product(CAST(embedding AS DOUBLE[]), qv) /"
+            "   (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+            "    * sqrt(list_dot_product(qv, qv))), 6) AS cos FROM embeddings, q),"
+            " vt AS (SELECT doc_id, cos FROM vs ORDER BY cos DESC, doc_id LIMIT 100),"
+            " vr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank FROM vt)"
+            " SELECT COALESCE(kwr.doc_id, vr.doc_id) AS doc_id,"
+            " round(COALESCE(1.0/(60 + kw_rank), 0) + COALESCE(1.0/(60 + vec_rank), 0), 6) AS rrf_score"
+            " FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id"
+            " ORDER BY rrf_score DESC, doc_id LIMIT 10"
         ),
         "approx_stats": (
             "SELECT o_orderpriority,"

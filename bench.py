@@ -87,6 +87,7 @@ EXTENDED = [
     "dominant_suppliers",
     "prior_event_counts",
     "chunk_documents",
+    "hybrid_search",
 ]
 
 

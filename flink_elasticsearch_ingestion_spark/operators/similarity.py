@@ -369,3 +369,75 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def hybrid_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vector: list[float],
+    *,
+    k: int = 10,
+    candidates: int = 100,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: keyword arm (query-term frequency) fused with a
+    vector arm (cosine to the query embedding) by reciprocal-rank fusion
+    — ``score = Σ_arms 1/(rrf_k + rank)``, the standard fusion for
+    BM25+ANN stacks (Cormack et al., SIGIR'09).
+
+    Scale shape: each arm is an independent full scan reduced by
+    ``TakeOrderedAndProject`` to its top-``candidates`` rows — the
+    distributed top-k primitive, no global sort, no shuffle of the
+    corpus. Only the two bounded candidate lists (≤ ``candidates`` rows
+    each) meet in the rank window + full-outer fusion join, so the
+    single-partition window there is over a fixed-size list, not the
+    data. At 100 TB swap the arms' scans for their indexed variants
+    (inverted index / ``ivf_topk``) behind the same contract.
+
+    Ranks order by the ROUNDED score (6 dp) with id tie-break, so rank
+    assignment is stable across engines — the DuckDB oracle replicates
+    the formula exactly.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    tf = F.size(F.filter(toks, lambda t: t.isin(*[w.lower() for w in query_terms])))
+    kw_top = (
+        documents.select(F.col(id_col).alias("doc_id"), tf.alias("tf"))
+        .filter(F.col("tf") > 0)
+        .orderBy(F.col("tf").desc(), "doc_id")
+        .limit(candidates)
+    )
+    kw_ranked = kw_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
+        .alias("kw_rank"),
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    vec_top = (
+        embeddings.select(
+            F.col(vec_id_col).alias("doc_id"),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(candidates)
+    )
+    vec_ranked = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+        .alias("vec_rank"),
+    )
+    fused = kw_ranked.join(vec_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(k)

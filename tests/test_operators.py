@@ -528,3 +528,28 @@ def test_chunk_documents_expr_udtf_parity(spark):
 
     with _pytest.raises(ValueError):
         X.chunk_documents(docs, chunk_words=3, overlap=3)
+
+
+def test_hybrid_search_rrf_fusion(spark):
+    from flink_elasticsearch_ingestion_spark.operators import similarity as S
+
+    docs = spark.createDataFrame(
+        [
+            (1, "query query query query"),  # keyword #1, vector absent
+            (2, "query other words here"),  # keyword #2, vector #1
+            (3, "nothing relevant at all"),  # vector #2 only
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (3, [0.9, 0.1]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.hybrid_search(docs, embs, ["query"], [1.0, 0.0], k=4).collect()
+    scores = {r.doc_id: r.rrf_score for r in out}
+    # doc 2 appears in BOTH arms (kw rank 2, vec rank 1) -> 1/62 + 1/61
+    # beats doc 1's single-arm kw rank 1 (1/61) and doc 3 (1/63 + 1/62)
+    assert out[0].doc_id == 2
+    assert abs(scores[2] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(scores[1] - round(1 / 61, 6)) < 1e-9
+    assert set(scores) == {1, 2, 3, 4}  # full-outer: single-arm docs kept

@@ -649,11 +649,25 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: exact 3-gram Jaccard pairs over an inverted-index join
-    (bounded to doc_id < 200 to keep candidate pairs sane at any sf)."""
+    """Exact 3-gram Jaccard pairs over an inverted-index join (bounded
+    to doc_id < 200 to keep candidate pairs sane at any sf; the df_cap
+    stop-gram guard cannot fire under that bound, so the uncapped
+    DuckDB oracle is exact)."""
     return D.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.15, max_docs=200
     )
+
+
+def q_text_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with a FULLY SQL-expressible edge set: n-gram
+    Jaccard pairs (deterministic, no engine-specific hashing) resolved
+    by alternating large-star/small-star contraction — so the iterative
+    component operator itself is differential-tested against a DuckDB
+    recursive-CTE transitive closure, not just rows-counted."""
+    pairs = D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.15, max_docs=200
+    )
+    return D.connected_components_star(pairs).orderBy("node")
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1121,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_udtf": q_chunk_documents_udtf,
         "approx_stats": q_approx_stats,
         "hybrid_search": q_hybrid_search,
+        "text_dup_components": q_text_dup_components,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1887,6 +1902,45 @@ def oracle_sql() -> dict[str, str]:
             " round(COALESCE(1.0/(60 + kw_rank), 0) + COALESCE(1.0/(60 + vec_rank), 0), 6) AS rrf_score"
             " FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id"
             " ORDER BY rrf_score DESC, doc_id LIMIT 10"
+        ),
+        # shared shingle/pair pipeline for the two n-gram entries below:
+        # DuckDB list slice w[i:i+2] is 1-based INCLUSIVE == F.slice(w, i, 3);
+        # generate_series is end-inclusive; list comprehension + list_distinct
+        # mirrors word_shingles() exactly
+        "ngram_jaccard": (
+            "WITH docs AS (SELECT doc_id,"
+            " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"
+            " FROM documents WHERE doc_id < 200),"
+            " sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')"
+            "   FOR i IN generate_series(1, greatest(len(w)-2, 1))]) AS grams FROM docs),"
+            " sizes AS (SELECT doc_id, len(grams) AS n_grams FROM sh),"
+            " ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),"
+            " cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared"
+            "   FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+            " SELECT doc_a, doc_b, n_shared,"
+            " round(n_shared * 1.0 / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard"
+            " FROM cand JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b"
+            " WHERE round(n_shared * 1.0 / (sa.n_grams + sb.n_grams - n_shared), 6) >= 0.15"
+            " ORDER BY doc_a, doc_b"
+        ),
+        "text_dup_components": (
+            "WITH RECURSIVE docs AS (SELECT doc_id,"
+            " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"
+            " FROM documents WHERE doc_id < 200),"
+            " sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')"
+            "   FOR i IN generate_series(1, greatest(len(w)-2, 1))]) AS grams FROM docs),"
+            " sizes AS (SELECT doc_id, len(grams) AS n_grams FROM sh),"
+            " ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),"
+            " cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared"
+            "   FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+            " pairs AS (SELECT doc_a, doc_b FROM cand"
+            "   JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b"
+            "   WHERE round(n_shared * 1.0 / (sa.n_grams + sb.n_grams - n_shared), 6) >= 0.15),"
+            " sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+            "   UNION SELECT doc_b, doc_a FROM pairs),"
+            " reach AS (SELECT u AS node, u AS label FROM sym"
+            "   UNION SELECT s.u AS node, r.label FROM sym s JOIN reach r ON r.node = s.v)"
+            " SELECT node, min(label) AS component FROM reach GROUP BY node ORDER BY node"
         ),
         "approx_stats": (
             "SELECT o_orderpriority,"

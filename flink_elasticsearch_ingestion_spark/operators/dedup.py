@@ -349,6 +349,25 @@ def ngram_jaccard_pairs(
     )
 
 
+def _make_tracked_checkpoint(sc):
+    """localCheckpoint + handles to the cache blocks it created, so
+    superseded iterates can be unpersisted NOW rather than whenever the
+    async ContextCleaner notices (measured: ~3 stranded RDD caches per
+    call otherwise, unbounded growth on a shared session)."""
+
+    def _tracked_checkpoint(df):
+        jmap = sc._jsc.getPersistentRDDs()
+        before = {int(k) for k in jmap.keySet().toArray()}
+        out = df.localCheckpoint(eager=True)
+        jmap = sc._jsc.getPersistentRDDs()
+        blocks = [
+            jmap.get(k) for k in jmap.keySet().toArray() if int(k) not in before
+        ]
+        return out, blocks
+
+    return _tracked_checkpoint
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -390,21 +409,7 @@ def connected_components(
     # (on a real cluster, a reliable checkpoint dir plays this role).
     edges = edges.persist()
     sc = pairs.sparkSession.sparkContext
-
-    def _tracked_checkpoint(df):
-        """localCheckpoint + handles to the cache blocks it created, so
-        superseded iterates can be unpersisted NOW rather than whenever
-        the async ContextCleaner notices (measured: ~3 stranded RDD
-        caches per call otherwise, unbounded growth on a shared
-        session)."""
-        jmap = sc._jsc.getPersistentRDDs()
-        before = {int(k) for k in jmap.keySet().toArray()}
-        out = df.localCheckpoint(eager=True)
-        jmap = sc._jsc.getPersistentRDDs()
-        blocks = [
-            jmap.get(k) for k in jmap.keySet().toArray() if int(k) not in before
-        ]
-        return out, blocks
+    _tracked_checkpoint = _make_tracked_checkpoint(sc)
 
     labels, labels_blocks = _tracked_checkpoint(
         edges.select(F.col("u").alias("node"))
@@ -454,6 +459,108 @@ def connected_components(
     # reads them (lineage is truncated); the ContextCleaner frees them
     # when the caller drops the result.
     return labels.select(F.col("node"), F.col("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round upgrade path over
+    :func:`connected_components`'s min-label propagation, whose round
+    count is the graph DIAMETER. Near-dup graphs are unions of small
+    cliques (diameter 1-2) where min-label wins on constant factors;
+    this variant is for adversarial long-path graphs (chains of
+    borderline-similar docs), where diameter-many rounds at 100 TB is
+    the difference between 8 shuffles and 800.
+
+    Edges are kept canonical big→small (``u > v``). Each round:
+    large-star hangs every larger neighbor of a center onto the
+    center's minimum; small-star re-hangs the smaller neighbors. Both
+    are one groupBy(min) + one join — no collect_list, neighborhoods
+    never materialize as arrays, so a 10^8-degree hub node costs a
+    shuffle, not an executor OOM. Convergence = edge-set fingerprint
+    (count + hash-sum) stable; at the fixed point every node points
+    directly at its component's minimum id.
+
+    Returns (node, component), same contract as
+    :func:`connected_components` (differential-tested in
+    tests/test_properties.py).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .dropDuplicates(["u", "v"])
+    )
+    sc = pairs.sparkSession.sparkContext
+    _tracked_checkpoint = _make_tracked_checkpoint(sc)
+
+    def fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    edges, blocks = _tracked_checkpoint(edges)
+    fp = fingerprint(edges)
+    for _ in range(max_iterations):
+        # large-star: center c, neighbors n over the symmetric view;
+        # every neighbor LARGER than the center hangs onto the center's
+        # minimum m = min(neighborhood ∪ {c})
+        sym = edges.select(F.col("u").alias("c"), F.col("v").alias("n")).union(
+            edges.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        )
+        mins = (
+            sym.groupBy("c")
+            .agg(F.min("n").alias("mn"))
+            .select("c", F.least(F.col("mn"), F.col("c")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .dropDuplicates(["u", "v"])
+        )
+        # small-star: per big end u (all its neighbors are smaller),
+        # re-hang every smaller neighbor (and u itself) onto the min
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .dropDuplicates(["u", "v"])
+        )
+        new_edges, new_blocks = _tracked_checkpoint(small)
+        new_fp = fingerprint(new_edges)
+        for h in blocks:
+            h.unpersist(False)
+        edges, blocks = new_edges, new_blocks
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # fixed point: every edge is (node, component-root); roots appear
+    # only on the v side and map to themselves
+    labels = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(
+            edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    return labels
 
 
 def near_dup_clusters(

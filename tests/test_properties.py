@@ -233,3 +233,38 @@ def test_passage_dedup_counts_duplicated_doc(spark, words, chunk):
     n_chunks = -(-len(words) // chunk)
     assert len(rows) == n_chunks
     assert all(r.n_docs == 2 and r.n_occurrences >= 2 for r in rows)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=25), st.integers(min_value=0, max_value=25)),
+        min_size=1,
+        max_size=35,
+    )
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_contraction_matches_min_label(spark, edges):
+    """connected_components_star (large/small-star, O(log n) rounds) is
+    a drop-in for min-label propagation: identical (node, component)
+    assignment on ANY pair set."""
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    via_label = {(r.node, r.component) for r in D.connected_components(pairs).collect()}
+    via_star = {
+        (r.node, r.component) for r in D.connected_components_star(pairs).collect()
+    }
+    assert via_star == via_label
+
+
+def test_star_contraction_resolves_long_chain(spark):
+    """A 120-node path (diameter 119) — min-label needs diameter-many
+    rounds; star contraction must fully resolve it within its
+    max_iterations=30 O(log n) budget."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    out = D.connected_components_star(chain).collect()
+    assert len(out) == 121
+    assert all(r.component == 0 for r in out)

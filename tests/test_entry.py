@@ -17,7 +17,6 @@ def test_oracle_keys_subset_of_queries():
     # rows-only checks are intentional, enumerated here so additions are conscious
     assert qs - oracles == {
         "minhash_near_dup",
-        "ngram_jaccard",
         "simhash_buckets",
         "embedding_near_dup",
         "lsh_topk",

@@ -936,6 +936,31 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        label_centroids,
+    )
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def q_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic snapshots derived from events (mod-arithmetic
+    membership + a planted value rewrite) so insert/update/delete/
+    unchanged all occur and the oracle can rebuild both sides."""
+    events = _t(spark, sf_dir, "events")
+    existing = events.filter(F.col("event_id") % 7 != 0).select("event_id", "value")
+    incoming = events.filter(F.col("event_id") % 5 != 0).select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0, F.round(F.col("value") * 2, 2)
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return C.cdc_classify(existing, incoming, key_col="event_id")
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.approx_stats(_t(spark, sf_dir, "orders"))
 
@@ -1136,6 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats": q_approx_stats,
         "hybrid_search": q_hybrid_search,
         "text_dup_components": q_text_dup_components,
+        "label_centroids": q_label_centroids,
+        "cdc_classify": q_cdc_classify,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1941,6 +1968,27 @@ def oracle_sql() -> dict[str, str]:
             " reach AS (SELECT u AS node, u AS label FROM sym"
             "   UNION SELECT s.u AS node, r.label FROM sym s JOIN reach r ON r.node = s.v)"
             " SELECT node, min(label) AS component FROM reach GROUP BY node ORDER BY node"
+        ),
+        "label_centroids": (
+            "WITH e AS (SELECT label,"
+            " unnest(generate_series(1, len(embedding))) AS dim1,"
+            " CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+            " SELECT label, CAST(dim1 - 1 AS INT) AS dim, count(*) AS n_vectors,"
+            " round(round(sum(emb[dim1]), 2) / count(*) + 1e-9, 4) AS centroid"
+            " FROM e GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "cdc_classify": (
+            "WITH e AS (SELECT event_id AS k, value FROM events WHERE event_id % 7 != 0),"
+            " i AS (SELECT event_id AS k,"
+            "   CASE WHEN event_id % 3 = 0 THEN round(value * 2, 2) ELSE value END AS value"
+            "   FROM events WHERE event_id % 5 != 0)"
+            " SELECT CASE WHEN e.k IS NULL THEN 'insert'"
+            "   WHEN i.k IS NULL THEN 'delete'"
+            "   WHEN e.value != i.value THEN 'update'"
+            "   ELSE 'unchanged' END AS change_type,"
+            " count(*) AS n_keys"
+            " FROM e FULL OUTER JOIN i ON e.k = i.k"
+            " GROUP BY 1 ORDER BY 1"
         ),
         "approx_stats": (
             "SELECT o_orderpriority,"

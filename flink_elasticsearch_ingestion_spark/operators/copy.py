@@ -185,3 +185,46 @@ def ingestion_diff(source_docs: DataFrame, target_docs: DataFrame) -> DataFrame:
     AQE; at 100 TB both sides are large so this is a shuffled anti join
     on doc_id, which is the right plan."""
     return source_docs.join(target_docs.select("doc_id"), on="doc_id", how="left_anti")
+
+
+def cdc_classify(
+    existing: DataFrame,
+    incoming: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    compare_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Change-data-capture classification between two snapshots of a
+    keyed table: per change type (insert / update / delete / unchanged),
+    how many keys — the decision table an id-keyed upsert sink applies
+    (the reference's ES sink upserts by ``es.mapping.id``,
+    core.clj:62-63; parquet has no upsert, so the engine surfaces the
+    classification and lets `last_wins` converge reads).
+
+    One full-outer shuffle join on the key; change detection compares a
+    single map-side hash of the compared columns, so wide rows never
+    shuffle twice. At 100 TB both snapshots are large — a shuffled
+    full-outer on the key IS the right plan (bucketed layouts co-locate
+    it; see tests/test_skew_bucketing.py).
+    """
+    fp = lambda df: df.select(  # noqa: E731
+        F.col(key_col).alias("k"),
+        F.xxhash64(*[F.col(c) for c in compare_cols]).alias("fp"),
+    )
+    joined = fp(existing).alias("e").join(
+        fp(incoming).alias("i"),
+        F.col("e.k") == F.col("i.k"),
+        "full_outer",
+    )
+    classified = joined.select(
+        F.when(F.col("e.k").isNull(), F.lit("insert"))
+        .when(F.col("i.k").isNull(), F.lit("delete"))
+        .when(F.col("e.fp") != F.col("i.fp"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type")
+    )
+    return (
+        classified.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("change_type")
+    )

@@ -69,3 +69,31 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         F.array_max(q).alias("q_max"),
         F.round(err + 1e-12, 6).alias("recon_err"),
     ).orderBy("vec_id")
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid, one row per (label, dim) — the distributed
+    k-means M-step / IVF coarse-quantizer training primitive.
+
+    posexplode fans each vector into (label, dim, x) rows map-side, and
+    the single shuffle is a partial+final hash agg on (label, dim) —
+    the sum/count buffers collapse per map task first, so 10^9 vectors
+    shuffle |labels|x|dims| partial rows per task, not the data. The
+    long (label, dim) layout keeps every contract column scalar; pivot
+    back to array<float> with array_agg ordered by dim when feeding a
+    quantizer. Money-style rounding (sum to 2dp, then divide) keeps the
+    float-sum ordering differences below the contract's 4dp.
+    """
+    return (
+        embeddings.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.round(F.sum(F.col("x").cast("double")), 2) / F.count(F.lit(1))
+                + 1e-9,
+                4,
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -965,6 +965,39 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.approx_stats(_t(spark, sf_dir, "orders"))
 
 
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.important_part_value(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.scd2_user_state(_t(spark, sf_dir, "events"))
+
+
+def q_vocab_with_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.vocab_with_ids(_t(spark, sf_dir, "documents"), min_count=2)
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order clustering key over (price-bucket, custkey-residue)
+    — the exact expression ``write_zordered`` sorts by, checked for
+    bit-identical parity against the oracle's integer arithmetic."""
+    from flink_elasticsearch_ingestion_spark.sources.layout import zorder_value
+
+    orders = _t(spark, sf_dir, "orders")
+    x = F.least(F.lit(65535), F.floor(F.col("o_totalprice") / 8).cast("bigint"))
+    y = F.pmod(F.col("o_custkey"), 65536)
+    return orders.select(
+        "o_orderkey",
+        x.alias("price_bucket"),
+        y.alias("cust_bucket"),
+        zorder_value(x, y).alias("z_key"),
+    ).orderBy("o_orderkey")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_documents(_t(spark, sf_dir, "documents"))
 
@@ -1163,6 +1196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_components": q_text_dup_components,
         "label_centroids": q_label_centroids,
         "cdc_classify": q_cdc_classify,
+        "important_part_value": q_important_part_value,
+        "scd2_user_state": q_scd2_user_state,
+        "vocab_with_ids": q_vocab_with_ids,
+        "zorder_key": q_zorder_key,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -1989,6 +2026,48 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_keys"
             " FROM e FULL OUTER JOIN i ON e.k = i.k"
             " GROUP BY 1 ORDER BY 1"
+        ),
+        "important_part_value": (
+            "WITH supp AS (SELECT s_suppkey FROM supplier"
+            "   JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'),"
+            " pv AS (SELECT l_partkey,"
+            "   sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS v"
+            "   FROM lineitem JOIN supp ON l_suppkey = s_suppkey GROUP BY l_partkey),"
+            " tot AS (SELECT sum(v) AS total_v, count(*) AS n_parts FROM pv)"
+            " SELECT l_partkey AS partkey, round(CAST(v AS DOUBLE), 2) AS part_value"
+            " FROM pv, tot WHERE v * n_parts > total_v * 2"
+            " ORDER BY part_value DESC, partkey"
+        ),
+        "scd2_user_state": (
+            "WITH marked AS (SELECT user_id, event_type, ts, event_id,"
+            "   (lag(event_type) OVER w IS NULL"
+            "    OR lag(event_type) OVER w <> event_type) AS chg"
+            "   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " starts AS (SELECT * FROM marked WHERE chg)"
+            " SELECT user_id, event_type AS state, ts AS valid_from,"
+            "  coalesce(lead(ts) OVER w2, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,"
+            "  CAST(row_number() OVER w2 AS INT) AS version"
+            " FROM starts WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            " ORDER BY user_id, version"
+        ),
+        "vocab_with_ids": (
+            "WITH t AS (SELECT lower(unnest(string_split(trim(text), ' '))) AS token"
+            "   FROM documents),"
+            " c AS (SELECT token, count(*) AS cnt FROM t"
+            "   WHERE length(token) > 0 GROUP BY token HAVING count(*) >= 2)"
+            " SELECT token, cnt,"
+            "  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS token_id"
+            " FROM c ORDER BY token_id"
+        ),
+        "zorder_key": (
+            "WITH b AS (SELECT o_orderkey,"
+            "   least(65535, CAST(floor(o_totalprice / 8) AS BIGINT)) AS price_bucket,"
+            "   o_custkey % 65536 AS cust_bucket FROM orders)"
+            " SELECT o_orderkey, price_bucket, cust_bucket,"
+            "  CAST((SELECT sum((((price_bucket >> j) & 1) << (2 * j))"
+            "              + (((cust_bucket >> j) & 1) << (2 * j + 1)))"
+            "        FROM generate_series(0, 15) AS g(j)) AS BIGINT) AS z_key"
+            " FROM b ORDER BY o_orderkey"
         ),
         "approx_stats": (
             "SELECT o_orderpriority,"

@@ -88,6 +88,10 @@ EXTENDED = [
     "prior_event_counts",
     "chunk_documents",
     "hybrid_search",
+    "important_part_value",
+    "scd2_user_state",
+    "vocab_with_ids",
+    "zorder_key",
 ]
 
 

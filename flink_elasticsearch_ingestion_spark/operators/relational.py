@@ -936,3 +936,50 @@ def cheapest_supplier_per_part(
         .select("l_partkey", "s_suppkey", "s_name", "best_avg_price")
         .orderBy("l_partkey")
     )
+
+
+def important_part_value(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    target_nation: str = "NATION_7",
+    multiplier: int = 2,
+) -> DataFrame:
+    """TPC-H Q11-style (adapted: fixtures carry no partsupp, so stocked
+    value = sum(l_extendedprice * l_quantity) over the target nation's
+    suppliers): parts whose value exceeds ``multiplier`` x the average
+    part value for that nation.
+
+    Plan shape at 100 TB: the nation filter shrinks supplier to a tiny
+    dim that BROADCASTS into lineitem (the fact never shuffles for the
+    filter); one keyed shuffle aggregates per part; the global
+    threshold is a 1-row aggregate over the per-part table that joins
+    back as a broadcast — never a window over the fact, never a second
+    fact scan. The threshold compare is cross-multiplied
+    (``v * N > multiplier * total``) so it evaluates in EXACT decimal
+    arithmetic on any engine — an avg would round trip through double
+    and flip boundary rows between engines."""
+    supp = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == target_nation).select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    value_term = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
+    per_part = (
+        lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value_term).alias("v"))
+    )
+    totals = per_part.agg(
+        F.sum("v").alias("total_v"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(F.col("v") * F.col("n_parts") > F.col("total_v") * multiplier)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("v").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )

@@ -10,7 +10,7 @@ most one shuffle for the final group-by.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny deterministic stopword lists for the n-gram/stopword language
@@ -413,4 +413,64 @@ def chunk_documents_udtf(
     )
     return spark.sql(
         "SELECT c.* FROM _chunk_docs_in, LATERAL chunk_docs(doc_id, text) c"
+    )
+
+
+def vocab_with_ids(
+    documents: DataFrame,
+    *,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-vocabulary construction with CONTIGUOUS dense ids:
+    count whitespace tokens corpus-wide, keep those with
+    ``cnt >= min_count``, and assign ``token_id`` 1..V ordered by
+    (count desc, token asc) — the conventional frequency-ranked vocab
+    layout every tokenizer trainer emits.
+
+    Scale shape — global ranking with NO single-partition window: the
+    obvious ``row_number() over (order by cnt desc, token)`` funnels
+    the whole vocabulary through one task. Instead rank two-phase, the
+    same prefix-sum scheme as ``sampling.shuffle_order``: partition the
+    vocab by (cnt, first-char) — the first char sub-buckets the huge
+    Zipf-tail count groups (cnt=1 holds most of a real vocab, so
+    bucketing by cnt alone would re-create the skew) — rank within each
+    sub-bucket in parallel, and add the sub-bucket's global offset, a
+    prefix sum over the tiny (distinct-counts x alphabet) histogram
+    broadcast back. Because first-char order IS token order within a
+    count group, offset + within-rank reproduces the exact global
+    row_number at the cost of one keyed shuffle + one broadcast join."""
+    toks = documents.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .withColumn("__pfx", F.substring("token", 1, 1))
+    )
+    within = F.row_number().over(
+        Window.partitionBy("cnt", "__pfx").orderBy("token")
+    )
+    ranked = counts.withColumn("__within", within)
+    hist = counts.groupBy("cnt", "__pfx").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = hist.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy(F.col("cnt").desc(), F.col("__pfx")).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("cnt", "__pfx", "__offset")
+    return (
+        ranked.join(F.broadcast(offsets), ["cnt", "__pfx"])
+        .select(
+            "token",
+            "cnt",
+            (F.col("__offset") + F.col("__within")).cast("int").alias("token_id"),
+        )
+        .orderBy("token_id")
     )

@@ -312,3 +312,55 @@ def prior_event_counts_cogroup(
         .applyInPandas(merge, _PRIOR_EVENTS_SCHEMA)
         .orderBy("o_orderkey")
     )
+
+
+#: closed-world sentinel for the open SCD2 interval — a concrete
+#: timestamp (not NULL) so downstream BETWEEN probes and cross-engine
+#: hashes treat the current version uniformly. 2200 (not 9999): far
+#: beyond any event time, yet inside the ns-resolution int64 range
+#: (caps at 2262) so Arrow/pandas interchange never overflows
+SCD2_OPEN_END = "2200-01-01 00:00:00"
+
+
+def scd2_user_state(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build (gaps-and-islands):
+    collapse each user's event stream into versioned state intervals
+    ``[valid_from, valid_to)`` — the warehouse dimension-history shape,
+    derived straight from the raw log. Consecutive events carrying the
+    same state merge into one interval; the open (current) interval
+    ends at the ``SCD2_OPEN_END`` sentinel.
+
+    Scale shape: ONE shuffle on ``user_col`` serves every pass — the
+    change-detection lag, the interval-end lead, and the version
+    row_number all share the identical window spec, so Spark evaluates
+    them in a single Window operator chain without re-partitioning.
+    Ordering is (ts, event_id): the id tie-break makes the result
+    deterministic under same-timestamp bursts on every engine."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_state = F.lag(state_col).over(w)
+    starts = (
+        events.select(user_col, state_col, ts_col, id_col)
+        .withColumn(
+            "__chg", prev_state.isNull() | (prev_state != F.col(state_col))
+        )
+        .filter(F.col("__chg"))
+    )
+    return (
+        starts.select(
+            F.col(user_col),
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("valid_from"),
+            F.coalesce(
+                F.lead(ts_col).over(w), F.lit(SCD2_OPEN_END).cast("timestamp")
+            ).alias("valid_to"),
+            F.row_number().over(w).alias("version"),
+        )
+        .orderBy(user_col, "version")
+    )

@@ -65,3 +65,62 @@ def compact(
 
     shutil.rmtree(path)
     shutil.move(tmp, path)
+
+
+#: bits per dimension for the 2-D z-order curve (16+16 -> 32-bit key)
+ZORDER_BITS = 16
+
+
+def zorder_value(x: F.Column, y: F.Column, bits: int = ZORDER_BITS) -> F.Column:
+    """Interleave the low ``bits`` of two non-negative ints into a
+    Morton (z-order) key: bit j of x lands at position 2j, bit j of y
+    at 2j+1. Sorting by the key clusters rows that are close in BOTH
+    dimensions, which is what multi-column min/max file skipping needs
+    — a single-column sort gives perfect pruning on one predicate
+    column and none on the other; the z-curve splits the difference.
+
+    Pure bit arithmetic (an unrolled ``bits``-term expression tree, one
+    shift/mask/or chain per bit) — whole-stage-codegen friendly,
+    engine-portable, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for j in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(x.cast("bigint"), j).bitwiseAND(1), 2 * j)
+            + F.shiftleft(F.shiftrightunsigned(y.cast("bigint"), j).bitwiseAND(1), 2 * j + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    *,
+    n_files: int = 8,
+    bits: int = ZORDER_BITS,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on the z-curve of (x_col, y_col):
+    range-partition by the z key (contiguous, roughly equal-sized z
+    ranges per file — the sampling-based range partitioner handles
+    skew), sort within each file, drop the key. Every file then covers
+    a small rectangle-ish region of (x, y) space, so min/max footer
+    stats prune on EITHER column's predicate — the poor-man's
+    Delta/Iceberg OPTIMIZE ZORDER, built from two Spark primitives.
+
+    ``bits`` must match the QUANTIZED range of both columns: a 16-bit
+    curve over an 8-bit column wastes the high interleave positions on
+    constant zeros and degenerates toward a single-column sort — scale
+    both dimensions to the same bit width first."""
+    keyed = df.withColumn(
+        "__z", zorder_value(F.col(x_col), F.col(y_col), bits=bits)
+    )
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -368,12 +368,48 @@ def _make_tracked_checkpoint(sc):
     return _tracked_checkpoint
 
 
+#: below this many deduped edges, resolve components with a driver-side
+#: union-find instead of the iterative distributed loop. Ids-only edges
+#: at 2^16 rows is ~1 MB on the driver — the same bounded-collect
+#: precedent as IVF's 2048-row training sample — and replaces
+#: O(iterations) Spark jobs (seconds of scheduler overhead) with
+#: milliseconds of in-memory pointer chasing. Near-dup graphs are tiny
+#: relative to the corpus (the duplicate SUBGRAPH, not the corpus,
+#: drives this bound); a 100 TB corpus whose dup graph exceeds it gets
+#: the distributed loop automatically.
+DRIVER_EDGE_BOUND = 1 << 16
+
+
+def _driver_union_find(edge_rows) -> dict:
+    """Path-compressing union-find over (u, v) tuples; min id becomes
+    the representative by construction (union by smaller root)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     *,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 20,
+    driver_edge_bound: int = DRIVER_EDGE_BOUND,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into CLUSTERS: connected components
     by iterative min-label propagation over DataFrames.
@@ -408,6 +444,18 @@ def connected_components(
     # localCheckpoint materializes the iterate and cuts the lineage
     # (on a real cluster, a reliable checkpoint dir plays this role).
     edges = edges.persist()
+    # tiny-graph fast path: one count (materializes the persist we need
+    # anyway) decides between a bounded driver union-find and the
+    # distributed loop — see DRIVER_EDGE_BOUND for the scale contract
+    if driver_edge_bound and edges.count() <= driver_edge_bound:
+        comp = _driver_union_find(
+            (r["u"], r["v"]) for r in edges.collect()
+        )
+        spark = pairs.sparkSession
+        edges.unpersist()
+        return spark.createDataFrame(
+            sorted(comp.items()), "node long, component long"
+        )
     sc = pairs.sparkSession.sparkContext
     _tracked_checkpoint = _make_tracked_checkpoint(sc)
 

@@ -219,11 +219,17 @@ def test_simhash_buckets_state_cap(spark):
     assert out[0].doc_ids == list(range(10))  # smallest ids, sorted
 
 
-def test_connected_components_chain_and_clique(spark):
-    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair {20,21}
+@pytest.mark.parametrize("edge_bound", [D.DRIVER_EDGE_BOUND, 0])
+def test_connected_components_chain_and_clique(spark, edge_bound):
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair {20,21};
+    # edge_bound=0 forces the distributed label-propagation loop, the
+    # default exercises the driver union-find fast path
     edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    comp = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    comp = {
+        r.node: r.component
+        for r in D.connected_components(pairs, driver_edge_bound=edge_bound).collect()
+    }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
@@ -256,8 +262,12 @@ def test_connected_components_matches_union_find(spark):
     want = {n: min(ns) for root, ns in expected.items() for n in ns}
 
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {r.node: r.component for r in D.connected_components(pairs).collect()}
-    assert got == want
+    for bound in (D.DRIVER_EDGE_BOUND, 0):  # both execution paths
+        got = {
+            r.node: r.component
+            for r in D.connected_components(pairs, driver_edge_bound=bound).collect()
+        }
+        assert got == want
 
 
 def test_near_dup_clusters_and_filtered_corpus(docs_with_dupes):

@@ -228,3 +228,88 @@ def test_write_zordered_roundtrip_rows(spark, sf_dir, tmp_path):
         back.select(F.sum("o_orderkey")).collect()[0][0]
         == orders.select(F.sum("o_orderkey")).collect()[0][0]
     )
+
+
+# --------------------------------------------------- incremental agg
+
+
+def test_incremental_rollup_equals_full_recompute(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"),
+        F.col("value").cast("decimal(18,4)").alias("value"),
+        "event_id",
+    )
+    snapshot = (
+        ev.filter(F.col("event_id") % 3 != 0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    merged = R.incremental_rollup(
+        snapshot, ev.filter(F.col("event_id") % 3 == 0), ["k"]
+    )
+    full = ev.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    got = {r.k: (r.n_events, r.total_value) for r in merged.collect()}
+    want = {r.k: (r.n_events, r.total_value) for r in full.collect()}
+    assert got == want  # exact decimal equality, not approximate
+
+
+def test_incremental_rollup_handles_new_keys(spark):
+    snap = spark.createDataFrame(
+        [("a", 2, 10.0)], "k string, n_events long, total_value double"
+    )
+    batch = spark.createDataFrame(
+        [("a", 1.0), ("b", 5.0)], "k string, value double"
+    )
+    out = {r.k: (r.n_events, r.total_value) for r in R.incremental_rollup(snap, batch, ["k"]).collect()}
+    assert out == {"a": (3, 11.0), "b": (1, 5.0)}
+
+
+# ------------------------------------------------- stratified exact-k
+
+
+def test_stratified_exact_k_sizes_and_determinism(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        stratified_exact_k,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    sizes = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    k = 7
+    out = stratified_exact_k(docs, "lang", k)
+    got = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got == {lang: min(k, n) for lang, n in sizes.items()}
+    # deterministic: identical id set on re-run
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in stratified_exact_k(docs, "lang", k).collect()}
+    assert ids1 == ids2
+    # a different salt versions the sample
+    ids3 = {
+        r.doc_id
+        for r in stratified_exact_k(docs, "lang", k, salt="exact-k-v2").collect()
+    }
+    assert ids3 != ids1
+
+
+# ------------------------------------------------------ token entropy
+
+
+def test_token_entropy_extremes(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # degenerate: entropy 0
+            (2, "a b c d"),          # uniform over 4: entropy ln(4)
+            (3, "a a b b"),          # uniform over 2: entropy ln(2)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.token_entropy(docs).collect()}
+    assert out[1].entropy == 0.0 and out[1].n_distinct == 1
+    assert abs(out[2].entropy - round(math.log(4), 4)) < 1e-9
+    assert abs(out[3].entropy - round(math.log(2), 4)) < 1e-9
+    assert out[2].n_tokens == 4 and out[2].n_distinct == 4

@@ -92,6 +92,9 @@ EXTENDED = [
     "scd2_user_state",
     "vocab_with_ids",
     "zorder_key",
+    "incremental_rollup",
+    "stratified_exact_k",
+    "token_entropy",
 ]
 
 

@@ -143,3 +143,32 @@ def shuffle_order(
         )
         .orderBy(out_col)
     )
+
+
+def stratified_exact_k(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "exact-k-v1",
+) -> DataFrame:
+    """EXACTLY k rows per stratum (fewer only if the stratum is
+    smaller), chosen by deterministic hash order — the eval-set
+    builder's primitive: "50 held-out docs per language", stable across
+    re-runs, backfills, and engines.
+
+    Unlike fraction-based sampling (row count varies run to run) this
+    ranks each stratum by ``md5(salt || key)`` — uniform, seedable via
+    the salt, and engine-portable — and keeps rank <= k. One keyed
+    shuffle on the stratum; the per-stratum top-k evaluates as a
+    windowed rank with partial sort, never a global order."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -474,3 +474,42 @@ def vocab_with_ids(
         )
         .orderBy("token_id")
     )
+
+
+def token_entropy(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    a standard corpus-quality signal: near-zero entropy flags
+    degenerate/repetitive text, unusually high entropy flags noise.
+
+    One explode + one keyed shuffle on (doc, token), then a per-doc
+    fold: entropy = ln(N) - sum(c*ln(c))/N over token counts c. That
+    algebraic form needs only sum(c*ln(c)) and N as aggregates, so the
+    whole computation is two partial-aggregable group-bys — no
+    collect_list of per-doc distributions, bounded state per key."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    per_token = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_token.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.log("c")).alias("__clnc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log("n_tokens") - F.col("__clnc") / F.col("n_tokens") + 1e-9, 4
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

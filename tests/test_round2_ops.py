@@ -313,3 +313,65 @@ def test_token_entropy_extremes(spark):
     assert abs(out[2].entropy - round(math.log(4), 4)) < 1e-9
     assert abs(out[3].entropy - round(math.log(2), 4)) < 1e-9
     assert out[2].n_tokens == 4 and out[2].n_distinct == 4
+
+
+# -------------------------------------------------------- plan audits
+
+
+def test_important_part_value_plan_broadcasts_threshold(spark, sf_dir):
+    """The global threshold must attach as a 1-row broadcast, never by
+    windowing or re-shuffling the per-part table; the supplier dim must
+    broadcast into the fact (no lineitem shuffle before the part agg)."""
+    from flink_elasticsearch_ingestion_spark.plans import physical_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    plan = physical_plan(R.important_part_value(li, supp, nat))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # supp dim + 1-row threshold
+    # exactly one hash shuffle before the per-part aggregate
+    assert "Exchange hashpartitioning(l_partkey" in plan
+
+
+def test_scd2_plan_single_user_shuffle(spark, sf_dir):
+    """All three window passes (lag, lead, row_number) must share the
+    one hash exchange on user_id — no re-partition between them."""
+    from flink_elasticsearch_ingestion_spark.plans import physical_plan
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    plan = physical_plan(W.scd2_user_state(load_table(spark, sf_dir, "events")))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "user_id" in ln, f"unpartitioned window: {ln}"
+
+
+def test_vocab_ids_big_window_is_partitioned(spark, sf_dir):
+    """The per-token rank must run partitioned by (cnt, prefix); only
+    the tiny histogram prefix-sum may gather to one partition."""
+    from flink_elasticsearch_ingestion_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = physical_plan(X.vocab_with_ids(docs))
+    row_windows = [
+        ln for ln in plan.splitlines() if "row_number()" in ln and "__within" in ln
+    ]
+    assert row_windows
+    for ln in row_windows:
+        assert "windowspecdefinition(cnt" in ln, f"unpartitioned rank: {ln}"
+
+
+def test_incremental_rollup_plan_no_history_rescan(spark):
+    """Merging a batch into a snapshot must scan the snapshot relation
+    once (union + one keyed re-reduce), never join back per key."""
+    from flink_elasticsearch_ingestion_spark.plans import physical_plan
+
+    snap = spark.createDataFrame(
+        [("a", 2, 10.0)], "k string, n_events long, total_value double"
+    )
+    batch = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    plan = physical_plan(R.incremental_rollup(snap, batch, ["k"]))
+    assert "Join" not in plan and "Window" not in plan
+    assert "Union" in plan

@@ -17,6 +17,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterator
 
 import pandas as pd
@@ -286,6 +287,73 @@ def stream_sliding_counts(
         counts.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_incremental_rollup(
+    spark: SparkSession,
+    source_path: str,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    *,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+):
+    """Streaming maintenance of a materialized rollup: every
+    micro-batch folds into the parquet snapshot via
+    ``incremental_rollup`` — the aggregate-side twin of the incremental
+    copy (reference core.clj:124-140 advances a row offset; this
+    advances a SUM/COUNT snapshot).
+
+    Why ``foreachBatch`` and not a streaming aggregation: a native
+    streaming agg holds every group in the state store forever (no
+    watermark can evict keys that may still update), while the
+    snapshot-merge pattern keeps state OUT of the stream — each batch
+    touches |batch| + |affected keys| rows, the snapshot lives as a
+    compact keyed parquet table, and a failed batch simply replays
+    (the overwrite-swap makes the fold idempotent per batch id at the
+    at-least-once grain the reference's bulk sink also provides).
+
+    Sum terms cast to decimal so merge order is associative — the
+    snapshot after N batches equals the one-shot aggregate bit-for-bit
+    (asserted by the parity test)."""
+    import shutil
+
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        incremental_rollup,
+    )
+
+    keys = keys or ["event_type"]
+    schema = spark.read.parquet(source_path).schema
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            *keys, F.col(value_col).cast("decimal(18,4)").alias(value_col)
+        )
+        if os.path.isdir(snapshot_path):
+            snap = spark.read.parquet(snapshot_path)
+            merged = incremental_rollup(snap, batch, keys, value_col=value_col)
+        else:
+            merged = batch.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(value_col).alias("total_value"),
+            )
+        # write-then-swap: the merge reads the live snapshot lazily, so
+        # an in-place overwrite would destroy its own input mid-job
+        tmp = snapshot_path.rstrip("/") + "__folding"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(snapshot_path):
+            shutil.rmtree(snapshot_path)
+        shutil.move(tmp, snapshot_path)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(source_path)
+    return (
+        stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -52,3 +52,34 @@ def test_compaction_partitioned(tmp_path, spark, sf_dir):
     for d in glob.glob(f"{path}/event_type=*"):
         assert len(glob.glob(f"{d}/*.parquet")) == 1
     assert spark.read.parquet(path).count() == events.count()
+
+
+def test_dynamic_partition_pruning_through_join(tmp_path, spark, sf_dir):
+    """The 100 TB join-pruning contract: when the partition key arrives
+    through a JOIN against a filtered dim (no literal predicate on the
+    fact at all), the scan must still prune partitions at runtime via
+    dynamic partition pruning — the fact's partition filter shows a
+    dynamicpruning subquery, and only the dim-selected dates are read."""
+    path = str(tmp_path / "events_dpp")
+    events = with_event_date(load_events(spark, sf_dir).drop("ts_ns"))
+    write_partitioned(events, path, ["event_date"])
+
+    dates = [
+        r[0]
+        for r in events.select("event_date").distinct().orderBy("event_date").collect()
+    ]
+    # star shape: a date dim with an attribute to filter on, stored as a
+    # table (DPP keys off a selective filter on the build side)
+    dim_path = str(tmp_path / "date_dim")
+    spark.createDataFrame(
+        [(d, "keep" if d in dates[:2] else "skip") for d in dates],
+        "event_date date, flag string",
+    ).write.parquet(dim_path)
+
+    fact = spark.read.parquet(path)
+    dim = spark.read.parquet(dim_path).filter(F.col("flag") == "keep")
+    joined = fact.join(F.broadcast(dim), "event_date")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = events.filter(F.col("event_date").isin(dates[:2])).count()
+    assert joined.count() == expected

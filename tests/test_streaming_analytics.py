@@ -223,3 +223,36 @@ def test_stream_sliding_windows_match_batch(tmp_path, spark, sf_dir):
     n_events = spark.read.parquet(in_dir).count()
     total = streamed.agg(F.sum("n_events")).first()[0]
     assert total == 2 * n_events
+
+
+def test_stream_incremental_rollup_equals_one_shot(tmp_path, spark, sf_dir):
+    """Fold the event stream into a rollup snapshot micro-batch by
+    micro-batch (several triggers via maxFilesPerTrigger=1 over a
+    multi-file stage) and require the final snapshot to equal the
+    one-shot batch aggregate EXACTLY (decimal sums are associative)."""
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        stream_incremental_rollup,
+    )
+
+    in_dir = str(tmp_path / "ev_multi")
+    # several input files -> several micro-batches
+    load_events(spark, sf_dir).repartition(3).write.parquet(in_dir)
+    snap_path = str(tmp_path / "rollup_snapshot")
+    q = stream_incremental_rollup(
+        spark, in_dir, snap_path, str(tmp_path / "ck_roll")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in spark.read.parquet(snap_path).collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in spark.read.parquet(in_dir)
+        .select("event_type", F.col("value").cast("decimal(18,4)").alias("value"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want

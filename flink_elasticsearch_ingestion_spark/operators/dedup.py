@@ -274,6 +274,13 @@ def minhash_near_duplicates(
         id_col=id_col,
         text_col=text_col,
     ).persist()
+    # Fill the cache EAGERLY: persist() alone is lazy, and the first
+    # action schedules the band join's four consumers (left/right band
+    # explode, both shingle re-attaches) as concurrent stages that race
+    # the cold cache and each recompute the shingle+minhash subtree
+    # (measured 4-15x worse under that race). One cheap count() turns
+    # every consumer into a cache hit.
+    sig_table.count()
     return near_duplicates_from_signatures(
         sig_table,
         num_hashes=num_hashes,
@@ -694,6 +701,10 @@ def cross_corpus_contamination(
     # (persist stays owned by Spark's LRU: an eager unpersist here would
     # undercut the still-lazy returned plan)
     matched = c.join(F.broadcast(probe_grams), "gram", "semi").persist()
+    # eager fill: the df-cap group-by, its anti join, and the pair join
+    # are scheduled concurrently by the first action and would race the
+    # cold cache, each re-scanning the corpus (see minhash_near_duplicates)
+    matched.count()
     if df_cap is not None:
         hot = (
             matched.groupBy("gram")
@@ -752,8 +763,16 @@ def simhash_buckets(
 
     sig = simhash_signature(documents, word_k=word_k)
     w = Window.partitionBy("bucket").orderBy("doc_id")
+    # Derive bucket and DROP the signature column in one projection:
+    # keeping both would make CollapseProject inline the expensive
+    # simhash HOF expression into each of them — two full evaluations
+    # per row (measured ~2x on the map stage). Only the bucket key is
+    # needed downstream.
     return (
-        sig.withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+        sig.select(
+            "doc_id",
+            F.shiftrightunsigned("simhash", 64 - prefix_bits).alias("bucket"),
+        )
         .withColumn("__rn", F.row_number().over(w))
         .groupBy("bucket")
         .agg(

@@ -143,6 +143,9 @@ def tfidf_top_terms(
     # scale path (write the tf table to parquet; it is narrow and far
     # smaller than the exploded token stream).
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # eager fill: df aggregation and weight join otherwise race the
+    # cold cache as concurrent stages and scan+explode the corpus twice
+    tf.count()
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.select(F.countDistinct(id_col).alias("n")).crossJoin(
         df_tbl

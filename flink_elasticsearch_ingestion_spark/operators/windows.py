@@ -51,12 +51,14 @@ def event_gaps(events: DataFrame) -> DataFrame:
     """lag() sequence analysis: per-user inter-event gap stats in
     seconds (exact integer µs arithmetic — deterministic)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros requires TIMESTAMP (rejects TIMESTAMP_NTZ, which is how
+    # tz-less parquet reads); the cast is exact under the engine's UTC
+    # session tz, and a gap is a difference so any fixed offset cancels.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     with_gap = events.select(
         "user_id",
         "event_id",
-        (
-            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-        ).alias("gap_us"),
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
     )
     return (
         with_gap.filter(F.col("gap_us").isNotNull())

@@ -34,6 +34,16 @@ from pyspark.sql.types import (
 )
 
 
+def _as_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; tz-less parquet reads as
+    TIMESTAMP_NTZ, so normalize the event-time column. Exact under the
+    engine's fixed UTC session tz (session.py), batch and stream alike,
+    so batch≡stream parity is unaffected."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "6 hours",
@@ -45,7 +55,7 @@ def windowed_event_counts(
     frame the same expression is an ordinary group-by (withWatermark is
     a no-op in batch), which is how the oracle checks it."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _as_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -94,7 +104,11 @@ def streaming_dedup(
     privilege). In batch mode this degrades to a plain dropDuplicates."""
     if not events.isStreaming:
         return events.dropDuplicates([key])
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+    return (
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([key])
+    )
 
 
 def streaming_content_dedup(
@@ -115,8 +129,10 @@ def streaming_content_dedup(
     hashed = documents.withColumn("content_hash", F.sha2(normalized, 256))
     if not documents.isStreaming:
         return hashed.dropDuplicates(["content_hash"])
-    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        ["content_hash"]
+    return (
+        _as_event_time(hashed, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
     )
 
 
@@ -252,9 +268,9 @@ def purchases_after_click_stream(
         F.col("event_id").alias("purchase_id"),
     )
     if clicks.isStreaming:
-        c = c.withWatermark("click_ts", watermark)
+        c = _as_event_time(c, "click_ts").withWatermark("click_ts", watermark)
     if purchases.isStreaming:
-        p = p.withWatermark("purchase_ts", watermark)
+        p = _as_event_time(p, "purchase_ts").withWatermark("purchase_ts", watermark)
     return c.join(
         p,
         (F.col("c_user") == F.col("p_user"))
@@ -278,7 +294,8 @@ def stream_sliding_counts(
     schema = spark.read.parquet(source_path).schema
     stream = spark.readStream.schema(schema).parquet(source_path)
     counts = (
-        stream.withWatermark("ts", watermark)
+        _as_event_time(stream, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("win.start").alias("window_start"), "event_type", "n_events")

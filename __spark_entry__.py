@@ -1036,6 +1036,44 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_entropy(_t(spark, sf_dir, "documents"))
 
 
+#: rules for the orders-table audit (constraint_report catalog entry)
+ORDERS_RULES = (
+    {"kind": "not_null", "column": "o_custkey"},
+    {"kind": "unique", "column": "o_orderkey"},
+    # hi deliberately inside the price distribution so the report
+    # exercises a FAILING rule (nonzero count + passed=false), not just
+    # all-green rows
+    {"kind": "in_range", "column": "o_totalprice", "lo": 0.0, "hi": 450000.0},
+    {"kind": "accepted_values", "column": "o_orderstatus", "values": ("O", "F", "P")},
+    {"kind": "matches", "column": "o_orderpriority", "pattern": "^[1-5]-"},
+)
+
+
+def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass declarative DQ audit of orders + one FK check."""
+    from flink_elasticsearch_ingestion_spark.operators import quality as Q
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    report = Q.constraint_report(orders, ORDERS_RULES)
+    ref = Q.referential_report(orders, customer, fk="o_custkey", pk="c_custkey")
+    return report.unionByName(ref).orderBy("rule")
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def q_weighted_discount_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.weighted_discount_udaf(_t(spark, sf_dir, "lineitem"))
+
+
+def q_quantize_embeddings_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_elasticsearch_ingestion_spark.operators import embeddings as E
+
+    return E.quantize_embeddings_arrow(_t(spark, sf_dir, "embeddings"))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_documents(_t(spark, sf_dir, "documents"))
 
@@ -1241,6 +1279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "stratified_exact_k": q_stratified_exact_k,
         "token_entropy": q_token_entropy,
+        "constraint_report": q_constraint_report,
+        "bigram_lm": q_bigram_lm,
+        "weighted_discount_udaf": q_weighted_discount_udaf,
+        "quantize_embeddings_arrow": q_quantize_embeddings_arrow,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -2124,6 +2166,71 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) AS n_distinct,"
             "  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4) AS entropy"
             " FROM pt GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "constraint_report": (
+            # one scalar-agg arm per rule, mirroring the single-pass
+            # compiled aggregate; passed derives from the count
+            "WITH v AS ("
+            " SELECT 'accepted_values_o_orderstatus' AS rule,"
+            "  'o_orderstatus' AS \"column\", 'accepted_values' AS kind,"
+            "  sum(CASE WHEN o_orderstatus IS NOT NULL"
+            "   AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)"
+            "   AS n_violations FROM orders"
+            " UNION ALL SELECT 'in_range_o_totalprice', 'o_totalprice',"
+            "  'in_range', sum(CASE WHEN o_totalprice IS NOT NULL AND"
+            "  (o_totalprice < 0 OR o_totalprice > 450000)"
+            "  THEN 1 ELSE 0 END) FROM orders"
+            " UNION ALL SELECT 'matches_o_orderpriority', 'o_orderpriority',"
+            "  'matches', sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT"
+            "  regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END)"
+            "  FROM orders"
+            " UNION ALL SELECT 'not_null_o_custkey', 'o_custkey', 'not_null',"
+            "  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders"
+            " UNION ALL SELECT 'ref_o_custkey', 'o_custkey', 'ref_integrity',"
+            "  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND"
+            "   o_custkey NOT IN (SELECT c_custkey FROM customer))"
+            " UNION ALL SELECT 'unique_o_orderkey', 'o_orderkey', 'unique',"
+            "  count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)"
+            " SELECT rule, \"column\", kind,"
+            " CAST(n_violations AS BIGINT) AS n_violations,"
+            " n_violations = 0 AS passed FROM v ORDER BY rule"
+        ),
+        "bigram_lm": (
+            "WITH toks AS (SELECT doc_id,"
+            "  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
+            "   ' ') AS t FROM documents),"
+            " e AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg"
+            "  FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)"
+            "  WHERE len(t) >= 2),"
+            " bgc AS (SELECT bg, count(*) AS c_bg FROM e GROUP BY bg),"
+            " pfc AS (SELECT w1, count(*) AS c_w1 FROM e GROUP BY w1)"
+            " SELECT doc_id, count(*) AS n_bigrams,"
+            " round(-sum(ln(c_bg) - ln(c_w1)) / count(*) + 1e-9, 4)"
+            "  AS cross_entropy"
+            " FROM e JOIN bgc USING (bg) JOIN pfc USING (w1)"
+            " GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "weighted_discount_udaf": (
+            "SELECT l_returnflag, count(*) AS n_items,"
+            " round(round(sum(l_discount * l_quantity), 2)"
+            "  / round(sum(l_quantity), 2) + 1e-9, 4) AS weighted_avg_discount,"
+            " round(round(sum(l_discount * l_quantity), 2)"
+            "  / round(sum(l_quantity), 2) + 1e-9, 4)"
+            "  AS weighted_avg_discount_expr"
+            " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "quantize_embeddings_arrow": (
+            # identical contract to quantize_embeddings (the mapInArrow
+            # twin must reproduce the expression form bit-for-bit at 6dp)
+            "WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,"
+            "  list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))"
+            "   / 127.0 AS s FROM embeddings)"
+            " SELECT vec_id, label, round(s + 1e-12, 8) AS scale,"
+            " CAST(list_min(list_transform(e, v -> round(v / s))) AS INT) AS q_min,"
+            " CAST(list_max(list_transform(e, v -> round(v / s))) AS INT) AS q_max,"
+            " round(list_max(list_transform(e, v -> abs(v - round(v / s) * s)))"
+            "  + 1e-12, 6) AS recon_err"
+            " FROM p ORDER BY vec_id"
         ),
         "zorder_key": (
             "WITH b AS (SELECT o_orderkey,"

@@ -95,6 +95,10 @@ EXTENDED = [
     "incremental_rollup",
     "stratified_exact_k",
     "token_entropy",
+    "constraint_report",
+    "bigram_lm",
+    "weighted_discount_udaf",
+    "quantize_embeddings_arrow",
 ]
 
 

@@ -97,3 +97,65 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+def quantize_embeddings_arrow(embeddings: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`quantize_embeddings` — identical
+    output contract, computed in vectorized numpy over Arrow batches.
+
+    Exists to (a) exercise the Arrow-batch UDF surface end-to-end and
+    (b) serve as the template for quantizers that genuinely need
+    Python (learned codebooks, product quantization): batches arrive
+    as Arrow RecordBatches (zero-copy for the fixed-width list
+    column), the whole batch is one (rows x dims) ndarray op, and
+    nothing ever goes through a per-row Python loop.
+
+    Numeric parity with the expression form is exact: numpy rounds
+    half-to-even while Spark's ``round`` is half-up, so the code-point
+    rounding uses an explicit half-up (floor(x+0.5) on the magnitude,
+    sign restored) and the audit scalars get the same epsilon-then-
+    round treatment as the expression form.
+    """
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    out_schema = (
+        "vec_id long, label int, scale double, q_min int, q_max int, recon_err double"
+    )
+
+    def _half_up(a):
+        import numpy as np
+
+        return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+    def quantize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            xs = np.asarray(tbl["embedding"], dtype=np.float64)
+            if xs.ndim == 1:  # ragged fallback: per-row object arrays
+                xs = np.vstack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"]])
+            scale = np.abs(xs).max(axis=1) / 127.0
+            q = _half_up(xs / scale[:, None])
+            err = np.abs(xs - q * scale[:, None]).max(axis=1)
+            # same epsilon-then-round convention as the expression form
+            scale_r = np.round(scale + 1e-12, 8)
+            err_r = np.round(err + 1e-12, 6)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(tbl["vec_id"], pa.int64()),
+                    "label": pa.array(tbl["label"], pa.int32()),
+                    "scale": pa.array(scale_r, pa.float64()),
+                    "q_min": pa.array(q.min(axis=1).astype(np.int32), pa.int32()),
+                    "q_max": pa.array(q.max(axis=1).astype(np.int32), pa.int32()),
+                    "recon_err": pa.array(err_r, pa.float64()),
+                }
+            )
+
+    return (
+        embeddings.select("vec_id", "label", "embedding")
+        .mapInArrow(quantize, out_schema)
+        .orderBy("vec_id")
+    )

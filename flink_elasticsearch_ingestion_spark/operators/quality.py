@@ -1,0 +1,134 @@
+"""Declarative data-quality constraint checking (ingestion QA).
+
+The reference pipeline trusts its source blindly (core.clj:81-88 wires
+scan -> sink with no validation); any production copy of it grows a
+validation pass. This module is that pass, Spark-first: every rule
+compiles to ONE aggregate expression, and the whole rule set for a
+table evaluates in a SINGLE scan + single partial+final aggregation —
+adding a rule costs one more agg buffer, never another pass over the
+data. That is the only shape that survives 100 TB: N rules x 1 scan,
+not N scans.
+
+Rule kinds:
+- ``not_null``          col IS NULL
+- ``unique``            duplicate extra rows on a key (count - countDistinct)
+- ``in_range``          non-null value outside [lo, hi]
+- ``accepted_values``   non-null value not in the allowed set
+- ``matches``           non-null value not rlike the regex
+
+Referential integrity needs a second table, so it is a separate
+operator (``referential_report``) with the same output contract —
+union the two reports for a full-table audit. Its anti-join is
+broadcast-friendly for dimension parents and AQE-planned otherwise.
+
+Output contract (both operators): one row per rule,
+``(rule, column, kind, n_violations, passed)`` — scalar columns only,
+so the report is trivially storable/diffable per ingestion run.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _violations_expr(rule: Mapping[str, Any]) -> F.Column:
+    """Compile one rule to an aggregate expression counting violations."""
+    kind = rule["kind"]
+    col = F.col(rule["column"])
+    if kind == "not_null":
+        return F.sum(F.when(col.isNull(), 1).otherwise(0))
+    if kind == "unique":
+        # extra duplicate rows beyond the first per key; countDistinct
+        # ignores nulls, so count non-null rows to match
+        return F.sum(F.when(col.isNotNull(), 1).otherwise(0)) - F.countDistinct(col)
+    if kind == "in_range":
+        lo, hi = rule["lo"], rule["hi"]
+        bad = (col < F.lit(lo)) | (col > F.lit(hi))
+        return F.sum(F.when(col.isNotNull() & bad, 1).otherwise(0))
+    if kind == "accepted_values":
+        ok = col.isin(list(rule["values"]))
+        return F.sum(F.when(col.isNotNull() & ~ok, 1).otherwise(0))
+    if kind == "matches":
+        return F.sum(
+            F.when(col.isNotNull() & ~col.rlike(rule["pattern"]), 1).otherwise(0)
+        )
+    raise ValueError(f"unknown rule kind {kind!r}")
+
+
+def _rule_name(rule: Mapping[str, Any]) -> str:
+    return rule.get("name") or f"{rule['kind']}_{rule['column']}"
+
+
+def constraint_report(
+    df: DataFrame, rules: Sequence[Mapping[str, Any]]
+) -> DataFrame:
+    """Evaluate every rule in ONE aggregation pass over ``df``.
+
+    The single ``agg`` row (one long per rule) is then exploded into
+    the per-rule report rows — a 1-row driver-side pivot, not a second
+    job. ``unique`` rules use countDistinct, which Catalyst plans with
+    Expand: cost is one extra shuffled copy of the key column per
+    distinct-counted key, still within the same single scan.
+    """
+    if not rules:
+        raise ValueError("constraint_report needs at least one rule")
+    names = [_rule_name(r) for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names in {names}")
+    agg_row = df.agg(
+        *[_violations_expr(r).cast("long").alias(n) for r, n in zip(rules, names)]
+    )
+    report_structs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("rule"),
+                F.lit(r["column"]).alias("column"),
+                F.lit(r["kind"]).alias("kind"),
+                F.coalesce(F.col(n), F.lit(0)).alias("n_violations"),
+            )
+            for r, n in zip(rules, names)
+        ]
+    )
+    return (
+        agg_row.select(F.explode(report_structs).alias("r"))
+        .select(
+            "r.rule",
+            "r.column",
+            "r.kind",
+            "r.n_violations",
+            (F.col("r.n_violations") == 0).alias("passed"),
+        )
+        .orderBy("rule")
+    )
+
+
+def referential_report(
+    child: DataFrame,
+    parent: DataFrame,
+    *,
+    fk: str,
+    pk: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Foreign-key integrity: rows in ``child`` whose non-null ``fk``
+    has no matching ``pk`` in ``parent``. One left-anti join — Catalyst
+    broadcasts dimension-sized parents automatically; a fact-sized
+    parent falls back to a shuffled anti join keyed on the id, which is
+    the minimal possible exchange for this question."""
+    orphans = (
+        child.filter(F.col(fk).isNotNull())
+        .select(fk)
+        .join(parent.select(F.col(pk).alias(fk)), fk, "left_anti")
+    )
+    n = orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    rule = name or f"ref_{fk}"
+    return n.select(
+        F.lit(rule).alias("rule"),
+        F.lit(fk).alias("column"),
+        F.lit("ref_integrity").alias("kind"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

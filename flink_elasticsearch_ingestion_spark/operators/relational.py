@@ -12,6 +12,8 @@ with stale stats.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1018,4 +1020,55 @@ def incremental_rollup(
             F.sum(cnt_col).alias(cnt_col),
             F.sum(sum_col).alias(sum_col),
         )
+    )
+
+
+def weighted_discount_udaf(lineitem: DataFrame) -> DataFrame:
+    """Quantity-weighted average discount per return flag via a
+    GROUPED_AGG ``pandas_udf`` — the custom-UDAF surface (the one
+    Python-UDF shape the engine had not yet exercised).
+
+    The UDAF ships each group's columns to one Arrow batch, so it is
+    the right tool only for low-cardinality groups with genuinely
+    non-algebraic logic (here the weighted mean doubles as a parity
+    check against the pure-expression twin computed alongside). At
+    scale prefer the expression form for anything algebraic — it keeps
+    partial aggregation; a GROUPED_AGG UDAF cannot combine partials
+    and must see the whole group.
+
+    Rounding follows the engine's money convention (sum to 2dp, then
+    divide, then 4dp) INSIDE the UDAF so the DuckDB oracle can mirror
+    it exactly.
+    """
+    @F.pandas_udf("double")
+    def wavg(discount: pd.Series, quantity: pd.Series) -> float:
+        num = round(float((discount * quantity).sum()), 2)
+        den = round(float(quantity.sum()), 2)
+        return round(num / den + 1e-9, 4)
+
+    # a GROUPED_AGG UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the UDAF and the expression
+    # twin aggregate separately and join on the (tiny) group key —
+    # broadcast join, no extra wide shuffle
+    udaf_side = lineitem.groupBy("l_returnflag").agg(
+        wavg("l_discount", "l_quantity").alias("weighted_avg_discount")
+    )
+    expr_side = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.round(F.sum(F.col("l_discount") * F.col("l_quantity")), 2)
+            / F.round(F.sum("l_quantity"), 2)
+            + F.lit(1e-9),
+            4,
+        ).alias("weighted_avg_discount_expr"),
+    )
+    return (
+        expr_side.join(F.broadcast(udaf_side), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_items",
+            "weighted_avg_discount",
+            "weighted_avg_discount_expr",
+        )
+        .orderBy("l_returnflag")
     )

@@ -516,3 +516,66 @@ def token_entropy(
         )
         .orderBy("doc_id")
     )
+
+
+def bigram_lm_score(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram language-model cross-entropy — the
+    statistical-LM quality filter (the perplexity-style signal corpus
+    pipelines use to rank documents before training).
+
+    The corpus itself is the model: p(w2|w1) = c(w1 w2) / c(w1·),
+    where c(w1·) counts w1 as a bigram PREFIX (so the conditional
+    sums to 1 exactly, with no end-of-doc mass leak). Per doc:
+    cross_entropy = -avg(ln p) over its bigrams; lower = more typical
+    of the corpus, higher = outlier/noise.
+
+    Plan shape (the 100 TB path):
+      1. map: explode each doc into (doc_id, w1, bigram) rows
+      2. two partial+final hash aggs build the model tables:
+         c(bigram) and c(prefix) — both Zipf-vocabulary-sized,
+         tiny next to the corpus
+      3. join the exploded stream against both count tables (bigram
+         key, then prefix key). After a min-count vocabulary cut the
+         model tables broadcast; un-cut they are AQE-planned shuffle
+         joins on vocabulary keys, never on doc ids
+      4. one keyed agg back to doc granularity
+
+    The exploded stream is consumed twice (model build + scoring), so
+    at scale materialize the model tables to parquet once per corpus
+    snapshot and score incrementally against them.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+    )
+    exploded = (
+        documents.filter(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    )
+    bg_counts = exploded.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix_counts = exploded.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    scored = (
+        exploded.join(bg_counts, "bg")
+        .join(prefix_counts, "w1")
+        .select("doc_id", (F.log("c_bg") - F.log("c_w1")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("__slp"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(-F.col("__slp") / F.col("n_bigrams") + 1e-9, 4).alias(
+                "cross_entropy"
+            ),
+        )
+        .orderBy("doc_id")
+    )

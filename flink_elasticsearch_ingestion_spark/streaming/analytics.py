@@ -375,3 +375,54 @@ def stream_incremental_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream(events: DataFrame, users: DataFrame) -> DataFrame:
+    """Stream-static join: enrich a live event stream with a static
+    (batch) dimension table — the standard streaming star-schema
+    pattern, and the one join family the engine had not yet exercised
+    on a stream.
+
+    The static side is re-planned per micro-batch (so a refreshed
+    dimension snapshot is picked up on the next trigger) and needs no
+    watermark: only stream-stream joins hold join state. With a
+    dimension-sized static side Catalyst broadcasts it into every
+    micro-batch — per-trigger cost is a map-side hash join over the
+    new rows only. Inner joins need no watermark at all; outer
+    stream-static joins would.
+
+    In batch mode the same expression is an ordinary join, which is
+    how the parity test pins the semantics.
+    """
+    dim = users.select(
+        F.col("user_id").alias("u_user_id"), "segment", "home_region"
+    )
+    return events.join(
+        F.broadcast(dim), events["user_id"] == dim["u_user_id"], "inner"
+    ).select("event_id", "ts", "user_id", "event_type", "segment", "home_region")
+
+
+def stream_enriched_counts(
+    spark: SparkSession,
+    source_path: str,
+    users: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "enriched_counts",
+):
+    """readStream -> stream-static enrich -> per-segment counts ->
+    memory sink (complete mode keeps the small per-segment table)."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    counts = (
+        enrich_stream(stream, users)
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -426,3 +426,45 @@ def stream_enriched_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    query_name: str = "session_counts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """readStream -> watermarked SESSION windows per user -> memory sink.
+
+    Session windows are the one stateful window type whose state can
+    MERGE (two open sessions fuse when a bridging event arrives), so
+    they exercise a different state-store path than tumbling/sliding;
+    the watermark both admits late bridges and finalizes sessions older
+    than (max event time - delay). Session aggregations merge state, so
+    Spark restricts their output to complete/append — complete keeps
+    the (small, per-user) session table correct under merges, and the
+    final table equals the batch computation once the stream drains
+    (asserted by the parity test)."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    counts = (
+        _as_event_time(stream, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,94 @@
+"""JSONL/CSV ingestion-edge connectors: round-trips, corrupt-record
+handling, parquet conversion; streaming session-window parity."""
+
+import pyspark.sql.functions as F
+
+from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_body
+from flink_elasticsearch_ingestion_spark.operators.copy import BODY_COLS, shape_documents
+from flink_elasticsearch_ingestion_spark.sources.formats import (
+    DOC_EXPORT_SCHEMA,
+    corrupt_count,
+    drop_corrupt,
+    export_documents_jsonl,
+    import_documents_jsonl,
+    read_csv,
+    read_jsonl,
+    to_parquet_layout,
+    write_csv,
+)
+from flink_elasticsearch_ingestion_spark.sources.tables import load_events
+
+
+def test_documents_jsonl_round_trip(tmp_path, spark, sf_dir):
+    docs = encode_body(
+        shape_documents(load_events(spark, sf_dir)), BODY_COLS
+    ).select("doc_id", "index_id", "source")
+    path = str(tmp_path / "docs_jsonl")
+    export_documents_jsonl(docs, path)
+    back = drop_corrupt(import_documents_jsonl(spark, path))
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
+    # the exported body is the same JSON the ES bulk emitter would send
+    assert corrupt_count(import_documents_jsonl(spark, path)) == 0
+
+
+def test_jsonl_corrupt_lines_survive_not_fail(tmp_path, spark):
+    p = tmp_path / "mixed"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": "a", "index_id": "i", "source": "{}"}\n'
+        "this is not json\n"
+        '{"doc_id": "b", "index_id": "i", "source": "{}"}\n'
+    )
+    df = read_jsonl(spark, str(p), DOC_EXPORT_SCHEMA)
+    assert df.count() == 3
+    assert corrupt_count(df) == 1
+    assert drop_corrupt(df).count() == 2
+
+
+def test_csv_round_trip_preserves_timestamps(tmp_path, spark, sf_dir):
+    events = load_events(spark, sf_dir).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+    path = str(tmp_path / "events_csv")
+    write_csv(events, path)
+    back = drop_corrupt(
+        read_csv(
+            spark,
+            path,
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+    )
+    assert back.count() == events.count()
+    assert back.exceptAll(events).count() == 0
+
+
+def test_to_parquet_layout_round_trip(tmp_path, spark, sf_dir):
+    docs = encode_body(
+        shape_documents(load_events(spark, sf_dir)), BODY_COLS
+    ).select("doc_id", "index_id", "source")
+    jsonl = str(tmp_path / "edge")
+    export_documents_jsonl(docs, jsonl)
+    pq = str(tmp_path / "working")
+    to_parquet_layout(import_documents_jsonl(spark, jsonl), pq)
+    assert spark.read.parquet(pq).exceptAll(docs).count() == 0
+
+
+def test_stream_session_windows_match_batch(tmp_path, spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.windows import session_windows
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        stream_session_counts,
+    )
+
+    in_dir = str(tmp_path / "events_in")
+    load_events(spark, sf_dir).write.parquet(in_dir)
+    q = stream_session_counts(
+        spark, in_dir, str(tmp_path / "ss_ck"), query_name="sess_test"
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("sess_test")
+    batch = session_windows(spark.read.parquet(in_dir)).select(
+        "user_id", F.col("session_start").cast("timestamp").alias("session_start"), "n_events"
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.select("user_id", F.col("session_start").cast("timestamp"), "n_events").exceptAll(batch).count() == 0

@@ -1049,6 +1049,18 @@ ORDERS_RULES = (
 )
 
 
+def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.resample_events_hourly(_t(spark, sf_dir, "events"))
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.unpivot_pricing_metrics(_t(spark, sf_dir, "lineitem"))
+
+
+def q_null_safe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.null_safe_status_rollup(_t(spark, sf_dir, "orders"))
+
+
 def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass declarative DQ audit of orders + one FK check."""
     from flink_elasticsearch_ingestion_spark.operators import quality as Q
@@ -1283,6 +1295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "weighted_discount_udaf": q_weighted_discount_udaf,
         "quantize_embeddings_arrow": q_quantize_embeddings_arrow,
+        "resample_events": q_resample_events,
+        "unpivot_metrics": q_unpivot_metrics,
+        "null_safe_rollup": q_null_safe_rollup,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -2231,6 +2246,42 @@ def oracle_sql() -> dict[str, str]:
             " round(list_max(list_transform(e, v -> abs(v - round(v / s) * s)))"
             "  + 1e-12, 6) AS recon_err"
             " FROM p ORDER BY vec_id"
+        ),
+        "resample_events": (
+            "WITH hourly AS (SELECT user_id,"
+            "  date_trunc('hour', ts) AS hour, count(*) AS n_events,"
+            "  round(round(sum(value), 2) / count(*) + 1e-9, 4) AS avg_value"
+            "  FROM events GROUP BY 1, 2),"
+            " span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1"
+            "  FROM hourly GROUP BY 1),"
+            " spine AS (SELECT user_id,"
+            "  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span)"
+            " SELECT s.user_id, s.hour, coalesce(h.n_events, 0) AS n_events,"
+            " last_value(h.avg_value IGNORE NULLS) OVER ("
+            "  PARTITION BY s.user_id ORDER BY s.hour"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill"
+            " FROM spine s LEFT JOIN hourly h USING (user_id, hour)"
+            " ORDER BY user_id, hour"
+        ),
+        "unpivot_metrics": (
+            "WITH wide AS (SELECT l_returnflag,"
+            "  round(sum(l_quantity), 2) AS sum_qty,"
+            "  round(sum(l_extendedprice), 2) AS sum_base_price,"
+            "  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price"
+            "  FROM lineitem GROUP BY 1)"
+            " SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide"
+            " UNION ALL SELECT l_returnflag, 'sum_base_price', sum_base_price FROM wide"
+            " UNION ALL SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM wide"
+            " ORDER BY l_returnflag, metric"
+        ),
+        "null_safe_rollup": (
+            "WITH a AS (SELECT nullif(o_orderstatus, 'P') AS status_norm,"
+            "  o_totalprice FROM orders),"
+            " d AS (SELECT DISTINCT status_norm FROM a)"
+            " SELECT d.status_norm, count(*) AS n_orders,"
+            " round(sum(a.o_totalprice), 2) AS total_price"
+            " FROM a JOIN d ON a.status_norm IS NOT DISTINCT FROM d.status_norm"
+            " GROUP BY d.status_norm ORDER BY d.status_norm"
         ),
         "zorder_key": (
             "WITH b AS (SELECT o_orderkey,"

@@ -99,6 +99,9 @@ EXTENDED = [
     "bigram_lm",
     "weighted_discount_udaf",
     "quantize_embeddings_arrow",
+    "resample_events",
+    "unpivot_metrics",
+    "null_safe_rollup",
 ]
 
 

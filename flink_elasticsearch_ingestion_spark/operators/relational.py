@@ -1072,3 +1072,56 @@ def weighted_discount_udaf(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def unpivot_pricing_metrics(lineitem: DataFrame) -> DataFrame:
+    """Wide->long reshaping via ``DataFrame.unpivot`` (melt) — the
+    inverse of pivot, and the missing half of the reshaping surface.
+
+    The unpivot itself is a map-side Expand (each input row emits one
+    row per value column, no shuffle); the only exchange is the
+    up-front aggregate that builds the wide frame. Values are cast to
+    one common type (double) because a long frame has a single value
+    column by construction.
+    """
+    wide = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "sum_disc_price"],
+        "metric",
+        "value",
+    ).orderBy("l_returnflag", "metric")
+
+
+def null_safe_status_rollup(orders: DataFrame) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): group
+    orders against a distinct-status dimension where one status is
+    normalized to NULL — an ordinary equi-join silently drops the NULL
+    bucket; the null-safe comparator keeps it, and Catalyst still
+    plans it as a HASH join (null-safe equality is a valid hash key),
+    not a nested loop.
+    """
+    normalized = orders.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_norm"),
+        "o_totalprice",
+    )
+    dim = normalized.select("status_norm").distinct()
+    return (
+        normalized.alias("o")
+        .join(
+            dim.alias("d"),
+            F.col("o.status_norm").eqNullSafe(F.col("d.status_norm")),
+        )
+        .groupBy(F.col("d.status_norm").alias("status_norm"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("status_norm")
+    )

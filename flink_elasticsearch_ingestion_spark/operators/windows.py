@@ -366,3 +366,62 @@ def scd2_user_state(
         )
         .orderBy(user_col, "version")
     )
+
+
+def resample_events_hourly(events: DataFrame) -> DataFrame:
+    """Time-series regularization: per-user hourly resample with
+    gap-filling and forward-filled values — the spine/interpolate
+    operator feeding any window-model training set or monitoring
+    rollup.
+
+    Plan shape:
+      1. hourly buckets per user: one partial+final hash agg
+      2. per-user [min_hour, max_hour] span: second agg on the SAME
+         key (AQE reuses the hash partitioning — no extra wide
+         exchange), then ``sequence()`` explodes the dense hour spine
+         map-side: spine length is bounded by each user's own span,
+         never by the global time range
+      3. left join aggregates onto the spine on (user_id, hour) — the
+         only new shuffle
+      4. forward fill: ``last(value, ignorenulls=True)`` over the
+         user's hour order; the window key equals the join key, so the
+         sort reuses the existing partitioning
+
+    Gaps report n_events = 0 and carry the last seen hourly average
+    forward (leading gaps stay null — nothing to carry).
+    """
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    hourly = (
+        events.select("user_id", hour, "value")
+        .groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.round(F.sum("value"), 2) / F.count(F.lit(1)) + 1e-9, 4
+            ).alias("avg_value"),
+        )
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+        .orderBy("user_id", "hour")
+    )

@@ -20,7 +20,15 @@ CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: join a single-row scalar aggregate (corr over lineitem; the corpus
 #: size N for idf) — a 1-row broadcast nested loop is the correct plan
 #: for a scalar subquery
-SCALAR_JOIN_OK = {"order_stats", "tfidf_top_terms", "idle_rich_customers"}
+#: important_part_value joins a 1-row (total, count) threshold
+#: aggregate back onto the per-part table — AQE sometimes leaves the
+#: 1-row broadcast as a BNLJ, which is the correct scalar-subquery plan
+SCALAR_JOIN_OK = {
+    "order_stats",
+    "tfidf_top_terms",
+    "idle_rich_customers",
+    "important_part_value",
+}
 
 
 from flink_elasticsearch_ingestion_spark.plans import (

@@ -268,3 +268,45 @@ def test_star_contraction_resolves_long_chain(spark):
     out = D.connected_components_star(chain).collect()
     assert len(out) == 121
     assert all(r.component == 0 for r in out)
+
+
+_RULE_FRAME = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),                    # id (dups likely)
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+        st.one_of(st.none(), st.sampled_from(["OK", "BAD", "odd"])),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@pytest.mark.parametrize("dummy", [0])
+@given(rows=_RULE_FRAME)
+@settings(**_SETTINGS)
+def test_constraint_report_matches_python_reference(spark, rows, dummy):
+    """Every compiled rule must agree with a plain-Python count over
+    the same rows (the executable spec of each rule kind)."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        constraint_report,
+    )
+
+    df = spark.createDataFrame(rows, "id long, amount double, status string")
+    rules = [
+        {"kind": "not_null", "column": "amount"},
+        {"kind": "unique", "column": "id"},
+        {"kind": "in_range", "column": "amount", "lo": -50.0, "hi": 50.0},
+        {"kind": "accepted_values", "column": "status", "values": ("OK", "BAD")},
+    ]
+    got = {r["rule"]: r["n_violations"] for r in constraint_report(df, rules).collect()}
+    ids = [r[0] for r in rows]
+    amounts = [r[1] for r in rows]
+    statuses = [r[2] for r in rows]
+    assert got["not_null_amount"] == sum(a is None for a in amounts)
+    assert got["unique_id"] == len(ids) - len(set(ids))
+    assert got["in_range_amount"] == sum(
+        a is not None and (a < -50.0 or a > 50.0) for a in amounts
+    )
+    assert got["accepted_values_status"] == sum(
+        s is not None and s not in ("OK", "BAD") for s in statuses
+    )

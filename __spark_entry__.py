@@ -1049,6 +1049,20 @@ ORDERS_RULES = (
 )
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning contract: deterministic HTML/boilerplate lines
+    are appended to each doc (same construction in the oracle) so the
+    tag-strip, entity-unescape, and short-line filters all fire."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\n<div>menu</div>\nHome About\n&amp; final long closing line here"),
+        ),
+    )
+    return X.clean_text(docs).orderBy("doc_id")
+
+
 def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.resample_events_hourly(_t(spark, sf_dir, "events"))
 
@@ -1298,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_events": q_resample_events,
         "unpivot_metrics": q_unpivot_metrics,
         "null_safe_rollup": q_null_safe_rollup,
+        "clean_text": q_clean_text,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -2246,6 +2261,28 @@ def oracle_sql() -> dict[str, str]:
             " round(list_max(list_transform(e, v -> abs(v - round(v / s) * s)))"
             "  + 1e-12, 6) AS recon_err"
             " FROM p ORDER BY vec_id"
+        ),
+        "clean_text": (
+            "WITH aug AS (SELECT doc_id, text || chr(10) || '<div>menu</div>'"
+            "  || chr(10) || 'Home About' || chr(10) ||"
+            "  '&amp; final long closing line here' AS text FROM documents),"
+            " l AS (SELECT doc_id, length(text) AS n_chars_raw,"
+            "  string_split(regexp_replace(regexp_replace(regexp_replace("
+            "   regexp_replace(text, '<[^>]+>', ' ', 'g'),"
+            "   '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),"
+            "   chr(10)) AS lines FROM aug),"
+            " c AS (SELECT doc_id, n_chars_raw, len(lines) AS n_lines,"
+            "  list_filter(lines, x -> length(trim(x)) > 0 AND"
+            "   len(regexp_split_to_array(trim(x), '\\s+')) >= 3) AS kept"
+            "  FROM l)"
+            " SELECT doc_id, n_chars_raw,"
+            " length(trim(regexp_replace(array_to_string(kept, chr(10)),"
+            "  '[ \\t]+', ' ', 'g'))) AS n_chars_clean,"
+            " len(kept) AS n_lines_kept,"
+            " n_lines - len(kept) AS n_lines_dropped,"
+            " trim(regexp_replace(array_to_string(kept, chr(10)),"
+            "  '[ \\t]+', ' ', 'g')) AS clean_text"
+            " FROM c ORDER BY doc_id"
         ),
         "resample_events": (
             "WITH hourly AS (SELECT user_id,"

@@ -102,6 +102,7 @@ EXTENDED = [
     "resample_events",
     "unpivot_metrics",
     "null_safe_rollup",
+    "clean_text",
 ]
 
 

@@ -579,3 +579,55 @@ def bigram_lm_score(
         )
         .orderBy("doc_id")
     )
+
+
+#: markup/entity cleaning table (deterministic, engine-portable)
+_HTML_TAG = "<[^>]+>"
+
+
+def clean_text(
+    documents: DataFrame,
+    *,
+    min_line_words: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style corpus cleaning: strip HTML markup, unescape the basic
+    entities, drop boilerplate lines shorter than ``min_line_words``
+    words, and normalize whitespace — the standard pre-tokenization
+    scrub, entirely in JVM expressions (one map stage, no shuffle).
+
+    Line filtering is the load-bearing part (C4 drops ~66% of raw web
+    text this way): short lines are nav/menu/footer boilerplate with
+    outsized repetition; dropping them BEFORE dedup keeps MinHash from
+    clustering unrelated pages on shared chrome.
+
+    Reports before/after char counts and kept/dropped line counts per
+    doc — the audit trail a cleaning pass needs to be tunable.
+    """
+    raw = F.col(text_col)
+    detagged = F.regexp_replace(raw, _HTML_TAG, " ")
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(detagged, "&amp;", "&"), "&lt;", "<"
+        ),
+        "&gt;",
+        ">",
+    )
+    lines = F.split(unescaped, "\n")
+    is_kept = (
+        lambda ln: (F.length(F.trim(ln)) > 0)
+        & (F.size(F.split(F.trim(ln), "\\s+")) >= min_line_words)
+    )
+    kept = F.filter(lines, is_kept)
+    cleaned = F.trim(
+        F.regexp_replace(F.array_join(kept, "\n"), "[ \\t]+", " ")
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(raw).alias("n_chars_raw"),
+        F.length(cleaned).alias("n_chars_clean"),
+        F.size(kept).alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_lines_dropped"),
+        cleaned.alias("clean_text"),
+    )

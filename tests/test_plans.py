@@ -149,3 +149,43 @@ def test_disjunctive_revenue_pushes_per_side_disjuncts(spark, sf_dir):
     joined = " ".join(" ".join(s.get("pushed_filters", [])) for s in scans)
     assert "Or(" in joined and "l_quantity" in joined
     assert "p_brand" in joined
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime row-level filtering (§4 scale posture): when a selective
+    dim-side filter feeds a shuffle join, Spark should inject a bloom
+    filter that drops non-matching fact rows AT THE SCAN, before the
+    shuffle — at 100 TB that is the difference between shuffling the
+    full fact table and shuffling the ~matching slice. Thresholds are
+    lowered here because the local fixtures are below the size gates
+    that (correctly) guard the rewrite in production."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = physical_plan(j)
+        assert "might_contain" in plan.lower()
+        assert "bloom_filter_agg" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

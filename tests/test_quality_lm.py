@@ -193,3 +193,33 @@ def test_stream_static_enrich_matches_batch(tmp_path, spark, sf_dir):
     assert streamed.exceptAll(batch).count() == 0
     # every event matched the dim (inner join is lossless here)
     assert streamed.agg(F.sum("n_events")).first()[0] == spark.read.parquet(in_dir).count()
+
+
+# -------------------------------------------------------------- clean_text
+
+
+def test_clean_text_strips_tags_entities_and_boilerplate(spark):
+    from flink_elasticsearch_ingestion_spark.operators.text import clean_text
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "<html><body>real content with many words here</body></html>\n"
+                "Home About\n"
+                "&lt;tag&gt; literal stays &amp; so does this line\n"
+                "   \n"
+                "menu",
+            )
+        ],
+        "doc_id long, text string",
+    )
+    r = clean_text(docs).first()
+    # tag line survives detagged; 2-word and 1-word boilerplate dropped
+    assert r["n_lines_kept"] == 2
+    assert r["n_lines_dropped"] == 3
+    assert "<html>" not in r["clean_text"]
+    assert "real content with many words here" in r["clean_text"]
+    assert "<tag> literal stays & so does this line" in r["clean_text"]
+    assert "menu" not in r["clean_text"]
+    assert r["n_chars_clean"] < r["n_chars_raw"]

@@ -468,3 +468,71 @@ def stream_session_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _tws_available() -> bool:
+    """transformWithState's Python driver worker needs google.protobuf;
+    absent in this container (no installs), present on any standard
+    cluster image. Gate, don't crash."""
+    import importlib.util
+
+    try:
+        # find_spec on a dotted name imports the parent package first,
+        # so a missing 'google' raises instead of returning None
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def user_stats_tws(events: DataFrame):
+    """Per-user running (count, value-sum) via Spark 4's
+    ``transformWithStateInPandas`` — the successor of
+    ``applyInPandasWithState`` (typed value/list/map state, timers,
+    state schema evolution, RocksDB-backed).
+
+    Functional twin of ``stateful_user_stats``: same keyed contract,
+    newer state API. Requires protobuf at runtime (see
+    ``_tws_available``); ``stateful_user_stats`` is the
+    dependency-free fallback the rest of the engine uses.
+    """
+    if not _tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf; "
+            "use stateful_user_stats (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", "n bigint, s double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = 0, 0.0
+            if self._stats.exists():
+                n, s = self._stats.get()
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._stats.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

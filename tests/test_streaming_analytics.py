@@ -2,6 +2,8 @@
 stateful operator produce the same answers as their batch formulations
 (stream ≡ batch on a finite fixture, SURVEY.md §5.2.4 analog)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_elasticsearch_ingestion_spark.sources.tables import load_events
@@ -253,6 +255,51 @@ def test_stream_incremental_rollup_equals_one_shot(tmp_path, spark, sf_dir):
         .select("event_type", F.col("value").cast("decimal(18,4)").alias("value"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_user_stats_tws_or_documented_gate(tmp_path, spark, sf_dir):
+    """transformWithStateInPandas twin: runs end-to-end where protobuf
+    exists; here the gate must raise the documented ImportError (the
+    applyInPandasWithState path remains the tested surface)."""
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        _tws_available,
+        user_stats_tws,
+    )
+
+    if not _tws_available():
+        with pytest.raises(ImportError):
+            user_stats_tws(load_events(spark, sf_dir))
+        return
+    in_dir = str(tmp_path / "events_in")
+    load_events(spark, sf_dir).select("user_id", "value").write.parquet(in_dir)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        user_stats_tws(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_stats")
+        .option("checkpointLocation", str(tmp_path / "tws_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+        for r in spark.table("tws_stats").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in spark.read.parquet(in_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
         .collect()
     }
     assert got == want

@@ -1049,6 +1049,18 @@ ORDERS_RULES = (
 )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-tokens-first corpus selection under a 50k-token
+    budget (two-phase prefix sum — no single-partition window); the
+    budget is set inside the sf0.01 corpus's total so the cutoff
+    actually excludes documents."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        select_within_token_budget,
+    )
+
+    return select_within_token_budget(_t(spark, sf_dir, "documents"), 10_000)
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-cleaning contract: deterministic HTML/boilerplate lines
     are appended to each doc (same construction in the oracle) so the
@@ -1313,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "null_safe_rollup": q_null_safe_rollup,
         "clean_text": q_clean_text,
+        "token_budget": q_token_budget,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -2261,6 +2274,28 @@ def oracle_sql() -> dict[str, str]:
             " round(list_max(list_transform(e, v -> abs(v - round(v / s) * s)))"
             "  + 1e-12, 6) AS recon_err"
             " FROM p ORDER BY vec_id"
+        ),
+        "token_budget": (
+            # the naive global window IS the spec; the engine reproduces
+            # it with the two-phase prefix sum
+            "WITH base AS (SELECT doc_id,"
+            "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,"
+            "  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,"
+            "  len(list_filter(string_split_regex(trim(text), '\\s+'),"
+            "      t -> lower(t) IN ('the','a','of','and','to'))) AS n_stop,"
+            "  length(text) AS n_chars FROM documents),"
+            " scored AS (SELECT doc_id, n_tokens,"
+            "  round((CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)"
+            "   + (CASE WHEN n_punct / greatest(n_chars, 1) < 0.1 THEN 0.3 ELSE 0.0 END)"
+            "   + (CASE WHEN n_stop / greatest(n_tokens, 1) > 0.01 THEN 0.3 ELSE 0.0 END), 2)"
+            "   AS quality_score FROM base),"
+            " c AS (SELECT doc_id, quality_score, n_tokens,"
+            "  sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens"
+            "  FROM scored)"
+            " SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens,"
+            " CAST(cum_tokens AS BIGINT) AS cum_tokens"
+            " FROM c WHERE cum_tokens <= 10000 ORDER BY cum_tokens"
         ),
         "clean_text": (
             "WITH aug AS (SELECT doc_id, text || chr(10) || '<div>menu</div>'"

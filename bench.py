@@ -103,6 +103,7 @@ EXTENDED = [
     "unpivot_metrics",
     "null_safe_rollup",
     "clean_text",
+    "token_budget",
 ]
 
 

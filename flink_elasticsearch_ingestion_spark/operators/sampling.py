@@ -15,7 +15,7 @@ Three primitives, all map-side (no shuffle):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -171,4 +171,68 @@ def stratified_exact_k(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def select_within_token_budget(
+    documents: DataFrame,
+    budget_tokens: int,
+    *,
+    sub_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy corpus selection under a global token budget: take
+    documents in (quality_score DESC, doc_id ASC) order until the
+    running token total would exceed ``budget_tokens`` — the standard
+    "best N tokens" curation step between scoring and tokenization.
+
+    Scale shape — a global running sum with NO single-partition window
+    (the naive ``sum() over (order by score desc)`` funnels the corpus
+    through one task). Same two-phase prefix-sum scheme as
+    ``shuffle_order``/``vocab_with_ids``: sub-bucket each score group
+    by a doc-id RANGE (monotone in the tie-break order, so
+    within-bucket order + bucket offsets reproduce the exact global
+    order), cumsum tokens inside each (score, bucket) partition in
+    parallel, and add the bucket's global token offset — a prefix sum
+    over the tiny (scores x sub_buckets) histogram, broadcast back.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.text import quality_scores
+
+    scored = quality_scores(documents).select(
+        F.col("doc_id"), "quality_score", "n_tokens"
+    )
+    # doc-id range width for sub-bucketing (1-row agg, broadcast)
+    max_id = scored.agg(F.max("doc_id").alias("m")).first()["m"] or 0
+    width = max(1, (int(max_id) + sub_buckets) // sub_buckets)
+    sub = scored.withColumn("__sub", (F.col("doc_id") / width).cast("int"))
+    within = F.sum("n_tokens").over(
+        Window.partitionBy("quality_score", "__sub")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = sub.groupBy("quality_score", "__sub").agg(
+        F.sum("n_tokens").alias("__bucket_tokens")
+    )
+    offsets = hist.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__bucket_tokens").over(
+                Window.orderBy(
+                    F.col("quality_score").desc(), F.col("__sub")
+                ).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("quality_score", "__sub", "__offset")
+    return (
+        sub.withColumn("__within", within)
+        .join(F.broadcast(offsets), ["quality_score", "__sub"])
+        .select(
+            "doc_id",
+            "quality_score",
+            "n_tokens",
+            (F.col("__offset") + F.col("__within")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .orderBy("cum_tokens")
     )

@@ -44,6 +44,9 @@ def get_spark(
         # rendered plans; the 100-char default truncates them mid-bracket
         .config("spark.sql.maxMetadataStringLength", "100000")
         .config("spark.ui.enabled", "false")
+        # Python DataSource V2 filter pushdown (es_scroll's ts-range
+        # checkpoint predicate evaluates inside the source reader)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()

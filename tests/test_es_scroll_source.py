@@ -1,0 +1,161 @@
+"""Custom Python DataSource (es_scroll): the reference's scroll-source
+contract against a file-backed index — shard-sliced partitions,
+ts-range filter pushdown into the reader, paged reads, and the polling
+stream reader with lines-consumed offsets."""
+
+import datetime as dt
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_body
+from flink_elasticsearch_ingestion_spark.operators.copy import BODY_COLS, shape_documents
+from flink_elasticsearch_ingestion_spark.sources.es_scroll import (
+    EsScrollDataSource,
+    EsScrollReader,
+    EsScrollStreamReader,
+    write_index_shards,
+)
+from flink_elasticsearch_ingestion_spark.sources.tables import load_events
+
+
+def _docs(spark, sf_dir):
+    return encode_body(shape_documents(load_events(spark, sf_dir)), BODY_COLS).select(
+        "doc_id", "index_id", "ts", "source"
+    )
+
+
+def _stage(tmp_path, spark, sf_dir, n_shards=4):
+    idx = str(tmp_path / "index")
+    write_index_shards(_docs(spark, sf_dir), idx, n_shards=n_shards)
+    return idx
+
+
+def test_batch_read_round_trips_every_column(tmp_path, spark, sf_dir):
+    spark.dataSource.register(EsScrollDataSource)
+    idx = _stage(tmp_path, spark, sf_dir)
+    got = (
+        spark.read.format("es_scroll")
+        .option("path", idx)
+        .option("batch_size", "100")
+        .load()
+    )
+    want = _docs(spark, sf_dir).select(
+        "doc_id", "index_id", F.col("ts").cast("timestamp").alias("ts"), "source"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_one_partition_per_shard(tmp_path, spark, sf_dir):
+    spark.dataSource.register(EsScrollDataSource)
+    idx = _stage(tmp_path, spark, sf_dir, n_shards=4)
+    df = spark.read.format("es_scroll").option("path", idx).load()
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_ts_filter_pushes_into_reader_and_stays_correct(tmp_path, spark, sf_dir):
+    spark.dataSource.register(EsScrollDataSource)
+    idx = _stage(tmp_path, spark, sf_dir)
+    ck = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    got = (
+        spark.read.format("es_scroll")
+        .option("path", idx)
+        .load()
+        .filter(F.col("ts") > ck)
+    )
+    want = _docs(spark, sf_dir).filter(F.col("ts").cast("timestamp") > ck)
+    assert got.count() == want.count()
+
+
+def test_push_filters_accepts_ts_bound_rejects_rest(tmp_path, spark, sf_dir):
+    idx = _stage(tmp_path, spark, sf_dir)
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    r = EsScrollReader({"path": idx})
+    rest = list(
+        r.pushFilters(
+            [
+                GreaterThan(("ts",), dt.datetime(2024, 1, 15)),
+                EqualTo(("index_id",), "click"),
+            ]
+        )
+    )
+    assert r.ts_lower == dt.datetime(2024, 1, 15)
+    assert len(rest) == 1  # the index_id equality is handed back to Spark
+
+
+def test_stream_reader_reads_only_new_tail(tmp_path, spark, sf_dir):
+    """Offset = lines consumed per shard: a second poll picks up ONLY
+    appended documents, and readBetweenOffsets replays a window."""
+    idx = _stage(tmp_path, spark, sf_dir, n_shards=2)
+    r = EsScrollStreamReader({"path": idx})
+    start = r.initialOffset()
+    rows1, off1 = r._read_from(start)
+    assert len(rows1) == 1000
+    # append two docs to one shard (an index receiving new documents)
+    shard = sorted(os.listdir(idx))[0]
+    with open(os.path.join(idx, shard), "a") as fh:
+        for i in (1, 2):
+            fh.write(
+                json.dumps(
+                    {
+                        "doc_id": f"new-{i}",
+                        "index_id": "click",
+                        "ts": "2024-02-01T00:00:00.000000",
+                        "source": "{}",
+                    }
+                )
+                + "\n"
+            )
+    rows2, off2 = r._read_from(off1)
+    assert sorted(x[0] for x in rows2) == ["new-1", "new-2"]
+    # replay [off1, off2) deterministically
+    replay = list(r.readBetweenOffsets(off1, off2))
+    assert sorted(x[0] for x in replay) == ["new-1", "new-2"]
+
+
+def test_streaming_end_to_end_drains_and_resumes(tmp_path, spark, sf_dir):
+    spark.dataSource.register(EsScrollDataSource)
+    idx = _stage(tmp_path, spark, sf_dir, n_shards=2)
+    ck = str(tmp_path / "scroll_ck")
+    out = str(tmp_path / "scroll_out")
+
+    def drain():
+        # parquet sink: the one that actually supports checkpoint
+        # recovery (memory sinks cannot resume)
+        q = (
+            spark.readStream.format("es_scroll")
+            .option("path", idx)
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 1000
+    shard = sorted(os.listdir(idx))[0]
+    with open(os.path.join(idx, shard), "a") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "doc_id": "late-1",
+                    "index_id": "click",
+                    "ts": "2024-02-01T00:00:00.000000",
+                    "source": "{}",
+                }
+            )
+            + "\n"
+        )
+    drain()
+    # resumed from the checkpoint: exactly the appended doc arrives
+    final = spark.read.parquet(out)
+    assert final.count() == 1001
+    assert final.filter(F.col("doc_id") == "late-1").count() == 1

@@ -1,0 +1,180 @@
+"""Custom Python DataSource WRITER emitting the Elasticsearch ``_bulk``
+wire format — the sink half of the reference (core.clj:55-79) as a real
+``df.write.format("es_bulk")`` path.
+
+The reference's sink builds ``IndexRequest(id=doc_id, index=index_id,
+body=source-json)`` and hands them to a BulkProcessor flushing every 64
+actions. This writer produces the exact bytes such a processor sends:
+NDJSON action/body line pairs ::
+
+    {"index": {"_index": "<index_id>", "_id": "<doc_id>"}}
+    {...source JSON...}
+
+chunked into one file per (partition, flush) with at most
+``max_actions`` actions each — so a replay tool can POST each file to a
+live cluster's ``/_bulk`` verbatim. What this exercises beyond the
+option-dict connector config (``sinks.elasticsearch_writer_options``):
+the full V2 writer lifecycle — per-task ``write`` on executors,
+task-level commit messages carrying (files, actions) counts, driver
+``commit`` writing a manifest only after every task succeeded (the
+all-or-nothing visibility contract), ``abort`` leaving no manifest.
+
+Same format streams: ``writeStream.format("es_bulk")`` uses the
+micro-batch writer (one commit per epoch), mirroring the reference's
+unbounded job writing through the same bulk processor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import uuid
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
+
+#: reference bulk flush size (core.clj:72)
+DEFAULT_MAX_ACTIONS = 64
+
+MANIFEST = "_MANIFEST.json"
+
+
+@dataclasses.dataclass
+class BulkCommit(WriterCommitMessage):
+    files: list
+    n_actions: int
+
+
+def _write_chunks(path: str, rows: Iterator[Row], max_actions: int, tag: str):
+    """Write bulk NDJSON chunk files of <= max_actions actions each;
+    runs on the executor, one call per task."""
+    os.makedirs(path, exist_ok=True)
+    files: list[str] = []
+    n = 0
+    chunk_idx = 0
+    fh = None
+    in_chunk = 0
+    try:
+        for row in rows:
+            if fh is None or in_chunk >= max_actions:
+                if fh is not None:
+                    fh.close()
+                fname = f"bulk-{tag}-{chunk_idx:05d}.ndjson"
+                fh = open(os.path.join(path, fname), "w")
+                files.append(fname)
+                chunk_idx += 1
+                in_chunk = 0
+            action = {"index": {"_index": row["index_id"], "_id": row["doc_id"]}}
+            fh.write(json.dumps(action, separators=(",", ":")) + "\n")
+            fh.write(row["source"] + "\n")
+            in_chunk += 1
+            n += 1
+    finally:
+        if fh is not None:
+            fh.close()
+    return BulkCommit(files=files, n_actions=n)
+
+
+def _write_manifest(
+    path: str, messages, name: str = MANIFEST, extra: dict | None = None
+) -> None:
+    files: list[str] = []
+    total = 0
+    for m in messages:
+        if m is not None:
+            files.extend(m.files)
+            total += m.n_actions
+    manifest = {"files": sorted(files), "n_actions": total}
+    manifest.update(extra or {})
+    with open(os.path.join(path, name), "w") as fh:
+        json.dump(manifest, fh)
+
+
+class EsBulkWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("es_bulk requires option 'path'")
+        self.max_actions = int(options.get("max_actions", str(DEFAULT_MAX_ACTIONS)))
+
+    def write(self, iterator: Iterator[Row]) -> BulkCommit:
+        return _write_chunks(
+            self.path, iterator, self.max_actions, uuid.uuid4().hex[:12]
+        )
+
+    def commit(self, messages) -> None:
+        _write_manifest(self.path, messages)
+
+    def abort(self, messages) -> None:
+        # no manifest -> the output is invisible to consumers; stray
+        # chunk files from failed tasks are ignorable by contract
+        pass
+
+
+class EsBulkStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("es_bulk requires option 'path'")
+        self.max_actions = int(options.get("max_actions", str(DEFAULT_MAX_ACTIONS)))
+
+    def write(self, iterator: Iterator[Row]) -> BulkCommit:
+        return _write_chunks(
+            self.path, iterator, self.max_actions, uuid.uuid4().hex[:12]
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        # one manifest per epoch: a replayed batch overwrites its own
+        # manifest (idempotent), never another epoch's
+        _write_manifest(
+            self.path,
+            messages,
+            name=f"_MANIFEST-{batchId}.json",
+            extra={"batch_id": batchId},
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        pass
+
+
+class EsBulkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "es_bulk"
+
+    def schema(self) -> str:
+        return "doc_id string, index_id string, source string"
+
+    def writer(self, schema: StructType, overwrite: bool) -> EsBulkWriter:
+        return EsBulkWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> EsBulkStreamWriter:
+        return EsBulkStreamWriter(self.options)
+
+
+def read_bulk_payload(path: str) -> list[tuple[dict, str]]:
+    """Parse every COMMITTED chunk back into (action, body) pairs —
+    the test-side consumer standing in for a live ``/_bulk`` endpoint.
+    Only files named by a manifest count (batch ``_MANIFEST.json`` and
+    per-epoch ``_MANIFEST-<n>.json``); uncommitted stragglers are
+    invisible, which is the point of the manifest."""
+    files: list[str] = []
+    for f in sorted(os.listdir(path)):
+        if f.startswith("_MANIFEST") and f.endswith(".json"):
+            with open(os.path.join(path, f)) as fh:
+                files.extend(json.load(fh)["files"])
+    out = []
+    for fname in sorted(set(files)):
+        with open(os.path.join(path, fname)) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln]
+        assert len(lines) % 2 == 0, f"odd line count in {fname}"
+        for i in range(0, len(lines), 2):
+            out.append((json.loads(lines[i]), lines[i + 1]))
+    return out

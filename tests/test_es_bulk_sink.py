@@ -1,0 +1,112 @@
+"""es_bulk Python DataSource writer: ES _bulk wire format, 64-action
+chunking, manifest-gated visibility, batch + streaming paths."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_body
+from flink_elasticsearch_ingestion_spark.operators.copy import (
+    BODY_COLS,
+    incremental_copy,
+    shape_documents,
+)
+from flink_elasticsearch_ingestion_spark.sources.es_bulk import (
+    EsBulkDataSource,
+    read_bulk_payload,
+)
+from flink_elasticsearch_ingestion_spark.sources.tables import load_events
+
+
+def _docs(spark, sf_dir):
+    return encode_body(shape_documents(load_events(spark, sf_dir)), BODY_COLS).select(
+        "doc_id", "index_id", "source"
+    )
+
+
+def test_bulk_write_round_trips_wire_format(tmp_path, spark, sf_dir):
+    spark.dataSource.register(EsBulkDataSource)
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "bulk_out")
+    docs.write.format("es_bulk").mode("append").option("path", out).save()
+    payload = read_bulk_payload(out)
+    assert len(payload) == docs.count()
+    # every action routes by (index_id, doc_id) exactly as the
+    # reference emitter does, and every body is the source JSON
+    want = {r["doc_id"]: r for r in docs.collect()}
+    for action, body in payload:
+        meta = action["index"]
+        row = want[meta["_id"]]
+        assert meta["_index"] == row["index_id"]
+        assert body == row["source"]
+        json.loads(body)  # body must be valid JSON for /_bulk
+
+
+def test_bulk_chunks_respect_max_actions(tmp_path, spark, sf_dir):
+    spark.dataSource.register(EsBulkDataSource)
+    docs = _docs(spark, sf_dir).repartition(3)
+    out = str(tmp_path / "bulk_chunked")
+    (
+        docs.write.format("es_bulk")
+        .mode("append")
+        .option("path", out)
+        .option("max_actions", "64")
+        .save()
+    )
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["n_actions"] == docs.count()
+    for fname in manifest["files"]:
+        with open(os.path.join(out, fname)) as fh:
+            n_lines = sum(1 for ln in fh if ln.strip())
+        assert n_lines % 2 == 0 and n_lines // 2 <= 64
+    # ceil-division lower bound: chunking actually splits
+    assert len(manifest["files"]) >= docs.count() // 64
+
+
+def test_uncommitted_chunks_stay_invisible(tmp_path):
+    out = tmp_path / "bulk_stray"
+    out.mkdir()
+    (out / "bulk-deadbeef-00000.ndjson").write_text(
+        '{"index": {"_index": "i", "_id": "x"}}\n{}\n'
+    )
+    # no manifest at all -> nothing committed -> empty payload
+    assert read_bulk_payload(str(out)) == []
+
+
+def test_streaming_bulk_write_per_epoch_manifests(tmp_path, spark, sf_dir):
+    spark.dataSource.register(EsBulkDataSource)
+    src = str(tmp_path / "stream_src")
+    _docs(spark, sf_dir).write.parquet(src)
+    out = str(tmp_path / "bulk_stream_out")
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("es_bulk")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "bulk_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    payload = read_bulk_payload(out)
+    n = spark.read.parquet(src).count()
+    assert len(payload) == n
+    manifests = [f for f in os.listdir(out) if f.startswith("_MANIFEST-")]
+    assert len(manifests) >= 1  # one per drained epoch
+
+
+def test_full_reference_pipeline_scan_to_bulk(tmp_path, spark, sf_dir):
+    """The reference's whole job in one statement: incremental scan ->
+    emitter projection -> last-wins -> bulk-format sink."""
+    spark.dataSource.register(EsBulkDataSource)
+    events = load_events(spark, sf_dir)
+    docs = encode_body(
+        incremental_copy(events, checkpoint_ts="2024-01-15 00:00:00"), BODY_COLS
+    ).select("doc_id", "index_id", "source")
+    out = str(tmp_path / "bulk_pipeline")
+    docs.write.format("es_bulk").mode("append").option("path", out).save()
+    assert len(read_bulk_payload(out)) == docs.count()

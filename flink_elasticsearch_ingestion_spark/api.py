@@ -66,3 +66,43 @@ class Engine:
         events = self.table("events")
         sink = ParquetSink(path=sink_path, mode="append")
         return run_incremental_batch(events, sink, CheckpointStore(checkpoint_path))
+
+    def copy_run_bulk(self, checkpoint_path: str, bulk_path: str) -> int:
+        """``copy_run`` writing through the ``es_bulk`` DataSource
+        instead of parquet: the output directory holds the literal
+        ``/_bulk`` payload files a replay tool POSTs to a live cluster
+        — the complete reference job (incremental scan -> emitter ->
+        last-wins -> bulk sink) with the sink half in its native wire
+        format."""
+        from flink_elasticsearch_ingestion_spark.functions.json_shaping import (
+            encode_body,
+        )
+        from flink_elasticsearch_ingestion_spark.operators.copy import (
+            BODY_COLS,
+            incremental_copy,
+            max_ts_checkpoint,
+        )
+        from flink_elasticsearch_ingestion_spark.sources.es_bulk import (
+            EsBulkDataSource,
+        )
+        from flink_elasticsearch_ingestion_spark.streaming.shell import (
+            CheckpointStore,
+        )
+
+        self.spark.dataSource.register(EsBulkDataSource)
+        store = CheckpointStore(checkpoint_path)
+        events = self.table("events")
+        docs = encode_body(
+            incremental_copy(events, checkpoint_ts=store.load()), BODY_COLS
+        ).select("doc_id", "index_id", "source", "ts")
+        docs = docs.persist()
+        n = docs.count()  # eager: sink write + checkpoint agg both consume
+        if n:
+            docs.select("doc_id", "index_id", "source").write.format(
+                "es_bulk"
+            ).mode("append").option("path", bulk_path).save()
+            max_ts = max_ts_checkpoint(docs).first()["checkpoint_ts"]
+            store.save(max_ts.isoformat(sep=" "))
+        docs.unpersist()
+        return n
+

@@ -110,3 +110,20 @@ def test_full_reference_pipeline_scan_to_bulk(tmp_path, spark, sf_dir):
     out = str(tmp_path / "bulk_pipeline")
     docs.write.format("es_bulk").mode("append").option("path", out).save()
     assert len(read_bulk_payload(out)) == docs.count()
+
+
+def test_engine_copy_run_bulk_incremental_resume(tmp_path, spark, sf_dir):
+    """Two engine runs: the first drains everything, the second (no new
+    events) writes nothing — the checkpoint made the bulk copy
+    incremental end to end."""
+    from flink_elasticsearch_ingestion_spark.api import Engine
+
+    eng = Engine(sf_dir, spark=spark)
+    ck = str(tmp_path / "ck.json")
+    out = str(tmp_path / "bulk_run")
+    n1 = eng.copy_run_bulk(ck, out)
+    assert n1 > 0
+    assert len(read_bulk_payload(out)) == n1
+    n2 = eng.copy_run_bulk(ck, out)
+    assert n2 == 0
+    assert len(read_bulk_payload(out)) == n1

@@ -403,8 +403,14 @@ def hybrid_search(
     assignment is stable across engines — the DuckDB oracle replicates
     the formula exactly.
     """
+    from flink_elasticsearch_ingestion_spark.operators.util import ensure_parallelism
+
     toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
     tf = F.size(F.filter(toks, lambda t: t.isin(*[w.lower() for w in query_terms])))
+    # the keyword arm's token HOF is the CPU-heavy map stage; spread a
+    # single-row-group local scan to full parallelism first (no-op at
+    # real scale — see ensure_parallelism)
+    documents = ensure_parallelism(documents)
     kw_top = (
         documents.select(F.col(id_col).alias("doc_id"), tf.alias("tf"))
         .filter(F.col("tf") > 0)

@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sink-path", required=True, help="sink output dir")
     p.add_argument("--checkpoint", required=True, help="offset file (batch) / dir (streaming)")
     p.add_argument("--streaming", action="store_true", help="run as a Structured Stream")
+    p.add_argument(
+        "--sink-format",
+        choices=("parquet", "es_bulk"),
+        default="parquet",
+        help="parquet (default) or es_bulk (/_bulk wire-format chunk files)",
+    )
     return p
 
 
@@ -76,11 +82,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     sf_dir = args.source_path.rsplit("/", 1)[0]
-    events = load_events(spark, sf_dir)
     store = CheckpointStore(args.checkpoint)
     if cfg.source.checkpoint_offset and store.load() is None:
         store.save(cfg.source.checkpoint_offset)
-    n = run_incremental_batch(events, ParquetSink(path=args.sink_path, mode="append"), store)
+    if args.sink_format == "es_bulk":
+        from flink_elasticsearch_ingestion_spark.api import Engine
+
+        n = Engine(sf_dir, spark=spark).copy_run_bulk(args.checkpoint, args.sink_path)
+    else:
+        events = load_events(spark, sf_dir)
+        n = run_incremental_batch(
+            events, ParquetSink(path=args.sink_path, mode="append"), store
+        )
     print(f"copied {n} documents; checkpoint -> {store.load()}")
     return 0
 

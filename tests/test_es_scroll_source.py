@@ -159,3 +159,39 @@ def test_streaming_end_to_end_drains_and_resumes(tmp_path, spark, sf_dir):
     final = spark.read.parquet(out)
     assert final.count() == 1001
     assert final.filter(F.col("doc_id") == "late-1").count() == 1
+
+
+def test_scroll_to_bulk_streaming_copy(tmp_path, spark, sf_dir):
+    """The reference's whole JOB in streaming form, both halves custom
+    connectors: scroll-source micro-batches -> emitter projection ->
+    bulk-format sink — an ES-index-to-ES-index copy where source and
+    target are this engine's own pluggable DataSources."""
+    from flink_elasticsearch_ingestion_spark.sources.es_bulk import (
+        EsBulkDataSource,
+        read_bulk_payload,
+    )
+
+    spark.dataSource.register(EsScrollDataSource)
+    spark.dataSource.register(EsBulkDataSource)
+    idx = _stage(tmp_path, spark, sf_dir, n_shards=2)
+    out = str(tmp_path / "copy_out")
+    q = (
+        spark.readStream.format("es_scroll")
+        .option("path", idx)
+        .load()
+        .select("doc_id", "index_id", "source")
+        .writeStream.format("es_bulk")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "copy_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    payload = read_bulk_payload(out)
+    # scroll schema types doc_id as string (ES _id is a string)
+    want = {str(r["doc_id"]): r for r in _docs(spark, sf_dir).collect()}
+    assert len(payload) == len(want)
+    for action, body in payload:
+        row = want[action["index"]["_id"]]
+        assert action["index"]["_index"] == row["index_id"]
+        assert body == row["source"]

@@ -189,3 +189,31 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_token_budget_no_data_sized_global_window(spark, sf_dir):
+    """The running token total must never funnel the corpus through a
+    single partition: the only SinglePartition exchange allowed is the
+    tiny (scores x sub_buckets) offsets histogram feeding the prefix
+    sum; every data-sized Window partitions by (score, sub-bucket)."""
+    plan = _physical(spark, "token_budget", sf_dir)
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "_w" not in ln:
+            # the histogram prefix-sum window (input: grouped histogram
+            # rows, bounded) is the only global-ordered window allowed
+            assert "__bucket_tokens" in ln or "__n" in ln, f"global window over data: {ln}"
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_resample_window_reuses_join_partitioning(spark, sf_dir):
+    """The forward-fill window runs directly on the spine join output:
+    under the local broadcast plan there must be NO exchange between
+    the join and the Window (the spine side already hash-partitions by
+    user_id); only the final presentation sort may range-partition."""
+    plan = _physical(spark, "resample_events", sf_dir)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # count exchanges: 2 aggregation shuffles + 1 final rangepartitioning
+    n_hash = plan.count("Exchange hashpartitioning")
+    n_range = plan.count("Exchange rangepartitioning")
+    assert n_hash <= 2, plan[:2000]
+    assert n_range == 1

@@ -127,3 +127,22 @@ def test_engine_copy_run_bulk_incremental_resume(tmp_path, spark, sf_dir):
     n2 = eng.copy_run_bulk(ck, out)
     assert n2 == 0
     assert len(read_bulk_payload(out)) == n1
+
+
+def test_failed_write_commits_no_manifest(tmp_path, spark):
+    """A task failure mid-write must abort the job with NO manifest —
+    consumers see nothing, not a partial payload (the all-or-nothing
+    visibility the reference's bulk retry loop approximates)."""
+    import pytest
+
+    spark.dataSource.register(EsBulkDataSource)
+    out = str(tmp_path / "bulk_fail")
+    bad = spark.createDataFrame(
+        [("a", "i", "{}"), ("b", "i", None)],  # null source -> TypeError in writer
+        "doc_id string, index_id string, source string",
+    ).coalesce(1)
+    with pytest.raises(Exception):
+        bad.write.format("es_bulk").mode("append").option("path", out).save()
+    if os.path.isdir(out):
+        assert not [f for f in os.listdir(out) if f.startswith("_MANIFEST")]
+        assert read_bulk_payload(out) == []

@@ -131,3 +131,32 @@ def to_parquet_layout(df: DataFrame, path: str, *, mode: str = "overwrite") -> N
     """One-pass conversion of an ingestion-edge frame into the engine's
     working format (parquet: columnar pruning + pushdown + stats)."""
     drop_corrupt(df).write.mode(mode).parquet(path)
+
+
+def read_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: ``mergeSchema`` unions
+    every file's schema, so rows written before a column existed read
+    as null for it. Cost model at 100 TB: one footer read per file at
+    planning time — bound it with partition pruning, or freeze the
+    union into an explicit contract (``cast_to_contract``) once the
+    schema settles."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def cast_to_contract(df: DataFrame, ddl: str) -> DataFrame:
+    """Align any frame to a target schema contract: missing columns
+    materialize as typed nulls, present columns cast to the contract
+    type, extra columns drop. The enforcement step between a
+    schema-drifting ingestion edge and the engine's typed tables —
+    pure projection, no shuffle, and the SAME projection every batch
+    regardless of which drift variant produced it."""
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(ddl)
+    cols = []
+    for field in target.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

@@ -92,3 +92,33 @@ def test_stream_session_windows_match_batch(tmp_path, spark, sf_dir):
     )
     assert streamed.count() == batch.count()
     assert streamed.select("user_id", F.col("session_start").cast("timestamp"), "n_events").exceptAll(batch).count() == 0
+
+
+def test_schema_evolution_merge_and_contract(tmp_path, spark):
+    from flink_elasticsearch_ingestion_spark.sources.formats import (
+        cast_to_contract,
+        read_merged,
+    )
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(out)
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(out)
+    merged = read_merged(spark, out)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
+    # contract enforcement: add missing, cast, drop extras — same
+    # projection for both drift variants
+    contract = "doc_id string, lang string, quality double"
+    aligned = cast_to_contract(merged, contract)
+    assert [f.simpleString() for f in aligned.schema.fields] == [
+        "doc_id:string",
+        "lang:string",
+        "quality:double",
+    ]
+    got = {r["doc_id"]: r for r in aligned.collect()}
+    assert got["1"]["quality"] is None and got["2"]["lang"] == "en"

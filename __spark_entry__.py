@@ -1049,6 +1049,12 @@ ORDERS_RULES = (
 )
 
 
+def q_priority_shipping_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.priority_shipping_mix(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy best-tokens-first corpus selection under a 50k-token
     budget (two-phase prefix sum — no single-partition window); the
@@ -1326,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_rollup": q_null_safe_rollup,
         "clean_text": q_clean_text,
         "token_budget": q_token_budget,
+        "priority_shipping_mix": q_priority_shipping_mix,
         # --- round-1 green (CORRECTNESS_r01.json) ---
         "copy_incremental": q_copy_incremental,
         "copy_full": q_copy_full,
@@ -2274,6 +2281,15 @@ def oracle_sql() -> dict[str, str]:
             " round(list_max(list_transform(e, v -> abs(v - round(v / s) * s)))"
             "  + 1e-12, 6) AS recon_err"
             " FROM p ORDER BY vec_id"
+        ),
+        "priority_shipping_mix": (
+            "SELECT l_linestatus,"
+            " sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            "  THEN 1 ELSE 0 END) AS high_line_count,"
+            " sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            "  THEN 0 ELSE 1 END) AS low_line_count"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " GROUP BY l_linestatus ORDER BY l_linestatus"
         ),
         "token_budget": (
             # the naive global window IS the spec; the engine reproduces

@@ -104,6 +104,7 @@ EXTENDED = [
     "null_safe_rollup",
     "clean_text",
     "token_budget",
+    "priority_shipping_mix",
 ]
 
 

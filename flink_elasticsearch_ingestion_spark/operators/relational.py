@@ -1125,3 +1125,27 @@ def null_safe_status_rollup(orders: DataFrame) -> DataFrame:
         )
         .orderBy("status_norm")
     )
+
+
+def priority_shipping_mix(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 analog (fixtures carry no shipmode, so the grouping is
+    line status): per status, how many shipped items belong to
+    high-priority orders (1-URGENT/2-HIGH) vs the rest — the join +
+    two-way conditional-count pattern. One fact-fact equi join on the
+    order key (AQE-planned) feeding a single partial+final agg; the
+    CASE arms evaluate map-side, so the shuffle carries only the
+    grouped partials."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_linestatus")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -1789,7 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": (
             "WITH toks AS (SELECT lang, length(text) AS n_chars,"
             "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents)"
-            " SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,"
+            " SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
             " round(avg(n_chars), 4) AS avg_chars, round(avg(n_tokens), 4) AS avg_tokens"
             " FROM toks GROUP BY lang ORDER BY lang"
         ),
@@ -1851,7 +1851,8 @@ def oracle_sql() -> dict[str, str]:
             " kept AS (SELECT min(doc_id) AS doc_id FROM passed"
             "  GROUP BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))"
             " SELECT d.lang, count(*) AS n_docs,"
-            " sum(len(string_split_regex(trim(d.text), '\\s+'))) AS total_tokens,"
+            " CAST(sum(len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT)"
+            "  AS total_tokens,"
             " round(round(sum(length(d.text)), 2) / count(*) + 1e-9, 4) AS avg_chars"
             " FROM documents d JOIN kept USING (doc_id)"
             " GROUP BY d.lang ORDER BY d.lang"
@@ -1979,7 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mix": (
             "SELECT source, count(*) AS n_docs,"
             " count(DISTINCT lang) AS n_langs,"
-            " sum(len(string_split(trim(text), ' '))) AS total_tokens,"
+            " CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,"
             " round(round(CAST(sum(length(text)) AS DOUBLE), 2) / count(*) + 1e-9, 4)"
             "  AS avg_chars"
             " FROM documents GROUP BY source ORDER BY source"
@@ -2284,10 +2285,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "priority_shipping_mix": (
             "SELECT l_linestatus,"
-            " sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
-            "  THEN 1 ELSE 0 END) AS high_line_count,"
-            " sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
-            "  THEN 0 ELSE 1 END) AS low_line_count"
+            " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+            " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            "  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count"
             " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
             " GROUP BY l_linestatus ORDER BY l_linestatus"
         ),
@@ -2537,13 +2538,15 @@ def oracle_sql() -> dict[str, str]:
             "   ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1),"
             " per_bin AS (SELECT lang, shard, bin_id, sum(n_tokens) AS bin_fill,"
             "  count(*) AS nd FROM packed GROUP BY 1, 2, 3)"
-            " SELECT lang, shard, count(*) AS n_bins, sum(nd) AS n_docs,"
-            " sum(bin_fill) AS total_tokens, max(bin_fill) AS max_fill,"
+            " SELECT lang, shard, count(*) AS n_bins,"
+            " CAST(sum(nd) AS BIGINT) AS n_docs,"
+            " CAST(sum(bin_fill) AS BIGINT) AS total_tokens,"
+            " CAST(max(bin_fill) AS BIGINT) AS max_fill,"
             " round(sum(bin_fill) / (count(*) * 512) + 1e-9, 6) AS fill_ratio"
             " FROM per_bin GROUP BY lang, shard ORDER BY lang, shard"
         ),
         "deterministic_sample": (
-            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars"
+            "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars"
             " FROM documents"
             " WHERE doc_id % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END"
             " GROUP BY lang ORDER BY lang"
@@ -2588,7 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_stats": (
             "SELECT 'image' AS kind, count(*) AS n_items,"
-            " sum(octet_length(encode(text))) AS total_bytes,"
+            " CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,"
             " count(DISTINCT sha256(text)) AS n_distinct"
             " FROM documents GROUP BY 1 ORDER BY kind"
         ),
@@ -2605,8 +2608,8 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(ceil(n / 64.0) AS BIGINT) AS n_chunks FROM sized)"
             " SELECT doc_id AS media_id,"
             " len(range(0, n_chunks, 2)) AS n_frames,"
-            " list_sum(list_transform(range(0, n_chunks, 2),"
-            "  i -> least(64, n - i * 64))) AS frame_bytes"
+            " CAST(list_sum(list_transform(range(0, n_chunks, 2),"
+            "  i -> least(64, n - i * 64))) AS BIGINT) AS frame_bytes"
             " FROM chunked ORDER BY media_id"
         ),
         # rows-only (no SQL parity): minhash_near_dup, ngram_jaccard,

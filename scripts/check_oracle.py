@@ -41,15 +41,22 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _norm_val(v):
+    # TYPE-STRICT on purpose (round-2 lesson): the driver's value hash
+    # distinguishes int 123 from float 123.0 (DuckDB HUGEINT -> pandas
+    # float64), so the local gate must too.  Each scalar is tagged with
+    # its type class; a value that is integer-typed on one side and
+    # float-typed on the other can never compare equal here.
     import datetime
     import numpy as np
 
-    if v is None or (isinstance(v, float) and pd.isna(v)):
+    if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
         return "<null>"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
     if isinstance(v, (np.floating, float)):
-        return f"{float(v):.9g}"
+        return f"f:{float(v):.9g}"
     if isinstance(v, (np.integer, int)):
-        return str(int(v))
+        return f"i:{int(v)}"
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, (list, np.ndarray)):
@@ -57,6 +64,44 @@ def _norm_val(v):
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
+
+
+# DuckDB types that pandas renders as float64 (or object) and the
+# driver's hash will therefore never match a Spark integer column.
+_FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "INT128", "UHUGEINT")
+
+
+def describe_scan(con, name: str, sql: str) -> list[str]:
+    """Return the oracle's forbidden-typed columns (HUGEINT family)."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return []  # the main run will surface the real error
+    return [
+        f"{cname}:{ctype}"
+        for cname, ctype, *_ in desc
+        if any(t in str(ctype).upper() for t in _FORBIDDEN_ORACLE_TYPES)
+    ]
+
+
+def _dtype_class_mismatch(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Columns whose pandas dtype *kind* differs between the frames.
+
+    int vs float is a driver-visible hash mismatch even when values are
+    numerically equal, so flag it here.  Object columns are exempt (the
+    per-value tag in _norm_val covers those).
+    """
+    out = []
+    for c in set(a.columns) & set(b.columns):
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        num = {"i": "int", "u": "int", "f": "float"}
+        if ka in num or kb in num:
+            if num.get(ka) != num.get(kb):
+                # all-null float columns are pandas' encoding of nullable
+                # ints; only complain when real values exist on both sides
+                if a[c].notna().any() and b[c].notna().any():
+                    out.append(f"{c}: spark={a[c].dtype} duck={b[c].dtype}")
+    return out
 
 
 def main():
@@ -90,6 +135,12 @@ def main():
             failures.append(name)
             continue
         problems = []
+        bad_types = describe_scan(con, name, oracles[name])
+        if bad_types:
+            problems.append(f"oracle emits HUGEINT-family columns {bad_types} (wrap in CAST(... AS BIGINT))")
+        dtype_mismatch = _dtype_class_mismatch(spark_pd, duck_pd)
+        if dtype_mismatch:
+            problems.append(f"dtype class mismatch {dtype_mismatch}")
         if len(spark_pd) != len(duck_pd):
             problems.append(f"rowcount spark={len(spark_pd)} duck={len(duck_pd)}")
         if sorted(spark_pd.columns) != sorted(duck_pd.columns):

@@ -1226,16 +1226,54 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round-3 driver window (the driver hash-checks the FIRST 50 entries of
+# ``queries()`` per round).  Priority: (a) the 34 entries that have never
+# produced a driver row (CORRECTNESS_r01 ∪ r02 window overflow), (b) the
+# 7 rows red in r02 — all repaired this round (HUGEINT oracle encoding),
+# (c) new round-3 queries, (d) rotation fill of round-1 greens not seen
+# since r01.  Names absent from the catalog are skipped, extras append
+# in catalog order, so the list is safe to edit.
+_WINDOW_PRIORITY = [
+    # (a) never driver-checked
+    "market_share", "product_type_profit", "small_quantity_revenue",
+    "trailing_revenue_window", "priority_value_percentiles",
+    "similar_part_names", "parts_supplier_counts", "dominant_suppliers",
+    "cheapest_supplier_per_part", "prior_event_counts",
+    "chunk_documents", "chunk_documents_udtf", "approx_stats",
+    "hybrid_search", "text_dup_components", "label_centroids",
+    "cdc_classify", "important_part_value", "scd2_user_state",
+    "vocab_with_ids", "zorder_key", "incremental_rollup",
+    "stratified_exact_k", "token_entropy", "constraint_report",
+    "bigram_lm", "weighted_discount_udaf", "quantize_embeddings_arrow",
+    "resample_events", "unpivot_metrics", "null_safe_rollup",
+    "clean_text", "token_budget", "priority_shipping_mix",
+    # (b) r02 reds, repaired (oracle CAST ... AS BIGINT)
+    "text_stats", "training_data_pipeline", "media_stats",
+    "media_frames", "pack_documents", "deterministic_sample",
+    "source_mix",
+    # (c) new in round 3
+    "es_bulk_roundtrip",
+    # (d) rotation fill (green in r01, not re-checked since)
+    "pricing_summary", "asof_join", "salted_agg", "tumbling_windows",
+    "session_windows", "returnflag_pivot", "segment_set_ops",
+    "json_extract", "url_parse",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Catalog order note: the driver's correctness run checks a bounded
-    prefix of this dict (50 entries in round 1), so entries WITHOUT a
-    recorded green row are listed first — the round-1 unchecked
-    text/dedup/similarity/multimodal block, the repaired
-    ``user_event_sets``, and new round-2 queries — followed by the
-    queries already green in CORRECTNESS_r01.json. The FULL catalog
-    (every entry, regardless of window position) is oracle-differenced
-    against DuckDB at sf0.01 by ``scripts/check_oracle.py`` before each
-    round's commit."""
+    """Catalog of every implemented query/operator, reordered so the
+    driver's bounded 50-entry correctness window (see
+    ``_WINDOW_PRIORITY``) covers never-checked and freshly-repaired
+    entries first.  The FULL catalog (every entry, regardless of window
+    position) is oracle-differenced against DuckDB at sf0.01 by
+    ``scripts/check_oracle.py`` before each round's commit."""
+    cat = _catalog()
+    ordered = {k: cat[k] for k in _WINDOW_PRIORITY if k in cat}
+    ordered.update((k, v) for k, v in cat.items() if k not in ordered)
+    return ordered
+
+
+def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-1 unchecked: text analysis ---
         "text_stats": q_text_stats,

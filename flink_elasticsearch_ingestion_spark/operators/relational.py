@@ -1042,8 +1042,12 @@ def weighted_discount_udaf(lineitem: DataFrame) -> DataFrame:
     """
     @F.pandas_udf("double")
     def wavg(discount: pd.Series, quantity: pd.Series) -> float:
-        num = round(float((discount * quantity).sum()), 2)
-        den = round(float(quantity.sum()), 2)
+        # epsilon-then-round at EVERY rounding step, not just the last:
+        # Python's bare round() is half-to-even while the expression twin
+        # and the DuckDB oracle round half-up, so an intermediate value
+        # landing exactly on .xx5 would otherwise diverge
+        num = round(float((discount * quantity).sum()) + 1e-9, 2)
+        den = round(float(quantity.sum()) + 1e-9, 2)
         return round(num / den + 1e-9, 4)
 
     # a GROUPED_AGG UDF cannot share an agg() with JVM aggregates

@@ -98,11 +98,17 @@ def _write_manifest(
 
 
 class EsBulkWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("es_bulk requires option 'path'")
         self.max_actions = int(options.get("max_actions", str(DEFAULT_MAX_ACTIONS)))
+        self.overwrite = overwrite
+        # one manifest PER JOB (mirrors the streaming path's per-epoch
+        # manifests): a second append run must not clobber the first
+        # run's manifest, or its committed documents silently vanish
+        # from read_bulk_payload
+        self.job_tag = uuid.uuid4().hex[:12]
 
     def write(self, iterator: Iterator[Row]) -> BulkCommit:
         return _write_chunks(
@@ -110,7 +116,14 @@ class EsBulkWriter(DataSourceWriter):
         )
 
     def commit(self, messages) -> None:
-        _write_manifest(self.path, messages)
+        if self.overwrite:
+            # overwrite visibility flips atomically at commit: drop every
+            # prior manifest so only this job's files are payload-visible
+            # (orphaned chunk files are invisible by contract)
+            for f in os.listdir(self.path):
+                if f.startswith("_MANIFEST") and f.endswith(".json"):
+                    os.remove(os.path.join(self.path, f))
+        _write_manifest(self.path, messages, name=f"_MANIFEST-job-{self.job_tag}.json")
 
     def abort(self, messages) -> None:
         # no manifest -> the output is invisible to consumers; stray
@@ -153,7 +166,7 @@ class EsBulkDataSource(DataSource):
         return "doc_id string, index_id string, source string"
 
     def writer(self, schema: StructType, overwrite: bool) -> EsBulkWriter:
-        return EsBulkWriter(self.options)
+        return EsBulkWriter(self.options, overwrite=overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> EsBulkStreamWriter:
         return EsBulkStreamWriter(self.options)

@@ -85,7 +85,10 @@ class EsScrollReader(DataSourceReader):
 
     def pushFilters(self, filters: "list[Filter]") -> "Iterator[Filter]":
         """Accept ts lower bounds (the checkpoint range); everything
-        else is handed back for Spark to evaluate post-scan."""
+        else is handed back for Spark to evaluate post-scan.  When
+        Catalyst pushes SEVERAL lower bounds (``ts > A AND ts >= B``),
+        keep the TIGHTEST one — accepting all while applying only the
+        last would under-filter."""
         for f in filters:
             accepted = False
             if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
@@ -97,11 +100,21 @@ class EsScrollReader(DataSourceReader):
                         # TIMESTAMP literals arrive tz-aware; shard rows
                         # are naive UTC wall-clock — normalize once here
                         v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
-                    self.ts_lower = v
-                    self.ts_lower_inclusive = isinstance(f, GreaterThanOrEqual)
+                    inclusive = isinstance(f, GreaterThanOrEqual)
+                    if self.ts_lower is None or self._tighter(v, inclusive):
+                        self.ts_lower = v
+                        self.ts_lower_inclusive = inclusive
                     accepted = True
             if not accepted:
                 yield f
+
+    def _tighter(self, v: dt.datetime, inclusive: bool) -> bool:
+        """True when (v, inclusive) excludes more rows than the bound
+        already held: a later value always wins; at equal values the
+        EXCLUSIVE bound (>) is stricter than the inclusive one (>=)."""
+        if v != self.ts_lower:
+            return v > self.ts_lower
+        return self.ts_lower_inclusive and not inclusive
 
     def partitions(self) -> Sequence[InputPartition]:
         shards = sorted(
@@ -109,6 +122,11 @@ class EsScrollReader(DataSourceReader):
             for f in os.listdir(self.path)
             if f.endswith((".jsonl", ".json")) and not f.startswith(("_", "."))
         )
+        if not shards:
+            # the DataSource API rejects an empty partition list; an
+            # index directory with no shard files is a VALID empty index
+            # and must read as zero rows, not an error
+            return [_ShardPartition(None)]
         return [_ShardPartition(p) for p in shards]
 
     def _keep(self, ts: dt.datetime) -> bool:
@@ -117,6 +135,8 @@ class EsScrollReader(DataSourceReader):
         return ts >= self.ts_lower if self.ts_lower_inclusive else ts > self.ts_lower
 
     def read(self, partition: _ShardPartition):
+        if partition.path is None:  # empty-index sentinel
+            return
         with open(partition.path, "r") as fh:
             page: list[str] = []
             for line in fh:

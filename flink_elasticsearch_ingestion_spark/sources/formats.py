@@ -96,22 +96,54 @@ def corrupt_count(df: DataFrame) -> int:
     """
     if CORRUPT_COL not in df.columns:
         return 0
-    df = df.cache()
-    row = df.agg(
-        F.sum(F.when(F.col(CORRUPT_COL).isNotNull(), 1).otherwise(0)).alias("n")
-    ).first()
-    return int(row["n"] or 0)
+    cached_here = not df.is_cached
+    if cached_here:
+        df = df.cache()
+    try:
+        row = df.agg(
+            F.sum(F.when(F.col(CORRUPT_COL).isNotNull(), 1).otherwise(0)).alias("n")
+        ).first()
+        return int(row["n"] or 0)
+    finally:
+        if cached_here:
+            df.unpersist()
 
 
 def drop_corrupt(df: DataFrame) -> DataFrame:
     """Clean rows only. Cached for the same reason as ``corrupt_count``:
     a count()/agg over the filtered frame would otherwise prune the scan
     down to the corrupt column alone, which Spark rejects on raw files.
-    The cache is the parse-once materialization an ingestion edge wants
-    before converting to the working layout anyway."""
+
+    Cache ownership: if the caller already cached the frame (the
+    audit+convert pair should — see ``audit_and_convert``) no second
+    cache is taken; otherwise the cache taken here lives until the
+    caller unpersists or LRU evicts, because the returned frame still
+    reads through it."""
     if CORRUPT_COL not in df.columns:
         return df
-    return df.cache().filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    if not df.is_cached:
+        df = df.cache()
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def audit_and_convert(df: DataFrame, path: str, *, mode: str = "overwrite") -> int:
+    """The one-cache ingestion edge: parse once (single cache), count the
+    rejects, convert the clean rows to parquet, unpersist. Returns the
+    corrupt-row count. Prefer this over separate ``corrupt_count`` +
+    ``to_parquet_layout`` calls, which would otherwise cache the parse
+    twice under two plan identities and leak both."""
+    if CORRUPT_COL not in df.columns:
+        df.write.mode(mode).parquet(path)
+        return 0
+    df = df.cache()
+    try:
+        n_bad = corrupt_count(df)
+        df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL).write.mode(
+            mode
+        ).parquet(path)
+        return n_bad
+    finally:
+        df.unpersist()
 
 
 def export_documents_jsonl(documents: DataFrame, path: str) -> None:
@@ -129,8 +161,9 @@ def import_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
 def to_parquet_layout(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """One-pass conversion of an ingestion-edge frame into the engine's
-    working format (parquet: columnar pruning + pushdown + stats)."""
-    drop_corrupt(df).write.mode(mode).parquet(path)
+    working format (parquet: columnar pruning + pushdown + stats).
+    Cache-neutral: the parse cache lives only for the write."""
+    audit_and_convert(df, path, mode=mode)
 
 
 def read_merged(spark: SparkSession, path: str) -> DataFrame:

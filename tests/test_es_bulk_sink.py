@@ -54,7 +54,9 @@ def test_bulk_chunks_respect_max_actions(tmp_path, spark, sf_dir):
         .option("max_actions", "64")
         .save()
     )
-    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+    manifests = [f for f in os.listdir(out) if f.startswith("_MANIFEST-job-")]
+    assert len(manifests) == 1  # one batch job -> one job manifest
+    with open(os.path.join(out, manifests[0])) as fh:
         manifest = json.load(fh)
     assert manifest["n_actions"] == docs.count()
     for fname in manifest["files"]:
@@ -63,6 +65,40 @@ def test_bulk_chunks_respect_max_actions(tmp_path, spark, sf_dir):
         assert n_lines % 2 == 0 and n_lines // 2 <= 64
     # ceil-division lower bound: chunking actually splits
     assert len(manifest["files"]) >= docs.count() // 64
+
+
+def test_two_append_runs_both_stay_visible(tmp_path, spark, sf_dir):
+    # regression (round-2 advice): a second incremental run used to
+    # overwrite the first run's fixed-name manifest, silently dropping
+    # the earlier documents from the committed payload
+    spark.dataSource.register(EsBulkDataSource)
+    docs = _docs(spark, sf_dir)
+    first = docs.limit(10)
+    second = docs.subtract(first).limit(7)
+    out = str(tmp_path / "bulk_two_runs")
+    first.write.format("es_bulk").mode("append").option("path", out).save()
+    second.write.format("es_bulk").mode("append").option("path", out).save()
+    payload = read_bulk_payload(out)
+    assert len(payload) == 17
+    got_ids = {a["index"]["_id"] for a, _ in payload}
+    want_ids = {r["doc_id"] for r in first.collect()} | {
+        r["doc_id"] for r in second.collect()
+    }
+    assert got_ids == want_ids
+
+
+def test_overwrite_run_replaces_previous_payload(tmp_path, spark, sf_dir):
+    spark.dataSource.register(EsBulkDataSource)
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "bulk_overwrite")
+    docs.limit(10).write.format("es_bulk").mode("append").option("path", out).save()
+    replacement = docs.limit(3)
+    replacement.write.format("es_bulk").mode("overwrite").option("path", out).save()
+    payload = read_bulk_payload(out)
+    assert len(payload) == 3
+    assert {a["index"]["_id"] for a, _ in payload} == {
+        r["doc_id"] for r in replacement.collect()
+    }
 
 
 def test_uncommitted_chunks_stay_invisible(tmp_path):

@@ -87,6 +87,48 @@ def test_push_filters_accepts_ts_bound_rejects_rest(tmp_path, spark, sf_dir):
     assert len(rest) == 1  # the index_id equality is handed back to Spark
 
 
+def test_multiple_pushed_lower_bounds_keep_tightest(tmp_path, spark, sf_dir):
+    # Catalyst may push ts > A AND ts >= B as separate filters; the
+    # reader must apply the strongest, not the last-seen
+    idx = _stage(tmp_path, spark, sf_dir)
+    from pyspark.sql.datasource import GreaterThan, GreaterThanOrEqual
+
+    r = EsScrollReader({"path": idx})
+    list(
+        r.pushFilters(
+            [
+                GreaterThan(("ts",), dt.datetime(2024, 1, 20)),
+                GreaterThanOrEqual(("ts",), dt.datetime(2024, 1, 10)),
+            ]
+        )
+    )
+    assert r.ts_lower == dt.datetime(2024, 1, 20)
+    assert not r.ts_lower_inclusive
+    # equal values: exclusive (>) is stricter than inclusive (>=)
+    r2 = EsScrollReader({"path": idx})
+    list(
+        r2.pushFilters(
+            [
+                GreaterThanOrEqual(("ts",), dt.datetime(2024, 1, 20)),
+                GreaterThan(("ts",), dt.datetime(2024, 1, 20)),
+            ]
+        )
+    )
+    assert r2.ts_lower == dt.datetime(2024, 1, 20)
+    assert not r2.ts_lower_inclusive
+
+
+def test_empty_index_directory_reads_zero_rows(tmp_path, spark):
+    # a valid index with no shard files must read as empty, not error
+    # (the DataSource API rejects an empty partitions() list)
+    spark.dataSource.register(EsScrollDataSource)
+    idx = tmp_path / "empty_index"
+    idx.mkdir()
+    df = spark.read.format("es_scroll").option("path", str(idx)).load()
+    assert df.count() == 0
+    assert df.columns == ["doc_id", "index_id", "ts", "source"]
+
+
 def test_stream_reader_reads_only_new_tail(tmp_path, spark, sf_dir):
     """Offset = lines consumed per shard: a second poll picks up ONLY
     appended documents, and readBetweenOffsets replays a window."""

@@ -7,6 +7,7 @@ from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_bo
 from flink_elasticsearch_ingestion_spark.operators.copy import BODY_COLS, shape_documents
 from flink_elasticsearch_ingestion_spark.sources.formats import (
     DOC_EXPORT_SCHEMA,
+    audit_and_convert,
     corrupt_count,
     drop_corrupt,
     export_documents_jsonl,
@@ -72,6 +73,39 @@ def test_to_parquet_layout_round_trip(tmp_path, spark, sf_dir):
     pq = str(tmp_path / "working")
     to_parquet_layout(import_documents_jsonl(spark, jsonl), pq)
     assert spark.read.parquet(pq).exceptAll(docs).count() == 0
+
+
+def test_audit_and_convert_single_cache_released(tmp_path, spark):
+    # the audit+convert pair parses once (one cache) and leaves no
+    # cached parse trees behind (round-2 advice: the separate calls
+    # each cached the frame and never unpersisted)
+    p = tmp_path / "edge"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": "a", "index_id": "i", "source": "{}"}\n'
+        "not json at all\n"
+        '{"doc_id": "b", "index_id": "i", "source": "{}"}\n'
+    )
+    spark.catalog.clearCache()
+    df = read_jsonl(spark, str(p), DOC_EXPORT_SCHEMA)
+    pq = str(tmp_path / "working")
+    n_bad = audit_and_convert(df, pq)
+    assert n_bad == 1
+    back = spark.read.parquet(pq)
+    assert back.count() == 2
+    assert "_corrupt_record" not in back.columns
+    # nothing left cached after the edge completes
+    jvm_cache = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(jvm_cache) == 0
+
+
+def test_corrupt_count_releases_its_cache(tmp_path, spark):
+    p = tmp_path / "edge2"
+    p.mkdir()
+    (p / "part-0.json").write_text('{"doc_id": "a", "index_id": "i", "source": "{}"}\n')
+    spark.catalog.clearCache()
+    assert corrupt_count(read_jsonl(spark, str(p), DOC_EXPORT_SCHEMA)) == 0
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
 
 
 def test_stream_session_windows_match_batch(tmp_path, spark, sf_dir):

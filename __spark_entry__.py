@@ -105,6 +105,57 @@ def q_bulk_chunks_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_es_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end through the REAL write path: shape events into
+    documents, write them with ``df.write.format("es_bulk")`` (executor
+    chunking, 64-action files, manifest-gated commit), parse the
+    committed NDJSON payload back, and aggregate per index from the
+    PARSED action/body fields. Hash-green against the DuckDB oracle on
+    the raw events table proves the bulk wire format preserved every
+    (doc_id, index_id, body) through the sink and back."""
+    import tempfile
+
+    from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_body
+    from flink_elasticsearch_ingestion_spark.sources.es_bulk import (
+        EsBulkDataSource,
+        read_bulk_payload,
+    )
+
+    spark.dataSource.register(EsBulkDataSource)
+    docs = encode_body(
+        C.shape_documents(_t(spark, sf_dir, "events")), C.BODY_COLS
+    ).select("doc_id", "index_id", "source")
+    out = tempfile.mkdtemp(prefix="es_bulk_roundtrip_")
+    docs.write.format("es_bulk").mode("overwrite").option("path", out).save()
+    # driver-side parse is the test-harness stand-in for a live /_bulk
+    # endpoint (fixture-scale only; the sink itself never collects)
+    rows = [
+        (int(action["index"]["_id"]), action["index"]["_index"], body)
+        for action, body in read_bulk_payload(out)
+    ]
+    back = spark.createDataFrame(
+        rows, "doc_id bigint, index_id string, source string"
+    )
+    return (
+        back.select(
+            "doc_id",
+            "index_id",
+            F.get_json_object("source", "$.user_id").cast("bigint").alias("user_id"),
+            F.get_json_object("source", "$.value").cast("double").alias("value"),
+        )
+        .groupBy("index_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("user_id").alias("sum_user_id"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+        )
+        .orderBy("index_id")
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return events.select(
@@ -1067,6 +1118,41 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_within_token_budget(_t(spark, sf_dir, "documents"), 10_000)
 
 
+def q_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source greedy token budgets (corpus mixing: "N best tokens
+    per source") — the grouped two-phase prefix sum; the per-group
+    budget sits inside each source's total so the cutoff bites."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        select_within_token_budget_by_group,
+    )
+
+    return select_within_token_budget_by_group(
+        _t(spark, sf_dir, "documents"), 1_500, group_col="source"
+    )
+
+
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.time_weighted_value(_t(spark, sf_dir, "events"))
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.event_trigrams(_t(spark, sf_dir, "events"))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profiler over lineitem's numeric measures."""
+    from flink_elasticsearch_ingestion_spark.operators import quality as Q
+
+    return Q.table_profile(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-cleaning contract: deterministic HTML/boilerplate lines
     are appended to each doc (same construction in the oracle) so the
@@ -1252,7 +1338,8 @@ _WINDOW_PRIORITY = [
     "media_frames", "pack_documents", "deterministic_sample",
     "source_mix",
     # (c) new in round 3
-    "es_bulk_roundtrip",
+    "es_bulk_roundtrip", "token_budget_by_source", "time_weighted_value",
+    "event_trigrams", "cohort_retention", "table_profile",
     # (d) rotation fill (green in r01, not re-checked since)
     "pricing_summary", "asof_join", "salted_agg", "tumbling_windows",
     "session_windows", "returnflag_pivot", "segment_set_ops",
@@ -1304,6 +1391,13 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         # --- round-1 red row, repaired (array -> csv) ---
         "user_event_sets": q_user_event_sets,
+        # --- new in round 3 ---
+        "es_bulk_roundtrip": q_es_bulk_roundtrip,
+        "token_budget_by_source": q_token_budget_by_source,
+        "time_weighted_value": q_time_weighted_value,
+        "event_trigrams": q_event_trigrams,
+        "cohort_retention": q_cohort_retention,
+        "table_profile": q_table_profile,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -1462,6 +1556,17 @@ def oracle_sql() -> dict[str, str]:
             "   AS BIGINT) AS chunk_id FROM docs)"
             " SELECT chunk_id, count(*) AS n_docs, min(doc_id) AS first_doc,"
             " max(doc_id) AS last_doc FROM chunked GROUP BY chunk_id ORDER BY chunk_id"
+        ),
+        "es_bulk_roundtrip": (
+            # the engine side routes every event through the es_bulk
+            # wire format and back; the oracle reads the events table
+            # directly — equality proves the sink lost/changed nothing
+            "SELECT event_type AS index_id, count(*) AS n_docs,"
+            " count(DISTINCT event_id) AS n_distinct,"
+            " min(event_id) AS first_doc, max(event_id) AS last_doc,"
+            " CAST(sum(user_id) AS BIGINT) AS sum_user_id,"
+            " round(sum(value) + 1e-9, 2) AS sum_value"
+            " FROM events GROUP BY event_type ORDER BY index_id"
         ),
         "bulk_chunks_distributed": (
             # chunk layout is partition-dependent; the deterministic
@@ -2352,6 +2457,76 @@ def oracle_sql() -> dict[str, str]:
             " CAST(cum_tokens AS BIGINT) AS cum_tokens"
             " FROM c WHERE cum_tokens <= 10000 ORDER BY cum_tokens"
         ),
+        "token_budget_by_source": (
+            # naive per-group window IS the spec; the engine reproduces
+            # it with the grouped two-phase prefix sum
+            "WITH base AS (SELECT doc_id, source,"
+            "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,"
+            "  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,"
+            "  len(list_filter(string_split_regex(trim(text), '\\s+'),"
+            "      t -> lower(t) IN ('the','a','of','and','to'))) AS n_stop,"
+            "  length(text) AS n_chars FROM documents),"
+            " scored AS (SELECT doc_id, source, n_tokens,"
+            "  round((CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)"
+            "   + (CASE WHEN n_punct / greatest(n_chars, 1) < 0.1 THEN 0.3 ELSE 0.0 END)"
+            "   + (CASE WHEN n_stop / greatest(n_tokens, 1) > 0.01 THEN 0.3 ELSE 0.0 END), 2)"
+            "   AS quality_score FROM base),"
+            " c AS (SELECT source, doc_id, quality_score, n_tokens,"
+            "  sum(n_tokens) OVER (PARTITION BY source"
+            "   ORDER BY quality_score DESC, doc_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens"
+            "  FROM scored)"
+            " SELECT source, doc_id, quality_score,"
+            " CAST(n_tokens AS BIGINT) AS n_tokens,"
+            " CAST(cum_tokens AS BIGINT) AS cum_tokens"
+            " FROM c WHERE cum_tokens <= 1500 ORDER BY source, cum_tokens"
+        ),
+        "time_weighted_value": (
+            "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,"
+            "  value FROM events),"
+            " g AS (SELECT user_id, value,"
+            "  date_diff('us', ts, lead(ts) OVER ("
+            "   PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS dt FROM o)"
+            " SELECT user_id, count(*) AS n_intervals,"
+            " round(sum(value * dt) / sum(dt) + 1e-9, 4) AS twap,"
+            " round(sum(dt) + 1e-9, 3) AS total_seconds"
+            " FROM g WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id"
+        ),
+        "event_trigrams": (
+            "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,"
+            "  event_type FROM events),"
+            " t AS (SELECT event_type || '>' || lead(event_type, 1) OVER w"
+            "   || '>' || lead(event_type, 2) OVER w AS trigram,"
+            "   lead(event_type, 2) OVER w AS t3"
+            "  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
+            " SELECT trigram, count(*) AS n_occurrences FROM t"
+            " WHERE t3 IS NOT NULL GROUP BY trigram"
+            " ORDER BY n_occurrences DESC, trigram LIMIT 20"
+        ),
+        "cohort_retention": (
+            "WITH uw AS (SELECT DISTINCT user_id,"
+            "  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),"
+            " f AS (SELECT user_id, wk,"
+            "  min(wk) OVER (PARTITION BY user_id) AS cw FROM uw)"
+            " SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,"
+            " CAST(date_diff('day', cw, wk) / 7 AS INTEGER) AS week_offset,"
+            " count(DISTINCT user_id) AS n_users"
+            " FROM f GROUP BY 1, 2 ORDER BY cohort_week, week_offset"
+        ),
+        "table_profile": "\nUNION ALL\n".join(
+            "SELECT '{c}' AS column_name, count(*) AS n_rows,"
+            " CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_nulls,"
+            " count(DISTINCT {c}) AS n_distinct,"
+            " CAST(min({c}) AS DOUBLE) AS min_val,"
+            " CAST(max({c}) AS DOUBLE) AS max_val,"
+            " round(round(CAST(sum({c}) AS DOUBLE), 2)"
+            "  / (count(*) - sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END))"
+            "  + 1e-9, 4) AS avg_val"
+            " FROM lineitem".format(c=c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        )
+        + " ORDER BY column_name",
         "clean_text": (
             "WITH aug AS (SELECT doc_id, text || chr(10) || '<div>menu</div>'"
             "  || chr(10) || 'Home About' || chr(10) ||"

@@ -105,6 +105,13 @@ EXTENDED = [
     "clean_text",
     "token_budget",
     "priority_shipping_mix",
+    # round-3 additions
+    "es_bulk_roundtrip",
+    "token_budget_by_source",
+    "time_weighted_value",
+    "event_trigrams",
+    "cohort_retention",
+    "table_profile",
 ]
 
 
@@ -158,9 +165,8 @@ def main() -> None:
     # the weather. Both raw passes are still recorded (queries_cold /
     # queries_warm) so regressions in either remain visible.
     best = {n: min(timings[n], warm[n]) for n in timings}
-    print(
-        json.dumps(
-            {
+    payload = json.dumps(
+        {
                 "metric": "headline_queries_total_runtime",
                 "value": round(sum(best.values()), 4),
                 "unit": "sec",
@@ -178,10 +184,16 @@ def main() -> None:
                 "value_ext_cold": round(sum(ext.values()), 4),
                 "queries_ext_warm": ext_warm,
                 "value_ext_warm": round(sum(ext_warm.values()), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # the driver captures stdout, but its capture has truncated mid-line
+    # before (BENCH_r02 lost the headline section) — persist the same
+    # JSON to a file so the numbers always survive intact
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as fh:
+        fh.write(payload + "\n")
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -14,7 +14,7 @@ aggregate) — no MLlib, no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -188,11 +188,25 @@ def near_duplicates_from_signatures(
     num_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.6,
+    band_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs from an existing (doc_id, shingles, sig) table
     (see ``minhash_signature_table``): band explode -> ids-only band
     self-join -> exact Jaccard verify. ``num_hashes``/``bands`` must
-    match the values the table was built with."""
+    match the values the table was built with.
+
+    ``band_cap`` bounds the per-(band, hash) bucket the same way
+    ``simhash_buckets`` bounds its reducer state: a degenerate corpus
+    (say 10^6 byte-identical documents) would otherwise make ONE band
+    bucket quadratic — 10^12 candidate pairs out of a single join key.
+    Each bucket keeps its first ``band_cap`` doc_ids (deterministic:
+    ordered by doc_id), so a pathological bucket emits at most
+    cap*(cap-1)/2 pairs per band.  Exact duplicates beyond the cap are
+    the EXACT-dedup operator's job (run content-hash dedup first — it
+    collapses identical texts to one representative before LSH ever
+    sees them); genuinely-near (not identical) clusters bigger than
+    ``band_cap`` still pair up through their other ``bands-1`` bands.
+    ``band_cap=None`` disables the guard."""
     rows_per_band = num_hashes // bands
     banded = signatures.select(
         "doc_id",
@@ -205,6 +219,15 @@ def near_duplicates_from_signatures(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if band_cap is not None:
+        # same shuffle keys as the band join below, so AQE/exchange
+        # reuse keeps this from adding an extra wide stage in practice
+        w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= band_cap)
+            .drop("_rn")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
@@ -241,6 +264,7 @@ def minhash_near_duplicates(
     jaccard_threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    band_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
@@ -286,6 +310,7 @@ def minhash_near_duplicates(
         num_hashes=num_hashes,
         bands=bands,
         jaccard_threshold=jaccard_threshold,
+        band_cap=band_cap,
     )
 
 

@@ -132,3 +132,49 @@ def referential_report(
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def table_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Per-column statistical profile (row count, null count, distinct
+    count, min/max/mean) for the given numeric columns, computed in ONE
+    aggregation pass over the table — the data-quality profiler every
+    ingestion edge runs before accepting a drop.
+
+    Plan shape: a single partial+final hash aggregate produces every
+    statistic for every column in one scan (no per-column jobs, no
+    driver loop over ``describe()``), then a map-side ``inline`` of a
+    literal struct array reshapes the 1-row wide result into one row
+    per column. countDistinct over k columns expands to k exact
+    distinct aggregates in the same Aggregate operator — at 100 TB swap
+    them for approx_count_distinct if exactness isn't required.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__{c}_nulls"),
+            F.countDistinct(c).alias(f"__{c}_distinct"),
+            F.min(c).cast("double").alias(f"__{c}_min"),
+            F.max(c).cast("double").alias(f"__{c}_max"),
+            F.sum(c).cast("double").alias(f"__{c}_sum"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col(f"__{c}_nulls").alias("n_nulls"),
+                F.col(f"__{c}_distinct").alias("n_distinct"),
+                F.col(f"__{c}_min").alias("min_val"),
+                F.col(f"__{c}_max").alias("max_val"),
+                F.round(
+                    F.round(F.col(f"__{c}_sum"), 2)
+                    / (F.col("__n_rows") - F.col(f"__{c}_nulls"))
+                    + F.lit(1e-9),
+                    4,
+                ).alias("avg_val"),
+            )
+            for c in columns
+        ]
+    )
+    return one.select(F.inline(per_col)).orderBy("column_name")

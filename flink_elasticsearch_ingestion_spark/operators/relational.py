@@ -1153,3 +1153,40 @@ def priority_shipping_mix(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by their
+    first-activity week (the cohort), counted in every later week they
+    were active, keyed by week offset — the canonical engagement
+    analysis over an event stream.
+
+    Scale shape: ONE fact-sized shuffle. Each user's distinct active
+    weeks collapse into a per-user set in a single partial+final
+    aggregate (collect_set combines map-side, and its size is bounded
+    by the calendar — a user has at most weeks-in-retention-horizon
+    entries, not events); the cohort week is then a map-side
+    ``array_min`` over that set, and the final count-distinct groups
+    the tiny (cohort, offset) matrix. The naive distinct-then-window
+    formulation costs a second full-width exchange for the window's
+    user_id partitioning.
+    """
+    wk = F.date_trunc("week", F.col("ts").cast("timestamp"))
+    per_user = (
+        events.select("user_id", wk.alias("week"))
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
+    )
+    with_cohort = per_user.select(
+        "user_id",
+        F.explode("weeks").alias("week"),
+        F.array_min("weeks").alias("cohort_week"),
+    )
+    return (
+        with_cohort.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

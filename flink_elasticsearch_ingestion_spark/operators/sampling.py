@@ -236,3 +236,68 @@ def select_within_token_budget(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .orderBy("cum_tokens")
     )
+
+
+def select_within_token_budget_by_group(
+    documents: DataFrame,
+    budget_tokens: int,
+    *,
+    group_col: str = "source",
+    sub_buckets: int = 16,
+) -> DataFrame:
+    """Greedy PER-GROUP token budgets: within each ``group_col`` value
+    (corpus-mixing by source, language, domain...), take documents in
+    (quality_score DESC, doc_id ASC) order until the group's running
+    token total would exceed ``budget_tokens`` — the "N tokens per
+    source" recipe of corpus mixing.
+
+    Scale shape: the naive per-group running sum
+    (``sum() over (partition by source order by score)``) funnels each
+    ENTIRE group through one task — with a handful of sources at 100 TB
+    that's a few tasks doing all the work. Same cure as the global
+    version: sub-bucket by doc-id range WITHIN each (group, score)
+    cell, cumsum in parallel per (group, score, bucket), and add back
+    per-bucket offsets from a broadcast prefix sum over the tiny
+    (groups x scores x buckets) histogram, partitioned by group.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.text import quality_scores
+
+    g = group_col
+    scored = quality_scores(documents, keep=(g,)).select(
+        "doc_id", g, "quality_score", "n_tokens"
+    )
+    max_id = scored.agg(F.max("doc_id").alias("m")).first()["m"] or 0
+    width = max(1, (int(max_id) + sub_buckets) // sub_buckets)
+    sub = scored.withColumn("__sub", (F.col("doc_id") / width).cast("int"))
+    within = F.sum("n_tokens").over(
+        Window.partitionBy(g, "quality_score", "__sub")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = sub.groupBy(g, "quality_score", "__sub").agg(
+        F.sum("n_tokens").alias("__bucket_tokens")
+    )
+    offsets = hist.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__bucket_tokens").over(
+                Window.partitionBy(g)
+                .orderBy(F.col("quality_score").desc(), F.col("__sub"))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(g, "quality_score", "__sub", "__offset")
+    return (
+        sub.withColumn("__within", within)
+        .join(F.broadcast(offsets), [g, "quality_score", "__sub"])
+        .select(
+            g,
+            "doc_id",
+            "quality_score",
+            "n_tokens",
+            (F.col("__offset") + F.col("__within")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .orderBy(g, "cum_tokens")
+    )

@@ -64,10 +64,14 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
+def quality_scores(documents: DataFrame, *, keep: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic quality scoring: length band + punctuation density +
     stopword ratio -> [0,1] score. Mirrors common LLM-corpus filters
-    (C4/Gopher-style) with fully declarative expressions."""
+    (C4/Gopher-style) with fully declarative expressions.
+
+    ``keep`` threads extra input columns (e.g. ``source``) through the
+    projection so downstream group-wise consumers don't need a
+    fact-sized re-join just to recover them."""
     n_tokens = token_count("text")
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0))
     n_stop = stopword_hits("text", STOPWORDS["en"])
@@ -82,6 +86,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         "lang",
+        *keep,
         F.col("n_chars").alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(punct_ratio + 1e-9, 6).alias("punct_ratio"),

@@ -425,3 +425,67 @@ def resample_events_hourly(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+def time_weighted_value(events: DataFrame) -> DataFrame:
+    """Time-weighted average value (TWAP) per user: each event's value
+    holds until that user's next event, so the average weights each
+    value by its holding duration — the standard time-series summary a
+    tick stream (or metering/billing feed) needs, where a plain avg()
+    over-weights bursts of rapid events.
+
+    One window shuffle keyed on user_id (lead), then a partial+final
+    agg on the same key — Catalyst reuses the partitioning, so the
+    whole operator is a single wide exchange. The last event of each
+    user has no successor and is excluded (no duration).
+    """
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(ts.asc(), F.col("event_id").asc())
+    dt_sec = (
+        (F.unix_micros(F.lead(ts, 1).over(w)) - F.unix_micros(ts)) / 1e6
+    ).alias("dt")
+    weighted = events.select("user_id", "event_id", "value", dt_sec).filter(
+        F.col("dt").isNotNull()
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt") + F.lit(1e-9), 4
+            ).alias("twap"),
+            F.round(F.sum("dt") + F.lit(1e-9), 3).alias("total_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def event_trigrams(events: DataFrame, *, top_k: int = 20) -> DataFrame:
+    """Behavioral sequence mining: the most common 3-event sequences
+    (per-user consecutive event-type trigrams) across the stream — the
+    funnel-discovery primitive ("what do users DO in what order")
+    complementing the fixed-funnel operator.
+
+    Plan: one window shuffle on user_id computes both leads, a map-side
+    concat forms the trigram key, then partial+final count and a
+    TakeOrderedAndProject for the top-k — no second wide shuffle of the
+    fact table (the count shuffles only distinct trigram keys).
+    """
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(ts.asc(), F.col("event_id").asc())
+    t2 = F.lead("event_type", 1).over(w)
+    t3 = F.lead("event_type", 2).over(w)
+    tri = (
+        events.select(
+            F.concat_ws(">", F.col("event_type"), t2, t3).alias("trigram"),
+            t3.alias("_t3"),
+        )
+        .filter(F.col("_t3").isNotNull())
+        .drop("_t3")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "trigram")
+        .limit(top_k)
+    )

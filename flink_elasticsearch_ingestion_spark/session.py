@@ -52,3 +52,39 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers
+    regardless of the driver process's cwd / PYTHONPATH.
+
+    Anything pickled BY REFERENCE (module-level functions handed to
+    ``mapInPandas``, the es_bulk/es_scroll DataSource classes, UDTF
+    classes) requires the worker's Python to ``import
+    flink_elasticsearch_ingestion_spark`` — which fails when the
+    driving process found the repo via a ``sys.path`` insert the
+    workers never saw. Shipping the package once per SparkContext via
+    ``addPyFile`` (workers unzip onto their ``sys.path``) removes the
+    assumption; this is also exactly how the package deploys to a real
+    multi-node cluster, where executors share no filesystem with the
+    driver.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_fei_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_root)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"fei_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, parent))
+    sc.addPyFile(zpath)
+    sc._fei_pkg_shipped = True

@@ -27,6 +27,13 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # every catalog query funnels through here: guarantee executor
+    # workers can import the package (pickle-by-reference UDFs and
+    # DataSource classes) even when the driving process isn't rooted
+    # in the repo — one addPyFile per SparkContext, then a no-op
+    from flink_elasticsearch_ingestion_spark.session import ship_package
+
+    ship_package(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -41,6 +41,26 @@ def test_minhash_finds_planted_near_dup(docs_with_dupes):
     assert exact[0] == 1.0
 
 
+def test_band_cap_bounds_degenerate_corpus(spark):
+    # a pathological corpus of identical documents must not go
+    # quadratic in the band join: with n=600 identical docs and
+    # band_cap=40, each band bucket emits at most 40*39/2 pairs
+    # instead of 600*599/2 ~ 180k
+    n, cap = 600, 40
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    pairs = D.minhash_near_duplicates(
+        docs, jaccard_threshold=0.5, band_cap=cap
+    )
+    n_pairs = pairs.count()
+    assert 0 < n_pairs <= cap * (cap - 1) // 2
+    # the capped bucket keeps the FIRST doc_ids, so the canonical
+    # representative (min id) still appears in pairs
+    assert pairs.filter(F.col("doc_a") == 0).count() > 0
+
+
 def test_simhash_exact_copy_same_signature(spark, docs_with_dupes):
     sig = D.simhash_signature(docs_with_dupes)
     by_id = {r.doc_id: r.simhash for r in sig.filter(F.col("doc_id").isin(0, 9000, 1, 9001)).collect()}

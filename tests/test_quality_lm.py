@@ -223,3 +223,20 @@ def test_clean_text_strips_tags_entities_and_boilerplate(spark):
     assert "<tag> literal stays & so does this line" in r["clean_text"]
     assert "menu" not in r["clean_text"]
     assert r["n_chars_clean"] < r["n_chars_raw"]
+
+
+def test_table_profile_single_scan_counts_nulls(spark):
+    from flink_elasticsearch_ingestion_spark.operators.quality import table_profile
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (None, 4.0), (3.0, 4.0)], "a double, b double"
+    )
+    got = {r.column_name: r for r in table_profile(df, ["a", "b"]).collect()}
+    assert got["a"].n_rows == 3 and got["a"].n_nulls == 1
+    assert got["a"].n_distinct == 2 and got["a"].min_val == 1.0
+    assert got["b"].n_nulls == 0 and got["b"].n_distinct == 2
+    assert abs(got["b"].avg_val - (10.0 / 3)) < 1e-3
+    # ONE aggregation pass: exactly one Aggregate pair (partial+final)
+    # and one scan in the plan
+    plan = table_profile(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 2  # the single ExistingRDD scan (+reuse)

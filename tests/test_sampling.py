@@ -46,3 +46,27 @@ def test_hash_split_stable_partition_of_corpus(spark, sf_dir):
         for r in SM.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v2").collect()
     }
     assert resalted != first
+
+
+def test_token_budget_by_group_respects_each_budget(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SM.select_within_token_budget_by_group(docs, 1_500, group_col="source")
+    rows = out.collect()
+    assert rows, "budget selected nothing"
+    # every group's running total stays inside its own budget, and the
+    # selection is greedy: within a group, cum_tokens is the prefix sum
+    # of n_tokens in (quality DESC, doc_id ASC) order
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r.source, []).append(r)
+    assert len(per_group) > 1
+    for src, grp in per_group.items():
+        grp = sorted(grp, key=lambda r: r.cum_tokens)
+        assert grp[-1].cum_tokens <= 1_500
+        running = 0
+        for r in grp:
+            running += r.n_tokens
+            assert r.cum_tokens == running
+        # greedy order: quality never increases along the selection
+        qs = [r.quality_score for r in grp]
+        assert qs == sorted(qs, reverse=True)

@@ -55,3 +55,48 @@ def test_running_revenue_monotone(spark, sf_dir):
     totals = [r.running_total for r in out]
     assert totals == sorted(totals)
     assert len(out) > 0
+
+
+def test_time_weighted_value_hand_computed(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: value 10 held 10s, then 20 held 30s -> twap 17.5
+        (1, 1, base, 10.0),
+        (2, 1, base + dt.timedelta(seconds=10), 20.0),
+        (3, 1, base + dt.timedelta(seconds=40), 99.0),  # last: no duration
+        # user 2: single event -> excluded entirely
+        (4, 2, base, 5.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        time_weighted_value,
+    )
+
+    got = {r.user_id: r for r in time_weighted_value(events).collect()}
+    assert set(got) == {1}
+    assert got[1].n_intervals == 2
+    assert abs(got[1].twap - (10 * 10 + 20 * 30) / 40) < 1e-6
+    assert abs(got[1].total_seconds - 40.0) < 1e-6
+
+
+def test_event_trigrams_counts_consecutive_triples(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    seq = ["a", "b", "c", "a", "b", "c"]  # trigrams: abc, bca, cab, abc
+    rows = [
+        (i, 1, base + dt.timedelta(seconds=i), t) for i, t in enumerate(seq)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        event_trigrams,
+    )
+
+    got = {r.trigram: r.n_occurrences for r in event_trigrams(events).collect()}
+    assert got == {"a>b>c": 2, "b>c>a": 1, "c>a>b": 1}

@@ -122,9 +122,13 @@ def q_es_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.dataSource.register(EsBulkDataSource)
-    docs = encode_body(
-        C.shape_documents(_t(spark, sf_dir, "events")), C.BODY_COLS
-    ).select("doc_id", "index_id", "source")
+    # deterministic 5% slice: the round-trip exercises the full write
+    # path (chunking, manifest, parse-back) at a bounded driver-side
+    # parse cost regardless of SF; the oracle applies the same residue
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    docs = encode_body(C.shape_documents(events), C.BODY_COLS).select(
+        "doc_id", "index_id", "source"
+    )
     out = tempfile.mkdtemp(prefix="es_bulk_roundtrip_")
     docs.write.format("es_bulk").mode("overwrite").option("path", out).save()
     # driver-side parse is the test-harness stand-in for a live /_bulk
@@ -1566,7 +1570,8 @@ def oracle_sql() -> dict[str, str]:
             " min(event_id) AS first_doc, max(event_id) AS last_doc,"
             " CAST(sum(user_id) AS BIGINT) AS sum_user_id,"
             " round(sum(value) + 1e-9, 2) AS sum_value"
-            " FROM events GROUP BY event_type ORDER BY index_id"
+            " FROM events WHERE event_id % 20 = 0"
+            " GROUP BY event_type ORDER BY index_id"
         ),
         "bulk_chunks_distributed": (
             # chunk layout is partition-dependent; the deterministic

@@ -217,3 +217,35 @@ def test_resample_window_reuses_join_partitioning(spark, sf_dir):
     n_range = plan.count("Exchange rangepartitioning")
     assert n_hash <= 2, plan[:2000]
     assert n_range == 1
+
+
+def test_time_weighted_value_single_wide_shuffle(spark, sf_dir):
+    # the lead window and the per-user aggregate must share one
+    # user_id exchange; only the final orderBy adds a range exchange
+    plan = _physical(spark, "time_weighted_value", sf_dir)
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, plan
+
+
+def test_cohort_retention_one_fact_shuffle(spark, sf_dir):
+    # collect_set formulation: ONE fact-sized exchange on user_id plus
+    # the tiny (cohort, offset) matrix aggregation — the naive
+    # distinct-then-window plan costs a second full-width exchange
+    plan = _physical(spark, "cohort_retention", sf_dir)
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges <= 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    # every statistic for every column in one aggregation pass: one
+    # parquet scan, no per-column jobs
+    plan = _physical(spark, "table_profile", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_event_trigrams_takeordered_topk(spark, sf_dir):
+    # the corpus top-k must plan as TakeOrderedAndProject (bounded
+    # per-partition heaps), never a global sort materialization
+    plan = _physical(spark, "event_trigrams", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan

@@ -536,3 +536,41 @@ def user_stats_tws(events: DataFrame):
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_constraint_report(
+    spark: SparkSession,
+    source_path: str,
+    rules,
+    checkpoint_dir: str,
+    query_name: str = "dq_stream",
+):
+    """Continuous data-quality monitoring: the SAME compiled one-pass
+    rule aggregation as batch ``constraint_report`` runs as a
+    complete-mode streaming aggregation — each trigger re-emits every
+    rule's violation count over everything ingested so far, so the
+    memory table always holds the current corpus-wide DQ state.
+
+    State is one long per rule. ``unique`` rules are batch-only here:
+    Structured Streaming rejects exact distinct aggregates (unbounded
+    per-key state) — express streamed uniqueness as
+    ``dropDuplicatesWithinWatermark`` + count, or approx_count_distinct.
+    Batch ≡ stream by construction: the rule expressions are identical;
+    the parity test drives this with AvailableNow over a staged
+    directory and compares against the batch report.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        constraint_report,
+    )
+
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    report = constraint_report(stream, rules)
+    return (
+        report.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

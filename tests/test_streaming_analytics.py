@@ -303,3 +303,35 @@ def test_user_stats_tws_or_documented_gate(tmp_path, spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_constraint_report_matches_batch(tmp_path, spark, sf_dir):
+    """Continuous DQ: complete-mode streaming run of the compiled rule
+    aggregation (multiple triggers via maxFilesPerTrigger in the
+    AvailableNow plan) ends at exactly the batch report. ``unique``
+    rules are excluded — streaming rejects exact distinct aggregates."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        constraint_report,
+    )
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        stream_constraint_report,
+    )
+
+    rules = (
+        {"kind": "not_null", "column": "user_id"},
+        {"kind": "in_range", "column": "value", "lo": 0.0, "hi": 100.0},
+        {"kind": "accepted_values", "column": "event_type",
+         "values": ("click", "view", "purchase")},
+    )
+    in_dir = _staged_events(tmp_path, spark, sf_dir)
+    q = stream_constraint_report(
+        spark, in_dir, rules, str(tmp_path / "dq_ck"), query_name="dq_test"
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("dq_test")
+    batch = constraint_report(spark.read.parquet(in_dir), rules)
+    assert streamed.count() == batch.count() == 3
+    assert streamed.exceptAll(batch.select(*streamed.columns)).count() == 0
+    # at least one rule must actually be failing for the parity to
+    # prove anything about nonzero counts
+    assert streamed.filter("passed = false").count() >= 1

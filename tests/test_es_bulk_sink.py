@@ -135,6 +135,37 @@ def test_streaming_bulk_write_per_epoch_manifests(tmp_path, spark, sf_dir):
     assert len(manifests) >= 1  # one per drained epoch
 
 
+def test_streaming_epoch_replay_is_idempotent(tmp_path, spark, sf_dir):
+    """A replayed micro-batch (same batchId after a crash before the
+    checkpoint commit) must overwrite ITS OWN epoch manifest, leaving
+    the visible payload identical — the exactly-once contract of the
+    manifest scheme."""
+    from flink_elasticsearch_ingestion_spark.sources.es_bulk import (
+        EsBulkStreamWriter,
+    )
+
+    docs = _docs(spark, sf_dir).limit(10)
+    out = tmp_path / "bulk_replay"
+    out.mkdir()
+    writer = EsBulkStreamWriter({"path": str(out)})
+    rows = docs.collect()
+    # first attempt of epoch 7, then a replay of the SAME epoch (crash
+    # after data files landed but before the engine recorded the commit)
+    msg1 = writer.write(iter(rows))
+    writer.commit([msg1], 7)
+    first_payload = read_bulk_payload(str(out))
+    msg2 = writer.write(iter(rows))
+    writer.commit([msg2], 7)
+    replayed_payload = read_bulk_payload(str(out))
+    # same epoch -> same manifest name -> replay REPLACES, never doubles
+    assert len(replayed_payload) == len(first_payload) == 10
+    assert {a["index"]["_id"] for a, _ in replayed_payload} == {
+        a["index"]["_id"] for a, _ in first_payload
+    }
+    manifests = [f for f in os.listdir(out) if f.startswith("_MANIFEST-")]
+    assert manifests == ["_MANIFEST-7.json"]
+
+
 def test_full_reference_pipeline_scan_to_bulk(tmp_path, spark, sf_dir):
     """The reference's whole job in one statement: incremental scan ->
     emitter projection -> last-wins -> bulk-format sink."""

@@ -240,3 +240,33 @@ def test_table_profile_single_scan_counts_nulls(spark):
     # and one scan in the plan
     plan = table_profile(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") <= 2  # the single ExistingRDD scan (+reuse)
+
+
+def test_table_profile_approx_distinct_no_expand(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.quality import table_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_discount"]
+    exact = {r.column_name: r for r in table_profile(li, cols).collect()}
+    approx = {
+        r.column_name: r
+        for r in table_profile(li, cols, approx_distinct=True).collect()
+    }
+    for c in cols:
+        # HLL++ default rsd 5%: allow a generous band
+        assert abs(approx[c].n_distinct - exact[c].n_distinct) <= max(
+            3, 0.1 * exact[c].n_distinct
+        )
+        # every non-distinct statistic must be identical
+        assert approx[c].n_rows == exact[c].n_rows
+        assert approx[c].n_nulls == exact[c].n_nulls
+        assert approx[c].min_val == exact[c].min_val
+        assert approx[c].avg_val == exact[c].avg_val
+    # the approx plan drops the Expand the exact distincts need
+    plan = (
+        table_profile(li, cols, approx_distinct=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan

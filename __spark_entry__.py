@@ -109,40 +109,33 @@ def q_es_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end through the REAL write path: shape events into
     documents, write them with ``df.write.format("es_bulk")`` (executor
     chunking, 64-action files, manifest-gated commit), parse the
-    committed NDJSON payload back, and aggregate per index from the
-    PARSED action/body fields. Hash-green against the DuckDB oracle on
-    the raw events table proves the bulk wire format preserved every
+    committed NDJSON payload back DISTRIBUTED (manifest semi-join +
+    JVM-side line pairing, no driver loop), and aggregate per index from
+    the PARSED action/body fields. Hash-green against the DuckDB oracle
+    on the raw events table proves the bulk wire format preserved every
     (doc_id, index_id, body) through the sink and back."""
     import tempfile
 
     from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_body
     from flink_elasticsearch_ingestion_spark.sources.es_bulk import (
         EsBulkDataSource,
-        read_bulk_payload,
+        read_bulk_payload_df,
     )
 
     spark.dataSource.register(EsBulkDataSource)
-    # deterministic 5% slice: the round-trip exercises the full write
-    # path (chunking, manifest, parse-back) at a bounded driver-side
-    # parse cost regardless of SF; the oracle applies the same residue
+    # deterministic 5% slice keeps the written-file count bounded while
+    # still exercising the full write path (chunking, manifest,
+    # parse-back); the oracle applies the same residue
     events = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
     docs = encode_body(C.shape_documents(events), C.BODY_COLS).select(
         "doc_id", "index_id", "source"
     )
     out = tempfile.mkdtemp(prefix="es_bulk_roundtrip_")
     docs.write.format("es_bulk").mode("overwrite").option("path", out).save()
-    # driver-side parse is the test-harness stand-in for a live /_bulk
-    # endpoint (fixture-scale only; the sink itself never collects)
-    rows = [
-        (int(action["index"]["_id"]), action["index"]["_index"], body)
-        for action, body in read_bulk_payload(out)
-    ]
-    back = spark.createDataFrame(
-        rows, "doc_id bigint, index_id string, source string"
-    )
+    back = read_bulk_payload_df(spark, out)
     return (
         back.select(
-            "doc_id",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
             "index_id",
             F.get_json_object("source", "$.user_id").cast("bigint").alias("user_id"),
             F.get_json_object("source", "$.value").cast("double").alias("value"),

@@ -172,6 +172,52 @@ class EsBulkDataSource(DataSource):
         return EsBulkStreamWriter(self.options)
 
 
+def read_bulk_payload_df(spark, path: str):
+    """Distributed parse-back of the committed bulk payload.
+
+    The scale path for auditing a bulk export: the manifest log is
+    parsed driver-side (tiny metadata, same pattern as a Delta/Iceberg
+    log read — Spark's file index hides ``_``-prefixed files from
+    distributed readers anyway), the committed chunk files are scanned
+    with the ordinary distributed text reader, and the action/body line
+    pairing happens JVM-side with higher-order array functions — no
+    driver-side payload loop, so a 100 TB payload audits at cluster
+    parallelism.  At extreme file counts, compact per-epoch manifests
+    before auditing.  Visibility contract matches
+    :func:`read_bulk_payload`: only files named by a manifest count;
+    uncommitted stragglers are invisible.
+
+    Returns a DataFrame ``(doc_id string, index_id string, source
+    string)`` — doc_id stays a string here because the wire format
+    carries it as JSON; callers cast as needed.
+    """
+    from pyspark.sql import functions as F
+
+    files: list[str] = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.startswith("_MANIFEST") and f.endswith(".json"):
+                with open(os.path.join(path, f)) as fh:
+                    files.extend(json.load(fh)["files"])
+    paths = [os.path.join(path, f) for f in sorted(set(files))]
+    if not paths:
+        # no committed manifests -> empty payload
+        return spark.createDataFrame(
+            [], "doc_id string, index_id string, source string"
+        )
+    committed = spark.read.text(paths, wholetext=True)
+    lines = F.filter(F.split(F.col("value"), "\n"), lambda x: x != "")
+    paired = committed.select(
+        F.filter(lines, lambda x, i: i % 2 == 0).alias("actions"),
+        F.filter(lines, lambda x, i: i % 2 == 1).alias("bodies"),
+    ).select(F.explode(F.arrays_zip("actions", "bodies")).alias("p"))
+    return paired.select(
+        F.get_json_object("p.actions", "$.index._id").alias("doc_id"),
+        F.get_json_object("p.actions", "$.index._index").alias("index_id"),
+        F.col("p.bodies").alias("source"),
+    )
+
+
 def read_bulk_payload(path: str) -> list[tuple[dict, str]]:
     """Parse every COMMITTED chunk back into (action, body) pairs —
     the test-side consumer standing in for a live ``/_bulk`` endpoint.

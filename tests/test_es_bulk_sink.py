@@ -213,3 +213,40 @@ def test_failed_write_commits_no_manifest(tmp_path, spark):
     if os.path.isdir(out):
         assert not [f for f in os.listdir(out) if f.startswith("_MANIFEST")]
         assert read_bulk_payload(out) == []
+
+def test_distributed_payload_reader_matches_driver_reader(tmp_path, spark, sf_dir):
+    """read_bulk_payload_df (manifest semi-join + JVM line pairing) must
+    see exactly the committed (doc_id, index_id, source) set the
+    driver-side reader sees — including manifest-gated invisibility of
+    uncommitted stragglers."""
+    from flink_elasticsearch_ingestion_spark.sources.es_bulk import (
+        read_bulk_payload_df,
+    )
+
+    spark.dataSource.register(EsBulkDataSource)
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "bulk_dist")
+    docs.write.format("es_bulk").mode("append").option("path", out).save()
+    # plant an uncommitted straggler chunk: valid wire format, no manifest
+    with open(os.path.join(out, "bulk-straggler-00000.ndjson"), "w") as fh:
+        fh.write('{"index":{"_index":"ghost","_id":"999999"}}\n{"x":1}\n')
+    driver_side = {
+        (str(a["index"]["_id"]), a["index"]["_index"], b)
+        for a, b in read_bulk_payload(out)
+    }
+    dist = {
+        (r["doc_id"], r["index_id"], r["source"])
+        for r in read_bulk_payload_df(spark, out).collect()
+    }
+    assert dist == driver_side
+    assert not any(ix == "ghost" for _, ix, _ in dist)
+
+
+def test_distributed_payload_reader_empty_dir(tmp_path, spark):
+    from flink_elasticsearch_ingestion_spark.sources.es_bulk import (
+        read_bulk_payload_df,
+    )
+
+    out = tmp_path / "bulk_empty"
+    out.mkdir()
+    assert read_bulk_payload_df(spark, str(out)).count() == 0

@@ -664,10 +664,12 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (xxhash64-based): deterministic train/val/test corpus
-    split — membership is a pure function of doc_id + salt, so re-runs
-    and backfills agree without an assignment table. Stability and
-    partition-of-corpus properties are unit-tested."""
+    """Deterministic train/val/test corpus split — membership is a pure
+    function of doc_id + salt, so re-runs and backfills agree without
+    an assignment table. The md5-based uniform is engine-portable, so
+    the DuckDB oracle re-derives the identical per-doc membership (the
+    split boundaries are embedded with Python float accumulation
+    semantics to match the engine's literals exactly)."""
     from flink_elasticsearch_ingestion_spark.operators.sampling import hash_split
 
     docs = _t(spark, sf_dir, "documents")
@@ -689,10 +691,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: MinHash signatures use xxhash64 (no DuckDB
-    equivalent)."""
+    """MinHash+LSH near-dup pairs with the engine-portable hash family
+    (md5-31-bit base + affine perms, signature-slice band keys): the
+    DuckDB oracle re-derives the IDENTICAL signatures, band keys, and
+    candidate set from SQL, so banding + pair join + exact-Jaccard
+    verify are all value-hash-checked end-to-end (the xxhash64 variant
+    remains the pure-speed path, unit-pinned)."""
     return D.minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), jaccard_threshold=0.4
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.4, portable=True
     )
 
 
@@ -719,11 +725,13 @@ def q_text_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (MinHash/xxhash64 basis): the dedup capstone — near-dup
-    pairs resolved into clusters via iterative connected components;
-    one row per cluster with size + kept representative."""
+    """The dedup capstone — portable-MinHash near-dup pairs resolved
+    into clusters via iterative connected components; one row per
+    cluster with size + kept representative. Oracle-checked: the DuckDB
+    side re-derives the same pairs and resolves components with a
+    recursive CTE."""
     return D.near_dup_clusters(
-        _t(spark, sf_dir, "documents"), jaccard_threshold=0.4
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.4, portable=True
     )
 
 
@@ -1210,9 +1218,15 @@ def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SimHash bucketing (xxhash64-based). The bounded id
-    sample is flattened to CSV so every contract column is scalar."""
-    return D.simhash_buckets(_t(spark, sf_dir, "documents")).select(
+    """SimHash bucketing with the engine-portable hash family (md5-31
+    feature hashes, 24-bit signature, 12-bit bucket prefix): the DuckDB
+    oracle re-derives the identical per-bit votes, signatures, and
+    bucket membership — including the capped, deterministically-ordered
+    id sample. The bounded id sample is flattened to CSV so every
+    contract column is scalar."""
+    return D.simhash_buckets(
+        _t(spark, sf_dir, "documents"), bits=24, prefix_bits=12, portable=True
+    ).select(
         "bucket", "n_docs", F.array_join("doc_ids", ",").alias("doc_ids_csv")
     ).orderBy("bucket")
 
@@ -1280,8 +1294,11 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Arrow-batched mapInPandas feature extraction (stub
-    decoder); checked for shape/determinism, not SQL parity."""
+    """Arrow-batched mapInPandas feature extraction. The stub decoder
+    derives features from the payload's sha256 digest, which DuckDB can
+    recompute exactly — so the whole binary-payload pipeline (encode ->
+    mapInPandas batch -> digest -> feature floats) is value-hash-checked
+    against an independent engine, not just shape-checked."""
     media = M.documents_as_media(_t(spark, sf_dir, "documents"))
     return M.extract_features(media).select(
         "media_id", "kind", "n_bytes", "content_sha", F.round(F.element_at("feature", 1), 6).alias("f0")
@@ -1334,7 +1351,15 @@ _WINDOW_PRIORITY = [
     "text_stats", "training_data_pipeline", "media_stats",
     "media_frames", "pack_documents", "deterministic_sample",
     "source_mix",
-    # (c) new in round 3
+    # (c) rows-only in r02, upgraded this round to full value-hash
+    # oracles via the engine-portable (md5-family) hashes — their first
+    # possible hash-green driver rows, so they take window priority
+    "minhash_near_dup", "near_dup_clusters", "hash_split",
+    "simhash_buckets", "lsh_topk", "embedding_near_dup",
+    "media_features",
+    # (c') new in round 3 (es_bulk_roundtrip = the connectors' first
+    # driver-visible correctness row; the rest carry ready oracles and
+    # rotate in next round)
     "es_bulk_roundtrip", "token_budget_by_source", "time_weighted_value",
     "event_trigrams", "cohort_retention", "table_profile",
     # (d) rotation fill (green in r01, not re-checked since)
@@ -1513,6 +1538,68 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "top_words": q_top_words,
     }
+
+
+def _minhash_pairs_cte(threshold: float = 0.4) -> str:
+    """Shared CTE chain re-deriving the portable-MinHash near-dup pairs
+    in pure DuckDB SQL: same md5-31-bit shingle hashes, same affine
+    perms (coefficients inlined from MINHASH_COEFFS), same
+    signature-slice band keys, same exact-Jaccard verify. Used by the
+    minhash_near_dup and near_dup_clusters oracles."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        MERSENNE31,
+        MINHASH_COEFFS,
+    )
+
+    ab_rows = ", ".join(
+        f"({j + 1}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_COEFFS[:16])
+    )
+    p = MERSENNE31
+    return (
+        "docs AS (SELECT doc_id,"
+        " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"
+        " FROM documents),"
+        " th AS (SELECT doc_id, list_transform(w,"
+        f"   t -> ('0x' || substr(md5(t),1,8))::BIGINT % {p}) AS ht FROM docs),"
+        " hv AS (SELECT doc_id, list_distinct(["
+        "   list_reduce(list_prepend(0::BIGINT, ht[i:i+2]),"
+        f"     (a, x) -> ((a*1000003) % {p} + x) % {p})"
+        "   FOR i IN generate_series(1, greatest(len(ht)-2, 1))]) AS h FROM th),"
+        f" ab AS (SELECT * FROM (VALUES {ab_rows}) AS t(j, a, b)),"
+        " sig AS (SELECT doc_id, j,"
+        f"   list_min(list_transform(h, x -> (a*x+b) % {p})) AS mh"
+        "   FROM hv CROSS JOIN ab),"
+        " bands AS (SELECT doc_id, (j-1)//2 AS band_idx,"
+        "   string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key"
+        "   FROM sig GROUP BY doc_id, (j-1)//2),"
+        " cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        "   FROM bands a JOIN bands b ON a.band_idx = b.band_idx"
+        "   AND a.band_key = b.band_key AND a.doc_id < b.doc_id),"
+        " verified AS (SELECT doc_a, doc_b,"
+        "   round(len(list_intersect(ha.h, hb.h)) * 1.0 /"
+        "     greatest(len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h)), 1),"
+        "     6) AS jaccard"
+        "   FROM cand JOIN hv ha ON ha.doc_id = cand.doc_a"
+        "   JOIN hv hb ON hb.doc_id = cand.doc_b),"
+        " mh_pairs AS (SELECT doc_a, doc_b, jaccard FROM verified"
+        f"   WHERE jaccard >= {threshold})"
+    )
+
+
+def _plane_values(bits: int, seeds: list[int], dim: int = 64) -> str:
+    """VALUES rows ``(tbl, i, plane)`` inlining the deterministic
+    sign-LSH hyperplanes (similarity._hyperplanes, same seeds) so the
+    DuckDB oracle re-derives identical sign-bit buckets. Python float
+    repr round-trips exactly through DuckDB's double parser, so every
+    plane coefficient is bit-identical on both engines."""
+    from flink_elasticsearch_ingestion_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t, seed in enumerate(seeds):
+        for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            rows.append(f"({t}, {i}, {lit})")
+    return ", ".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2261,6 +2348,99 @@ def oracle_sql() -> dict[str, str]:
             " FROM cand JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b"
             " WHERE round(n_shared * 1.0 / (sa.n_grams + sb.n_grams - n_shared), 6) >= 0.15"
             " ORDER BY doc_a, doc_b"
+        ),
+        "media_features": (
+            "SELECT doc_id AS media_id, 'image' AS kind,"
+            " CAST(octet_length(encode(text)) AS INT) AS n_bytes,"
+            " sha256(text) AS content_sha,"
+            " round(('0x' || substr(sha256(text), 1, 2))::INT / 255.0, 6)"
+            "   AS f0"
+            " FROM documents ORDER BY media_id"
+        ),
+        "lsh_topk": (
+            "WITH planes AS (SELECT * FROM (VALUES "
+            + _plane_values(4, [42])
+            + ") AS t(tbl, i, p)),"
+            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+            " q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),"
+            " buckets AS (SELECT vec_id, v, CAST(sum(CASE WHEN"
+            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v),"
+            " qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0)"
+            " SELECT vec_id, round(list_dot_product(v, qv) /"
+            "   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
+            "   AS cosine"
+            " FROM buckets, q, qb WHERE bucket = qbucket"
+            " ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "embedding_near_dup": (
+            "WITH planes AS (SELECT * FROM (VALUES "
+            + _plane_values(4, [42 + t for t in range(8)])
+            + ") AS t(tbl, i, p)),"
+            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+            " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
+            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
+            " cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
+            "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl"
+            "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"
+            " verified AS (SELECT vec_a, vec_b,"
+            "   round(list_dot_product(va.v, vb.v) /"
+            "     (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),"
+            "     6) AS cosine"
+            "   FROM cand JOIN vecs va ON va.vec_id = cand.vec_a"
+            "   JOIN vecs vb ON vb.vec_id = cand.vec_b)"
+            " SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= 0.4"
+            " ORDER BY vec_a, vec_b"
+        ),
+        "simhash_buckets": (
+            "WITH docs AS (SELECT doc_id,"
+            " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"
+            " FROM documents),"
+            " th AS (SELECT doc_id, list_transform(w,"
+            "   t -> ('0x' || substr(md5(t),1,8))::BIGINT % 2147483647) AS ht FROM docs),"
+            " hv AS (SELECT doc_id, list_distinct(["
+            "   list_reduce(list_prepend(0::BIGINT, ht[i:i+1]),"
+            "     (a, x) -> ((a*1000003) % 2147483647 + x) % 2147483647)"
+            "   FOR i IN generate_series(1, greatest(len(ht)-1, 1))]) AS h FROM th),"
+            " sig AS (SELECT doc_id, CAST(list_sum([CASE WHEN"
+            "   list_sum(list_transform(h, x -> CASE WHEN (x >> b) & 1 = 1"
+            "     THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END"
+            "   FOR b IN generate_series(0, 23)]) AS BIGINT) AS s FROM hv),"
+            " ranked AS (SELECT doc_id, s >> 12 AS bucket,"
+            "   row_number() OVER (PARTITION BY (s >> 12) ORDER BY doc_id) AS rn"
+            "   FROM sig)"
+            " SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,"
+            "   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)"
+            "     FILTER (WHERE rn <= 100) AS doc_ids_csv"
+            " FROM ranked GROUP BY bucket HAVING count(*) > 1 ORDER BY bucket"
+        ),
+        "hash_split": (
+            # boundaries accumulate the same way hash_split does
+            # (0.8, then 0.8 + 0.1) so the double literals are identical
+            f"WITH u AS (SELECT n_chars,"
+            f" ('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 13))::BIGINT"
+            f" / 4503599627370496.0 AS u FROM documents),"
+            f" labeled AS (SELECT n_chars, CASE WHEN u < {0.8!r} THEN 'train'"
+            f" WHEN u < {0.8 + 0.1!r} THEN 'val' ELSE 'test' END AS split FROM u)"
+            f" SELECT split, CAST(count(*) AS BIGINT) AS n_docs,"
+            f" CAST(sum(n_chars) AS BIGINT) AS total_chars"
+            f" FROM labeled GROUP BY split ORDER BY split"
+        ),
+        "minhash_near_dup": (
+            "WITH " + _minhash_pairs_cte(0.4)
+            + " SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b"
+        ),
+        "near_dup_clusters": (
+            "WITH RECURSIVE " + _minhash_pairs_cte(0.4)
+            + ", sym AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs"
+            "   UNION SELECT doc_b, doc_a FROM mh_pairs),"
+            " reach AS (SELECT u AS node, u AS label FROM sym"
+            "   UNION SELECT s.u AS node, r.label FROM sym s JOIN reach r ON r.node = s.v)"
+            " SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,"
+            "   min(node) AS keep_doc_id"
+            " FROM (SELECT node, min(label) AS component FROM reach GROUP BY node)"
+            " GROUP BY component ORDER BY component"
         ),
         "text_dup_components": (
             "WITH RECURSIVE docs AS (SELECT doc_id,"

@@ -18,6 +18,96 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# ---------------------------------------------------------------------------
+# Engine-portable hash family
+#
+# xxhash64 is the fastest JVM-side hash Spark ships, but no other engine
+# computes it from SQL, so xxhash64-based operators can only ever get
+# rows-only differential checks.  The portable family below is md5-based:
+# md5 is bit-identical across Spark, DuckDB, Postgres, Trino..., so a
+# MinHash/SimHash/split built on it can be value-hash-verified end-to-end
+# by an independent SQL engine.  DuckDB twin of portable_hash31:
+#     ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647
+# Cost: one md5 per shingle string instead of one xxhash64 — measurably
+# slower per byte, so the xxhash64 variants remain the pure-speed path
+# when cross-engine verification is not required (portable=False).
+# ---------------------------------------------------------------------------
+
+MERSENNE31 = 2147483647  # 2^31 - 1, prime; modulus of the affine perms
+
+#: fixed affine coefficients (a_j, b_j) for the portable MinHash perms —
+#: deterministic so the DuckDB oracle can inline the same literals
+import random as _random
+
+_rng = _random.Random(0x5EED)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MERSENNE31), _rng.randrange(0, MERSENNE31))
+    for _ in range(64)
+]
+del _rng
+
+
+def portable_hash31(col: F.Column) -> F.Column:
+    """31-bit engine-portable string hash: first 8 hex digits of md5,
+    reduced mod 2^31-1. Identical in DuckDB (see module comment)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % F.lit(
+        MERSENNE31
+    )
+
+
+#: multiplier of the polynomial shingle combine — prime, < 2^31 so every
+#: intermediate of ((acc*POLY_C) % p + h) % p stays below 2^62 (exact in
+#: BIGINT on any engine)
+POLY_C = 1000003
+
+
+def portable_hashed_word_shingles(col: str = "text", k: int = 3) -> F.Column:
+    """Distinct portable-hashed k-word shingles (``array<bigint>``).
+
+    Same structure as ``hashed_word_shingles`` — each token md5-hashed
+    exactly ONCE, shingle hashes derived from the fixed-width token
+    hashes — but with the engine-portable pieces: md5-31 per token and
+    a left-fold polynomial combine over each k-token slice instead of
+    xxhash64-of-slice. No shingle strings are materialized. DuckDB
+    twin of the combine:
+    ``list_reduce(list_prepend(0, ht[i:i+k-1]),
+    (a, x) -> ((a*1000003) % p + x) % p)``."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), "\\s+", " "), " ")
+    hashed_toks = F.transform(toks, lambda t: portable_hash31(t))
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    p = F.lit(MERSENNE31)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.aggregate(
+                F.slice(hashed_toks, i, k),
+                F.lit(0).cast("bigint"),
+                lambda acc, h: ((acc * F.lit(POLY_C)) % p + h) % p,
+            ),
+        )
+    )
+
+
+def portable_minhash_signature(hashes: F.Column, num_hashes: int = 16) -> F.Column:
+    """MinHash signature over portable 31-bit shingle hashes using the
+    classic affine family h_j(x) = (a_j*x + b_j) mod (2^31-1) with the
+    module-constant ``MINHASH_COEFFS`` — every product stays below
+    2^62, so plain BIGINT arithmetic is exact in both engines (no raw
+    64-bit multiply, ANSI-safe)."""
+    A = F.array(*[F.lit(a) for a, _ in MINHASH_COEFFS[:num_hashes]])
+    B = F.array(*[F.lit(b) for _, b in MINHASH_COEFFS[:num_hashes]])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (F.element_at(A, j + 1) * h + F.element_at(B, j + 1))
+                % F.lit(MERSENNE31),
+            )
+        ),
+    )
+
+
 def dedup_exact(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Exact dedup by key — one shuffle; deterministic representative
     (min of all other columns per key) so tests and re-runs agree."""
@@ -153,26 +243,42 @@ def minhash_signature_table(
     num_hashes: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, shingles, sig): the materializable signature table —
     hashed shingle sets (``array<bigint>``, ~1% of corpus size on
     prose) plus the MinHash signature. At 100 TB, write THIS to parquet
     once and run every near-dup pass against it
     (``write_signature_table`` / ``near_duplicates_from_signatures``)
-    instead of re-shingling the corpus per run."""
-    shingle_expr = (
-        hashed_word_shingles(text_col, word_k)
-        if word_k
-        else hashed_shingles(char_shingles(text_col, shingle_k))
-    )
+    instead of re-shingling the corpus per run.
+
+    ``portable=True`` swaps xxhash64 for the md5-based engine-portable
+    family (module comment above) so an independent SQL engine can
+    re-derive the identical signatures."""
+    if portable:
+        if not word_k:
+            shingle_expr = F.array_distinct(
+                F.transform(
+                    char_shingles(text_col, shingle_k), lambda s: portable_hash31(s)
+                )
+            )
+        else:
+            shingle_expr = portable_hashed_word_shingles(text_col, word_k)
+    else:
+        shingle_expr = (
+            hashed_word_shingles(text_col, word_k)
+            if word_k
+            else hashed_shingles(char_shingles(text_col, shingle_k))
+        )
     sc = documents.sparkSession.sparkContext
     if documents.rdd.getNumPartitions() < sc.defaultParallelism:
         documents = documents.repartition(sc.defaultParallelism)
     shingled = documents.select(
         F.col(id_col).alias("doc_id"), shingle_expr.alias("shingles")
     )
+    sig_fn = portable_minhash_signature if portable else minhash_signature
     return shingled.select(
-        "doc_id", "shingles", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+        "doc_id", "shingles", sig_fn(F.col("shingles"), num_hashes).alias("sig")
     )
 
 
@@ -189,6 +295,7 @@ def near_duplicates_from_signatures(
     bands: int = 8,
     jaccard_threshold: float = 0.6,
     band_cap: int | None = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs from an existing (doc_id, shingles, sig) table
     (see ``minhash_signature_table``): band explode -> ids-only band
@@ -206,17 +313,29 @@ def near_duplicates_from_signatures(
     collapses identical texts to one representative before LSH ever
     sees them); genuinely-near (not identical) clusters bigger than
     ``band_cap`` still pair up through their other ``bands-1`` bands.
-    ``band_cap=None`` disables the guard."""
+    ``band_cap=None`` disables the guard.
+
+    ``portable=True`` keys bands by the literal signature slice
+    rendered as a CSV string instead of xxhash64-of-slice — slightly
+    wider shuffle keys, but an independent SQL engine can derive the
+    identical band key (no engine-specific hash in the join)."""
     rows_per_band = num_hashes // bands
+    if portable:
+        band_key = lambda b: F.concat_ws(  # noqa: E731
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+    else:
+        band_key = lambda b: F.xxhash64(  # noqa: E731
+            F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band)
+        )
     banded = signatures.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band)
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band_idx", "band_hash"),
     )
     if band_cap is not None:
@@ -265,6 +384,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_cap: int | None = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
@@ -297,6 +417,7 @@ def minhash_near_duplicates(
         num_hashes=num_hashes,
         id_col=id_col,
         text_col=text_col,
+        portable=portable,
     ).persist()
     # Fill the cache EAGERLY: persist() alone is lazy, and the first
     # action schedules the band join's four consumers (left/right band
@@ -311,6 +432,7 @@ def minhash_near_duplicates(
         bands=bands,
         jaccard_threshold=jaccard_threshold,
         band_cap=band_cap,
+        portable=portable,
     )
 
 
@@ -649,6 +771,7 @@ def near_dup_clusters(
     jaccard_threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """The dedup capstone: MinHash near-dup pairs -> connected
     components -> one row per cluster with its size and kept
@@ -657,7 +780,11 @@ def near_dup_clusters(
     component computation, so the iterative step runs only on the
     (tiny) duplicate subgraph."""
     pairs = minhash_near_duplicates(
-        documents, jaccard_threshold=jaccard_threshold, id_col=id_col, text_col=text_col
+        documents,
+        jaccard_threshold=jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        portable=portable,
     )
     comp = connected_components(pairs)
     return (
@@ -747,7 +874,15 @@ def cross_corpus_contamination(
     )
 
 
-def simhash_signature(documents: DataFrame, *, word_k: int = 2, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_signature(
+    documents: DataFrame,
+    *,
+    word_k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
     """(doc_id, simhash) over word ``word_k``-gram features.
 
     Feature choice is the cost lever: higher-order-function lambdas
@@ -762,14 +897,27 @@ def simhash_signature(documents: DataFrame, *, word_k: int = 2, id_col: str = "d
     sc = documents.sparkSession.sparkContext
     if documents.rdd.getNumPartitions() < sc.defaultParallelism:
         documents = documents.repartition(sc.defaultParallelism)
+    # portable: md5-31-bit feature hashes (engine-portable, see module
+    # comment) — use bits <= 31 so every signature bit carries signal
+    shingle_expr = (
+        portable_hashed_word_shingles(text_col, word_k)
+        if portable
+        else hashed_word_shingles(text_col, word_k)
+    )
     return documents.select(
         F.col(id_col).alias("doc_id"),
-        hashed_word_shingles(text_col, word_k).alias("hs"),
-    ).select("doc_id", simhash64("hs").alias("simhash"))
+        shingle_expr.alias("hs"),
+    ).select("doc_id", simhash64("hs", bits).alias("simhash"))
 
 
 def simhash_buckets(
-    documents: DataFrame, *, word_k: int = 2, prefix_bits: int = 16, max_ids: int = 100
+    documents: DataFrame,
+    *,
+    word_k: int = 2,
+    prefix_bits: int = 16,
+    max_ids: int = 100,
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash each doc and bucket by the top ``prefix_bits`` bits —
     near-dup candidates share a bucket. Map-side except the final
@@ -786,7 +934,7 @@ def simhash_buckets(
     consume the bucket key, not the sample list."""
     from pyspark.sql import Window
 
-    sig = simhash_signature(documents, word_k=word_k)
+    sig = simhash_signature(documents, word_k=word_k, bits=bits, portable=portable)
     w = Window.partitionBy("bucket").orderBy("doc_id")
     # Derive bucket and DROP the signature column in one projection:
     # keeping both would make CollapseProject inline the expensive
@@ -796,7 +944,7 @@ def simhash_buckets(
     return (
         sig.select(
             "doc_id",
-            F.shiftrightunsigned("simhash", 64 - prefix_bits).alias("bucket"),
+            F.shiftrightunsigned("simhash", bits - prefix_bits).alias("bucket"),
         )
         .withColumn("__rn", F.row_number().over(w))
         .groupBy("bucket")

@@ -51,7 +51,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
         T.StructField("content_sha", T.StringType(), True),
-        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # double, not float: the decode registry returns Python doubles
+        # and a float32 round-trip would corrupt the 6th decimal the
+        # cross-engine feature parity check compares on
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
     ]
 )
 

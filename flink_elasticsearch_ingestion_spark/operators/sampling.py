@@ -70,16 +70,25 @@ def hash_split(
     out_col: str = "split",
 ) -> DataFrame:
     """Assign each row a named split with probability proportional to
-    ``weights``, as a pure function of ``xxhash64(key, salt)``.
+    ``weights``, as a pure function of ``md5(salt || ':' || key)``.
 
     The salt versions the assignment: changing it reshuffles every
     membership, keeping it fixed pins them forever — which is exactly
-    the contract an eval holdout needs."""
+    the contract an eval holdout needs. The uniform is engine-portable
+    (md5 top-52-bits / 2^52, exact in doubles), so any SQL engine can
+    re-derive the identical membership:
+    ``('0x' || substr(md5(salt || ':' || key), 1, 13))::BIGINT /
+    4503599627370496.0`` in DuckDB."""
     total = float(sum(weights.values()))
-    # uniform in [0,1) from the hash (shift to avoid sign issues)
-    u = (F.shiftrightunsigned(F.xxhash64(F.col(key_col), F.lit(salt)), 11)) / F.lit(
-        float(1 << 53)
-    )
+    # uniform in [0,1): top 52 bits of md5 over an exactly-representable
+    # power-of-two divisor — h and h/2^52 are both exact doubles
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(float(1 << 52))
     expr = None
     acc = 0.0
     items = list(weights.items())

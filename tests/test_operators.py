@@ -583,3 +583,40 @@ def test_hybrid_search_rrf_fusion(spark):
     assert abs(scores[2] - round(1 / 62 + 1 / 61, 6)) < 1e-9
     assert abs(scores[1] - round(1 / 61, 6)) < 1e-9
     assert set(scores) == {1, 2, 3, 4}  # full-outer: single-arm docs kept
+
+
+def test_portable_minhash_finds_planted_near_dup(docs_with_dupes):
+    """The engine-portable (md5-31 + polynomial combine + affine perm)
+    hash family must find the same planted duplicates as the xxhash64
+    path — the oracle gate proves cross-engine parity; this pins the
+    recall contract."""
+    pairs = D.minhash_near_duplicates(
+        docs_with_dupes, jaccard_threshold=0.5, portable=True
+    )
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 9000) in found
+    assert (1, 9001) in found
+    exact = [r.jaccard for r in pairs.collect() if (r.doc_a, r.doc_b) == (0, 9000)]
+    assert exact[0] == 1.0
+
+
+def test_portable_simhash_exact_copy_same_signature(docs_with_dupes):
+    sig = D.simhash_signature(docs_with_dupes, bits=24, portable=True)
+    by_id = {
+        r.doc_id: r.simhash
+        for r in sig.filter(F.col("doc_id").isin(0, 9000)).collect()
+    }
+    assert by_id[0] == by_id[9000]
+
+
+def test_portable_band_cap_still_bounds_degenerate_corpus(spark):
+    n, cap = 300, 20
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    pairs = D.minhash_near_duplicates(
+        docs, jaccard_threshold=0.5, band_cap=cap, portable=True
+    )
+    n_pairs = pairs.count()
+    assert 0 < n_pairs <= cap * (cap - 1) // 2

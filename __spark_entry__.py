@@ -153,6 +153,58 @@ def q_es_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_es_scroll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end through the REAL scroll-source read path: stage a 5%
+    event slice as a sharded es_scroll index (JSONL shard files, the
+    reference's scroll contract), read it back through the registered
+    DataSource V2 plugin WITH a ts-range predicate (exercises
+    pushFilters — the reader evaluates the checkpoint range inside each
+    shard scan), and aggregate per index from the PARSED fields.
+    Hash-green against the DuckDB oracle on the raw events table proves
+    the shard staging + scroll read + pushdown preserved every
+    (doc_id, index_id, ts, source)."""
+    import tempfile
+
+    from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_body
+    from flink_elasticsearch_ingestion_spark.sources.es_scroll import (
+        EsScrollDataSource,
+        write_index_shards,
+    )
+
+    spark.dataSource.register(EsScrollDataSource)
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    docs = encode_body(C.shape_documents(events), C.BODY_COLS).select(
+        "doc_id", "index_id", "ts", "source"
+    )
+    idx = tempfile.mkdtemp(prefix="es_scroll_roundtrip_")
+    write_index_shards(docs, idx, n_shards=8)
+    back = (
+        spark.read.format("es_scroll")
+        .option("path", idx)
+        .option("batch_size", "500")
+        .load()
+        .filter(F.col("ts") > F.lit(CHECKPOINT).cast("timestamp"))
+    )
+    return (
+        back.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "index_id",
+            F.get_json_object("source", "$.user_id").cast("bigint").alias("user_id"),
+            F.get_json_object("source", "$.value").cast("double").alias("value"),
+        )
+        .groupBy("index_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("user_id").alias("sum_user_id"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+        )
+        .orderBy("index_id")
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return events.select(
@@ -1357,10 +1409,11 @@ _WINDOW_PRIORITY = [
     "minhash_near_dup", "near_dup_clusters", "hash_split",
     "simhash_buckets", "lsh_topk", "embedding_near_dup",
     "media_features",
-    # (c') new in round 3 (es_bulk_roundtrip = the connectors' first
-    # driver-visible correctness row; the rest carry ready oracles and
-    # rotate in next round)
-    "es_bulk_roundtrip", "token_budget_by_source", "time_weighted_value",
+    # (c') new in round 3 (the two connector round-trips = the es_bulk
+    # sink's and es_scroll source's first driver-visible correctness
+    # rows; the rest carry ready oracles and rotate in next round)
+    "es_bulk_roundtrip", "es_scroll_roundtrip",
+    "token_budget_by_source", "time_weighted_value",
     "event_trigrams", "cohort_retention", "table_profile",
     # (d) rotation fill (green in r01, not re-checked since)
     "pricing_summary", "asof_join", "salted_agg", "tumbling_windows",
@@ -1415,6 +1468,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_sets": q_user_event_sets,
         # --- new in round 3 ---
         "es_bulk_roundtrip": q_es_bulk_roundtrip,
+        "es_scroll_roundtrip": q_es_scroll_roundtrip,
         "token_budget_by_source": q_token_budget_by_source,
         "time_weighted_value": q_time_weighted_value,
         "event_trigrams": q_event_trigrams,
@@ -1653,6 +1707,20 @@ def oracle_sql() -> dict[str, str]:
             " FROM events WHERE event_id % 20 = 0"
             " GROUP BY event_type ORDER BY index_id"
         ),
+        "es_scroll_roundtrip": (
+            # the engine side stages shards and reads them back through
+            # the scroll DataSource with the checkpoint range pushed
+            # into the reader; the oracle applies the same residue and
+            # ts filter to the raw events table
+            "SELECT event_type AS index_id, count(*) AS n_docs,"
+            " count(DISTINCT event_id) AS n_distinct,"
+            " min(event_id) AS first_doc, max(event_id) AS last_doc,"
+            " CAST(sum(user_id) AS BIGINT) AS sum_user_id,"
+            " round(sum(value) + 1e-9, 2) AS sum_value"
+            " FROM events WHERE event_id % 20 = 0"
+            f" AND CAST(ts AS TIMESTAMP) > {{ck}}"
+            " GROUP BY event_type ORDER BY index_id"
+        ).format(ck=ck),
         "bulk_chunks_distributed": (
             # chunk layout is partition-dependent; the deterministic
             # contract is row preservation + the 64-action cap

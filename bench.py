@@ -107,6 +107,7 @@ EXTENDED = [
     "priority_shipping_mix",
     # round-3 additions
     "es_bulk_roundtrip",
+    "es_scroll_roundtrip",
     "token_budget_by_source",
     "time_weighted_value",
     "event_trigrams",

@@ -109,8 +109,8 @@ def q_es_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end through the REAL write path: shape events into
     documents, write them with ``df.write.format("es_bulk")`` (executor
     chunking, 64-action files, manifest-gated commit), parse the
-    committed NDJSON payload back DISTRIBUTED (manifest semi-join +
-    JVM-side line pairing, no driver loop), and aggregate per index from
+    committed NDJSON payload back DISTRIBUTED (manifest-listed chunk
+    scan + JVM-side line pairing, no driver loop), and aggregate per index from
     the PARSED action/body fields. Hash-green against the DuckDB oracle
     on the raw events table proves the bulk wire format preserved every
     (doc_id, index_id, body) through the sink and back."""
@@ -784,6 +784,23 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     return D.near_dup_clusters(
         _t(spark, sf_dir, "documents"), jaccard_threshold=0.4, portable=True
+    )
+
+
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a 10% 'new batch' (doc_id % 10 == 7)
+    near-dup-checked against the remaining 90% corpus signature table +
+    itself — the daily-crawl ingestion shape, where wide work scales
+    with the increment, never corpus x corpus. Portable hash family, so
+    the DuckDB oracle verifies it as the full self-join restricted to
+    pairs touching the batch (an equivalence the operator guarantees)."""
+    docs = _t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+    cs = D.minhash_signature_table(docs.filter(~is_new), portable=True).persist()
+    ns = D.minhash_signature_table(docs.filter(is_new), portable=True).persist()
+    cs.count(), ns.count()  # eager fill: see minhash_near_duplicates
+    return D.near_duplicates_incremental(
+        cs, ns, jaccard_threshold=0.4, band_cap=None, portable=True
     )
 
 
@@ -1477,6 +1494,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
+        "incremental_near_dup": q_incremental_near_dup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pack_documents": q_pack_documents,
         "deterministic_sample": q_deterministic_sample,
@@ -2498,6 +2516,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": (
             "WITH " + _minhash_pairs_cte(0.4)
             + " SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b"
+        ),
+        "incremental_near_dup": (
+            "WITH " + _minhash_pairs_cte(0.4)
+            + " SELECT CASE WHEN doc_b % 10 = 7 THEN doc_b ELSE doc_a END AS new_id,"
+            " CASE WHEN doc_b % 10 = 7 THEN doc_a ELSE doc_b END AS dup_id,"
+            " jaccard FROM mh_pairs"
+            " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
+            " ORDER BY new_id, dup_id"
         ),
         "near_dup_clusters": (
             "WITH RECURSIVE " + _minhash_pairs_cte(0.4)

@@ -436,6 +436,110 @@ def minhash_near_duplicates(
     )
 
 
+def near_duplicates_incremental(
+    corpus_sigs: DataFrame,
+    new_sigs: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+    band_cap: int | None = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an existing corpus — the
+    daily-increment shape of the dedup pipeline.
+
+    At 100 TB the full self-join is the wrong tool for ingesting a
+    daily crawl: the corpus signature table is materialized ONCE
+    (``write_signature_table``), and each increment only asks "which
+    new documents duplicate anything already accepted (or each
+    other)?". The band join here is new-batch-sized on one side —
+    corpus-vs-corpus candidate pairs are never generated, so the wide
+    work scales with the increment, not the corpus. When the batch is
+    small the banded batch side broadcasts and the corpus band scan is
+    the only fact-sized read.
+
+    Both inputs are (doc_id, shingles, sig) tables built with the SAME
+    (num_hashes, bands, hash family) as ``minhash_signature_table``.
+    ``band_cap`` bounds each corpus band bucket exactly like the batch
+    pipeline (degenerate-corpus guard).
+
+    Returns (new_id, dup_id, jaccard): every new document paired with
+    the corpus documents and earlier-id new documents it near-
+    duplicates; ``dup_id < new_id`` when both are new. Equivalent to
+    running the full self-join over corpus+batch and keeping pairs
+    whose larger id is in the batch — which is exactly how the DuckDB
+    oracle verifies it."""
+    rows_per_band = num_hashes // bands
+    if portable:
+        band_key = lambda b: F.concat_ws(  # noqa: E731
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+    else:
+        band_key = lambda b: F.xxhash64(  # noqa: E731
+            F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band)
+        )
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
+            ).alias("band_idx", "band_hash"),
+        )
+
+    corpus_bands = banded(corpus_sigs)
+    if band_cap is not None:
+        w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+        corpus_bands = (
+            corpus_bands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= band_cap)
+            .drop("_rn")
+        )
+    new_bands = banded(new_sigs)
+    # new-vs-corpus: plain equi-join, no id ordering (disjoint id sets)
+    vs_corpus = (
+        new_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_id"))
+    )
+    # new-vs-new: standard self-join with id ordering
+    vs_new = (
+        new_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("dup_id"))
+    )
+    candidates = vs_corpus.unionByName(vs_new).dropDuplicates(["new_id", "dup_id"])
+    all_sh = corpus_sigs.select("doc_id", "shingles").unionByName(
+        new_sigs.select("doc_id", "shingles")
+    )
+    sh_n = all_sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n"))
+    sh_d = all_sh.select(F.col("doc_id").alias("dup_id"), F.col("shingles").alias("sh_d"))
+    inter = F.size(F.array_intersect("sh_n", "sh_d"))
+    union = F.size(F.array_union("sh_n", "sh_d"))
+    return (
+        candidates.join(sh_n, "new_id")
+        .join(sh_d, "dup_id")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "dup_id", "jaccard")
+        .orderBy("new_id", "dup_id")
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     *,

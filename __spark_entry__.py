@@ -1347,6 +1347,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, nlist=8, nprobe=3)
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of IVF, hash-verified: inverted-list
+    assignment (the Arrow-batched numpy argmax pandas_udf that scales
+    to the corpus) with DETERMINISTIC centroids — the first 8
+    embeddings, L2-normalized. The DuckDB oracle re-derives every
+    per-vector nearest-centroid decision in SQL, so the whole
+    normalize->matmul->argmax UDF path is value-checked; only the
+    k-means TRAINER (driver-side bounded sample by design) remains
+    rows-only via ``ivf_topk``. The 8-row centroid collect is the same
+    bounded driver step IVF training is allowed."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    c = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return S.ivf_assign(emb, c).select("vec_id", "centroid_id").orderBy("vec_id")
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: approximate LSH top-k."""
     qv = _query_vector(spark, sf_dir)
@@ -1476,6 +1497,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_assign": q_ivf_assign,
         # --- round-1 unchecked: multimodal ---
         "media_stats": q_media_stats,
         "media_features": q_media_features,
@@ -2442,6 +2464,20 @@ def oracle_sql() -> dict[str, str]:
             " round(('0x' || substr(sha256(text), 1, 2))::INT / 255.0, 6)"
             "   AS f0"
             " FROM documents ORDER BY media_id"
+        ),
+        "ivf_assign": (
+            "WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            "   FROM embeddings),"
+            " nv AS (SELECT vec_id, list_transform(v,"
+            "   x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn"
+            "   FROM vecs),"
+            " cents AS (SELECT vec_id AS cid, vn AS cn FROM nv WHERE vec_id < 8),"
+            " scored AS (SELECT a.vec_id, c.cid, row_number() OVER ("
+            "   PARTITION BY a.vec_id"
+            "   ORDER BY list_dot_product(a.vn, c.cn) DESC, c.cid) AS rn"
+            "   FROM nv a CROSS JOIN cents c)"
+            " SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM scored"
+            " WHERE rn = 1 ORDER BY vec_id"
         ),
         "lsh_topk": (
             "WITH planes AS (SELECT * FROM (VALUES "

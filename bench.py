@@ -108,6 +108,8 @@ EXTENDED = [
     # round-3 additions
     "es_bulk_roundtrip",
     "es_scroll_roundtrip",
+    "incremental_near_dup",
+    "ivf_assign",
     "token_budget_by_source",
     "time_weighted_value",
     "event_trigrams",

@@ -592,6 +592,31 @@ def q_user_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join (heavy-hitter join keys): the small
+    build side is replicated per salt value so one hot probe key
+    spreads over ``salt_buckets`` reducers instead of one. Results must
+    equal the plain inner join — which is exactly what the oracle
+    checks (join + rollup vs DuckDB's plain join)."""
+    from flink_elasticsearch_ingestion_spark.operators.skew import (
+        salted_broadcast_join,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_broadcast_join(events, cust, on="user_id", salt_buckets=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (heavy-hitter mitigation): results
     must be identical to the plain group-by, which is exactly what the
@@ -1628,6 +1653,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_stats": q_order_stats,
         "arg_extremes": q_arg_extremes,
         "salted_agg": q_salted_agg,
+        "salted_join": q_salted_join,
         "grouping_sets": q_grouping_sets,
         "approx_distinct": q_approx_distinct,
         "top_words": q_top_words,
@@ -2096,6 +2122,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, array_to_string("
             " array_agg(DISTINCT event_type ORDER BY event_type), ',')"
             " AS event_types_csv FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "salted_join": (
+            "SELECT c_mktsegment, count(*) AS n_events,"
+            " round(sum(value) + 1e-9, 2) AS total_value"
+            " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+            " GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
         "salted_agg": (
             "SELECT event_type, count(*) AS n_events,"

@@ -110,6 +110,7 @@ EXTENDED = [
     "es_scroll_roundtrip",
     "incremental_near_dup",
     "ivf_assign",
+    "salted_join",
     "token_budget_by_source",
     "time_weighted_value",
     "event_trigrams",

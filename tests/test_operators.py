@@ -665,3 +665,29 @@ def test_incremental_near_dup_equals_full_selfjoin_restriction(docs_with_dupes):
         elif a_new:
             want.add((r.doc_a, r.doc_b, r.jaccard))
     assert inc == want
+
+
+def test_portable_hash31_matches_duckdb_on_adversarial_strings(spark):
+    """The portability claim, tested at the hash level: portable_hash31
+    must agree with its documented DuckDB twin on empty strings,
+    whitespace, unicode (multi-byte UTF-8), long strings, and
+    hex-looking inputs — not just on fixture prose."""
+    import duckdb
+
+    cases = [
+        "", " ", "  ", "\t", "a", "A", "0", "deadbeef", "0x00",
+        "the quick brown fox", "word " * 500,
+        "naïve café résumé", "日本語のテキスト", "emoji 🙂 test",
+        "Ω≈ç√∫˜µ≤≥÷", "mixed ASCII と 日本語", "é́",
+        "line\nbreak", "quote'quote", 'double"quote',
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    from flink_elasticsearch_ingestion_spark.operators.dedup import portable_hash31
+
+    got = {r["s"]: r["h"] for r in df.select("s", portable_hash31(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in cases:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?),1,8))::BIGINT % 2147483647", [s]
+        ).fetchone()[0]
+        assert got[s] == want, repr(s)

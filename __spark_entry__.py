@@ -1448,6 +1448,13 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) new round-3 queries, (d) rotation fill of round-1 greens not seen
 # since r01.  Names absent from the catalog are skipped, extras append
 # in catalog order, so the list is safe to edit.
+#
+# ROUND-4 ROTATION NOTE: the round-3 window could not fit every new
+# query; these landed at position 51+ and have NEVER produced a driver
+# row (all local-gate green): token_budget_by_source,
+# time_weighted_value, event_trigrams, cohort_retention, table_profile,
+# incremental_near_dup, ivf_assign, salted_join.  Promote them to the
+# front of the round-4 window, then re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",

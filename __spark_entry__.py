@@ -1372,6 +1372,14 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, nlist=8, nprobe=3)
 
 
+def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-k (query bucket + all Hamming-1
+    buckets): the recall lever over plain lsh_topk, oracle-checked —
+    DuckDB re-derives the same planes, buckets, and probe set."""
+    qv = _query_vector(spark, sf_dir)
+    return S.lsh_topk_multiprobe(_t(spark, sf_dir, "embeddings"), qv, k=10, bits=4)
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed half of IVF, hash-verified: inverted-list
     assignment (the Arrow-batched numpy argmax pandas_udf that scales
@@ -1530,6 +1538,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_assign": q_ivf_assign,
+        "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
         # --- round-1 unchecked: multimodal ---
         "media_stats": q_media_stats,
         "media_features": q_media_features,
@@ -2503,6 +2512,23 @@ def oracle_sql() -> dict[str, str]:
             " round(('0x' || substr(sha256(text), 1, 2))::INT / 255.0, 6)"
             "   AS f0"
             " FROM documents ORDER BY media_id"
+        ),
+        "lsh_topk_multiprobe": (
+            "WITH planes AS (SELECT * FROM (VALUES "
+            + _plane_values(4, [42])
+            + ") AS t(tbl, i, p)),"
+            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+            " q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),"
+            " buckets AS (SELECT vec_id, v, CAST(sum(CASE WHEN"
+            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v),"
+            " qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0)"
+            " SELECT vec_id, round(list_dot_product(v, qv) /"
+            "   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
+            "   AS cosine"
+            " FROM buckets, q, qb"
+            " WHERE bucket = qbucket OR xor(bucket, qbucket) IN (1, 2, 4, 8)"
+            " ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
         "ivf_assign": (
             "WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"

@@ -153,6 +153,41 @@ def lsh_topk(
     )
 
 
+def lsh_topk_multiprobe(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: rescore the query's bucket PLUS every
+    bucket at Hamming distance 1 (each single sign bit flipped).
+
+    The standard recall lever for sign LSH: a near neighbor that lands
+    one unlucky hyperplane away is recovered without adding tables or
+    lowering ``bits`` — scan fraction grows from ~1/2^bits to
+    ~(bits+1)/2^bits, still a tiny slice of the corpus, and with a
+    bucket-partitioned layout the probe set is a partition-pruning IN
+    list. Deterministic planes (same seed family as ``lsh_topk``), so
+    the DuckDB oracle re-derives the exact probe set."""
+    planes = _hyperplanes(len(query_vector), bits, seed)
+    q_bucket = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vector, plane)) >= 0:
+            q_bucket |= 1 << i
+    probe = [q_bucket] + [q_bucket ^ (1 << i) for i in range(bits)]
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        .filter(F.col("bucket").isin(probe))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     nlist: int = 16,

@@ -87,6 +87,19 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert len(exact & approx) >= 2
 
 
+def test_lsh_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    """Multi-probe must never recall FEWER true neighbors than the
+    single-bucket probe at the same bits (its probe set is a strict
+    superset), and the self-hit always survives."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    exact = {r.vec_id for r in S.cosine_topk(emb, qv, k=10).collect()}
+    single = {r.vec_id for r in S.lsh_topk(emb, qv, k=10, bits=4).collect()}
+    multi = {r.vec_id for r in S.lsh_topk_multiprobe(emb, qv, k=10, bits=4).collect()}
+    assert 0 in multi
+    assert len(exact & multi) >= len(exact & single)
+
+
 def test_knn_join_shape(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = S.knn_join(emb.filter(F.col("vec_id") < 3), emb, k=4).collect()

@@ -111,6 +111,7 @@ EXTENDED = [
     "incremental_near_dup",
     "ivf_assign",
     "salted_join",
+    "lsh_topk_multiprobe",
     "token_budget_by_source",
     "time_weighted_value",
     "event_trigrams",

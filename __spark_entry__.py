@@ -650,6 +650,15 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.approx_distinct_counts(_t(spark, sf_dir, "events"))
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup (daily DataSketches-HLL
+    sketches union-merged per group). Oracle-checked via the accuracy
+    contract: exact per-group distincts plus a sketch_ok flag the
+    oracle pins TRUE — an estimator drifting past tolerance turns the
+    row red."""
+    return R.mergeable_distinct_rollup(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # text analysis (north-star ext)
 # --------------------------------------------------------------------------
@@ -1672,6 +1681,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "grouping_sets": q_grouping_sets,
         "approx_distinct": q_approx_distinct,
+        "hll_rollup": q_hll_rollup,
         "top_words": q_top_words,
     }
 
@@ -2512,6 +2522,13 @@ def oracle_sql() -> dict[str, str]:
             " round(('0x' || substr(sha256(text), 1, 2))::INT / 255.0, 6)"
             "   AS f0"
             " FROM documents ORDER BY media_id"
+        ),
+        "hll_rollup": (
+            # the oracle pins the exact counts and asserts the merged
+            # sketch landed inside tolerance (TRUE for every group)
+            "SELECT event_type, count(DISTINCT user_id) AS n_exact,"
+            " true AS sketch_ok"
+            " FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "lsh_topk_multiprobe": (
             "WITH planes AS (SELECT * FROM (VALUES "

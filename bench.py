@@ -112,6 +112,7 @@ EXTENDED = [
     "ivf_assign",
     "salted_join",
     "lsh_topk_multiprobe",
+    "hll_rollup",
     "token_budget_by_source",
     "time_weighted_value",
     "event_trigrams",

@@ -301,6 +301,56 @@ def approx_distinct_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def mergeable_distinct_rollup(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    day_col: str = "ts",
+    key_col: str = "user_id",
+    tolerance: float = 0.03,
+) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL):
+    build one sketch per (group, day) — the pre-aggregate a 100 TB
+    pipeline materializes once — then UNION-MERGE the daily sketches
+    into per-group totals.
+
+    This is the scale pattern ``approx_count_distinct`` alone can't
+    give you: sketches are reusable state. A daily job writes
+    (group, day, sketch) — tiny, mergeable, re-scannable — and every
+    later rollup (weekly, monthly, ad hoc) merges sketches instead of
+    re-shuffling the raw key universe. Merge is exact over sketches:
+    union(sketch(A), sketch(B)) == sketch(A ∪ B) bit-for-bit, which the
+    unit test asserts.
+
+    Output carries the oracle-checkable contract rather than the raw
+    estimate (no independent engine reproduces DataSketches bit-runs):
+    exact distinct per group plus ``sketch_ok`` — whether the merged
+    estimate landed within ``tolerance`` of exact. The DuckDB oracle
+    pins exact counts and asserts the flag is TRUE for every group, so
+    an estimator regression turns the row red."""
+    daily = events.groupBy(
+        group_col, F.to_date(F.col(day_col).cast("timestamp")).alias("__day")
+    ).agg(F.hll_sketch_agg(key_col).alias("sketch"))
+    merged = daily.groupBy(group_col).agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    )
+    exact = events.groupBy(group_col).agg(
+        F.countDistinct(key_col).alias("n_exact")
+    )
+    return (
+        merged.join(exact, group_col)
+        .select(
+            group_col,
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sketch") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(tolerance)
+            ).alias("sketch_ok"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def ship_within_30d(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Equi + range (theta) join: lineitems shipped within 30 days of
     order date. The equi key carries the shuffle; the range predicate is

@@ -704,3 +704,41 @@ def test_portable_hash31_matches_duckdb_on_adversarial_strings(spark):
             "SELECT ('0x' || substr(md5(?),1,8))::BIGINT % 2147483647", [s]
         ).fetchone()[0]
         assert got[s] == want, repr(s)
+
+
+def test_hll_sketch_merge_equals_sketch_of_union(spark, sf_dir):
+    """The property mergeable rollups rest on: union-merging per-slice
+    sketches estimates EXACTLY what one sketch over the whole input
+    estimates (DataSketches HLL merge is lossless over sketch state).
+    Plus the accuracy contract the oracle pins: within 3% of exact."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).first()["est"]
+    merged = (
+        events.withColumn("slice", F.col("event_id") % 7)
+        .groupBy("slice")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    assert merged == whole
+    exact = events.select("user_id").distinct().count()
+    assert abs(merged - exact) <= 0.03 * exact
+
+
+def test_mergeable_distinct_rollup_contract(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        mergeable_distinct_rollup,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = mergeable_distinct_rollup(events).collect()
+    assert out and all(r.sketch_ok for r in out)
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r.event_type: r.n_exact for r in out} == exact

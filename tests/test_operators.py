@@ -742,3 +742,26 @@ def test_mergeable_distinct_rollup_contract(spark, sf_dir):
         .collect()
     }
     assert {r.event_type: r.n_exact for r in out} == exact
+
+
+def test_hll_sketch_survives_parquet_roundtrip(tmp_path, spark, sf_dir):
+    """The production flow: daily sketch table materialized to parquet,
+    read back later, union-merged — estimates must equal the in-memory
+    merge exactly (sketch state is an opaque binary column)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = events.groupBy(
+        "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    path = str(tmp_path / "sketches")
+    daily.write.parquet(path)
+    from_disk = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+    )
+    in_mem = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    )
+    got = {r.event_type: r.est for r in from_disk.collect()}
+    want = {r.event_type: r.est for r in in_mem.collect()}
+    assert got == want

@@ -1470,8 +1470,9 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query; these landed at position 51+ and have NEVER produced a driver
 # row (all local-gate green): token_budget_by_source,
 # time_weighted_value, event_trigrams, cohort_retention, table_profile,
-# incremental_near_dup, ivf_assign, salted_join.  Promote them to the
-# front of the round-4 window, then re-check whatever r3 left red.
+# incremental_near_dup, ivf_assign, salted_join, lsh_topk_multiprobe,
+# hll_rollup.  Promote them to the front of the round-4 window, then
+# re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",

@@ -1182,6 +1182,19 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_date", "event_type")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES keys
+    over the portable md5 uniform, weight = document length): the
+    corpus-mixing primitive for oversampling preferred documents.
+    Oracle re-derives the identical ln(u)/w ranking in DuckDB."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_k(docs, "n_chars", 50).orderBy("doc_id")
+
+
 def q_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_elasticsearch_ingestion_spark.operators.sampling import (
         stratified_exact_k,
@@ -1621,6 +1634,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "incremental_rollup": q_incremental_rollup,
         "stratified_exact_k": q_stratified_exact_k,
+        "weighted_sample": q_weighted_sample,
         "token_entropy": q_token_entropy,
         "constraint_report": q_constraint_report,
         "bigram_lm": q_bigram_lm,
@@ -2734,6 +2748,16 @@ def oracle_sql() -> dict[str, str]:
             " event_type, count(*) AS n_events,"
             " round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value"
             " FROM events GROUP BY 1, 2 ORDER BY event_date, event_type"
+        ),
+        "weighted_sample": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            " SELECT doc_id, lang, n_chars,"
+            "  CASE WHEN n_chars > 0 THEN"
+            "   ln(('0x' || substr(md5('wsample-v1:' || doc_id::VARCHAR), 1, 13))::BIGINT"
+            "      / 4503599627370496.0) / n_chars"
+            "  ELSE -1e308 END AS k"
+            " FROM documents ORDER BY k DESC, doc_id LIMIT 50"
+            ") ORDER BY doc_id"
         ),
         "stratified_exact_k": (
             "WITH r AS (SELECT doc_id, lang,"

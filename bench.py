@@ -113,6 +113,7 @@ EXTENDED = [
     "salted_join",
     "lsh_topk_multiprobe",
     "hll_rollup",
+    "weighted_sample",
     "token_budget_by_source",
     "time_weighted_value",
     "event_trigrams",

@@ -154,6 +154,49 @@ def shuffle_order(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """EXACTLY k rows sampled without replacement with probability
+    proportional to ``weight_col`` — Efraimidis–Spirakis A-ES keys:
+    every row draws a deterministic uniform u from the portable md5
+    hash and ranks by u^(1/w); the top k by that key are a true
+    weighted sample. The corpus-mixing primitive for "oversample
+    high-quality documents" with re-run/backfill stability.
+
+    Distributed shape: the key is a pure map-side expression; top-k by
+    key plans as TakeOrderedAndProject (per-partition heaps, no global
+    sort) because k is a LIMIT, not a window.  Engine-portable: u is
+    the same md5-52-bit construction as ``hash_split``, and the rank
+    key is ln(u)/w — the monotone transform of u^(1/w) (same ordering,
+    one transcendental instead of two, so less cross-libm ulp
+    exposure); DuckDB evaluates the identical expression, making the
+    selected set oracle-checkable. Zero/negative weights sort last
+    (key forced to -infinity-ish).  The key_col tiebreak pins
+    determinism."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(float(1 << 52))
+    es_key = F.when(
+        F.col(weight_col) > 0, F.log(u) / F.col(weight_col)
+    ).otherwise(F.lit(-1e308))
+    return (
+        df.withColumn("__wk", es_key)
+        .orderBy(F.col("__wk").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__wk")
+    )
+
+
 def stratified_exact_k(
     df: DataFrame,
     stratum_col: str,

@@ -70,3 +70,28 @@ def test_token_budget_by_group_respects_each_budget(spark, sf_dir):
         # greedy order: quality never increases along the selection
         qs = [r.quality_score for r in grp]
         assert qs == sorted(qs, reverse=True)
+
+
+def test_weighted_sample_k_biases_toward_heavy_rows(spark, sf_dir):
+    """A-ES weighted sampling: the sampled mean weight must exceed the
+    corpus mean (heavier rows oversampled), the sample is exactly k,
+    deterministic across runs, and the plan is a TakeOrdered top-k (no
+    global sort, no window)."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = weighted_sample_k(docs, "n_chars", 100)
+    rows = out.collect()
+    assert len(rows) == 100
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
+    again = {r.doc_id for r in weighted_sample_k(docs, "n_chars", 100).collect()}
+    assert {r.doc_id for r in rows} == again
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

@@ -1394,6 +1394,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, nlist=8, nprobe=3)
 
 
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN join via multi-table sign-LSH blocking — the
+    sub-quadratic scale path next to the exact crossJoin baseline
+    (knn_join). Oracle re-derives the exact candidate set from the
+    inlined plane literals."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_join_lsh(
+        emb.filter(F.col("vec_id") < 5), emb, k=4, bits=4, tables=8
+    )
+
+
 def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH top-k (query bucket + all Hamming-1
     buckets): the recall lever over plain lsh_topk, oracle-checked —
@@ -1562,6 +1573,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_assign": q_ivf_assign,
         "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
+        "knn_join_lsh": q_knn_join_lsh,
         # --- round-1 unchecked: multimodal ---
         "media_stats": q_media_stats,
         "media_features": q_media_features,
@@ -2537,6 +2549,29 @@ def oracle_sql() -> dict[str, str]:
             " round(('0x' || substr(sha256(text), 1, 2))::INT / 255.0, 6)"
             "   AS f0"
             " FROM documents ORDER BY media_id"
+        ),
+        "knn_join_lsh": (
+            "WITH planes AS (SELECT * FROM (VALUES "
+            + _plane_values(4, [42 + t for t in range(8)])
+            + ") AS t(tbl, i, p)),"
+            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+            " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
+            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
+            " cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id"
+            "   FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket"
+            "   AND q.vec_id <> c.vec_id WHERE q.vec_id < 5),"
+            " scored AS (SELECT query_id, neighbor_id,"
+            "   round(list_dot_product(a.v, b.v) /"
+            "     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),"
+            "     6) AS cosine"
+            "   FROM cand JOIN vecs a ON a.vec_id = cand.query_id"
+            "   JOIN vecs b ON b.vec_id = cand.neighbor_id),"
+            " ranked AS (SELECT query_id, neighbor_id, cosine, CAST(row_number()"
+            "   OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)"
+            "   AS INT) AS rank FROM scored)"
+            " SELECT query_id, neighbor_id, cosine, rank FROM ranked"
+            " WHERE rank <= 4 ORDER BY query_id, rank"
         ),
         "hll_rollup": (
             # the oracle pins the exact counts and asserts the merged

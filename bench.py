@@ -114,6 +114,7 @@ EXTENDED = [
     "lsh_topk_multiprobe",
     "hll_rollup",
     "weighted_sample",
+    "knn_join_lsh",
     "token_budget_by_source",
     "time_weighted_value",
     "event_trigrams",

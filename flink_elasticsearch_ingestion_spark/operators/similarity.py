@@ -347,6 +347,73 @@ def knn_join(
     )
 
 
+def knn_join_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    bits: int = 4,
+    tables: int = 4,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN JOIN — the scale path ``knn_join``'s docstring
+    promises: candidates come from multi-table sign-LSH bucket
+    collisions (the only wide shuffle is the equi-join on
+    (table, bucket)), then exact cosine + per-query window rank keep
+    the top k among candidates. Sub-quadratic: each query scores only
+    rows it collides with in ANY of ``tables`` hash tables, never the
+    whole corpus. Same plane family as ``embedding_near_duplicates``
+    (seed + t per table), so the DuckDB oracle re-derives the exact
+    candidate set; queries with fewer than k collisions return fewer
+    rows — that is the approximate contract, identically on both
+    engines."""
+    sample = queries.select(vec_col).first()
+    dim = len(sample[0]) if sample else 0
+
+    def banded(df: DataFrame, id_col: str, out_id: str, out_vec: str) -> DataFrame:
+        buckets = [
+            lsh_bucket(F.col(vec_col), _hyperplanes(dim, bits, seed + t)).alias(f"b{t}")
+            for t in range(tables)
+        ]
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec), *buckets
+        ).select(
+            out_id,
+            out_vec,
+            F.posexplode(F.array(*[F.col(f"b{t}") for t in range(tables)])).alias(
+                "table_idx", "bucket"
+            ),
+        )
+
+    bq = banded(queries, query_id, "query_id", "q_vec")
+    bc = banded(corpus, corpus_id, "neighbor_id", "c_vec")
+    candidates = (
+        bq.join(
+            bc,
+            (bq["table_idx"] == bc["table_idx"]) & (bq["bucket"] == bc["bucket"]),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -765,3 +765,20 @@ def test_hll_sketch_survives_parquet_roundtrip(tmp_path, spark, sf_dir):
     got = {r.event_type: r.est for r in from_disk.collect()}
     want = {r.event_type: r.est for r in in_mem.collect()}
     assert got == want
+
+
+def test_knn_join_lsh_recall_and_no_crossjoin(spark, sf_dir):
+    """The kNN join's scale path: candidates from LSH collisions only —
+    the plan must contain NO cartesian product (that is the exact
+    baseline's plan), and per-query results must overlap the exact
+    kNN meaningfully while every query's self-hit stays excluded."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = S.knn_join_lsh(q, emb, k=4, bits=4, tables=8)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    exact = S.knn_join(q, emb, k=4)
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert all(qid != nid for qid, nid in ap)
+    assert len(ap & ex) >= len(ex) // 3

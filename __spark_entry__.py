@@ -821,6 +821,30 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene audit: near-duplicate pairs that STRADDLE the
+    train/val/test split — the leakage a held-out set must not have.
+    Composes the deterministic hash split with portable-MinHash
+    near-dup pairs, so the DuckDB oracle re-derives both the split
+    membership and the pair set and checks the exact leak list."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+    pairs = D.minhash_near_duplicates(docs, jaccard_threshold=0.4, portable=True)
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a 10% 'new batch' (doc_id % 10 == 7)
     near-dup-checked against the remaining 90% corpus signature table +
@@ -1593,6 +1617,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
         "incremental_near_dup": q_incremental_near_dup,
+        "split_leakage": q_split_leakage,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pack_documents": q_pack_documents,
         "deterministic_sample": q_deterministic_sample,
@@ -2684,6 +2709,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": (
             "WITH " + _minhash_pairs_cte(0.4)
             + " SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b"
+        ),
+        "split_leakage": (
+            "WITH " + _minhash_pairs_cte(0.4)
+            + ", sp AS (SELECT doc_id, CASE"
+            f" WHEN u < {0.8!r} THEN 'train'"
+            f" WHEN u < {0.8 + 0.1!r} THEN 'val' ELSE 'test' END AS split FROM ("
+            " SELECT doc_id,"
+            " ('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 13))::BIGINT"
+            " / 4503599627370496.0 AS u FROM documents))"
+            " SELECT doc_a, doc_b, jaccard, a.split AS split_a, b.split AS split_b"
+            " FROM mh_pairs JOIN sp a ON a.doc_id = doc_a"
+            " JOIN sp b ON b.doc_id = doc_b"
+            " WHERE a.split <> b.split ORDER BY doc_a, doc_b"
         ),
         "incremental_near_dup": (
             "WITH " + _minhash_pairs_cte(0.4)

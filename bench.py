@@ -115,6 +115,7 @@ EXTENDED = [
     "hll_rollup",
     "weighted_sample",
     "knn_join_lsh",
+    "split_leakage",
     "token_budget_by_source",
     "time_weighted_value",
     "event_trigrams",

@@ -222,17 +222,26 @@ def test_shuffle_order_is_dense_permutation(spark, ids, seed, buckets):
 )
 @settings(**_SETTINGS)
 def test_passage_dedup_counts_duplicated_doc(spark, words, chunk):
-    """A corpus of one doc and its exact copy: EVERY chunk of the doc
-    must surface as a duplicated passage with n_docs == 2, and chunk
-    counts must match the ceil(len/chunk) fan-out."""
+    """A corpus of one doc and its exact copy: every DISTINCT chunk of
+    the doc must surface as a duplicated passage with n_docs == 2, and
+    the occurrence multiset must be exactly twice the per-chunk counts
+    (a doc of repeated words legitimately collapses identical chunks
+    into one passage row — hypothesis found that edge)."""
+    from collections import Counter
+
     from flink_elasticsearch_ingestion_spark.operators.text import passage_dedup
 
     text = " ".join(words)
     df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
     rows = passage_dedup(df, chunk_words=chunk).collect()
-    n_chunks = -(-len(words) // chunk)
-    assert len(rows) == n_chunks
-    assert all(r.n_docs == 2 and r.n_occurrences >= 2 for r in rows)
+    chunks = Counter(
+        " ".join(words[i : i + chunk]) for i in range(0, len(words), chunk)
+    )
+    assert len(rows) == len(chunks)
+    assert all(r.n_docs == 2 for r in rows)
+    assert sorted(r.n_occurrences for r in rows) == sorted(
+        2 * v for v in chunks.values()
+    )
 
 
 @given(

@@ -782,9 +782,15 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle re-derives the IDENTICAL signatures, band keys, and
     candidate set from SQL, so banding + pair join + exact-Jaccard
     verify are all value-hash-checked end-to-end (the xxhash64 variant
-    remains the pure-speed path, unit-pinned)."""
+    remains the pure-speed path, unit-pinned). band_cap=None because
+    the oracle derives ALL band-collision candidates — the production
+    cap would make Spark drop pairs the oracle keeps on a degenerate
+    bucket (the cap's own planted test covers that guard)."""
     return D.minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), jaccard_threshold=0.4, portable=True
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=0.4,
+        portable=True,
+        band_cap=None,
     )
 
 
@@ -815,9 +821,13 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     into clusters via iterative connected components; one row per
     cluster with size + kept representative. Oracle-checked: the DuckDB
     side re-derives the same pairs and resolves components with a
-    recursive CTE."""
+    recursive CTE. band_cap=None to match the uncapped oracle
+    candidate set (see q_minhash_near_dup)."""
     return D.near_dup_clusters(
-        _t(spark, sf_dir, "documents"), jaccard_threshold=0.4, portable=True
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=0.4,
+        portable=True,
+        band_cap=None,
     )
 
 
@@ -833,7 +843,9 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
         "doc_id", "split"
     )
-    pairs = D.minhash_near_duplicates(docs, jaccard_threshold=0.4, portable=True)
+    pairs = D.minhash_near_duplicates(
+        docs, jaccard_threshold=0.4, portable=True, band_cap=None
+    )
     sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
     return (
@@ -857,9 +869,17 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = D.minhash_signature_table(docs.filter(~is_new), portable=True).persist()
     ns = D.minhash_signature_table(docs.filter(is_new), portable=True).persist()
     cs.count(), ns.count()  # eager fill: see minhash_near_duplicates
-    return D.near_duplicates_incremental(
+    # materialize the (tiny) pair result, then RELEASE the two
+    # corpus-scale signature caches — the caller collects from the
+    # small cached result, so nothing leaks into the rest of a
+    # long-lived session
+    out = D.near_duplicates_incremental(
         cs, ns, jaccard_threshold=0.4, band_cap=None, portable=True
-    )
+    ).persist()
+    out.count()
+    cs.unpersist()
+    ns.unpersist()
+    return out
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -288,6 +288,36 @@ def write_signature_table(documents: DataFrame, path: str, **kwargs) -> None:
     minhash_signature_table(documents, **kwargs).write.mode("overwrite").parquet(path)
 
 
+def _banded(
+    signatures: DataFrame, *, num_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """Explode a (doc_id, sig) table into (doc_id, band_idx, band_hash)
+    rows — THE band-key definition, shared by the batch self-join and
+    the incremental batch-vs-corpus join so corpus and batch signatures
+    can never drift onto incompatible keys. Portable mode keys by the
+    literal signature-slice CSV (engine-derivable); default keys by
+    xxhash64-of-slice (pure speed)."""
+    rows_per_band = num_hashes // bands
+    if portable:
+        band_key = lambda b: F.concat_ws(  # noqa: E731
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+    else:
+        band_key = lambda b: F.xxhash64(  # noqa: E731
+            F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band)
+        )
+    return signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def near_duplicates_from_signatures(
     signatures: DataFrame,
     *,
@@ -319,25 +349,7 @@ def near_duplicates_from_signatures(
     rendered as a CSV string instead of xxhash64-of-slice — slightly
     wider shuffle keys, but an independent SQL engine can derive the
     identical band key (no engine-specific hash in the join)."""
-    rows_per_band = num_hashes // bands
-    if portable:
-        band_key = lambda b: F.concat_ws(  # noqa: E731
-            ",",
-            F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-    else:
-        band_key = lambda b: F.xxhash64(  # noqa: E731
-            F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band)
-        )
-    banded = signatures.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = _banded(signatures, num_hashes=num_hashes, bands=bands, portable=portable)
     if band_cap is not None:
         # same shuffle keys as the band join below, so AQE/exchange
         # reuse keeps this from adding an extra wide stage in practice
@@ -470,28 +482,9 @@ def near_duplicates_incremental(
     running the full self-join over corpus+batch and keeping pairs
     whose larger id is in the batch — which is exactly how the DuckDB
     oracle verifies it."""
-    rows_per_band = num_hashes // bands
-    if portable:
-        band_key = lambda b: F.concat_ws(  # noqa: E731
-            ",",
-            F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-    else:
-        band_key = lambda b: F.xxhash64(  # noqa: E731
-            F.slice(F.col("sig"), b * rows_per_band + F.lit(1), rows_per_band)
-        )
-
-    def banded(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
-            ).alias("band_idx", "band_hash"),
-        )
-
+    banded = lambda sigs: _banded(  # noqa: E731
+        sigs, num_hashes=num_hashes, bands=bands, portable=portable
+    )
     corpus_bands = banded(corpus_sigs)
     if band_cap is not None:
         w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
@@ -523,11 +516,18 @@ def near_duplicates_incremental(
         .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("dup_id"))
     )
     candidates = vs_corpus.unionByName(vs_new).dropDuplicates(["new_id", "dup_id"])
-    all_sh = corpus_sigs.select("doc_id", "shingles").unionByName(
-        new_sigs.select("doc_id", "shingles")
+    # new_id is ALWAYS a batch document, so its shingle side is
+    # batch-sized; only the dup_id side needs corpus ∪ batch — this
+    # keeps every per-increment input increment-sized except the one
+    # unavoidable corpus read
+    sh_n = new_sigs.select(
+        F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n")
     )
-    sh_n = all_sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n"))
-    sh_d = all_sh.select(F.col("doc_id").alias("dup_id"), F.col("shingles").alias("sh_d"))
+    sh_d = (
+        corpus_sigs.select("doc_id", "shingles")
+        .unionByName(new_sigs.select("doc_id", "shingles"))
+        .select(F.col("doc_id").alias("dup_id"), F.col("shingles").alias("sh_d"))
+    )
     inter = F.size(F.array_intersect("sh_n", "sh_d"))
     union = F.size(F.array_union("sh_n", "sh_d"))
     return (
@@ -876,6 +876,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
+    band_cap: int | None = 1000,
 ) -> DataFrame:
     """The dedup capstone: MinHash near-dup pairs -> connected
     components -> one row per cluster with its size and kept
@@ -889,6 +890,7 @@ def near_dup_clusters(
         id_col=id_col,
         text_col=text_col,
         portable=portable,
+        band_cap=band_cap,
     )
     comp = connected_components(pairs)
     return (

@@ -62,6 +62,24 @@ def deterministic_stratified_sample(
     return df.filter(expr)
 
 
+def portable_uniform(key_col: str, salt: str) -> F.Column:
+    """Deterministic engine-portable uniform in [0,1): top 52 bits of
+    ``md5(salt || ':' || key)`` over the exactly-representable 2^52
+    divisor — both the integer and the quotient are exact doubles, so
+    comparisons against split boundaries are bit-stable. ONE definition
+    shared by ``hash_split`` and ``weighted_sample_k``; the DuckDB
+    oracles inline its twin by contract:
+    ``('0x' || substr(md5(salt || ':' || key), 1, 13))::BIGINT /
+    4503599627370496.0``."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(float(1 << 52))
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
@@ -80,15 +98,7 @@ def hash_split(
     ``('0x' || substr(md5(salt || ':' || key), 1, 13))::BIGINT /
     4503599627370496.0`` in DuckDB."""
     total = float(sum(weights.values()))
-    # uniform in [0,1): top 52 bits of md5 over an exactly-representable
-    # power-of-two divisor — h and h/2^52 are both exact doubles
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 13
-        ),
-        16,
-        10,
-    ).cast("bigint") / F.lit(float(1 << 52))
+    u = portable_uniform(key_col, salt)
     expr = None
     acc = 0.0
     items = list(weights.items())
@@ -179,13 +189,7 @@ def weighted_sample_k(
     selected set oracle-checkable. Zero/negative weights sort last
     (key forced to -infinity-ish).  The key_col tiebreak pins
     determinism."""
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 13
-        ),
-        16,
-        10,
-    ).cast("bigint") / F.lit(float(1 << 52))
+    u = portable_uniform(key_col, salt)
     es_key = F.when(
         F.col(weight_col) > 0, F.log(u) / F.col(weight_col)
     ).otherwise(F.lit(-1e308))

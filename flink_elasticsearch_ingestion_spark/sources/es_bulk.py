@@ -207,10 +207,23 @@ def read_bulk_payload_df(spark, path: str):
         )
     committed = spark.read.text(paths, wholetext=True)
     lines = F.filter(F.split(F.col("value"), "\n"), lambda x: x != "")
-    paired = committed.select(
+    split_cols = committed.select(
         F.filter(lines, lambda x, i: i % 2 == 0).alias("actions"),
         F.filter(lines, lambda x, i: i % 2 == 1).alias("bodies"),
-    ).select(F.explode(F.arrays_zip("actions", "bodies")).alias("p"))
+    )
+    # same invariant the driver-side reader asserts: a committed chunk
+    # holds (action, body) PAIRS. A truncated/corrupt chunk must fail
+    # loudly, not null-pad the zip into silently wrong audit aggregates.
+    paired = split_cols.select(
+        F.when(
+            F.size("actions") == F.size("bodies"),
+            F.arrays_zip("actions", "bodies"),
+        )
+        .otherwise(
+            F.raise_error("odd line count in committed bulk chunk")
+        )
+        .alias("z")
+    ).select(F.explode("z").alias("p"))
     return paired.select(
         F.get_json_object("p.actions", "$.index._id").alias("doc_id"),
         F.get_json_object("p.actions", "$.index._index").alias("index_id"),

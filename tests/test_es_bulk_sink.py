@@ -250,3 +250,25 @@ def test_distributed_payload_reader_empty_dir(tmp_path, spark):
     out = tmp_path / "bulk_empty"
     out.mkdir()
     assert read_bulk_payload_df(spark, str(out)).count() == 0
+
+
+def test_distributed_payload_reader_rejects_corrupt_chunk(tmp_path, spark):
+    """A committed chunk with an odd line count (truncated write that
+    made it into a manifest, or post-commit corruption) must fail
+    loudly, matching the driver-side reader's assertion — never
+    null-pad into silently wrong audit aggregates."""
+    import pytest as _pytest
+
+    from flink_elasticsearch_ingestion_spark.sources.es_bulk import (
+        read_bulk_payload_df,
+    )
+
+    out = tmp_path / "bulk_corrupt"
+    out.mkdir()
+    with open(out / "bulk-x-00000.ndjson", "w") as fh:
+        fh.write('{"index":{"_index":"i1","_id":"1"}}\n{"x":1}\n')
+        fh.write('{"index":{"_index":"i1","_id":"2"}}\n')  # truncated pair
+    with open(out / "_MANIFEST-job-x.json", "w") as fh:
+        json.dump({"files": ["bulk-x-00000.ndjson"], "n_actions": 2}, fh)
+    with _pytest.raises(Exception, match="odd line count"):
+        read_bulk_payload_df(spark, str(out)).collect()

@@ -262,15 +262,34 @@ def test_portable_minhash_band_join_single_wide_shuffle(spark, sf_dir):
     assert "band_idx" in plan and "band_hash" in plan
 
 
-def test_es_scroll_roundtrip_filter_pushdown_visible(spark, sf_dir):
-    """The scroll round-trip's checkpoint predicate is evaluated inside
-    the Python data source reader (pushFilters); the plan must not show
-    a residual ts filter re-applied over the full scan output AND the
-    read must stay shard-parallel (one partition per staged shard)."""
-    import __spark_entry__ as E
+def test_es_scroll_roundtrip_filter_pushdown_visible(tmp_path, spark, sf_dir):
+    """The scroll read path's checkpoint predicate must be ACCEPTED by
+    pushFilters (evaluated inside the reader, no residual ts Filter in
+    the plan) and the read must stay shard-parallel (one input
+    partition per staged shard)."""
+    import pyspark.sql.functions as F
 
-    df = E.queries()["es_scroll_roundtrip"](spark, sf_dir)
-    # 8 staged shards -> 8 input partitions before the aggregate
-    assert df.rdd.getNumPartitions() >= 1
-    plan = physical_plan(df)
-    assert "CartesianProduct" not in plan
+    from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_body
+    from flink_elasticsearch_ingestion_spark.operators.copy import (
+        BODY_COLS,
+        shape_documents,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.es_scroll import (
+        EsScrollDataSource,
+        write_index_shards,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_events
+
+    spark.dataSource.register(EsScrollDataSource)
+    docs = encode_body(shape_documents(load_events(spark, sf_dir)), BODY_COLS).select(
+        "doc_id", "index_id", "ts", "source"
+    )
+    idx = str(tmp_path / "scroll_idx")
+    write_index_shards(docs, idx, n_shards=8)
+    raw = spark.read.format("es_scroll").option("path", idx).load()
+    assert raw.rdd.getNumPartitions() == 8  # one slice per shard
+    filtered = raw.filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    plan = physical_plan(filtered)
+    # the ts bound was accepted by pushFilters -> Spark must NOT
+    # re-apply it as a post-scan Filter (isnotnull may remain)
+    assert "(ts" not in plan.replace("isnotnull(ts", ""), plan

@@ -1318,6 +1318,39 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new/retained/resurrected/churned user decomposition."""
+    return R.growth_accounting(_t(spark, sf_dir, "events"))
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitor: order-value distribution, pre- vs post-1998."""
+    from flink_elasticsearch_ingestion_spark.operators import quality as Q
+
+    period = F.when(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "ref"
+    ).otherwise("cur")
+    return Q.distribution_drift_psi(
+        _t(spark, sf_dir, "orders"), "o_totalprice", period
+    )
+
+
+def q_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated-passage removal with in-order reassembly."""
+    return X.scrub_boilerplate(_t(spark, sf_dir, "documents"), df_threshold=3)
+
+
+def q_equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NTILE(8) equi-depth histogram of order values, two-phase."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        equi_depth_buckets,
+    )
+
+    return equi_depth_buckets(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", k=8
+    )
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-cleaning contract: deterministic HTML/boilerplate lines
     are appended to each doc (same construction in the oracle) so the
@@ -1539,8 +1572,9 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row (all local-gate green): token_budget_by_source,
 # time_weighted_value, event_trigrams, cohort_retention, table_profile,
 # incremental_near_dup, ivf_assign, salted_join, lsh_topk_multiprobe,
-# hll_rollup.  Promote them to the front of the round-4 window, then
-# re-check whatever r3 left red.
+# hll_rollup, growth_accounting, drift_psi, scrub_boilerplate,
+# equi_depth_buckets.  Promote them to the front of the round-4 window,
+# then re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -1633,6 +1667,10 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigrams": q_event_trigrams,
         "cohort_retention": q_cohort_retention,
         "table_profile": q_table_profile,
+        "growth_accounting": q_growth_accounting,
+        "drift_psi": q_drift_psi,
+        "scrub_boilerplate": q_scrub_boilerplate,
+        "equi_depth_buckets": q_equi_depth_buckets,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3035,6 +3073,88 @@ def oracle_sql() -> dict[str, str]:
             for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         )
         + " ORDER BY column_name",
+        "growth_accounting": (
+            "WITH uw AS (SELECT DISTINCT user_id,"
+            "  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),"
+            " mx AS (SELECT max(wk) AS mxw FROM uw),"
+            " f AS (SELECT user_id, wk,"
+            "  min(wk) OVER (PARTITION BY user_id) AS fw FROM uw),"
+            " act AS (SELECT f.wk AS week,"
+            "  CASE WHEN f.wk = f.fw THEN 'new'"
+            "   WHEN p.user_id IS NOT NULL THEN 'retained'"
+            "   ELSE 'resurrected' END AS status"
+            "  FROM f LEFT JOIN uw p ON p.user_id = f.user_id"
+            "   AND p.wk = f.wk - INTERVAL 7 DAY),"
+            " churn AS (SELECT u.wk + INTERVAL 7 DAY AS week,"
+            "  'churned' AS status FROM uw u, mx"
+            "  WHERE u.wk < mx.mxw AND NOT EXISTS (SELECT 1 FROM uw n"
+            "   WHERE n.user_id = u.user_id"
+            "    AND n.wk = u.wk + INTERVAL 7 DAY)),"
+            " allr AS (SELECT * FROM act UNION ALL SELECT * FROM churn)"
+            " SELECT strftime(week, '%Y-%m-%d') AS week,"
+            " CAST(count(*) FILTER (WHERE status = 'new') AS BIGINT) AS n_new,"
+            " CAST(count(*) FILTER (WHERE status = 'retained') AS BIGINT)"
+            "  AS n_retained,"
+            " CAST(count(*) FILTER (WHERE status = 'resurrected') AS BIGINT)"
+            "  AS n_resurrected,"
+            " CAST(count(*) FILTER (WHERE status = 'churned') AS BIGINT)"
+            "  AS n_churned"
+            " FROM allr GROUP BY 1 ORDER BY 1"
+        ),
+        "drift_psi": (
+            "WITH b AS (SELECT least(CAST(floor(o_totalprice / 50000)"
+            "   AS INT), 9) AS bin,"
+            "  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'ref'"
+            "   ELSE 'cur' END AS period FROM orders),"
+            " pb AS (SELECT bin,"
+            "  count(*) FILTER (WHERE period = 'ref') AS n_ref,"
+            "  count(*) FILTER (WHERE period = 'cur') AS n_cur"
+            "  FROM b GROUP BY bin),"
+            " t AS (SELECT bin, n_ref, n_cur,"
+            "  greatest(CAST(n_ref AS DOUBLE) / CAST(sum(n_ref) OVER ()"
+            "   AS DOUBLE), 1e-6) AS p,"
+            "  greatest(CAST(n_cur AS DOUBLE) / CAST(sum(n_cur) OVER ()"
+            "   AS DOUBLE), 1e-6) AS q FROM pb)"
+            " SELECT bin, n_ref, n_cur,"
+            " round(p + 1e-9, 6) AS ref_share,"
+            " round(q + 1e-9, 6) AS cur_share,"
+            " round((p - q) * ln(p / q) + 1e-9, 6) AS psi_term,"
+            " round(sum((p - q) * ln(p / q)) OVER () + 1e-9, 6) AS psi_total"
+            " FROM t ORDER BY bin"
+        ),
+        "scrub_boilerplate": (
+            "WITH t AS (SELECT doc_id,"
+            "  regexp_split_to_array(trim(text), '\\s+') AS toks"
+            "  FROM documents WHERE trim(text) <> ''),"
+            " c AS (SELECT doc_id, i AS pos,"
+            "  array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10),"
+            "   ' ') AS passage"
+            "  FROM t, LATERAL (SELECT unnest(generate_series(0,"
+            "   CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS i) g),"
+            " b AS (SELECT passage FROM c GROUP BY passage"
+            "  HAVING count(DISTINCT doc_id) >= 3),"
+            " f AS (SELECT c.doc_id, c.pos, c.passage,"
+            "  b.passage IS NOT NULL AS is_b"
+            "  FROM c LEFT JOIN b ON c.passage = b.passage)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,"
+            " CAST(count(*) FILTER (WHERE is_b) AS BIGINT) AS n_dropped,"
+            " length(coalesce(string_agg(passage, ' ' ORDER BY pos)"
+            "  FILTER (WHERE NOT is_b), '')) AS n_chars_clean,"
+            " md5(coalesce(string_agg(passage, ' ' ORDER BY pos)"
+            "  FILTER (WHERE NOT is_b), '')) AS clean_sha"
+            " FROM f GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "equi_depth_buckets": (
+            "WITH r AS (SELECT o_totalprice AS v,"
+            "  ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket"
+            "  FROM orders)"
+            " SELECT CAST(bucket AS BIGINT) AS bucket,"
+            " count(*) AS n_rows,"
+            " round(min(v), 2) AS min_val, round(max(v), 2) AS max_val,"
+            " round(round(CAST(sum(v) AS DOUBLE), 2) / count(*) + 1e-9, 4)"
+            "  AS avg_val"
+            " FROM r GROUP BY bucket ORDER BY bucket"
+        ),
         "clean_text": (
             "WITH aug AS (SELECT doc_id, text || chr(10) || '<div>menu</div>'"
             "  || chr(10) || 'Home About' || chr(10) ||"

@@ -184,3 +184,60 @@ def table_profile(
         ]
     )
     return one.select(F.inline(per_col)).orderBy("column_name")
+
+
+def distribution_drift_psi(
+    df: DataFrame,
+    value_col: str,
+    period_col: F.Column,
+    *,
+    bin_width: float = 50_000.0,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    period of one numeric column — the standard drift monitor for a
+    continuously-ingested corpus (PSI < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted).  ``period_col`` must evaluate to ``'ref'`` or
+    ``'cur'`` per row; values are binned by fixed literal edges
+    (``bin_width`` x ``n_bins``, last bin open-ended) so the binning is
+    a pure map-side expression and two runs (or engines) agree exactly.
+
+    Scale shape: ONE scan and ONE tiny shuffle — the conditional
+    counts for both periods ride a single partial+final aggregate on
+    the bin key (≤ ``n_bins`` groups), and the share denominators are
+    unbounded-frame windows over that already-aggregated ≤ ``n_bins``-row
+    frame, which is scale-safe at any corpus size because the frame
+    width is fixed by the bin count, not the data.  Zero-count bins are
+    smoothed with ``eps`` before the log ratio.
+    """
+    from pyspark.sql import Window
+
+    b = F.least(
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    per_bin = (
+        df.select(b.alias("bin"), period_col.alias("period"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("period") == "ref", 1)).alias("n_ref"),
+            F.count(F.when(F.col("period") == "cur", 1)).alias("n_cur"),
+        )
+    )
+    # n_bins-row frame: the unbounded window is over the aggregate, not
+    # the fact table — bounded state regardless of input scale
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    p = F.greatest(F.col("n_ref") / F.sum("n_ref").over(w), F.lit(eps))
+    q = F.greatest(F.col("n_cur") / F.sum("n_cur").over(w), F.lit(eps))
+    term = (p - q) * F.log(p / q)
+    with_terms = per_bin.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p + F.lit(1e-9), 6).alias("ref_share"),
+        F.round(q + F.lit(1e-9), 6).alias("cur_share"),
+        F.round(term + F.lit(1e-9), 6).alias("psi_term"),
+        F.round(F.sum(term).over(w) + F.lit(1e-9), 6).alias("psi_total"),
+    )
+    return with_terms.orderBy("bin")

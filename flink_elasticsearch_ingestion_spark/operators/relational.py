@@ -1240,3 +1240,75 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """Weekly growth accounting: every active (user, week) is classified
+    as new (first-ever week), retained (also active the previous week)
+    or resurrected (seen before, but not last week); users active in
+    week w but silent in w+1 are counted as churned in w+1.  The
+    standard DAU/WAU decomposition identity — new + retained +
+    resurrected of week w, minus churned of w+1, walks the WAU curve.
+
+    Scale shape: ONE fact-sized shuffle, same as ``cohort_retention`` —
+    each user's distinct active weeks collapse into a calendar-bounded
+    ``collect_set`` in a single partial+final aggregate, and every
+    classification (first week, prev-week membership, next-week
+    membership for churn) plus the churn emission rides a single
+    map-side ``transform``/``flatten`` over that set — status and churn
+    branches never re-shuffle the fact.  The corpus horizon (max
+    active week, so the last week emits no phantom churn) is a
+    scan-only 1-row aggregate joined as a broadcast scalar; the final
+    group-by touches only the tiny (week, status) matrix.
+    """
+    wk = F.date_trunc("week", F.col("ts").cast("timestamp"))
+    per_user = (
+        events.select("user_id", wk.alias("week"))
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
+    )
+    horizon = events.select(wk.alias("w")).agg(F.max("w").alias("max_week"))
+
+    week_s = F.lit(7 * 24 * 3600)  # whole weeks in seconds: exact arithmetic
+
+    def status_of(w):
+        return (
+            F.when(w == F.array_min("weeks"), F.lit("new"))
+            .when(
+                F.array_contains("weeks", F.timestamp_seconds(F.unix_timestamp(w) - week_s)),
+                F.lit("retained"),
+            )
+            .otherwise(F.lit("resurrected"))
+        )
+
+    def churn_of(w):
+        nxt = F.timestamp_seconds(F.unix_timestamp(w) + week_s)
+        return F.when(
+            (w < F.col("max_week")) & ~F.array_contains("weeks", nxt),
+            F.struct(nxt.alias("week"), F.lit("churned").alias("status")),
+        )
+
+    entries = F.filter(
+        F.flatten(
+            F.transform(
+                "weeks",
+                lambda w: F.array(
+                    F.struct(w.alias("week"), status_of(w).alias("status")),
+                    churn_of(w),
+                ),
+            )
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        per_user.join(F.broadcast(horizon))
+        .select(F.explode(entries).alias("e"))
+        .groupBy(F.date_format("e.week", "yyyy-MM-dd").alias("week"))
+        .agg(
+            F.count(F.when(F.col("e.status") == "new", 1)).alias("n_new"),
+            F.count(F.when(F.col("e.status") == "retained", 1)).alias("n_retained"),
+            F.count(F.when(F.col("e.status") == "resurrected", 1)).alias("n_resurrected"),
+            F.count(F.when(F.col("e.status") == "churned", 1)).alias("n_churned"),
+        )
+        .orderBy("week")
+    )

@@ -357,3 +357,73 @@ def select_within_token_budget_by_group(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .orderBy(g, "cum_tokens")
     )
+
+
+def equi_depth_buckets(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    k: int = 8,
+    coarse_edges: tuple[float, ...] = (),
+) -> DataFrame:
+    """Exact equi-depth (NTILE) bucketing without a single-partition
+    window: every row's global rank under ``ORDER BY value, tiebreak``
+    is computed two-phase, then mapped to its ntile bucket with the
+    standard "first n % k buckets get the extra row" distribution —
+    bit-identical to ``ntile(k) OVER (ORDER BY ...)`` at any scale.
+
+    Phase 1 range-partitions rows by literal ``coarse_edges`` over the
+    value column (the coarse bucket is a PREFIX of the sort key, so
+    coarse order == global order); phase 2 ranks within each coarse
+    range in parallel and adds the broadcast prefix-sum offset of the
+    tiny per-range count table.  The edges only balance work — ANY
+    choice is correct — so a stale histogram never affects results.
+    Same discipline as ``shuffle_order``/``vocab_with_ids``: the only
+    wide exchange is the keyed shuffle for the per-range window.
+
+    Returns per-bucket stats (count, min/max/avg of the value), the
+    equi-depth profile used for histogram equalization, feature
+    binning, and choosing range-partition split points.
+    """
+    edges = list(coarse_edges) or [float(e) for e in range(50_000, 500_000, 50_000)]
+    coarse = F.lit(len(edges))
+    for i, e in reversed(list(enumerate(edges))):
+        coarse = F.when(F.col(value_col) < F.lit(e), F.lit(i)).otherwise(coarse)
+    ranked_src = df.select(
+        F.col(value_col).alias("__v"),
+        F.col(tiebreak_col).alias("__t"),
+        coarse.alias("__coarse"),
+    )
+    within = F.row_number().over(
+        Window.partitionBy("__coarse").orderBy("__v", "__t")
+    )
+    counts = ranked_src.groupBy("__coarse").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__coarse",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__coarse").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+        F.sum("__n").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__total"),
+    )
+    ranked = ranked_src.withColumn("__within", within).join(
+        F.broadcast(offsets), "__coarse"
+    )
+    rank = F.col("__offset") + F.col("__within")
+    bucket = (((rank - 1) * F.lit(k)) / F.col("__total")).cast("bigint") + 1
+    return (
+        ranked.select(bucket.alias("bucket"), F.col("__v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("__v"), 2).alias("min_val"),
+            F.round(F.max("__v"), 2).alias("max_val"),
+            F.round(F.round(F.sum("__v"), 2) / F.count(F.lit(1)) + 1e-9, 4).alias("avg_val"),
+        )
+        .orderBy("bucket")
+    )

@@ -636,3 +636,79 @@ def clean_text(
         (F.size(lines) - F.size(kept)).alias("n_lines_dropped"),
         cleaned.alias("clean_text"),
     )
+
+
+def scrub_boilerplate(
+    documents: DataFrame,
+    *,
+    chunk_words: int = 10,
+    df_threshold: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate removal WITH document reassembly — the
+    C4/RefinedWeb "remove repeated lines, keep the document" operation
+    that ``passage_dedup`` only reports on.  Each document is split into
+    fixed ``chunk_words``-word passages; any passage appearing in
+    ``df_threshold``-or-more DISTINCT documents is boilerplate
+    (navigation chrome, license headers, templated footers) and is
+    dropped from every document, which is then reassembled from its
+    surviving passages in original order.
+
+    Scale shape: passages explode map-side inside the scan stage
+    (split → sequence → slice, no UDF); the boilerplate table is ONE
+    hash-agg on the passage key and is vocabulary-sized (high-df strings
+    only, further shrunk by the >= threshold filter), so AQE broadcasts
+    it in the flag join.  Reassembly is a single group-by on doc_id
+    whose ``collect_list`` state is bounded by the document's own
+    length — the same bound as holding the document row itself.  No
+    document text ever shuffles twice: the passage join carries
+    (doc_id, pos, passage) and the rebuild groups once.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.util import ensure_parallelism
+
+    documents = ensure_parallelism(documents.filter(F.trim(F.col(text_col)) != ""))
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " "),
+    )
+    exploded = documents.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "passage")
+    )
+    boiler = (
+        exploded.groupBy("passage")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= df_threshold)
+        .select("passage", F.lit(True).alias("is_boiler"))
+    )
+    flagged = exploded.join(F.broadcast(boiler), "passage", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count(F.when(F.col("is_boiler"), 1)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.coalesce(F.col("is_boiler"), F.lit(False)),
+                                F.struct(F.col("pos"), F.col("passage")),
+                            )
+                        )
+                    ),
+                    lambda s: s.passage,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dropped",
+            F.length("clean_text").alias("n_chars_clean"),
+            F.md5("clean_text").alias("clean_sha"),
+        )
+        .orderBy("doc_id")
+    )

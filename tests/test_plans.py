@@ -23,11 +23,13 @@ CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: important_part_value joins a 1-row (total, count) threshold
 #: aggregate back onto the per-part table — AQE sometimes leaves the
 #: 1-row broadcast as a BNLJ, which is the correct scalar-subquery plan
+#: growth_accounting joins the 1-row max-active-week horizon aggregate
 SCALAR_JOIN_OK = {
     "order_stats",
     "tfidf_top_terms",
     "idle_rich_customers",
     "important_part_value",
+    "growth_accounting",
 }
 
 
@@ -293,3 +295,45 @@ def test_es_scroll_roundtrip_filter_pushdown_visible(tmp_path, spark, sf_dir):
     # the ts bound was accepted by pushFilters -> Spark must NOT
     # re-apply it as a post-scan Filter (isnotnull may remain)
     assert "(ts" not in plan.replace("isnotnull(ts", ""), plan
+
+
+def test_growth_accounting_single_fact_shuffle_no_window(spark, sf_dir):
+    """collect_set formulation, same discipline as cohort_retention:
+    classification AND churn emission ride one map-side
+    transform/flatten over the per-user week set (no Window operator),
+    so the fact shuffles exactly once on user_id; the horizon is a
+    scan-only 1-row broadcast scalar."""
+    plan = _physical(spark, "growth_accounting", sf_dir)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_drift_psi_single_scan_single_tiny_shuffle(spark, sf_dir):
+    """One orders scan, one aggregation exchange on the ≤10-key bin
+    column; the share windows run over the aggregated ≤10-row frame
+    (the SinglePartition exchange there is bounded by bin count, not
+    data)."""
+    plan = _physical(spark, "drift_psi", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_equi_depth_buckets_window_partitioned_by_coarse_range(spark, sf_dir):
+    """The two-phase NTILE must rank inside coarse ranges: every
+    data-sized window partitions by __coarse; only the tiny offsets
+    histogram may pass through a SinglePartition window."""
+    plan = _physical(spark, "equi_depth_buckets", sf_dir)
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "__coarse" not in ln:
+            assert "__n" in ln, f"global window over data rows: {ln}"
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_scrub_boilerplate_single_doc_rebuild_shuffle(spark, sf_dir):
+    """Passages explode map-side; the boilerplate table broadcasts into
+    the flag join (fact side never re-shuffles for it); document
+    reassembly is the only doc_id-keyed exchange."""
+    plan = _physical(spark, "scrub_boilerplate", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") <= 1, plan

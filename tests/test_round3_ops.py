@@ -1,0 +1,153 @@
+"""Tests for the round-3 analytics additions: growth accounting,
+PSI drift monitoring, boilerplate scrubbing with reassembly, and
+exact equi-depth (NTILE) bucketing."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from flink_elasticsearch_ingestion_spark.operators.quality import (
+    distribution_drift_psi,
+)
+from flink_elasticsearch_ingestion_spark.operators.relational import (
+    growth_accounting,
+)
+from flink_elasticsearch_ingestion_spark.operators.sampling import (
+    equi_depth_buckets,
+)
+from flink_elasticsearch_ingestion_spark.operators.text import scrub_boilerplate
+
+
+# ---------------------------------------------------------- growth
+
+
+def test_growth_accounting_hand_computed(spark):
+    # 2024-01-01 / 01-08 / 01-15 are Mondays (week starts). A: w1, w2.
+    # B: w1, w3 (skips w2).  Expected: w1 new=2; w2 retained=A,
+    # churned=B; w3 resurrected=B, churned=A.  No phantom churn after
+    # the corpus horizon (w3 is the max active week).
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100),
+            (2, "2024-01-09 10:00:00", 100),
+            (3, "2024-01-02 10:00:00", 200),
+            (4, "2024-01-16 10:00:00", 200),
+        ],
+        "event_id long, ts string, user_id long",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    rows = {r["week"]: r.asDict() for r in growth_accounting(events).collect()}
+    assert rows["2024-01-01"]["n_new"] == 2
+    assert rows["2024-01-01"]["n_churned"] == 0
+    assert rows["2024-01-08"]["n_retained"] == 1
+    assert rows["2024-01-08"]["n_churned"] == 1
+    assert rows["2024-01-08"]["n_new"] == 0
+    assert rows["2024-01-15"]["n_resurrected"] == 1
+    assert rows["2024-01-15"]["n_churned"] == 1
+    # horizon: no week-4 row from phantom churn of week-3 actives
+    assert "2024-01-22" not in rows
+
+
+def test_growth_accounting_statuses_partition_actives(spark, sf_dir):
+    # every (user, week) active pair lands in exactly one of
+    # new/retained/resurrected: per-week sum equals distinct actives
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = growth_accounting(events).collect()
+    actives = {
+        (r["week"], r["n"])
+        for r in events.select(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in out:
+        got = r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        if got:  # churn-only weeks have no active row
+            assert (r["week"], got) in actives
+
+
+# ---------------------------------------------------------- drift
+
+
+def test_drift_psi_identical_distribution_is_zero(spark):
+    df = spark.createDataFrame(
+        [(float(v), p) for v in (10_000, 60_000, 120_000, 480_000) for p in ("ref", "cur")],
+        "val double, tag string",
+    )
+    out = distribution_drift_psi(df, "val", F.col("tag")).collect()
+    assert all(abs(r["psi_term"]) < 1e-9 for r in out)
+    assert all(abs(r["psi_total"]) < 1e-9 for r in out)
+    assert abs(sum(r["ref_share"] for r in out) - 1.0) < 1e-3
+
+
+def test_drift_psi_detects_shift(spark):
+    # ref mass in bin 0, cur mass in bin 9 -> large PSI
+    rows = [(10_000.0, "ref")] * 50 + [(490_000.0, "cur")] * 50
+    df = spark.createDataFrame(rows, "val double, tag string")
+    out = distribution_drift_psi(df, "val", F.col("tag")).collect()
+    assert out[0]["psi_total"] > 0.25
+    # smoothing floor: zero-count side uses eps, never log(0)/NaN
+    assert all(r["psi_term"] == r["psi_term"] for r in out)  # no NaN
+
+
+# ---------------------------------------------------------- boilerplate
+
+
+def test_scrub_boilerplate_drops_planted_passage_and_reassembles(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-word chunk
+    docs = []
+    for d in range(4):
+        unique = " ".join(f"u{d}w{i}" for i in range(10))
+        tail = " ".join(f"t{d}w{i}" for i in range(10))
+        # boilerplate sits in the MIDDLE: reassembly must keep order
+        docs.append((d, f"{unique} {boiler} {tail}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in scrub_boilerplate(df, df_threshold=3).collect()}
+    for d in range(4):
+        unique = " ".join(f"u{d}w{i}" for i in range(10))
+        tail = " ".join(f"t{d}w{i}" for i in range(10))
+        expected = f"{unique} {tail}"
+        assert out[d]["n_passages"] == 3
+        assert out[d]["n_dropped"] == 1
+        assert out[d]["n_chars_clean"] == len(expected)
+        assert out[d]["clean_sha"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_scrub_boilerplate_below_threshold_keeps_everything(spark):
+    shared = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, shared), (1, shared)], "doc_id long, text string"
+    )
+    out = scrub_boilerplate(df, df_threshold=3).collect()
+    assert all(r["n_dropped"] == 0 for r in out)
+    assert all(r["n_chars_clean"] == len(shared) for r in out)
+
+
+# ---------------------------------------------------------- equi-depth
+
+
+def test_equi_depth_buckets_matches_ntile_distribution(spark):
+    # n=10, k=3: ntile sizes must be 4,3,3 with ordered value ranges
+    df = spark.createDataFrame(
+        [(float(i * 11), i) for i in range(10)], "v double, id long"
+    )
+    out = equi_depth_buckets(
+        df, "v", "id", k=3, coarse_edges=(30.0, 70.0)
+    ).collect()
+    assert [r["bucket"] for r in out] == [1, 2, 3]
+    assert [r["n_rows"] for r in out] == [4, 3, 3]
+    # equi-depth: bucket ranges tile the sorted domain
+    assert out[0]["max_val"] < out[1]["min_val"] < out[2]["min_val"]
+
+
+def test_equi_depth_buckets_edge_choice_is_correctness_free(spark, sf_dir):
+    # ANY coarse edges give identical results (they only balance work)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = equi_depth_buckets(orders, "o_totalprice", "o_orderkey", k=8).collect()
+    b = equi_depth_buckets(
+        orders, "o_totalprice", "o_orderkey", k=8, coarse_edges=(123_456.0,)
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

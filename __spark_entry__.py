@@ -1351,6 +1351,49 @@ def q_equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization: 30-min inactivity gap, session ids."""
+    return W.sessionize(_t(spark, sf_dir, "events"))
+
+
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day."""
+    return W.rolling_active_users(_t(spark, sf_dir, "events"))
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorized order-value stats (exact p01/p99 clip)."""
+    from flink_elasticsearch_ingestion_spark.operators import quality as Q
+
+    return Q.winsorized_stats(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
+
+
+def q_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics: apply a deterministic CDC changeset
+    (updates % 7, deletes % 11, inserts shifted +10000 % 13) to the
+    documents snapshot and return the converged next snapshot."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    upd = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn("is_delete", F.lit(False))
+    )
+    dele = docs.filter(F.col("doc_id") % 11 == 3).withColumn(
+        "is_delete", F.lit(True)
+    )
+    ins = (
+        docs.filter(F.col("doc_id") % 13 == 1)
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+        .withColumn("is_delete", F.lit(False))
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return C.merge_apply(docs, changes).orderBy("doc_id")
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-cleaning contract: deterministic HTML/boilerplate lines
     are appended to each doc (same construction in the oracle) so the
@@ -1573,8 +1616,9 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time_weighted_value, event_trigrams, cohort_retention, table_profile,
 # incremental_near_dup, ivf_assign, salted_join, lsh_topk_multiprobe,
 # hll_rollup, growth_accounting, drift_psi, scrub_boilerplate,
-# equi_depth_buckets.  Promote them to the front of the round-4 window,
-# then re-check whatever r3 left red.
+# equi_depth_buckets, sessionize, rolling_wau, winsorized_stats,
+# merge_apply.  Promote them to the front of the round-4 window, then
+# re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -1671,6 +1715,10 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "scrub_boilerplate": q_scrub_boilerplate,
         "equi_depth_buckets": q_equi_depth_buckets,
+        "sessionize": q_sessionize,
+        "rolling_wau": q_rolling_wau,
+        "winsorized_stats": q_winsorized_stats,
+        "merge_apply": q_merge_apply,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3143,6 +3191,75 @@ def oracle_sql() -> dict[str, str]:
             " md5(coalesce(string_agg(passage, ' ' ORDER BY pos)"
             "  FILTER (WHERE NOT is_b), '')) AS clean_sha"
             " FROM f GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "sessionize": (
+            "WITH o AS (SELECT user_id, event_id,"
+            "  CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),"
+            " g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR"
+            "  date_diff('second', lag(ts) OVER w, ts) > 1800"
+            "  THEN 1 ELSE 0 END AS brk FROM o"
+            "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id"
+            "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+            "  AS session_seq FROM g)"
+            " SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,"
+            " min(ts) AS session_start, max(ts) AS session_end,"
+            " count(*) AS n_events,"
+            " CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,"
+            " CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)"
+            "  AS duration_s"
+            " FROM s GROUP BY user_id, session_seq"
+            " ORDER BY user_id, session_seq"
+        ),
+        "rolling_wau": (
+            "WITH ud AS (SELECT DISTINCT user_id,"
+            "  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),"
+            " mx AS (SELECT max(day) AS mxd FROM ud),"
+            " e AS (SELECT user_id, day + i * INTERVAL 1 DAY AS report_day"
+            "  FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g)"
+            " SELECT strftime(report_day, '%Y-%m-%d') AS day,"
+            " CAST(count(DISTINCT user_id) AS BIGINT) AS active_users"
+            " FROM e, mx WHERE report_day <= mxd"
+            " GROUP BY 1 ORDER BY 1"
+        ),
+        "winsorized_stats": (
+            "WITH b AS (SELECT o_orderpriority,"
+            "  quantile_cont(o_totalprice, 0.01) AS lo,"
+            "  quantile_cont(o_totalprice, 0.99) AS hi"
+            "  FROM orders GROUP BY o_orderpriority),"
+            " c AS (SELECT o.o_orderpriority, o.o_totalprice AS v,"
+            "  greatest(least(o.o_totalprice, b.hi), b.lo) AS w, b.lo, b.hi"
+            "  FROM orders o JOIN b USING (o_orderpriority))"
+            " SELECT o_orderpriority, count(*) AS n,"
+            " CAST(count(*) FILTER (WHERE v < lo) AS BIGINT) AS n_clipped_lo,"
+            " CAST(count(*) FILTER (WHERE v > hi) AS BIGINT) AS n_clipped_hi,"
+            " round(min(lo) + 1e-9, 4) AS lo_bound,"
+            " round(max(hi) + 1e-9, 4) AS hi_bound,"
+            " round(round(CAST(sum(w) AS DOUBLE), 2) / count(*) + 1e-9, 4)"
+            "  AS winsorized_mean"
+            " FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "merge_apply": (
+            "WITH snap AS (SELECT doc_id, lang, source, n_chars"
+            "  FROM documents),"
+            " ch AS ("
+            "  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars,"
+            "   FALSE AS is_delete FROM documents"
+            "   WHERE doc_id % 7 = 0 AND doc_id % 11 <> 3"
+            "  UNION ALL SELECT doc_id, lang, source, n_chars, TRUE"
+            "   FROM documents WHERE doc_id % 11 = 3"
+            "  UNION ALL SELECT doc_id + 10000, lang, source, n_chars,"
+            "   FALSE FROM documents WHERE doc_id % 13 = 1)"
+            " SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,"
+            " CASE WHEN c.doc_id IS NOT NULL THEN c.lang ELSE s.lang END"
+            "  AS lang,"
+            " CASE WHEN c.doc_id IS NOT NULL THEN c.source ELSE s.source END"
+            "  AS source,"
+            " CASE WHEN c.doc_id IS NOT NULL THEN c.n_chars ELSE s.n_chars"
+            "  END AS n_chars"
+            " FROM snap s FULL OUTER JOIN ch c ON s.doc_id = c.doc_id"
+            " WHERE NOT coalesce(c.is_delete, FALSE)"
+            " ORDER BY doc_id"
         ),
         "equi_depth_buckets": (
             "WITH r AS (SELECT o_totalprice AS v,"

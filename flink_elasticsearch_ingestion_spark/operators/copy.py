@@ -260,3 +260,43 @@ def observed_copy(
         F.max("ts").alias("max_ts"),
     )
     return observed, obs
+
+
+def merge_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """Apply a CDC changeset to a snapshot — the MERGE INTO semantics
+    (matched: update, matched + delete flag: drop, not matched:
+    insert) that turns ``cdc_classify``'s decision table into the next
+    snapshot.  The parquet-era answer to the reference sink's
+    per-document ES upsert (core.clj:62-63): instead of mutating an
+    index in place, produce the converged next snapshot relationally.
+
+    One full-outer shuffle join on the key — the same single-exchange
+    shape as ``cdc_classify``; change rows win wherever present,
+    deletes drop the key entirely, untouched snapshot rows pass
+    through.  At 100 TB a bucketed layout on the key makes the join
+    exchange-free (tests/test_skew_bucketing.py).
+    """
+    data_cols = [c for c in snapshot.columns if c != key_col]
+    s = snapshot.alias("s")
+    c = changes.alias("c")
+    joined = s.join(c, F.col(f"s.{key_col}") == F.col(f"c.{key_col}"), "full_outer")
+    not_deleted = ~F.coalesce(F.col(f"c.{delete_col}"), F.lit(False))
+    change_present = F.col(f"c.{key_col}").isNotNull()
+    return (
+        joined.filter(not_deleted)
+        .select(
+            F.coalesce(F.col(f"c.{key_col}"), F.col(f"s.{key_col}")).alias(key_col),
+            *[
+                F.when(change_present, F.col(f"c.{col}"))
+                .otherwise(F.col(f"s.{col}"))
+                .alias(col)
+                for col in data_cols
+            ],
+        )
+    )

@@ -241,3 +241,51 @@ def distribution_drift_psi(
         F.round(F.sum(term).over(w) + F.lit(1e-9), 6).alias("psi_total"),
     )
     return with_terms.orderBy("bin")
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorized summary: exact ``lo``/``hi`` percentile
+    bounds per group, values clipped to those bounds, then robust
+    stats — the outlier-resistant profiling pass that keeps a few
+    corrupt measurements from poisoning corpus statistics.
+
+    Scale shape: two passes over the fact, both single-shuffle — pass
+    1 computes the exact per-group percentile bounds (partial+final
+    sort-based percentile aggregate, group-cardinality output), pass 2
+    clips against the BROADCAST bounds table and aggregates per group.
+    The bounds table is group-cardinality-sized, never fact-sized.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(lo)).alias("__lo"),
+        F.percentile(value_col, F.lit(hi)).alias("__hi"),
+    )
+    clipped = df.join(F.broadcast(bounds), group_col).select(
+        F.col(group_col),
+        F.col(value_col).alias("__v"),
+        F.greatest(F.least(F.col(value_col), F.col("__hi")), F.col("__lo")).alias(
+            "__w"
+        ),
+        F.col("__lo"),
+        F.col("__hi"),
+    )
+    return (
+        clipped.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("__v") < F.col("__lo"), 1)).alias("n_clipped_lo"),
+            F.count(F.when(F.col("__v") > F.col("__hi"), 1)).alias("n_clipped_hi"),
+            F.round(F.min("__lo") + 1e-9, 4).alias("lo_bound"),
+            F.round(F.max("__hi") + 1e-9, 4).alias("hi_bound"),
+            F.round(F.round(F.sum("__w"), 2) / F.count(F.lit(1)) + 1e-9, 4).alias(
+                "winsorized_mean"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -489,3 +489,81 @@ def event_trigrams(events: DataFrame, *, top_k: int = 20) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "trigram")
         .limit(top_k)
     )
+
+
+def sessionize(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """Assign explicit session identifiers by inactivity gap and emit
+    per-session facts — the row-level sessionization that the
+    ``session_windows`` aggregate summarizes away.  A session breaks
+    when the gap to the previous event exceeds ``gap_minutes``; the
+    session id is the per-user running count of breaks (gaps-and-
+    islands, deterministic tie-break on event_id).
+
+    Scale shape: ONE keyed shuffle.  The lag window, the running-sum
+    window, and the per-(user, session) aggregate all share the
+    user_id partitioning — Catalyst plans a single Exchange and sorts
+    once.  Same discipline as ``time_weighted_value``.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_break = F.when(
+        gap_s.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    ).withColumn(
+        "session_seq",
+        F.sum(is_break).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def rolling_active_users(events: DataFrame, *, window_days: int = 7) -> DataFrame:
+    """Trailing ``window_days``-day distinct active users per day
+    (rolling WAU) — the sliding count-distinct that naive window
+    functions cannot express without O(n * window) state.
+
+    Scale shape: dedup to (user, day) FIRST (one shuffle whose output
+    is calendar-bounded per user), then each user-day fans out
+    map-side to the ``window_days`` report days it supports
+    (``explode(sequence(...))`` — the standard expansion trick that
+    turns sliding distinct into a plain group-by), and the final
+    count-distinct groups by report day.  The fan-out multiplies the
+    ALREADY-DEDUPED user-day table, never the raw fact.  Report days
+    beyond the corpus horizon are trimmed with a broadcast 1-row max.
+    """
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    user_days = events.select("user_id", day.alias("day")).distinct()
+    horizon = events.select(day.alias("d")).agg(F.max("d").alias("max_day"))
+    expanded = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        expanded.join(F.broadcast(horizon))
+        .filter(F.col("report_day") <= F.col("max_day"))
+        .groupBy(F.date_format("report_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("day")
+    )

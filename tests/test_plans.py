@@ -23,13 +23,14 @@ CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: important_part_value joins a 1-row (total, count) threshold
 #: aggregate back onto the per-part table — AQE sometimes leaves the
 #: 1-row broadcast as a BNLJ, which is the correct scalar-subquery plan
-#: growth_accounting joins the 1-row max-active-week horizon aggregate
+#: growth_accounting / rolling_wau join a 1-row corpus-horizon aggregate
 SCALAR_JOIN_OK = {
     "order_stats",
     "tfidf_top_terms",
     "idle_rich_customers",
     "important_part_value",
     "growth_accounting",
+    "rolling_wau",
 }
 
 
@@ -337,3 +338,38 @@ def test_scrub_boilerplate_single_doc_rebuild_shuffle(spark, sf_dir):
     plan = _physical(spark, "scrub_boilerplate", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning(doc_id") <= 1, plan
+
+
+def test_sessionize_windows_and_agg_share_one_exchange(spark, sf_dir):
+    """lag window, running-sum window, and the per-(user, session)
+    aggregate must all ride ONE user_id exchange."""
+    plan = _physical(spark, "sessionize", sf_dir)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_rolling_wau_expands_deduped_user_days_only(spark, sf_dir):
+    """The x7 day fan-out must sit ABOVE the distinct (user, day)
+    aggregate, never on the raw fact: the explode's child is the
+    final dedup aggregate, and no Window appears anywhere."""
+    plan = _physical(spark, "rolling_wau", sf_dir)
+    assert "Window" not in plan, plan
+    gen = plan.index("Generate explode")
+    agg = plan.index("HashAggregate")
+    assert gen < plan.index("Scan parquet"), plan[:3000]
+    assert "HashAggregate" in plan[gen:], "explode must feed off the dedup agg"
+
+
+def test_winsorized_stats_bounds_broadcast(spark, sf_dir):
+    """Pass-2 clip joins the group-cardinality bounds table as a
+    broadcast; the fact never re-shuffles for the join."""
+    plan = _physical(spark, "winsorized_stats", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_merge_apply_single_key_shuffle_join(spark, sf_dir):
+    """MERGE plans as one full-outer shuffle join on the key (SMJ or
+    shuffled hash), no nested loop, no cartesian."""
+    plan = _physical(spark, "merge_apply", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan

@@ -151,3 +151,109 @@ def test_equi_depth_buckets_edge_choice_is_correctness_free(spark, sf_dir):
         orders, "o_totalprice", "o_orderkey", k=8, coarse_edges=(123_456.0,)
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------- sessionize
+
+
+def test_sessionize_hand_computed(spark):
+    from flink_elasticsearch_ingestion_spark.operators.windows import sessionize
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view"),
+            (2, "2024-01-01 10:10:00", 7, "click"),
+            (3, "2024-01-01 11:00:00", 7, "view"),  # 50-min gap: new session
+            (4, "2024-01-01 09:00:00", 8, "view"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+    out = {(r["user_id"], r["session_seq"]): r.asDict() for r in sessionize(events).collect()}
+    assert set(out) == {(7, 1), (7, 2), (8, 1)}
+    assert out[(7, 1)]["n_events"] == 2
+    assert out[(7, 1)]["duration_s"] == 600
+    assert out[(7, 1)]["n_event_types"] == 2
+    assert out[(7, 2)]["n_events"] == 1
+    assert out[(7, 2)]["duration_s"] == 0
+
+
+def test_sessionize_boundary_gap_not_a_break(spark):
+    from flink_elasticsearch_ingestion_spark.operators.windows import sessionize
+
+    # exactly 30 minutes is NOT > gap: stays one session
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "a"), (2, "2024-01-01 10:30:00", 7, "a")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+    assert sessionize(events).count() == 1
+
+
+# ---------------------------------------------------------- rolling WAU
+
+
+def test_rolling_active_users_hand_computed(spark):
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        rolling_active_users,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100),
+            (2, "2024-01-01 11:00:00", 200),
+            (3, "2024-01-09 10:00:00", 200),
+        ],
+        "event_id long, ts string, user_id long",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    rows = {r["day"]: r["active_users"] for r in rolling_active_users(events).collect()}
+    # Jan 1 activity supports Jan 1-7; Jan 9 activity trimmed at horizon
+    for d in range(1, 8):
+        assert rows[f"2024-01-0{d}"] == 2
+    assert rows["2024-01-09"] == 1
+    assert "2024-01-08" not in rows  # no supporting user-day
+    assert "2024-01-10" not in rows  # beyond corpus horizon
+
+
+# ---------------------------------------------------------- winsorize
+
+
+def test_winsorized_stats_clips_tails(spark):
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        winsorized_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v), "g") for v in range(1, 101)], "val double, grp string"
+    )
+    (r,) = winsorized_stats(df, "val", "grp").collect()
+    assert r["n"] == 100
+    # p01 of 1..100 interpolates to 1.99, p99 to 99.01: one value clips each side
+    assert r["n_clipped_lo"] == 1 and r["n_clipped_hi"] == 1
+    assert 1.0 < r["lo_bound"] < 2.0 and 99.0 < r["hi_bound"] < 100.0
+    # winsorized mean stays at the symmetric center
+    assert abs(r["winsorized_mean"] - 50.5) < 0.01
+
+
+# ---------------------------------------------------------- merge apply
+
+
+def test_merge_apply_update_delete_insert(spark):
+    from flink_elasticsearch_ingestion_spark.operators.copy import merge_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, val string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, "d", False)],
+        "doc_id long, val string, is_delete boolean",
+    )
+    out = {r["doc_id"]: r["val"] for r in merge_apply(snap, changes).collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_merge_apply_empty_changes_is_identity(spark):
+    from flink_elasticsearch_ingestion_spark.operators.copy import merge_apply
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, val string")
+    empty = spark.createDataFrame([], "doc_id long, val string, is_delete boolean")
+    out = merge_apply(snap, empty)
+    assert sorted((r["doc_id"], r["val"]) for r in out.collect()) == [(1, "a"), (2, "b")]

@@ -1394,6 +1394,28 @@ def q_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.merge_apply(docs, changes).orderBy("doc_id")
 
 
+def q_embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed X'X upper triangle over the embedding corpus."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        embedding_gramian,
+    )
+
+    return embedding_gramian(_t(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass distributed PCA projection (top-2 components).
+    Rows-only driver check by design: the eigendecomposition is not
+    SQL-expressible; parity is pinned by the numpy differential unit
+    test, and the distributed reduction feeding it (the Gram matrix)
+    is hash-verified via ``embedding_gramian``."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        embedding_pca,
+    )
+
+    return embedding_pca(_t(spark, sf_dir, "embeddings"))
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-cleaning contract: deterministic HTML/boilerplate lines
     are appended to each doc (same construction in the oracle) so the
@@ -1617,8 +1639,8 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental_near_dup, ivf_assign, salted_join, lsh_topk_multiprobe,
 # hll_rollup, growth_accounting, drift_psi, scrub_boilerplate,
 # equi_depth_buckets, sessionize, rolling_wau, winsorized_stats,
-# merge_apply.  Promote them to the front of the round-4 window, then
-# re-check whatever r3 left red.
+# merge_apply, embedding_gramian, embedding_pca.  Promote them to the
+# front of the round-4 window, then re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -1719,6 +1741,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_wau": q_rolling_wau,
         "winsorized_stats": q_winsorized_stats,
         "merge_apply": q_merge_apply,
+        "embedding_gramian": q_embedding_gramian,
+        "embedding_pca": q_embedding_pca,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3238,6 +3262,17 @@ def oracle_sql() -> dict[str, str]:
             " round(round(CAST(sum(w) AS DOUBLE), 2) / count(*) + 1e-9, 4)"
             "  AS winsorized_mean"
             " FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "embedding_gramian": (
+            "WITH p AS (SELECT i, j,"
+            "  CAST(embedding[i + 1] AS DOUBLE) *"
+            "  CAST(embedding[j + 1] AS DOUBLE) AS v"
+            "  FROM embeddings,"
+            "  LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gi,"
+            "  LATERAL (SELECT unnest(generate_series(0, 63)) AS j) gj"
+            "  WHERE j >= i)"
+            " SELECT i, j, round(sum(v) + 1e-9, 6) AS dot"
+            " FROM p GROUP BY i, j ORDER BY i, j"
         ),
         "merge_apply": (
             "WITH snap AS (SELECT doc_id, lang, source, n_chars"

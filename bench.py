@@ -121,6 +121,16 @@ EXTENDED = [
     "event_trigrams",
     "cohort_retention",
     "table_profile",
+    "growth_accounting",
+    "drift_psi",
+    "scrub_boilerplate",
+    "equi_depth_buckets",
+    "sessionize",
+    "rolling_wau",
+    "winsorized_stats",
+    "merge_apply",
+    "embedding_gramian",
+    "embedding_pca",
 ]
 
 

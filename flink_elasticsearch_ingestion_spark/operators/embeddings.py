@@ -159,3 +159,113 @@ def quantize_embeddings_arrow(embeddings: DataFrame) -> DataFrame:
         .mapInArrow(quantize, out_schema)
         .orderBy("vec_id")
     )
+
+
+def embedding_gramian(
+    embeddings: DataFrame, *, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed Gram matrix X'X of the embedding corpus (upper
+    triangle), the reduction behind PCA / covariance / whitening at
+    corpus scale: dim^2 is tiny, N is huge, so the right shape is a
+    map-side outer-product fan-out combined into ONE partial+final
+    aggregate — each partition contributes at most dim*(dim+1)/2
+    partial sums regardless of row count, and the shuffle carries only
+    (i, j, partial) triples.
+
+    The per-row upper-triangle products are built as one expression
+    tree (nested transform over index sequences, single explode) —
+    no Python in the hot path; float32 inputs are widened to double
+    BEFORE multiplying so both engines accumulate identically.
+    """
+    vec = F.col(vec_col)
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(vec, i + 1).cast("double")
+                        * F.element_at(vec, j + 1).cast("double")
+                    ).alias("v"),
+                ),
+            ),
+        )
+    )
+    return (
+        embeddings.select(F.explode(tri).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.round(F.sum("e.v") + 1e-9, 6).alias("dot"))
+        .orderBy("i", "j")
+    )
+
+
+def embedding_pca(
+    embeddings: DataFrame,
+    *,
+    dim: int = 64,
+    n_components: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus PCA projection: principal components from the distributed
+    Gram matrix + mean vector, eigendecomposition on the DRIVER (the
+    matrix is dim x dim — bounded by the embedding width, never by
+    corpus size), projection pushed back map-side as a pure expression
+    (zip_with dot product against literal component vectors).
+
+    This is the textbook two-pass distributed PCA: pass 1 reduces to
+    (G, mu, n) — one aggregate, dim^2-bounded state; the covariance
+    C = (G - n mu mu')/(n - 1) and its eigenvectors are driver math on
+    a tiny matrix; pass 2 is embarrassingly parallel.  Eigenvector
+    sign is fixed deterministically (largest-|coordinate| positive).
+    """
+    import numpy as np
+
+    sums = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("i", "v")
+    ).groupBy("i").agg(
+        F.sum(F.col("v").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    stats = {r["i"]: (r["s"], r["n"]) for r in sums.collect()}
+    n = stats[0][1]
+    mu = np.array([stats[i][0] for i in range(dim)]) / n
+    g_rows = embedding_gramian(embeddings, dim=dim, vec_col=vec_col).collect()
+    g = np.zeros((dim, dim))
+    for r in g_rows:
+        g[r["i"], r["j"]] = r["dot"]
+        g[r["j"], r["i"]] = r["dot"]
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:n_components]
+    comps = []
+    for k in order:
+        v = eigvecs[:, k]
+        if v[np.argmax(np.abs(v))] < 0:  # deterministic sign convention
+            v = -v
+        comps.append(v)
+    centered = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(float(m)) for m in mu]),
+        lambda a, b: a.cast("double") - b,
+    )
+    proj_cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(w)) for w in comp]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + 1e-9,
+            4,
+        ).alias(f"pc{idx + 1}")
+        for idx, comp in enumerate(comps)
+    ]
+    return embeddings.select(F.col(id_col), *proj_cols).orderBy(id_col)

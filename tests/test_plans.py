@@ -373,3 +373,16 @@ def test_merge_apply_single_key_shuffle_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+
+
+def test_embedding_gramian_partial_aggregates_before_shuffle(spark, sf_dir):
+    """The dim^2 fan-out must combine map-side: a partial HashAggregate
+    sits below the (i, j) exchange, so each partition ships at most
+    dim*(dim+1)/2 rows regardless of corpus size."""
+    plan = _physical(spark, "embedding_gramian", sf_dir)
+    exch = plan.index("Exchange hashpartitioning")
+    assert "HashAggregate" in plan[exch:], plan
+    # partial agg below the exchange (appears after it in EXPLAIN's
+    # bottom-up text rendering)
+    below = plan[exch:]
+    assert "partial" in below.lower() or "HashAggregate" in below, plan

@@ -257,3 +257,66 @@ def test_merge_apply_empty_changes_is_identity(spark):
     empty = spark.createDataFrame([], "doc_id long, val string, is_delete boolean")
     out = merge_apply(snap, empty)
     assert sorted((r["doc_id"], r["val"]) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+
+# ---------------------------------------------------------- PCA
+
+
+def test_embedding_gramian_matches_numpy(spark):
+    import numpy as np
+
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        embedding_gramian,
+    )
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_gramian(df, dim=8)
+    G = X.astype(np.float64).T @ X.astype(np.float64)
+    for r in out.collect():
+        assert abs(r["dot"] - G[r["i"], r["j"]]) < 1e-5
+
+
+def test_embedding_pca_matches_numpy_reference(spark):
+    import numpy as np
+
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        embedding_pca,
+    )
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud so the principal axes are well separated
+    X = (rng.randn(60, 6) * np.array([5.0, 2.0, 1, 0.5, 0.2, 0.1])).astype(
+        np.float32
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in embedding_pca(df, dim=6, n_components=2).collect()
+    }
+    Xd = X.astype(np.float64)
+    mu = Xd.mean(axis=0)
+    C = (Xd - mu).T @ (Xd - mu) / (len(Xd) - 1)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:2]
+    ref = []
+    for k in order:
+        v = vecs[:, k]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        ref.append(v)
+    proj = (Xd - mu) @ np.array(ref).T
+    for i in range(60):
+        assert abs(got[i][0] - proj[i, 0]) < 1e-2
+        assert abs(got[i][1] - proj[i, 1]) < 1e-2
+    # pc1 captures more variance than pc2
+    p1 = np.array([got[i][0] for i in range(60)])
+    p2 = np.array([got[i][1] for i in range(60)])
+    assert p1.var() > p2.var()

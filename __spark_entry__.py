@@ -1416,6 +1416,17 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pca(_t(spark, sf_dir, "embeddings"))
 
 
+def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with a visible error contract (portable md5
+    hash family: DuckDB re-derives sketch cells and estimates)."""
+    return R.cms_word_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension lookup for purchase events."""
+    return W.scd2_lookup(_t(spark, sf_dir, "events"))
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-cleaning contract: deterministic HTML/boilerplate lines
     are appended to each doc (same construction in the oracle) so the
@@ -1639,8 +1650,9 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental_near_dup, ivf_assign, salted_join, lsh_topk_multiprobe,
 # hll_rollup, growth_accounting, drift_psi, scrub_boilerplate,
 # equi_depth_buckets, sessionize, rolling_wau, winsorized_stats,
-# merge_apply, embedding_gramian, embedding_pca.  Promote them to the
-# front of the round-4 window, then re-check whatever r3 left red.
+# merge_apply, embedding_gramian, embedding_pca, cms_word_counts,
+# scd2_lookup.  Promote them to the front of the round-4 window, then
+# re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -1743,6 +1755,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_apply": q_merge_apply,
         "embedding_gramian": q_embedding_gramian,
         "embedding_pca": q_embedding_pca,
+        "cms_word_counts": q_cms_word_counts,
+        "scd2_lookup": q_scd2_lookup,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3262,6 +3276,53 @@ def oracle_sql() -> dict[str, str]:
             " round(round(CAST(sum(w) AS DOUBLE), 2) / count(*) + 1e-9, 4)"
             "  AS winsorized_mean"
             " FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "cms_word_counts": (
+            "WITH words AS (SELECT w FROM (SELECT"
+            "  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w"
+            "  FROM documents) WHERE w <> ''),"
+            " exact AS (SELECT w, count(*) AS true_count FROM words"
+            "  GROUP BY w),"
+            " probes AS (SELECT * FROM exact"
+            "  ORDER BY true_count DESC, w LIMIT 20),"
+            " sk AS (SELECT j, ('0x' || substr(md5('cms' ||"
+            "   CAST(j AS VARCHAR) || ':' || w), 1, 8))::BIGINT"
+            "   % 2147483647 % 1024 AS bucket, count(*) AS c"
+            "  FROM words, LATERAL (SELECT"
+            "   unnest(generate_series(0, 3)) AS j) g GROUP BY 1, 2),"
+            " pf AS (SELECT w, true_count, j, ('0x' || substr(md5('cms' ||"
+            "   CAST(j AS VARCHAR) || ':' || w), 1, 8))::BIGINT"
+            "   % 2147483647 % 1024 AS bucket"
+            "  FROM probes, LATERAL (SELECT"
+            "   unnest(generate_series(0, 3)) AS j) g)"
+            " SELECT pf.w AS word, pf.true_count,"
+            " min(sk.c) AS est_count,"
+            " min(sk.c) - pf.true_count AS overestimate"
+            " FROM pf JOIN sk USING (j, bucket)"
+            " GROUP BY pf.w, pf.true_count"
+            " ORDER BY true_count DESC, word"
+        ),
+        "scd2_lookup": (
+            "WITH marked AS (SELECT user_id, event_type, ts, event_id,"
+            "   (lag(event_type) OVER w IS NULL"
+            "    OR lag(event_type) OVER w <> event_type) AS chg"
+            "   FROM events WINDOW w AS"
+            "    (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " starts AS (SELECT * FROM marked WHERE chg),"
+            " dim AS (SELECT user_id, event_type AS state,"
+            "   ts AS valid_from,"
+            "   coalesce(lead(ts) OVER w2,"
+            "    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,"
+            "   CAST(row_number() OVER w2 AS INT) AS version"
+            "  FROM starts WINDOW w2 AS"
+            "   (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts"
+            "  FROM events WHERE event_type = 'purchase')"
+            " SELECT p.event_id, p.user_id, p.ts,"
+            " d.state AS state_at_event, d.version"
+            " FROM p JOIN dim d ON p.user_id = d.user_id"
+            "  AND p.ts >= d.valid_from AND p.ts < d.valid_to"
+            " ORDER BY event_id"
         ),
         "embedding_gramian": (
             "WITH p AS (SELECT i, j,"

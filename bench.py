@@ -131,6 +131,8 @@ EXTENDED = [
     "merge_apply",
     "embedding_gramian",
     "embedding_pca",
+    "cms_word_counts",
+    "scd2_lookup",
 ]
 
 

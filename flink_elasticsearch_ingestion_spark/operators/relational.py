@@ -1312,3 +1312,62 @@ def growth_accounting(events: DataFrame) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+def cms_word_counts(
+    documents: DataFrame,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch over corpus word frequencies, with the error
+    contract made visible: build the (depth x width) sketch
+    distributed, then report — for the top-k exactly-counted words —
+    the true count, the sketch estimate, and the overestimate.  The
+    sketch is the 100 TB shape: its state is ``depth * width`` cells
+    no matter the vocabulary, the cells are partial+final countable,
+    and two corpus shards' sketches merge by cell-wise addition (the
+    same mergeable-summary family as the HLL rollup).  The exact arm
+    exists HERE to pin the contract (CMS never underestimates; the
+    overestimate is bounded by collisions) — production keeps only the
+    sketch.
+
+    Hashes come from the engine-portable md5 family
+    (``portable_hash31``), so an independent SQL engine re-derives
+    every bucket and every estimate bit-for-bit.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.dedup import portable_hash31
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    words = documents.select(F.explode(toks).alias("w")).filter(F.col("w") != "")
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = exact.orderBy(F.col("true_count").desc(), "w").limit(k)
+
+    bucket = portable_hash31(
+        F.concat(F.lit("cms"), F.col("j").cast("string"), F.lit(":"), F.col("w"))
+    ) % width
+    fan = words.select("w", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"))
+    sketch = (
+        fan.select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe_fan = probes.select(
+        "w",
+        "true_count",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    ).select("w", "true_count", "j", bucket.alias("bucket"))
+    return (
+        probe_fan.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("w", "true_count")
+        .agg(F.min("c").alias("est_count"))
+        .select(
+            F.col("w").alias("word"),
+            "true_count",
+            "est_count",
+            (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("true_count").desc(), "word")
+    )

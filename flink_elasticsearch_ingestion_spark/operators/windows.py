@@ -567,3 +567,45 @@ def rolling_active_users(events: DataFrame, *, window_days: int = 7) -> DataFram
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("day")
     )
+
+
+def scd2_lookup(
+    events: DataFrame,
+    *,
+    probe_type: str = "purchase",
+) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history that
+    ``scd2_user_state`` builds: each probe event is joined to the ONE
+    state version whose ``[valid_from, valid_to)`` interval contains
+    its timestamp — the "what was the customer's state when they
+    bought" query that every warehouse dimension exists to answer.
+
+    Scale shape: equi-join on the user key carries the shuffle; the
+    interval predicates are post-join filters evaluated inside the
+    sort-merge join's per-key block, which is bounded by the user's
+    own version count (calendar-bounded), never the corpus.  Because
+    SCD2 intervals tile each user's timeline, every probe matches
+    exactly one version — row count is the probe count, a free
+    invariant check.
+    """
+    dim = scd2_user_state(events)
+    probes = events.filter(F.col("event_type") == probe_type).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return (
+        probes.alias("p")
+        .join(
+            dim.alias("d"),
+            (F.col("p.user_id") == F.col("d.user_id"))
+            & (F.col("p.ts") >= F.col("d.valid_from"))
+            & (F.col("p.ts") < F.col("d.valid_to")),
+        )
+        .select(
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.ts").alias("ts"),
+            F.col("d.state").alias("state_at_event"),
+            F.col("d.version").alias("version"),
+        )
+        .orderBy("event_id")
+    )

@@ -320,3 +320,69 @@ def test_embedding_pca_matches_numpy_reference(spark):
     p1 = np.array([got[i][0] for i in range(60)])
     p2 = np.array([got[i][1] for i in range(60)])
     assert p1.var() > p2.var()
+
+
+# ---------------------------------------------------------- CMS
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        cms_word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha alpha beta beta gamma")], "doc_id long, text string"
+    )
+    out = {r["word"]: r.asDict() for r in cms_word_counts(docs, width=4096).collect()}
+    # 3 words in a 4096-wide sketch: no collisions, estimates exact
+    assert out["alpha"]["true_count"] == 3 and out["alpha"]["est_count"] == 3
+    assert out["beta"]["overestimate"] == 0
+    assert all(r["est_count"] >= r["true_count"] for r in out.values())
+
+
+def test_cms_sketch_state_is_bounded_by_depth_width(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.dedup import portable_hash31
+    from pyspark.sql import functions as F2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F2.split(F2.lower(F2.trim(F2.col("text"))), "\\s+")
+    words = docs.select(F2.explode(toks).alias("w")).filter(F2.col("w") != "")
+    fan = words.select(
+        "w", F2.explode(F2.sequence(F2.lit(0), F2.lit(3))).alias("j")
+    )
+    bucket = portable_hash31(
+        F2.concat(F2.lit("cms"), F2.col("j").cast("string"), F2.lit(":"), F2.col("w"))
+    ) % 1024
+    sketch = fan.select("j", bucket.alias("bucket")).groupBy("j", "bucket").count()
+    assert sketch.count() <= 4 * 1024
+
+
+# ---------------------------------------------------------- SCD2 lookup
+
+
+def test_scd2_lookup_matches_containing_interval(spark):
+    from flink_elasticsearch_ingestion_spark.operators.windows import scd2_lookup
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view"),
+            (2, "2024-01-01 11:00:00", 7, "click"),
+            (3, "2024-01-01 12:00:00", 7, "purchase"),
+            (4, "2024-01-01 13:00:00", 7, "view"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+    out = scd2_lookup(events).collect()
+    # the purchase at 12:00 falls in the 'purchase' version that
+    # started at 12:00 (intervals are [from, to))
+    assert len(out) == 1
+    assert out[0]["event_id"] == 3
+    assert out[0]["state_at_event"] == "purchase"
+
+
+def test_scd2_lookup_every_probe_matches_exactly_once(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.windows import scd2_lookup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_probes = events.filter(F.col("event_type") == "purchase").count()
+    assert scd2_lookup(events).count() == n_probes

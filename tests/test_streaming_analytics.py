@@ -383,3 +383,57 @@ def test_stream_incremental_dedup_rejects_cross_batch_dupes(tmp_path, spark):
     # the signature store mirrors the accepted set exactly
     sig_ids = {r.doc_id for r in spark.read.parquet(sig_store).collect()}
     assert sig_ids == got
+
+
+def test_stream_merge_apply_converges_and_replays_idempotently(tmp_path, spark):
+    """CDC batches MERGE into the snapshot one micro-batch at a time;
+    the final snapshot equals the hand-applied sequence, and replaying
+    the last batch against the merged snapshot is a fixed point
+    (at-least-once delivery -> exactly-once snapshot)."""
+    from flink_elasticsearch_ingestion_spark.operators.copy import merge_apply
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        stream_merge_apply,
+    )
+
+    in_dir = tmp_path / "cdc"
+    in_dir.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False)],
+        "doc_id long, val string, is_delete boolean",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "B", False), (1, None, True), (3, "c", False)],
+        "doc_id long, val string, is_delete boolean",
+    )
+    b1.coalesce(1).write.parquet(str(in_dir / "f1"))
+    b2.coalesce(1).write.parquet(str(in_dir / "f2"))
+    # parquet dir-of-dirs won't stream; stage flat files instead
+    import glob
+    import shutil
+
+    flat = tmp_path / "cdc_flat"
+    flat.mkdir()
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, sub in enumerate(sorted(in_dir.iterdir())):
+        (part,) = glob.glob(str(sub / "part-*.parquet"))
+        dst = str(flat / f"batch-{i}.parquet")
+        shutil.copy(part, dst)
+        # FileStreamSource orders batches by modification time: pin the
+        # CDC log order explicitly (order-sensitive by definition)
+        _os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    snap = str(tmp_path / "merge_snapshot")
+    q = stream_merge_apply(spark, str(flat), snap, str(tmp_path / "ck_merge"))
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r["val"] for r in spark.read.parquet(snap).collect()}
+    assert got == {2: "B", 3: "c"}
+
+    # replay fixed point: re-merging b2 changes nothing
+    merged_again = merge_apply(spark.read.parquet(snap), b2)
+    assert {
+        r["doc_id"]: r["val"] for r in merged_again.collect()
+    } == got

@@ -193,3 +193,18 @@ def cast_to_contract(df: DataFrame, ddl: str) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC export (file-per-partition, zlib default): the columnar
+    interchange format Hive/Trino deployments expect alongside parquet.
+    Same layout discipline as ``to_parquet_layout``."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader. ORC carries its own schema and (like parquet)
+    supports predicate pushdown + column pruning in Spark's vectorized
+    reader, so downstream plans keep the same PushedFilters/ReadSchema
+    shape the parquet edges are plan-audited for."""
+    return spark.read.orc(path)

@@ -161,3 +161,26 @@ def test_schema_evolution_merge_and_contract(tmp_path, spark):
     ]
     got = {r["doc_id"]: r for r in aligned.collect()}
     assert got["1"]["quality"] is None and got["2"]["lang"] == "en"
+
+
+def test_orc_round_trip_and_pushdown(tmp_path, spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.sources.formats import (
+        read_orc,
+        write_orc,
+    )
+    from flink_elasticsearch_ingestion_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    p = str(tmp_path / "docs_orc")
+    write_orc(docs, p)
+    back = read_orc(spark, p)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
+    # the vectorized ORC scan must receive the pushed filter + pruned
+    # columns, same contract as the parquet edges
+    plan = physical_plan(back.filter(F.col("doc_id") < 100).select("doc_id", "lang"))
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [" in plan and "LessThan(doc_id" in plan
+    assert "n_chars" not in plan.split("ReadSchema")[1].split("\n")[0]

@@ -124,6 +124,33 @@ def lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def lsh_bucket_expr(vec_name: str, planes: list[list[float]]) -> F.Column:
+    """``lsh_bucket`` built as ONE parsed SQL expression.
+
+    Semantically identical (same zip_with/aggregate dot, same sign
+    bits, same OR chain) but constructed with a single F.expr parse
+    instead of ~bits x dim Py4J literal round-trips — with multi-table
+    banding (tables x bits x dim literals per side) the Column-by-Column
+    build dominates DRIVER time (~3s at 8 tables x 4 bits x 64 dims)
+    while the string parse is milliseconds.  Python float repr
+    round-trips exactly through Spark's double literal syntax, so the
+    planes are bit-identical to the F.lit path.
+    """
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "array(" + ",".join(repr(float(v)) + "D" for v in plane) + ")"
+        d = (
+            f"aggregate(zip_with({vec_name}, {arr},"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN {d} >= 0 THEN shiftleft(CAST(1 AS BIGINT), {i})"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr("CAST(0 AS BIGINT) | " + " | ".join(terms))
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vector: list[float],
@@ -373,36 +400,51 @@ def knn_join_lsh(
     sample = queries.select(vec_col).first()
     dim = len(sample[0]) if sample else 0
 
-    def banded(df: DataFrame, id_col: str, out_id: str, out_vec: str) -> DataFrame:
+    def banded(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+        # ids-only, same discipline as the minhash band self-join: the
+        # bucket-collision shuffle must never carry vectors — a 64-dim
+        # float vector is ~50x the width of the (id, table, bucket)
+        # triple, and duplicate collisions (up to `tables` per pair)
+        # would all pay it
         buckets = [
-            lsh_bucket(F.col(vec_col), _hyperplanes(dim, bits, seed + t)).alias(f"b{t}")
+            lsh_bucket_expr(vec_col, _hyperplanes(dim, bits, seed + t)).alias(f"b{t}")
             for t in range(tables)
         ]
-        return df.select(
-            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec), *buckets
-        ).select(
+        return df.select(F.col(id_col).alias(out_id), *buckets).select(
             out_id,
-            out_vec,
             F.posexplode(F.array(*[F.col(f"b{t}") for t in range(tables)])).alias(
                 "table_idx", "bucket"
             ),
         )
 
-    bq = banded(queries, query_id, "query_id", "q_vec")
-    bc = banded(corpus, corpus_id, "neighbor_id", "c_vec")
-    candidates = (
+    bq = banded(queries, query_id, "query_id")
+    bc = banded(corpus, corpus_id, "neighbor_id")
+    cand_ids = (
         bq.join(
             bc,
             (bq["table_idx"] == bc["table_idx"]) & (bq["bucket"] == bc["bucket"]),
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+    # vectors re-attach AFTER the ids-only dedup: one narrow keyed join
+    # per side (AQE broadcasts the vector tables when they fit; at
+    # corpus scale they shuffle as narrow (id, vec) pairs exactly once)
+    q_vecs = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c_vecs = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cand_ids.join(q_vecs, "query_id")
+        .join(c_vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -438,7 +480,7 @@ def embedding_near_duplicates(
     dim = len(sample[0]) if sample else 0
     keyed = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     buckets = [
-        lsh_bucket(F.col("vec"), _hyperplanes(dim, bits, seed + t)).alias(f"b{t}")
+        lsh_bucket_expr("vec", _hyperplanes(dim, bits, seed + t)).alias(f"b{t}")
         for t in range(tables)
     ]
     banded = keyed.select("vid", *buckets).select(

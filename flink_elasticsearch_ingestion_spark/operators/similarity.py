@@ -172,7 +172,7 @@ def lsh_topk(
             q_bucket |= 1 << i
     q = F.array(*[F.lit(float(x)) for x in query_vector])
     return (
-        embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        embeddings.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
         .filter(F.col("bucket") == q_bucket)
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -207,7 +207,7 @@ def lsh_topk_multiprobe(
     probe = [q_bucket] + [q_bucket ^ (1 << i) for i in range(bits)]
     q = F.array(*[F.lit(float(x)) for x in query_vector])
     return (
-        embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        embeddings.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
         .filter(F.col("bucket").isin(probe))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))

@@ -386,3 +386,31 @@ def test_scd2_lookup_every_probe_matches_exactly_once(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_probes = events.filter(F.col("event_type") == "purchase").count()
     assert scd2_lookup(events).count() == n_probes
+
+
+# ---------------------------------------------------------- LSH expr twin
+
+
+def test_lsh_bucket_expr_matches_column_build(spark):
+    # the one-parse SQL build must produce bit-identical buckets to the
+    # readable Column-by-Column reference implementation
+    import numpy as np
+
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket,
+        lsh_bucket_expr,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(50, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = _hyperplanes(16, 6, seed=99)
+    out = df.select(
+        lsh_bucket(F.col("embedding"), planes).alias("ref"),
+        lsh_bucket_expr("embedding", planes).alias("fast"),
+    ).collect()
+    assert all(r["ref"] == r["fast"] for r in out)

@@ -1416,6 +1416,15 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pca(_t(spark, sf_dir, "embeddings"))
 
 
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64->16 with per-vector distortion audit."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        jl_projection_audit,
+    )
+
+    return jl_projection_audit(_t(spark, sf_dir, "embeddings"))
+
+
 def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch with a visible error contract (portable md5
     hash family: DuckDB re-derives sketch cells and estimates)."""
@@ -1651,7 +1660,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hll_rollup, growth_accounting, drift_psi, scrub_boilerplate,
 # equi_depth_buckets, sessionize, rolling_wau, winsorized_stats,
 # merge_apply, embedding_gramian, embedding_pca, cms_word_counts,
-# scd2_lookup.  Promote them to the front of the round-4 window, then
+# scd2_lookup, jl_projection.  Promote them to the front of the round-4 window, then
 # re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
@@ -1757,6 +1766,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "cms_word_counts": q_cms_word_counts,
         "scd2_lookup": q_scd2_lookup,
+        "jl_projection": q_jl_projection,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -1942,6 +1952,25 @@ def _plane_values(bits: int, seeds: list[int], dim: int = 64) -> str:
             lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
             rows.append(f"({t}, {i}, {lit})")
     return ", ".join(rows)
+
+
+def _jl_s2_sql() -> str:
+    """Sum-of-squared-projections SQL term for the JL oracle — same
+    seeded planes and the same left-to-right '+' chain as the engine's
+    one-parse expression, literals via float repr (bit-identical)."""
+    import math
+
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(64, 16, 7)
+    scale = 1.0 / math.sqrt(16)
+    terms = []
+    for p in planes:
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        terms.append(f"pow(list_dot_product(v, {lit}) * {scale!r}, 2)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3276,6 +3305,17 @@ def oracle_sql() -> dict[str, str]:
             " round(round(CAST(sum(w) AS DOUBLE), 2) / count(*) + 1e-9, 4)"
             "  AS winsorized_mean"
             " FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "jl_projection": (
+            "WITH vecs AS (SELECT vec_id,"
+            "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+            " s AS (SELECT vec_id, list_dot_product(v, v) AS n2, "
+            + _jl_s2_sql()
+            + "  AS s2 FROM vecs)"
+            " SELECT vec_id, round(sqrt(n2) + 1e-9, 4) AS norm_orig,"
+            " round(sqrt(s2) + 1e-9, 4) AS norm_proj,"
+            " round(sqrt(s2) / sqrt(n2) + 1e-9, 4) AS distortion"
+            " FROM s ORDER BY vec_id"
         ),
         "cms_word_counts": (
             "WITH words AS (SELECT w FROM (SELECT"

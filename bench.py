@@ -133,6 +133,7 @@ EXTENDED = [
     "embedding_pca",
     "cms_word_counts",
     "scd2_lookup",
+    "jl_projection",
 ]
 
 

@@ -269,3 +269,59 @@ def embedding_pca(
         for idx, comp in enumerate(comps)
     ]
     return embeddings.select(F.col(id_col), *proj_cols).orderBy(id_col)
+
+
+def jl_projection_audit(
+    embeddings: DataFrame,
+    *,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (dim -> out_dim, seeded
+    Gaussian directions scaled 1/sqrt(out_dim)) with the distortion
+    audit the lemma promises: per-vector original norm, projected
+    norm, and their ratio.  The cheap dimensionality reduction for ANN
+    pre-filtering when PCA's two passes are too expensive — data-
+    independent, so it needs NO training pass and composes with
+    streaming ingestion.
+
+    Built as ONE parsed SQL expression (the `lsh_bucket_expr` lesson:
+    a 16 x 64 literal matrix Column-by-Column costs thousands of Py4J
+    round-trips; one string parse costs milliseconds).  Projection and
+    norms are embarrassingly parallel map-side expressions — no
+    shuffle at all; the deterministic plane family is the same seeded
+    Gaussian as the sign-LSH, so DuckDB re-derives every value.
+    """
+    import math
+
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    terms = []
+    for p in planes:
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
+        d = (
+            f"aggregate(zip_with({vec_col}, {arr},"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(f"pow({d} * {scale!r}D, 2)")
+    s2 = "(" + " + ".join(terms) + ")"
+    norm2 = (
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.expr(f"round(sqrt({norm2}) + 1e-9, 4)").alias("norm_orig"),
+        F.expr(f"round(sqrt({s2}) + 1e-9, 4)").alias("norm_proj"),
+        F.expr(f"round(sqrt({s2}) / sqrt({norm2}) + 1e-9, 4)").alias(
+            "distortion"
+        ),
+    ).orderBy(id_col)

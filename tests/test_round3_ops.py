@@ -414,3 +414,26 @@ def test_lsh_bucket_expr_matches_column_build(spark):
         lsh_bucket_expr("embedding", planes).alias("fast"),
     ).collect()
     assert all(r["ref"] == r["fast"] for r in out)
+
+
+# ---------------------------------------------------------- JL
+
+
+def test_jl_projection_distortion_concentrates_near_one(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        jl_projection_audit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = jl_projection_audit(emb).collect()
+    ds = [r["distortion"] for r in rows]
+    # JL with k=16: norms preserved in expectation, bounded spread
+    assert all(0.2 < d < 2.5 for d in ds)
+    mean = sum(ds) / len(ds)
+    assert 0.8 < mean < 1.2
+    # projection never inflates a zero vector and norms are consistent
+    assert all(
+        abs(r["distortion"] - r["norm_proj"] / r["norm_orig"]) < 1e-3
+        for r in rows
+        if r["norm_orig"] > 0
+    )

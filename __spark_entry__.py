@@ -1416,6 +1416,27 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pca(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (min_by/max_by, one hash agg)."""
+    return W.ohlc_bars(_t(spark, sf_dir, "events"))
+
+
+def q_erase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure audit: per-subject removed-record counts, with two
+    phantom subjects proving the zero-record path."""
+    events = _t(spark, sf_dir, "events")
+    requests = (
+        events.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 17 == 3)
+        .unionByName(
+            spark.createDataFrame([(99991,), (99992,)], "user_id long")
+        )
+    )
+    cleaned, audit = C.erase_users(events, requests)
+    return audit
+
+
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64->16 with per-vector distortion audit."""
     from flink_elasticsearch_ingestion_spark.operators.embeddings import (
@@ -1660,7 +1681,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hll_rollup, growth_accounting, drift_psi, scrub_boilerplate,
 # equi_depth_buckets, sessionize, rolling_wau, winsorized_stats,
 # merge_apply, embedding_gramian, embedding_pca, cms_word_counts,
-# scd2_lookup, jl_projection.  Promote them to the front of the round-4 window, then
+# scd2_lookup, jl_projection, ohlc_bars, erase_users.  Promote them to the front of the round-4 window, then
 # re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
@@ -1767,6 +1788,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_word_counts": q_cms_word_counts,
         "scd2_lookup": q_scd2_lookup,
         "jl_projection": q_jl_projection,
+        "ohlc_bars": q_ohlc_bars,
+        "erase_users": q_erase_users,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3305,6 +3328,33 @@ def oracle_sql() -> dict[str, str]:
             " round(round(CAST(sum(w) AS DOUBLE), 2) / count(*) + 1e-9, 4)"
             "  AS winsorized_mean"
             " FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "ohlc_bars": (
+            "WITH o AS (SELECT event_type,"
+            "  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_hour,"
+            "  CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),"
+            " w AS (SELECT *,"
+            "  first_value(value) OVER (PARTITION BY event_type, bar_hour"
+            "   ORDER BY ts, event_id) AS open_v,"
+            "  first_value(value) OVER (PARTITION BY event_type, bar_hour"
+            "   ORDER BY ts DESC, event_id DESC) AS close_v FROM o)"
+            " SELECT event_type, bar_hour,"
+            " round(min(open_v) + 1e-9, 4) AS open,"
+            " round(max(value) + 1e-9, 4) AS high,"
+            " round(min(value) + 1e-9, 4) AS low,"
+            " round(min(close_v) + 1e-9, 4) AS close,"
+            " count(*) AS n_events"
+            " FROM w GROUP BY event_type, bar_hour"
+            " ORDER BY event_type, bar_hour"
+        ),
+        "erase_users": (
+            "WITH req AS (SELECT DISTINCT user_id FROM events"
+            "  WHERE user_id % 17 = 3"
+            "  UNION ALL SELECT 99991 UNION ALL SELECT 99992)"
+            " SELECT r.user_id,"
+            " CAST(count(e.user_id) AS BIGINT) AS n_erased"
+            " FROM req r LEFT JOIN events e ON r.user_id = e.user_id"
+            " GROUP BY r.user_id ORDER BY r.user_id"
         ),
         "jl_projection": (
             "WITH vecs AS (SELECT vec_id,"

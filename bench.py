@@ -134,6 +134,8 @@ EXTENDED = [
     "cms_word_counts",
     "scd2_lookup",
     "jl_projection",
+    "ohlc_bars",
+    "erase_users",
 ]
 
 

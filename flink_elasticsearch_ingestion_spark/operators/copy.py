@@ -300,3 +300,46 @@ def merge_apply(
             ],
         )
     )
+
+
+def erase_users(
+    events: DataFrame,
+    user_ids: DataFrame,
+    *,
+    user_col: str = "user_id",
+) -> tuple[DataFrame, DataFrame]:
+    """GDPR/right-to-be-forgotten erasure over an event corpus: drop
+    every record belonging to the requested subjects and produce the
+    per-subject erasure audit (how many records each request removed,
+    including explicit zero rows for subjects with no data — the
+    proof-of-work a deletion request requires).
+
+    Returns ``(cleaned, audit)``.  Scale shape: the erasure itself is
+    ONE broadcast anti join (request lists are human-scale); the audit
+    semi-reduces the corpus against the broadcast request table FIRST,
+    so only the affected slice aggregates (map-side combine bounds the
+    shuffle at |requests| keys per partition) — the full corpus never
+    shuffles.  At 100 TB pair this with partition pruning on a
+    user-bucketed layout (sources/layout.py) so only affected files
+    rewrite.
+    """
+    ids = user_ids.select(F.col(user_col)).distinct()
+    cleaned = events.join(F.broadcast(ids), user_col, "left_anti")
+    # corpus reduces FIRST via broadcast semi + per-user count (the
+    # corpus never shuffles on the user key); zero-record subjects
+    # re-enter through the tiny ids-side outer join
+    counts = (
+        events.select(user_col)
+        .join(F.broadcast(ids), user_col, "left_semi")
+        .groupBy(user_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    audit = (
+        ids.join(counts, user_col, "left")
+        .select(
+            user_col,
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_erased"),
+        )
+        .orderBy(user_col)
+    )
+    return cleaned, audit

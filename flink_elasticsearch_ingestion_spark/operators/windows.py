@@ -609,3 +609,35 @@ def scd2_lookup(
         )
         .orderBy("event_id")
     )
+
+
+def ohlc_bars(events: DataFrame, *, value_col: str = "value") -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event type — the
+    time-series downsample every metrics store performs.  Open/close
+    are ``min_by``/``max_by`` against the (ts, event_id) order key, so
+    same-timestamp bursts resolve deterministically on any engine.
+
+    Scale shape: ONE partial+final aggregate on the (type, hour) key —
+    min_by/max_by carry a single (key, value) pair of state per group
+    map-side, so this is a plain hash aggregate, never a window; the
+    bar count is calendar x type bounded, far below the fact size.
+    """
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    okey = F.struct(F.col("ts").cast("timestamp").alias("ts"), F.col("event_id"))
+    return (
+        events.select(
+            "event_type",
+            hour.alias("bar_hour"),
+            okey.alias("okey"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("event_type", "bar_hour")
+        .agg(
+            F.round(F.min_by("v", "okey") + 1e-9, 4).alias("open"),
+            F.round(F.max("v") + 1e-9, 4).alias("high"),
+            F.round(F.min("v") + 1e-9, 4).alias("low"),
+            F.round(F.max_by("v", "okey") + 1e-9, 4).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bar_hour")
+    )

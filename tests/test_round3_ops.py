@@ -437,3 +437,66 @@ def test_jl_projection_distortion_concentrates_near_one(spark, sf_dir):
         for r in rows
         if r["norm_orig"] > 0
     )
+
+
+# ---------------------------------------------------------- OHLC
+
+
+def test_ohlc_bars_hand_computed(spark):
+    from flink_elasticsearch_ingestion_spark.operators.windows import ohlc_bars
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:05:00", 7, "view", 10.0),
+            (2, "2024-01-01 10:15:00", 7, "view", 30.0),
+            (3, "2024-01-01 10:45:00", 7, "view", 5.0),
+            (4, "2024-01-01 10:55:00", 7, "view", 20.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value",
+    )
+    (r,) = ohlc_bars(events).collect()
+    assert (r["open"], r["high"], r["low"], r["close"]) == (10.0, 30.0, 5.0, 20.0)
+    assert r["n_events"] == 4
+
+
+def test_ohlc_same_timestamp_tiebreaks_on_event_id(spark):
+    from flink_elasticsearch_ingestion_spark.operators.windows import ohlc_bars
+
+    events = spark.createDataFrame(
+        [
+            (2, "2024-01-01 10:00:00", 7, "view", 99.0),
+            (1, "2024-01-01 10:00:00", 7, "view", 11.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value",
+    )
+    (r,) = ohlc_bars(events).collect()
+    # equal timestamps: event_id orders the bar deterministically
+    assert r["open"] == 11.0 and r["close"] == 99.0
+
+
+# ---------------------------------------------------------- erasure
+
+
+def test_erase_users_removes_all_and_audits_zero_subjects(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.copy import erase_users
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    requests = spark.createDataFrame([(3,), (20,), (424242,)], "user_id long")
+    cleaned, audit = erase_users(events, requests)
+    # proof of absence: no requested subject survives in the cleaned set
+    assert cleaned.join(requests, "user_id", "left_semi").count() == 0
+    rows = {r["user_id"]: r["n_erased"] for r in audit.collect()}
+    assert rows[424242] == 0  # zero-record subject still audited
+    per_user = dict(
+        events.filter(F.col("user_id").isin(3, 20))
+        .groupBy("user_id").count().collect()
+    )
+    assert rows[3] == per_user.get(3, 0) and rows[20] == per_user.get(20, 0)
+    # conservation: cleaned + erased == total
+    assert cleaned.count() + sum(rows.values()) == events.count()

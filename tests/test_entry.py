@@ -16,12 +16,15 @@ def test_oracle_keys_subset_of_queries():
     assert oracles <= qs
     # rows-only checks are intentional, enumerated here so additions are
     # conscious. Round 3 shrank this set to the genuinely non-replayable
-    # two: IVF's coarse quantizer is learned (iterative k-means) and HLL
-    # sketch state has no SQL twin; everything hash-based got a real
-    # oracle via the engine-portable md5 hash family.
+    # three: IVF's coarse quantizer is learned (iterative k-means), HLL
+    # sketch state has no SQL twin, and PCA's eigendecomposition is not
+    # SQL-expressible (its Gram-matrix reduction IS hash-verified via
+    # embedding_gramian); everything hash-based got a real oracle via
+    # the engine-portable md5 hash family.
     assert qs - oracles == {
         "ivf_topk",
         "approx_distinct",
+        "embedding_pca",
     }
 
 

@@ -162,21 +162,56 @@ def quantize_embeddings_arrow(embeddings: DataFrame) -> DataFrame:
 
 
 def embedding_gramian(
-    embeddings: DataFrame, *, dim: int = 64, vec_col: str = "embedding"
+    embeddings: DataFrame,
+    *,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """Distributed Gram matrix X'X of the embedding corpus (upper
     triangle), the reduction behind PCA / covariance / whitening at
-    corpus scale: dim^2 is tiny, N is huge, so the right shape is a
-    map-side outer-product fan-out combined into ONE partial+final
-    aggregate — each partition contributes at most dim*(dim+1)/2
-    partial sums regardless of row count, and the shuffle carries only
-    (i, j, partial) triples.
+    corpus scale: dim^2 is tiny, N is huge, so every partition reduces
+    to at most dim*(dim+1)/2 partial sums regardless of row count and
+    the shuffle carries only (i, j, partial) triples.
 
-    The per-row upper-triangle products are built as one expression
-    tree (nested transform over index sequences, single explode) —
-    no Python in the hot path; float32 inputs are widened to double
-    BEFORE multiplying so both engines accumulate identically.
+    ``method="arrow"`` (default, the 100 TB path): one BLAS ``X'X``
+    per Arrow-batched partition inside ``mapInPandas`` — a single
+    matmul replaces the 30x row amplification of exploding per-row
+    outer products, and each partition emits exactly one triangle.
+    ``method="expr"`` is the pure-JVM twin (nested transform + one
+    explode, partial+final agg) kept for environments without the
+    Python worker and as the parity pin — both forms agree after the
+    6-decimal round (test + shared DuckDB oracle).  Floats widen to
+    double before multiplying on every path.
     """
+    if method == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        iu0, iu1 = np.triu_indices(dim)
+
+        def part(frames):
+            g = np.zeros((dim, dim))
+            seen = False
+            for pdf in frames:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                g += m.T @ m
+                seen = True
+            if seen:
+                yield pd.DataFrame(
+                    {"i": iu0.astype("int32"), "j": iu1.astype("int32"), "v": g[iu0, iu1]}
+                )
+
+        partials = embeddings.select(vec_col).mapInPandas(
+            part, "i int, j int, v double"
+        )
+        return (
+            partials.groupBy("i", "j")
+            .agg(F.round(F.sum("v") + 1e-9, 6).alias("dot"))
+            .orderBy("i", "j")
+        )
     vec = F.col(vec_col)
     tri = F.flatten(
         F.transform(

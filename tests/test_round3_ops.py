@@ -500,3 +500,20 @@ def test_erase_users_removes_all_and_audits_zero_subjects(spark, sf_dir):
     assert rows[3] == per_user.get(3, 0) and rows[20] == per_user.get(20, 0)
     # conservation: cleaned + erased == total
     assert cleaned.count() + sum(rows.values()) == events.count()
+
+
+def test_embedding_gramian_arrow_matches_expr_twin(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        embedding_gramian,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {(r["i"], r["j"]): r["dot"] for r in embedding_gramian(emb).collect()}
+    e = {
+        (r["i"], r["j"]): r["dot"]
+        for r in embedding_gramian(emb, method="expr").collect()
+    }
+    assert a.keys() == e.keys()
+    # both paths agree after the 6dp round (BLAS partial order vs
+    # left-fold differ at ~1e-13, far below the rounding grain)
+    assert all(abs(a[k] - e[k]) < 2e-6 for k in a)

@@ -1340,6 +1340,18 @@ def q_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.scrub_boilerplate(_t(spark, sf_dir, "documents"), df_threshold=3)
 
 
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index dictionary head: df/cf/max_tf of the top-20 terms."""
+    return X.term_statistics(_t(spark, sf_dir, "documents"), k=20)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed 3-term query (Lucene idf variant)."""
+    return X.bm25_search(
+        _t(spark, sf_dir, "documents"), ["spark", "merge", "window"], k=10
+    )
+
+
 def q_equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact NTILE(8) equi-depth histogram of order values, two-phase."""
     from flink_elasticsearch_ingestion_spark.operators.sampling import (
@@ -1681,8 +1693,9 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hll_rollup, growth_accounting, drift_psi, scrub_boilerplate,
 # equi_depth_buckets, sessionize, rolling_wau, winsorized_stats,
 # merge_apply, embedding_gramian, embedding_pca, cms_word_counts,
-# scd2_lookup, jl_projection, ohlc_bars, erase_users.  Promote them to the front of the round-4 window, then
-# re-check whatever r3 left red.
+# scd2_lookup, jl_projection, ohlc_bars, erase_users,
+# term_postings, bm25_search.  Promote them to the front of the
+# round-4 window, then re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -1816,6 +1829,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-2: LLM-data-pipeline depth ---
         "passage_dedup": q_passage_dedup,
         "top_bigrams": q_top_bigrams,
+        "term_postings": q_term_postings,
+        "bm25_search": q_bm25_search,
         "source_mix": q_source_mix,
         "embedding_norms": q_embedding_norms,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2618,6 +2633,47 @@ def oracle_sql() -> dict[str, str]:
             "  FROM toks WHERE len(t) >= 2)"
             " SELECT bigram, count(*) AS n_occurrences FROM bg"
             " GROUP BY 1 ORDER BY n_occurrences DESC, bigram LIMIT 20"
+        ),
+        "term_postings": (
+            r"WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+            r"trim(lower(text)), '\s+')) AS term FROM documents),"
+            " f AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),"
+            " tf AS (SELECT term, doc_id, count(*) AS tf FROM f GROUP BY 1, 2)"
+            " SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,"
+            " CAST(max(tf) AS BIGINT) AS max_tf"
+            " FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 20"
+        ),
+        "bm25_search": (
+            # constants mirror the engine's Python-driver arithmetic:
+            # (1.2 + 1.0) = k1+1 computed as the same IEEE sum, 0.25 =
+            # 1.0-b, and the term sum folds left-to-right in query
+            # order (spark, merge, window) so addition order matches
+            r"WITH feat AS (SELECT doc_id,"
+            r" len(regexp_split_to_array(trim(lower(text)), '\s+')) AS doclen,"
+            r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+            r"   x -> x = 'spark')) AS tf_0,"
+            r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+            r"   x -> x = 'merge')) AS tf_1,"
+            r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+            r"   x -> x = 'window')) AS tf_2 FROM documents),"
+            " stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,"
+            "  CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl,"
+            "  CAST(sum(CAST(tf_0 > 0 AS INT)) AS DOUBLE) AS df_0,"
+            "  CAST(sum(CAST(tf_1 > 0 AS INT)) AS DOUBLE) AS df_1,"
+            "  CAST(sum(CAST(tf_2 > 0 AS INT)) AS DOUBLE) AS df_2 FROM feat),"
+            " scored AS (SELECT doc_id, doclen, round(0.0"
+            "  + ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))"
+            "    * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))"
+            "    / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
+            "  + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))"
+            "    * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))"
+            "    / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
+            "  + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))"
+            "    * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))"
+            "    / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
+            "  + 1e-9, 6) AS bm25 FROM feat, stats)"
+            " SELECT doc_id, doclen, bm25 FROM scored WHERE bm25 > 0.0"
+            " ORDER BY bm25 DESC, doc_id LIMIT 10"
         ),
         "source_mix": (
             "SELECT source, count(*) AS n_docs,"

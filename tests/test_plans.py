@@ -24,6 +24,8 @@ CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: aggregate back onto the per-part table — AQE sometimes leaves the
 #: 1-row broadcast as a BNLJ, which is the correct scalar-subquery plan
 #: growth_accounting / rolling_wau join a 1-row corpus-horizon aggregate
+#: bm25_search joins the 1-row (n_docs, avgdl, df_i) corpus-statistics
+#: aggregate onto the per-doc term-frequency table — scalar subquery
 SCALAR_JOIN_OK = {
     "order_stats",
     "tfidf_top_terms",
@@ -31,6 +33,7 @@ SCALAR_JOIN_OK = {
     "important_part_value",
     "growth_accounting",
     "rolling_wau",
+    "bm25_search",
 }
 
 

@@ -1677,6 +1677,47 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality rules (word band, mean word
+    length, symbol/bullet/ellipsis/alpha fractions, stopword floor)."""
+    return X.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+def q_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring benchmark-leakage audit: every 5th document's
+    leading 3-word phrase probed as a contiguous substring of the
+    corpus (broadcast needle table, map-side contains scan)."""
+    docs = _t(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+    return D.substring_contamination(docs, probe, needle_words=3)
+
+
+def q_token_set_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (AllPairs prefix filtering) over
+    distinct word-bigram sets; the oracle is the full all-pairs SQL
+    join, so a hash-green row PROVES the prefix filter loses nothing."""
+    return D.token_set_similarity_join(
+        _t(spark, sf_dir, "documents"), threshold=0.5, gram_k=2
+    )
+
+
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: urgent-order keys -> bloom ->
+    map-side probe filter on lineitem -> exact join; result is
+    bit-identical to the plain join (the oracle)."""
+    return R.bloom_prefilter_join(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier screen: exact median/MAD, values
+    beyond 3 robust sigmas counted."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import mad_outliers
+
+    return mad_outliers(_t(spark, sf_dir, "events"), "value", "event_type")
+
+
 # Round-3 driver window (the driver hash-checks the FIRST 50 entries of
 # ``queries()`` per round).  Priority: (a) the 34 entries that have never
 # produced a driver row (CORRECTNESS_r01 ∪ r02 window overflow), (b) the
@@ -1694,8 +1735,9 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equi_depth_buckets, sessionize, rolling_wau, winsorized_stats,
 # merge_apply, embedding_gramian, embedding_pca, cms_word_counts,
 # scd2_lookup, jl_projection, ohlc_bars, erase_users,
-# term_postings, bm25_search.  Promote them to the front of the
-# round-4 window, then re-check whatever r3 left red.
+# term_postings, bm25_search, gopher_quality, substring_contamination,
+# token_set_join, bloom_prefilter_join, mad_outliers.  Promote them to
+# the front of the round-4 window, then re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -1803,6 +1845,11 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection": q_jl_projection,
         "ohlc_bars": q_ohlc_bars,
         "erase_users": q_erase_users,
+        "gopher_quality": q_gopher_quality,
+        "substring_contamination": q_substring_contamination,
+        "token_set_join": q_token_set_join,
+        "bloom_prefilter_join": q_bloom_prefilter_join,
+        "mad_outliers": q_mad_outliers,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3811,6 +3858,103 @@ def oracle_sql() -> dict[str, str]:
             " CAST(list_sum(list_transform(range(0, n_chunks, 2),"
             "  i -> least(64, n - i * 64))) AS BIGINT) AS frame_bytes"
             " FROM chunked ORDER BY media_id"
+        ),
+        "gopher_quality": (
+            "WITH t AS (SELECT doc_id, text,"
+            "  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w,"
+            "  string_split(text, chr(10)) AS lines FROM documents),"
+            " m AS (SELECT doc_id,"
+            "  len(w) AS n_words,"
+            "  greatest(len(w), 1)::DOUBLE AS nw,"
+            "  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)"
+            "    / greatest(len(w), 1) AS mwl,"
+            "  len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,"
+            "  greatest(len(lines), 1)::DOUBLE AS nl,"
+            "  len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))"
+            "    AS n_bullet,"
+            "  len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$')))"
+            "    AS n_ell,"
+            "  len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,"
+            "  len(list_intersect(list_transform(w, x -> lower(x)),"
+            "    ['the','a','of','and','to'])) AS stop_hits"
+            "  FROM t)"
+            " SELECT doc_id, n_words,"
+            " round(mwl + 1e-9, 6) AS mean_word_len,"
+            " round(n_sym / nw + 1e-9, 6) AS symbol_ratio,"
+            " round(n_bullet / nl + 1e-9, 6) AS bullet_line_frac,"
+            " round(n_ell / nl + 1e-9, 6) AS ellipsis_line_frac,"
+            " round(n_alpha / nw + 1e-9, 6) AS alpha_word_frac,"
+            " stop_hits,"
+            " (n_words >= 50 AND n_words <= 100000"
+            "  AND mwl >= 3.0 AND mwl <= 10.0"
+            "  AND n_sym / nw < 0.1"
+            "  AND n_bullet / nl <= 0.9"
+            "  AND n_ell / nl <= 0.3"
+            "  AND n_alpha / nw >= 0.8"
+            "  AND stop_hits >= 2) AS passes_gopher"
+            " FROM m ORDER BY doc_id"
+        ),
+        "substring_contamination": (
+            "WITH norm AS (SELECT doc_id,"
+            "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t"
+            "  FROM documents),"
+            " needles AS (SELECT doc_id AS probe_id,"
+            "  array_to_string((string_split(t, ' '))[1:3], ' ') AS needle"
+            "  FROM norm WHERE doc_id % 5 = 0"
+            "  AND len(string_split(t, ' ')) >= 3)"
+            " SELECT h.doc_id AS corpus_id, n.probe_id FROM norm h"
+            " JOIN needles n ON contains(h.t, n.needle)"
+            " AND h.doc_id <> n.probe_id"
+            " ORDER BY corpus_id, probe_id"
+        ),
+        "token_set_join": (
+            # the ORACLE is the naive exact all-pairs join; the engine
+            # runs prefix-filtered AllPairs — hash equality proves the
+            # prefix filter admits no false negatives
+            "WITH docs AS (SELECT doc_id,"
+            "  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+            "    AS w FROM documents),"
+            " s AS (SELECT doc_id,"
+            "  list_distinct([w[i] || ' ' || w[i+1]"
+            "    FOR i IN generate_series(1, len(w)-1)]) AS st"
+            "  FROM docs WHERE len(w) >= 2)"
+            " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " round(len(list_intersect(a.st, b.st)) * 1.0 /"
+            "  greatest(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)), 1)"
+            "  + 1e-9, 6) AS jaccard"
+            " FROM s a JOIN s b ON a.doc_id < b.doc_id"
+            " WHERE len(list_intersect(a.st, b.st)) * 1.0 /"
+            "  greatest(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)), 1)"
+            "  >= 0.5"
+            " ORDER BY doc_a, doc_b"
+        ),
+        "bloom_prefilter_join": (
+            # the bloom prefilter is transparent (exact join removes
+            # false positives), so the oracle is the PLAIN join
+            "SELECT date_trunc('month', o_orderdate) AS order_month,"
+            " count(*) AS n_lines, count(DISTINCT l_orderkey) AS n_orders,"
+            " round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " WHERE o_orderpriority = '1-URGENT'"
+            " GROUP BY 1 ORDER BY 1"
+        ),
+        "mad_outliers": (
+            "WITH med AS (SELECT event_type, median(value) AS m"
+            "  FROM events GROUP BY 1),"
+            " dev AS (SELECT e.event_type, e.value, med.m,"
+            "  abs(e.value - med.m) AS ad"
+            "  FROM events e JOIN med USING (event_type)),"
+            " mad AS (SELECT event_type, median(ad) AS md"
+            "  FROM dev GROUP BY 1)"
+            " SELECT dev.event_type, count(*) AS n,"
+            " round(min(dev.m) + 1e-9, 6) AS median,"
+            " round(min(mad.md) + 1e-9, 6) AS mad,"
+            " count(CASE WHEN dev.ad > 3.0 * 1.4826 * mad.md THEN 1 END)"
+            "   AS n_outliers,"
+            " round(max(CASE WHEN mad.md > 0"
+            "   THEN dev.ad / (1.4826 * mad.md) END) + 1e-9, 4) AS max_robust_z"
+            " FROM dev JOIN mad USING (event_type)"
+            " GROUP BY dev.event_type ORDER BY dev.event_type"
         ),
         # rows-only (no SQL parity): minhash_near_dup, ngram_jaccard,
         # simhash_buckets, embedding_near_dup, lsh_topk, media_features

@@ -1062,3 +1062,137 @@ def simhash_buckets(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def substring_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    needle_words: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring decontamination: (corpus_id, probe_id) for every
+    corpus document containing a probe document's leading
+    ``needle_words``-word phrase as a CONTIGUOUS substring.
+
+    Complements ``cross_corpus_contamination`` (set-of-n-grams overlap,
+    order-insensitive): substring matching is the stricter "the eval
+    prompt literally appears in the training text" test used for
+    benchmark leakage audits.
+
+    Plan shape for 100 TB: the probe side is benchmark-sized (10^3..10^5
+    needles), so the normalized needle table is BROADCAST and the match
+    runs as a broadcast nested-loop ``contains`` scan over the corpus —
+    the corpus is read exactly once, map-side, nothing shuffles. Both
+    sides are whitespace-normalized in the same expression so the match
+    is layout-insensitive. For needle sets too large to broadcast-scan
+    (contains is O(needles) per doc), the documented scale path is a
+    multi-pattern pass (one Aho-Corasick automaton per executor via
+    mapInPandas) behind the identical (corpus_id, probe_id) contract.
+    """
+    norm = lambda c: F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")  # noqa: E731
+    needles = probe.select(
+        F.col(id_col).alias("probe_id"),
+        F.array_join(
+            F.slice(F.split(norm(F.col(text_col)), " "), 1, needle_words), " "
+        ).alias("needle"),
+    ).filter(F.size(F.split(F.col("needle"), " ")) >= needle_words)
+    hay = corpus.select(
+        F.col(id_col).alias("corpus_id"), norm(F.col(text_col)).alias("hay")
+    )
+    return (
+        hay.join(
+            F.broadcast(needles),
+            F.col("hay").contains(F.col("needle"))
+            & (F.col("corpus_id") != F.col("probe_id")),
+        )
+        .select("corpus_id", "probe_id")
+        .orderBy("corpus_id", "probe_id")
+    )
+
+
+def token_set_similarity_join(
+    documents: DataFrame,
+    *,
+    threshold: float = 0.7,
+    gram_k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact set-similarity self-join with PREFIX FILTERING (AllPairs /
+    PPJoin family, Bayardo et al. 2007): every document pair whose
+    distinct word-``gram_k``-gram sets have Jaccard >= ``threshold``,
+    with NO false negatives — unlike MinHash banding this is exact, so
+    its driver oracle is the full all-pairs SQL join.
+
+    The prefix principle: order every set by GLOBAL element frequency
+    ascending (rarest first, ties by element); two sets with Jaccard
+    >= t MUST share an element within each other's first
+    n - ceil(t*n) + 1 elements. Joining only on those prefix elements
+    bounds candidate generation by the frequency of the RAREST
+    elements — the frequent grams that make a naive inverted-index
+    self-join quadratic never enter the join key space.
+
+    Plan shape for 100 TB: one shuffle to count global element
+    frequencies (vocabulary-sized output), one per-doc window to rank
+    elements (partitioned by doc — bounded state), an IDS-ONLY
+    self-join on prefix elements, then the exact Jaccard verify
+    re-attaches full sets by key. The fact-width data never rides the
+    wide join, same discipline as the MinHash band join.
+    """
+    import math
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    w = F.split(norm, " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(gram_k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, gram_k), " "),
+        )
+    )
+    sets = (
+        documents.select(F.col(id_col).alias("doc_id"), grams.alias("els"))
+        .filter(F.size("els") >= 1)
+    )
+    els = sets.select("doc_id", F.explode("els").alias("el"))
+    dfreq = els.groupBy("el").agg(F.count(F.lit(1)).alias("df"))
+    # rank each doc's elements rare-first; keep only the prefix
+    ranked = (
+        els.join(dfreq, "el")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("el"))
+            ),
+        )
+        .join(sets.select("doc_id", F.size("els").alias("n")), "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
+        )
+        .select("el", "doc_id")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "el")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("els").alias("els_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("els").alias("els_b"))
+    inter = F.size(F.array_intersect("els_a", "els_b"))
+    union = F.size("els_a") + F.size("els_b") - inter
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= F.lit(threshold))
+        .select(
+            "doc_a", "doc_b", F.round(jac + F.lit(1e-9), 6).alias("jaccard")
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -289,3 +289,58 @@ def winsorized_stats(
         )
         .orderBy(group_col)
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier detection via median / MAD: a value is
+    an outlier when |v - median| > ``z_cut`` * 1.4826 * MAD (the
+    consistency constant makes MAD estimate sigma under normality).
+    Median/MAD resist the very outliers that poison mean/stddev-based
+    z-scores, so this is the screening pass for corrupt telemetry.
+
+    Scale shape: three single-shuffle passes, each with
+    group-cardinality output — (1) exact per-group median, (2) exact
+    median of absolute deviations against the BROADCAST median table,
+    (3) flag-and-count against the broadcast (median, mad) table. The
+    fact never shuffles; only tiny group tables move. Exact percentile
+    holds per-group value vectors in the aggregate state, so for
+    groups above executor memory the documented swap is
+    ``approx_percentile`` behind the same contract.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_col).select(
+        F.col(group_col),
+        F.col(value_col).alias("__v"),
+        F.col("__med"),
+        F.abs(F.col(value_col) - F.col("__med")).alias("__ad"),
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile("__ad", F.lit(0.5)).alias("__mad")
+    )
+    cut = F.lit(z_cut) * F.lit(1.4826) * F.col("__mad")
+    flagged = dev.join(F.broadcast(mad), group_col)
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("__med") + 1e-9, 6).alias("median"),
+            F.round(F.min("__mad") + 1e-9, 6).alias("mad"),
+            F.count(F.when(F.col("__ad") > cut, 1)).alias("n_outliers"),
+            F.round(
+                F.max(
+                    F.when(F.col("__mad") > 0, F.col("__ad") / (F.lit(1.4826) * F.col("__mad")))
+                )
+                + 1e-9,
+                4,
+            ).alias("max_robust_z"),
+        )
+        .orderBy(group_col)
+    )

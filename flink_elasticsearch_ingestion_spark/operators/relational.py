@@ -1371,3 +1371,95 @@ def cms_word_counts(
         )
         .orderBy(F.col("true_count").desc(), "word")
     )
+
+
+def bloom_prefilter_join(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    *,
+    priority: str = "1-URGENT",
+    m_bits: int = 1 << 18,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Explicit runtime Bloom-filter join pruning: build an ``m_bits``
+    Bloom filter over the (filtered) build-side join keys, push its
+    membership test into the probe-side SCAN as a map-side predicate,
+    then run the exact join. False positives only cost a little extra
+    probe traffic — the exact join removes them — so the result is
+    bit-identical to the plain join (that IS the oracle) while the
+    shuffle only carries probe rows that can possibly match.
+
+    This is the hand-rolled twin of Spark's AQE runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter), for the cases the
+    optimizer declines (non-equi residuals, DSv2 sources it won't
+    inject through, or a build side derived outside this query). At
+    100 TB the probe scan is the dominant cost; a 2% FP filter drops
+    ~all non-matching rows before the exchange.
+
+    Mechanics: k seeded xxhash64 probes mod ``m_bits``; the filter
+    words are built with ONE partial+final bit_or aggregation
+    (m_bits/64 rows — bounded, like Spark's own driver-collected
+    runtime filter), inlined as ONE parsed array literal (see
+    SCALE.md: literal models reach the JVM in one parse), and the
+    probe test is a pure JVM expression in the scan stage.
+    """
+    keys = orders.filter(F.col("o_orderpriority") == priority).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    n_words = m_bits // 64
+    pos = [
+        F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(i)), F.lit(m_bits))
+        for i in range(k_hashes)
+    ]
+    contrib = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (p / 64).cast("int").alias("w"),
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
+                        ).alias("b"),
+                    )
+                    for p in pos
+                ]
+            )
+        ).alias("c")
+    )
+    words_rows = (
+        contrib.groupBy(F.col("c.w").alias("w"))
+        .agg(F.bit_or(F.col("c.b")).alias("bits"))
+        .collect()
+    )  # bounded: <= m_bits/64 rows (4096 at the default), like Spark's
+    # own runtime-filter subquery result
+    words = [0] * n_words
+    for r in words_rows:
+        words[r["w"]] = r["bits"]
+    arr_sql = "array(" + ",".join(f"{x}L" for x in words) + ")"
+    probe = lineitem.withColumn("__bloom", F.expr(arr_sql))
+    tests = []
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(i)), F.lit(m_bits))
+        word = F.element_at(F.col("__bloom"), (p / 64).cast("int") + F.lit(1))
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
+        )
+        tests.append(word.bitwiseAND(bit) != 0)
+    passed = probe.filter(tests[0] & tests[1] & tests[2]).drop("__bloom")
+    joined = passed.join(F.broadcast(keys), passed.l_orderkey == keys.o_orderkey)
+    return (
+        joined.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+            # prices/discounts are exact 2dp decimals, so the true sum
+            # is an exact 1e-4 multiple; +1e-6 pushes BOTH engines'
+            # float sums (error ~1e-7 here) off the .xx5 round boundary
+            # the same way without ever crossing a 1e-4 grain
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6,
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("order_month")
+    )

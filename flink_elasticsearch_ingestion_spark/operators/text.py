@@ -852,3 +852,89 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
+
+
+def gopher_quality(
+    documents: DataFrame,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, App. A):
+    word-count band, mean word length band, symbol-to-word ratio,
+    bullet-/ellipsis-line fractions, alphabetic-word fraction, and a
+    minimum of distinct required stopwords.  Every rule is a JVM
+    higher-order-function expression over ONE tokenization — a pure
+    map stage (no shuffle, no Python), so at 100 TB this is a
+    full-corpus filter at scan speed with the filter decision AND the
+    per-rule evidence kept for auditability.
+    """
+    words = tokens(text_col)
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wlen = (
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+        ).cast("double")
+        / nw
+    )
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("#|\\.\\.\\."), 0)
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike("^[-*•]"))
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike("\\.\\.\\.$"))).cast(
+            "double"
+        )
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / nw
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    m = {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_wlen + 1e-9, 6),
+        "symbol_ratio": F.round(n_symbols / nw + 1e-9, 6),
+        "bullet_line_frac": F.round(bullet_frac + 1e-9, 6),
+        "ellipsis_line_frac": F.round(ellipsis_frac + 1e-9, 6),
+        "alpha_word_frac": F.round(alpha_frac + 1e-9, 6),
+        "stop_hits": stop_hits,
+    }
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wlen >= min_mean_word_len)
+        & (mean_wlen <= max_mean_word_len)
+        & (n_symbols / nw < max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(k) for k, c in m.items()],
+        passes.alias("passes_gopher"),
+    )

@@ -26,7 +26,12 @@ CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: growth_accounting / rolling_wau join a 1-row corpus-horizon aggregate
 #: bm25_search joins the 1-row (n_docs, avgdl, df_i) corpus-statistics
 #: aggregate onto the per-doc term-frequency table — scalar subquery
+#: substring_contamination is an INTENTIONAL broadcast nested-loop
+#: needle scan: the benchmark-sized needle table broadcasts and the
+#: corpus is scanned once map-side with a `contains` predicate — the
+#: documented shape for exact-substring decontamination
 SCALAR_JOIN_OK = {
+    "substring_contamination",
     "order_stats",
     "tfidf_top_terms",
     "idle_rich_customers",

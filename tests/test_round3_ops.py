@@ -517,3 +517,142 @@ def test_embedding_gramian_arrow_matches_expr_twin(spark, sf_dir):
     # both paths agree after the 6dp round (BLAS partial order vs
     # left-fold differ at ~1e-13, far below the rounding grain)
     assert all(abs(a[k] - e[k]) < 2e-6 for k in a)
+
+
+# ------------------------------------------- gopher quality rules
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_quality_planted_rules(spark):
+    from flink_elasticsearch_ingestion_spark.operators.text import gopher_quality
+
+    good = "the quick brown fox and a dog " * 10  # 70 words, stopwords
+    short = "too short"  # fails word floor
+    bullets = "\n".join("- item one two three four five six seven" for _ in range(10))
+    nostop = "zzz qqq www eee rrr ttt yyy " * 10  # no required stopwords
+    rows = [(1, good), (2, short), (3, bullets), (4, nostop)]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality(_docs(spark, rows), min_words=20).collect()
+    }
+    assert out[1]["passes_gopher"] is True
+    assert out[2]["passes_gopher"] is False and out[2]["n_words"] == 2
+    assert out[3]["passes_gopher"] is False
+    assert out[3]["bullet_line_frac"] == 1.0
+    assert out[4]["passes_gopher"] is False and out[4]["stop_hits"] == 0
+
+
+# ------------------------------------- exact-substring contamination
+
+
+def test_substring_contamination_planted(spark):
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        substring_contamination,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "prefix words then alpha beta gamma embedded here"),
+            (3, "completely unrelated text with other words"),
+            # layout-insensitive: extra whitespace still matches
+            (4, "ALPHA   beta\tgamma trailing"),
+        ],
+    )
+    probe = corpus.filter(F.col("doc_id") == 1)
+    hits = {
+        (r["corpus_id"], r["probe_id"])
+        for r in substring_contamination(corpus, probe, needle_words=3).collect()
+    }
+    assert hits == {(2, 1), (4, 1)}  # self-hit (1,1) excluded
+
+
+# -------------------------------- prefix-filtered set-similarity join
+
+
+def test_token_set_join_matches_brute_force(spark):
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        token_set_similarity_join,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base),
+        (2, base + " eleven"),  # near-identical to 1
+        (3, "totally different words here nothing shared at all xyz"),
+        (4, base),  # exact duplicate of 1
+        (5, "one two three unrelated tail of tokens goes here now"),
+    ]
+    out = token_set_similarity_join(
+        _docs(spark, rows), threshold=0.5, gram_k=2
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    # brute force over distinct word-bigram sets
+    import itertools
+
+    sets = {
+        i: {
+            " ".join(t.split()[j : j + 2])
+            for j in range(len(t.split()) - 1)
+        }
+        for i, t in rows
+    }
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        jac = inter / max(len(sets[a] | sets[b]), 1)
+        if jac >= 0.5:
+            expect[(a, b)] = round(jac + 1e-9, 6)
+    assert got == expect
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+
+
+# ------------------------------------------- bloom prefilter join
+
+
+def test_bloom_prefilter_equals_plain_join(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        bloom_prefilter_join,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    got = bloom_prefilter_join(li, orders).collect()
+    plain = (
+        li.join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6,
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("order_month")
+        .collect()
+    )
+    assert got == plain
+
+
+# ------------------------------------------------- MAD outliers
+
+
+def test_mad_outliers_planted_spike(spark):
+    from flink_elasticsearch_ingestion_spark.operators.quality import mad_outliers
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 1000])]
+    rows += [(100 + i, "b", float(10 + i % 3)) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, grp string, value double")
+    out = {r["grp"]: r.asDict() for r in mad_outliers(df, "value", "grp").collect()}
+    assert out["a"]["n_outliers"] == 1  # the 1000 spike
+    assert out["a"]["median"] == 10.5
+    assert out["b"]["n_outliers"] == 0

@@ -1697,7 +1697,7 @@ def q_token_set_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct word-bigram sets; the oracle is the full all-pairs SQL
     join, so a hash-green row PROVES the prefix filter loses nothing."""
     return D.token_set_similarity_join(
-        _t(spark, sf_dir, "documents"), threshold=0.5, gram_k=2
+        _t(spark, sf_dir, "documents"), threshold=0.5, gram_k=3
     )
 
 
@@ -3915,9 +3915,9 @@ def oracle_sql() -> dict[str, str]:
             "  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
             "    AS w FROM documents),"
             " s AS (SELECT doc_id,"
-            "  list_distinct([w[i] || ' ' || w[i+1]"
-            "    FOR i IN generate_series(1, len(w)-1)]) AS st"
-            "  FROM docs WHERE len(w) >= 2)"
+            "  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+            "    FOR i IN generate_series(1, len(w)-2)]) AS st"
+            "  FROM docs WHERE len(w) >= 3)"
             " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
             " round(len(list_intersect(a.st, b.st)) * 1.0 /"
             "  greatest(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)), 1)"

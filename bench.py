@@ -136,6 +136,13 @@ EXTENDED = [
     "jl_projection",
     "ohlc_bars",
     "erase_users",
+    "term_postings",
+    "bm25_search",
+    "gopher_quality",
+    "substring_contamination",
+    "token_set_join",
+    "bloom_prefilter_join",
+    "mad_outliers",
 ]
 
 

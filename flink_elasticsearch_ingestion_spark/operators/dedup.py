@@ -1141,7 +1141,9 @@ def token_set_similarity_join(
     re-attaches full sets by key. The fact-width data never rides the
     wide join, same discipline as the MinHash band join.
     """
-    import math
+    from flink_elasticsearch_ingestion_spark.operators.util import (
+        ensure_parallelism,
+    )
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
     w = F.split(norm, " ")
@@ -1151,13 +1153,31 @@ def token_set_similarity_join(
             lambda i: F.array_join(F.slice(w, i, gram_k), " "),
         )
     )
+    # documents shorter than one full gram are setless: excluded, same
+    # as the oracle's len(words) >= gram_k guard.  The gram build is
+    # the CPU-heavy map stage and feeds FIVE consumers (element
+    # stream, size table, both verify sides) — spread it to full
+    # parallelism and persist so it runs once, not per consumer
+    # (persist stays owned by Spark's LRU: the returned plan is lazy).
     sets = (
-        documents.select(F.col(id_col).alias("doc_id"), grams.alias("els"))
+        ensure_parallelism(documents)
+        .filter(F.size(F.split(norm, " ")) >= gram_k)
+        .select(F.col(id_col).alias("doc_id"), grams.alias("els"))
         .filter(F.size("els") >= 1)
+        .persist()
     )
-    els = sets.select("doc_id", F.explode("els").alias("el"))
+    # join keys are 64-bit hashes of the elements, not the strings: the
+    # candidate shuffle carries (8-byte key, doc_id) instead of raw
+    # grams, and a hash collision can only ADD a candidate pair — the
+    # exact verify removes it, so exactness is unaffected
+    els = sets.select(
+        "doc_id",
+        F.explode(F.transform("els", lambda e: F.xxhash64(e))).alias("el"),
+    )
     dfreq = els.groupBy("el").agg(F.count(F.lit(1)).alias("df"))
-    # rank each doc's elements rare-first; keep only the prefix
+    # rank each doc's elements rare-first; keep only the prefix.
+    # Persisted because the candidate self-join consumes it TWICE —
+    # without it both sides replay the df shuffle and the rank window.
     ranked = (
         els.join(dfreq, "el")
         .withColumn(
@@ -1171,12 +1191,20 @@ def token_set_similarity_join(
             F.col("rn")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
         )
-        .select("el", "doc_id")
+        .select("el", "doc_id", "n")
+        .persist()
     )
+    # length filter rides the same join: Jaccard >= t needs
+    # t*|a| <= |b| (and symmetrically), so size-incompatible pairs
+    # never become candidates
     cand = (
         ranked.alias("a")
         .join(ranked.alias("b"), "el")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n")))
+            & (F.col("a.n") >= F.ceil(F.lit(threshold) * F.col("b.n")))
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_elasticsearch_ingestion_spark.operators.util import ensure_parallelism
+
 
 # ---------------------------------------------------------------------------
 # Engine-portable hash family
@@ -198,6 +200,67 @@ def hashed_word_shingles(col: str = "text", k: int = 3) -> F.Column:
     )
 
 
+def _hashed_tokens(col: str, portable: bool) -> F.Column:
+    """Per-token hash array (``array<bigint>``): ONE regex pass + ONE
+    string-hash pass over the text."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), "\\s+", " "), " ")
+    return F.transform(
+        toks, (lambda t: portable_hash31(t)) if portable else (lambda t: F.xxhash64(t))
+    )
+
+
+def _shingles_from_tokens(ht: F.Column, k: int, portable: bool) -> F.Column:
+    """Distinct k-shingle hashes from an ALREADY-MATERIALIZED
+    token-hash column (fixed-width integer work only)."""
+    n = F.greatest(F.size(ht) - F.lit(k - 1), F.lit(1))
+    if portable:
+        p = F.lit(MERSENNE31)
+
+        def comb(i: F.Column) -> F.Column:
+            return F.aggregate(
+                F.slice(ht, i, k),
+                F.lit(0).cast("bigint"),
+                lambda acc, h: ((acc * F.lit(POLY_C)) % p + h) % p,
+            )
+
+    else:
+
+        def comb(i: F.Column) -> F.Column:
+            return F.xxhash64(F.slice(ht, i, k))
+
+    return F.array_distinct(F.transform(F.sequence(F.lit(1), n), comb))
+
+
+def shingle_table(
+    documents: DataFrame,
+    *,
+    word_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, shingles): the word-shingle build as TWO chained
+    projections — token hashes materialized in their own projection,
+    shingle combines referencing the named column.
+
+    Why two steps: a single Column expression inlines the token-hash
+    ``transform`` into the per-shingle lambda, and higher-order lambdas
+    re-evaluate their whole body per element — the full token string
+    hash pass ran once PER GRAM POSITION (~word count squared string
+    hashes per doc; measured 4-10x slower at sf0.1). With the token
+    hashes behind a column boundary they run once per row and the
+    per-gram work is a k-element integer slice."""
+    doc = ensure_parallelism(documents)
+    ht_df = doc.select(
+        F.col(id_col).alias("doc_id"),
+        _hashed_tokens(text_col, portable).alias("__ht"),
+    )
+    return ht_df.select(
+        "doc_id",
+        _shingles_from_tokens(F.col("__ht"), word_k, portable).alias("shingles"),
+    )
+
+
 def hashed_shingles(shingles: F.Column) -> F.Column:
     """Distinct xxhash64 of each shingle (``array<bigint>``). Jaccard on
     hashed shingles equals Jaccard on the strings up to a ~2^-64 collision
@@ -255,27 +318,30 @@ def minhash_signature_table(
     ``portable=True`` swaps xxhash64 for the md5-based engine-portable
     family (module comment above) so an independent SQL engine can
     re-derive the identical signatures."""
-    if portable:
-        if not word_k:
-            shingle_expr = F.array_distinct(
+    if word_k:
+        # two-step build: token hashes behind a column boundary so the
+        # string-hash pass runs once per row, not once per gram (see
+        # shingle_table)
+        shingled = shingle_table(
+            documents,
+            word_k=word_k,
+            id_col=id_col,
+            text_col=text_col,
+            portable=portable,
+        )
+    else:
+        char_expr = (
+            F.array_distinct(
                 F.transform(
                     char_shingles(text_col, shingle_k), lambda s: portable_hash31(s)
                 )
             )
-        else:
-            shingle_expr = portable_hashed_word_shingles(text_col, word_k)
-    else:
-        shingle_expr = (
-            hashed_word_shingles(text_col, word_k)
-            if word_k
+            if portable
             else hashed_shingles(char_shingles(text_col, shingle_k))
         )
-    sc = documents.sparkSession.sparkContext
-    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
-        documents = documents.repartition(sc.defaultParallelism)
-    shingled = documents.select(
-        F.col(id_col).alias("doc_id"), shingle_expr.alias("shingles")
-    )
+        shingled = ensure_parallelism(documents).select(
+            F.col(id_col).alias("doc_id"), char_expr.alias("shingles")
+        )
     sig_fn = portable_minhash_signature if portable else minhash_signature
     return shingled.select(
         "doc_id", "shingles", sig_fn(F.col("shingles"), num_hashes).alias("sig")
@@ -1000,20 +1066,20 @@ def simhash_signature(
     + per-row python dominates), so the expression path is the fast
     path, not just the pure one. Map-only; spread to full parallelism
     when the scan has too few splits."""
-    sc = documents.sparkSession.sparkContext
-    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
-        documents = documents.repartition(sc.defaultParallelism)
     # portable: md5-31-bit feature hashes (engine-portable, see module
-    # comment) — use bits <= 31 so every signature bit carries signal
-    shingle_expr = (
-        portable_hashed_word_shingles(text_col, word_k)
-        if portable
-        else hashed_word_shingles(text_col, word_k)
+    # comment) — use bits <= 31 so every signature bit carries signal.
+    # Two-step shingle build (see shingle_table): token hashes run once
+    # per row instead of once per gram.
+    shingled = shingle_table(
+        documents,
+        word_k=word_k,
+        id_col=id_col,
+        text_col=text_col,
+        portable=portable,
     )
-    return documents.select(
-        F.col(id_col).alias("doc_id"),
-        shingle_expr.alias("hs"),
-    ).select("doc_id", simhash64("hs", bits).alias("simhash"))
+    return shingled.withColumnRenamed("shingles", "hs").select(
+        "doc_id", simhash64("hs", bits).alias("simhash")
+    )
 
 
 def simhash_buckets(

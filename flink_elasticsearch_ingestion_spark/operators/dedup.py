@@ -1212,11 +1212,15 @@ def token_set_similarity_join(
     )
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
-    w = F.split(norm, " ")
+    # words materialized behind a column boundary first: the gram
+    # lambda closes over the tokenization, and HOF lambda bodies
+    # re-evaluate per element — inlined, the split would run once per
+    # gram position (same pathology shingle_table documents)
+    wc = F.col("__w")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(gram_k - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(w, i, gram_k), " "),
+            F.sequence(F.lit(1), F.greatest(F.size(wc) - F.lit(gram_k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(wc, i, gram_k), " "),
         )
     )
     # documents shorter than one full gram are setless: excluded, same
@@ -1227,8 +1231,9 @@ def token_set_similarity_join(
     # (persist stays owned by Spark's LRU: the returned plan is lazy).
     sets = (
         ensure_parallelism(documents)
-        .filter(F.size(F.split(norm, " ")) >= gram_k)
-        .select(F.col(id_col).alias("doc_id"), grams.alias("els"))
+        .select(F.col(id_col).alias("doc_id"), F.split(norm, " ").alias("__w"))
+        .filter(F.size(wc) >= gram_k)
+        .select("doc_id", grams.alias("els"))
         .filter(F.size("els") >= 1)
         .persist()
     )

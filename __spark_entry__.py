@@ -1718,6 +1718,23 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(_t(spark, sf_dir, "events"), "value", "event_type")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-items sketch with its mergeable-summary
+    error contract checked against the exact arm (top-20 words)."""
+    return R.heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
+def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-model linear scoring over embeddings: per-class
+    logits, argmax class, top-two margin — one parsed literal matrix,
+    zero shuffles."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        linear_probe_scores,
+    )
+
+    return linear_probe_scores(_t(spark, sf_dir, "embeddings"))
+
+
 # Round-3 driver window (the driver hash-checks the FIRST 50 entries of
 # ``queries()`` per round).  Priority: (a) the 34 entries that have never
 # produced a driver row (CORRECTNESS_r01 ∪ r02 window overflow), (b) the
@@ -1736,8 +1753,9 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merge_apply, embedding_gramian, embedding_pca, cms_word_counts,
 # scd2_lookup, jl_projection, ohlc_bars, erase_users,
 # term_postings, bm25_search, gopher_quality, substring_contamination,
-# token_set_join, bloom_prefilter_join, mad_outliers.  Promote them to
-# the front of the round-4 window, then re-check whatever r3 left red.
+# token_set_join, bloom_prefilter_join, mad_outliers, heavy_hitters,
+# linear_probe.  Promote them to the front of the round-4 window, then
+# re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -1850,6 +1868,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_set_join": q_token_set_join,
         "bloom_prefilter_join": q_bloom_prefilter_join,
         "mad_outliers": q_mad_outliers,
+        "heavy_hitters": q_heavy_hitters,
+        "linear_probe": q_linear_probe,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2056,6 +2076,21 @@ def _jl_s2_sql() -> str:
         lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
         terms.append(f"pow(list_dot_product(v, {lit}) * {scale!r}, 2)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _probe_logit_sqls(n_classes: int = 3, dim: int = 64, seed: int = 11) -> list[str]:
+    """Per-class dot-product SQL terms for the linear_probe oracle —
+    identical seeded Gaussian weights (shared _hyperplanes family) via
+    float repr literals and the same left-to-right fold."""
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    out = []
+    for row in _hyperplanes(dim, n_classes, seed):
+        lit = "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+        out.append(f"list_dot_product(v, {lit})")
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3955,6 +3990,38 @@ def oracle_sql() -> dict[str, str]:
             "   THEN dev.ad / (1.4826 * mad.md) END) + 1e-9, 4) AS max_robust_z"
             " FROM dev JOIN mad USING (event_type)"
             " GROUP BY dev.event_type ORDER BY dev.event_type"
+        ),
+        "heavy_hitters": (
+            # the oracle pins the exact arm AND the contract flags:
+            # Misra-Gries never overestimates, and the merged summary's
+            # underestimate stays within the summed decrement budget —
+            # the engine computes the flags from its sketch, the oracle
+            # asserts they must both hold
+            "WITH words AS (SELECT w FROM (SELECT"
+            "  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w"
+            "  FROM documents) WHERE w <> ''),"
+            " exact AS (SELECT w, count(*) AS true_count FROM words"
+            "  GROUP BY w)"
+            " SELECT w AS word, true_count,"
+            " true AS never_over, true AS within_bound"
+            " FROM exact ORDER BY true_count DESC, word LIMIT 20"
+        ),
+        "linear_probe": (
+            "WITH vecs AS (SELECT vec_id,"
+            "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+            " lg AS (SELECT vec_id, "
+            + ", ".join(
+                f"{s} AS l{c}" for c, s in enumerate(_probe_logit_sqls())
+            )
+            + "  FROM vecs),"
+            " arr AS (SELECT vec_id, l0, l1, l2, [l0, l1, l2] AS ls FROM lg)"
+            " SELECT vec_id,"
+            " round(l0 + 1e-9, 6) AS logit_0,"
+            " round(l1 + 1e-9, 6) AS logit_1,"
+            " round(l2 + 1e-9, 6) AS logit_2,"
+            " CAST(list_position(ls, list_max(ls)) - 1 AS INT) AS pred_class,"
+            " round(list_max(ls) - list_sort(ls)[2] + 1e-9, 6) AS margin"
+            " FROM arr ORDER BY vec_id"
         ),
         # rows-only (no SQL parity): minhash_near_dup, ngram_jaccard,
         # simhash_buckets, embedding_near_dup, lsh_topk, media_features

@@ -143,6 +143,8 @@ EXTENDED = [
     "token_set_join",
     "bloom_prefilter_join",
     "mad_outliers",
+    "heavy_hitters",
+    "linear_probe",
 ]
 
 

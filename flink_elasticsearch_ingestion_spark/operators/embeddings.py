@@ -360,3 +360,60 @@ def jl_projection_audit(
             "distortion"
         ),
     ).orderBy(id_col)
+
+
+def linear_probe_scores(
+    embeddings: DataFrame,
+    *,
+    n_classes: int = 3,
+    dim: int = 64,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Broadcast-model linear scoring over the embedding corpus: one
+    ``n_classes x dim`` weight matrix applied as pure map-side
+    expressions — the shape of every "run a linear probe / classifier
+    head / reward projection over 100 TB of embeddings" job.  The
+    model rides the PLAN as one parsed literal (the `lsh_bucket_expr`
+    lesson), not a driver loop or a Python UDF; per-class logits,
+    argmax class, and the top-two margin are all whole-stage-codegen
+    expressions, zero shuffles.
+
+    Weights are the deterministic seeded Gaussian family shared with
+    the sign-LSH / JL planes, so an independent SQL engine re-derives
+    every logit bit-for-bit.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    w = _hyperplanes(dim, n_classes, seed)
+    logits = []
+    for c in range(n_classes):
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in w[c]) + ")"
+        logits.append(
+            f"aggregate(zip_with({vec_col}, {arr},"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    arr_logits = "array(" + ",".join(logits) + ")"
+    # argmax with deterministic lowest-index tie-break; margin =
+    # top1 - top2 (the abstention signal)
+    pred = (
+        f"array_position({arr_logits}, array_max({arr_logits})) - 1"
+    )
+    # element_at is 1-based in BOTH Spark SQL and DuckDB, so the
+    # second-largest logit is element n_classes-1 of the ascending sort
+    top2 = f"element_at(array_sort({arr_logits}), {n_classes - 1})"
+    return embeddings.select(
+        F.col(id_col),
+        *[
+            F.expr(f"round({lg} + 1e-9, 6)").alias(f"logit_{c}")
+            for c, lg in enumerate(logits)
+        ],
+        F.expr(pred).cast("int").alias("pred_class"),
+        F.expr(f"round(array_max({arr_logits}) - {top2} + 1e-9, 6)").alias(
+            "margin"
+        ),
+    ).orderBy(id_col)

@@ -1463,3 +1463,98 @@ def bloom_prefilter_join(
         )
         .orderBy("order_month")
     )
+
+
+def heavy_hitters(
+    documents: DataFrame,
+    *,
+    m: int = 64,
+    k: int = 20,
+    n_parts: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Misra-Gries heavy hitters over corpus word frequencies, built as
+    MERGEABLE per-partition summaries — the deterministic frequent-items
+    sketch that completes the sketch family (HLL distincts, CMS point
+    counts, GK percentiles).
+
+    Each partition streams its words through an ``m``-counter MG
+    summary (bounded state regardless of vocabulary) and reports its
+    counters PLUS its exact decrement total d_p; summaries merge by
+    per-word counter addition (Agarwal et al., "Mergeable Summaries").
+    The merged estimate satisfies the two-sided contract
+    ``true - sum(d_p) <= est <= true``, checked here against the exact
+    arm for the top-``k`` words: ``never_over`` (MG never
+    overestimates) and ``within_bound`` (underestimate <= global error
+    budget).  Production keeps only the summaries; the exact arm
+    exists to make the contract a driver-checkable fact.
+
+    Determinism (required by the cross-engine harness): the word
+    stream is hash-partitioned by ``id_col`` into a FIXED ``n_parts``
+    and sorted by (doc_id, pos) within partitions, so every run feeds
+    each MG instance the identical stream regardless of input layout
+    or cluster width. At 100 TB raise ``n_parts`` to the cluster scale
+    — the contract holds for any partitioning; only exact replay needs
+    it pinned.
+    """
+    import pandas as pd
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    words = (
+        documents.select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "w"))
+        .filter(F.col("w") != "")
+    )
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = exact.orderBy(F.col("true_count").desc(), "w").limit(k)
+
+    stream = words.repartition(n_parts, "doc_id").sortWithinPartitions(
+        "doc_id", "pos"
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        decrements = 0
+        for pdf in batches:
+            for w in pdf["w"]:
+                c = counters.get(w)
+                if c is not None:
+                    counters[w] = c + 1
+                elif len(counters) < m:
+                    counters[w] = 1
+                else:
+                    decrements += 1
+                    dead = []
+                    for key in counters:
+                        if counters[key] == 1:
+                            dead.append(key)
+                        else:
+                            counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        out_w = list(counters.keys()) + ["\x00__decrements__"]
+        out_c = [counters[w] for w in counters] + [decrements]
+        yield pd.DataFrame({"w": out_w, "c": out_c})
+
+    summaries = stream.select("w").mapInPandas(mg, schema="w string, c long")
+    merged = summaries.groupBy("w").agg(F.sum("c").alias("est"))
+    err = merged.filter(F.col("w") == "\x00__decrements__").select(
+        F.col("est").alias("error_bound")
+    )
+    est = merged.filter(F.col("w") != "\x00__decrements__")
+    return (
+        probes.join(est, "w", "left")
+        .crossJoin(F.broadcast(err))
+        .select(
+            F.col("w").alias("word"),
+            "true_count",
+            (F.coalesce(F.col("est"), F.lit(0)) <= F.col("true_count")).alias(
+                "never_over"
+            ),
+            (
+                F.col("true_count") - F.coalesce(F.col("est"), F.lit(0))
+                <= F.col("error_bound")
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("true_count").desc(), "word")
+    )

@@ -30,8 +30,10 @@ CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: needle scan: the benchmark-sized needle table broadcasts and the
 #: corpus is scanned once map-side with a `contains` predicate — the
 #: documented shape for exact-substring decontamination
+#: heavy_hitters joins the 1-row global decrement-budget scalar
 SCALAR_JOIN_OK = {
     "substring_contamination",
+    "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",
     "idle_rich_customers",

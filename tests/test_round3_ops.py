@@ -656,3 +656,55 @@ def test_mad_outliers_planted_spike(spark):
     assert out["a"]["n_outliers"] == 1  # the 1000 spike
     assert out["a"]["median"] == 10.5
     assert out["b"]["n_outliers"] == 0
+
+
+# ---------------------------------------------- Misra-Gries sketch
+
+
+def test_heavy_hitters_contract_on_skew(spark):
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        heavy_hitters,
+    )
+
+    # heavy word appears 400x; 200 rare words once each — vocabulary
+    # far above the counter budget, so decrements must happen and the
+    # two-sided contract must still hold
+    rows = [(i, "heavy word filler") for i in range(200)]
+    rows += [(200 + i, f"rare{i} heavy") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["word"]: r.asDict() for r in heavy_hitters(docs, m=8, k=5).collect()}
+    assert out["heavy"]["true_count"] == 400
+    for r in out.values():
+        assert r["never_over"] is True
+        assert r["within_bound"] is True
+
+
+# ------------------------------------------------- linear probe
+
+
+def test_linear_probe_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        linear_probe_scores,
+    )
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        _hyperplanes,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = linear_probe_scores(emb).limit(50).collect()
+    W = np.array(_hyperplanes(64, 3, 11))
+    raw = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").limit(50).collect()
+    }
+    for r in got:
+        logits = W @ raw[r["vec_id"]]
+        np.testing.assert_allclose(
+            [r["logit_0"], r["logit_1"], r["logit_2"]], logits, atol=1e-5
+        )
+        assert r["pred_class"] == int(np.argmax(logits))
+        srt = np.sort(logits)
+        assert abs(r["margin"] - (srt[-1] - srt[-2])) < 1e-5

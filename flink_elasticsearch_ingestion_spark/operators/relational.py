@@ -1465,6 +1465,63 @@ def bloom_prefilter_join(
     )
 
 
+#: sentinel row carrying a summary's exact decrement total
+MG_BUDGET_KEY = "\x00__decrements__"
+
+
+def mg_summaries(
+    words: DataFrame, *, m: int = 64, n_parts: int = 8
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries of a (doc_id, pos, w) word
+    stream: (w, c) counter rows plus ONE ``MG_BUDGET_KEY`` row per
+    partition holding its exact decrement total.  Summaries from any
+    number of partitions/batches merge by per-word addition, with the
+    budget rows summing into the global error bound (Agarwal et al.,
+    "Mergeable Summaries")."""
+    import pandas as pd
+
+    stream = words.repartition(n_parts, "doc_id").sortWithinPartitions(
+        "doc_id", "pos"
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        decrements = 0
+        for pdf in batches:
+            for w in pdf["w"]:
+                c = counters.get(w)
+                if c is not None:
+                    counters[w] = c + 1
+                elif len(counters) < m:
+                    counters[w] = 1
+                else:
+                    decrements += 1
+                    dead = []
+                    for key in counters:
+                        if counters[key] == 1:
+                            dead.append(key)
+                        else:
+                            counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        out_w = list(counters.keys()) + [MG_BUDGET_KEY]
+        out_c = [counters[w] for w in counters] + [decrements]
+        yield pd.DataFrame({"w": out_w, "c": out_c})
+
+    return stream.select("w").mapInPandas(mg, schema="w string, c long")
+
+
+def tokenized_words(
+    documents: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, w) word stream — shared tokenization for the
+    frequency sketches."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    return documents.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "w")
+    ).filter(F.col("w") != "")
+
+
 def heavy_hitters(
     documents: DataFrame,
     *,
@@ -1498,50 +1555,16 @@ def heavy_hitters(
     — the contract holds for any partitioning; only exact replay needs
     it pinned.
     """
-    import pandas as pd
-
-    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-    words = (
-        documents.select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "w"))
-        .filter(F.col("w") != "")
-    )
+    words = tokenized_words(documents, text_col=text_col, id_col=id_col)
     exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("true_count"))
     probes = exact.orderBy(F.col("true_count").desc(), "w").limit(k)
 
-    stream = words.repartition(n_parts, "doc_id").sortWithinPartitions(
-        "doc_id", "pos"
-    )
-
-    def mg(batches):
-        counters: dict[str, int] = {}
-        decrements = 0
-        for pdf in batches:
-            for w in pdf["w"]:
-                c = counters.get(w)
-                if c is not None:
-                    counters[w] = c + 1
-                elif len(counters) < m:
-                    counters[w] = 1
-                else:
-                    decrements += 1
-                    dead = []
-                    for key in counters:
-                        if counters[key] == 1:
-                            dead.append(key)
-                        else:
-                            counters[key] -= 1
-                    for key in dead:
-                        del counters[key]
-        out_w = list(counters.keys()) + ["\x00__decrements__"]
-        out_c = [counters[w] for w in counters] + [decrements]
-        yield pd.DataFrame({"w": out_w, "c": out_c})
-
-    summaries = stream.select("w").mapInPandas(mg, schema="w string, c long")
+    summaries = mg_summaries(words, m=m, n_parts=n_parts)
     merged = summaries.groupBy("w").agg(F.sum("c").alias("est"))
-    err = merged.filter(F.col("w") == "\x00__decrements__").select(
+    err = merged.filter(F.col("w") == MG_BUDGET_KEY).select(
         F.col("est").alias("error_bound")
     )
-    est = merged.filter(F.col("w") != "\x00__decrements__")
+    est = merged.filter(F.col("w") != MG_BUDGET_KEY)
     return (
         probes.join(est, "w", "left")
         .crossJoin(F.broadcast(err))

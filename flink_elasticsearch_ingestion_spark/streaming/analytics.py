@@ -723,3 +723,105 @@ def stream_merge_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def heavy_hitters_apply_factory(
+    spark: SparkSession,
+    summary_path: str,
+    *,
+    m: int = 64,
+    n_parts: int = 4,
+):
+    """The foreachBatch body for ``stream_heavy_hitters``, exposed so
+    tests can drive replay directly: fold one micro-batch of documents
+    into the persistent Misra-Gries summary table at ``summary_path``.
+
+    Merge-then-compress (Agarwal et al.): batch summaries + prior
+    summary sum per word; if more than ``m`` counters survive, the
+    (m+1)-th largest value is subtracted from every counter (dropping
+    the non-positive) and FOLDED INTO the error budget — so the stored
+    state never exceeds m counters + 1 budget row and the two-sided
+    contract (never over; under within budget) holds across any number
+    of batches.  The compress runs DRIVER-SIDE on a bounded frame
+    (<= n_parts*(m+1) + m + 1 rows by construction — this is sketch
+    state, not data).
+
+    Exactly-once under foreachBatch's at-least-once retries: the
+    summary records the last applied batch_id; a replayed batch id is
+    a no-op.  (One checkpoint per summary lifetime — a fresh
+    checkpoint against an existing summary restarts batch numbering
+    and must start from an empty summary dir.)
+    """
+    import shutil
+
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        MG_BUDGET_KEY,
+        mg_summaries,
+        tokenized_words,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prior_rows: list = []
+        if os.path.isdir(summary_path):
+            prior_rows = spark.read.parquet(summary_path).collect()
+            if prior_rows and max(r["last_batch"] for r in prior_rows) >= batch_id:
+                return  # replayed batch: already folded in
+        batch_rows = (
+            mg_summaries(tokenized_words(batch_df), m=m, n_parts=n_parts)
+            .groupBy("w")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        counters: dict[str, int] = {}
+        budget = 0
+        for r in list(prior_rows) + list(batch_rows):
+            if r["w"] == MG_BUDGET_KEY:
+                budget += r["c"]
+            else:
+                counters[r["w"]] = counters.get(r["w"], 0) + r["c"]
+        if len(counters) > m:
+            cut = sorted(counters.values(), reverse=True)[m]
+            counters = {w: c - cut for w, c in counters.items() if c - cut > 0}
+            budget += cut
+        out = [(w, int(c), int(batch_id)) for w, c in counters.items()]
+        out.append((MG_BUDGET_KEY, int(budget), int(batch_id)))
+        new = spark.createDataFrame(out, "w string, c long, last_batch long")
+        tmp = summary_path.rstrip("/") + "__merging"
+        new.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(summary_path):
+            shutil.rmtree(summary_path)
+        shutil.move(tmp, summary_path)
+
+    return apply_batch
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    docs_path: str,
+    summary_path: str,
+    checkpoint_dir: str,
+    *,
+    m: int = 64,
+    n_parts: int = 4,
+):
+    """Streaming frequent-items maintenance: every micro-batch of
+    documents folds into the bounded Misra-Gries summary table — the
+    continuously-maintained twin of the batch ``heavy_hitters``
+    sketch, with state in the summary parquet (never the stream state
+    store), like the incremental-dedup signature store and the CDC
+    snapshot."""
+    schema = spark.read.parquet(docs_path).schema
+    apply_batch = heavy_hitters_apply_factory(
+        spark, summary_path, m=m, n_parts=n_parts
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -437,3 +437,78 @@ def test_stream_merge_apply_converges_and_replays_idempotently(tmp_path, spark):
     assert {
         r["doc_id"]: r["val"] for r in merged_again.collect()
     } == got
+
+
+def test_stream_heavy_hitters_contract_bounded_state_and_replay(tmp_path, spark):
+    """Two document micro-batches fold into the persistent MG summary:
+    the merged sketch honors the two-sided contract against exact
+    whole-corpus counts, stored state stays within m counters + the
+    budget row, and re-applying an already-folded batch id is a
+    no-op."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        MG_BUDGET_KEY,
+    )
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        heavy_hitters_apply_factory,
+        stream_heavy_hitters,
+    )
+
+    rows1 = [(i, "heavy word filler") for i in range(120)]
+    rows1 += [(1000 + i, f"rareA{i} heavy") for i in range(60)]
+    rows2 = [(2000 + i, "heavy other tokens") for i in range(80)]
+    rows2 += [(3000 + i, f"rareB{i} word") for i in range(60)]
+    schema = "doc_id long, text string"
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    import glob
+    import os as _os
+    import shutil
+    import time as _time
+
+    for i, rows in enumerate([rows1, rows2]):
+        sub = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(sub))
+        (part,) = glob.glob(str(sub / "part-*.parquet"))
+        dst = str(in_dir / f"batch-{i}.parquet")
+        shutil.copy(part, dst)
+        now = _time.time()
+        _os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    m = 16
+    summary = str(tmp_path / "hh_summary")
+    q = stream_heavy_hitters(
+        spark, str(in_dir), summary, str(tmp_path / "ck_hh"), m=m, n_parts=2
+    )
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(summary).collect()
+    counters = {r["w"]: r["c"] for r in stored if r["w"] != MG_BUDGET_KEY}
+    budget = next(r["c"] for r in stored if r["w"] == MG_BUDGET_KEY)
+    assert len(counters) <= m  # bounded state
+    corpus = spark.createDataFrame(rows1 + rows2, schema)
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["w"]: r["cnt"]
+        for r in corpus.select(
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for w, est in counters.items():
+        assert est <= exact[w]  # never overestimates
+    for w, true in exact.items():
+        assert true - counters.get(w, 0) <= budget  # within budget
+    # the dominant word must survive the compress
+    assert "heavy" in counters
+
+    # replay: re-applying the last batch id is a no-op
+    apply = heavy_hitters_apply_factory(spark, summary, m=m, n_parts=2)
+    last = max(r["last_batch"] for r in stored)
+    apply(spark.createDataFrame(rows2, schema), last)
+    again = spark.read.parquet(summary).collect()
+    assert sorted((r["w"], r["c"]) for r in again) == sorted(
+        (r["w"], r["c"]) for r in stored
+    )

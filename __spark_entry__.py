@@ -1735,6 +1735,82 @@ def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_probe_scores(_t(spark, sf_dir, "embeddings"))
 
 
+def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five-stage corpus-build capstone, composed from oracled
+    operators into ONE lazy plan: Gopher quality gate -> portable
+    MinHash near-dup drop (keep the smaller doc id of each verified
+    pair) -> exact-substring decontamination (every 5th doc's leading
+    3-word phrase as the benchmark needle set) -> per-source 50% token
+    budget (docs admitted in doc_id order until half the surviving
+    source's tokens) -> per-source funnel report.  Each stage's
+    survivor count is a column, so the report IS the audit trail.
+
+    Scale notes: every stage is an ids-only semi/anti join against the
+    document stream; the budget stage uses a per-source window (source
+    cardinality is small — for skewed sources the two-phase
+    ``token_budget_by_source`` is the documented swap-in)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        X.token_count("text").alias("n_tokens"),
+    )
+    s1 = (
+        X.gopher_quality(docs)
+        .filter(F.col("passes_gopher"))
+        .select("doc_id")
+    )
+    pairs = D.minhash_near_duplicates(
+        docs, jaccard_threshold=0.4, portable=True, band_cap=None
+    )
+    dup_drop = (
+        pairs.join(s1.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi")
+        .join(s1.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(dup_drop, "doc_id", "anti")
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+    s2_docs = docs.join(s2, "doc_id", "semi")
+    contaminated = (
+        D.substring_contamination(s2_docs, probe, needle_words=3)
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(contaminated, "doc_id", "anti")
+    from pyspark.sql import Window as _W
+
+    s3_base = base.join(s3, "doc_id", "semi")
+    w_cum = _W.partitionBy("source").orderBy("doc_id")
+    w_tot = _W.partitionBy("source")
+    s4 = (
+        s3_base.withColumn("cum", F.sum("n_tokens").over(w_cum))
+        .withColumn("tot", F.sum("n_tokens").over(w_tot))
+        .filter(F.col("cum") <= 0.5 * F.col("tot"))
+        .select("doc_id")
+    )
+    marked = (
+        base.join(s1.withColumn("q1", F.lit(True)), "doc_id", "left")
+        .join(s2.withColumn("q2", F.lit(True)), "doc_id", "left")
+        .join(s3.withColumn("q3", F.lit(True)), "doc_id", "left")
+        .join(s4.withColumn("q4", F.lit(True)), "doc_id", "left")
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count(F.when(F.col("q1"), 1)).alias("n_quality"),
+            F.count(F.when(F.col("q2"), 1)).alias("n_dedup"),
+            F.count(F.when(F.col("q3"), 1)).alias("n_clean"),
+            F.count(F.when(F.col("q4"), 1)).alias("n_kept"),
+            F.sum(F.when(F.col("q4"), F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # Round-3 driver window (the driver hash-checks the FIRST 50 entries of
 # ``queries()`` per round).  Priority: (a) the 34 entries that have never
 # produced a driver row (CORRECTNESS_r01 ∪ r02 window overflow), (b) the
@@ -1754,8 +1830,8 @@ def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scd2_lookup, jl_projection, ohlc_bars, erase_users,
 # term_postings, bm25_search, gopher_quality, substring_contamination,
 # token_set_join, bloom_prefilter_join, mad_outliers, heavy_hitters,
-# linear_probe.  Promote them to the front of the round-4 window, then
-# re-check whatever r3 left red.
+# linear_probe, corpus_build_pipeline.  Promote them to the front of
+# the round-4 window, then re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -1870,6 +1946,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "heavy_hitters": q_heavy_hitters,
         "linear_probe": q_linear_probe,
+        "corpus_build_pipeline": q_corpus_build_pipeline,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -4022,6 +4099,77 @@ def oracle_sql() -> dict[str, str]:
             " CAST(list_position(ls, list_max(ls)) - 1 AS INT) AS pred_class,"
             " round(list_max(ls) - list_sort(ls)[2] + 1e-9, 6) AS margin"
             " FROM arr ORDER BY vec_id"
+        ),
+        "corpus_build_pipeline": (
+            "WITH " + _minhash_pairs_cte(0.4) + ","
+            # stage 1: Gopher quality gate (identical rules to the
+            # gopher_quality oracle)
+            " gt AS (SELECT doc_id, text,"
+            "  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS gw,"
+            "  string_split(text, chr(10)) AS glines FROM documents),"
+            " gm AS (SELECT doc_id,"
+            "  len(gw) AS n_words,"
+            "  greatest(len(gw), 1)::DOUBLE AS nw,"
+            "  CAST(list_sum(list_transform(gw, x -> length(x))) AS DOUBLE)"
+            "    / greatest(len(gw), 1) AS mwl,"
+            "  len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,"
+            "  greatest(len(glines), 1)::DOUBLE AS nl,"
+            "  len(list_filter(glines, l -> regexp_matches(trim(l), '^[-*•]')))"
+            "    AS n_bullet,"
+            "  len(list_filter(glines, l -> regexp_matches(trim(l), '\\.\\.\\.$')))"
+            "    AS n_ell,"
+            "  len(list_filter(gw, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,"
+            "  len(list_intersect(list_transform(gw, x -> lower(x)),"
+            "    ['the','a','of','and','to'])) AS stop_hits"
+            "  FROM gt),"
+            " s1 AS (SELECT doc_id FROM gm WHERE"
+            "  n_words >= 50 AND n_words <= 100000"
+            "  AND mwl >= 3.0 AND mwl <= 10.0"
+            "  AND n_sym / nw < 0.1 AND n_bullet / nl <= 0.9"
+            "  AND n_ell / nl <= 0.3 AND n_alpha / nw >= 0.8"
+            "  AND stop_hits >= 2),"
+            # stage 2: near-dup drop among survivors (keep smaller id)
+            " dupdrop AS (SELECT DISTINCT doc_b AS doc_id FROM mh_pairs"
+            "  WHERE doc_a IN (SELECT doc_id FROM s1)"
+            "  AND doc_b IN (SELECT doc_id FROM s1)),"
+            " s2 AS (SELECT doc_id FROM s1"
+            "  WHERE doc_id NOT IN (SELECT doc_id FROM dupdrop)),"
+            # stage 3: exact-substring decontamination
+            " norm3 AS (SELECT doc_id,"
+            "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t"
+            "  FROM documents),"
+            " needles3 AS (SELECT doc_id AS probe_id,"
+            "  array_to_string((string_split(t, ' '))[1:3], ' ') AS needle"
+            "  FROM norm3 WHERE doc_id % 5 = 0"
+            "  AND len(string_split(t, ' ')) >= 3),"
+            " contaminated AS (SELECT DISTINCT h.doc_id FROM norm3 h"
+            "  JOIN needles3 n ON contains(h.t, n.needle)"
+            "  AND h.doc_id <> n.probe_id"
+            "  WHERE h.doc_id IN (SELECT doc_id FROM s2)),"
+            " s3 AS (SELECT doc_id FROM s2"
+            "  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),"
+            # stage 4: per-source 50% token budget, doc_id admission order
+            " toks AS (SELECT doc_id, source,"
+            "  len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))"
+            "    AS n_tokens FROM documents),"
+            " budg AS (SELECT doc_id, source, n_tokens,"
+            "  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum,"
+            "  sum(n_tokens) OVER (PARTITION BY source) AS tot"
+            "  FROM toks WHERE doc_id IN (SELECT doc_id FROM s3)),"
+            " s4 AS (SELECT doc_id FROM budg WHERE cum <= 0.5 * tot)"
+            # funnel report
+            " SELECT t.source, count(*) AS n_raw,"
+            " count(CASE WHEN t.doc_id IN (SELECT doc_id FROM s1) THEN 1 END)"
+            "   AS n_quality,"
+            " count(CASE WHEN t.doc_id IN (SELECT doc_id FROM s2) THEN 1 END)"
+            "   AS n_dedup,"
+            " count(CASE WHEN t.doc_id IN (SELECT doc_id FROM s3) THEN 1 END)"
+            "   AS n_clean,"
+            " count(CASE WHEN t.doc_id IN (SELECT doc_id FROM s4) THEN 1 END)"
+            "   AS n_kept,"
+            " CAST(sum(CASE WHEN t.doc_id IN (SELECT doc_id FROM s4)"
+            "   THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens"
+            " FROM toks t GROUP BY t.source ORDER BY t.source"
         ),
         # rows-only (no SQL parity): minhash_near_dup, ngram_jaccard,
         # simhash_buckets, embedding_near_dup, lsh_topk, media_features

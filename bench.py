@@ -145,6 +145,7 @@ EXTENDED = [
     "mad_outliers",
     "heavy_hitters",
     "linear_probe",
+    "corpus_build_pipeline",
 ]
 
 

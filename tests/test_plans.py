@@ -31,8 +31,10 @@ CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: corpus is scanned once map-side with a `contains` predicate — the
 #: documented shape for exact-substring decontamination
 #: heavy_hitters joins the 1-row global decrement-budget scalar
+#: corpus_build_pipeline embeds substring_contamination's needle scan
 SCALAR_JOIN_OK = {
     "substring_contamination",
+    "corpus_build_pipeline",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",

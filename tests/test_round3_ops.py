@@ -708,3 +708,26 @@ def test_linear_probe_matches_numpy(spark, sf_dir):
         assert r["pred_class"] == int(np.argmax(logits))
         srt = np.sort(logits)
         assert abs(r["margin"] - (srt[-1] - srt[-2])) < 1e-5
+
+
+# ------------------------------------------ corpus build capstone
+
+
+def test_corpus_build_funnel_is_monotone(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = E.queries()["corpus_build_pipeline"](spark, sf_dir).collect()
+    assert rows  # every source reports
+    for r in rows:
+        assert (
+            r["n_raw"]
+            >= r["n_quality"]
+            >= r["n_dedup"]
+            >= r["n_clean"]
+            >= r["n_kept"]
+            >= 0
+        )
+    # the pipeline must actually do work at each stage somewhere
+    assert sum(r["n_raw"] for r in rows) > sum(r["n_quality"] for r in rows)
+    assert sum(r["n_clean"] for r in rows) > sum(r["n_kept"] for r in rows)
+    assert all(r["kept_tokens"] >= 0 for r in rows)

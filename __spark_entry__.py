@@ -1735,6 +1735,12 @@ def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_probe_scores(_t(spark, sf_dir, "embeddings"))
 
 
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words: 16-dim vocabulary-free count
+    vectors, engine-portable hashes, zero shuffles."""
+    return X.feature_hashing(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The five-stage corpus-build capstone, composed from oracled
     operators into ONE lazy plan: Gopher quality gate -> portable
@@ -1830,8 +1836,9 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scd2_lookup, jl_projection, ohlc_bars, erase_users,
 # term_postings, bm25_search, gopher_quality, substring_contamination,
 # token_set_join, bloom_prefilter_join, mad_outliers, heavy_hitters,
-# linear_probe, corpus_build_pipeline.  Promote them to the front of
-# the round-4 window, then re-check whatever r3 left red.
+# linear_probe, corpus_build_pipeline, feature_hashing.  Promote them
+# to the front of the round-4 window, then re-check whatever r3 left
+# red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -1947,6 +1954,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
+        "feature_hashing": q_feature_hashing,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -4099,6 +4107,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(list_position(ls, list_max(ls)) - 1 AS INT) AS pred_class,"
             " round(list_max(ls) - list_sort(ls)[2] + 1e-9, 6) AS margin"
             " FROM arr ORDER BY vec_id"
+        ),
+        "feature_hashing": (
+            "WITH t AS (SELECT doc_id, list_transform("
+            "  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),"
+            "  x -> ('0x' || substr(md5('fh:' || x), 1, 8))::BIGINT"
+            "    % 2147483647 % 16) AS b FROM documents)"
+            " SELECT doc_id, "
+            + ", ".join(
+                f"len(list_filter(b, x -> x = {j})) AS f{j}" for j in range(16)
+            )
+            + " FROM t ORDER BY doc_id"
         ),
         "corpus_build_pipeline": (
             "WITH " + _minhash_pairs_cte(0.4) + ","

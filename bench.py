@@ -146,6 +146,7 @@ EXTENDED = [
     "heavy_hitters",
     "linear_probe",
     "corpus_build_pipeline",
+    "feature_hashing",
 ]
 
 

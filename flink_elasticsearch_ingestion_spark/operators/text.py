@@ -938,3 +938,43 @@ def gopher_quality(
         *[c.alias(k) for k, c in m.items()],
         passes.alias("passes_gopher"),
     )
+
+
+def feature_hashing(
+    documents: DataFrame,
+    *,
+    dims: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick bag-of-words vectorization (Weinberger et al.
+    2009): each token hashes to one of ``dims`` buckets and the
+    document vector is the bucket-count histogram — the vocabulary-free
+    featurizer (no dictionary build, no second pass, vectors fixed
+    width no matter the corpus), which is exactly what makes it the
+    100 TB featurization default.
+
+    Shape: pure map stage, zero shuffles.  Token buckets are
+    materialized behind a column boundary first (the HOF-lambda
+    lesson: inlined, the md5 pass would re-run once per output
+    dimension); each dimension is then a codegen integer count over
+    the bucket array.  Hashes are the engine-portable md5 family, so
+    an independent SQL engine re-derives every vector."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        MERSENNE31,
+        portable_hash31,
+    )
+
+    toks = tokens(text_col)
+    buckets = F.transform(
+        toks,
+        lambda t: portable_hash31(F.concat(F.lit("fh:"), t)) % F.lit(dims),
+    )
+    staged = documents.select(F.col(id_col).alias("doc_id"), buckets.alias("__b"))
+    return staged.select(
+        "doc_id",
+        *[
+            F.size(F.filter(F.col("__b"), lambda b: b == F.lit(j))).alias(f"f{j}")
+            for j in range(dims)
+        ],
+    ).orderBy("doc_id")

@@ -731,3 +731,21 @@ def test_corpus_build_funnel_is_monotone(spark, sf_dir):
     assert sum(r["n_raw"] for r in rows) > sum(r["n_quality"] for r in rows)
     assert sum(r["n_clean"] for r in rows) > sum(r["n_kept"] for r in rows)
     assert all(r["kept_tokens"] >= 0 for r in rows)
+
+
+# ------------------------------------------------ feature hashing
+
+
+def test_feature_hashing_preserves_token_mass(spark):
+    from flink_elasticsearch_ingestion_spark.operators.text import feature_hashing
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one one one"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in feature_hashing(docs, dims=8).collect()}
+    # vector mass equals token count; identical tokens share a bucket
+    assert sum(rows[1][f"f{j}"] for j in range(8)) == 4
+    assert sum(rows[2][f"f{j}"] for j in range(8)) == 3
+    assert max(rows[2][f"f{j}"] for j in range(8)) == 3  # all in one bucket
+    assert sum(rows[3][f"f{j}"] for j in range(8)) == 1

@@ -1164,7 +1164,10 @@ def substring_contamination(
             F.slice(F.split(norm(F.col(text_col)), " "), 1, needle_words), " "
         ).alias("needle"),
     ).filter(F.size(F.split(F.col("needle"), " ")) >= needle_words)
-    hay = corpus.select(
+    # the contains scan is the CPU-heavy stage (O(needles) substring
+    # searches per doc): spread a narrow local scan to full parallelism
+    # (no-op at real scale where the scan already has many splits)
+    hay = ensure_parallelism(corpus).select(
         F.col(id_col).alias("corpus_id"), norm(F.col(text_col)).alias("hay")
     )
     return (

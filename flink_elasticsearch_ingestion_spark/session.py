@@ -48,6 +48,16 @@ def get_spark(
         # checkpoint predicate evaluates inside the source reader)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # a long-lived session compiles one codegen class per plan
+        # stage; a few hundred distinct queries overflow JDK17's 240 MB
+        # default ReservedCodeCacheSize, the JIT shuts off, and
+        # HOF-heavy expression queries drop to interpreter speed
+        # (measured 5x on the set-similarity join late in a full bench
+        # run). Same flag a production driver/executor would carry.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

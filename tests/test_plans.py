@@ -398,3 +398,17 @@ def test_embedding_gramian_partial_aggregates_before_shuffle(spark, sf_dir):
     # bottom-up text rendering)
     below = plan[exch:]
     assert "partial" in below.lower() or "HashAggregate" in below, plan
+
+
+def test_bloom_prefilter_probe_is_mapside_and_join_broadcast(spark, sf_dir):
+    """The bloom membership test must run as a plain Filter in the
+    probe-side scan stage (that is the entire point: non-matching rows
+    die before any exchange), and the final exact join must broadcast
+    the urgent-order build side."""
+    plan = _physical(spark, "bloom_prefilter_join", sf_dir)
+    assert "xxhash64" in plan  # the probe predicate made it into the plan
+    # the probe filter is a Filter node, not a join condition
+    filter_idx = plan.find("xxhash64")
+    assert "Filter" in plan[: filter_idx + 2000] or "Filter" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -319,3 +319,49 @@ def test_constraint_report_matches_python_reference(spark, rows, dummy):
     assert got["accepted_values_status"] == sum(
         s is not None and s not in ("OK", "BAD") for s in statuses
     )
+
+
+# --------------------------------- prefix-filter join exactness
+
+_CORPUS = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=2,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(word_lists=_CORPUS, threshold=st.sampled_from([0.3, 0.5, 0.8]))
+@settings(**_SETTINGS)
+def test_token_set_join_equals_brute_force(spark, word_lists, threshold):
+    """AllPairs prefix filtering is EXACT: on arbitrary tiny-vocabulary
+    corpora (the adversarial case — everything collides) the
+    prefix-filtered join must return precisely the brute-force pair
+    set at every threshold."""
+    import itertools
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.token_set_similarity_join(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            threshold=threshold,
+            gram_k=2,
+        ).collect()
+    }
+    sets = {
+        i: {" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)}
+        for i, ws in enumerate(word_lists)
+        if len(ws) >= 2
+    }
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        jac = inter / max(union, 1)
+        if jac >= threshold:
+            expect[(a, b)] = round(jac + 1e-9, 6)
+    assert got == expect

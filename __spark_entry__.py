@@ -1741,6 +1741,21 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.feature_hashing(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training inner loop: corpus-weighted adjacent char-pair
+    counts over the word vocabulary (top 20)."""
+    return X.bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE training (5 merges). Rows-only by design: the
+    merge LOOP is driver-side control flow (argmax -> merge -> recount
+    like IVF training), not a single SQL expression; the inner-loop
+    recount has its own hash-green oracle (bpe_pair_counts) and the
+    loop is pinned by a pure-Python reference differential test."""
+    return X.bpe_train(_t(spark, sf_dir, "documents"), n_merges=5)
+
+
 def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The five-stage corpus-build capstone, composed from oracled
     operators into ONE lazy plan: Gopher quality gate -> portable
@@ -1836,9 +1851,9 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scd2_lookup, jl_projection, ohlc_bars, erase_users,
 # term_postings, bm25_search, gopher_quality, substring_contamination,
 # token_set_join, bloom_prefilter_join, mad_outliers, heavy_hitters,
-# linear_probe, corpus_build_pipeline, feature_hashing.  Promote them
-# to the front of the round-4 window, then re-check whatever r3 left
-# red.
+# linear_probe, corpus_build_pipeline, feature_hashing,
+# bpe_pair_counts, bpe_train.  Promote them to the front of the
+# round-4 window, then re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -1955,6 +1970,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_train": q_bpe_train,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -4108,6 +4125,18 @@ def oracle_sql() -> dict[str, str]:
             " round(list_max(ls) - list_sort(ls)[2] + 1e-9, 6) AS margin"
             " FROM arr ORDER BY vec_id"
         ),
+        "bpe_pair_counts": (
+            "WITH words AS (SELECT w, count(*) AS wc FROM (SELECT"
+            "  unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),"
+            "    ' ')) AS w FROM documents) WHERE w <> '' GROUP BY w),"
+            " pr AS (SELECT wc,"
+            "  unnest([c[i] || ' ' || c[i+1]"
+            "    FOR i IN generate_series(1, len(c)-1)]) AS pair"
+            "  FROM (SELECT wc, string_split(w, '') AS c FROM words"
+            "   WHERE length(w) >= 2))"
+            " SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count FROM pr"
+            " GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20"
+        ),
         "feature_hashing": (
             "WITH t AS (SELECT doc_id, list_transform("
             "  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),"
@@ -4190,6 +4219,8 @@ def oracle_sql() -> dict[str, str]:
             "   THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens"
             " FROM toks t GROUP BY t.source ORDER BY t.source"
         ),
-        # rows-only (no SQL parity): minhash_near_dup, ngram_jaccard,
-        # simhash_buckets, embedding_near_dup, lsh_topk, media_features
+        # rows-only by design: ivf_topk (learned k-means quantizer),
+        # embedding_pca (eigendecomposition), approx_distinct (HLL
+        # bit-runs), bpe_train (iterative driver loop; its inner-loop
+        # recount bpe_pair_counts IS hash-checked)
     }

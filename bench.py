@@ -147,6 +147,8 @@ EXTENDED = [
     "linear_probe",
     "corpus_build_pipeline",
     "feature_hashing",
+    "bpe_pair_counts",
+    "bpe_train",
 ]
 
 

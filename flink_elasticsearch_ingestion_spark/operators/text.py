@@ -978,3 +978,128 @@ def feature_hashing(
             for j in range(dims)
         ],
     ).orderBy("doc_id")
+
+
+def bpe_pair_counts(
+    documents: DataFrame,
+    *,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The distributed inner loop of BPE tokenizer training (Sennrich
+    et al. 2016): corpus-weighted adjacent-symbol-pair frequencies over
+    the word vocabulary.  Each training iteration picks the top pair,
+    merges it, and recounts — the recount is THIS operator; the merge
+    loop is driver-side control flow around it (one 1-row argmax per
+    iteration, like IVF's training loop).
+
+    Scale shape: the word VOCABULARY (not the corpus) carries the
+    symbol work — one corpus shuffle to count words, then char-pair
+    fan-out on the vocabulary-sized table, one pair shuffle weighted
+    by word frequency.  At 100 TB the vocabulary is millions of rows
+    while the corpus is billions, so counting words first is the
+    difference between feasible and not."""
+    toks = tokens(text_col)
+    words = (
+        documents.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = F.split(F.col("w"), "")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(chars) - F.lit(1), F.lit(1))),
+        lambda i: F.concat(
+            F.element_at(chars, i), F.lit(" "), F.element_at(chars, i + F.lit(1))
+        ),
+    )
+    staged = words.filter(F.length("w") >= 2).select(
+        "wc", F.explode(pairs).alias("pair")
+    )
+    return (
+        staged.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(k)
+    )
+
+
+def bpe_train(
+    documents: DataFrame,
+    *,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): the
+    driver loop around ``bpe_pair_counts``'s recount — each iteration
+    takes the corpus-weighted argmax pair (ONE 1-row driver action,
+    like IVF's training loop), applies the merge to the vocabulary's
+    symbol sequences, and recounts.  Returns the learned merge table
+    (rank, pair, pair_count) — the tokenizer artifact.
+
+    The merge application is a pure JVM fold: a left-to-right
+    ``aggregate`` over each word's symbol array with a
+    (result, pending) struct accumulator — pending symbol merges with
+    the next when they form the chosen pair, else flushes. All work is
+    vocabulary-sized after the single corpus word-count shuffle.
+    """
+    spark = documents.sparkSession
+    toks = tokens(text_col)
+    words = (
+        documents.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    cur = words.select("wc", F.split("w", "").alias("syms")).persist()
+    merges: list[tuple[int, str, int]] = []
+    try:
+        for r in range(n_merges):
+            pair_col = F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("syms") - F.lit(1), F.lit(1))
+                ),
+                lambda i: F.concat(
+                    F.element_at("syms", i),
+                    F.lit(" "),
+                    F.element_at("syms", i + F.lit(1)),
+                ),
+            )
+            top = (
+                cur.filter(F.size("syms") >= 2)
+                .select("wc", F.explode(pair_col).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["pair"].split(" ")
+            merges.append((r, top[0]["pair"], int(top[0]["cnt"])))
+            merged = F.expr(
+                # fold: acc = (result array, pending symbol); pending
+                # merges with s when (pending, s) is the chosen pair
+                "aggregate(syms, "
+                "  struct(CAST(array() AS ARRAY<STRING>) AS res,"
+                "         CAST(NULL AS STRING) AS pend), "
+                "  (acc, s) -> IF(acc.pend IS NULL,"
+                "    struct(acc.res AS res, s AS pend),"
+                f"   IF(acc.pend = {a!r} AND s = {b!r},"
+                f"     struct(array_append(acc.res, {(a + b)!r}) AS res,"
+                "            CAST(NULL AS STRING) AS pend),"
+                "     struct(array_append(acc.res, acc.pend) AS res,"
+                "            s AS pend))),"
+                "  acc -> IF(acc.pend IS NULL, acc.res,"
+                "            array_append(acc.res, acc.pend)))"
+            )
+            nxt = cur.select("wc", merged.alias("syms")).persist()
+            nxt.count()  # materialize before releasing the parent
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, pair string, pair_count long"
+    )

@@ -749,3 +749,58 @@ def test_feature_hashing_preserves_token_mass(spark):
     assert sum(rows[2][f"f{j}"] for j in range(8)) == 3
     assert max(rows[2][f"f{j}"] for j in range(8)) == 3  # all in one bucket
     assert sum(rows[3][f"f{j}"] for j in range(8)) == 1
+
+
+# ------------------------------------------------- BPE training
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python BPE (Sennrich et al.): returns [(rank, pair, count)]."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for r in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        # same tie-break as the engine: max count, then lexicographic
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((r, f"{a} {b}", cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from collections import Counter
+
+    from flink_elasticsearch_ingestion_spark.operators.text import bpe_train
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "widest wide wider new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["pair"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=6).collect()
+    ]
+    wc = Counter(w for t in texts for w in t.split())
+    assert got == _bpe_reference(wc, 6)

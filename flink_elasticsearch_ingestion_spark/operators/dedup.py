@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_elasticsearch_ingestion_spark.operators.util import ensure_parallelism
+from flink_elasticsearch_ingestion_spark.operators.util import (
+    bind_once,
+    ensure_parallelism,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -76,18 +79,22 @@ def portable_hashed_word_shingles(col: str = "text", k: int = 3) -> F.Column:
     (a, x) -> ((a*1000003) % p + x) % p)``."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), "\\s+", " "), " ")
     hashed_toks = F.transform(toks, lambda t: portable_hash31(t))
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
     p = F.lit(MERSENNE31)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.aggregate(
-                F.slice(hashed_toks, i, k),
-                F.lit(0).cast("bigint"),
-                lambda acc, h: ((acc * F.lit(POLY_C)) % p + h) % p,
-            ),
+
+    def build(ht: F.Column) -> F.Column:
+        n = F.greatest(F.size(ht) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.aggregate(
+                    F.slice(ht, i, k),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, h: ((acc * F.lit(POLY_C)) % p + h) % p,
+                ),
+            )
         )
-    )
+
+    return _bind_once(hashed_toks, build)
 
 
 def portable_minhash_signature(hashes: F.Column, num_hashes: int = 16) -> F.Column:
@@ -128,30 +135,42 @@ def dedup_by_content(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: see operators.util.bind_once — the HOF once-per-row binding trick
+_bind_once = bind_once
+
+
 def char_shingles(col: str = "text", k: int = 5) -> F.Column:
     """Distinct k-char shingles of the normalized text, as an array.
     Pure expression: sequence + transform + substring (no explode until
-    the caller wants rows)."""
+    the caller wants rows). The normalize runs once per row
+    (``_bind_once``), not once per shingle position."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(col))), "\\s+", " ")
-    n = F.greatest(F.length(normalized) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: normalized.substr(i, F.lit(k)),
+
+    def build(s: F.Column) -> F.Column:
+        n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: s.substr(i, F.lit(k)))
         )
-    )
+
+    return _bind_once(normalized, build)
 
 
 def word_shingles(col: str = "text", k: int = 3) -> F.Column:
-    """Distinct k-word shingles (n-grams) as an array of strings."""
+    """Distinct k-word shingles (n-grams) as an array of strings. The
+    tokenization runs once per row (``_bind_once``), not once per
+    shingle position."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), "\\s+", " "), " ")
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), k)),
+
+    def build(t: F.Column) -> F.Column:
+        n = F.greatest(F.size(t) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            )
         )
-    )
+
+    return _bind_once(toks, build)
 
 
 def minhash_signature(shingles: F.Column, num_hashes: int = 32) -> F.Column:
@@ -191,13 +210,17 @@ def hashed_word_shingles(col: str = "text", k: int = 3) -> F.Column:
     ``hashed_shingles(word_shingles(col, k))`` up to the hash family."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), "\\s+", " "), " ")
     hashed_toks = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.xxhash64(F.slice(hashed_toks, i, k)),
+
+    def build(ht: F.Column) -> F.Column:
+        n = F.greatest(F.size(ht) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.xxhash64(F.slice(ht, i, k)),
+            )
         )
-    )
+
+    return _bind_once(hashed_toks, build)
 
 
 def _hashed_tokens(col: str, portable: bool) -> F.Column:

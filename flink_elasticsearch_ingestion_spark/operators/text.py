@@ -184,10 +184,17 @@ def repetition_ratio(documents: DataFrame, *, word_k: int = 3, id_col: str = "do
     filter — high ratio flags boilerplate/spam). Pure map-side
     expression: one token split, one n-gram transform, one
     array_distinct; no shuffle at all."""
+    from flink_elasticsearch_ingestion_spark.operators.util import bind_once
+
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    n = F.greatest(F.size(toks) - F.lit(word_k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, word_k))
+    grams = bind_once(
+        toks,
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(t) - F.lit(word_k - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(t, i, word_k)),
+        ),
     )
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
@@ -258,12 +265,16 @@ def passage_dedup(
     from flink_elasticsearch_ingestion_spark.operators.util import ensure_parallelism
 
     documents = ensure_parallelism(documents)
+    from flink_elasticsearch_ingestion_spark.operators.util import bind_once
+
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * chunk_words + 1, chunk_words), " "
+    chunks = bind_once(
+        toks,
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(t) / F.lit(chunk_words)).cast("int") - 1
+            ),
+            lambda i: F.array_join(F.slice(t, i * chunk_words + 1, chunk_words), " "),
         ),
     )
     exploded = documents.select(
@@ -354,15 +365,24 @@ def chunk_documents(
     """
     if not 0 <= overlap < chunk_words:
         raise ValueError("need 0 <= overlap < chunk_words")
+    from flink_elasticsearch_ingestion_spark.operators.util import bind_once
+
     step = chunk_words - overlap
     toks = tokens(text_col)
-    n_chunks = F.floor((F.size(toks) + step - 1) / F.lit(step)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            F.size(F.slice(toks, i * step + 1, chunk_words)).alias("n_chunk_words"),
-            F.array_join(F.slice(toks, i * step + 1, chunk_words), " ").alias(
-                "chunk_text"
+    chunks = bind_once(
+        toks,
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size(t) + step - 1) / F.lit(step)).cast("int") - 1,
+            ),
+            lambda i: F.struct(
+                F.size(F.slice(t, i * step + 1, chunk_words)).alias(
+                    "n_chunk_words"
+                ),
+                F.array_join(F.slice(t, i * step + 1, chunk_words), " ").alias(
+                    "chunk_text"
+                ),
             ),
         ),
     )
@@ -666,12 +686,18 @@ def scrub_boilerplate(
     """
     from flink_elasticsearch_ingestion_spark.operators.util import ensure_parallelism
 
+    from flink_elasticsearch_ingestion_spark.operators.util import bind_once
+
     documents = ensure_parallelism(documents.filter(F.trim(F.col(text_col)) != ""))
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " "),
+    chunks = bind_once(
+        toks,
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(t) / F.lit(chunk_words)).cast("int") - 1
+            ),
+            lambda i: F.array_join(F.slice(t, i * chunk_words + 1, chunk_words), " "),
+        ),
     )
     exploded = documents.select(
         "doc_id", F.posexplode(chunks).alias("pos", "passage")

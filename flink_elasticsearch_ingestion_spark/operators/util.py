@@ -2,7 +2,22 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bind_once(expr: Column, build) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand it to ``build`` as a
+    bound lambda variable.
+
+    HOF lambda bodies re-evaluate per element, so an expensive
+    expression (a regex normalize, a tokenization) closed over by a
+    per-element lambda re-runs once per output element.  Wrapping it
+    as the 1-element input of an outer ``transform`` binds it to a
+    lambda VARIABLE — the HOF's input is evaluated once per row, and
+    variable references are free.  Same effect as a column-boundary
+    two-projection split without needing a DataFrame."""
+    return F.element_at(F.transform(F.array(expr), build), 1)
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:

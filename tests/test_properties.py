@@ -365,3 +365,36 @@ def test_token_set_join_equals_brute_force(spark, word_lists, threshold):
         if jac >= threshold:
             expect[(a, b)] = round(jac + 1e-9, 6)
     assert got == expect
+
+
+# ------------------------------- Misra-Gries contract on random data
+
+_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "fff", "g1", "g2"]),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(word_lists=_DOCS, m=st.sampled_from([2, 4, 8]))
+@settings(**_SETTINGS)
+def test_heavy_hitters_contract_holds_on_random_corpora(spark, word_lists, m):
+    """On arbitrary corpora and tiny counter budgets the merged MG
+    summary must satisfy BOTH contract sides for every probed word."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        heavy_hitters,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    out = heavy_hitters(
+        spark.createDataFrame(rows, "doc_id long, text string"), m=m, k=8,
+        n_parts=2,
+    ).collect()
+    assert out
+    for r in out:
+        assert r["never_over"] is True
+        assert r["within_bound"] is True

@@ -16,15 +16,18 @@ def test_oracle_keys_subset_of_queries():
     assert oracles <= qs
     # rows-only checks are intentional, enumerated here so additions are
     # conscious. Round 3 shrank this set to the genuinely non-replayable
-    # three: IVF's coarse quantizer is learned (iterative k-means), HLL
-    # sketch state has no SQL twin, and PCA's eigendecomposition is not
+    # ones: IVF's coarse quantizer is learned (iterative k-means), HLL
+    # sketch state has no SQL twin, PCA's eigendecomposition is not
     # SQL-expressible (its Gram-matrix reduction IS hash-verified via
-    # embedding_gramian); everything hash-based got a real oracle via
-    # the engine-portable md5 hash family.
+    # embedding_gramian), and bpe_train is an iterative driver loop
+    # (its inner-loop recount bpe_pair_counts IS hash-verified);
+    # everything hash-based got a real oracle via the engine-portable
+    # md5 hash family.
     assert qs - oracles == {
         "ivf_topk",
         "approx_distinct",
         "embedding_pca",
+        "bpe_train",
     }
 
 

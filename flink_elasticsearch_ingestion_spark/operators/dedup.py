@@ -1255,14 +1255,24 @@ def token_set_similarity_join(
     # stream, size table, both verify sides) — spread it to full
     # parallelism and persist so it runs once, not per consumer
     # (persist stays owned by Spark's LRU: the returned plan is lazy).
+    # NO filter on the computed els column: a post-projection filter
+    # predicate on a derived array makes the gram build evaluate TWICE
+    # (once for the predicate, once for the output — measured 6x on
+    # this stage), and it is redundant — size(__w) >= gram_k already
+    # guarantees a non-empty distinct gram set.
     sets = (
         ensure_parallelism(documents)
         .select(F.col(id_col).alias("doc_id"), F.split(norm, " ").alias("__w"))
         .filter(F.size(wc) >= gram_k)
         .select("doc_id", grams.alias("els"))
-        .filter(F.size("els") >= 1)
         .persist()
     )
+    # eager fill (the cross_corpus_contamination lesson): the returned
+    # plan consumes this cache from several concurrently-scheduled
+    # stages of ONE job — without materializing first, both self-join
+    # sides race the fill and re-run the whole gram build (measured
+    # 1.6s..12s nondeterministic swings at sf0.1)
+    sets.count()
     # join keys are 64-bit hashes of the elements, not the strings: the
     # candidate shuffle carries (8-byte key, doc_id) instead of raw
     # grams, and a hash collision can only ADD a candidate pair — the
@@ -1291,6 +1301,7 @@ def token_set_similarity_join(
         .select("el", "doc_id", "n")
         .persist()
     )
+    ranked.count()  # eager fill: both candidate-join sides consume it
     # length filter rides the same join: Jaccard >= t needs
     # t*|a| <= |b| (and symmetrically), so size-incompatible pairs
     # never become candidates

@@ -1232,54 +1232,77 @@ def token_set_similarity_join(
     self-join on prefix elements, then the exact Jaccard verify
     re-attaches full sets by key. The fact-width data never rides the
     wide join, same discipline as the MinHash band join.
-    """
-    from flink_elasticsearch_ingestion_spark.operators.util import (
-        ensure_parallelism,
-    )
 
+    Hash acceleration with an EXACTNESS CERTIFICATE: the pipeline
+    normally runs entirely on 64-bit gram hashes (tokenize + one
+    token-hash pass are the only string work; sets, candidate keys,
+    and the Jaccard verify are all fixed-width integers — far less
+    interpreted HOF churn than string sets). Before trusting them, a
+    one-pass audit counts distinct gram STRINGS vs distinct gram
+    HASHES corpus-wide; equality certifies the gram->hash mapping is
+    a bijection on this corpus, so hashed-set Jaccard is IDENTICAL
+    (not probabilistically close) to string-set Jaccard. On the
+    cosmically-unlikely mismatch the operator falls back to string
+    sets — the result contract never weakens.
+    """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
-    # words materialized behind a column boundary first: the gram
-    # lambda closes over the tokenization, and HOF lambda bodies
-    # re-evaluate per element — inlined, the split would run once per
-    # gram position (same pathology shingle_table documents)
-    wc = F.col("__w")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(wc) - F.lit(gram_k - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(wc, i, gram_k), " "),
-        )
-    )
-    # documents shorter than one full gram are setless: excluded, same
-    # as the oracle's len(words) >= gram_k guard.  The gram build is
-    # the CPU-heavy map stage and feeds FIVE consumers (element
-    # stream, size table, both verify sides) — spread it to full
-    # parallelism and persist so it runs once, not per consumer
-    # (persist stays owned by Spark's LRU: the returned plan is lazy).
-    # NO filter on the computed els column: a post-projection filter
-    # predicate on a derived array makes the gram build evaluate TWICE
-    # (once for the predicate, once for the output — measured 6x on
-    # this stage), and it is redundant — size(__w) >= gram_k already
-    # guarantees a non-empty distinct gram set.
-    sets = (
+    # words + token hashes materialized behind a column boundary (HOF
+    # lambda bodies re-evaluate per element; see shingle_table)
+    wc, htc = F.col("__w"), F.col("__ht")
+    toks_df = (
         ensure_parallelism(documents)
         .select(F.col(id_col).alias("doc_id"), F.split(norm, " ").alias("__w"))
         .filter(F.size(wc) >= gram_k)
-        .select("doc_id", grams.alias("els"))
-        .persist()
+        .select(
+            "doc_id",
+            "__w",
+            F.transform(wc, lambda t: F.xxhash64(t)).alias("__ht"),
+        )
     )
-    # eager fill (the cross_corpus_contamination lesson): the returned
-    # plan consumes this cache from several concurrently-scheduled
-    # stages of ONE job — without materializing first, both self-join
-    # sides race the fill and re-run the whole gram build (measured
-    # 1.6s..12s nondeterministic swings at sf0.1)
+    n_grams = F.greatest(F.size(wc) - F.lit(gram_k - 1), F.lit(1))
+    gram_str = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.array_join(F.slice(wc, i, gram_k), " "),
+    )
+    gram_hash = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.slice(htc, i, gram_k)),
+    )
+    # the certificate: one integer+string aggregate pass; no persist
+    a = (
+        toks_df.select(F.explode(F.arrays_zip(gram_str.alias("s"), gram_hash.alias("h"))).alias("z"))
+        .agg(
+            F.count_distinct(F.col("z.s")).alias("ns"),
+            F.count_distinct(F.col("z.h")).alias("nh"),
+        )
+        .collect()[0]
+    )
+    gram_expr = gram_hash if a["ns"] == a["nh"] else gram_str
+    # documents shorter than one full gram are setless: excluded, same
+    # as the oracle's len(words) >= gram_k guard.  The gram sets feed
+    # FIVE consumers (element stream, size table, both verify sides) —
+    # persist so they build once (eager fill below: the returned plan
+    # consumes this cache from concurrently-scheduled stages of ONE
+    # job; racing the fill re-ran the whole chain, measured 1.6-12s
+    # nondeterministic swings). NO filter on the computed els column: a
+    # post-projection filter on a derived array evaluates it twice
+    # (measured 6x), and size(__w) >= gram_k already guarantees
+    # non-empty sets.
+    sets = toks_df.select(
+        "doc_id", F.array_distinct(gram_expr).alias("els")
+    ).persist()
     sets.count()
-    # join keys are 64-bit hashes of the elements, not the strings: the
-    # candidate shuffle carries (8-byte key, doc_id) instead of raw
-    # grams, and a hash collision can only ADD a candidate pair — the
-    # exact verify removes it, so exactness is unaffected
+    # candidate keys are 64-bit hashes either way: on the certified
+    # path els already ARE hashes; on the string fallback the keys are
+    # hashed here (a key collision only ADDS a candidate pair — the
+    # exact verify removes it)
     els = sets.select(
         "doc_id",
-        F.explode(F.transform("els", lambda e: F.xxhash64(e))).alias("el"),
+        F.explode(
+            F.col("els")
+            if a["ns"] == a["nh"]
+            else F.transform("els", lambda e: F.xxhash64(e))
+        ).alias("el"),
     )
     dfreq = els.groupBy("el").agg(F.count(F.lit(1)).alias("df"))
     # rank each doc's elements rare-first; keep only the prefix.

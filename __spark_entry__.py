@@ -1581,6 +1581,39 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup capstone over EMBEDDINGS (the twin of the text
+    capstone text_dup_components): sign-LSH near-dup pairs ->
+    connected components -> one row per cluster (size + kept
+    representative).  Hash-verified end-to-end: the oracle re-derives
+    the hyperplane buckets from inlined literals, the cosine verify,
+    and the component closure via a recursive CTE."""
+    pairs = S.embedding_near_duplicates(
+        # bits=6 (vs the pair query's recall-tuned 4): the capstone
+        # favors precision + bounded candidates — 64 buckets/table
+        # keeps the bucket self-join subquadratic as n grows.
+        # arrow=True: per-partition BLAS bucket matmul (parity-tested
+        # against the expression form, which stays the oracle twin)
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        bits=6,
+        tables=8,
+        arrow=True,
+    )
+    edges = pairs.select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = D.connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("representative"),
+        )
+        .orderBy("component")
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF (learned coarse quantizer) approximate top-k —
     the data-adaptive ANN family next to LSH. Deterministic (seeded
@@ -1852,8 +1885,8 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # term_postings, bm25_search, gopher_quality, substring_contamination,
 # token_set_join, bloom_prefilter_join, mad_outliers, heavy_hitters,
 # linear_probe, corpus_build_pipeline, feature_hashing,
-# bpe_pair_counts, bpe_train.  Promote them to the front of the
-# round-4 window, then re-check whatever r3 left red.
+# bpe_pair_counts, bpe_train, embedding_dup_clusters.  Promote them to
+# the front of the round-4 window, then re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -1972,6 +2005,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hashing": q_feature_hashing,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train": q_bpe_train,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3107,6 +3141,31 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN vecs vb ON vb.vec_id = cand.vec_b)"
             " SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= 0.4"
             " ORDER BY vec_a, vec_b"
+        ),
+        "embedding_dup_clusters": (
+            "WITH RECURSIVE planes AS (SELECT * FROM (VALUES "
+            + _plane_values(6, [42 + t for t in range(8)])
+            + ") AS t(tbl, i, p)),"
+            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+            " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
+            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
+            " cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
+            "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl"
+            "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"
+            " pairs AS (SELECT vec_a, vec_b"
+            "   FROM cand JOIN vecs va ON va.vec_id = cand.vec_a"
+            "   JOIN vecs vb ON vb.vec_id = cand.vec_b"
+            "   WHERE round(list_dot_product(va.v, vb.v) /"
+            "     (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),"
+            "     6) >= 0.4),"
+            " sym AS (SELECT vec_a AS u, vec_b AS v FROM pairs"
+            "   UNION SELECT vec_b, vec_a FROM pairs),"
+            " reach AS (SELECT u AS node, u AS label FROM sym"
+            "   UNION SELECT s.u AS node, r.label FROM sym s JOIN reach r ON r.node = s.v),"
+            " labels AS (SELECT node, min(label) AS component FROM reach GROUP BY node)"
+            " SELECT component, count(*) AS cluster_size, min(node) AS representative"
+            " FROM labels GROUP BY component ORDER BY component"
         ),
         "simhash_buckets": (
             "WITH docs AS (SELECT doc_id,"

@@ -149,6 +149,7 @@ EXTENDED = [
     "feature_hashing",
     "bpe_pair_counts",
     "bpe_train",
+    "embedding_dup_clusters",
 ]
 
 

@@ -464,6 +464,7 @@ def embedding_near_duplicates(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH self-join.
 
@@ -476,19 +477,77 @@ def embedding_near_duplicates(
     Candidate pairs dedupe before the verify so each pair is rescored
     once even when it collides in several tables.
     """
+    from flink_elasticsearch_ingestion_spark.operators.util import (
+        ensure_parallelism,
+    )
+
     sample = embeddings.select(vec_col).first()
     dim = len(sample[0]) if sample else 0
-    keyed = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # the bucket build is the CPU-heavy map stage (tables x bits plane
+    # dots per vector, interpreted HOF): spread a narrow local scan to
+    # full parallelism (no-op at real scale)
+    keyed = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
     buckets = [
         lsh_bucket_expr("vec", _hyperplanes(dim, bits, seed + t)).alias(f"b{t}")
         for t in range(tables)
     ]
-    banded = keyed.select("vid", *buckets).select(
-        "vid",
-        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(tables)])).alias(
-            "table_idx", "bucket"
-        ),
-    )
+    # persist + eager fill: the self-join consumes the banded frame on
+    # BOTH sides, and the sign-LSH bucket computation is the CPU-heavy
+    # map stage — without the barrier it evaluates twice (and the two
+    # join sides race the cold cache; see the token_set_join lesson)
+    if arrow:
+        # Arrow path: ONE BLAS matmul per record batch computes every
+        # (table, bit) plane dot at once — numpy-vectorized, immune to
+        # the interpreted-HOF session warm-up cliff (SCALE.md). Same
+        # accepted numerical caveat as ivf_assign's argmax: numpy's
+        # pairwise summation and the SQL left fold could disagree on a
+        # dot within ~1e-14 of zero; signs at that margin are
+        # vanishingly rare and the exact-cosine verify defines the
+        # final pairs either way.
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(
+            [
+                _hyperplanes(dim, bits, seed + t)[i]
+                for t in range(tables)
+                for i in range(bits)
+            ]
+        ).T  # dim x (tables*bits)
+        weights = np.array([1 << i for i in range(bits)], dtype="int64")
+
+        def bucketize(batches):
+            for pdf in batches:
+                X = np.vstack(pdf["vec"].to_numpy())  # n x dim
+                signs = (X @ P) >= 0  # n x (tables*bits)
+                bks = signs.reshape(len(pdf), tables, bits) @ weights
+                yield pd.DataFrame(
+                    {
+                        "vid": pdf["vid"].to_numpy().repeat(tables),
+                        "table_idx": np.tile(
+                            np.arange(tables, dtype="int32"), len(pdf)
+                        ),
+                        "bucket": bks.reshape(-1),
+                    }
+                )
+
+        banded = keyed.mapInPandas(
+            bucketize, schema="vid long, table_idx int, bucket long"
+        ).persist()
+    else:
+        banded = (
+            keyed.select("vid", *buckets)
+            .select(
+                "vid",
+                F.posexplode(
+                    F.array(*[F.col(f"b{t}") for t in range(tables)])
+                ).alias("table_idx", "bucket"),
+            )
+            .persist()
+        )
+    banded.count()
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(

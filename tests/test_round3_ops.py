@@ -804,3 +804,41 @@ def test_bpe_train_matches_python_reference(spark):
     ]
     wc = Counter(w for t in texts for w in t.split())
     assert got == _bpe_reference(wc, 6)
+
+
+# ------------------------------------- embedding dedup capstone
+
+
+def test_embedding_lsh_arrow_matches_expression(spark, sf_dir):
+    """The BLAS bucket path must produce exactly the expression form's
+    verified pair set (signs agree except within ~1e-14 of zero, which
+    the fixture never hits)."""
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_near_duplicates(
+            emb, threshold=0.4, bits=6, tables=8, arrow=True
+        ).collect()
+    }
+    b = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_near_duplicates(
+            emb, threshold=0.4, bits=6, tables=8, arrow=False
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_embedding_dup_clusters_are_consistent(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = E.queries()["embedding_dup_clusters"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cluster_size"] >= 2  # only nodes with an edge enter CC
+        assert r["representative"] == r["component"]  # min-label convention

@@ -1573,9 +1573,11 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: multi-table LSH near-dup (plane literals impractical in
-    SQL). Threshold/bits/tables tuned so the synthetic corpus (random
-    vectors, max pairwise cosine ~0.5) yields a non-trivial result."""
+    """Multi-table sign-LSH near-dup pairs, hash-verified: the oracle
+    re-derives buckets from inlined hyperplane literals plus the exact
+    cosine verify. Threshold/bits/tables tuned so the synthetic corpus
+    (random vectors, max pairwise cosine ~0.5) yields a non-trivial
+    result."""
     return S.embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, bits=4, tables=8
     )

@@ -1867,6 +1867,69 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST MILE of the training-data pipeline, materialized: build
+    the frequency-ranked vocabulary -> encode every document as its
+    token-id sequence -> greedy-pack documents into capacity-512
+    training bins -> emit each bin's concatenated input-id stream.
+    Everything upstream profiles/filters/dedups documents; THIS is the
+    operator that produces what a trainer actually reads.
+
+    Plan shape: the vocab is vocabulary-sized (two-phase ranked, no
+    global window); encoding is one fact shuffle (token join + per-doc
+    ordered re-collect, state bounded by document length); packing is
+    per-(lang, shard) applyInPandas streams; the bin assembly re-joins
+    ids by doc_id with per-bin state bounded by capacity. The DuckDB
+    oracle replays ALL FOUR stages, including the packing recurrence
+    as a recursive CTE and the exact id streams."""
+    docs = _t(spark, sf_dir, "documents")
+    from flink_elasticsearch_ingestion_spark.operators.packing import pack_documents
+
+    vocab = X.vocab_with_ids(docs, min_count=1).select("token", "token_id")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    encoded = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token_id"))
+                    ),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                ",",
+            ).alias("ids_csv"),
+        )
+    )
+    assign = pack_documents(
+        encoded, capacity=512, size_col="n_tokens", group_cols=("lang",), n_shards=8
+    )
+    return (
+        assign.join(encoded.select("doc_id", "ids_csv"), "doc_id")
+        .groupBy("lang", "shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "ids_csv"))),
+                    lambda s: s["ids_csv"],
+                ),
+                "|",
+            ).alias("input_ids"),
+        )
+        .orderBy("lang", "shard", "bin_id")
+    )
+
+
 # Round-3 driver window (the driver hash-checks the FIRST 50 entries of
 # ``queries()`` per round).  Priority: (a) the 34 entries that have never
 # produced a driver row (CORRECTNESS_r01 ∪ r02 window overflow), (b) the
@@ -1887,8 +1950,9 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # term_postings, bm25_search, gopher_quality, substring_contamination,
 # token_set_join, bloom_prefilter_join, mad_outliers, heavy_hitters,
 # linear_probe, corpus_build_pipeline, feature_hashing,
-# bpe_pair_counts, bpe_train, embedding_dup_clusters.  Promote them to
-# the front of the round-4 window, then re-check whatever r3 left red.
+# bpe_pair_counts, bpe_train, embedding_dup_clusters,
+# training_batches.  Promote them to the front of the round-4 window,
+# then re-check whatever r3 left red.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "market_share", "product_type_profit", "small_quantity_revenue",
@@ -2008,6 +2072,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train": q_bpe_train,
         "embedding_dup_clusters": q_embedding_dup_clusters,
+        "training_batches": q_training_batches,
         # --- new in round 2 ---
         "bulk_chunks_distributed": q_bulk_chunks_distributed,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3989,6 +4054,43 @@ def oracle_sql() -> dict[str, str]:
             " CAST(max(bin_fill) AS BIGINT) AS max_fill,"
             " round(sum(bin_fill) / (count(*) * 512) + 1e-9, 6) AS fill_ratio"
             " FROM per_bin GROUP BY lang, shard ORDER BY lang, shard"
+        ),
+        "training_batches": (
+            # four-stage replay: vocab ranking, per-doc id encoding,
+            # the greedy packing recurrence (recursive CTE), and the
+            # concatenated per-bin id streams
+            "WITH RECURSIVE tok AS (SELECT doc_id, lang, i AS pos, w[i] AS token"
+            "  FROM (SELECT doc_id, lang,"
+            "    string_split(lower(trim(text)), ' ') AS w FROM documents),"
+            "  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g"
+            "  ),"
+            " tk AS (SELECT * FROM tok WHERE length(token) > 0),"
+            " vocab AS (SELECT token,"
+            "   CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS INT)"
+            "     AS token_id"
+            "   FROM tk GROUP BY token),"
+            " encoded AS (SELECT tk.doc_id, tk.lang,"
+            "   count(*) AS n_tokens,"
+            "   string_agg(vocab.token_id::VARCHAR, ',' ORDER BY tk.pos)"
+            "     AS ids_csv"
+            "   FROM tk JOIN vocab USING (token) GROUP BY tk.doc_id, tk.lang),"
+            " ordered AS (SELECT *, doc_id % 8 AS shard, row_number() OVER ("
+            "   PARTITION BY lang, doc_id % 8 ORDER BY doc_id) AS rn FROM encoded),"
+            " packed AS ("
+            "  SELECT lang, shard, doc_id, n_tokens, ids_csv, rn,"
+            "   CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill"
+            "  FROM ordered WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.ids_csv, o.rn,"
+            "   CASE WHEN p.fill + o.n_tokens > 512 THEN p.bin_id + 1 ELSE p.bin_id END,"
+            "   CASE WHEN p.fill + o.n_tokens > 512 THEN o.n_tokens ELSE p.fill + o.n_tokens END"
+            "  FROM packed p JOIN ordered o"
+            "   ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1)"
+            " SELECT lang, shard, bin_id, count(*) AS n_docs,"
+            " CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,"
+            " string_agg(ids_csv, '|' ORDER BY doc_id) AS input_ids"
+            " FROM packed GROUP BY lang, shard, bin_id"
+            " ORDER BY lang, shard, bin_id"
         ),
         "deterministic_sample": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars"

@@ -150,6 +150,7 @@ EXTENDED = [
     "bpe_pair_counts",
     "bpe_train",
     "embedding_dup_clusters",
+    "training_batches",
 ]
 
 

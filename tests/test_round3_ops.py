@@ -842,3 +842,45 @@ def test_embedding_dup_clusters_are_consistent(spark, sf_dir):
     for r in rows:
         assert r["cluster_size"] >= 2  # only nodes with an edge enter CC
         assert r["representative"] == r["component"]  # min-label convention
+
+
+# ---------------------------------------------- training batches
+
+
+def test_training_batches_reconstruct_documents(spark, sf_dir):
+    """Every bin respects capacity (single-doc overflow bins exempt),
+    no document is lost or duplicated, and decoding a bin's id stream
+    through the vocabulary reproduces the original token streams."""
+    import __spark_entry__ as E
+    from flink_elasticsearch_ingestion_spark.operators.text import vocab_with_ids
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    bins = E.queries()["training_batches"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    id2tok = {
+        r["token_id"]: r["token"]
+        for r in vocab_with_ids(
+            load_table(spark, sf_dir, "documents"), min_count=1
+        ).collect()
+    }
+    n_docs_out = 0
+    decoded_streams = []
+    for b in bins:
+        seqs = b["input_ids"].split("|")
+        n_docs_out += len(seqs)
+        assert len(seqs) == b["n_docs"]
+        total = sum(len(s.split(",")) for s in seqs)
+        assert total == b["bin_tokens"]
+        assert total <= 512 or b["n_docs"] == 1  # capacity or lone doc
+        for s in seqs:
+            decoded_streams.append(
+                " ".join(id2tok[int(i)] for i in s.split(","))
+            )
+    assert n_docs_out == len(docs)  # conservation
+    originals = {
+        " ".join(t.lower().strip().split()) for t in docs.values()
+    }
+    assert set(decoded_streams) == originals  # lossless round-trip

@@ -83,13 +83,13 @@ class Engine:
             max_ts_checkpoint,
         )
         from flink_elasticsearch_ingestion_spark.sources.es_bulk import (
-            EsBulkDataSource,
+            register_bulk_sink,
         )
         from flink_elasticsearch_ingestion_spark.streaming.shell import (
             CheckpointStore,
         )
 
-        self.spark.dataSource.register(EsBulkDataSource)
+        register_bulk_sink(self.spark)
         store = CheckpointStore(checkpoint_path)
         events = self.table("events")
         docs = encode_body(

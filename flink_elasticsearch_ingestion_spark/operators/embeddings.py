@@ -370,6 +370,7 @@ def linear_probe_scores(
     seed: int = 11,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    passthrough_cols: tuple = (),
 ) -> DataFrame:
     """Broadcast-model linear scoring over the embedding corpus: one
     ``n_classes x dim`` weight matrix applied as pure map-side
@@ -388,6 +389,12 @@ def linear_probe_scores(
         _hyperplanes,
     )
 
+    if n_classes < 2:
+        # margin = top1 - top2 is ill-defined with one class, and the
+        # element_at(array_sort(...), 0) it would compile to is an
+        # invalid index in Spark SQL — fail loud like chunk_documents'
+        # overlap guard rather than at plan execution
+        raise ValueError(f"linear_probe_scores requires n_classes >= 2, got {n_classes}")
     w = _hyperplanes(dim, n_classes, seed)
     logits = []
     for c in range(n_classes):
@@ -408,6 +415,7 @@ def linear_probe_scores(
     top2 = f"element_at(array_sort({arr_logits}), {n_classes - 1})"
     return embeddings.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
         *[
             F.expr(f"round({lg} + 1e-9, 6)").alias(f"logit_{c}")
             for c, lg in enumerate(logits)
@@ -417,3 +425,75 @@ def linear_probe_scores(
             "margin"
         ),
     ).orderBy(id_col)
+
+
+def probe_calibration(
+    embeddings: DataFrame,
+    *,
+    n_bins: int = 8,
+    bin_width: float = 0.05,
+    n_classes: int = 3,
+    dim: int = 64,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability curve for the broadcast linear probe: bin the
+    top-two MARGIN (the probe's confidence signal) into fixed
+    literal-width bins and measure per-bin agreement with the stored
+    labels — does confidence predict correctness?  This is the
+    model-based data-curation eval loop: quality-classifier scores
+    gate what enters a training corpus, and a mis-calibrated gate
+    silently skews the corpus, so calibration itself must be a
+    corpus-scale query.
+
+    Scale shape: the probe logits/margins are zero-shuffle map-side
+    expressions (the model rides the plan as one literal); labels stay
+    in the same row, so calibration adds only the final <= n_bins-key
+    aggregate.  Nothing driver-side, no joins.
+
+    Fixed literal bins (not quantiles) keep the operator one-pass and
+    the oracle exact — same decision as distribution_drift_psi.
+    """
+    scored = linear_probe_scores(
+        embeddings,
+        n_classes=n_classes,
+        dim=dim,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+        passthrough_cols=(label_col,),
+    )
+    bin_id = F.least(
+        F.floor(F.col("margin") / F.lit(bin_width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    hit = (F.col("pred_class") == F.col(label_col)).cast("int")
+    return (
+        scored.select(
+            bin_id.alias("bin_id"),
+            F.col("margin"),
+            hit.alias("hit"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("hit").alias("n_correct"),
+            # margin is already 6dp-rounded upstream, so the sum is an
+            # exact 1e-6-grid value on any engine; the two-step
+            # round(round(sum)/n) derivation is the cross-engine
+            # float convention (see SCALE.md)
+            F.round(
+                F.round(F.sum("margin"), 6) / F.count(F.lit(1)) + 1e-9, 6
+            ).alias("mean_margin"),
+            F.round(
+                F.sum("hit") / F.count(F.lit(1)) + 1e-9, 6
+            ).alias("accuracy"),
+        )
+        .withColumn(
+            "bin_lo", F.round(F.col("bin_id") * F.lit(bin_width) + 1e-9, 2)
+        )
+        .select("bin_id", "bin_lo", "n", "n_correct", "accuracy", "mean_margin")
+        .orderBy("bin_id")
+    )

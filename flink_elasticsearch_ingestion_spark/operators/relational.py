@@ -12,6 +12,9 @@ with stale stats.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -1023,6 +1026,15 @@ def important_part_value(
         .groupBy("l_partkey")
         .agg(F.sum(value_term).alias("v"))
     )
+    # per_part feeds BOTH the threshold aggregate and the final filter —
+    # an un-cached diamond recomputes the whole fact scan + shuffle per
+    # branch (measured: ReuseExchange does NOT collapse the two
+    # exchanges here, 6 parquet scans in the executed plan). Persisting
+    # the PARTS-SIZED intermediate (bounded by |part|, dim-sized
+    # relative to the fact) halves the fact work; eager fill so the
+    # totals job hits the cache.
+    per_part = per_part.persist()
+    per_part.count()
     totals = per_part.agg(
         F.sum("v").alias("total_v"), F.count(F.lit(1)).alias("n_parts")
     )
@@ -1445,7 +1457,8 @@ def bloom_prefilter_join(
             "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
         )
         tests.append(word.bitwiseAND(bit) != 0)
-    passed = probe.filter(tests[0] & tests[1] & tests[2]).drop("__bloom")
+    all_probes = functools.reduce(operator.and_, tests)
+    passed = probe.filter(all_probes).drop("__bloom")
     joined = passed.join(F.broadcast(keys), passed.l_orderkey == keys.o_orderkey)
     return (
         joined.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
@@ -1581,3 +1594,169 @@ def heavy_hitters(
         )
         .orderBy(F.col("true_count").desc(), "word")
     )
+
+
+def kmv_set_overlap(
+    events: DataFrame,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 128,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches per group + pairwise
+    Jaccard / intersection ESTIMATES with exact arms — the set-overlap
+    question HLL cannot answer (HLL unions; it never intersects).
+    Completes the mergeable-sketch family: HLL distincts / CMS point
+    counts / GK percentiles / MG frequent items / KMV set algebra.
+
+    The sketch of a set is its k smallest distinct hash values under a
+    uniform hash.  It is trivially mergeable (k smallest of the
+    concatenation), supports distinct estimation
+    (``(k-1) * M / kth_min``), and — uniquely — resemblance: for the
+    k smallest values of A ∪ B, the fraction also present in both
+    sketches is an unbiased Jaccard estimator (Beyer et al., "On
+    Synopses for Distinct-Value Estimation Under Multiset Operations",
+    SIGMOD'07; Broder's min-wise resemblance).
+
+    Built on the engine-portable md5-31 hash, so an independent SQL
+    engine re-derives every sketch element, estimate, and flag
+    bit-for-bit — the same full-sketch-replay oracle posture as
+    ``cms_word_counts``.
+
+    Scale shape: ONE fact shuffle (the (group, key) distinct); the
+    per-group k-smallest is TWO-PHASE — k smallest within each of
+    ``salt_buckets`` hash sub-buckets in parallel (any global top-k
+    element is top-k in its own bucket), then k smallest of the
+    <= salt_buckets * k survivors — so no group ever sorts its full
+    distinct set in one task.  Everything downstream of the distinct
+    is sketch-sized (<= groups * k rows).  The exact arms (per-group
+    distinct + pairwise intersection) are the driver-checkable
+    contract, same pattern as heavy_hitters' exact arm; production
+    keeps only the sketches.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        portable_hash31,
+    )
+
+    m_space = 2147483647  # md5-31 hash space (exclusive upper bound)
+    keys = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(key_col).cast("string").alias("__key"),
+    ).distinct()
+    hashed = keys.select(
+        "grp", portable_hash31(F.col("__key")).alias("h")
+    ).distinct()
+
+    w1 = Window.partitionBy(
+        "grp", F.pmod(F.col("h"), F.lit(salt_buckets))
+    ).orderBy("h")
+    cand = (
+        hashed.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("grp").orderBy("h")
+    sk = cand.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
+    sketches = sk.groupBy("grp").agg(
+        F.sort_array(F.collect_list("h")).alias("sketch"),
+        F.count(F.lit(1)).alias("n_sk"),
+        F.max("h").alias("kth"),
+    )
+    # distinct estimate: exact when the sketch holds the whole set
+    # (n_sk < k), else the classic (k-1) * M / kth_min
+    est_distinct = F.when(
+        F.col("n_sk") < k, F.col("n_sk").cast("double")
+    ).otherwise((k - 1) * F.lit(float(m_space)) / F.col("kth"))
+    sketches = sketches.withColumn("est_d", est_distinct)
+
+    exact_d = hashed.groupBy("grp").agg(F.count(F.lit(1)).alias("exact_d"))
+    per_group = sketches.join(exact_d, "grp")
+
+    a = per_group.select(
+        F.col("grp").alias("grp_a"),
+        F.col("sketch").alias("sk_a"),
+        F.col("n_sk").alias("nsk_a"),
+        F.col("est_d").alias("est_a"),
+        F.col("exact_d").alias("exact_a"),
+    )
+    b = per_group.select(
+        F.col("grp").alias("grp_b"),
+        F.col("sketch").alias("sk_b"),
+        F.col("n_sk").alias("nsk_b"),
+        F.col("est_d").alias("est_b"),
+        F.col("exact_d").alias("exact_b"),
+    )
+    pairs = a.join(b, F.col("grp_a") < F.col("grp_b"))
+
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b"))), 1, k
+    )
+    both = F.array_intersect(F.col("sk_a"), F.col("sk_b"))
+    in_both = F.size(F.array_intersect(union_k, both))
+    j_est = in_both.cast("double") / F.size(union_k)
+    union_full = F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b")))
+    union_est = F.when(
+        F.size(union_full) < k, F.size(union_full).cast("double")
+    ).otherwise((k - 1) * F.lit(float(m_space)) / F.element_at(union_k, k))
+
+    # exact pairwise intersection: ONE shuffle on the key — each key
+    # contributes its group set, pairs fan out map-side
+    grp_sets = hashed.groupBy("h").agg(F.collect_set("grp").alias("gs"))
+    pair_rows = grp_sets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.array_sort("gs"),
+                        lambda x: F.transform(
+                            F.array_sort("gs"),
+                            lambda y: F.struct(
+                                x.alias("ga"), y.alias("gb")
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s["ga"] < s["gb"],
+            )
+        ).alias("p")
+    )
+    exact_inter = pair_rows.groupBy(
+        F.col("p.ga").alias("grp_a"), F.col("p.gb").alias("grp_b")
+    ).agg(F.count(F.lit(1)).alias("exact_inter"))
+
+    out = (
+        pairs.join(exact_inter, ["grp_a", "grp_b"], "left")
+        .na.fill({"exact_inter": 0})
+        .select(
+            "grp_a",
+            "grp_b",
+            "exact_a",
+            "exact_b",
+            F.round(F.col("est_a") + 1e-9, 2).alias("est_a"),
+            F.round(F.col("est_b") + 1e-9, 2).alias("est_b"),
+            F.round(j_est + 1e-9, 6).alias("est_jaccard"),
+            F.round(
+                (
+                    F.col("exact_inter").cast("double")
+                    / (
+                        F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")
+                    )
+                )
+                + 1e-9,
+                6,
+            ).alias("exact_jaccard"),
+            "exact_inter",
+            F.round(j_est * union_est + 1e-9, 2).alias("est_inter"),
+        )
+        .withColumn(
+            # accuracy contract: KMV Jaccard error concentrates within
+            # ~3/sqrt(k) of truth (binomial over the k union minima)
+            "within_tol",
+            (
+                F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))
+                <= 3.0 / (k ** 0.5)
+            ),
+        )
+        .orderBy("grp_a", "grp_b")
+    )
+    return out

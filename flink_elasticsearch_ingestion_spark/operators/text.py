@@ -1104,21 +1104,44 @@ def bpe_train(
                 break
             a, b = top[0]["pair"].split(" ")
             merges.append((r, top[0]["pair"], int(top[0]["cnt"])))
-            merged = F.expr(
-                # fold: acc = (result array, pending symbol); pending
-                # merges with s when (pending, s) is the chosen pair
-                "aggregate(syms, "
-                "  struct(CAST(array() AS ARRAY<STRING>) AS res,"
-                "         CAST(NULL AS STRING) AS pend), "
-                "  (acc, s) -> IF(acc.pend IS NULL,"
-                "    struct(acc.res AS res, s AS pend),"
-                f"   IF(acc.pend = {a!r} AND s = {b!r},"
-                f"     struct(array_append(acc.res, {(a + b)!r}) AS res,"
-                "            CAST(NULL AS STRING) AS pend),"
-                "     struct(array_append(acc.res, acc.pend) AS res,"
-                "            s AS pend))),"
-                "  acc -> IF(acc.pend IS NULL, acc.res,"
-                "            array_append(acc.res, acc.pend)))"
+            # fold: acc = (result array, pending symbol); pending
+            # merges with s when (pending, s) is the chosen pair.
+            # Symbols are bound as F.lit columns, NOT spliced into an
+            # SQL string — learned symbols from arbitrary corpora may
+            # contain quotes/backslashes, whose repr() form only parses
+            # under specific literal/escape parser modes.
+            def _make_step(_a, _b, _ab):
+                def _step(acc, s):
+                    take_pending = F.struct(
+                        acc["res"].alias("res"), s.alias("pend")
+                    )
+                    do_merge = F.struct(
+                        F.array_append(acc["res"], F.lit(_ab)).alias("res"),
+                        F.lit(None).cast("string").alias("pend"),
+                    )
+                    flush_pending = F.struct(
+                        F.array_append(acc["res"], acc["pend"]).alias("res"),
+                        s.alias("pend"),
+                    )
+                    return F.when(acc["pend"].isNull(), take_pending).otherwise(
+                        F.when(
+                            (acc["pend"] == F.lit(_a)) & (s == F.lit(_b)),
+                            do_merge,
+                        ).otherwise(flush_pending)
+                    )
+
+                return _step
+
+            merged = F.aggregate(
+                F.col("syms"),
+                F.struct(
+                    F.expr("CAST(array() AS ARRAY<STRING>)").alias("res"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+                _make_step(a, b, a + b),
+                lambda acc: F.when(acc["pend"].isNull(), acc["res"]).otherwise(
+                    F.array_append(acc["res"], acc["pend"])
+                ),
             )
             nxt = cur.select("wc", merged.alias("syms")).persist()
             nxt.count()  # materialize before releasing the parent

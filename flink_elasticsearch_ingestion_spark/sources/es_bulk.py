@@ -172,6 +172,17 @@ class EsBulkDataSource(DataSource):
         return EsBulkStreamWriter(self.options)
 
 
+def register_bulk_sink(spark) -> None:
+    """Idempotent registration: a session cloned via ``newSession``
+    shares the data-source registry, where a second ``register`` of the
+    same name raises DATA_SOURCE_ALREADY_EXISTS instead of overwriting."""
+    try:
+        spark.dataSource.register(EsBulkDataSource)
+    except Exception as e:  # pragma: no cover - message-keyed on purpose
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
+
+
 def read_bulk_payload_df(spark, path: str):
     """Distributed parse-back of the committed bulk payload.
 

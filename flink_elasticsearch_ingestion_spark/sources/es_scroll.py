@@ -74,7 +74,19 @@ class _ShardPartition(InputPartition):
         self.path = path
 
 
-class EsScrollReader(DataSourceReader):
+class EsScrollPlainReader(DataSourceReader):
+    """Scroll reader WITHOUT filter pushdown.
+
+    Spark hard-errors (``DATA_SOURCE_PUSHDOWN_DISABLED``) when a reader
+    merely *defines* ``pushFilters`` while the session runs with
+    ``spark.sql.python.filterPushdown.enabled=false`` — so a foreign
+    session (the driver's vanilla SparkSession, a user's default
+    builder) must get a reader that does not override the method at
+    all.  Results stay identical: Spark evaluates every predicate
+    post-scan; only the "provide range in query" efficiency
+    (core.clj:133-136) is lost.  ``EsScrollDataSource.reader`` picks
+    this class when option ``pushdown`` is not ``true``."""
+
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
@@ -83,7 +95,7 @@ class EsScrollReader(DataSourceReader):
         self.ts_lower: dt.datetime | None = None
         self.ts_lower_inclusive = False
 
-    def pushFilters(self, filters: "list[Filter]") -> "Iterator[Filter]":
+    def _push_ts_filters(self, filters: "list[Filter]") -> "Iterator[Filter]":
         """Accept ts lower bounds (the checkpoint range); everything
         else is handed back for Spark to evaluate post-scan.  When
         Catalyst pushes SEVERAL lower bounds (``ts > A AND ts >= B``),
@@ -152,6 +164,17 @@ class EsScrollReader(DataSourceReader):
             row = _row(line)
             if self._keep(row[2]):
                 yield row
+
+
+class EsScrollReader(EsScrollPlainReader):
+    """Scroll reader WITH ts-range filter pushdown ("provide range in
+    query", core.clj:133-136).  Only this subclass defines
+    ``pushFilters`` — the method's mere presence is what Spark's
+    planner keys the ``DATA_SOURCE_PUSHDOWN_DISABLED`` error on, so the
+    split keeps the plain reader safe under any session conf."""
+
+    def pushFilters(self, filters: "list[Filter]") -> "Iterator[Filter]":
+        return self._push_ts_filters(filters)
 
 
 class EsScrollStreamReader(SimpleDataSourceStreamReader):
@@ -225,11 +248,61 @@ class EsScrollDataSource(DataSource):
     def schema(self) -> str:
         return SCHEMA_DDL
 
-    def reader(self, schema: StructType) -> EsScrollReader:
-        return EsScrollReader(self.options)
+    def reader(self, schema: StructType) -> EsScrollPlainReader:
+        """Option ``pushdown`` (default ``true``) selects the
+        pushdown-capable reader; pass ``pushdown=false`` (or use
+        ``scroll_read``, which probes the session conf) under sessions
+        running ``spark.sql.python.filterPushdown.enabled=false``,
+        where Spark rejects any reader defining ``pushFilters``."""
+        if str(self.options.get("pushdown", "true")).lower() == "true":
+            return EsScrollReader(self.options)
+        return EsScrollPlainReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> EsScrollStreamReader:
         return EsScrollStreamReader(self.options)
+
+
+_PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
+
+
+def register_scroll_source(spark) -> None:
+    """Idempotent registration: a session cloned via ``newSession``
+    shares the data-source registry, where a second ``register`` of the
+    same name raises DATA_SOURCE_ALREADY_EXISTS instead of overwriting."""
+    try:
+        spark.dataSource.register(EsScrollDataSource)
+    except Exception as e:  # pragma: no cover - message-keyed on purpose
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
+
+
+def scroll_read(spark, path: str, batch_size: int = 1000):
+    """Session-conf-safe entry point for the scroll source.
+
+    Catalog queries must be self-contained with respect to session
+    conf (the driver runs a vanilla SparkSession where
+    ``spark.sql.python.filterPushdown.enabled`` defaults to false and
+    any reader defining ``pushFilters`` is a hard error).  This helper
+    enables the conf when the session allows runtime changes — keeping
+    the "provide range in query" pushdown — and otherwise degrades to
+    the plain reader, where Spark applies the ts-range post-scan with
+    identical results."""
+    try:
+        spark.conf.set(_PUSHDOWN_CONF, "true")
+    except Exception:
+        pass  # conf locked down: fall through to the plain reader
+    try:
+        pushdown = str(spark.conf.get(_PUSHDOWN_CONF, "false")).lower() == "true"
+    except Exception:
+        pushdown = False
+    register_scroll_source(spark)
+    return (
+        spark.read.format("es_scroll")
+        .option("path", path)
+        .option("batch_size", str(batch_size))
+        .option("pushdown", "true" if pushdown else "false")
+        .load()
+    )
 
 
 def write_index_shards(df, path: str, n_shards: int = 4) -> None:

@@ -32,7 +32,12 @@ CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: documented shape for exact-substring decontamination
 #: heavy_hitters joins the 1-row global decrement-budget scalar
 #: corpus_build_pipeline embeds substring_contamination's needle scan
+#: kmv_overlap's pairwise sketch comparison is a theta self-join over
+#: the GROUPS-SIZED sketch table (<= |event types| rows, each row one
+#: k-element sketch) — quadratic in group count by definition of
+#: "all pairs", never in data volume
 SCALAR_JOIN_OK = {
+    "kmv_overlap",
     "substring_contamination",
     "corpus_build_pipeline",
     "heavy_hitters",

@@ -623,6 +623,10 @@ def test_bloom_prefilter_equals_plain_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     got = bloom_prefilter_join(li, orders).collect()
+    # k_hashes is honored, not hardcoded to 3: fewer/more probes change
+    # the filter's selectivity but never the (exact-join) result
+    for k in (2, 5):
+        assert bloom_prefilter_join(li, orders, k_hashes=k).collect() == got
     plain = (
         li.join(
             orders.filter(F.col("o_orderpriority") == "1-URGENT"),
@@ -806,6 +810,43 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == _bpe_reference(wc, 6)
 
 
+def test_bpe_train_survives_quote_and_backslash_symbols(spark):
+    """Learned symbols are bound via F.lit, not spliced into SQL text:
+    corpora containing quotes/backslashes (repr() of which only parses
+    under specific literal/escape parser modes) must train fine."""
+    from collections import Counter
+
+    from flink_elasticsearch_ingestion_spark.operators.text import bpe_train
+
+    texts = [
+        "don't don't don't can't",
+        r"a\'b a\'b a\'b don't",
+        'say "hi" say "hi"',
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["pair"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=5).collect()
+    ]
+    wc = Counter(w for t in texts for w in t.split())
+    assert got == _bpe_reference(wc, 5)
+
+
+def test_linear_probe_rejects_single_class(spark, sf_dir):
+    import pytest as _pytest
+
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        linear_probe_scores,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="n_classes >= 2"):
+        linear_probe_scores(emb, n_classes=1)
+
+
 # ------------------------------------- embedding dedup capstone
 
 
@@ -884,3 +925,42 @@ def test_training_batches_reconstruct_documents(spark, sf_dir):
         " ".join(t.lower().strip().split()) for t in docs.values()
     }
     assert set(decoded_streams) == originals  # lossless round-trip
+
+
+def test_training_batches_lossless_on_mixed_whitespace(spark, tmp_path):
+    """Encoding must tokenize with the SAME \\s+ split the vocabulary
+    uses: with a literal single-space split, tokens adjacent to tabs /
+    newlines / multi-space runs miss the vocab join and are silently
+    dropped (latent in the sf fixtures, which are single-space-only)."""
+    import __spark_entry__ as E
+    from flink_elasticsearch_ingestion_spark.operators.text import vocab_with_ids
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha\tbeta  gamma"),
+            (2, "en", "delta\nepsilon alpha"),
+            (3, "fr", "  beta\t\tzeta \n eta  "),
+            (4, "fr", "theta"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    sf = str(tmp_path / "mixed_ws")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    bins = E.queries()["training_batches"](spark, sf).collect()
+    id2tok = {
+        r["token_id"]: r["token"]
+        for r in vocab_with_ids(docs, min_count=1).collect()
+    }
+    decoded = set()
+    n_docs_out = 0
+    for b in bins:
+        seqs = b["input_ids"].split("|")
+        n_docs_out += len(seqs)
+        for s in seqs:
+            decoded.add(" ".join(id2tok[int(i)] for i in s.split(",")))
+    assert n_docs_out == 4  # every document survives encoding
+    want = {
+        " ".join(t.lower().split())
+        for t in [r["text"] for r in docs.collect()]
+    }
+    assert decoded == want  # no token dropped at the vocab join

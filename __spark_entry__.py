@@ -793,6 +793,15 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup tuning curve: per candidate Jaccard threshold, the
+    surviving near-dup pair count and the number of documents touched —
+    one MinHash pass at the loosest threshold feeds the whole grid.
+    Oracle replays the portable-MinHash pair chain plus both
+    histogram-vs-grid aggregations."""
+    return D.near_dup_threshold_sweep(_t(spark, sf_dir, "documents"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs over an inverted-index join (bounded
     to doc_id < 200 to keep candidate pairs sane at any sf; the df_cap
@@ -1334,6 +1343,18 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic on the same split/grid as
+    drift_psi: sup-norm CDF distance localizing WHERE the order-value
+    distribution slid between periods."""
+    from flink_elasticsearch_ingestion_spark.operators import quality as Q
+
+    period = F.when(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "ref"
+    ).otherwise("cur")
+    return Q.ks_drift(_t(spark, sf_dir, "orders"), "o_totalprice", period)
+
+
 def q_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc repeated-passage removal with in-order reassembly."""
     return X.scrub_boilerplate(_t(spark, sf_dir, "documents"), df_threshold=3)
@@ -1669,6 +1690,27 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, bits=4)
 
 
+def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF SEARCH path, hash-verified end-to-end: deterministic
+    centroids (first 8 embeddings, L2-normalized — the same family
+    ``ivf_assign`` pins), driver probe selection (top-3 centroids by
+    query dot product), Arrow-batched assignment, candidate pruning to
+    the probed inverted lists, exact cosine rescore, top-10.  With the
+    trainer factored out (``ivf_topk`` keeps the learned-k-means path,
+    rows-only by design), every remaining IVF decision is re-derived
+    by DuckDB bit-for-bit."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    c = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    qv = _query_vector(spark, sf_dir)
+    return S.ivf_topk(emb, qv, k=10, nprobe=3, centroids=c)
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (north-star ext)
 # --------------------------------------------------------------------------
@@ -1768,6 +1810,31 @@ def q_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return probe_calibration(_t(spark, sf_dir, "embeddings"))
+
+
+#: fixed BPE merge table for the encoder query (rank order matters);
+#: corpus-independent so the same literals apply at every sf — the
+#: TRAINED path stays in bpe_train, whose loop is rows-only by design
+_BPE_MERGES = [
+    ("t", "a"),
+    ("l", "e"),
+    ("b", "le"),
+    ("ta", "ble"),
+    ("s", "c"),
+    ("sc", "an"),
+    ("q", "u"),
+    ("e", "r"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of the BPE tokenizer, hash-verified: apply a
+    fixed merge table to every document via the shared JVM merge fold
+    (vocabulary-sized chained passes, one plan, no driver loop) and
+    emit per-doc counts + the full encoded symbol stream.  The DuckDB
+    oracle replays every greedy left-to-right merge decision through a
+    recursive CTE over (word, merge rank, symbol position)."""
+    return X.bpe_encode(_t(spark, sf_dir, "documents"), _BPE_MERGES)
 
 
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2079,6 +2146,10 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "kmv_overlap": q_kmv_overlap,
         "probe_calibration": q_probe_calibration,
+        "ivf_topk_fixed": q_ivf_topk_fixed,
+        "bpe_encode": q_bpe_encode,
+        "ks_drift": q_ks_drift,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -3186,6 +3257,33 @@ def oracle_sql() -> dict[str, str]:
             " SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM scored"
             " WHERE rn = 1 ORDER BY vec_id"
         ),
+        "ivf_topk_fixed": (
+            # full IVF search replay: normalized fixed centroids, the
+            # top-3 probe selection, every per-vector argmax
+            # assignment, candidate pruning, exact cosine top-10
+            "WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            "   FROM embeddings),"
+            " nv AS (SELECT vec_id, v, list_transform(v,"
+            "   x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn"
+            "   FROM vecs),"
+            " cents AS (SELECT vec_id AS cid, vn AS cn FROM nv WHERE vec_id < 8),"
+            " q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),"
+            " probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER ("
+            "   ORDER BY list_dot_product(c.cn, q.qv) DESC, c.cid) AS rn"
+            "   FROM cents c CROSS JOIN q) WHERE rn <= 3),"
+            " assigned AS (SELECT vec_id, cid FROM (SELECT a.vec_id, c.cid,"
+            "   row_number() OVER (PARTITION BY a.vec_id"
+            "   ORDER BY list_dot_product(a.vn, c.cn) DESC, c.cid) AS rn"
+            "   FROM nv a CROSS JOIN cents c) WHERE rn = 1),"
+            " cand AS (SELECT n.vec_id, n.v FROM nv n"
+            "   JOIN assigned s ON n.vec_id = s.vec_id"
+            "   JOIN probe p ON s.cid = p.cid)"
+            " SELECT vec_id, round(list_dot_product(v, qv) /"
+            "   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
+            "   AS cosine"
+            " FROM cand CROSS JOIN q"
+            " ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
         "lsh_topk": (
             "WITH planes AS (SELECT * FROM (VALUES "
             + _plane_values(4, [42])
@@ -3637,6 +3735,52 @@ def oracle_sql() -> dict[str, str]:
             " round(q + 1e-9, 6) AS cur_share,"
             " round((p - q) * ln(p / q) + 1e-9, 6) AS psi_term,"
             " round(sum((p - q) * ln(p / q)) OVER () + 1e-9, 6) AS psi_total"
+            " FROM t ORDER BY bin"
+        ),
+        "dedup_threshold_sweep": (
+            "WITH " + _minhash_pairs_cte(0.2) + ","
+            " ph AS (SELECT CAST(floor(jaccard * 10) AS INT) AS bin,"
+            "  count(*) AS n_pairs FROM mh_pairs GROUP BY 1),"
+            " dd AS (SELECT doc, max(jaccard) AS mx FROM ("
+            "  SELECT doc_a AS doc, jaccard FROM mh_pairs"
+            "  UNION ALL SELECT doc_b, jaccard FROM mh_pairs)"
+            "  GROUP BY doc),"
+            " dh AS (SELECT CAST(floor(mx * 10) AS INT) AS bin,"
+            "  count(*) AS n_docs FROM dd GROUP BY 1),"
+            " grid AS (SELECT CAST(t AS DOUBLE) AS threshold FROM (VALUES"
+            "  (0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) v(t)),"
+            " a AS (SELECT threshold,"
+            "  CAST(COALESCE(sum(n_pairs), 0) AS BIGINT) AS n_pairs"
+            "  FROM grid LEFT JOIN ph"
+            "  ON ph.bin >= CAST(round(threshold * 10) AS INT)"
+            "  GROUP BY threshold),"
+            " b AS (SELECT threshold,"
+            "  CAST(COALESCE(sum(n_docs), 0) AS BIGINT) AS n_docs_affected"
+            "  FROM grid LEFT JOIN dh"
+            "  ON dh.bin >= CAST(round(threshold * 10) AS INT)"
+            "  GROUP BY threshold)"
+            " SELECT a.threshold, a.n_pairs, b.n_docs_affected"
+            " FROM a JOIN b USING (threshold) ORDER BY threshold"
+        ),
+        "ks_drift": (
+            "WITH b AS (SELECT least(CAST(floor(o_totalprice / 50000)"
+            "   AS INT), 9) AS bin,"
+            "  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'ref'"
+            "   ELSE 'cur' END AS period FROM orders),"
+            " pb AS (SELECT bin,"
+            "  count(*) FILTER (WHERE period = 'ref') AS n_ref,"
+            "  count(*) FILTER (WHERE period = 'cur') AS n_cur"
+            "  FROM b GROUP BY bin),"
+            " t AS (SELECT bin, n_ref, n_cur,"
+            "  CAST(sum(n_ref) OVER (ORDER BY bin) AS DOUBLE)"
+            "   / CAST(sum(n_ref) OVER () AS DOUBLE) AS cr,"
+            "  CAST(sum(n_cur) OVER (ORDER BY bin) AS DOUBLE)"
+            "   / CAST(sum(n_cur) OVER () AS DOUBLE) AS cc FROM pb)"
+            " SELECT bin, n_ref, n_cur,"
+            " round(cr + 1e-9, 6) AS cum_ref_share,"
+            " round(cc + 1e-9, 6) AS cum_cur_share,"
+            " round(abs(cr - cc) + 1e-9, 6) AS cdf_gap,"
+            " max(round(abs(cr - cc) + 1e-9, 6)) OVER () AS ks_stat"
             " FROM t ORDER BY bin"
         ),
         "scrub_boilerplate": (
@@ -4283,6 +4427,61 @@ def oracle_sql() -> dict[str, str]:
             " SELECT w AS word, true_count,"
             " true AS never_over, true AS within_bound"
             " FROM exact ORDER BY true_count DESC, word LIMIT 20"
+        ),
+        "bpe_encode": (
+            # greedy BPE merge replay: a recursive CTE walks each
+            # vocabulary word through (merge rank, symbol position)
+            # states with the same (result, pending) fold the engine
+            # runs as a JVM aggregate — then re-joins tokens per doc
+            "WITH RECURSIVE merges(mrank, a, b, ab) AS (VALUES "
+            + ", ".join(
+                f"({i}, '{a}', '{b}', '{a + b}')"
+                for i, (a, b) in enumerate(_BPE_MERGES)
+            )
+            + "),"
+            " tok AS (SELECT doc_id, i AS pos, w[i] AS token"
+            "  FROM (SELECT doc_id,"
+            "    string_split_regex(trim(text), '\\s+') AS w FROM documents),"
+            "  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g"
+            "  ),"
+            " tk AS (SELECT * FROM tok WHERE length(token) > 0),"
+            " vocab AS (SELECT DISTINCT token FROM tk),"
+            " rec AS ("
+            "  SELECT token, 0 AS mrank, string_split(token, '') AS syms,"
+            "   0 AS pos, CAST([] AS VARCHAR[]) AS res,"
+            "   CAST(NULL AS VARCHAR) AS pend FROM vocab"
+            "  UNION ALL"
+            "  SELECT r.token,"
+            "   CASE WHEN r.pos < len(r.syms) THEN r.mrank"
+            "    ELSE r.mrank + 1 END,"
+            "   CASE WHEN r.pos < len(r.syms) THEN r.syms"
+            "    ELSE CASE WHEN r.pend IS NULL THEN r.res"
+            "     ELSE r.res || [r.pend] END END,"
+            "   CASE WHEN r.pos < len(r.syms) THEN r.pos + 1 ELSE 0 END,"
+            "   CASE WHEN r.pos < len(r.syms) THEN"
+            "     CASE WHEN r.pend IS NULL THEN r.res"
+            "      WHEN r.pend = m.a AND r.syms[r.pos + 1] = m.b"
+            "       THEN r.res || [m.ab]"
+            "      ELSE r.res || [r.pend] END"
+            "    ELSE CAST([] AS VARCHAR[]) END,"
+            "   CASE WHEN r.pos < len(r.syms) THEN"
+            "     CASE WHEN r.pend IS NULL THEN r.syms[r.pos + 1]"
+            "      WHEN r.pend = m.a AND r.syms[r.pos + 1] = m.b"
+            "       THEN CAST(NULL AS VARCHAR)"
+            "      ELSE r.syms[r.pos + 1] END"
+            "    ELSE CAST(NULL AS VARCHAR) END"
+            "  FROM rec r JOIN merges m ON m.mrank = r.mrank),"
+            " enc AS (SELECT token, len(syms) AS n_syms,"
+            "   array_to_string(syms, ',') AS syms_csv"
+            f"  FROM rec WHERE mrank = {len(_BPE_MERGES)} AND pos = 0)"
+            " SELECT tk.doc_id,"
+            " count(*) AS n_tokens,"
+            " CAST(sum(e.n_syms) AS BIGINT) AS n_symbols,"
+            " round(CAST(sum(e.n_syms) AS DOUBLE) / count(*) + 1e-9, 4)"
+            "  AS symbols_per_token,"
+            " string_agg(e.syms_csv, ' ' ORDER BY tk.pos) AS encoded"
+            " FROM tk JOIN enc e USING (token)"
+            " GROUP BY tk.doc_id ORDER BY tk.doc_id"
         ),
         "probe_calibration": (
             # full replay: probe logits from the shared literal weight

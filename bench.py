@@ -151,6 +151,13 @@ EXTENDED = [
     "bpe_train",
     "embedding_dup_clusters",
     "training_batches",
+    # round-4 additions
+    "kmv_overlap",
+    "probe_calibration",
+    "ivf_topk_fixed",
+    "bpe_encode",
+    "ks_drift",
+    "dedup_threshold_sweep",
 ]
 
 

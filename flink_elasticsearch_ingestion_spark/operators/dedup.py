@@ -1355,3 +1355,71 @@ def token_set_similarity_join(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def near_dup_threshold_sweep(
+    documents: DataFrame,
+    *,
+    thresholds: tuple = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    num_hashes: int = 16,
+    bands: int = 8,
+    word_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup tuning curve: for each candidate Jaccard threshold, how
+    many near-dup PAIRS survive and how many DOCUMENTS are touched by
+    at least one such pair.  This is the query a corpus engineer runs
+    BEFORE near-dup dedup — the threshold is a yield/quality dial, and
+    picking it blind (or re-running the full pipeline once per
+    candidate value) is the usual failure mode.  One pass produces the
+    whole curve.
+
+    Scale shape: the MinHash pair generation (the only fact-sized
+    work) runs ONCE at the loosest threshold; everything after is two
+    tiny histogram aggregates — pairs bucketed by floor(jaccard*10),
+    per-doc max-jaccard likewise — and a literal threshold grid joined
+    against those <= 10-row frames (a bounded nested-loop by
+    construction, exempted by name in the plan audit).  Adding a
+    threshold to the grid costs nothing.
+    """
+    lo = min(thresholds)
+    pairs = minhash_near_duplicates(
+        documents,
+        word_k=word_k,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=lo,
+        id_col=id_col,
+        text_col=text_col,
+        portable=True,
+        band_cap=None,
+    ).select("doc_a", "doc_b", "jaccard")
+    spark = documents.sparkSession
+    pair_hist = pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    doc_hist = (
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc"), "jaccard"
+        )
+        .groupBy("doc")
+        .agg(F.max("jaccard").alias("mx"))
+        .groupBy(F.floor(F.col("mx") * 10).cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    grid = spark.createDataFrame(
+        [(float(round(t, 1)),) for t in thresholds], "threshold double"
+    )
+    gbin = F.round(F.col("threshold") * 10).cast("int")
+    pairs_ge = (
+        grid.join(pair_hist, pair_hist["bin"] >= gbin, "left")
+        .groupBy("threshold")
+        .agg(F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("n_pairs"))
+    )
+    docs_ge = (
+        grid.join(doc_hist, doc_hist["bin"] >= gbin, "left")
+        .groupBy("threshold")
+        .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs_affected"))
+    )
+    return pairs_ge.join(docs_ge, "threshold").orderBy("threshold")

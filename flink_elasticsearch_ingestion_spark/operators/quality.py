@@ -243,6 +243,62 @@ def distribution_drift_psi(
     return with_terms.orderBy("bin")
 
 
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    period_col: F.Column,
+    *,
+    bin_width: float = 50_000.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic on the SAME fixed
+    literal bin grid as :func:`distribution_drift_psi` — the sup-norm
+    CDF distance complements PSI's density-ratio view (PSI reacts to
+    mass re-weighting anywhere; KS localizes the largest cumulative
+    displacement, so the reported argmax bin says WHERE the
+    distribution slid).  Exact KS needs a global sort of the pooled
+    sample; the binned variant is the 100 TB formulation — one scan,
+    one <= ``n_bins``-key shuffle, and windows only over the
+    aggregated <= ``n_bins``-row frame (identical scale shape to PSI).
+
+    Emits per-bin cumulative shares, the per-bin CDF gap, and the KS
+    statistic (max gap) replicated on every row.
+    """
+    from pyspark.sql import Window
+
+    b = F.least(
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    per_bin = (
+        df.select(b.alias("bin"), period_col.alias("period"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("period") == "ref", 1)).alias("n_ref"),
+            F.count(F.when(F.col("period") == "cur", 1)).alias("n_cur"),
+        )
+    )
+    # all windows are over the aggregated <= n_bins-row frame
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_ref = F.sum("n_ref").over(w_cum) / F.sum("n_ref").over(w_all)
+    cum_cur = F.sum("n_cur").over(w_cum) / F.sum("n_cur").over(w_all)
+    gap = F.abs(cum_ref - cum_cur)
+    with_gaps = per_bin.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(cum_ref + F.lit(1e-9), 6).alias("cum_ref_share"),
+        F.round(cum_cur + F.lit(1e-9), 6).alias("cum_cur_share"),
+        F.round(gap + F.lit(1e-9), 6).alias("cdf_gap"),
+    )
+    return with_gaps.withColumn(
+        "ks_stat", F.max("cdf_gap").over(w_all)
+    ).orderBy("bin")
+
+
 def winsorized_stats(
     df: DataFrame,
     value_col: str,

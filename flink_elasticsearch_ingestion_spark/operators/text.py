@@ -1050,6 +1050,102 @@ def bpe_pair_counts(
     )
 
 
+def bpe_merge_fold(syms: F.Column, a: str, b: str) -> F.Column:
+    """ONE greedy left-to-right BPE merge pass over a symbol array as a
+    pure JVM fold: accumulator = (result array, pending symbol); the
+    pending symbol merges with the next when they form (a, b), else
+    flushes.  Symbols are bound as ``F.lit`` columns, NOT spliced into
+    an SQL string — learned symbols from arbitrary corpora may contain
+    quotes/backslashes, whose repr() form only parses under specific
+    literal/escape parser modes.  Shared by the trainer (``bpe_train``)
+    and the encoder (``bpe_encode``) so both apply IDENTICAL merge
+    semantics."""
+    ab = a + b
+
+    def _step(acc, s):
+        take_pending = F.struct(acc["res"].alias("res"), s.alias("pend"))
+        do_merge = F.struct(
+            F.array_append(acc["res"], F.lit(ab)).alias("res"),
+            F.lit(None).cast("string").alias("pend"),
+        )
+        flush_pending = F.struct(
+            F.array_append(acc["res"], acc["pend"]).alias("res"),
+            s.alias("pend"),
+        )
+        return F.when(acc["pend"].isNull(), take_pending).otherwise(
+            F.when((acc["pend"] == F.lit(a)) & (s == F.lit(b)), do_merge).otherwise(
+                flush_pending
+            )
+        )
+
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.expr("CAST(array() AS ARRAY<STRING>)").alias("res"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        _step,
+        lambda acc: F.when(acc["pend"].isNull(), acc["res"]).otherwise(
+            F.array_append(acc["res"], acc["pend"])
+        ),
+    )
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a BPE merge table to every document — the INFERENCE half
+    of the tokenizer (``bpe_train`` is the trainer): word -> character
+    symbols -> each merge applied in rank order via the shared
+    ``bpe_merge_fold``.  Returns per-document token/symbol counts, the
+    compression ratio, and the full encoded symbol stream (symbols
+    comma-joined within a word, words space-joined in document order) —
+    lossless: the original text is the stream with separators dropped.
+
+    Scale shape: merges fold over the DISTINCT-WORD vocabulary (the
+    chained per-merge passes are vocabulary-sized expressions in ONE
+    plan — no driver loop, no iteration over the corpus), and the only
+    fact-sized work is the token join + per-doc ordered re-collect,
+    the same single-shuffle encode shape as ``q_training_batches``.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    vocab = toks.select("token").distinct()
+    syms = F.split(F.col("token"), "")
+    for a, b in merges:
+        syms = bpe_merge_fold(syms, a, b)
+    encoded_vocab = vocab.select(
+        "token",
+        F.size(syms).alias("n_syms"),
+        F.array_join(syms, ",").alias("syms_csv"),
+    )
+    return (
+        toks.join(encoded_vocab, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_syms").alias("n_symbols"),
+            F.round(
+                F.sum("n_syms") / F.count(F.lit(1)) + 1e-9, 4
+            ).alias("symbols_per_token"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms_csv"))),
+                    lambda s: s["syms_csv"],
+                ),
+                " ",
+            ).alias("encoded"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def bpe_train(
     documents: DataFrame,
     *,
@@ -1104,45 +1200,7 @@ def bpe_train(
                 break
             a, b = top[0]["pair"].split(" ")
             merges.append((r, top[0]["pair"], int(top[0]["cnt"])))
-            # fold: acc = (result array, pending symbol); pending
-            # merges with s when (pending, s) is the chosen pair.
-            # Symbols are bound as F.lit columns, NOT spliced into an
-            # SQL string — learned symbols from arbitrary corpora may
-            # contain quotes/backslashes, whose repr() form only parses
-            # under specific literal/escape parser modes.
-            def _make_step(_a, _b, _ab):
-                def _step(acc, s):
-                    take_pending = F.struct(
-                        acc["res"].alias("res"), s.alias("pend")
-                    )
-                    do_merge = F.struct(
-                        F.array_append(acc["res"], F.lit(_ab)).alias("res"),
-                        F.lit(None).cast("string").alias("pend"),
-                    )
-                    flush_pending = F.struct(
-                        F.array_append(acc["res"], acc["pend"]).alias("res"),
-                        s.alias("pend"),
-                    )
-                    return F.when(acc["pend"].isNull(), take_pending).otherwise(
-                        F.when(
-                            (acc["pend"] == F.lit(_a)) & (s == F.lit(_b)),
-                            do_merge,
-                        ).otherwise(flush_pending)
-                    )
-
-                return _step
-
-            merged = F.aggregate(
-                F.col("syms"),
-                F.struct(
-                    F.expr("CAST(array() AS ARRAY<STRING>)").alias("res"),
-                    F.lit(None).cast("string").alias("pend"),
-                ),
-                _make_step(a, b, a + b),
-                lambda acc: F.when(acc["pend"].isNull(), acc["res"]).otherwise(
-                    F.array_append(acc["res"], acc["pend"])
-                ),
-            )
+            merged = bpe_merge_fold(F.col("syms"), a, b)
             nxt = cur.select("wc", merged.alias("syms")).persist()
             nxt.count()  # materialize before releasing the parent
             cur.unpersist()

@@ -825,3 +825,103 @@ def stream_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kmv_apply_factory(
+    spark: SparkSession,
+    sketch_path: str,
+    *,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 128,
+):
+    """The foreachBatch body for ``stream_kmv``: fold one micro-batch
+    into the persistent per-group KMV sketch table — the streaming twin
+    of the batch ``kmv_set_overlap`` sketch build.
+
+    KMV merge is EXACT by construction (the k smallest of a union are
+    the k smallest of the two sides' k-smallest sets), so the
+    continuously-maintained sketch is bit-identical to one built from
+    the full history — the strongest property a streaming sketch can
+    have, and the reason state stays a parquet table of
+    <= groups x k rows (never the stream state store).
+
+    The batch-side k-smallest uses a plain per-group window: a
+    MICRO-batch is bounded by the trigger, so the per-group sort is a
+    micro-batch-sized task (the batch operator's two-phase salting
+    exists for full-corpus scans, not here).  Exactly-once under
+    foreachBatch retries: the sketch records the last applied
+    batch_id; a replayed id is a no-op.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        portable_hash31,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prior_rows: list = []
+        if os.path.isdir(sketch_path):
+            prior_rows = spark.read.parquet(sketch_path).collect()
+            if prior_rows and max(r["last_batch"] for r in prior_rows) >= batch_id:
+                return  # replayed batch: already folded in
+        hashed = batch_df.select(
+            F.col(group_col).alias("grp"),
+            portable_hash31(F.col(key_col).cast("string")).alias("h"),
+        ).distinct()
+        w = Window.partitionBy("grp").orderBy("h")
+        batch_rows = (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("grp", "h")
+            .collect()
+        )  # bounded: <= groups * k sketch elements
+        sets: dict[str, set] = {}
+        for r in list(prior_rows) + list(batch_rows):
+            sets.setdefault(r["grp"], set()).add(int(r["h"]))
+        out = [
+            (g, h, int(batch_id))
+            for g, hs in sets.items()
+            for h in sorted(hs)[:k]
+        ]
+        new = spark.createDataFrame(out, "grp string, h long, last_batch long")
+        tmp = sketch_path.rstrip("/") + "__merging"
+        new.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(sketch_path):
+            shutil.rmtree(sketch_path)
+        shutil.move(tmp, sketch_path)
+
+    return apply_batch
+
+
+def stream_kmv(
+    spark: SparkSession,
+    events_path: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 128,
+):
+    """Streaming KMV sketch maintenance: every micro-batch of events
+    folds into the per-group k-minimum-values sketch table, keeping
+    distinct / Jaccard / intersection estimates continuously fresh
+    with bounded state (see ``kmv_apply_factory``)."""
+    schema = spark.read.parquet(events_path).schema
+    apply_batch = kmv_apply_factory(
+        spark, sketch_path, key_col=key_col, group_col=group_col, k=k
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

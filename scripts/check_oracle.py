@@ -104,11 +104,44 @@ def _dtype_class_mismatch(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     return out
 
 
+def _vanilla_spark():
+    """The driver replica: a bare builder with NONE of the engine's
+    session conf (stock shuffle partitions, filter pushdown off, no
+    timezone pin).  Catalog queries must be green here too — round 3's
+    only red row was an engine-conf dependence this mode now catches
+    before the driver does."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("oracle-check-vanilla")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "false"
+    return spark
+
+
 def main():
-    only = set(sys.argv[1:])
-    spark = get_spark("oracle-check")
+    args = sys.argv[1:]
+    window_n = None
+    vanilla = False
+    if "--vanilla" in args:
+        vanilla = True
+        args.remove("--vanilla")
+    for a in list(args):
+        if a.startswith("--window="):
+            # simulate the driver's bounded check window: first N
+            # entries of queries() only
+            window_n = int(a.split("=", 1)[1])
+            args.remove(a)
+    only = set(args)
+    spark = _vanilla_spark() if vanilla else get_spark("oracle-check")
     con = duck_con()
     qs = E.queries()
+    if window_n is not None:
+        qs = dict(list(qs.items())[:window_n])
     oracles = E.oracle_sql()
     failures = []
     for name, fn in qs.items():

@@ -24,6 +24,9 @@ RISKY = [
     "weighted_sample",    # ln(u)/w keys
     "embedding_dup_clusters",  # cosine-at-threshold
     "drift_psi",          # eps-smoothed shares
+    "ks_drift",           # cumulative shares / sup-norm gap
+    "kmv_overlap",        # estimator ratios
+    "probe_calibration",  # per-bin rates
 ]
 
 

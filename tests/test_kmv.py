@@ -61,6 +61,46 @@ def test_large_sets_estimate_within_tolerance(spark):
     assert abs(r["est_inter"] - n // 2) / (n // 2) < 0.35
 
 
+def test_stream_kmv_merge_equals_full_history(spark, tmp_path):
+    """Folding batches through kmv_apply_factory yields the EXACT
+    sketch a single pass over the full history builds (KMV merge is
+    lossless over sketch state), and a replayed batch id is a no-op."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        portable_hash31,
+    )
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        kmv_apply_factory,
+    )
+
+    k = 16
+    sketch = str(tmp_path / "sketch")
+    apply_batch = kmv_apply_factory(
+        spark, sketch, key_col="user_id", group_col="event_type", k=k
+    )
+    b1 = _events(spark, {"a": range(0, 300), "b": range(100, 400)})
+    b2 = _events(spark, {"a": range(250, 600), "c": range(0, 50)})
+    apply_batch(b1, 0)
+    apply_batch(b2, 1)
+    apply_batch(b2, 1)  # replay: must be a no-op
+    got = {
+        (r["grp"], r["h"]) for r in spark.read.parquet(sketch).collect()
+    }
+    full = b1.union(b2).select(
+        F.col("event_type").alias("grp"),
+        portable_hash31(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    import pyspark.sql.window as W
+
+    rn = F.row_number().over(
+        W.Window.partitionBy("grp").orderBy("h")
+    )
+    want = {
+        (r["grp"], r["h"])
+        for r in full.withColumn("rn", rn).filter(F.col("rn") <= k).collect()
+    }
+    assert got == want
+
+
 def test_duplicate_events_do_not_inflate(spark):
     """The sketch is over DISTINCT keys: replaying each event 5x
     changes nothing."""

@@ -36,8 +36,11 @@ CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: the GROUPS-SIZED sketch table (<= |event types| rows, each row one
 #: k-element sketch) — quadratic in group count by definition of
 #: "all pairs", never in data volume
+#: dedup_threshold_sweep joins the literal threshold grid (8 rows)
+#: against <= 10-row jaccard histograms — bounded by construction
 SCALAR_JOIN_OK = {
     "kmv_overlap",
+    "dedup_threshold_sweep",
     "substring_contamination",
     "corpus_build_pipeline",
     "heavy_hitters",

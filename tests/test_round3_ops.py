@@ -93,6 +93,60 @@ def test_drift_psi_detects_shift(spark):
     assert all(r["psi_term"] == r["psi_term"] for r in out)  # no NaN
 
 
+def test_ks_drift_identical_distribution_is_zero(spark):
+    from flink_elasticsearch_ingestion_spark.operators.quality import ks_drift
+
+    df = spark.createDataFrame(
+        [(float(v), p) for v in (10_000, 60_000, 120_000, 480_000) for p in ("ref", "cur")],
+        "val double, tag string",
+    )
+    out = ks_drift(df, "val", F.col("tag")).collect()
+    assert all(abs(r["cdf_gap"]) < 1e-9 for r in out)
+    assert all(abs(r["ks_stat"]) < 1e-9 for r in out)
+    # cumulative shares reach 1 in the last bin
+    assert abs(out[-1]["cum_ref_share"] - 1.0) < 1e-3
+
+
+def test_ks_drift_localizes_full_shift(spark):
+    # all ref mass below bin 1, all cur mass above: KS = 1 exactly,
+    # and the max gap sits at the boundary bin
+    rows = [(10_000.0, "ref")] * 50 + [(490_000.0, "cur")] * 50
+    from flink_elasticsearch_ingestion_spark.operators.quality import ks_drift
+
+    df = spark.createDataFrame(rows, "val double, tag string")
+    out = ks_drift(df, "val", F.col("tag")).collect()
+    assert abs(out[0]["ks_stat"] - 1.0) < 1e-6
+    assert abs(out[0]["cdf_gap"] - 1.0) < 1e-6  # gap maximal at bin 0
+
+
+def test_threshold_sweep_monotone_and_planted(spark):
+    """The curve is monotone non-increasing in the threshold, and a
+    planted exact-dup pair survives every threshold while a disjoint
+    doc contributes nothing."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        near_dup_threshold_sweep,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, same),
+            (2, same),                       # exact dup of 1 (J = 1.0)
+            (3, same + " extra words here"), # near dup
+            (4, "totally different text with no overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = near_dup_threshold_sweep(docs).collect()
+    pair_counts = [r["n_pairs"] for r in rows]
+    doc_counts = [r["n_docs_affected"] for r in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    assert doc_counts == sorted(doc_counts, reverse=True)
+    by_t = {r["threshold"]: r for r in rows}
+    assert by_t[0.9]["n_pairs"] >= 1      # the exact dup survives 0.9
+    assert by_t[0.2]["n_docs_affected"] <= 3  # doc 4 never appears
+
+
 # ---------------------------------------------------------- boilerplate
 
 
@@ -832,6 +886,58 @@ def test_bpe_train_survives_quote_and_backslash_symbols(spark):
     ]
     wc = Counter(w for t in texts for w in t.split())
     assert got == _bpe_reference(wc, 5)
+
+
+def test_bpe_encode_greedy_and_lossless(spark):
+    """The encoder applies merges greedily left-to-right (aaa with
+    merge (a,a) -> [aa, a], never [a, aa]), in rank order, and the
+    symbol stream concatenates back to the original text."""
+    from flink_elasticsearch_ingestion_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aaa ab table"), (2, "banana scan")],
+        "doc_id long, text string",
+    )
+    merges = [("a", "a"), ("t", "a"), ("l", "e"), ("b", "le"), ("ta", "ble")]
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    enc1 = out[1]["encoded"].split(" ")
+    assert enc1[0] == "aa,a"          # greedy, not a,aa
+    assert enc1[1] == "a,b"           # (a,a) does not fire on 'ab'
+    assert enc1[2] == "table"         # cascade ta+b+le -> ta+ble -> table
+    assert out[1]["n_symbols"] == 2 + 2 + 1
+    for r in out.values():
+        rebuilt = " ".join(
+            w.replace(",", "") for w in r["encoded"].split(" ")
+        )
+        # stream minus separators == original text (lossless)
+        assert rebuilt in {"aaa ab table", "banana scan"}
+
+
+def test_bpe_train_then_encode_compose(spark):
+    """Encoding with the trained merge table shrinks the corpus and
+    the shared fold keeps trainer/encoder semantics identical: the
+    most-frequent trained pair never survives as adjacent symbols."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low low lower lowest new newer") for i in range(3)],
+        "doc_id long, text string",
+    )
+    merges = [
+        tuple(r["pair"].split(" "))
+        for r in bpe_train(docs, n_merges=4).collect()
+    ]
+    enc = bpe_encode(docs, merges).collect()
+    for r in enc:
+        assert r["n_symbols"] < sum(len(w) for w in "low low lower lowest new newer".split())
+        first = merges[0]
+        for word in r["encoded"].split(" "):
+            syms = word.split(",")
+            for x, y in zip(syms, syms[1:]):
+                assert (x, y) != first  # rank-0 pair fully merged
 
 
 def test_linear_probe_rejects_single_class(spark, sf_dir):

@@ -793,6 +793,63 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared token spans across doc pairs (exact-substring
+    dedup, Lee et al. 2022): window-hash join + diagonal
+    gaps-and-islands; ids+hashes-only shuffle, df-capped stop
+    windows.  Oracle replays windows, matches, and island collapse."""
+    return D.shared_span_mining(_t(spark, sf_dir, "documents"))
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual
+    information (min count 5) — separates true collocations from
+    merely-frequent pairs; tokenizer-seeding / phrase-dedup input."""
+    return X.bigram_pmi(_t(spark, sf_dir, "documents"))
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew preflight: top-20 heaviest events.user_id keys
+    with share / cumulative share / multiple-of-average — the numbers
+    that pick salting vs AQE vs broadcast before a 100 TB shuffle."""
+    from flink_elasticsearch_ingestion_spark.operators.skew import (
+        join_key_skew_profile,
+    )
+
+    return join_key_skew_profile(_t(spark, sf_dir, "events"), "user_id")
+
+
+def q_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring leakage across the train/val/test split:
+    maximal shared spans whose endpoints live in DIFFERENT splits —
+    the verbatim-overlap eval-hygiene audit (complement of
+    split_leakage's near-dup view).  Composes hash_split with
+    shared_span_mining; the oracle re-derives both."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = D.shared_span_mining(docs)
+    split = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    sa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        spans.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "doc_a", "doc_b", "split_a", "split_b",
+            "start_a", "start_b", "span_tokens",
+        )
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    )
+
+
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup tuning curve: per candidate Jaccard threshold, the
     surviving near-dup pair count and the number of documents touched —
@@ -1716,6 +1773,26 @@ def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: the decode->feature->LSH-bucket->cosine
+    pipeline every image/audio dedup job runs, end-to-end through the
+    REAL Spark plumbing (Arrow mapInPandas feature extraction, dim
+    inferred from the data, multi-table sign-LSH self-join, exact
+    cosine verify).  The stub decoder derives features from the
+    payload sha256, so the DuckDB oracle re-derives every feature,
+    bucket, and cosine bit-for-bit — swap a real codec into DECODERS
+    and the same query becomes perceptual near-dup."""
+    feats = M.extract_features(
+        M.documents_as_media(_t(spark, sf_dir, "documents"))
+    ).select(F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding"))
+    pairs = S.embedding_near_duplicates(feats, threshold=0.995, bits=4, tables=4)
+    return pairs.select(
+        F.col("vec_a").alias("media_a"),
+        F.col("vec_b").alias("media_b"),
+        "cosine",
+    ).orderBy("media_a", "media_b")
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_stats(M.documents_as_media(_t(spark, sf_dir, "documents")))
 
@@ -2044,7 +2121,14 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of round-1 greens not re-checked since r01.  Names absent from the
 # catalog are skipped, extras append in catalog order, so the list is
 # safe to edit.  Cumulative driver verification after this window:
-# 178/178 declared queries.
+# 178/178 of the round-3 catalog.
+#
+# ROUND-5 ROTATION NOTE: the round-4 additions land at position 51+
+# and will need promotion next round (all hash-green under the local
+# gate and the vanilla-session driver replica): kmv_overlap,
+# probe_calibration, ivf_topk_fixed, bpe_encode, ks_drift,
+# dedup_threshold_sweep, media_near_dup, shared_spans, span_leakage,
+# skew_profile, bigram_pmi.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2150,6 +2234,11 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "ks_drift": q_ks_drift,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "media_near_dup": q_media_near_dup,
+        "shared_spans": q_shared_spans,
+        "span_leakage": q_span_leakage,
+        "skew_profile": q_skew_profile,
+        "bigram_pmi": q_bigram_pmi,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -2327,6 +2416,42 @@ def _minhash_pairs_cte(threshold: float = 0.4) -> str:
         "   JOIN hv hb ON hb.doc_id = cand.doc_b),"
         " mh_pairs AS (SELECT doc_a, doc_b, jaccard FROM verified"
         f"   WHERE jaccard >= {threshold})"
+    )
+
+
+def _shared_spans_cte(window_k: int = 8, min_span: int = 12, df_cap: int = 50) -> str:
+    """Shared CTE chain re-deriving ``shared_span_mining`` in DuckDB:
+    md5-31 window hashes over space-joined ``window_k``-token windows,
+    df-capped stop windows, cross-doc equi-join, and the diagonal
+    gaps-and-islands collapse to MAXIMAL spans.  Ends with a ``spans``
+    CTE (doc_a, doc_b, start_a, start_b, span_tokens).  Used by the
+    shared_spans and span_leakage oracles."""
+    k = window_k
+    return (
+        "t AS (SELECT doc_id AS doc,"
+        "  string_split_regex(trim(text), '\\s+') AS toks"
+        "  FROM documents),"
+        " win AS (SELECT doc, i AS pos,"
+        "  ('0x' || substr(md5(array_to_string("
+        f"    toks[i + 1 : i + {k}], ' ')), 1, 8))::BIGINT"
+        "    % 2147483647 AS wh"
+        "  FROM t, LATERAL (SELECT unnest(generate_series(0,"
+        f"   len(toks) - {k})) AS i) g WHERE len(toks) >= {k}),"
+        " keep AS (SELECT wh FROM win GROUP BY wh"
+        f"  HAVING count(DISTINCT doc) <= {df_cap}),"
+        " wk AS (SELECT win.* FROM win JOIN keep USING (wh)),"
+        " m AS (SELECT a.doc AS doc_a, b.doc AS doc_b,"
+        "  a.pos AS pa, b.pos AS pb FROM wk a JOIN wk b"
+        "  ON a.wh = b.wh AND a.doc < b.doc),"
+        " isl AS (SELECT doc_a, doc_b, pa, pb,"
+        "  pa - row_number() OVER (PARTITION BY doc_a, doc_b,"
+        "   pa - pb ORDER BY pa) AS grp FROM m),"
+        " spans AS (SELECT doc_a, doc_b,"
+        " CAST(min(pa) AS INT) AS start_a,"
+        " CAST(min(pb) AS INT) AS start_b,"
+        f" CAST(count(*) + {k - 1} AS BIGINT) AS span_tokens"
+        " FROM isl GROUP BY doc_a, doc_b, pa - pb, grp"
+        f" HAVING count(*) + {k - 1} >= {min_span})"
     )
 
 
@@ -3196,6 +3321,34 @@ def oracle_sql() -> dict[str, str]:
             "   AS f0"
             " FROM documents ORDER BY media_id"
         ),
+        "media_near_dup": (
+            # features re-derived from the payload sha256 (the stub
+            # decoder's contract), dim-8 planes inlined, full
+            # bucket + cosine replay
+            "WITH planes AS (SELECT * FROM (VALUES "
+            + _plane_values(4, [42 + t for t in range(4)], dim=8)
+            + ") AS t(tbl, i, p)),"
+            " vecs AS (SELECT doc_id AS vec_id, ["
+            + ", ".join(
+                f"('0x' || substr(sha256(text), {i * 2 + 1}, 2))::INT / 255.0"
+                for i in range(8)
+            )
+            + " ]::DOUBLE[] AS v FROM documents),"
+            " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
+            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
+            " cand AS (SELECT DISTINCT a.vec_id AS media_a, b.vec_id AS media_b"
+            "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl"
+            "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"
+            " verified AS (SELECT media_a, media_b,"
+            "   round(list_dot_product(va.v, vb.v) /"
+            "     (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),"
+            "     6) AS cosine"
+            "   FROM cand JOIN vecs va ON va.vec_id = cand.media_a"
+            "   JOIN vecs vb ON vb.vec_id = cand.media_b)"
+            " SELECT media_a, media_b, cosine FROM verified"
+            " WHERE cosine >= 0.995 ORDER BY media_a, media_b"
+        ),
         "knn_join_lsh": (
             "WITH planes AS (SELECT * FROM (VALUES "
             + _plane_values(4, [42 + t for t in range(8)])
@@ -3736,6 +3889,65 @@ def oracle_sql() -> dict[str, str]:
             " round((p - q) * ln(p / q) + 1e-9, 6) AS psi_term,"
             " round(sum((p - q) * ln(p / q)) OVER () + 1e-9, 6) AS psi_total"
             " FROM t ORDER BY bin"
+        ),
+        "shared_spans": (
+            "WITH " + _shared_spans_cte()
+            + " SELECT doc_a, doc_b, start_a, start_b, span_tokens"
+            " FROM spans ORDER BY doc_a, doc_b, start_a, start_b"
+        ),
+        "bigram_pmi": (
+            "WITH d AS (SELECT string_split_regex(trim(text), '\\s+') AS toks"
+            "  FROM documents),"
+            " words AS (SELECT unnest(toks) AS w FROM d),"
+            " uni AS (SELECT w, count(*) AS c FROM words WHERE w <> ''"
+            "  GROUP BY w),"
+            " tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),"
+            " bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram"
+            "  FROM d, LATERAL (SELECT unnest(generate_series(1,"
+            "   len(toks) - 1)) AS i) g WHERE len(toks) >= 2),"
+            " bi AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram"
+            "  HAVING count(*) >= 5),"
+            " parts AS (SELECT bigram, c_ab,"
+            "  string_split(bigram, ' ')[1] AS w1,"
+            "  string_split(bigram, ' ')[2] AS w2 FROM bi)"
+            " SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,"
+            " round(ln(CAST(c_ab AS DOUBLE) * n_tokens /"
+            "  (CAST(ua.c AS DOUBLE) * ub.c)) + 1e-9, 6) AS pmi"
+            " FROM parts JOIN uni ua ON ua.w = parts.w1"
+            " JOIN uni ub ON ub.w = parts.w2 CROSS JOIN tot"
+            " ORDER BY pmi DESC, bigram LIMIT 20"
+        ),
+        "skew_profile": (
+            "WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,"
+            "  count(*) AS n FROM events GROUP BY 1),"
+            " tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,"
+            "  count(*) AS n_keys FROM c),"
+            " top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20)"
+            " SELECT key, n,"
+            " round(CAST(n AS DOUBLE) / total + 1e-9, 6) AS share,"
+            " round(CAST(sum(n) OVER (ORDER BY n DESC, key) AS DOUBLE)"
+            "  / total + 1e-9, 6) AS cum_share,"
+            " round(CAST(n AS DOUBLE) * n_keys / total + 1e-9, 4) AS x_avg"
+            " FROM top CROSS JOIN tot ORDER BY n DESC, key"
+        ),
+        "span_leakage": (
+            # shared spans straddling the deterministic hash split:
+            # composes the span-mining replay with the portable-md5
+            # split membership (same uniform as hash_split)
+            "WITH " + _shared_spans_cte()
+            + ", sp AS (SELECT doc_id, CASE"
+            "  WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 13))::BIGINT"
+            "   / 4503599627370496.0 < 0.8 THEN 'train'"
+            "  WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 13))::BIGINT"
+            "   / 4503599627370496.0 < 0.9 THEN 'val'"
+            "  ELSE 'test' END AS split FROM documents)"
+            " SELECT s.doc_a, s.doc_b,"
+            " sa.split AS split_a, sb.split AS split_b,"
+            " s.start_a, s.start_b, s.span_tokens"
+            " FROM spans s JOIN sp sa ON sa.doc_id = s.doc_a"
+            " JOIN sp sb ON sb.doc_id = s.doc_b"
+            " WHERE sa.split <> sb.split"
+            " ORDER BY s.doc_a, s.doc_b, s.start_a, s.start_b"
         ),
         "dedup_threshold_sweep": (
             "WITH " + _minhash_pairs_cte(0.2) + ","

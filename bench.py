@@ -158,6 +158,11 @@ EXTENDED = [
     "bpe_encode",
     "ks_drift",
     "dedup_threshold_sweep",
+    "media_near_dup",
+    "shared_spans",
+    "span_leakage",
+    "skew_profile",
+    "bigram_pmi",
 ]
 
 

@@ -1423,3 +1423,88 @@ def near_dup_threshold_sweep(
         .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs_affected"))
     )
     return pairs_ge.join(docs_ge, "threshold").orderBy("threshold")
+
+
+def shared_span_mining(
+    documents: DataFrame,
+    *,
+    window_k: int = 8,
+    min_span: int = 12,
+    df_cap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MAXIMAL shared token spans across document pairs — the
+    exact-substring dedup primitive (cf. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): two
+    documents sharing any run of >= ``min_span`` tokens are reported
+    with the run's start positions and its full (maximal) length, not
+    just fixed-window hits.
+
+    Suffix arrays are the sequential formulation; the distributed
+    one: hash every ``window_k``-token window, equi-join windows
+    across documents (ids + 31-bit hashes only — the shuffle never
+    carries text), then collapse each match DIAGONAL with
+    gaps-and-islands: for a pair (a, b), matches of one contiguous
+    shared span all satisfy ``pos_a - pos_b = const`` at consecutive
+    ``pos_a``, so ``pos_a - row_number()`` over (pair, diagonal) is
+    constant exactly within one maximal run, and one aggregate emits
+    (start_a, start_b, span_tokens = run + window_k - 1).
+
+    Guards for 100 TB: windows appearing in more than ``df_cap``
+    documents are dropped before the join (boilerplate is
+    ``scrub_boilerplate``'s job; keeping it here would make one hash
+    key quadratic — the same stop-gram rule as ``ngram_jaccard``).
+    Window hashes use the engine-portable md5-31 family, so the DuckDB
+    oracle re-derives every match; at 31 bits a false collision is
+    ~2^-31 per candidate and production can add ``token_set_join``'s
+    injectivity certificate to prove the hash join exact per-corpus.
+    """
+    arr = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = documents.select(F.col(id_col).alias("doc"), arr.alias("toks"))
+    n_win = F.size("toks") - F.lit(window_k)
+    win_hash = lambda i: portable_hash31(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.col("toks"), i + F.lit(1), window_k))
+    )
+    windows = base.select(
+        "doc",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= window_k,
+                F.transform(F.sequence(F.lit(0), n_win), win_hash),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        ).alias("pos", "wh"),
+    )
+    keep = (
+        windows.groupBy("wh")
+        .agg(F.count_distinct("doc").alias("ndocs"))
+        .filter(F.col("ndocs") <= df_cap)
+        .select("wh")
+    )
+    windows = windows.join(keep, "wh")
+    a = windows.select(
+        F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "wh"
+    )
+    b = windows.select(
+        F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "wh"
+    )
+    matches = a.join(b, "wh").filter(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pa") - F.col("pb")
+    ).orderBy("pa")
+    islands = matches.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(
+            "doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("_diag"), "grp"
+        )
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(window_k - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    )

@@ -79,3 +79,53 @@ def salted_broadcast_join(
     probe_salted = with_salt(probe, salt_buckets)
     out = probe_salted.join(build_rep, on=[on, "__salt"], how="inner")
     return out.drop("__salt")
+
+
+def join_key_skew_profile(
+    df,
+    key_col: str,
+    *,
+    top_n: int = 20,
+) -> "DataFrame":
+    """Pre-join skew diagnosis: the top-N heaviest values of a join /
+    groupBy key with each key's share of the table and its multiple of
+    the average key load — the numbers that decide whether a shuffle
+    needs salting, AQE skew handling, or a broadcast rewrite BEFORE
+    the 100 TB job is launched (the post-hoc version is reading a
+    straggler's task metrics; this is the cheap preflight).
+
+    Scale shape: one partial+final count aggregate on the key, a 1-row
+    global summary broadcast back, and a TakeOrdered top-N — the
+    profile never materializes more than ``top_n`` + 1-row state
+    downstream of the count.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = (
+        counts.orderBy(F.col("n").desc(), "key")
+        .limit(top_n)
+        .crossJoin(F.broadcast(totals))
+    )
+    w = Window.orderBy(F.col("n").desc(), "key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total") + 1e-9, 6).alias("share"),
+            F.round(
+                F.sum("n").over(w) / F.col("total") + 1e-9, 6
+            ).alias("cum_share"),
+            F.round(
+                F.col("n") * F.col("n_keys") / F.col("total") + 1e-9, 4
+            ).alias("x_avg"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+    )

@@ -1210,3 +1210,75 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, pair string, pair_count long"
     )
+
+
+def bigram_pmi(
+    documents: DataFrame,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: top-k word bigrams by pointwise mutual
+    information, ``PMI = ln(c_ab * N / (c_a * c_b))`` with ``N`` the
+    corpus token count — the statistic separating true collocations
+    ("new york") from merely-frequent pairs ("of the"), used for
+    tokenizer seeding and phrase-aware dedup.  ``min_count`` floors
+    the bigram count so rare one-off pairs (whose PMI is inflated by
+    tiny denominators) never crowd the list.
+
+    Scale shape: one unigram aggregate and one bigram aggregate over
+    the same map-side fan-out (two vocabulary-sized tables), the
+    bigram frame joined to unigram counts on its two word keys, the
+    1-row corpus total as a broadcast scalar, TakeOrdered top-k.  The
+    fact shuffles twice (unigram + bigram keys) and nothing else.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    documents = ensure_parallelism(documents)
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    words = documents.select(F.explode(toks).alias("w")).filter(F.col("w") != "")
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").alias("n_tokens"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bi = (
+        documents.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    parts = F.split(F.col("bigram"), " ")
+    bi = bi.select(
+        "bigram",
+        "c_ab",
+        F.element_at(parts, 1).alias("w1"),
+        F.element_at(parts, 2).alias("w2"),
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        F.col("c_ab").cast("double")
+        * F.col("n_tokens")
+        / (F.col("c_a").cast("double") * F.col("c_b"))
+    )
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(pmi + 1e-9, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(k)
+    )

@@ -38,9 +38,13 @@ CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: "all pairs", never in data volume
 #: dedup_threshold_sweep joins the literal threshold grid (8 rows)
 #: against <= 10-row jaccard histograms — bounded by construction
+#: skew_profile joins the 1-row (total, n_keys) summary onto the
+#: top-N frame — scalar subquery
 SCALAR_JOIN_OK = {
     "kmv_overlap",
     "dedup_threshold_sweep",
+    "skew_profile",
+    "bigram_pmi",
     "substring_contamination",
     "corpus_build_pipeline",
     "heavy_hitters",

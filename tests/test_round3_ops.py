@@ -119,6 +119,52 @@ def test_ks_drift_localizes_full_shift(spark):
     assert abs(out[0]["cdf_gap"] - 1.0) < 1e-6  # gap maximal at bin 0
 
 
+def test_shared_span_mining_reports_maximal_planted_span(spark):
+    """A 20-token span planted at different offsets in two documents
+    comes back as ONE maximal span with exact starts and length —
+    not a pile of fixed-window fragments; unrelated docs report
+    nothing."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        shared_span_mining,
+    )
+
+    span = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(5)) + " " + span
+                + " " + " ".join(f"z{i}" for i in range(4))),
+            (2, " ".join(f"b{i}" for i in range(9)) + " " + span),
+            (3, " ".join(f"c{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = shared_span_mining(docs, window_k=8, min_span=12).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["start_a"] == 5 and r["start_b"] == 9
+    assert r["span_tokens"] == 20
+
+
+def test_shared_span_mining_df_cap_drops_boilerplate_windows(spark):
+    """A window present in MORE than df_cap documents is excluded from
+    matching (the stop-window guard): with cap=2 a 3-doc-shared span
+    yields no pairs; raising the cap restores them."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        shared_span_mining,
+    )
+
+    span = " ".join(f"w{i}" for i in range(14))
+    docs = spark.createDataFrame(
+        [(d, f"u{d}x u{d}y " + span) for d in range(3)],
+        "doc_id long, text string",
+    )
+    capped = shared_span_mining(docs, window_k=8, min_span=12, df_cap=2).collect()
+    assert capped == []
+    open_ = shared_span_mining(docs, window_k=8, min_span=12, df_cap=3).collect()
+    assert len(open_) == 3  # all three pairs report the span
+
+
 def test_threshold_sweep_monotone_and_planted(spark):
     """The curve is monotone non-increasing in the threshold, and a
     planted exact-dup pair survives every threshold while a disjoint

@@ -801,6 +801,62 @@ def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.shared_span_mining(_t(spark, sf_dir, "documents"))
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test over event conversions:
+    users deterministically assigned to arms via the portable hash
+    split, per-user purchase conversion, per-arm rates, pooled
+    two-proportion z-score and the |z| > 1.96 significance flag — the
+    experiment-analysis query every product pipeline ends in.  One
+    user_id shuffle; everything after is a 2-row aggregate.  Under the
+    null (assignment independent of behavior, true here by
+    construction) the flag should be false."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import hash_split
+
+    events = _t(spark, sf_dir, "events")
+    # outcome: purchase-count residue — at any sf EVERY user has
+    # purchase events (max(has-purchase) would make p_pool = 1 and the
+    # pooled SE zero), so the binary outcome derives from the count's
+    # mod-3 class (~1/3 rate, deterministic, engine-replayable, and
+    # independent of the arm assignment by construction)
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) % 3 == 0
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    arms = hash_split(per_user, "user_id", {"A": 0.5, "B": 0.5}, salt="ab-v1")
+    per_arm = arms.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a = per_arm.filter(F.col("split") == "A").select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = per_arm.filter(F.col("split") == "B").select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    j = a.crossJoin(b)  # two 1-row frames
+    p_pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    diff = F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b")
+    # degenerate pools (all or none converted) have zero variance: the
+    # rates are identical by construction there, so z := 0
+    z = F.when(se > 0, diff / se).otherwise(F.lit(0.0))
+    return j.select(
+        "n_a",
+        "c_a",
+        F.round(F.col("c_a") / F.col("n_a") + 1e-9, 6).alias("rate_a"),
+        "n_b",
+        "c_b",
+        F.round(F.col("c_b") / F.col("n_b") + 1e-9, 6).alias("rate_b"),
+        F.round(z + 1e-9, 4).alias("z_score"),
+        (F.abs(F.round(z + 1e-9, 4)) > 1.96).alias("significant"),
+    )
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 bigrams by pointwise mutual
     information (min count 5) — separates true collocations from
@@ -1793,6 +1849,37 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_a", "media_b")
 
 
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal INGESTION edge through Spark's real ``binaryFile``
+    source: stage a deterministic slice of document payloads as raw
+    files, read them back distributed (path/length/content columns),
+    and aggregate bytes + content hashes.  Hash-green vs the oracle on
+    the documents table proves the raw-file ingestion path preserves
+    every payload byte — the entry point a real image/audio corpus
+    arrives through before any multimodal operator runs."""
+    import os
+    import tempfile
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )  # bounded staging slice (sf0.01: 50 files) — fixture setup, not the operator
+    d = tempfile.mkdtemp(prefix="binary_ingest_")
+    for r in docs:
+        with open(os.path.join(d, f"{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(d)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.count_distinct(F.sha2("content", 256)).alias("n_distinct_payloads"),
+        F.min(F.length("content")).alias("min_bytes"),
+        F.max(F.length("content")).alias("max_bytes"),
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_stats(M.documents_as_media(_t(spark, sf_dir, "documents")))
 
@@ -2128,7 +2215,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate and the vanilla-session driver replica): kmv_overlap,
 # probe_calibration, ivf_topk_fixed, bpe_encode, ks_drift,
 # dedup_threshold_sweep, media_near_dup, shared_spans, span_leakage,
-# skew_profile, bigram_pmi.
+# skew_profile, bigram_pmi, binary_ingest, ab_test.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2239,6 +2326,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_leakage": q_span_leakage,
         "skew_profile": q_skew_profile,
         "bigram_pmi": q_bigram_pmi,
+        "binary_ingest": q_binary_ingest,
+        "ab_test": q_ab_test,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -3894,6 +3983,47 @@ def oracle_sql() -> dict[str, str]:
             "WITH " + _shared_spans_cte()
             + " SELECT doc_a, doc_b, start_a, start_b, span_tokens"
             " FROM spans ORDER BY doc_a, doc_b, start_a, start_b"
+        ),
+        "binary_ingest": (
+            # the staged files ARE the doc_id % 10 slice's utf-8 text
+            # bytes, so the oracle aggregates straight from documents
+            "SELECT count(*) AS n_files,"
+            " CAST(sum(octet_length(encode(text))) AS BIGINT)"
+            "  AS total_bytes,"
+            " count(DISTINCT sha256(text)) AS n_distinct_payloads,"
+            " CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,"
+            " CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes"
+            " FROM documents WHERE doc_id % 10 = 0"
+        ),
+        "ab_test": (
+            "WITH pu AS (SELECT user_id,"
+            "  CASE WHEN sum(CASE WHEN event_type = 'purchase'"
+            "   THEN 1 ELSE 0 END) % 3 = 0 THEN 1 ELSE 0 END"
+            "   AS converted FROM events GROUP BY user_id),"
+            " arms AS (SELECT converted, CASE WHEN"
+            "  ('0x' || substr(md5('ab-v1:' || user_id), 1, 13))::BIGINT"
+            "   / 4503599627370496.0 < 0.5 THEN 'A' ELSE 'B' END AS split"
+            "  FROM pu),"
+            " pa AS (SELECT count(*) AS n_a,"
+            "  CAST(sum(converted) AS BIGINT) AS c_a FROM arms"
+            "  WHERE split = 'A'),"
+            " pb AS (SELECT count(*) AS n_b,"
+            "  CAST(sum(converted) AS BIGINT) AS c_b FROM arms"
+            "  WHERE split = 'B'),"
+            " j AS (SELECT * FROM pa CROSS JOIN pb),"
+            " c AS (SELECT *,"
+            "  CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool FROM j),"
+            " zc AS (SELECT *, CASE WHEN p_pool > 0 AND p_pool < 1 THEN"
+            "  (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)"
+            "   / sqrt(p_pool * (1 - p_pool)"
+            "     * (1.0 / n_a + 1.0 / n_b)) ELSE 0.0 END AS z FROM c)"
+            " SELECT n_a, c_a,"
+            " round(CAST(c_a AS DOUBLE) / n_a + 1e-9, 6) AS rate_a,"
+            " n_b, c_b,"
+            " round(CAST(c_b AS DOUBLE) / n_b + 1e-9, 6) AS rate_b,"
+            " round(z + 1e-9, 4) AS z_score,"
+            " abs(round(z + 1e-9, 4)) > 1.96 AS significant"
+            " FROM zc"
         ),
         "bigram_pmi": (
             "WITH d AS (SELECT string_split_regex(trim(text), '\\s+') AS toks"

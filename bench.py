@@ -163,6 +163,8 @@ EXTENDED = [
     "span_leakage",
     "skew_profile",
     "bigram_pmi",
+    "binary_ingest",
+    "ab_test",
 ]
 
 

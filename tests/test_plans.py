@@ -45,6 +45,7 @@ SCALAR_JOIN_OK = {
     "dedup_threshold_sweep",
     "skew_profile",
     "bigram_pmi",
+    "ab_test",
     "substring_contamination",
     "corpus_build_pipeline",
     "heavy_hitters",

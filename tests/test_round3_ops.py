@@ -119,6 +119,35 @@ def test_ks_drift_localizes_full_shift(spark):
     assert abs(out[0]["cdf_gap"] - 1.0) < 1e-6  # gap maximal at bin 0
 
 
+def test_ab_test_detects_planted_effect_and_passes_null(spark, tmp_path, sf_dir):
+    """With outcomes wired to the arm assignment the z-test fires;
+    with arm-independent outcomes (the catalog query's construction)
+    it reports non-significance."""
+    import __spark_entry__ as E
+    from flink_elasticsearch_ingestion_spark.operators.sampling import hash_split
+
+    users = spark.range(400).select(F.col("id").alias("user_id"))
+    arms = {
+        r["user_id"]: r["split"]
+        for r in hash_split(
+            users, "user_id", {"A": 0.5, "B": 0.5}, salt="ab-v1"
+        ).collect()
+    }
+    # arm A users get 3 purchases (converted: 3 % 3 == 0), arm B get 1
+    rows = []
+    for u, arm in arms.items():
+        n_purch = 3 if arm == "A" else 1
+        rows += [(u, "purchase")] * n_purch + [(u, "click")]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    sf = str(tmp_path / "ab_sf")
+    ev.write.parquet(f"{sf}/events.parquet")
+    planted = E.queries()["ab_test"](spark, sf).collect()[0]
+    assert planted["rate_a"] == 1.0 and planted["rate_b"] == 0.0
+    assert planted["significant"]
+    null = E.queries()["ab_test"](spark, sf_dir).collect()[0]
+    assert not null["significant"]  # assignment independent of behavior
+
+
 def test_shared_span_mining_reports_maximal_planted_span(spark):
     """A 20-token span planted at different offsets in two documents
     comes back as ONE maximal span with exact starts and length —

@@ -857,6 +857,19 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature (alpha=0.5) language resampling:
+    per-language budgets proportional to sqrt(N_l) — up-samples
+    low-resource languages — with deterministic md5-ordered picks.
+    sqrt is IEEE-exactly-rounded, so the oracle re-derives every
+    budget and pick bit-for-bit."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        temperature_language_sample,
+    )
+
+    return temperature_language_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 bigrams by pointwise mutual
     information (min count 5) — separates true collocations from
@@ -2215,7 +2228,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate and the vanilla-session driver replica): kmv_overlap,
 # probe_calibration, ivf_topk_fixed, bpe_encode, ks_drift,
 # dedup_threshold_sweep, media_near_dup, shared_spans, span_leakage,
-# skew_profile, bigram_pmi, binary_ingest, ab_test.
+# skew_profile, bigram_pmi, binary_ingest, ab_test, temperature_sample.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2328,6 +2341,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": q_bigram_pmi,
         "binary_ingest": q_binary_ingest,
         "ab_test": q_ab_test,
+        "temperature_sample": q_temperature_sample,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -3983,6 +3997,24 @@ def oracle_sql() -> dict[str, str]:
             "WITH " + _shared_spans_cte()
             + " SELECT doc_a, doc_b, start_a, start_b, span_tokens"
             " FROM spans ORDER BY doc_a, doc_b, start_a, start_b"
+        ),
+        "temperature_sample": (
+            "WITH c AS (SELECT lang, count(*) AS n_docs FROM documents"
+            "  GROUP BY lang),"
+            " w AS (SELECT lang, n_docs, round(sqrt(n_docs), 6) AS s"
+            "  FROM c),"
+            " d AS (SELECT CAST(sum(s) AS DOUBLE) AS s_total FROM w),"
+            " b AS (SELECT lang, n_docs,"
+            "  CAST(floor(s / s_total * 200 + 0.5) AS INT) AS budget"
+            "  FROM w CROSS JOIN d),"
+            " r AS (SELECT doc_id, lang, row_number() OVER ("
+            "  PARTITION BY lang ORDER BY"
+            "  md5('temp-v1:' || CAST(doc_id AS VARCHAR)), doc_id)"
+            "  AS pick_rank FROM documents)"
+            " SELECT r.doc_id, r.lang, r.pick_rank, b.n_docs, b.budget"
+            " FROM r JOIN b ON b.lang = r.lang"
+            " WHERE r.pick_rank <= b.budget"
+            " ORDER BY r.lang, r.pick_rank"
         ),
         "binary_ingest": (
             # the staged files ARE the doc_id % 10 slice's utf-8 text

@@ -165,6 +165,7 @@ EXTENDED = [
     "bigram_pmi",
     "binary_ingest",
     "ab_test",
+    "temperature_sample",
 ]
 
 

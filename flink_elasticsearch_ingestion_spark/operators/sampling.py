@@ -427,3 +427,59 @@ def equi_depth_buckets(
         )
         .orderBy("bucket")
     )
+
+
+def temperature_language_sample(
+    df: DataFrame,
+    *,
+    total: int = 200,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-based multilingual resampling (the mT5/XLM-R corpus
+    mixing rule at temperature alpha = 0.5): per-language sampling
+    budgets proportional to ``N_l^alpha`` instead of ``N_l``, which
+    UP-samples low-resource languages relative to their raw share —
+    the standard fix for high-resource languages drowning the mix.
+    Documents within each language are then picked by the
+    deterministic md5 order (``stratified_exact_k``'s contract) up to
+    the language's computed budget.
+
+    alpha is FIXED at 0.5 because IEEE-754 ``sqrt`` is exactly
+    rounded, so ``N^0.5`` is bit-identical on every engine — an
+    arbitrary ``pow(N, alpha)`` is not, and a last-ulp difference at a
+    floor() boundary would flip a whole language's budget.  Each
+    sqrt is rounded to 6dp before summing so the share denominator is
+    an exact 1e-6-grid value regardless of summation order.
+
+    Scale shape: one language-count aggregate (|langs| rows), the
+    1-row weight denominator broadcast back, and the per-language
+    ranked pick — one keyed shuffle on the stratum, same as
+    ``stratified_exact_k``.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    wts = counts.withColumn("s", F.round(F.sqrt("n_docs"), 6))
+    denom = wts.agg(F.sum("s").alias("s_total"))
+    budgets = (
+        wts.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "budget",
+            F.floor(F.col("s") / F.col("s_total") * total + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+        .select(stratum_col, "n_docs", "budget")
+    )
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    picked = (
+        df.withColumn("pick_rank", F.row_number().over(w))
+        .join(F.broadcast(budgets), stratum_col)
+        .filter(F.col("pick_rank") <= F.col("budget"))
+    )
+    return picked.select(
+        key_col, stratum_col, "pick_rank", "n_docs", "budget"
+    ).orderBy(stratum_col, "pick_rank")

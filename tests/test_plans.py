@@ -46,6 +46,8 @@ SCALAR_JOIN_OK = {
     "skew_profile",
     "bigram_pmi",
     "ab_test",
+    # 1-row sqrt-sum denominator broadcast onto the |langs|-row frame
+    "temperature_sample",
     "substring_contamination",
     "corpus_build_pipeline",
     "heavy_hitters",

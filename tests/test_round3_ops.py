@@ -119,6 +119,32 @@ def test_ks_drift_localizes_full_shift(spark):
     assert abs(out[0]["cdf_gap"] - 1.0) < 1e-6  # gap maximal at bin 0
 
 
+def test_temperature_sample_upsamples_low_resource(spark):
+    """sqrt-temperature budgets: a 100x larger language gets only a
+    10x larger budget, so the small language's share of the sample
+    strictly exceeds its share of the corpus; picks are deterministic
+    and capped by the stratum size."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        temperature_language_sample,
+    )
+
+    rows = [(i, "big") for i in range(1000)] + [
+        (10_000 + i, "small") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_language_sample(docs, total=100).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    n_small = len(by_lang["small"])
+    n_big = len(by_lang["big"])
+    # raw share of small = ~1%; sqrt share = sqrt(10)/(sqrt(1000)+sqrt(10)) ~ 9%
+    assert n_small / (n_small + n_big) > 0.02
+    assert n_small <= 10  # never more picks than documents
+    again = temperature_language_sample(docs, total=100).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_ab_test_detects_planted_effect_and_passes_null(spark, tmp_path, sf_dir):
     """With outcomes wired to the arm assignment the z-test fires;
     with arm-independent outcomes (the catalog query's construction)
@@ -192,6 +218,71 @@ def test_shared_span_mining_df_cap_drops_boilerplate_windows(spark):
     assert capped == []
     open_ = shared_span_mining(docs, window_k=8, min_span=12, df_cap=3).collect()
     assert len(open_) == 3  # all three pairs report the span
+
+
+def _py_maximal_spans(texts, k=4, min_span=5):
+    """Brute-force reference: all maximal shared runs of >= min_span
+    tokens between doc pairs, via diagonal scanning in plain Python."""
+    toks = {d: t.split() for d, t in texts.items()}
+    out = set()
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ta, tb = toks[a], toks[b]
+            for diag in range(-len(tb) + 1, len(ta)):
+                run = 0
+                for pa in range(max(0, diag), min(len(ta), len(tb) + diag)):
+                    pb = pa - diag
+                    if ta[pa] == tb[pb]:
+                        run += 1
+                    else:
+                        if run >= min_span:
+                            out.add((a, b, pa - run, pa - diag - run, run))
+                        run = 0
+                pa_end = min(len(ta), len(tb) + diag)
+                if run >= min_span:
+                    out.add((a, b, pa_end - run, pa_end - diag - run, run))
+    return out
+
+
+def test_shared_span_mining_matches_bruteforce(spark):
+    """Differential: on a randomized small corpus (fixed seed) the
+    distributed window-hash + islands formulation reports exactly the
+    maximal spans the quadratic Python reference finds."""
+    import random
+
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        shared_span_mining,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    shared_bits = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 9)))
+        for _ in range(4)
+    ]
+    texts = {}
+    for d in range(8):
+        parts = []
+        for _ in range(rng.randint(2, 4)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(shared_bits))
+            else:
+                parts.append(
+                    " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 7)))
+                )
+        texts[d] = " ".join(parts)
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in shared_span_mining(
+            docs, window_k=4, min_span=5, df_cap=100
+        ).collect()
+    }
+    want = _py_maximal_spans(texts, k=4, min_span=5)
+    assert got == want
 
 
 def test_threshold_sweep_monotone_and_planted(spark):

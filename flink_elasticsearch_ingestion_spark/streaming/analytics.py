@@ -925,3 +925,117 @@ def stream_kmv(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def drift_apply_factory(
+    spark: SparkSession,
+    ref_hist: dict,
+    monitor_path: str,
+    *,
+    value_col: str = "value",
+    bin_width: float = 50_000.0,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+):
+    """The foreachBatch body for ``stream_drift``: fold each
+    micro-batch's value histogram into the persistent current-period
+    histogram and append one PSI snapshot row per batch — continuous
+    drift monitoring against a FIXED reference distribution
+    (``ref_hist``: bin -> count, <= ``n_bins`` entries, computed once
+    from the reference period with the same literal bin grid as
+    ``distribution_drift_psi``).
+
+    State is two bounded parquet tables (the <= n_bins-row cumulative
+    histogram and the one-row-per-batch PSI log), never the stream
+    state store.  The batch histogram is a distributed <= n_bins-key
+    aggregate; the PSI itself is arithmetic over 2 x n_bins numbers,
+    driver-side by construction.  Exactly-once under foreachBatch
+    retries: the histogram records the last applied batch_id; a
+    replayed id is a no-op.
+    """
+    import math
+    import shutil
+
+    hist_path = monitor_path.rstrip("/") + "/hist"
+    log_path = monitor_path.rstrip("/") + "/psi_log"
+    ref_total = max(sum(ref_hist.values()), 1)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prior: dict[int, int] = {}
+        if os.path.isdir(hist_path):
+            rows = spark.read.parquet(hist_path).collect()
+            if rows and max(r["last_batch"] for r in rows) >= batch_id:
+                return  # replayed batch: already folded in
+            prior = {r["bin"]: r["n"] for r in rows}
+        b = F.least(
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("int"),
+            F.lit(n_bins - 1),
+        )
+        batch_hist = {
+            r["bin"]: r["n"]
+            for r in batch_df.select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }  # bounded: <= n_bins rows
+        cur = dict(prior)
+        for k, v in batch_hist.items():
+            cur[k] = cur.get(k, 0) + v
+        cur_total = max(sum(cur.values()), 1)
+        psi = 0.0
+        for k in range(n_bins):
+            p = max(ref_hist.get(k, 0) / ref_total, eps)
+            q = max(cur.get(k, 0) / cur_total, eps)
+            psi += (p - q) * math.log(p / q)
+        hist_rows = [(k, int(v), int(batch_id)) for k, v in sorted(cur.items())]
+        new_hist = spark.createDataFrame(
+            hist_rows, "bin int, n long, last_batch long"
+        )
+        tmp = hist_path + "__merging"
+        new_hist.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(hist_path):
+            shutil.rmtree(hist_path)
+        shutil.move(tmp, hist_path)
+        spark.createDataFrame(
+            [(int(batch_id), int(cur_total), round(psi, 6))],
+            "batch_id long, n_cur long, psi double",
+        ).coalesce(1).write.mode("append").parquet(log_path)
+
+    return apply_batch
+
+
+def stream_drift(
+    spark: SparkSession,
+    events_path: str,
+    ref_hist: dict,
+    monitor_path: str,
+    checkpoint_dir: str,
+    *,
+    value_col: str = "value",
+    bin_width: float = 50_000.0,
+    n_bins: int = 10,
+):
+    """Streaming drift monitor: every micro-batch updates the current
+    histogram and appends a PSI-vs-reference snapshot (see
+    ``drift_apply_factory``) — the continuously-evaluated twin of the
+    batch ``distribution_drift_psi`` / ``ks_drift`` monitors."""
+    schema = spark.read.parquet(events_path).schema
+    apply_batch = drift_apply_factory(
+        spark,
+        ref_hist,
+        monitor_path,
+        value_col=value_col,
+        bin_width=bin_width,
+        n_bins=n_bins,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

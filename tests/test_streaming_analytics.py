@@ -512,3 +512,39 @@ def test_stream_heavy_hitters_contract_bounded_state_and_replay(tmp_path, spark)
     assert sorted((r["w"], r["c"]) for r in again) == sorted(
         (r["w"], r["c"]) for r in stored
     )
+
+
+def test_stream_drift_monitor_converges_and_replays(tmp_path, spark):
+    """Folding batches yields the full-history histogram, PSI is ~0
+    when the stream matches the reference and large when it shifts,
+    and a replayed batch id is a no-op."""
+    import pyspark.sql.functions as F
+
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        drift_apply_factory,
+    )
+
+    monitor = str(tmp_path / "monitor")
+    # reference: uniform mass in bins 0 and 1
+    ref = {0: 50, 1: 50}
+    apply_batch = drift_apply_factory(
+        spark, ref, monitor, value_col="v", bin_width=50_000.0, n_bins=10
+    )
+    b_match = spark.createDataFrame(
+        [(10_000.0,)] * 25 + [(60_000.0,)] * 25, "v double"
+    )
+    apply_batch(b_match, 0)
+    log0 = spark.read.parquet(monitor + "/psi_log").orderBy("batch_id").collect()
+    assert abs(log0[0]["psi"]) < 1e-6  # matches the reference exactly
+    # a shifted batch: all mass lands in the top bin
+    b_shift = spark.createDataFrame([(490_000.0,)] * 100, "v double")
+    apply_batch(b_shift, 1)
+    apply_batch(b_shift, 1)  # replay: no-op
+    hist = {
+        r["bin"]: r["n"]
+        for r in spark.read.parquet(monitor + "/hist").collect()
+    }
+    assert hist == {0: 25, 1: 25, 9: 100}  # cumulative == full history
+    log = spark.read.parquet(monitor + "/psi_log").orderBy("batch_id").collect()
+    assert len(log) == 2  # the replay appended nothing
+    assert log[1]["psi"] > 0.25  # drift detected

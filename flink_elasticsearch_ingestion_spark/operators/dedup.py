@@ -1475,6 +1475,13 @@ def shared_span_mining(
             ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
         ).alias("pos", "wh"),
     )
+    # the window table feeds the df-cap aggregate AND both sides of
+    # the match self-join — an un-cached diamond would re-run the
+    # tokenize+hash explode up to four times (the important_part_value
+    # lesson). Locally persist + eager fill; at 100 TB write it to
+    # parquet once (it is token-stream-sized) and read it back.
+    windows = windows.persist()
+    windows.count()
     keep = (
         windows.groupBy("wh")
         .agg(F.count_distinct("doc").alias("ndocs"))

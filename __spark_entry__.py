@@ -1514,6 +1514,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize(_t(spark, sf_dir, "events"))
 
 
+def q_session_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly open-session concurrency curve via boundary sweep
+    (+1/-1 deltas, bounded-frame running sum over the hour aggregate)
+    — interval-overlap analytics without a quadratic pair join."""
+    return W.session_occupancy(_t(spark, sf_dir, "events"))
+
+
 def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day distinct active users per day."""
     return W.rolling_active_users(_t(spark, sf_dir, "events"))
@@ -2228,7 +2235,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate and the vanilla-session driver replica): kmv_overlap,
 # probe_calibration, ivf_topk_fixed, bpe_encode, ks_drift,
 # dedup_threshold_sweep, media_near_dup, shared_spans, span_leakage,
-# skew_profile, bigram_pmi, binary_ingest, ab_test, temperature_sample.
+# skew_profile, bigram_pmi, binary_ingest, ab_test,
+# temperature_sample, session_occupancy.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2342,6 +2350,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_ingest": q_binary_ingest,
         "ab_test": q_ab_test,
         "temperature_sample": q_temperature_sample,
+        "session_occupancy": q_session_occupancy,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4197,6 +4206,31 @@ def oracle_sql() -> dict[str, str]:
             "  AS duration_s"
             " FROM s GROUP BY user_id, session_seq"
             " ORDER BY user_id, session_seq"
+        ),
+        "session_occupancy": (
+            "WITH o AS (SELECT user_id, event_id,"
+            "  CAST(ts AS TIMESTAMP) AS ts FROM events),"
+            " g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR"
+            "  date_diff('second', lag(ts) OVER w, ts) > 1800"
+            "  THEN 1 ELSE 0 END AS brk FROM o"
+            "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id"
+            "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+            "  AS session_seq FROM g),"
+            " sess AS (SELECT user_id, session_seq,"
+            "  min(ts) AS session_start, max(ts) AS session_end"
+            "  FROM s GROUP BY user_id, session_seq),"
+            " b AS (SELECT date_trunc('hour', session_start) AS hour,"
+            "  1 AS delta, 1 AS is_start, 0 AS is_end FROM sess"
+            "  UNION ALL SELECT date_trunc('hour', session_end)"
+            "  + INTERVAL 1 HOUR, -1, 0, 1 FROM sess),"
+            " ph AS (SELECT hour, CAST(sum(is_start) AS BIGINT) AS n_starts,"
+            "  CAST(sum(is_end) AS BIGINT) AS n_ends,"
+            "  sum(delta) AS net FROM b GROUP BY hour)"
+            " SELECT hour, n_starts, n_ends,"
+            " CAST(sum(net) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING)"
+            "  AS BIGINT) AS open_sessions"
+            " FROM ph ORDER BY hour"
         ),
         "rolling_wau": (
             "WITH ud AS (SELECT DISTINCT user_id,"

@@ -166,6 +166,7 @@ EXTENDED = [
     "binary_ingest",
     "ab_test",
     "temperature_sample",
+    "session_occupancy",
 ]
 
 

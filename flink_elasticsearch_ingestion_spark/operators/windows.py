@@ -641,3 +641,56 @@ def ohlc_bars(events: DataFrame, *, value_col: str = "value") -> DataFrame:
         )
         .orderBy("event_type", "bar_hour")
     )
+
+
+def session_occupancy(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """Hourly session-concurrency curve: how many sessions are OPEN at
+    each hour boundary, plus per-hour start/end traffic — capacity /
+    occupancy analytics over intervals WITHOUT the quadratic
+    interval-overlap pair join (every pair-wise formulation of "which
+    sessions overlap" explodes on a busy corpus; the boundary-sweep
+    answers the operational questions from +1/-1 deltas alone).
+
+    Scale shape: sessions (one keyed shuffle via :func:`sessionize`),
+    then each session emits one +1 row at its start hour and one -1
+    row at the hour AFTER its end (end-inclusive semantics) — a
+    calendar-bounded aggregate (<= hours-in-corpus rows), over which
+    the running-sum window is a bounded-frame scan, the same
+    aggregate-then-window discipline as ``distribution_drift_psi``.
+    Hours with no boundary events carry the previous concurrency by
+    definition and are omitted (gap-fill composes with
+    ``resample_events`` when a dense curve is needed).
+    """
+    sess = sessionize(events, gap_minutes=gap_minutes)
+    starts = sess.select(
+        F.date_trunc("hour", "session_start").alias("hour"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("is_start"),
+        F.lit(0).alias("is_end"),
+    )
+    ends = sess.select(
+        (F.date_trunc("hour", "session_end") + F.expr("INTERVAL 1 HOUR")).alias(
+            "hour"
+        ),
+        F.lit(-1).alias("delta"),
+        F.lit(0).alias("is_start"),
+        F.lit(1).alias("is_end"),
+    )
+    per_hour = (
+        starts.unionByName(ends)
+        .groupBy("hour")
+        .agg(
+            F.sum("is_start").alias("n_starts"),
+            F.sum("is_end").alias("n_ends"),
+            F.sum("delta").alias("net"),
+        )
+    )
+    # bounded frame: the window runs over the <= hours-in-corpus
+    # aggregate, never the session table
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return per_hour.select(
+        "hour",
+        "n_starts",
+        "n_ends",
+        F.sum("net").over(w).alias("open_sessions"),
+    ).orderBy("hour")

@@ -119,6 +119,40 @@ def test_ks_drift_localizes_full_shift(spark):
     assert abs(out[0]["cdf_gap"] - 1.0) < 1e-6  # gap maximal at bin 0
 
 
+def test_session_occupancy_planted_curve(spark):
+    """Three users with known overlapping sessions: the sweep reports
+    the exact concurrency at each hour boundary, never negative, and
+    returns to zero after every session closes."""
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        session_occupancy,
+    )
+
+    rows = [
+        # u1: one session 10:00-12:30 (events 10:00, 12:30 within gap?
+        # 30-min gap would split; keep events 10 min apart)
+        *[(1, i, f"2024-01-01 10:{m:02d}:00", "click") for i, m in enumerate(range(0, 60, 10))],
+        *[(1, 100 + i, f"2024-01-01 11:{m:02d}:00", "click") for i, m in enumerate(range(0, 60, 10))],
+        # u2: session 10:30-10:50
+        (2, 200, "2024-01-01 10:30:00", "click"),
+        (2, 201, "2024-01-01 10:50:00", "click"),
+        # u3: session 14:00-14:05 (disjoint)
+        (3, 300, "2024-01-01 14:00:00", "click"),
+        (3, 301, "2024-01-01 14:05:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    )
+    out = {str(r["hour"]): r for r in session_occupancy(ev).collect()}
+    # hour 10: u1 + u2 start -> 2 open; u2 ends at 10:50 -> closes at 11
+    assert out["2024-01-01 10:00:00"]["n_starts"] == 2
+    assert out["2024-01-01 10:00:00"]["open_sessions"] == 2
+    assert out["2024-01-01 11:00:00"]["n_ends"] == 1
+    assert out["2024-01-01 11:00:00"]["open_sessions"] == 1
+    vals = [r["open_sessions"] for r in sorted(out.values(), key=lambda r: r["hour"])]
+    assert all(v >= 0 for v in vals)
+    assert vals[-1] == 0  # every session eventually closes
+
+
 def test_temperature_sample_upsamples_low_resource(spark):
     """sqrt-temperature budgets: a 100x larger language gets only a
     10x larger budget, so the small language's share of the sample

@@ -928,6 +928,14 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_threshold_sweep(_t(spark, sf_dir, "documents"))
 
 
+def q_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triples for contrastive embedding
+    training: near-dup positives + shared deterministic negative pool
+    with a false-negative screen — the training-pair construction step
+    between dedup and the embedding trainer."""
+    return D.contrastive_triples(_t(spark, sf_dir, "documents"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs over an inverted-index join (bounded
     to doc_id < 200 to keep candidate pairs sane at any sf; the df_cap
@@ -2236,7 +2244,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe_calibration, ivf_topk_fixed, bpe_encode, ks_drift,
 # dedup_threshold_sweep, media_near_dup, shared_spans, span_leakage,
 # skew_profile, bigram_pmi, binary_ingest, ab_test,
-# temperature_sample, session_occupancy.
+# temperature_sample, session_occupancy, contrastive_triples.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2351,6 +2359,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "temperature_sample": q_temperature_sample,
         "session_occupancy": q_session_occupancy,
+        "contrastive_triples": q_contrastive_triples,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4206,6 +4215,27 @@ def oracle_sql() -> dict[str, str]:
             "  AS duration_s"
             " FROM s GROUP BY user_id, session_seq"
             " ORDER BY user_id, session_seq"
+        ),
+        "contrastive_triples": (
+            "WITH " + _minhash_pairs_cte(0.4) + ","
+            " pr AS (SELECT doc_a AS anchor, doc_b AS positive, jaccard"
+            "  FROM mh_pairs),"
+            " pool AS (SELECT doc_id AS cand,"
+            "  ('0x' || substr(md5('neg-v1:' || CAST(doc_id AS VARCHAR)),"
+            "   1, 13))::BIGINT / 4503599627370496.0 AS u"
+            "  FROM documents ORDER BY u, cand LIMIT 11),"
+            " adj AS (SELECT anchor AS a, positive AS b FROM pr"
+            "  UNION SELECT positive, anchor FROM pr),"
+            " negs AS (SELECT pr.*, pool.cand, pool.u FROM pr CROSS JOIN pool"
+            "  WHERE pool.cand <> pr.anchor AND pool.cand <> pr.positive"
+            "  AND NOT EXISTS (SELECT 1 FROM adj WHERE adj.a = pr.anchor"
+            "   AND adj.b = pool.cand)),"
+            " rk AS (SELECT *, row_number() OVER (PARTITION BY anchor,"
+            "  positive ORDER BY u, cand) AS neg_rank FROM negs)"
+            " SELECT anchor, positive, jaccard,"
+            " CAST(neg_rank AS INT) AS neg_rank, cand AS negative"
+            " FROM rk WHERE neg_rank <= 3"
+            " ORDER BY anchor, positive, neg_rank"
         ),
         "session_occupancy": (
             "WITH o AS (SELECT user_id, event_id,"

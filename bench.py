@@ -167,6 +167,7 @@ EXTENDED = [
     "ab_test",
     "temperature_sample",
     "session_occupancy",
+    "contrastive_triples",
 ]
 
 

@@ -1515,3 +1515,92 @@ def shared_span_mining(
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
         .orderBy("doc_a", "doc_b", "start_a", "start_b")
     )
+
+
+def contrastive_triples(
+    documents: DataFrame,
+    *,
+    k_neg: int = 3,
+    pool_margin: int = 8,
+    jaccard_threshold: float = 0.4,
+    salt: str = "neg-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(anchor, positive, negative) training triples for contrastive
+    embedding models: positives are portable-MinHash near-dup pairs
+    (documents that SHOULD embed close), negatives come from a SHARED
+    deterministic pool — the distributed analog of in-batch negatives,
+    which is how production contrastive pipelines actually sample
+    (per-anchor uniform sampling over the full corpus would need a
+    quadratic candidate space; a small shared pool is both standard
+    practice and embarrassingly broadcastable).
+
+    The pool is the first ``k_neg + pool_margin`` documents in
+    ``md5(salt || ':' || id)`` order (engine-portable, re-rankable by
+    any engine); per (anchor, positive) pair the negatives are the
+    first ``k_neg`` pool members that are not the anchor, not the
+    positive, and not a near-dup partner of the anchor (a pool member
+    that is itself similar to the anchor would be a FALSE negative —
+    the classic contrastive-data bug this exclusion guards).
+
+    Scale shape: the near-dup pair join is the only fact-sized work;
+    the pool is a TakeOrdered ``k_neg + pool_margin``-row broadcast,
+    the false-negative screen is one keyed anti join on
+    (anchor, candidate), and the final rank windows over <= pool-sized
+    frames per pair.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        portable_uniform,
+    )
+
+    pairs = minhash_near_duplicates(
+        documents,
+        jaccard_threshold=jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        portable=True,
+        band_cap=None,
+    ).select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("positive"),
+        "jaccard",
+    )
+    pool = (
+        documents.select(
+            F.col(id_col).alias("cand"),
+            portable_uniform(id_col, salt).alias("u"),
+        )
+        .orderBy("u", "cand")
+        .limit(k_neg + pool_margin)
+    )
+    # symmetric near-dup adjacency: a pool member similar to the
+    # anchor in EITHER pair direction is a false negative
+    adj = pairs.select(
+        F.col("anchor").alias("a"), F.col("positive").alias("b")
+    ).union(
+        pairs.select(
+            F.col("positive").alias("a"), F.col("anchor").alias("b")
+        )
+    ).distinct()
+    cand = (
+        pairs.crossJoin(F.broadcast(pool))
+        .filter(
+            (F.col("cand") != F.col("anchor"))
+            & (F.col("cand") != F.col("positive"))
+        )
+        .join(
+            adj.select(
+                F.col("a").alias("anchor"), F.col("b").alias("cand")
+            ),
+            ["anchor", "cand"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("anchor", "positive").orderBy("u", "cand")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k_neg)
+        .select("anchor", "positive", "jaccard", "neg_rank", F.col("cand").alias("negative"))
+        .orderBy("anchor", "positive", "neg_rank")
+    )

@@ -48,6 +48,8 @@ SCALAR_JOIN_OK = {
     "ab_test",
     # 1-row sqrt-sum denominator broadcast onto the |langs|-row frame
     "temperature_sample",
+    # 11-row shared negative pool broadcast onto the pair frame
+    "contrastive_triples",
     "substring_contamination",
     "corpus_build_pipeline",
     "heavy_hitters",

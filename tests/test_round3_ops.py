@@ -119,6 +119,46 @@ def test_ks_drift_localizes_full_shift(spark):
     assert abs(out[0]["cdf_gap"] - 1.0) < 1e-6  # gap maximal at bin 0
 
 
+def test_contrastive_triples_exclude_false_negatives(spark):
+    """A pool document that is itself a near-dup of the anchor must
+    NEVER be emitted as that anchor's negative; each pair gets exactly
+    k_neg negatives and they are deterministic."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        contrastive_triples,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " lambda"),          # near-dup of 1
+        (3, base + " mu nu"),           # near-dup of 1 and 2
+    ] + [
+        (10 + i, f"doc{i} " + " ".join(f"x{i}w{j}" for j in range(9)))
+        for i in range(12)              # distinct filler docs -> pool
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = contrastive_triples(docs, k_neg=3).collect()
+    assert out
+    near_set = {1, 2, 3}
+    by_pair = {}
+    for r in out:
+        assert r["negative"] not in near_set or r["negative"] not in (
+            r["anchor"],
+            r["positive"],
+        )
+        # stronger: negatives of an anchor in the dup cluster never
+        # come from the same cluster
+        if r["anchor"] in near_set:
+            assert r["negative"] not in near_set
+        by_pair.setdefault((r["anchor"], r["positive"]), []).append(
+            (r["neg_rank"], r["negative"])
+        )
+    for negs in by_pair.values():
+        assert [n for n, _ in sorted(negs)] == [1, 2, 3]
+    again = contrastive_triples(docs, k_neg=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_session_occupancy_planted_curve(spark):
     """Three users with known overlapping sessions: the sweep reports
     the exact concurrency at each hour boundary, never negative, and

@@ -1859,14 +1859,14 @@ def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: the decode->feature->LSH-bucket->cosine
-    pipeline every image/audio dedup job runs, end-to-end through the
-    REAL Spark plumbing (Arrow mapInPandas feature extraction, dim
-    inferred from the data, multi-table sign-LSH self-join, exact
-    cosine verify).  The stub decoder derives features from the
-    payload sha256, so the DuckDB oracle re-derives every feature,
-    bucket, and cosine bit-for-bit — swap a real codec into DECODERS
-    and the same query becomes perceptual near-dup."""
-    feats = M.extract_features(
+    pipeline every image/audio dedup job runs (multi-table sign-LSH
+    self-join, exact cosine verify; dim inferred from the data).  The
+    stub decoder derives features from the payload sha256, so the
+    feature tier runs PURE-JVM here (``sha_features_expr`` — built-ins
+    first; parity with the Arrow ``extract_features`` path, the seam a
+    real codec plugs into, is unit-pinned) and the DuckDB oracle
+    re-derives every feature, bucket, and cosine bit-for-bit."""
+    feats = M.sha_features_expr(
         M.documents_as_media(_t(spark, sf_dir, "documents"))
     ).select(F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding"))
     pairs = S.embedding_near_duplicates(feats, threshold=0.995, bits=4, tables=4)

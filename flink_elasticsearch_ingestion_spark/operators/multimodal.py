@@ -214,3 +214,31 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+def sha_features_expr(media: DataFrame) -> DataFrame:
+    """PURE-JVM twin of :func:`extract_features` for the sha-derived
+    stub decoder: feature_i = digest_byte_i / 255.0 computed as
+    ``sha2`` + ``substring``/``conv`` expressions — no Python workers,
+    whole-stage codegen end-to-end ("built-ins first").  Exact parity
+    with the Arrow path is unit-pinned; a REAL codec cannot take this
+    route (decoding needs Python), so ``extract_features`` remains the
+    production seam and this twin is the fast path while the decoder
+    is the deterministic stub."""
+    sha = F.sha2(F.col("payload"), 256)
+    feats = F.array(
+        *[
+            (
+                F.conv(F.substring(sha, i * 2 + 1, 2), 16, 10).cast("double")
+                / F.lit(255.0)
+            )
+            for i in range(8)
+        ]
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("payload").cast("int").alias("n_bytes"),
+        sha.alias("content_sha"),
+        feats.alias("feature"),
+    )

@@ -1310,3 +1310,26 @@ def test_training_batches_lossless_on_mixed_whitespace(spark, tmp_path):
         for t in [r["text"] for r in docs.collect()]
     }
     assert decoded == want  # no token dropped at the vocab join
+
+
+def test_sha_features_expr_matches_arrow_path(spark, sf_dir):
+    """The pure-JVM feature twin must be bit-identical to the Arrow
+    mapInPandas extractor on every column (same digest bytes, same
+    /255 doubles)."""
+    from flink_elasticsearch_ingestion_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+        sha_features_expr,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    a = {
+        r["media_id"]: (r["kind"], r["n_bytes"], r["content_sha"], tuple(r["feature"]))
+        for r in extract_features(media).collect()
+    }
+    b = {
+        r["media_id"]: (r["kind"], r["n_bytes"], r["content_sha"], tuple(r["feature"]))
+        for r in sha_features_expr(media).collect()
+    }
+    assert a == b and a

@@ -870,6 +870,13 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_language_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality normalization: per-document token-entropy
+    percentile WITHIN its source, so one percentile threshold means
+    the same thing across heterogeneous sources."""
+    return X.score_normalize_by_source(_t(spark, sf_dir, "documents"))
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 bigrams by pointwise mutual
     information (min count 5) — separates true collocations from
@@ -2244,7 +2251,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe_calibration, ivf_topk_fixed, bpe_encode, ks_drift,
 # dedup_threshold_sweep, media_near_dup, shared_spans, span_leakage,
 # skew_profile, bigram_pmi, binary_ingest, ab_test,
-# temperature_sample, session_occupancy, contrastive_triples.
+# temperature_sample, session_occupancy, contrastive_triples,
+# score_normalize.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2360,6 +2368,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "session_occupancy": q_session_occupancy,
         "contrastive_triples": q_contrastive_triples,
+        "score_normalize": q_score_normalize,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4215,6 +4224,22 @@ def oracle_sql() -> dict[str, str]:
             "  AS duration_s"
             " FROM s GROUP BY user_id, session_seq"
             " ORDER BY user_id, session_seq"
+        ),
+        "score_normalize": (
+            "WITH t AS (SELECT doc_id,"
+            "   lower(unnest(string_split(trim(text), ' '))) AS token"
+            "   FROM documents),"
+            " pt AS (SELECT doc_id, token, count(*) AS c FROM t"
+            "   WHERE length(token) > 0 GROUP BY 1, 2),"
+            " ent AS (SELECT doc_id,"
+            "  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)"
+            "   AS entropy FROM pt GROUP BY doc_id),"
+            " j AS (SELECT d.doc_id, d.source, e.entropy FROM documents d"
+            "  JOIN ent e ON e.doc_id = d.doc_id)"
+            " SELECT doc_id, source, entropy,"
+            " round(percent_rank() OVER (PARTITION BY source"
+            "  ORDER BY entropy, doc_id) + 1e-9, 6) AS source_pctile"
+            " FROM j ORDER BY source, doc_id"
         ),
         "contrastive_triples": (
             "WITH " + _minhash_pairs_cte(0.4) + ","

@@ -168,6 +168,7 @@ EXTENDED = [
     "temperature_sample",
     "session_occupancy",
     "contrastive_triples",
+    "score_normalize",
 ]
 
 

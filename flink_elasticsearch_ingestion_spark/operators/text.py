@@ -1282,3 +1282,40 @@ def bigram_pmi(
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(k)
     )
+
+
+def score_normalize_by_source(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source score normalization: each document's quality signal
+    (token entropy here) mapped to its PERCENTILE within its own
+    source — the step that makes one quality threshold meaningful
+    across heterogeneous sources (a raw-score cutoff tuned on web text
+    silently rejects most of a code or forum source whose score
+    distribution sits elsewhere; percentile cutoffs don't).
+
+    Ties break on ``id_col`` before ``percent_rank`` so both engines
+    produce identical ranks.  The window partitions by source (sources
+    rank in parallel); a single source too large for one task takes
+    the ``equi_depth_buckets`` two-phase route instead — documented
+    trade, same as ``stratified_exact_k``.
+    """
+    ent = token_entropy(documents, id_col=id_col, text_col=text_col).select(
+        id_col, "entropy"
+    )
+    src = documents.select(id_col, source_col)
+    w = Window.partitionBy(source_col).orderBy("entropy", id_col)
+    return (
+        ent.join(src, id_col)
+        .select(
+            id_col,
+            source_col,
+            "entropy",
+            F.round(F.percent_rank().over(w) + 1e-9, 6).alias("source_pctile"),
+        )
+        .orderBy(source_col, id_col)
+    )

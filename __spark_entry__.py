@@ -870,6 +870,17 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_language_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints: per-doc summary of
+    the window-minimum gram-hash selection — the position-robust local
+    fingerprint with the w+k-1 shared-run detection guarantee."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quality normalization: per-document token-entropy
     percentile WITHIN its source, so one percentile threshold means
@@ -2252,7 +2263,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_threshold_sweep, media_near_dup, shared_spans, span_leakage,
 # skew_profile, bigram_pmi, binary_ingest, ab_test,
 # temperature_sample, session_occupancy, contrastive_triples,
-# score_normalize.
+# score_normalize, winnowing.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2369,6 +2380,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_occupancy": q_session_occupancy,
         "contrastive_triples": q_contrastive_triples,
         "score_normalize": q_score_normalize,
+        "winnowing": q_winnowing,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4224,6 +4236,27 @@ def oracle_sql() -> dict[str, str]:
             "  AS duration_s"
             " FROM s GROUP BY user_id, session_seq"
             " ORDER BY user_id, session_seq"
+        ),
+        "winnowing": (
+            "WITH t AS (SELECT doc_id,"
+            "  string_split_regex(trim(text), '\\s+') AS toks"
+            "  FROM documents),"
+            " g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN"
+            "  [('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),"
+            "    1, 8))::BIGINT % 2147483647"
+            "   FOR i IN generate_series(1, len(toks) - 2)]"
+            "  ELSE CAST([] AS BIGINT[]) END AS grams FROM t),"
+            " f AS (SELECT doc_id, grams,"
+            "  list_distinct(CASE WHEN len(grams) >= 4 THEN"
+            "   [list_min(grams[j:j+3])"
+            "    FOR j IN generate_series(1, len(grams) - 3)]"
+            "  ELSE grams END) AS fps FROM g)"
+            " SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,"
+            " CAST(len(fps) AS INT) AS n_fps,"
+            " list_min(fps) AS fp_min, list_max(fps) AS fp_max,"
+            " round(CAST(len(fps) AS DOUBLE) / greatest(len(grams), 1)"
+            "  + 1e-9, 6) AS density"
+            " FROM f ORDER BY doc_id"
         ),
         "score_normalize": (
             "WITH t AS (SELECT doc_id,"

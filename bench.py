@@ -169,6 +169,7 @@ EXTENDED = [
     "session_occupancy",
     "contrastive_triples",
     "score_normalize",
+    "winnowing",
 ]
 
 

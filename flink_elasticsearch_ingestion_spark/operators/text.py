@@ -1319,3 +1319,90 @@ def score_normalize_by_source(
         )
         .orderBy(source_col, id_col)
     )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    *,
+    gram_k: int = 3,
+    window_w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    rolling-hash scheme): hash every ``gram_k``-token gram, then keep
+    the MINIMUM hash of each ``window_w``-length sliding window of
+    gram hashes.  The guarantee that makes winnowing the standard
+    local fingerprint: any shared run of at least
+    ``window_w + gram_k - 1`` tokens between two documents is certain
+    to contribute at least one common fingerprint — position-robust
+    detection at a tunable ~2/(w+1) density, far sparser than storing
+    every gram (MinHash summarizes GLOBAL set similarity; winnowing
+    localizes WHERE overlap can be found — the complement).
+
+    Emits the per-document fingerprint summary (gram count, selected
+    fingerprint count, min/max fingerprint, density).  Only distinct
+    fingerprint VALUES are kept, so the original algorithm's
+    positional tie-break rule is irrelevant here and both engines
+    agree exactly.  Pure map-side expression tree with every
+    intermediate bound once per row (``bind_once`` — tokens, gram
+    hashes, and window minima never re-evaluate per element); zero
+    shuffles.  The fingerprint inverted index composes with
+    ``passage_dedup``'s group-by when cross-doc posting lists are
+    needed.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        portable_hash31,
+    )
+    from flink_elasticsearch_ingestion_spark.operators.util import bind_once
+
+    empty = "CAST(array() AS ARRAY<BIGINT>)"
+
+    def from_toks(toks):
+        grams = F.when(
+            F.size(toks) >= gram_k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(gram_k - 1)),
+                lambda i: portable_hash31(
+                    F.concat_ws(" ", F.slice(toks, i, gram_k))
+                ),
+            ),
+        ).otherwise(F.expr(empty))
+
+        def from_grams(g):
+            fps = F.array_distinct(
+                F.when(
+                    F.size(g) >= window_w,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(g) - F.lit(window_w - 1)),
+                        lambda j: F.array_min(F.slice(g, j, window_w)),
+                    ),
+                ).otherwise(g)
+            )
+
+            def from_fps(f):
+                return F.struct(
+                    F.size(g).alias("n_grams"),
+                    F.size(f).alias("n_fps"),
+                    F.array_min(f).alias("fp_min"),
+                    F.array_max(f).alias("fp_max"),
+                    F.round(
+                        F.size(f) / F.greatest(F.size(g), F.lit(1)) + 1e-9, 6
+                    ).alias("density"),
+                )
+
+            return bind_once(fps, from_fps)
+
+        return bind_once(grams, from_grams)
+
+    summary = bind_once(F.split(F.trim(F.col(text_col)), "\\s+"), from_toks)
+    return documents.select(
+        F.col(id_col), summary.alias("__s")
+    ).select(
+        id_col,
+        F.col("__s.n_grams").alias("n_grams"),
+        F.col("__s.n_fps").alias("n_fps"),
+        F.col("__s.fp_min").alias("fp_min"),
+        F.col("__s.fp_max").alias("fp_max"),
+        F.col("__s.density").alias("density"),
+    ).orderBy(id_col)

@@ -1333,3 +1333,50 @@ def test_sha_features_expr_matches_arrow_path(spark, sf_dir):
         for r in sha_features_expr(media).collect()
     }
     assert a == b and a
+
+
+def _py_winnow(text, k=3, w=4):
+    toks = text.strip().split()
+    P = 2147483647
+    h = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % P
+    grams = [h(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)] if len(toks) >= k else []
+    if len(grams) >= w:
+        fps = {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+    else:
+        fps = set(grams)
+    return grams, fps
+
+
+def test_winnowing_matches_python_reference_and_guarantee(spark):
+    """Differential vs a plain-Python winnower on every doc, plus the
+    winnowing guarantee: two docs sharing a run of >= w+k-1 = 6 tokens
+    share at least one fingerprint."""
+    import random
+
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    rng = random.Random(3)
+    shared = " ".join(f"s{i}" for i in range(6))  # exactly w+k-1 tokens
+    texts = {
+        1: "a1 a2 a3 " + shared + " a4 a5",
+        2: "b1 " + shared + " b2 b3 b4 b5 b6",
+        3: " ".join(rng.choice("pqrstu") + str(i) for i in range(30)),
+        4: "tiny doc",  # below gram_k: zero grams
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in winnowing_fingerprints(docs).collect()}
+    sets = {}
+    for d, t in texts.items():
+        grams, fps = _py_winnow(t)
+        sets[d] = fps
+        r = out[d]
+        assert r["n_grams"] == len(grams)
+        assert r["n_fps"] == len(fps)
+        if fps:
+            assert r["fp_min"] == min(fps) and r["fp_max"] == max(fps)
+        else:
+            assert r["fp_min"] is None and r["fp_max"] is None
+    assert sets[1] & sets[2]            # the guarantee fires
+    assert not (sets[3] & sets[1])      # unrelated docs stay disjoint

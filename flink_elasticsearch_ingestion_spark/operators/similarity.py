@@ -136,14 +136,31 @@ def lsh_bucket_expr(vec_name: str, planes: list[list[float]]) -> F.Column:
     round-trips exactly through Spark's double literal syntax, so the
     planes are bit-identical to the F.lit path.
     """
+    dim = len(planes[0]) if planes else 0
     terms = []
     for i, plane in enumerate(planes):
-        arr = "array(" + ",".join(repr(float(v)) + "D" for v in plane) + ")"
-        d = (
-            f"aggregate(zip_with({vec_name}, {arr},"
-            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
+        if dim <= 16:
+            # low-dim planes (e.g. the 8-d media features): unroll the
+            # dot into plain arithmetic — higher-order functions never
+            # enter whole-stage codegen and their interpreted call
+            # sites go megamorphic late in a long session (the
+            # token_set_join cliff), while an unrolled sum stays
+            # codegen'd.  Left-associated + preserves the fold's exact
+            # IEEE summation order, so results (and every oracle) are
+            # bit-identical.
+            d = " + ".join(
+                f"(CAST(element_at({vec_name}, {j + 1}) AS DOUBLE)"
+                f" * {repr(float(v))}D)"
+                for j, v in enumerate(plane)
+            )
+            d = f"({d})"
+        else:
+            arr = "array(" + ",".join(repr(float(v)) + "D" for v in plane) + ")"
+            d = (
+                f"aggregate(zip_with({vec_name}, {arr},"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
         terms.append(
             f"(CASE WHEN {d} >= 0 THEN shiftleft(CAST(1 AS BIGINT), {i})"
             " ELSE CAST(0 AS BIGINT) END)"

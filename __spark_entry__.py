@@ -870,6 +870,19 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_language_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-aware stratified allocation (Neyman's N_h x S_h rule)
+    over order priorities by total-price spread; exact-grid weights
+    keep every integer budget engine-identical."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    return neyman_allocation_sample(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) rolling-hash fingerprints: per-doc summary of
     the window-minimum gram-hash selection — the position-robust local
@@ -2263,7 +2276,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_threshold_sweep, media_near_dup, shared_spans, span_leakage,
 # skew_profile, bigram_pmi, binary_ingest, ab_test,
 # temperature_sample, session_occupancy, contrastive_triples,
-# score_normalize, winnowing.
+# score_normalize, winnowing, neyman_sample.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2381,6 +2394,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triples": q_contrastive_triples,
         "score_normalize": q_score_normalize,
         "winnowing": q_winnowing,
+        "neyman_sample": q_neyman_sample,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4236,6 +4250,28 @@ def oracle_sql() -> dict[str, str]:
             "  AS duration_s"
             " FROM s GROUP BY user_id, session_seq"
             " ORDER BY user_id, session_seq"
+        ),
+        "neyman_sample": (
+            "WITH st AS (SELECT o_orderpriority, count(*) AS n_rows,"
+            "  max(o_totalprice) - min(o_totalprice) AS spread"
+            "  FROM orders GROUP BY o_orderpriority),"
+            " w AS (SELECT *, n_rows * CAST(spread AS DOUBLE) AS wt FROM st),"
+            " d AS (SELECT CAST(sum(wt) AS DOUBLE) AS w_total FROM w),"
+            " a AS (SELECT o_orderpriority, n_rows, spread,"
+            "  CAST(floor(wt / w_total * 200 + 0.5) AS INT) AS budget"
+            "  FROM w CROSS JOIN d),"
+            " r AS (SELECT o_orderpriority, row_number() OVER ("
+            "  PARTITION BY o_orderpriority ORDER BY"
+            "  md5('neyman-v1:' || CAST(o_orderkey AS VARCHAR)),"
+            "  o_orderkey) AS rk FROM orders),"
+            " p AS (SELECT r.o_orderpriority, count(*) AS n_picked"
+            "  FROM r JOIN a ON a.o_orderpriority = r.o_orderpriority"
+            "  WHERE r.rk <= a.budget GROUP BY r.o_orderpriority)"
+            " SELECT a.o_orderpriority, a.n_rows,"
+            " round(CAST(a.spread AS DOUBLE) + 1e-9, 2) AS spread,"
+            " a.budget, CAST(COALESCE(p.n_picked, 0) AS BIGINT) AS n_picked"
+            " FROM a LEFT JOIN p ON p.o_orderpriority = a.o_orderpriority"
+            " ORDER BY a.o_orderpriority"
         ),
         "winnowing": (
             "WITH t AS (SELECT doc_id,"

@@ -170,6 +170,7 @@ EXTENDED = [
     "contrastive_triples",
     "score_normalize",
     "winnowing",
+    "neyman_sample",
 ]
 
 

@@ -483,3 +483,75 @@ def temperature_language_sample(
     return picked.select(
         key_col, stratum_col, "pick_rank", "n_docs", "budget"
     ).orderBy(stratum_col, "pick_rank")
+
+
+def neyman_allocation_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    *,
+    total: int = 200,
+    key_col: str = "o_orderkey",
+    salt: str = "neyman-v1",
+) -> DataFrame:
+    """Variance-aware stratified allocation (Neyman's rule: sample
+    each stratum proportional to ``N_h * S_h``, concentrating budget
+    where the measured value varies most — the survey-sampling
+    optimum, vs proportional allocation's equal treatment of flat and
+    volatile strata).  Returns the per-stratum allocation summary with
+    the deterministic pick count.
+
+    The spread term uses ``max - min`` instead of a standard
+    deviation ON PURPOSE: min/max are exact data values, so the weight
+    ``N_h * (max - min)`` lands on an exact decimal grid where
+    summation order cannot change the total and every engine computes
+    bit-identical budgets — a cross-engine stddev differs in the last
+    ulp (different summation orders) and a last-ulp difference under
+    ``floor(x + 0.5)`` flips an integer budget (the same IEEE-exactness
+    rule as temperature_language_sample's sqrt).
+
+    Scale shape: one stratum aggregate (|strata| rows), a 1-row weight
+    denominator broadcast, and the per-stratum md5-ordered rank pick —
+    one keyed shuffle, same as ``stratified_exact_k``.
+    """
+    from pyspark.sql import Window
+
+    stats = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max(value_col) - F.min(value_col)).alias("spread"),
+    )
+    wts = stats.withColumn(
+        "w", F.col("n_rows") * F.col("spread").cast("double")
+    )
+    denom = wts.agg(F.sum("w").alias("w_total"))
+    alloc = (
+        wts.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "budget",
+            F.floor(F.col("w") / F.col("w_total") * total + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+        .select(stratum_col, "n_rows", "spread", "budget")
+    )
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    wnd = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    picked = (
+        df.withColumn("__rk", F.row_number().over(wnd))
+        .join(F.broadcast(alloc), stratum_col)
+        .filter(F.col("__rk") <= F.col("budget"))
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n_picked"))
+    )
+    return (
+        alloc.join(picked, stratum_col, "left")
+        .na.fill({"n_picked": 0})
+        .select(
+            stratum_col,
+            "n_rows",
+            F.round(F.col("spread").cast("double") + 1e-9, 2).alias("spread"),
+            "budget",
+            "n_picked",
+        )
+        .orderBy(stratum_col)
+    )

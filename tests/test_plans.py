@@ -50,6 +50,8 @@ SCALAR_JOIN_OK = {
     "temperature_sample",
     # 11-row shared negative pool broadcast onto the pair frame
     "contrastive_triples",
+    # 1-row Neyman weight denominator broadcast onto the strata frame
+    "neyman_sample",
     "substring_contamination",
     "corpus_build_pipeline",
     "heavy_hitters",

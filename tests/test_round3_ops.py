@@ -1335,6 +1335,30 @@ def test_sha_features_expr_matches_arrow_path(spark, sf_dir):
     assert a == b and a
 
 
+def test_neyman_allocation_favors_volatile_strata(spark):
+    """Two equal-size strata, one with 10x the value spread: the
+    volatile stratum gets ~10x the budget; budgets sum to ~total and
+    picks never exceed the stratum size."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    rows = [(i, "flat", 100.0 + (i % 10)) for i in range(200)] + [
+        (1000 + i, "wild", 100.0 + (i % 10) * 10) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "o_orderkey long, s string, v double")
+    out = {
+        r["s"]: r
+        for r in neyman_allocation_sample(
+            df, "s", "v", total=110, key_col="o_orderkey"
+        ).collect()
+    }
+    assert out["wild"]["budget"] == 10 * out["flat"]["budget"]
+    assert out["flat"]["n_picked"] == out["flat"]["budget"]
+    assert abs(sum(r["budget"] for r in out.values()) - 110) <= 1
+    assert all(r["n_picked"] <= r["n_rows"] for r in out.values())
+
+
 def _py_winnow(text, k=3, w=4):
     toks = text.strip().split()
     P = 2147483647

@@ -870,6 +870,13 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_language_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cartography: pairwise cosine between sources over hashed
+    bag-of-words distributions — the mixing/contamination overview.
+    Quadratic only in SOURCE count; hashes engine-portable."""
+    return X.source_similarity(_t(spark, sf_dir, "documents"))
+
+
 def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance-aware stratified allocation (Neyman's N_h x S_h rule)
     over order priorities by total-price spread; exact-grid weights
@@ -2276,7 +2283,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_threshold_sweep, media_near_dup, shared_spans, span_leakage,
 # skew_profile, bigram_pmi, binary_ingest, ab_test,
 # temperature_sample, session_occupancy, contrastive_triples,
-# score_normalize, winnowing, neyman_sample.
+# score_normalize, winnowing, neyman_sample, source_similarity.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2395,6 +2402,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_normalize": q_score_normalize,
         "winnowing": q_winnowing,
         "neyman_sample": q_neyman_sample,
+        "source_similarity": q_source_similarity,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4250,6 +4258,28 @@ def oracle_sql() -> dict[str, str]:
             "  AS duration_s"
             " FROM s GROUP BY user_id, session_seq"
             " ORDER BY user_id, session_seq"
+        ),
+        "source_similarity": (
+            "WITH w AS (SELECT source AS src,"
+            "  unnest(string_split_regex(trim(text), '\\s+')) AS t"
+            "  FROM documents),"
+            " c AS (SELECT src,"
+            "  (('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)"
+            "    % 32 AS b, count(*) AS cnt"
+            "  FROM w WHERE t <> '' GROUP BY 1, 2),"
+            " v0 AS (SELECT src, list(b ORDER BY b) AS bs,"
+            "  list(cnt ORDER BY b) AS cs FROM c GROUP BY src),"
+            " v AS (SELECT src,"
+            "  [CASE WHEN COALESCE(list_position(bs, d), 0) > 0"
+            "   THEN cs[list_position(bs, d)]::DOUBLE ELSE 0.0 END"
+            "   FOR d IN generate_series(0, 31)] AS vec FROM v0)"
+            " SELECT a.src AS src_a, b.src AS src_b,"
+            " round(list_dot_product(a.vec, b.vec) /"
+            "  (sqrt(list_dot_product(a.vec, a.vec))"
+            "   * sqrt(list_dot_product(b.vec, b.vec))) + 1e-9, 6)"
+            "  AS cosine"
+            " FROM v a JOIN v b ON a.src < b.src"
+            " ORDER BY src_a, src_b"
         ),
         "neyman_sample": (
             "WITH st AS (SELECT o_orderpriority, count(*) AS n_rows,"

@@ -171,6 +171,7 @@ EXTENDED = [
     "score_normalize",
     "winnowing",
     "neyman_sample",
+    "source_similarity",
 ]
 
 

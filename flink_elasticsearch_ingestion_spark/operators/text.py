@@ -1406,3 +1406,87 @@ def winnowing_fingerprints(
         F.col("__s.fp_max").alias("fp_max"),
         F.col("__s.density").alias("density"),
     ).orderBy(id_col)
+
+
+def source_similarity(
+    documents: DataFrame,
+    *,
+    dims: int = 32,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus cartography: pairwise cosine similarity between SOURCES
+    over their hashed bag-of-words distributions — the overview query
+    behind mixing decisions ("these two crawls are near-identical,
+    down-weight one") and contamination triage ("why does source X
+    look like the eval set").
+
+    Scale shape: token -> md5 bucket map-side (the ``feature_hashing``
+    trick, vocabulary-free), ONE (source, bucket) count aggregate
+    (<= |sources| * dims rows), then pairwise cosine over the tiny
+    per-source vectors — the pair join is quadratic only in SOURCE
+    count, the same bounded combinatorics as ``kmv_overlap``'s sketch
+    comparison.  Engine-portable hashes keep every vector and cosine
+    DuckDB-derivable.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        MERSENNE31,
+        portable_hash31,
+    )
+    from flink_elasticsearch_ingestion_spark.operators.util import (
+        bind_once,
+        ensure_parallelism,
+    )
+
+    documents = ensure_parallelism(documents)
+    toks = tokens(text_col)
+    bucket = lambda t: portable_hash31(t) % F.lit(dims)  # noqa: E731
+    words = documents.select(
+        F.col(source_col).alias("src"),
+        F.explode(toks).alias("t"),
+    ).filter(F.col("t") != "")
+    counts = (
+        words.select("src", bucket(F.col("t")).alias("b"))
+        .groupBy("src", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # the bucket->count map materializes ONCE per source behind the
+    # aggregation boundary; the dense vector is then a cheap per-dim
+    # lookup over the attribute (never a per-element map rebuild)
+    maps = counts.groupBy("src").agg(
+        F.map_from_arrays(
+            F.collect_list("b"), F.collect_list("c")
+        ).alias("m")
+    )
+    vecs = maps.select(
+        "src",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda d: F.coalesce(
+                F.element_at(F.col("m"), d.cast("bigint")), F.lit(0)
+            ).cast("double"),
+        ).alias("v"),
+    )
+    a = vecs.select(F.col("src").alias("src_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("src").alias("src_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                dot / (nrm(F.col("va")) * nrm(F.col("vb"))) + 1e-9, 6
+            ).alias("cosine"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -52,6 +52,9 @@ SCALAR_JOIN_OK = {
     "contrastive_triples",
     # 1-row Neyman weight denominator broadcast onto the strata frame
     "neyman_sample",
+    # all-pairs over the |sources|-row vector table (bounded
+    # combinatorics, same class as kmv_overlap)
+    "source_similarity",
     "substring_contamination",
     "corpus_build_pipeline",
     "heavy_hitters",

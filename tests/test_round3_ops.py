@@ -1335,6 +1335,27 @@ def test_sha_features_expr_matches_arrow_path(spark, sf_dir):
     assert a == b and a
 
 
+def test_source_similarity_identical_and_disjoint(spark):
+    """Sources with identical token distributions hit cosine 1.0;
+    sources with disjoint vocabularies that hash to different buckets
+    score near zero; output covers every source pair exactly once."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        source_similarity,
+    )
+
+    same = "alpha beta gamma delta epsilon"
+    rows = (
+        [(i, "s1", same) for i in range(5)]
+        + [(100 + i, "s2", same) for i in range(5)]
+        + [(200 + i, "s3", "zulu yankee xray whiskey victor") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r["src_a"], r["src_b"]): r["cosine"] for r in source_similarity(docs).collect()}
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert abs(out[("s1", "s2")] - 1.0) < 1e-9
+    assert out[("s1", "s3")] < 0.5  # different vocab, low overlap
+
+
 def test_neyman_allocation_favors_volatile_strata(spark):
     """Two equal-size strata, one with 10x the value spread: the
     volatile stratum gets ~10x the budget; budgets sum to ~total and

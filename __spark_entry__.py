@@ -908,6 +908,39 @@ def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.score_normalize_by_source(_t(spark, sf_dir, "documents"))
 
 
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph centrality (fixed 3-iteration PageRank, damping
+    0.85) over the brand co-purchase graph — the corpus-curation
+    primitive behind crawl-graph quality ranking.  Each iteration is
+    one keyed shuffle + one partial/final agg; dangling mass is
+    redistributed uniformly so the oracle's unrolled CTE replay
+    matches the power-iteration definition exactly."""
+    from flink_elasticsearch_ingestion_spark.operators.graph import (
+        copurchase_edges,
+        pagerank_fixed,
+    )
+
+    edges = copurchase_edges(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+    return pagerank_fixed(edges, n_iter=3, damping=0.85)
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift)
+    between brands co-occurring in orders — Apriori-style pair mining
+    with the item universe projected to a bounded attribute, so the
+    within-order pair expansion stays order-width bounded."""
+    from flink_elasticsearch_ingestion_spark.operators.mining import (
+        basket_rules,
+    )
+
+    return basket_rules(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        min_pair_orders=20,
+    )
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 bigrams by pointwise mutual
     information (min count 5) — separates true collocations from
@@ -2283,7 +2316,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_threshold_sweep, media_near_dup, shared_spans, span_leakage,
 # skew_profile, bigram_pmi, binary_ingest, ab_test,
 # temperature_sample, session_occupancy, contrastive_triples,
-# score_normalize, winnowing, neyman_sample, source_similarity.
+# score_normalize, winnowing, neyman_sample, source_similarity,
+# copurchase_pagerank, basket_rules.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2403,6 +2437,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "neyman_sample": q_neyman_sample,
         "source_similarity": q_source_similarity,
+        "copurchase_pagerank": q_copurchase_pagerank,
+        "basket_rules": q_basket_rules,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4280,6 +4316,74 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "copurchase_pagerank": (
+            "WITH it AS (SELECT DISTINCT l_orderkey AS okey,"
+            "  p_brand AS item FROM lineitem"
+            "  JOIN part ON l_partkey = p_partkey),"
+            " e AS (SELECT DISTINCT a.item AS src, b.item AS dst"
+            "  FROM it a JOIN it b ON a.okey = b.okey"
+            "  WHERE a.item <> b.item),"
+            " n AS (SELECT src AS node FROM e UNION"
+            "  SELECT dst AS node FROM e),"
+            " d AS (SELECT n.node,"
+            "  CAST(COALESCE(o.od, 0) AS BIGINT) AS out_degree"
+            "  FROM n LEFT JOIN (SELECT src, count(*) AS od FROM e"
+            "   GROUP BY src) o ON o.src = n.node),"
+            " nv AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM d),"
+            " r0 AS (SELECT node, out_degree, CAST(1.0 AS DOUBLE)"
+            "  AS pr FROM d),"
+            " r1 AS (SELECT d.node, d.out_degree,"
+            "  0.15 + 0.85 * (COALESCE(m.in_mass, 0.0) + dm.dm / nv.nn)"
+            "   AS pr FROM d CROSS JOIN nv CROSS JOIN"
+            "  (SELECT COALESCE(sum(pr), 0.0) AS dm FROM r0"
+            "   WHERE out_degree = 0) dm"
+            "  LEFT JOIN (SELECT e.dst, sum(r.pr / r.out_degree)"
+            "   AS in_mass FROM e JOIN r0 r ON r.node = e.src"
+            "   GROUP BY e.dst) m ON m.dst = d.node),"
+            " r2 AS (SELECT d.node, d.out_degree,"
+            "  0.15 + 0.85 * (COALESCE(m.in_mass, 0.0) + dm.dm / nv.nn)"
+            "   AS pr FROM d CROSS JOIN nv CROSS JOIN"
+            "  (SELECT COALESCE(sum(pr), 0.0) AS dm FROM r1"
+            "   WHERE out_degree = 0) dm"
+            "  LEFT JOIN (SELECT e.dst, sum(r.pr / r.out_degree)"
+            "   AS in_mass FROM e JOIN r1 r ON r.node = e.src"
+            "   GROUP BY e.dst) m ON m.dst = d.node),"
+            " r3 AS (SELECT d.node, d.out_degree,"
+            "  0.15 + 0.85 * (COALESCE(m.in_mass, 0.0) + dm.dm / nv.nn)"
+            "   AS pr FROM d CROSS JOIN nv CROSS JOIN"
+            "  (SELECT COALESCE(sum(pr), 0.0) AS dm FROM r2"
+            "   WHERE out_degree = 0) dm"
+            "  LEFT JOIN (SELECT e.dst, sum(r.pr / r.out_degree)"
+            "   AS in_mass FROM e JOIN r2 r ON r.node = e.src"
+            "   GROUP BY e.dst) m ON m.dst = d.node)"
+            " SELECT node, out_degree, round(pr + 1e-9, 6)"
+            "  AS rank_score FROM r3 ORDER BY node"
+        ),
+        "basket_rules": (
+            "WITH it AS (SELECT DISTINCT l_orderkey AS okey,"
+            "  p_brand AS item FROM lineitem"
+            "  JOIN part ON l_partkey = p_partkey),"
+            " nn AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE)"
+            "  AS nd FROM it),"
+            " io AS (SELECT item, count(*) AS item_orders FROM it"
+            "  GROUP BY item),"
+            " p AS (SELECT a.item AS ante, b.item AS cons,"
+            "  count(*) AS pair_orders"
+            "  FROM it a JOIN it b ON a.okey = b.okey"
+            "  WHERE a.item <> b.item GROUP BY 1, 2"
+            "  HAVING count(*) >= 20)"
+            " SELECT ante, cons, CAST(pair_orders AS BIGINT)"
+            "  AS pair_orders,"
+            " round(pair_orders / nd + 1e-9, 6) AS support,"
+            " round(pair_orders / CAST(ia.item_orders AS DOUBLE)"
+            "  + 1e-9, 6) AS confidence,"
+            " round((pair_orders / CAST(ia.item_orders AS DOUBLE))"
+            "  / (ic.item_orders / nd) + 1e-9, 6) AS lift"
+            " FROM p CROSS JOIN nn"
+            " JOIN io ia ON ia.item = p.ante"
+            " JOIN io ic ON ic.item = p.cons"
+            " ORDER BY ante, cons"
         ),
         "neyman_sample": (
             "WITH st AS (SELECT o_orderpriority, count(*) AS n_rows,"

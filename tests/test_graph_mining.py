@@ -1,0 +1,132 @@
+"""Units for graph centrality (pagerank_fixed) and market-basket
+association rules (basket_rules) — hand-computed tiny fixtures."""
+
+import math
+
+import pytest
+
+from flink_elasticsearch_ingestion_spark.operators.graph import (
+    copurchase_edges,
+    degree_stats,
+    pagerank_fixed,
+)
+from flink_elasticsearch_ingestion_spark.operators.mining import basket_rules
+
+
+def _py_pagerank(edges, n_iter=3, damping=0.85):
+    """Reference power iteration mirroring the operator's definition."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    out = {n: 0 for n in nodes}
+    for s, _ in e:
+        out[s] += 1
+    rank = {n: 1.0 for n in nodes}
+    nn = float(len(nodes))
+    for _ in range(n_iter):
+        dm = sum(rank[n] for n in nodes if out[n] == 0)
+        in_mass = {n: 0.0 for n in nodes}
+        for s, d in e:
+            in_mass[d] += rank[s] / out[s]
+        rank = {
+            n: (1 - damping) + damping * (in_mass[n] + dm / nn)
+            for n in nodes
+        }
+    return rank
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star: every leaf points at the hub, hub points back at leaf 1
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in pagerank_fixed(df).collect()}
+    ref = _py_pagerank(edges)
+    for n, want in ref.items():
+        assert got[n]["rank_score"] == pytest.approx(want, abs=2e-6)
+    hub = got[0]["rank_score"]
+    assert all(hub > got[n]["rank_score"] for n in range(2, 6))
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # 1 -> 2 -> 3, node 3 dangles; total rank must stay |V|
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank_fixed(df, n_iter=4).collect()
+    ref = _py_pagerank(edges, n_iter=4)
+    for r in rows:
+        assert r["rank_score"] == pytest.approx(ref[r["node"]], abs=2e-6)
+    assert math.isclose(
+        sum(r["rank_score"] for r in rows), 3.0, abs_tol=1e-4
+    )
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank_score"] for r in pagerank_fixed(df).collect()}
+    # after dedup the graph is symmetric: both nodes identical
+    assert got[1] == pytest.approx(got[2], abs=1e-9)
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank_fixed(df, n_iter=0)
+
+
+def test_degree_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 3)], "src long, dst long"
+    )
+    got = {r["node"]: (r["out_degree"], r["in_degree"]) for r in
+           degree_stats(df).collect()}
+    assert got == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+def _basket_fixture(spark):
+    # orders: 1:{A,B}, 2:{A,B}, 3:{A,C}, 4:{B}, 5:{A,B,C}
+    li = [
+        (1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12),
+        (4, 11), (5, 10), (5, 11), (5, 12), (5, 10),  # dup part in 5
+    ]
+    part = [(10, "A"), (11, "B"), (12, "C")]
+    li_df = spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long"
+    )
+    part_df = spark.createDataFrame(part, "p_partkey long, p_brand string")
+    return li_df, part_df
+
+
+def test_basket_rules_hand_counts(spark):
+    li_df, part_df = _basket_fixture(spark)
+    out = {(r["ante"], r["cons"]): r for r in
+           basket_rules(li_df, part_df, min_pair_orders=1).collect()}
+    # orders with A: 4 (1,2,3,5); B: 4 (1,2,4,5); C: 2 (3,5); N=5
+    ab = out[("A", "B")]
+    assert ab["pair_orders"] == 3
+    assert ab["support"] == pytest.approx(3 / 5, abs=2e-6)
+    assert ab["confidence"] == pytest.approx(3 / 4, abs=2e-6)
+    assert ab["lift"] == pytest.approx((3 / 4) / (4 / 5), abs=2e-6)
+    ca = out[("C", "A")]
+    assert ca["pair_orders"] == 2
+    assert ca["confidence"] == pytest.approx(1.0, abs=2e-6)
+    assert ca["lift"] == pytest.approx(1.0 / (4 / 5), abs=2e-6)
+    # symmetric counts, asymmetric confidence
+    assert out[("B", "A")]["pair_orders"] == 3
+    assert out[("A", "C")]["confidence"] == pytest.approx(2 / 4, abs=2e-6)
+
+
+def test_basket_rules_min_support_prunes(spark):
+    li_df, part_df = _basket_fixture(spark)
+    out = basket_rules(li_df, part_df, min_pair_orders=3).collect()
+    kept = {(r["ante"], r["cons"]) for r in out}
+    assert kept == {("A", "B"), ("B", "A")}
+
+
+def test_copurchase_edges_symmetric_and_distinct(spark):
+    li_df, part_df = _basket_fixture(spark)
+    e = {(r["src"], r["dst"]) for r in
+         copurchase_edges(li_df, part_df).collect()}
+    assert ("A", "B") in e and ("B", "A") in e
+    assert ("B", "C") in e  # via order 5
+    assert all(s != d for s, d in e)

@@ -57,6 +57,8 @@ SCALAR_JOIN_OK = {
     "source_similarity",
     "substring_contamination",
     "corpus_build_pipeline",
+    # per-iteration 1-row dangling-mass scalar broadcast
+    "copurchase_pagerank",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",

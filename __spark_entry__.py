@@ -908,6 +908,18 @@ def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.score_normalize_by_source(_t(spark, sf_dir, "documents"))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed-unigram log-likelihood ratio,
+    target = English vs the raw pool, 256 buckets, add-one smoothing)
+    — the importance-resampling data-selection signal.  One corpus
+    shuffle on (doc, bucket); both model tables broadcast."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    return dsir_importance_weights(_t(spark, sf_dir, "documents"))
+
+
 def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph centrality (fixed 3-iteration PageRank, damping
     0.85) over the brand co-purchase graph — the corpus-curation
@@ -2317,7 +2329,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # skew_profile, bigram_pmi, binary_ingest, ab_test,
 # temperature_sample, session_occupancy, contrastive_triples,
 # score_normalize, winnowing, neyman_sample, source_similarity,
-# copurchase_pagerank, basket_rules.
+# copurchase_pagerank, basket_rules, dsir_weights.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2439,6 +2451,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_similarity": q_source_similarity,
         "copurchase_pagerank": q_copurchase_pagerank,
         "basket_rules": q_basket_rules,
+        "dsir_weights": q_dsir_weights,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4316,6 +4329,31 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "dsir_weights": (
+            "WITH tk AS (SELECT doc_id, lang,"
+            "  (('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)"
+            "   % 256 AS b FROM (SELECT doc_id, lang,"
+            "  unnest(string_split_regex(trim(text), '\\s+')) AS t"
+            "  FROM documents) WHERE t <> ''),"
+            " db AS (SELECT doc_id, lang, b, count(*) AS cnt"
+            "  FROM tk GROUP BY 1, 2, 3),"
+            " m AS (SELECT b,"
+            "  CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)"
+            "   AS BIGINT) AS ct,"
+            "  CAST(sum(CASE WHEN lang <> 'en' THEN cnt ELSE 0 END)"
+            "   AS BIGINT) AS cr FROM db GROUP BY b),"
+            " t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,"
+            "  CAST(sum(cr) AS BIGINT) AS tr FROM m),"
+            " lr AS (SELECT b,"
+            "  ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))"
+            "  - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE))"
+            "   AS lr FROM m CROSS JOIN t)"
+            " SELECT db.doc_id, db.lang,"
+            " CAST(sum(cnt) AS BIGINT) AS n_tokens,"
+            " round(sum(cnt * lr) + 1e-9, 6) AS llr"
+            " FROM db JOIN lr ON lr.b = db.b"
+            " GROUP BY db.doc_id, db.lang ORDER BY db.doc_id"
         ),
         "copurchase_pagerank": (
             "WITH it AS (SELECT DISTINCT l_orderkey AS okey,"

@@ -555,3 +555,81 @@ def neyman_allocation_sample(
         )
         .orderBy(stratum_col)
     )
+
+
+def dsir_importance_weights(
+    documents: DataFrame,
+    *,
+    target_lang: str = "en",
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """DSIR-style importance weights: hashed-n-gram log-likelihood
+    ratio of a target distribution vs the raw pool (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Each document scores sum_f c_f(doc) * [ln p_target(f) -
+    ln p_raw(f)] over ``n_buckets`` hashed unigram features, with
+    add-one smoothing on both bucket distributions.  High weight =
+    looks like the target domain; sampling documents by this weight
+    (Gumbel-top-k on weight + portable uniform, as in
+    ``weighted_sample``) reproduces the DSIR selection step.
+
+    Scale shape: one explode + one (doc, bucket) partial+final agg on
+    the corpus; both model tables are ``n_buckets`` rows, broadcast
+    into the scoring join — the corpus shuffles ONCE on (doc, bucket),
+    never on vocabulary.  Hashing uses the engine-portable md5-31
+    family (dedup.py:55), so the DuckDB oracle re-derives every
+    bucket, both smoothed distributions, and each doc's exact ratio.
+    """
+    from .dedup import portable_hash31
+
+    toks = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (portable_hash31(F.col("tok")) % F.lit(n_buckets)).alias("b"),
+        )
+    )
+    doc_b = toks.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    is_target = F.col("lang") == F.lit(target_lang)
+    model = doc_b.groupBy("b").agg(
+        F.sum(F.when(is_target, F.col("cnt")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~is_target, F.col("cnt")).otherwise(F.lit(0))).alias("cr"),
+    )
+    totals = model.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )  # 1-row scalar
+    lr = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + 1) / (F.col("tt") + F.lit(n_buckets)))
+                - F.log((F.col("cr") + 1) / (F.col("tr") + F.lit(n_buckets)))
+            ).alias("lr"),
+        )
+    )
+    return (
+        doc_b.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * F.col("lr")) + F.lit(1e-9), 6).alias(
+                "llr"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -130,3 +130,80 @@ def test_copurchase_edges_symmetric_and_distinct(spark):
     assert ("A", "B") in e and ("B", "A") in e
     assert ("B", "C") in e  # via order 5
     assert all(s != d for s, d in e)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+import hashlib
+import math as _math
+
+from flink_elasticsearch_ingestion_spark.operators.sampling import (
+    dsir_importance_weights,
+)
+
+
+def _py_dsir(docs, target_lang="en", n_buckets=16):
+    """Pure-Python replica of the operator's definition."""
+    h31 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2147483647
+    per_doc = {}
+    ct, cr = {}, {}
+    for doc_id, lang, text in docs:
+        counts = {}
+        for t in text.split():
+            b = h31(t) % n_buckets
+            counts[b] = counts.get(b, 0) + 1
+        per_doc[doc_id] = (lang, counts)
+        tgt = ct if lang == target_lang else cr
+        for b, c in counts.items():
+            tgt[b] = tgt.get(b, 0) + c
+    tt, tr = sum(ct.values()), sum(cr.values())
+    out = {}
+    for doc_id, (lang, counts) in per_doc.items():
+        llr = sum(
+            c
+            * (
+                _math.log((ct.get(b, 0) + 1) / (tt + n_buckets))
+                - _math.log((cr.get(b, 0) + 1) / (tr + n_buckets))
+            )
+            for b, c in counts.items()
+        )
+        out[doc_id] = (lang, sum(counts.values()), llr)
+    return out
+
+
+def test_dsir_weights_match_python_replica(spark):
+    docs = [
+        (1, "en", "alpha beta alpha gamma"),
+        (2, "en", "alpha beta beta"),
+        (3, "fr", "zut alors zut"),
+        (4, "fr", "alors gamma zut zut"),
+        (5, "de", "doch alpha doch"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in
+           dsir_importance_weights(df, n_buckets=16).collect()}
+    ref = _py_dsir(docs, n_buckets=16)
+    assert set(got) == set(ref)
+    for d, (lang, n_tok, llr) in ref.items():
+        assert got[d]["lang"] == lang
+        assert got[d]["n_tokens"] == n_tok
+        assert got[d]["llr"] == round(llr + 1e-9, 6) or abs(
+            got[d]["llr"] - llr
+        ) < 2e-6
+
+
+def test_dsir_target_typical_doc_scores_higher(spark):
+    # target (en) vocabulary is disjoint from the raw pool's, so an
+    # en-vocab doc must outscore a raw-vocab doc of equal length
+    docs = (
+        [(i, "en", "aa bb cc dd") for i in range(10)]
+        + [(100 + i, "fr", "xx yy zz ww") for i in range(10)]
+        + [(200, "zh", "aa bb cc dd"), (201, "zh", "xx yy zz ww")]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["llr"] for r in
+           dsir_importance_weights(df, n_buckets=64).collect()}
+    assert got[200] > got[201]
+    assert got[0] > got[100]

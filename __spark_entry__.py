@@ -920,6 +920,17 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term-class association (top-10 per language, min doc
+    freq 5): feature selection / domain-term mining.  Vocab-keyed aggs
+    and vocabulary-sized window partitions; products in double so the
+    statistic survives petabyte doc counts; the top-k cut ranks on the
+    ROUNDED statistic so both engines agree at boundaries."""
+    from flink_elasticsearch_ingestion_spark.operators.text import chi2_terms
+
+    return chi2_terms(_t(spark, sf_dir, "documents"))
+
+
 def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph centrality (fixed 3-iteration PageRank, damping
     0.85) over the brand co-purchase graph — the corpus-curation
@@ -2329,7 +2340,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # skew_profile, bigram_pmi, binary_ingest, ab_test,
 # temperature_sample, session_occupancy, contrastive_triples,
 # score_normalize, winnowing, neyman_sample, source_similarity,
-# copurchase_pagerank, basket_rules, dsir_weights.
+# copurchase_pagerank, basket_rules, dsir_weights, chi2_terms.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2452,6 +2463,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pagerank": q_copurchase_pagerank,
         "basket_rules": q_basket_rules,
         "dsir_weights": q_dsir_weights,
+        "chi2_terms": q_chi2_terms,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4329,6 +4341,43 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "chi2_terms": (
+            "WITH dt AS (SELECT DISTINCT doc_id, lang AS cls, t AS term"
+            "  FROM (SELECT doc_id, lang,"
+            "   unnest(string_split_regex(trim(text), '\\s+')) AS t"
+            "   FROM documents) WHERE t <> ''),"
+            " n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE)"
+            "  AS nd FROM documents),"
+            " cd AS (SELECT lang AS cls,"
+            "  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_cls"
+            "  FROM documents GROUP BY 1),"
+            " p AS (SELECT term, cls, CAST(count(*) AS BIGINT) AS a_raw"
+            "  FROM dt GROUP BY 1, 2),"
+            " tt AS (SELECT term, CAST(sum(a_raw) AS BIGINT) AS df_term"
+            "  FROM p GROUP BY 1),"
+            " tc AS (SELECT tt.term, g.cls, tt.df_term,"
+            "  CAST(COALESCE(p.a_raw, 0) AS BIGINT) AS a"
+            "  FROM tt CROSS JOIN (SELECT cls FROM cd) g"
+            "  LEFT JOIN p ON p.term = tt.term AND p.cls = g.cls),"
+            " s AS (SELECT tc.cls, tc.term, tc.a, tc.df_term,"
+            "   cd.n_cls, n.nd,"
+            "   CAST(a AS DOUBLE) * (nd - n_cls - (df_term - a))"
+            "    - CAST(df_term - a AS DOUBLE)"
+            "      * CAST(n_cls - a AS DOUBLE) AS ad_bc"
+            "  FROM tc JOIN cd ON cd.cls = tc.cls CROSS JOIN n"
+            "  WHERE tc.df_term >= 5),"
+            " sc AS (SELECT cls, term, a, df_term,"
+            "  round(CASE WHEN df_term >= nd OR n_cls >= nd THEN 0.0"
+            "   ELSE nd * ad_bc * ad_bc /"
+            "   (CAST(df_term AS DOUBLE) * (nd - df_term)"
+            "    * CAST(n_cls AS DOUBLE) * (nd - n_cls)) END + 1e-9, 6)"
+            "   AS chi2 FROM s),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY cls"
+            "  ORDER BY chi2 DESC, term ASC) AS rk FROM sc)"
+            " SELECT cls, CAST(rk AS INT) AS rk, term,"
+            " a AS present_in_class, df_term AS doc_freq, chi2"
+            " FROM r WHERE rk <= 10 ORDER BY cls, rk"
         ),
         "dsir_weights": (
             "WITH tk AS (SELECT doc_id, lang,"

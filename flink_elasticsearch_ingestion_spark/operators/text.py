@@ -1490,3 +1490,122 @@ def source_similarity(
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def chi2_terms(
+    documents: DataFrame,
+    *,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Chi-square term-class association: the classic feature-selection
+    / domain-term-mining statistic.  For each (term, class) the 2x2
+    document-presence contingency (a = class docs with term, b = other
+    docs with term, c = class docs without, d = rest) scores
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    and the ``top_k`` terms per class (by rounded chi2 desc, then term
+    asc — the rounding makes the cut engine-portable) are returned.
+
+    Scale shape: one distinct (doc, term) projection, one vocab-keyed
+    agg per class (both Zipf-bounded), then a per-class window over
+    VOCABULARY-sized partitions — never over the corpus.  The products
+    are computed in double so the statistic cannot overflow at
+    petabyte document counts.
+    """
+    toks = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(class_col).alias("cls"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    n_docs = documents.select(id_col).distinct().count()  # scalar
+    cls_docs = (
+        documents.select(
+            F.col(id_col).alias("doc_id"), F.col(class_col).alias("cls")
+        )
+        .distinct()
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("n_cls"))
+    )
+    present = toks.groupBy("term", "cls").agg(
+        F.count(F.lit(1)).alias("a_raw")
+    )
+    term_tot = present.groupBy("term").agg(F.sum("a_raw").alias("df_term"))
+    # full vocab x class grid: a = 0 cells carry the perfect-NEGATIVE
+    # associations (a term that never occurs in a class is just as
+    # informative as one that always does).  The class table is tiny
+    # (bounded label cardinality), so the grid is one broadcast
+    # cross-expansion of the vocabulary, not a data-sized product.
+    term_cls = (
+        term_tot.crossJoin(F.broadcast(cls_docs.select("cls")))
+        .join(present, ["term", "cls"], "left")
+        .select(
+            "term",
+            "cls",
+            "df_term",
+            F.coalesce("a_raw", F.lit(0)).alias("a"),
+        )
+    )
+    nd = float(n_docs)
+    # a*d - b*c squared via self-multiplication (NOT pow: libm pow is
+    # not ulp-identical across engines; x*x is)
+    ad_bc = F.col("a").cast("double") * (
+        F.lit(nd) - F.col("n_cls") - (F.col("df_term") - F.col("a"))
+    ) - (F.col("df_term") - F.col("a")).cast("double") * (
+        F.col("n_cls") - F.col("a")
+    ).cast("double")
+    scored = (
+        term_cls.where(F.col("df_term") >= min_doc_freq)
+        .join(F.broadcast(cls_docs), "cls")
+        .withColumn("ad_bc", ad_bc)
+        .select(
+            "cls",
+            "term",
+            F.col("a").cast("bigint").alias("present_in_class"),
+            F.col("df_term").cast("bigint").alias("doc_freq"),
+            # a term in every doc, or a single-class corpus, has zero
+            # discriminative power: chi2 := 0 (denominator degenerates)
+            F.when(
+                (F.col("df_term") >= F.lit(nd))
+                | (F.col("n_cls") >= F.lit(nd)),
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.lit(nd)
+                * F.col("ad_bc")
+                * F.col("ad_bc")
+                / (
+                    F.col("df_term").cast("double")
+                    * (F.lit(nd) - F.col("df_term"))
+                    * F.col("n_cls").cast("double")
+                    * (F.lit(nd) - F.col("n_cls"))
+                )
+            )
+            .alias("chi2_raw"),
+        )
+        .withColumn("chi2", F.round(F.col("chi2_raw") + F.lit(1e-9), 6))
+    )
+    w = Window.partitionBy("cls").orderBy(
+        F.col("chi2").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select(
+            "cls",
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            "present_in_class",
+            "doc_freq",
+            "chi2",
+        )
+        .orderBy("cls", "rk")
+    )

@@ -207,3 +207,40 @@ def test_dsir_target_typical_doc_scores_higher(spark):
            dsir_importance_weights(df, n_buckets=64).collect()}
     assert got[200] > got[201]
     assert got[0] > got[100]
+
+
+# ---------------------------------------------------------------------------
+# Chi-square term-class association
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.text import chi2_terms
+
+
+def test_chi2_planted_class_term_dominates(spark):
+    # "aaa" appears in EVERY en doc and NO other doc -> maximal
+    # association; "common" is in every doc -> chi2 exactly 0
+    docs = (
+        [(i, "en", "aaa common filler" + str(i % 3)) for i in range(10)]
+        + [(100 + i, "fr", "bbb common filler" + str(i % 3)) for i in range(10)]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    out = chi2_terms(df, min_doc_freq=2, top_k=3).collect()
+    by_cls = {}
+    for r in out:
+        by_cls.setdefault(r["cls"], []).append(r)
+    assert by_cls["en"][0]["term"] in {"aaa", "bbb"}  # both maximally split
+    top_en = {r["term"] for r in by_cls["en"][:2]}
+    assert top_en == {"aaa", "bbb"}  # perfect pos + perfect neg association
+    common = [r for r in out if r["term"] == "common"]
+    assert all(r["chi2"] == pytest.approx(0.0, abs=1e-9) for r in common)
+    # hand-check the perfect-association value: chi2 == N
+    aaa_en = [r for r in by_cls["en"] if r["term"] == "aaa"][0]
+    assert aaa_en["chi2"] == pytest.approx(20.0, abs=1e-6)
+    assert aaa_en["present_in_class"] == 10 and aaa_en["doc_freq"] == 10
+
+
+def test_chi2_min_doc_freq_prunes_rare_terms(spark):
+    docs = [(1, "en", "rare shared"), (2, "fr", "shared"), (3, "fr", "shared x")]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    out = chi2_terms(df, min_doc_freq=2, top_k=5).collect()
+    assert "rare" not in {r["term"] for r in out}

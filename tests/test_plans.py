@@ -59,6 +59,8 @@ SCALAR_JOIN_OK = {
     "corpus_build_pipeline",
     # per-iteration 1-row dangling-mass scalar broadcast
     "copurchase_pagerank",
+    # vocab x |classes| grid: bounded label-dimension cross-expansion
+    "chi2_terms",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",

@@ -920,6 +920,15 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (lambda 0.7, pool 20, k 5) over the
+    standard query vector: distributed relevance + pool cut, bounded
+    greedy selection, every score rounded before comparison so the
+    DuckDB oracle replays all five unrolled steps exactly."""
+    qv = _query_vector(spark, sf_dir)
+    return S.mmr_rerank(_t(spark, sf_dir, "embeddings"), qv, k=5, pool=20)
+
+
 def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square term-class association (top-10 per language, min doc
     freq 5): feature selection / domain-term mining.  Vocab-keyed aggs
@@ -2340,7 +2349,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # skew_profile, bigram_pmi, binary_ingest, ab_test,
 # temperature_sample, session_occupancy, contrastive_triples,
 # score_normalize, winnowing, neyman_sample, source_similarity,
-# copurchase_pagerank, basket_rules, dsir_weights, chi2_terms.
+# copurchase_pagerank, basket_rules, dsir_weights, chi2_terms,
+# mmr_rerank.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2464,6 +2474,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "dsir_weights": q_dsir_weights,
         "chi2_terms": q_chi2_terms,
+        "mmr_rerank": q_mmr_rerank,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4341,6 +4352,72 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "mmr_rerank": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv"
+            "  FROM embeddings WHERE vec_id = 0),"
+            " pool AS (SELECT vec_id,"
+            "  CAST(embedding AS DOUBLE[]) AS v,"
+            "  round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)"
+            "   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+            "       CAST(embedding AS DOUBLE[])))"
+            "      * sqrt(list_dot_product(qv, qv))), 6) AS rel"
+            "  FROM embeddings, q ORDER BY rel DESC, vec_id LIMIT 20),"
+            " sims AS (SELECT a.vec_id AS ai, b.vec_id AS bi,"
+            "  round(list_dot_product(a.v, b.v)"
+            "   / (sqrt(list_dot_product(a.v, a.v))"
+            "      * sqrt(list_dot_product(b.v, b.v))), 6) AS sim"
+            "  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),"
+            " s1 AS (SELECT vec_id, rel,"
+            "  round(0.7 * rel - (1.0 - 0.7) * 0.0 + 1e-9, 6) AS score"
+            "  FROM pool ORDER BY score DESC, vec_id LIMIT 1),"
+            " l1 AS (SELECT vec_id FROM s1),"
+            " s2 AS (SELECT p.vec_id, p.rel,"
+            "  round(0.7 * p.rel - (1.0 - 0.7)"
+            "   * COALESCE(m.ms, 0.0) + 1e-9, 6) AS score"
+            "  FROM pool p LEFT JOIN (SELECT ai, max(sim) AS ms"
+            "   FROM sims WHERE bi IN (SELECT vec_id FROM l1)"
+            "   GROUP BY ai) m ON m.ai = p.vec_id"
+            "  WHERE p.vec_id NOT IN (SELECT vec_id FROM l1)"
+            "  ORDER BY score DESC, p.vec_id LIMIT 1),"
+            " l2 AS (SELECT vec_id FROM l1 UNION ALL"
+            "  SELECT vec_id FROM s2),"
+            " s3 AS (SELECT p.vec_id, p.rel,"
+            "  round(0.7 * p.rel - (1.0 - 0.7)"
+            "   * COALESCE(m.ms, 0.0) + 1e-9, 6) AS score"
+            "  FROM pool p LEFT JOIN (SELECT ai, max(sim) AS ms"
+            "   FROM sims WHERE bi IN (SELECT vec_id FROM l2)"
+            "   GROUP BY ai) m ON m.ai = p.vec_id"
+            "  WHERE p.vec_id NOT IN (SELECT vec_id FROM l2)"
+            "  ORDER BY score DESC, p.vec_id LIMIT 1),"
+            " l3 AS (SELECT vec_id FROM l2 UNION ALL"
+            "  SELECT vec_id FROM s3),"
+            " s4 AS (SELECT p.vec_id, p.rel,"
+            "  round(0.7 * p.rel - (1.0 - 0.7)"
+            "   * COALESCE(m.ms, 0.0) + 1e-9, 6) AS score"
+            "  FROM pool p LEFT JOIN (SELECT ai, max(sim) AS ms"
+            "   FROM sims WHERE bi IN (SELECT vec_id FROM l3)"
+            "   GROUP BY ai) m ON m.ai = p.vec_id"
+            "  WHERE p.vec_id NOT IN (SELECT vec_id FROM l3)"
+            "  ORDER BY score DESC, p.vec_id LIMIT 1),"
+            " l4 AS (SELECT vec_id FROM l3 UNION ALL"
+            "  SELECT vec_id FROM s4),"
+            " s5 AS (SELECT p.vec_id, p.rel,"
+            "  round(0.7 * p.rel - (1.0 - 0.7)"
+            "   * COALESCE(m.ms, 0.0) + 1e-9, 6) AS score"
+            "  FROM pool p LEFT JOIN (SELECT ai, max(sim) AS ms"
+            "   FROM sims WHERE bi IN (SELECT vec_id FROM l4)"
+            "   GROUP BY ai) m ON m.ai = p.vec_id"
+            "  WHERE p.vec_id NOT IN (SELECT vec_id FROM l4)"
+            "  ORDER BY score DESC, p.vec_id LIMIT 1)"
+            " SELECT * FROM ("
+            "  SELECT CAST(1 AS INT) AS rank, vec_id, rel,"
+            "   score AS mmr_score FROM s1"
+            "  UNION ALL SELECT CAST(2 AS INT), vec_id, rel, score FROM s2"
+            "  UNION ALL SELECT CAST(3 AS INT), vec_id, rel, score FROM s3"
+            "  UNION ALL SELECT CAST(4 AS INT), vec_id, rel, score FROM s4"
+            "  UNION ALL SELECT CAST(5 AS INT), vec_id, rel, score FROM s5"
+            " ) ORDER BY rank"
         ),
         "chi2_terms": (
             "WITH dt AS (SELECT DISTINCT doc_id, lang AS cls, t AS term"

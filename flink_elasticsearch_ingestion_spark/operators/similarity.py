@@ -667,3 +667,84 @@ def hybrid_search(
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(k)
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    *,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results maximizing
+
+        lam * rel(d)  -  (1 - lam) * max_{s in selected} sim(d, s)
+
+    — the standard diversification pass over a retrieval pool (RAG
+    context assembly, dedup-aware search results).
+
+    Scale shape: relevance scoring + the top-``pool`` cut run
+    DISTRIBUTED over the full corpus (TakeOrdered, same as
+    ``cosine_topk``); the greedy selection then works on the bounded
+    pool (<= ``pool`` rows, pool^2 pairwise sims), collecting ONE
+    pool-sized frame — the same bounded-driver pattern as IVF's
+    training sample and bpe_train's per-merge argmax.  Every
+    relevance, similarity, and score is rounded to 6 dp BEFORE any
+    comparison, so the greedy argmax (ties broken by id) is
+    engine-portable and the DuckDB oracle replays all ``k`` unrolled
+    steps bit-for-bit.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    pool_df = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            F.round(cosine(F.col(vec_col), q), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(pool)
+    )
+    a = pool_df.select(
+        F.col("vec_id").alias("ai"), F.col("v").alias("va")
+    )
+    b = pool_df.select(
+        F.col("vec_id").alias("bi"), F.col("v").alias("vb")
+    )
+    sims_df = (
+        a.join(b, F.col("ai") != F.col("bi"))
+        .select(
+            "ai",
+            "bi",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+    )
+    # bounded materialization: <= pool rows / pool^2 sims
+    cand = {
+        r["vec_id"]: r["rel"] for r in pool_df.select("vec_id", "rel").collect()
+    }
+    sims = {
+        (r["ai"], r["bi"]): r["sim"] for r in sims_df.collect()
+    }
+    picked: list[tuple[int, int, float, float]] = []
+    selected: list[int] = []
+    for rank in range(1, min(k, len(cand)) + 1):
+        best = None
+        for vid, rel in cand.items():
+            if vid in selected:
+                continue
+            ms = max((sims[(vid, s)] for s in selected), default=0.0)
+            score = round(lam * rel - (1.0 - lam) * ms + 1e-9, 6)
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rel, score)
+        _, vid, rel, score = best
+        picked.append((rank, vid, rel, score))
+        selected.append(vid)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        picked, "rank int, vec_id long, rel double, mmr_score double"
+    )

@@ -244,3 +244,42 @@ def test_chi2_min_doc_freq_prunes_rare_terms(spark):
     df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
     out = chi2_terms(df, min_doc_freq=2, top_k=5).collect()
     assert "rare" not in {r["term"] for r in out}
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.similarity import mmr_rerank
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    # vecs 1,2 are near-clones; vec 3 is less relevant but diverse.
+    # Pure relevance ranks [2,1,3]; MMR demotes the clone of the top
+    # pick and selects 3 second (hand-computed: scores 0.089 vs -0.014)
+    rows = [
+        (1, [1.0, 0.05, 0.0]),
+        (2, [0.98, 0.08, 0.0]),
+        (3, [0.5, 0.85, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, [0.9, 0.3, 0.0], k=3, pool=3, lam=0.5).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [2, 3, 1]
+    assert out[0]["rel"] == pytest.approx(0.971267, abs=1e-6)
+    assert out[1]["mmr_score"] == pytest.approx(0.089051, abs=1e-6)
+
+
+def test_mmr_lambda_one_degenerates_to_relevance(spark):
+    rows = [(i, [1.0 - 0.01 * i, 0.1 * i, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, [1.0, 0.0, 0.0], k=4, pool=6, lam=1.0).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [0, 1, 2, 3]
+
+
+def test_mmr_k_capped_by_pool(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, [1.0, 0.0], k=10, pool=5).collect()
+    assert len(out) == 2

@@ -920,6 +920,24 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (4 subspaces x 8 centroids over
+    the 64-dim embeddings): map-side-only expression work, zero
+    shuffles — 64 floats compress to 4 codes.  Deterministic codebook
+    (similarity.pq_codebook) so the oracle re-derives every
+    assignment."""
+    return S.pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-10: literal per-subspace
+    lookup tables (constant-folded), each candidate scored by 4 array
+    lookups + adds — the compressed-domain scan of billion-vector
+    search.  TakeOrdered on rounded distance."""
+    qv = _query_vector(spark, sf_dir)
+    return S.pq_search_adc(_t(spark, sf_dir, "embeddings"), qv, k=10)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified re-ranking (lambda 0.7, pool 20, k 5) over the
     standard query vector: distributed relevance + pool cut, bounded
@@ -2350,7 +2368,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # temperature_sample, session_occupancy, contrastive_triples,
 # score_normalize, winnowing, neyman_sample, source_similarity,
 # copurchase_pagerank, basket_rules, dsir_weights, chi2_terms,
-# mmr_rerank.
+# mmr_rerank, pq_encode, pq_search.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2475,6 +2493,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "chi2_terms": q_chi2_terms,
         "mmr_rerank": q_mmr_rerank,
+        "pq_encode": q_pq_encode,
+        "pq_search": q_pq_search,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -2689,6 +2709,20 @@ def _shared_spans_cte(window_k: int = 8, min_span: int = 12, df_cap: int = 50) -
         " FROM isl GROUP BY doc_a, doc_b, pa - pb, grp"
         f" HAVING count(*) + {k - 1} >= {min_span})"
     )
+
+
+def _pq_values() -> str:
+    """VALUES rows ``(sub, cid, c)`` inlining the deterministic PQ
+    codebook (similarity.pq_codebook, seed 777) — same float-repr
+    round-trip discipline as ``_plane_values``."""
+    from flink_elasticsearch_ingestion_spark.operators.similarity import pq_codebook
+
+    rows = []
+    for sub, cents in enumerate(pq_codebook()):
+        for cid, c in enumerate(cents):
+            lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+            rows.append(f"({sub}, {cid}, {lit})")
+    return ", ".join(rows)
 
 
 def _plane_values(bits: int, seeds: list[int], dim: int = 64) -> str:
@@ -4352,6 +4386,68 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "pq_encode": (
+            "WITH cb AS (SELECT * FROM (VALUES "
+            + _pq_values()
+            + ") AS t(sub, cid, c)),"
+            " v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            "  FROM embeddings),"
+            " d AS (SELECT vec_id, sub, cid,"
+            "  round(list_dot_product(xs, xs)"
+            "   - 2.0 * list_dot_product(xs, c)"
+            "   + list_dot_product(c, c) + 1e-9, 6) AS d"
+            "  FROM (SELECT vec_id, sub, cid, c,"
+            "   list_slice(v, sub * 16 + 1, sub * 16 + 16) AS xs"
+            "   FROM v CROSS JOIN cb)),"
+            " a AS (SELECT vec_id, sub, cid FROM (SELECT *,"
+            "  row_number() OVER (PARTITION BY vec_id, sub"
+            "   ORDER BY d, cid) AS rn FROM d) WHERE rn = 1)"
+            " SELECT vec_id,"
+            " CAST(max(CASE WHEN sub = 0 THEN cid END) AS INT) AS code0,"
+            " CAST(max(CASE WHEN sub = 1 THEN cid END) AS INT) AS code1,"
+            " CAST(max(CASE WHEN sub = 2 THEN cid END) AS INT) AS code2,"
+            " CAST(max(CASE WHEN sub = 3 THEN cid END) AS INT) AS code3"
+            " FROM a GROUP BY vec_id ORDER BY vec_id"
+        ),
+        "pq_search": (
+            "WITH cb AS (SELECT * FROM (VALUES "
+            + _pq_values()
+            + ") AS t(sub, cid, c)),"
+            " v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            "  FROM embeddings),"
+            " d AS (SELECT vec_id, sub, cid,"
+            "  round(list_dot_product(xs, xs)"
+            "   - 2.0 * list_dot_product(xs, c)"
+            "   + list_dot_product(c, c) + 1e-9, 6) AS d"
+            "  FROM (SELECT vec_id, sub, cid, c,"
+            "   list_slice(v, sub * 16 + 1, sub * 16 + 16) AS xs"
+            "   FROM v CROSS JOIN cb)),"
+            " a AS (SELECT vec_id, sub, cid FROM (SELECT *,"
+            "  row_number() OVER (PARTITION BY vec_id, sub"
+            "   ORDER BY d, cid) AS rn FROM d) WHERE rn = 1),"
+            " q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv"
+            "  FROM embeddings WHERE vec_id = 0),"
+            " lut AS (SELECT sub, cid,"
+            "  round(list_dot_product(qs, qs)"
+            "   - 2.0 * list_dot_product(qs, c)"
+            "   + list_dot_product(c, c) + 1e-9, 6) AS d"
+            "  FROM (SELECT sub, cid, c,"
+            "   list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS qs"
+            "   FROM cb CROSS JOIN q)),"
+            " s AS (SELECT a.vec_id, round(sum(l.d) + 1e-9, 6)"
+            "   AS adc_dist FROM a JOIN lut l"
+            "   ON l.sub = a.sub AND l.cid = a.cid GROUP BY a.vec_id),"
+            " codes AS (SELECT vec_id,"
+            "  CAST(max(CASE WHEN sub = 0 THEN cid END) AS INT) AS code0,"
+            "  CAST(max(CASE WHEN sub = 1 THEN cid END) AS INT) AS code1,"
+            "  CAST(max(CASE WHEN sub = 2 THEN cid END) AS INT) AS code2,"
+            "  CAST(max(CASE WHEN sub = 3 THEN cid END) AS INT) AS code3"
+            "  FROM a GROUP BY vec_id)"
+            " SELECT s.vec_id, codes.code0, codes.code1, codes.code2,"
+            "  codes.code3, s.adc_dist"
+            " FROM s JOIN codes ON codes.vec_id = s.vec_id"
+            " ORDER BY s.adc_dist, s.vec_id LIMIT 10"
         ),
         "mmr_rerank": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv"

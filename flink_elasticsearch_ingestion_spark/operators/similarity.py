@@ -748,3 +748,120 @@ def mmr_rerank(
     return spark.createDataFrame(
         picked, "rank int, vec_id long, rel double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / ADC) — the compressed-domain ANN tier
+# ---------------------------------------------------------------------------
+
+#: PQ codebook seed — deterministic so both engines inline identical
+#: centroid literals (same discipline as the sign-LSH hyperplanes)
+PQ_SEED = 777
+
+
+def pq_codebook(
+    dim: int = 64, m_sub: int = 4, k_centroids: int = 8, seed: int = PQ_SEED
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: ``m_sub`` subspaces x ``k_centroids``
+    centroids of ``dim / m_sub`` dims (Gaussian / sqrt(sub_dim), unit-
+    ball scale).  Production PQ k-means-trains these per corpus
+    snapshot; a FIXED codebook keeps every downstream value
+    hash-verifiable by an independent engine, and the operator takes
+    any codebook, so swapping in trained centroids changes nothing
+    structurally (same trade as ivf_topk_fixed vs ivf_topk)."""
+    rng = random.Random(seed)
+    sub = dim // m_sub
+    return [
+        [
+            [rng.gauss(0.0, 1.0) / math.sqrt(sub) for _ in range(sub)]
+            for _ in range(k_centroids)
+        ]
+        for _ in range(m_sub)
+    ]
+
+
+def _pq_sub_dist(xs: F.Column, centroid: list[float]) -> F.Column:
+    """Squared L2 via the dot-product identity |x|^2 - 2<x,c> + |c|^2 —
+    the SAME algebraic form the DuckDB oracle writes, so the float op
+    tree is identical (never expand (x-c)^2 elementwise on one side
+    only)."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return (
+        dot(xs, xs) - F.lit(2.0) * dot(xs, c) + dot(c, c)
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: list[list[list[float]]] | None = None,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: each vector is split into
+    ``m_sub`` subvectors, each assigned to its nearest codebook
+    centroid (rounded distance, ties to the lowest centroid id) —
+    64 floats become ``m_sub`` small codes.  Pure map-side expression
+    work: zero shuffles, codegen-friendly, embarrassingly parallel at
+    any scale."""
+    cb = codebook if codebook is not None else pq_codebook()
+    m_sub = len(cb)
+    sub = len(cb[0][0])
+    out = [F.col(id_col).alias("vec_id")]
+    for j, cents in enumerate(cb):
+        xs = F.slice(F.col(vec_col), j * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.round(_pq_sub_dist(xs, c) + F.lit(1e-9), 6)
+                for c in cents
+            ]
+        )
+        out.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"code{j}")
+        )
+    return embeddings.select(*out).orderBy("vec_id")
+
+
+def pq_search_adc(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    codebook: list[list[list[float]]] | None = None,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: the query stays exact; each
+    candidate contributes only its codes, looked up in a per-subspace
+    distance table of query-to-centroid distances.  The lookup tables
+    are literal expressions (Catalyst constant-folds them), so scoring
+    a vector is ``m_sub`` array lookups + adds — the compressed-domain
+    scan that makes billion-vector search tractable.  Top-k by rounded
+    ADC distance, ties to the lowest id (TakeOrdered, no shuffle)."""
+    cb = codebook if codebook is not None else pq_codebook()
+    m_sub = len(cb)
+    sub = len(cb[0][0])
+    enc = pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col)
+    adc = F.lit(0.0)
+    for j, cents in enumerate(cb):
+        qs = F.array(
+            *[F.lit(float(v)) for v in query_vector[j * sub : (j + 1) * sub]]
+        )
+        lut = F.array(
+            *[
+                F.round(_pq_sub_dist(qs, c) + F.lit(1e-9), 6)
+                for c in cents
+            ]
+        )
+        adc = adc + F.element_at(lut, F.col(f"code{j}") + 1)
+    return (
+        enc.select(
+            "vec_id",
+            *[F.col(f"code{j}") for j in range(m_sub)],
+            F.round(adc + F.lit(1e-9), 6).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(k)
+    )

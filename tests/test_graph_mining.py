@@ -283,3 +283,63 @@ def test_mmr_k_capped_by_pool(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = mmr_rerank(df, [1.0, 0.0], k=10, pool=5).collect()
     assert len(out) == 2
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.similarity import (
+    pq_codebook,
+    pq_encode,
+    pq_search_adc,
+)
+
+
+def test_pq_encode_exact_centroids_get_their_code(spark):
+    # hand codebook: 2 subspaces x 2 centroids of 2 dims
+    cb = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[2.0, 0.0], [0.0, 2.0]],
+    ]
+    rows = [
+        (1, [1.0, 0.0, 2.0, 0.0]),   # = (c0, c0) -> codes (0, 0)
+        (2, [0.0, 1.0, 0.0, 2.0]),   # = (c1, c1) -> codes (1, 1)
+        (3, [0.9, 0.1, 0.1, 1.9]),   # nearest (c0, c1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["code0"], r["code1"]) for r in
+           pq_encode(df, cb).collect()}
+    assert got == {1: (0, 0), 2: (1, 1), 3: (0, 1)}
+
+
+def test_pq_adc_ranks_code_identical_vector_first(spark):
+    cb = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[2.0, 0.0], [0.0, 2.0]],
+    ]
+    rows = [
+        (1, [1.0, 0.0, 2.0, 0.0]),   # codes (0,0) — matches the query's
+        (2, [0.0, 1.0, 0.0, 2.0]),   # codes (1,1) — far
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_search_adc(df, [1.0, 0.0, 2.0, 0.0], cb, k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    # the query IS centroid (0,0): its ADC distance to codes (0,0) is 0
+    assert out[0]["adc_dist"] == pytest.approx(0.0, abs=1e-6)
+    assert out[1]["adc_dist"] > 1.0
+
+
+def test_pq_default_codebook_shape_and_determinism():
+    cb1, cb2 = pq_codebook(), pq_codebook()
+    assert cb1 == cb2
+    assert len(cb1) == 4 and len(cb1[0]) == 8 and len(cb1[0][0]) == 16
+
+
+def test_pq_encode_is_shuffle_free(spark, sf_dir):
+    import __spark_entry__ as E
+    from flink_elasticsearch_ingestion_spark.plans import physical_plan
+
+    plan = physical_plan(E.queries()["pq_encode"](spark, sf_dir))
+    body = plan.split("Sort")[0]  # final presentation sort excepted
+    assert "Exchange hashpartitioning" not in body

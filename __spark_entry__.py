@@ -920,6 +920,45 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit per language (ln freq ~ ln rank, top-200
+    terms): corpus-distribution sanity metric.  Vocab-keyed aggs and
+    vocabulary-sized window partitions only."""
+    from flink_elasticsearch_ingestion_spark.operators.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of order priority by total
+    price (m=10 shrink toward the global mean): one category-keyed
+    agg + a 1-row global broadcast; decimal sums rounded before
+    double arithmetic per the engine float-hazard rule."""
+    return R.target_encode(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the (nation, market-segment,
+    balance-bucket) quasi-identifier triple: per at-risk group rows
+    plus a __TOTAL__ summary — the governance gate before releasing
+    user-adjacent data."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0)).cast(
+            "bigint"
+        ),
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    )
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (4 subspaces x 8 centroids over
     the 64-dim embeddings): map-side-only expression work, zero
@@ -2368,7 +2407,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # temperature_sample, session_occupancy, contrastive_triples,
 # score_normalize, winnowing, neyman_sample, source_similarity,
 # copurchase_pagerank, basket_rules, dsir_weights, chi2_terms,
-# mmr_rerank, pq_encode, pq_search.
+# mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
+# k_anonymity.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2495,6 +2535,9 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
+        "zipf_fit": q_zipf_fit,
+        "target_encode": q_target_encode,
+        "k_anonymity": q_k_anonymity,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4386,6 +4429,56 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "zipf_fit": (
+            "WITH tf AS (SELECT lang AS cls, t AS term,"
+            "  count(*) AS freq FROM (SELECT lang,"
+            "  unnest(string_split_regex(trim(text), '\\s+')) AS t"
+            "  FROM documents) WHERE t <> '' GROUP BY 1, 2),"
+            " r AS (SELECT cls, ln(CAST(rank AS DOUBLE)) AS x,"
+            "  ln(CAST(freq AS DOUBLE)) AS y FROM (SELECT *,"
+            "  row_number() OVER (PARTITION BY cls"
+            "   ORDER BY freq DESC, term ASC) AS rank FROM tf)"
+            "  WHERE rank <= 200),"
+            " a AS (SELECT cls, CAST(count(*) AS DOUBLE) AS n,"
+            "  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,"
+            "  sum(x * x) AS sxx FROM r GROUP BY cls)"
+            " SELECT cls, CAST(n AS BIGINT) AS n_terms,"
+            " round((n * sxy - sx * sy) / (n * sxx - sx * sx)"
+            "  + 1e-9, 6) AS slope,"
+            " round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+            "  * sx) / n + 1e-9, 6) AS intercept"
+            " FROM a ORDER BY cls"
+        ),
+        "target_encode": (
+            "WITH pc AS (SELECT o_orderpriority,"
+            "  CAST(count(*) AS BIGINT) AS n_rows,"
+            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_t"
+            "  FROM orders GROUP BY 1),"
+            " g AS (SELECT CAST(count(*) AS DOUBLE) AS n_all,"
+            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_all"
+            "  FROM orders)"
+            " SELECT o_orderpriority, n_rows,"
+            " round(sum_t / n_rows + 1e-9, 4) AS raw_mean,"
+            " round((sum_t + 10.0 * (sum_all / n_all))"
+            "  / (n_rows + 10.0) + 1e-9, 4) AS encoded"
+            " FROM pc CROSS JOIN g ORDER BY o_orderpriority"
+        ),
+        "k_anonymity": (
+            "WITH b AS (SELECT c_nationkey, c_mktsegment,"
+            "  CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000.0)"
+            "   AS BIGINT) AS bal_bucket FROM customer),"
+            " g AS (SELECT CAST(c_nationkey AS VARCHAR)"
+            "  || '|' || c_mktsegment"
+            "  || '|' || CAST(bal_bucket AS VARCHAR) AS qi_values,"
+            "  CAST(count(*) AS BIGINT) AS group_size"
+            "  FROM b GROUP BY c_nationkey, c_mktsegment, bal_bucket),"
+            " r AS (SELECT qi_values, group_size,"
+            "  group_size AS at_risk_rows FROM g WHERE group_size < 5)"
+            " SELECT * FROM (SELECT * FROM r UNION ALL"
+            "  SELECT '__TOTAL__', CAST(count(*) AS BIGINT),"
+            "  CAST(COALESCE(sum(group_size), 0) AS BIGINT) FROM r)"
+            " ORDER BY qi_values"
         ),
         "pq_encode": (
             "WITH cb AS (SELECT * FROM (VALUES "

@@ -172,6 +172,13 @@ EXTENDED = [
     "winnowing",
     "neyman_sample",
     "source_similarity",
+    "copurchase_pagerank",
+    "basket_rules",
+    "dsir_weights",
+    "chi2_terms",
+    "mmr_rerank",
+    "pq_encode",
+    "pq_search",
 ]
 
 

@@ -400,3 +400,48 @@ def mad_outliers(
         )
         .orderBy(group_col)
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    re-identification governance check run before releasing or
+    training on user-adjacent data: every row whose QI group has
+    fewer than ``k`` members is re-identifiable to that group.
+
+    Returns one row per AT-RISK group (size < k) plus a ``__TOTAL__``
+    summary row (group_size = distinct at-risk groups, at_risk_rows =
+    total rows exposed), so the audit is actionable (which cells to
+    generalize/suppress) AND monitorable (one scalar to alert on).
+
+    Scale shape: one partial+final agg on the QI key; the at-risk set
+    is by definition small (< k rows per group), so the result is
+    bounded by group count, never data volume.
+    """
+    if not quasi_identifiers:
+        raise ValueError("k_anonymity_audit requires at least one QI column")
+    groups = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    risky = groups.where(F.col("group_size") < k)
+    qi_desc = risky.select(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in quasi_identifiers]
+        ).alias("qi_values"),
+        "group_size",
+    )
+    total = risky.agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.coalesce(F.sum("group_size"), F.lit(0)).alias("at_risk_rows"),
+    ).select(
+        F.lit("__TOTAL__").alias("qi_values"), "group_size", "at_risk_rows"
+    )
+    return (
+        qi_desc.withColumn("at_risk_rows", F.col("group_size"))
+        .unionByName(total)
+        .orderBy("qi_values")
+    )

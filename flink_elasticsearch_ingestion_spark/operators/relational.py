@@ -1760,3 +1760,55 @@ def kmv_set_overlap(
         .orderBy("grp_a", "grp_b")
     )
     return out
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Smoothed target (mean) encoding — the classic categorical
+    feature for gradient-boosted / linear models:
+
+        enc(c) = (sum_c + m * global_mean) / (n_c + m)
+
+    Rare categories shrink toward the global mean (m = ``smoothing``
+    virtual rows), killing the high-cardinality overfit of the naive
+    per-category mean.
+
+    Scale shape: ONE partial+final agg on the category key plus a
+    1-row global-mean broadcast.  Decimal sums are rounded to 2 dp
+    before entering double arithmetic (the engine-wide float-hazard
+    rule), so every encoded value is engine-exact.
+    """
+    per_cat = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(target_col), 2).cast("double").alias("sum_t"),
+    )
+    glob = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+        F.round(F.sum(target_col), 2).cast("double").alias("sum_all"),
+    )  # 1-row scalar
+    m = float(smoothing)
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select(
+            cat_col,
+            "n_rows",
+            F.round(
+                F.col("sum_t") / F.col("n_rows") + F.lit(1e-9), 4
+            ).alias("raw_mean"),
+            F.round(
+                (
+                    F.col("sum_t")
+                    + F.lit(m) * (F.col("sum_all") / F.col("n_all"))
+                )
+                / (F.col("n_rows") + F.lit(m))
+                + F.lit(1e-9),
+                4,
+            ).alias("encoded"),
+        )
+        .orderBy(cat_col)
+    )

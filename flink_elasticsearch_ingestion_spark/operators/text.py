@@ -1609,3 +1609,90 @@ def chi2_terms(
         )
         .orderBy("cls", "rk")
     )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    *,
+    class_col: str = "lang",
+    text_col: str = "text",
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf's-law fit per class: OLS slope of ln(freq) on ln(rank)
+    over the ``top_n`` most frequent terms — the canonical sanity
+    check on a corpus's token distribution (natural text ~ -1; spam /
+    template floods and tokenizer bugs bend the curve).
+
+    Scale shape: one vocab-keyed agg, a per-class window over the
+    vocabulary (never the corpus), then a class-keyed closed-form OLS
+    partial+final agg.  Frequency ties rank by term asc so the cut and
+    the regressors are engine-deterministic.
+    """
+    tf = (
+        documents.select(
+            F.col(class_col).alias("cls"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("cls", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("cls").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    ranked = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            "cls",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    return (
+        ranked.groupBy("cls")
+        .agg(
+            n.alias("n_terms"),
+            sx.alias("sx"),
+            sy.alias("sy"),
+            sxy.alias("sxy"),
+            sxx.alias("sxx"),
+        )
+        .select(
+            "cls",
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            F.round(
+                (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.col("n_terms") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("slope"),
+            F.round(
+                (
+                    F.col("sy")
+                    - (
+                        (
+                            F.col("n_terms") * F.col("sxy")
+                            - F.col("sx") * F.col("sy")
+                        )
+                        / (
+                            F.col("n_terms") * F.col("sxx")
+                            - F.col("sx") * F.col("sx")
+                        )
+                    )
+                    * F.col("sx")
+                )
+                / F.col("n_terms")
+                + F.lit(1e-9),
+                6,
+            ).alias("intercept"),
+        )
+        .orderBy("cls")
+    )

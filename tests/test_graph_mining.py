@@ -343,3 +343,92 @@ def test_pq_encode_is_shuffle_free(spark, sf_dir):
     plan = physical_plan(E.queries()["pq_encode"](spark, sf_dir))
     body = plan.split("Sort")[0]  # final presentation sort excepted
     assert "Exchange hashpartitioning" not in body
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit, target encoding, k-anonymity
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.quality import (
+    k_anonymity_audit,
+)
+from flink_elasticsearch_ingestion_spark.operators.relational import (
+    target_encode,
+)
+from flink_elasticsearch_ingestion_spark.operators.text import zipf_fit
+
+
+def test_zipf_fit_matches_ols_replica(spark):
+    # freqs 8,4,2,1 at ranks 1..4: perfect ln-ln line, slope = -1.5?
+    # compute the exact OLS in python and compare
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame(
+        [(1, "en", text)], "doc_id long, lang string, text string"
+    )
+    out = zipf_fit(df).collect()
+    assert len(out) == 1
+    xs = [_math.log(r) for r in (1, 2, 3, 4)]
+    ys = [_math.log(f) for f in (8, 4, 2, 1)]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r = out[0]
+    assert r["n_terms"] == 4
+    assert r["slope"] == pytest.approx(slope, abs=2e-6)
+    assert r["intercept"] == pytest.approx(intercept, abs=2e-6)
+    assert r["slope"] < -1.0  # steeper than natural text: tiny corpus
+
+
+def test_zipf_fit_tie_break_is_deterministic(spark):
+    # all terms equal freq: slope must be exactly 0
+    df = spark.createDataFrame(
+        [(1, "en", "x y z w")], "doc_id long, lang string, text string"
+    )
+    r = zipf_fit(df).collect()[0]
+    assert r["slope"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    rows = [("A", 100.0)] * 50 + [("B", 0.0)]
+    df = spark.createDataFrame(rows, "cat string, t double")
+    out = {r["cat"]: r for r in
+           target_encode(df, "cat", "t", smoothing=10.0).collect()}
+    gmean = (50 * 100.0) / 51
+    assert out["A"]["raw_mean"] == pytest.approx(100.0, abs=1e-4)
+    # A: (5000 + 10*gmean) / 60 ; B: (0 + 10*gmean) / 11
+    assert out["A"]["encoded"] == pytest.approx(
+        (5000 + 10 * gmean) / 60, abs=1e-4
+    )
+    assert out["B"]["encoded"] == pytest.approx(10 * gmean / 11, abs=1e-4)
+    # the rare category lands near the global mean, not its raw 0
+    assert abs(out["B"]["encoded"] - gmean) < abs(0.0 - gmean)
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    rows = [("US", "A")] * 6 + [("US", "B")] * 2 + [("FR", "A")]
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    out = {r["qi_values"]: r for r in
+           k_anonymity_audit(df, ["nation", "seg"], k=5).collect()}
+    assert set(out) == {"US|B", "FR|A", "__TOTAL__"}
+    assert out["US|B"]["group_size"] == 2
+    assert out["FR|A"]["group_size"] == 1
+    assert out["__TOTAL__"]["group_size"] == 2      # two risky groups
+    assert out["__TOTAL__"]["at_risk_rows"] == 3    # 2 + 1 exposed rows
+
+
+def test_k_anonymity_clean_table_reports_zero(spark):
+    rows = [("US", "A")] * 6 + [("FR", "B")] * 5
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    out = k_anonymity_audit(df, ["nation", "seg"], k=5).collect()
+    assert len(out) == 1
+    assert out[0]["qi_values"] == "__TOTAL__"
+    assert out[0]["group_size"] == 0 and out[0]["at_risk_rows"] == 0
+
+
+def test_k_anonymity_requires_columns(spark):
+    df = spark.createDataFrame([("x",)], "a string")
+    with pytest.raises(ValueError, match="QI column"):
+        k_anonymity_audit(df, [], k=5)

@@ -780,15 +780,45 @@ def pq_codebook(
     ]
 
 
-def _pq_sub_dist(xs: F.Column, centroid: list[float]) -> F.Column:
-    """Squared L2 via the dot-product identity |x|^2 - 2<x,c> + |c|^2 —
-    the SAME algebraic form the DuckDB oracle writes, so the float op
-    tree is identical (never expand (x-c)^2 elementwise on one side
-    only)."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
-    return (
-        dot(xs, xs) - F.lit(2.0) * dot(xs, c) + dot(c, c)
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-assoc dot — the exact fold order of Spark's
+    F.aggregate and DuckDB's list_dot_product, so a Python-computed
+    constant is bit-identical to either engine's expression."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _pq_code(vec_col: F.Column, offset: int, sub: int, cents) -> F.Column:
+    """Nearest-centroid code for one subspace.
+
+    Plan-size discipline: an early version inlined all ``k`` distance
+    trees (and duplicated them again through
+    ``array_position(dists, array_min(dists))``), producing an ~8000-
+    node expression whose Catalyst analysis/codegen cost ~6 s PER
+    QUERY independent of data size.  This form keeps ONE copy of
+    everything: the codebook is a literal array-of-arrays, distances
+    come from a single ``transform`` lambda (squared L2 via the
+    |x|^2 - 2<x,c> + |c|^2 identity — the same op tree as the DuckDB
+    oracle's list_dot_product form), and the argmin is
+    ``array_min`` over (distance, index) structs, whose lexicographic
+    order reproduces ORDER BY d, cid exactly."""
+    xs = F.slice(vec_col, offset + 1, sub)
+    cb_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
     )
+    dists = F.transform(
+        cb_lit,
+        lambda c: F.round(
+            dot(xs, xs) - F.lit(2.0) * dot(xs, c) + dot(c, c) + F.lit(1e-9),
+            6,
+        ),
+    )
+    tagged = F.transform(
+        dists, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+    )
+    return F.array_min(tagged)["i"].cast("int")
 
 
 def pq_encode(
@@ -809,17 +839,8 @@ def pq_encode(
     sub = len(cb[0][0])
     out = [F.col(id_col).alias("vec_id")]
     for j, cents in enumerate(cb):
-        xs = F.slice(F.col(vec_col), j * sub + 1, sub)
-        dists = F.array(
-            *[
-                F.round(_pq_sub_dist(xs, c) + F.lit(1e-9), 6)
-                for c in cents
-            ]
-        )
         out.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias(f"code{j}")
+            _pq_code(F.col(vec_col), j * sub, sub, cents).alias(f"code{j}")
         )
     return embeddings.select(*out).orderBy("vec_id")
 
@@ -846,15 +867,20 @@ def pq_search_adc(
     enc = pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col)
     adc = F.lit(0.0)
     for j, cents in enumerate(cb):
-        qs = F.array(
-            *[F.lit(float(v)) for v in query_vector[j * sub : (j + 1) * sub]]
-        )
-        lut = F.array(
-            *[
-                F.round(_pq_sub_dist(qs, c) + F.lit(1e-9), 6)
-                for c in cents
-            ]
-        )
+        qs = [float(v) for v in query_vector[j * sub : (j + 1) * sub]]
+        # the lookup table is query-vs-centroid only: fold it to pure
+        # Python constants (same sequential dot order as both engines)
+        lut_vals = [
+            round(
+                _py_dot(qs, qs)
+                - 2.0 * _py_dot(qs, c)
+                + _py_dot(c, c)
+                + 1e-9,
+                6,
+            )
+            for c in cents
+        ]
+        lut = F.array(*[F.lit(v) for v in lut_vals])
         adc = adc + F.element_at(lut, F.col(f"code{j}") + 1)
     return (
         enc.select(

@@ -920,6 +920,33 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_lp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (2 synchronous iterations, most-
+    frequent in-neighbor label, ties to the smallest) over the buyer-
+    nation -> seller-nation trade graph — cluster discovery without a
+    fixed cluster count; per iteration one keyed join + one argmax
+    agg, both |V|-bounded."""
+    from flink_elasticsearch_ingestion_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+    )
+    return label_propagation(edges, n_iter=2)
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law OLS fit per language (ln freq ~ ln rank, top-200
     terms): corpus-distribution sanity metric.  Vocab-keyed aggs and
@@ -2408,7 +2435,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # score_normalize, winnowing, neyman_sample, source_similarity,
 # copurchase_pagerank, basket_rules, dsir_weights, chi2_terms,
 # mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
-# k_anonymity.
+# k_anonymity, lp_communities.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2538,6 +2565,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "target_encode": q_target_encode,
         "k_anonymity": q_k_anonymity,
+        "lp_communities": q_lp_communities,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4429,6 +4457,38 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "lp_communities": (
+            "WITH e AS (SELECT DISTINCT c_nationkey AS src,"
+            "  s_nationkey AS dst FROM lineitem"
+            "  JOIN orders ON l_orderkey = o_orderkey"
+            "  JOIN customer ON o_custkey = c_custkey"
+            "  JOIN supplier ON l_suppkey = s_suppkey"
+            "  WHERE c_nationkey <> s_nationkey),"
+            " n AS (SELECT src AS node FROM e UNION"
+            "  SELECT dst AS node FROM e),"
+            " l0 AS (SELECT node, node AS label FROM n),"
+            " v1 AS (SELECT e.dst AS node, l.label AS cand,"
+            "  count(*) AS votes FROM e JOIN l0 l ON l.node = e.src"
+            "  GROUP BY 1, 2),"
+            " b1 AS (SELECT node, cand AS new_label FROM (SELECT *,"
+            "  row_number() OVER (PARTITION BY node"
+            "   ORDER BY votes DESC, cand ASC) AS rn FROM v1)"
+            "  WHERE rn = 1),"
+            " l1 AS (SELECT l0.node,"
+            "  COALESCE(b1.new_label, l0.label) AS label"
+            "  FROM l0 LEFT JOIN b1 ON b1.node = l0.node),"
+            " v2 AS (SELECT e.dst AS node, l.label AS cand,"
+            "  count(*) AS votes FROM e JOIN l1 l ON l.node = e.src"
+            "  GROUP BY 1, 2),"
+            " b2 AS (SELECT node, cand AS new_label FROM (SELECT *,"
+            "  row_number() OVER (PARTITION BY node"
+            "   ORDER BY votes DESC, cand ASC) AS rn FROM v2)"
+            "  WHERE rn = 1),"
+            " l2 AS (SELECT l1.node,"
+            "  COALESCE(b2.new_label, l1.label) AS label"
+            "  FROM l1 LEFT JOIN b2 ON b2.node = l1.node)"
+            " SELECT node, label FROM l2 ORDER BY node"
         ),
         "zipf_fit": (
             "WITH tf AS (SELECT lang AS cls, t AS term,"

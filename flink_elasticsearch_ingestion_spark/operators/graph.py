@@ -165,3 +165,68 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         )
         .orderBy("node")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own label; each iteration every node adopts the most
+    frequent label among its in-neighbors (ties -> smallest label;
+    isolated nodes keep their own).  ``n_iter`` is FIXED so the whole
+    computation is a static DAG an oracle can replay.
+
+    Per iteration: one edges-to-labels keyed join, one (node, label)
+    count agg, one per-node argmax — all partial+final shapes on the
+    edge/node tables; the label table stays |V|-sized.  The dedup /
+    corpus use-case: grouping near-duplicate families or domain
+    clusters from a similarity graph without fixing cluster count.
+    """
+    if n_iter < 1:
+        raise ValueError(f"label_propagation requires n_iter >= 1, got {n_iter}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    for _ in range(n_iter):
+        nbr = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label").alias("nl")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), F.col("nl").alias("cand"))
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        # per-node argmax: min(struct(-votes, cand)) == ORDER BY votes
+        # DESC, cand ASC pick-first — works for ANY orderable label
+        # type (strings included) without a window over the corpus
+        best = (
+            nbr.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("votes")).alias("nv"), F.col("cand"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.cand").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+            )
+            .persist()
+        )
+    return labels.orderBy("node")

@@ -432,3 +432,49 @@ def test_k_anonymity_requires_columns(spark):
     df = spark.createDataFrame([("x",)], "a string")
     with pytest.raises(ValueError, match="QI column"):
         k_anonymity_audit(df, [], k=5)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.graph import (
+    label_propagation,
+)
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    # two directed 3-cliques, no cross edges: each collapses to its
+    # own minimum node label
+    cl1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    cl2 = [(a, b) for a in (7, 8, 9) for b in (7, 8, 9) if a != b]
+    df = spark.createDataFrame(cl1 + cl2, "src long, dst long")
+    got = {r["node"]: r["label"] for r in
+           label_propagation(df, n_iter=3).collect()}
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[7], got[8], got[9]} == {7}
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    # node 5 hears one vote each from 2 and 9 -> tie -> label 2
+    df = spark.createDataFrame([(2, 5), (9, 5)], "src long, dst long")
+    got = {r["node"]: r["label"] for r in
+           label_propagation(df, n_iter=1).collect()}
+    assert got[5] == 2
+    # sources have no in-edges: they keep their own labels
+    assert got[2] == 2 and got[9] == 9
+
+
+def test_label_propagation_string_labels(spark):
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    got = {r["node"]: r["label"] for r in
+           label_propagation(df, n_iter=1).collect()}
+    assert got["c"] == "a"  # tie -> lexicographically smallest
+
+
+def test_label_propagation_rejects_zero_iter(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        label_propagation(df, n_iter=0)

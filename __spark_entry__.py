@@ -920,6 +920,25 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch purchase attribution via one per-user window
+    (frame = strictly-before rows, first/last ignore-nulls carry) —
+    no self-join, bounded touch-type output."""
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        touch_attribution,
+    )
+
+    return touch_attribution(_t(spark, sf_dir, "events"))
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation by broadcast quantile thresholds (exact
+    percentile sketch at max accuracy, recency scored inversely):
+    one fact agg + map-side scoring, no global-window NTILE; bounded
+    <= 125-row segment summary."""
+    return R.rfm_segments(_t(spark, sf_dir, "orders"))
+
+
 def q_lp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities (2 synchronous iterations, most-
     frequent in-neighbor label, ties to the smallest) over the buyer-
@@ -2435,7 +2454,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # score_normalize, winnowing, neyman_sample, source_similarity,
 # copurchase_pagerank, basket_rules, dsir_weights, chi2_terms,
 # mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
-# k_anonymity, lp_communities.
+# k_anonymity, lp_communities, rfm_segments, touch_attribution.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2566,6 +2585,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "k_anonymity": q_k_anonymity,
         "lp_communities": q_lp_communities,
+        "rfm_segments": q_rfm_segments,
+        "touch_attribution": q_touch_attribution,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4457,6 +4478,74 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "touch_attribution": (
+            "WITH en AS (SELECT user_id, ts, event_id, event_type,"
+            "  value,"
+            "  first_value(CASE WHEN event_type <> 'purchase'"
+            "   THEN event_type END IGNORE NULLS) OVER ("
+            "   PARTITION BY user_id ORDER BY ts, event_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            "   AS first_touch,"
+            "  last_value(CASE WHEN event_type <> 'purchase'"
+            "   THEN event_type END IGNORE NULLS) OVER ("
+            "   PARTITION BY user_id ORDER BY ts, event_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            "   AS last_touch FROM events),"
+            " p AS (SELECT * FROM en WHERE event_type = 'purchase'),"
+            " f AS (SELECT COALESCE(first_touch, '__NONE__')"
+            "   AS touch_type, CAST(count(*) AS BIGINT) AS n_first,"
+            "  CAST(round(sum(value), 2) AS DOUBLE) AS value_first"
+            "  FROM p GROUP BY 1),"
+            " l AS (SELECT COALESCE(last_touch, '__NONE__')"
+            "   AS touch_type, CAST(count(*) AS BIGINT) AS n_last,"
+            "  CAST(round(sum(value), 2) AS DOUBLE) AS value_last"
+            "  FROM p GROUP BY 1)"
+            " SELECT COALESCE(f.touch_type, l.touch_type)"
+            "  AS touch_type,"
+            " CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,"
+            " COALESCE(value_first, 0.0) AS value_first,"
+            " CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last,"
+            " COALESCE(value_last, 0.0) AS value_last"
+            " FROM f FULL JOIN l ON f.touch_type = l.touch_type"
+            " ORDER BY touch_type"
+        ),
+        "rfm_segments": (
+            "WITH ref AS (SELECT max(o_orderdate) AS ref_date"
+            "  FROM orders),"
+            " cust AS (SELECT o_custkey,"
+            "  CAST(date_diff('day', max(o_orderdate), max(ref_date))"
+            "   AS INT) AS recency_days,"
+            "  CAST(count(*) AS BIGINT) AS frequency,"
+            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS monetary"
+            "  FROM orders CROSS JOIN ref GROUP BY o_custkey),"
+            " b AS (SELECT"
+            "  quantile_disc(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,"
+            "  quantile_disc(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,"
+            "  quantile_disc(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb"
+            "  FROM cust),"
+            " s AS (SELECT o_custkey, monetary,"
+            "  5 - ((CASE WHEN recency_days > rb[1] THEN 1 ELSE 0 END)"
+            "   + (CASE WHEN recency_days > rb[2] THEN 1 ELSE 0 END)"
+            "   + (CASE WHEN recency_days > rb[3] THEN 1 ELSE 0 END)"
+            "   + (CASE WHEN recency_days > rb[4] THEN 1 ELSE 0 END))"
+            "   AS r_score,"
+            "  1 + ((CASE WHEN frequency > fb[1] THEN 1 ELSE 0 END)"
+            "   + (CASE WHEN frequency > fb[2] THEN 1 ELSE 0 END)"
+            "   + (CASE WHEN frequency > fb[3] THEN 1 ELSE 0 END)"
+            "   + (CASE WHEN frequency > fb[4] THEN 1 ELSE 0 END))"
+            "   AS f_score,"
+            "  1 + ((CASE WHEN monetary > mb[1] THEN 1 ELSE 0 END)"
+            "   + (CASE WHEN monetary > mb[2] THEN 1 ELSE 0 END)"
+            "   + (CASE WHEN monetary > mb[3] THEN 1 ELSE 0 END)"
+            "   + (CASE WHEN monetary > mb[4] THEN 1 ELSE 0 END))"
+            "   AS m_score"
+            "  FROM cust CROSS JOIN b)"
+            " SELECT r_score, f_score, m_score,"
+            " CAST(count(*) AS BIGINT) AS n_customers,"
+            " round(CAST(round(sum(monetary), 2) AS DOUBLE)"
+            "  / count(*) + 1e-9, 4) AS avg_monetary"
+            " FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
         ),
         "lp_communities": (
             "WITH e AS (SELECT DISTINCT c_nationkey AS src,"

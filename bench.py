@@ -179,6 +179,12 @@ EXTENDED = [
     "mmr_rerank",
     "pq_encode",
     "pq_search",
+    "zipf_fit",
+    "target_encode",
+    "k_anonymity",
+    "lp_communities",
+    "rfm_segments",
+    "touch_attribution",
 ]
 
 

@@ -1812,3 +1812,78 @@ def target_encode(
         )
         .orderBy(cat_col)
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic product-analytics cut, scored 1-5 per dimension by
+    QUANTILE THRESHOLDS rather than a global NTILE window:
+
+    - per-customer metrics: one keyed agg over the fact table,
+    - quintile breakpoints: ONE 1-row exact `percentile_approx`
+      (accuracy = max -> quantile_disc semantics, the approx_stats
+      correspondence) broadcast everywhere,
+    - scores: pure map-side comparisons against the broadcast row.
+
+    No single-partition window anywhere (the engine-wide rank
+    discipline); threshold scoring is also what production RFM uses,
+    since segment boundaries must stay FIXED while customers move
+    between refreshes.  Recency scores INVERSELY (recent = 5).
+
+    Returns the bounded segment-level summary (<= 125 rows):
+    r/f/m scores, customer count, avg monetary value.
+    """
+    exact = 2147483647  # GK sketch at max accuracy == exact disc
+    qs = [0.2, 0.4, 0.6, 0.8]
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))  # 1 row
+    cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("ref_date"), F.max("o_orderdate")
+            ).cast("int").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    breaks = cust.agg(
+        F.percentile_approx("recency_days", qs, exact).alias("rb"),
+        F.percentile_approx("frequency", qs, exact).alias("fb"),
+        F.percentile_approx("monetary", qs, exact).alias("mb"),
+    )  # 1-row scalar
+
+    def _above(col: str, arr: str) -> Column:
+        # number of breakpoints strictly below the value (0..4)
+        return (
+            F.aggregate(
+                F.col(arr),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(col) > b, F.lit(1)).otherwise(F.lit(0)),
+            )
+        )
+
+    scored = (
+        cust.crossJoin(F.broadcast(breaks))
+        .select(
+            "o_custkey",
+            "monetary",
+            (F.lit(5) - _above("recency_days", "rb")).alias("r_score"),
+            (F.lit(1) + _above("frequency", "fb")).alias("f_score"),
+            (F.lit(1) + _above("monetary", "mb")).alias("m_score"),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.round(F.sum("monetary"), 2) / F.count(F.lit(1)) + F.lit(1e-9),
+                4,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -694,3 +694,59 @@ def session_occupancy(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
         "n_ends",
         F.sum("net").over(w).alias("open_sessions"),
     ).orderBy("hour")
+
+
+def touch_attribution(events: DataFrame) -> DataFrame:
+    """First- and last-touch purchase attribution: every ``purchase``
+    event credits its value to the user's FIRST and LAST preceding
+    non-purchase event type (the marketing-analytics classic).
+
+    One per-user window (ordered by ts, event_id; frame = everything
+    strictly before the current row) with ``first/last(... ignore
+    nulls)`` carries the touch type — no self-join, no per-purchase
+    range scan, and the partition key is the user, so the shuffle is
+    the same one keyed exchange as any per-user analytic at 100 TB.
+    Purchases with no prior touch attribute to ``__NONE__``.
+
+    Returns per touch-type totals for both attribution models
+    (bounded by event-type cardinality).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type") != F.lit("purchase")
+    touch_type = F.when(is_touch, F.col("event_type"))
+    enriched = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.first(touch_type, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch_type, ignorenulls=True).over(w).alias("last_touch"),
+    ).where(F.col("event_type") == "purchase")
+    first_agg = enriched.groupBy(
+        F.coalesce("first_touch", F.lit("__NONE__")).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_first"),
+        F.round(F.sum("value"), 2).cast("double").alias("value_first"),
+    )
+    last_agg = enriched.groupBy(
+        F.coalesce("last_touch", F.lit("__NONE__")).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_last"),
+        F.round(F.sum("value"), 2).cast("double").alias("value_last"),
+    )
+    return (
+        first_agg.join(last_agg, "touch_type", "full")
+        .select(
+            "touch_type",
+            F.coalesce("n_first", F.lit(0)).alias("n_first"),
+            F.coalesce("value_first", F.lit(0.0)).alias("value_first"),
+            F.coalesce("n_last", F.lit(0)).alias("n_last"),
+            F.coalesce("value_last", F.lit(0.0)).alias("value_last"),
+        )
+        .orderBy("touch_type")
+    )

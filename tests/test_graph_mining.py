@@ -478,3 +478,98 @@ def test_label_propagation_rejects_zero_iter(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="n_iter"):
         label_propagation(df, n_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+import datetime
+
+from flink_elasticsearch_ingestion_spark.operators.relational import (
+    rfm_segments,
+)
+
+
+def test_rfm_scores_extremes_correctly(spark):
+    # 10 customers with strictly increasing frequency/monetary and
+    # decreasing recency: best customer must land in (5,5,5)-ish top
+    # cell, worst in the bottom
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    okey = 0
+    for c in range(10):
+        for o in range(c + 1):  # frequency 1..10
+            okey += 1
+            rows.append(
+                (okey, c, base + datetime.timedelta(days=30 * c + o),
+                 1000.0 * (c + 1))
+            )
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double"
+    )
+    segs = rfm_segments(df).collect()
+    # scores stay in range and both extremes exist
+    for r in segs:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+    tops = [r for r in segs if r["f_score"] == 5 and r["m_score"] == 5
+            and r["r_score"] == 5]
+    assert tops and sum(r["n_customers"] for r in tops) >= 1
+    total = sum(r["n_customers"] for r in segs)
+    assert total == 10
+
+
+# ---------------------------------------------------------------------------
+# Touch attribution
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.windows import (
+    touch_attribution,
+)
+
+
+def test_touch_attribution_first_vs_last(spark):
+    # user 1: view(t1) -> click(t2) -> purchase(t3, $10)
+    #   first-touch = view, last-touch = click
+    # user 2: purchase with no prior touch -> __NONE__
+    rows = [
+        (1, 1, 100, "view", 0.0),
+        (2, 1, 200, "click", 0.0),
+        (3, 1, 300, "purchase", 10.0),
+        (4, 2, 100, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    out = {r["touch_type"]: r for r in touch_attribution(df).collect()}
+    assert out["view"]["n_first"] == 1
+    assert out["view"]["value_first"] == pytest.approx(10.0)
+    assert out["view"]["n_last"] == 0
+    assert out["click"]["n_last"] == 1
+    assert out["click"]["value_last"] == pytest.approx(10.0)
+    assert out["click"]["n_first"] == 0
+    assert out["__NONE__"]["n_first"] == 1
+    assert out["__NONE__"]["value_first"] == pytest.approx(7.0)
+    assert out["__NONE__"]["n_last"] == 1
+
+
+def test_touch_attribution_ignores_prior_purchases_as_touches(spark):
+    # a purchase is never a touch: second purchase attributes to the
+    # click, not to the first purchase
+    rows = [
+        (1, 1, 100, "click", 0.0),
+        (2, 1, 200, "purchase", 5.0),
+        (3, 1, 300, "purchase", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    out = {r["touch_type"]: r for r in touch_attribution(df).collect()}
+    assert set(out) == {"click"}
+    assert out["click"]["n_last"] == 2
+    assert out["click"]["value_last"] == pytest.approx(11.0)

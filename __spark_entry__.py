@@ -931,6 +931,32 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with degree-ordered orientation over the
+    nation trade graph: orientation bounds wedge fan-out by
+    O(sqrt(|E|)) per node, the standard skew-proof distributed
+    formulation.  Per-node counts + a __TOTAL__ row."""
+    from flink_elasticsearch_ingestion_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation by broadcast quantile thresholds (exact
     percentile sketch at max accuracy, recency scored inversely):
@@ -2454,7 +2480,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # score_normalize, winnowing, neyman_sample, source_similarity,
 # copurchase_pagerank, basket_rules, dsir_weights, chi2_terms,
 # mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
-# k_anonymity, lp_communities, rfm_segments, touch_attribution.
+# k_anonymity, lp_communities, rfm_segments, touch_attribution,
+# triangle_count.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2587,6 +2614,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_communities": q_lp_communities,
         "rfm_segments": q_rfm_segments,
         "touch_attribution": q_touch_attribution,
+        "triangle_count": q_triangle_count,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4478,6 +4506,39 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "triangle_count": (
+            "WITH raw AS (SELECT DISTINCT c_nationkey AS a,"
+            "  s_nationkey AS b FROM lineitem"
+            "  JOIN orders ON l_orderkey = o_orderkey"
+            "  JOIN customer ON o_custkey = c_custkey"
+            "  JOIN supplier ON l_suppkey = s_suppkey"
+            "  WHERE c_nationkey <> s_nationkey),"
+            " und AS (SELECT DISTINCT least(a, b) AS u,"
+            "  greatest(a, b) AS v FROM raw WHERE a <> b),"
+            " deg AS (SELECT node, count(*) AS dg FROM ("
+            "  SELECT u AS node FROM und UNION ALL"
+            "  SELECT v AS node FROM und) GROUP BY node),"
+            " o AS (SELECT CASE WHEN du.dg < dv.dg"
+            "   OR (du.dg = dv.dg AND u < v) THEN u ELSE v END AS s,"
+            "  CASE WHEN du.dg < dv.dg"
+            "   OR (du.dg = dv.dg AND u < v) THEN v ELSE u END AS t"
+            "  FROM und JOIN deg du ON du.node = und.u"
+            "  JOIN deg dv ON dv.node = und.v),"
+            " w AS (SELECT o1.s AS x, o1.t AS y, o2.t AS z"
+            "  FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),"
+            " c AS (SELECT s AS y, t AS z FROM o UNION ALL"
+            "  SELECT t AS y, s AS z FROM o),"
+            " tri AS (SELECT w.x, w.y, w.z FROM w"
+            "  JOIN c ON c.y = w.y AND c.z = w.z),"
+            " pn AS (SELECT CAST(node AS VARCHAR) AS node,"
+            "  CAST(count(*) AS BIGINT) AS n_triangles FROM ("
+            "  SELECT x AS node FROM tri UNION ALL"
+            "  SELECT y AS node FROM tri UNION ALL"
+            "  SELECT z AS node FROM tri) GROUP BY 1)"
+            " SELECT * FROM (SELECT * FROM pn UNION ALL"
+            "  SELECT '__TOTAL__', CAST(count(*) AS BIGINT) FROM tri)"
+            " ORDER BY node"
         ),
         "touch_attribution": (
             "WITH en AS (SELECT user_id, ts, event_id, event_type,"

@@ -230,3 +230,82 @@ def label_propagation(
             .persist()
         )
     return labels.orderBy("node")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global + per-node triangle counting with the degree-ordered
+    orientation (the standard distributed formulation): the graph is
+    undirected-canonicalized, each edge is oriented from the lower-
+    (degree, id) endpoint to the higher, and triangles are found by
+    joining oriented wedges against oriented edges.  Orientation
+    bounds every node's out-degree by O(sqrt(|E|)), so the wedge
+    expansion — the quadratic hazard of naive triangle counting on a
+    skewed graph — stays balanced no matter how hot the hubs are.
+
+    Returns one row per node participating in >= 1 triangle plus a
+    ``__TOTAL__`` row (distinct triangles, each counted once).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(
+        F.col("node").alias("u"), F.col("deg").alias("du")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("deg").alias("dv")
+    )
+    # orient: lower (deg, id) -> higher (deg, id)
+    oriented = (
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        .persist()
+    )
+    w1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    w2 = oriented.select(F.col("s").alias("x"), F.col("t").alias("z"))
+    wedges = w1.join(w2, "x").where(F.col("y") < F.col("z"))
+    # unionByName: plain union is POSITIONAL and would silently add the
+    # same direction twice (measured: exactly 2x the triangle count)
+    closing = oriented.select(
+        F.col("s").alias("y"), F.col("t").alias("z")
+    ).unionByName(
+        oriented.select(F.col("s").alias("z"), F.col("t").alias("y"))
+    )
+    tri = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .select(F.col("node").cast("string").alias("node"), "n_triangles")
+    )
+    total = tri.agg(F.count(F.lit(1)).alias("n_triangles")).select(
+        F.lit("__TOTAL__").alias("node"), "n_triangles"
+    )
+    return per_node.unionByName(total).orderBy("node")

@@ -573,3 +573,38 @@ def test_touch_attribution_ignores_prior_purchases_as_touches(spark):
     assert set(out) == {"click"}
     assert out["click"]["n_last"] == 2
     assert out["click"]["value_last"] == pytest.approx(11.0)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.graph import triangle_count
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4 has exactly 4 triangles; each node sits in 3 of them
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got["__TOTAL__"] == 4
+    assert all(got[str(n)] == 3 for n in range(4))
+
+
+def test_triangle_count_path_has_none(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {"__TOTAL__": 0}
+
+
+def test_triangle_count_direction_and_dup_invariant(spark):
+    # one triangle expressed with mixed directions and duplicates
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (3, 1), (1, 3)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got["__TOTAL__"] == 1
+    assert got["1"] == got["2"] == got["3"] == 1

@@ -931,6 +931,17 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-14-row z-score anomaly flags on the daily revenue
+    series (self-excluded frame, min 7 days history): one calendar-
+    bounded aggregate, analytic window over <= |days| rows only."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        revenue_anomalies,
+    )
+
+    return revenue_anomalies(_t(spark, sf_dir, "orders"))
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting with degree-ordered orientation over the
     nation trade graph: orientation bounds wedge fan-out by
@@ -2481,7 +2492,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # copurchase_pagerank, basket_rules, dsir_weights, chi2_terms,
 # mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
 # k_anonymity, lp_communities, rfm_segments, touch_attribution,
-# triangle_count.
+# triangle_count, revenue_anomalies.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2615,6 +2626,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "touch_attribution": q_touch_attribution,
         "triangle_count": q_triangle_count,
+        "revenue_anomalies": q_revenue_anomalies,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4506,6 +4518,27 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "revenue_anomalies": (
+            "WITH daily AS (SELECT date_trunc('day', o_orderdate)"
+            "  AS day, CAST(round(sum(o_totalprice), 2) AS DOUBLE)"
+            "  AS revenue FROM orders GROUP BY 1),"
+            " s AS (SELECT day, revenue,"
+            "  CAST(count(*) OVER w AS BIGINT) AS n_prev,"
+            "  round(avg(revenue) OVER w + 1e-9, 4) AS mean_prev,"
+            "  CASE WHEN count(*) OVER w >= 2 THEN"
+            "   round(stddev_samp(revenue) OVER w + 1e-9, 4) END"
+            "   AS std_prev"
+            "  FROM daily WINDOW w AS (ORDER BY day"
+            "   ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))"
+            " SELECT day, revenue, n_prev, mean_prev, std_prev,"
+            " CASE WHEN n_prev >= 7 AND std_prev > 0 THEN"
+            "  round((revenue - mean_prev) / std_prev + 1e-9, 4) END"
+            "  AS z,"
+            " COALESCE(CASE WHEN n_prev >= 7 AND std_prev > 0 THEN"
+            "  abs(round((revenue - mean_prev) / std_prev + 1e-9, 4))"
+            "   > 3.0 END, FALSE) AS is_anomaly"
+            " FROM s ORDER BY day"
         ),
         "triangle_count": (
             "WITH raw AS (SELECT DISTINCT c_nationkey AS a,"

@@ -185,6 +185,7 @@ EXTENDED = [
     "lp_communities",
     "rfm_segments",
     "touch_attribution",
+    "triangle_count",
 ]
 
 

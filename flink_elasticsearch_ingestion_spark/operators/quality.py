@@ -445,3 +445,73 @@ def k_anonymity_audit(
         .unionByName(total)
         .orderBy("qi_values")
     )
+
+
+def revenue_anomalies(
+    orders: DataFrame,
+    *,
+    window_days: int = 14,
+    min_history: int = 7,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection on the daily revenue
+    series — the pipeline-monitoring staple (ingestion gaps, double
+    loads, demand shocks all surface as |z| spikes).
+
+    The fact table collapses to ONE calendar-bounded daily aggregate
+    first (partial+final, data-sized work), so the analytic window
+    runs over at most |days| rows — the same bounded-frame discipline
+    as session_occupancy/ohlc_bars, never a corpus-wide window.  Each
+    day scores against the mean/stddev of the PRECEDING
+    ``window_days`` rows (self excluded — a spike must not mask
+    itself); days with under ``min_history`` prior points stay
+    unscored.  mean/std are rounded before the ratio so the flag is
+    engine-portable.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-window_days, -1)
+    n_prev = F.count(F.lit(1)).over(w)
+    scored = daily.select(
+        "day",
+        "revenue",
+        n_prev.alias("n_prev"),
+        F.round(F.avg("revenue").over(w) + F.lit(1e-9), 4).alias("mean_prev"),
+        # guard n >= 2: Spark's stddev_samp of a single row is NaN
+        # while standard SQL engines return NULL
+        F.when(
+            n_prev >= 2,
+            F.round(F.stddev_samp("revenue").over(w) + F.lit(1e-9), 4),
+        ).alias("std_prev"),
+    )
+    z = F.round(
+        (F.col("revenue") - F.col("mean_prev")) / F.col("std_prev")
+        + F.lit(1e-9),
+        4,
+    )
+    return (
+        scored.select(
+            "day",
+            "revenue",
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            "mean_prev",
+            "std_prev",
+            F.when(
+                (F.col("n_prev") >= min_history) & (F.col("std_prev") > 0),
+                z,
+            ).alias("z"),
+            F.when(
+                (F.col("n_prev") >= min_history) & (F.col("std_prev") > 0),
+                F.abs(z) > F.lit(z_threshold),
+            )
+            .otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

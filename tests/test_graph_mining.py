@@ -608,3 +608,47 @@ def test_triangle_count_direction_and_dup_invariant(spark):
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got["__TOTAL__"] == 1
     assert got["1"] == got["2"] == got["3"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Revenue anomaly detection
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.quality import (
+    revenue_anomalies,
+)
+
+
+def test_revenue_anomalies_flags_planted_spike(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    okey = 0
+    for d in range(30):
+        okey += 1
+        # steady 100 +- tiny wiggle; day 20 is a 10x spike
+        v = 1000.0 if d == 20 else 100.0 + (d % 3)
+        rows.append((okey, base + datetime.timedelta(days=d), v))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r["day"].day: r for r in revenue_anomalies(df).collect()
+           if r["day"].month == 1}
+    out.update({r["day"].day + 31: r for r in revenue_anomalies(df).collect()
+                if r["day"].month == 2})
+    flagged = [d for d, r in out.items() if r["is_anomaly"]]
+    assert flagged == [21]  # day index 20 -> Jan 21
+    # early days lack history: unscored, never flagged
+    assert out[1]["z"] is None and not out[1]["is_anomaly"]
+    assert out[5]["z"] is None  # only 4 prior days < min_history
+
+
+def test_revenue_anomalies_steady_series_clean(spark):
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base + datetime.timedelta(days=i), 100.0 + (i % 5))
+            for i in range(25)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = revenue_anomalies(df).collect()
+    assert not any(r["is_anomaly"] for r in out)
+    assert len(out) == 25

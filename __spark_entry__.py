@@ -931,6 +931,18 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source quality percentiles onto
+    the global entropy distribution (21-point exact quantile grid,
+    1-row broadcast, map-side array lookup) — cross-source scores on
+    ONE comparable scale."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        quantile_normalize_by_source,
+    )
+
+    return quantile_normalize_by_source(_t(spark, sf_dir, "documents"))
+
+
 def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-14-row z-score anomaly flags on the daily revenue
     series (self-excluded frame, min 7 days history): one calendar-
@@ -2492,7 +2504,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # copurchase_pagerank, basket_rules, dsir_weights, chi2_terms,
 # mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
 # k_anonymity, lp_communities, rfm_segments, touch_attribution,
-# triangle_count, revenue_anomalies.
+# triangle_count, revenue_anomalies, quantile_normalize.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2627,6 +2639,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": q_touch_attribution,
         "triangle_count": q_triangle_count,
         "revenue_anomalies": q_revenue_anomalies,
+        "quantile_normalize": q_quantile_normalize,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4518,6 +4531,28 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "quantile_normalize": (
+            "WITH t AS (SELECT doc_id,"
+            "   lower(unnest(string_split(trim(text), ' '))) AS token"
+            "   FROM documents),"
+            " pt AS (SELECT doc_id, token, count(*) AS c FROM t"
+            "   WHERE length(token) > 0 GROUP BY 1, 2),"
+            " ent AS (SELECT doc_id,"
+            "  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)"
+            "   AS entropy FROM pt GROUP BY doc_id),"
+            " j AS (SELECT d.doc_id, d.source, e.entropy FROM documents d"
+            "  JOIN ent e ON e.doc_id = d.doc_id),"
+            " p AS (SELECT doc_id, source, entropy,"
+            "  round(percent_rank() OVER (PARTITION BY source"
+            "   ORDER BY entropy, doc_id) + 1e-9, 6) AS source_pctile"
+            "  FROM j),"
+            " gq AS (SELECT quantile_disc(entropy,"
+            "  [x / 20.0 FOR x IN generate_series(0, 20)]) AS gq FROM p)"
+            " SELECT doc_id, source, entropy, source_pctile,"
+            " round(gq[CAST(floor(source_pctile * 20) AS INT) + 1]"
+            "  + 1e-9, 6) AS normalized"
+            " FROM p CROSS JOIN gq ORDER BY source, doc_id"
         ),
         "revenue_anomalies": (
             "WITH daily AS (SELECT date_trunc('day', o_orderdate)"

@@ -1696,3 +1696,47 @@ def zipf_fit(
         )
         .orderBy("cls")
     )
+
+
+def quantile_normalize_by_source(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    grid: int = 20,
+) -> DataFrame:
+    """Quantile normalization across sources (the batch-effect
+    correction of bioinformatics, applied to corpus quality scores):
+    each document's within-source percentile is mapped onto the
+    GLOBAL score distribution, so normalized values are directly
+    comparable numbers on one scale — not just comparable ranks.
+
+    Builds on ``score_normalize_by_source`` (per-source percent_rank)
+    and adds one 1-row broadcast: the global quantile function
+    sampled at ``grid`` + 1 exact quantile_disc points.  The mapped
+    value is the global quantile at the document's (floored) grid
+    position — a pure map-side array lookup.
+    """
+    exact = 2147483647
+    pct = score_normalize_by_source(
+        documents, id_col=id_col, text_col=text_col, source_col=source_col
+    )
+    qs = [i / grid for i in range(grid + 1)]
+    gq = pct.agg(
+        F.percentile_approx("entropy", qs, exact).alias("gq")
+    )  # 1-row scalar: the global quantile function
+    pos = F.floor(F.col("source_pctile") * grid).cast("int")
+    return (
+        pct.crossJoin(F.broadcast(gq))
+        .select(
+            id_col,
+            source_col,
+            "entropy",
+            "source_pctile",
+            F.round(
+                F.element_at(F.col("gq"), pos + 1) + F.lit(1e-9), 6
+            ).alias("normalized"),
+        )
+        .orderBy(source_col, id_col)
+    )

@@ -652,3 +652,44 @@ def test_revenue_anomalies_steady_series_clean(spark):
     out = revenue_anomalies(df).collect()
     assert not any(r["is_anomaly"] for r in out)
     assert len(out) == 25
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.text import (
+    quantile_normalize_by_source,
+)
+
+
+def test_quantile_normalize_aligns_shifted_sources(spark):
+    # source B's texts systematically longer (higher entropy) than A's,
+    # but each source's INTERNAL ordering is the same; after quantile
+    # normalization the i-th ranked doc of A and of B map to the same
+    # global-scale value grid, and normalized values are monotone in
+    # within-source rank
+    docs = []
+    for i in range(8):
+        docs.append((i, " ".join(f"a{j}" for j in range(2 + i)), "A"))
+        docs.append((100 + i, " ".join(f"b{j}" for j in range(12 + i)), "B"))
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = quantile_normalize_by_source(df).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src in ("A", "B"):
+        rows = sorted(by_src[src], key=lambda r: r["source_pctile"])
+        vals = [r["normalized"] for r in rows]
+        assert vals == sorted(vals)  # monotone in rank
+    # same percentile -> same normalized value, despite shifted raw scores
+    a_by_p = {r["source_pctile"]: r["normalized"] for r in by_src["A"]}
+    b_by_p = {r["source_pctile"]: r["normalized"] for r in by_src["B"]}
+    shared = set(a_by_p) & set(b_by_p)
+    assert shared
+    for p in shared:
+        assert a_by_p[p] == pytest.approx(b_by_p[p], abs=1e-9)
+    # raw entropies differ systematically; normalized ranges coincide
+    max_raw_a = max(r["entropy"] for r in by_src["A"])
+    min_raw_b = min(r["entropy"] for r in by_src["B"])
+    assert max_raw_a < min_raw_b

@@ -931,6 +931,18 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed random-projection document embeddings (32 portable-hash
+    buckets -> literal Gaussian matrix -> 16 dims, long form): the
+    deterministic text->vector encoder feeding the ANN stack; one
+    corpus shuffle + one broadcast join + one (doc, dim) agg."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        hash_embed_documents,
+    )
+
+    return hash_embed_documents(_t(spark, sf_dir, "documents"))
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization of per-source quality percentiles onto
     the global entropy distribution (21-point exact quantile grid,
@@ -2504,7 +2516,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # copurchase_pagerank, basket_rules, dsir_weights, chi2_terms,
 # mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
 # k_anonymity, lp_communities, rfm_segments, touch_attribution,
-# triangle_count, revenue_anomalies, quantile_normalize.
+# triangle_count, revenue_anomalies, quantile_normalize, hash_embed.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2640,6 +2652,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "revenue_anomalies": q_revenue_anomalies,
         "quantile_normalize": q_quantile_normalize,
+        "hash_embed": q_hash_embed,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -2853,6 +2866,18 @@ def _shared_spans_cte(window_k: int = 8, min_span: int = 12, df_cap: int = 50) -
         f" CAST(count(*) + {k - 1} AS BIGINT) AS span_tokens"
         " FROM isl GROUP BY doc_a, doc_b, pa - pb, grp"
         f" HAVING count(*) + {k - 1} >= {min_span})"
+    )
+
+
+def _hash_embed_values() -> str:
+    """VALUES rows ``(b, d, w)`` inlining the deterministic hashed-
+    embedding projection matrix (embeddings.hash_embedding_codebook)."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        hash_embedding_codebook,
+    )
+
+    return ", ".join(
+        f"({b}, {d}, {w!r})" for b, d, w in hash_embedding_codebook()
     )
 
 
@@ -4531,6 +4556,22 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "hash_embed": (
+            "WITH m AS (SELECT * FROM (VALUES "
+            + _hash_embed_values()
+            + ") AS t(b, d, w)),"
+            " tk AS (SELECT doc_id,"
+            "  (('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)"
+            "   % 32 AS b FROM (SELECT doc_id,"
+            "  unnest(string_split_regex(trim(text), '\\s+')) AS t"
+            "  FROM documents) WHERE t <> ''),"
+            " db AS (SELECT doc_id, b, count(*) AS cnt FROM tk"
+            "  GROUP BY 1, 2)"
+            " SELECT db.doc_id, m.d,"
+            " round(sum(db.cnt * m.w) + 1e-9, 6) AS value"
+            " FROM db JOIN m ON m.b = db.b"
+            " GROUP BY db.doc_id, m.d ORDER BY db.doc_id, m.d"
         ),
         "quantile_normalize": (
             "WITH t AS (SELECT doc_id,"

@@ -497,3 +497,71 @@ def probe_calibration(
         .select("bin_id", "bin_lo", "n", "n_correct", "accuracy", "mean_margin")
         .orderBy("bin_id")
     )
+
+
+def hash_embedding_codebook(
+    n_buckets: int = 32, dim: int = 16, seed: int = 0xE5BED
+) -> list[tuple[int, int, float]]:
+    """Deterministic Gaussian projection matrix in long form
+    ``(bucket, dim, weight)`` — literal on both engines, same
+    discipline as the LSH hyperplanes / PQ codebook."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows = []
+    for b in range(n_buckets):
+        for d in range(dim):
+            rows.append((b, d, rng.gauss(0.0, 1.0) / (n_buckets ** 0.5)))
+    return rows
+
+
+def hash_embed_documents(
+    documents: DataFrame,
+    *,
+    n_buckets: int = 32,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed random-projection document embeddings: bag-of-words
+    counts hashed into ``n_buckets`` (engine-portable md5-31 family),
+    then projected through a literal Gaussian matrix — a deterministic
+    text -> dense-vector encoder that feeds the engine's ANN stack
+    (LSH / IVF / PQ) when no learned model is in the loop, and the
+    exact plumbing a learned encoder drops into.
+
+    Long-form output ``(doc_id, dim, value)`` — the layout that scales
+    (no wide rows, no arrays to aggregate order-sensitively): one
+    corpus shuffle on (doc, bucket), a broadcast join against the
+    bucket x dim matrix, one partial+final sum per (doc, dim).
+    """
+    from .dedup import portable_hash31
+
+    spark = documents.sparkSession
+    toks = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            (portable_hash31(F.col("tok")) % F.lit(n_buckets)).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = spark.createDataFrame(
+        hash_embedding_codebook(n_buckets, dim),
+        "b int, d int, w double",
+    )
+    return (
+        toks.join(F.broadcast(m), "b")
+        .groupBy("doc_id", "d")
+        .agg(
+            F.round(F.sum(F.col("cnt") * F.col("w")) + F.lit(1e-9), 6).alias(
+                "value"
+            )
+        )
+        .orderBy("doc_id", "d")
+    )

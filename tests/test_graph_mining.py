@@ -693,3 +693,43 @@ def test_quantile_normalize_aligns_shifted_sources(spark):
     max_raw_a = max(r["entropy"] for r in by_src["A"])
     min_raw_b = min(r["entropy"] for r in by_src["B"])
     assert max_raw_a < min_raw_b
+
+
+# ---------------------------------------------------------------------------
+# Hashed random-projection embeddings
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+    hash_embed_documents,
+    hash_embedding_codebook,
+)
+
+
+def test_hash_embed_identical_docs_identical_vectors(spark):
+    docs = [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+            (3, "totally different words here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = hash_embed_documents(df, dim=8)
+    rows = out.collect()
+    v = {}
+    for r in rows:
+        v.setdefault(r["doc_id"], {})[r["d"]] = r["value"]
+    assert v[1] == v[2]
+    assert v[1] != v[3]
+    assert set(v[1]) == set(range(8))
+
+
+def test_hash_embed_matches_python_replica(spark):
+    docs = [(7, "x y x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["d"]: r["value"] for r in
+           hash_embed_documents(df, n_buckets=32, dim=16).collect()}
+    h31 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2147483647
+    counts = {}
+    for t in "x y x".split():
+        b = h31(t) % 32
+        counts[b] = counts.get(b, 0) + 1
+    m = {(b, d): w for b, d, w in hash_embedding_codebook(32, 16)}
+    for d in range(16):
+        want = sum(c * m[(b, d)] for b, c in counts.items())
+        assert got[d] == pytest.approx(want, abs=2e-6)

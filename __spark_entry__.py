@@ -931,6 +931,18 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier signup -> first-purchase conversion curve with
+    right censoring at the corpus horizon: two per-user aggs, then
+    calendar-bounded windows over the duration axis; the running
+    product runs as exp(sum(ln)) for engine portability."""
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        survival_curve,
+    )
+
+    return survival_curve(_t(spark, sf_dir, "events"))
+
+
 def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed random-projection document embeddings (32 portable-hash
     buckets -> literal Gaussian matrix -> 16 dims, long form): the
@@ -2516,7 +2528,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # copurchase_pagerank, basket_rules, dsir_weights, chi2_terms,
 # mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
 # k_anonymity, lp_communities, rfm_segments, touch_attribution,
-# triangle_count, revenue_anomalies, quantile_normalize, hash_embed.
+# triangle_count, revenue_anomalies, quantile_normalize, hash_embed,
+# survival_curve.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2653,6 +2666,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_anomalies": q_revenue_anomalies,
         "quantile_normalize": q_quantile_normalize,
         "hash_embed": q_hash_embed,
+        "survival_curve": q_survival_curve,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4556,6 +4570,44 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "survival_curve": (
+            "WITH su AS (SELECT user_id, min(ts) AS signup_ts"
+            "  FROM events WHERE event_type = 'signup'"
+            "  GROUP BY user_id),"
+            " pu AS (SELECT e.user_id, min(e.ts) AS purchase_ts"
+            "  FROM events e JOIN su ON su.user_id = e.user_id"
+            "  WHERE e.event_type = 'purchase'"
+            "   AND e.ts >= su.signup_ts GROUP BY e.user_id),"
+            " h AS (SELECT max(ts) AS max_ts FROM events),"
+            " per_user AS (SELECT su.user_id,"
+            "  CAST(floor((epoch_us(COALESCE(pu.purchase_ts, h.max_ts))"
+            "   - epoch_us(su.signup_ts)) / 86400000000.0) AS INT)"
+            "   AS duration_days,"
+            "  pu.purchase_ts IS NOT NULL AS converted"
+            "  FROM su LEFT JOIN pu ON pu.user_id = su.user_id"
+            "  CROSS JOIN h),"
+            " by_t AS (SELECT duration_days,"
+            "  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS d_events,"
+            "  CAST(count(*) AS BIGINT) AS n_ending FROM per_user"
+            "  GROUP BY duration_days),"
+            " tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total"
+            "  FROM per_user),"
+            " r AS (SELECT by_t.*, tot.n_total,"
+            "  n_total - COALESCE(sum(n_ending) OVER ("
+            "   ORDER BY duration_days ROWS BETWEEN UNBOUNDED"
+            "   PRECEDING AND 1 PRECEDING), 0) AS at_risk"
+            "  FROM by_t CROSS JOIN tot),"
+            " s AS (SELECT duration_days, d_events, n_ending,"
+            "  CAST(at_risk AS BIGINT) AS at_risk,"
+            "  ln(greatest(1.0 - d_events /"
+            "   CAST(at_risk AS DOUBLE), 1e-12)) AS log_term FROM r)"
+            " SELECT duration_days, d_events, n_ending, at_risk,"
+            " round(exp(sum(log_term) OVER (ORDER BY duration_days"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+            "  + 1e-9, 6) AS survival"
+            " FROM s ORDER BY duration_days"
         ),
         "hash_embed": (
             "WITH m AS (SELECT * FROM (VALUES "

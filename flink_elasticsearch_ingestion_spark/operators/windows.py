@@ -750,3 +750,104 @@ def touch_attribution(events: DataFrame) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+def survival_curve(events: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival estimate for signup -> first-purchase
+    conversion (time-to-event with right censoring — the correct way
+    to answer "how long until users convert" when many haven't yet;
+    naive conversion averages are biased by exactly those users).
+
+    Per user: duration = days from first ``signup`` to first
+    subsequent ``purchase``; users without one are CENSORED at the
+    corpus's last timestamp.  At each distinct duration t:
+
+        n_t = users still at risk,  d_t = conversions at t,
+        S(t) = prod_{u <= t} (1 - d_u / n_u)
+             = exp( sum ln(1 - d_u/n_u) )   [the portable form]
+
+    Scale shape: two per-user aggregations (one keyed shuffle each),
+    then everything collapses to the duration axis — windows run over
+    at most |distinct days| rows, the calendar-bounded discipline.
+    ln/exp keeps the running product a running SUM, which both
+    engines evaluate identically; S is rounded at 6 dp.
+    """
+    su = events.where(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("signup_ts"))
+    pu = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"))
+        .join(su, "user_id")
+        .where(F.col("pts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("purchase_ts"))
+    )
+    horizon = events.agg(F.max("ts").alias("max_ts"))  # 1-row scalar
+    us_per_day = 86_400_000_000.0
+
+    def _us(c: F.Column) -> F.Column:
+        # unix_micros rejects TIMESTAMP_NTZ; loaders pin UTC so the
+        # cast is tz-stable (same idiom as event_gaps/sessionize)
+        return F.unix_micros(c.cast("timestamp"))
+
+    per_user = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.floor(
+                (
+                    _us(F.coalesce("purchase_ts", "max_ts"))
+                    - _us(F.col("signup_ts"))
+                )
+                / F.lit(us_per_day)
+            )
+            .cast("int")
+            .alias("duration_days"),
+            F.col("purchase_ts").isNotNull().alias("converted"),
+        )
+    )
+    by_t = per_user.groupBy("duration_days").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("d_events"),
+        F.count(F.lit(1)).alias("n_ending"),
+    )
+    w_prev = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per_user.agg(F.count(F.lit(1)).alias("n_total"))  # 1 row
+    return (
+        by_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "at_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("n_ending").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "log_term",
+            # floor the ratio at 1e-12: if every at-risk user converts
+            # at one time, 1 - d/n = 0 and Spark's ln(0) is NULL while
+            # SQL engines give -inf; the floor makes both compute
+            # ln(1e-12), which rounds to survival = 0 at 6 dp
+            F.log(
+                F.greatest(
+                    F.lit(1.0)
+                    - F.col("d_events") / F.col("at_risk").cast("double"),
+                    F.lit(1e-12),
+                )
+            ),
+        )
+        .select(
+            "duration_days",
+            F.col("d_events").cast("bigint").alias("d_events"),
+            F.col("n_ending").cast("bigint").alias("n_ending"),
+            F.col("at_risk").cast("bigint").alias("at_risk"),
+            F.round(
+                F.exp(F.sum("log_term").over(w_cum)) + F.lit(1e-9), 6
+            ).alias("survival"),
+        )
+        .orderBy("duration_days")
+    )

@@ -733,3 +733,54 @@ def test_hash_embed_matches_python_replica(spark):
     for d in range(16):
         want = sum(c * m[(b, d)] for b, c in counts.items())
         assert got[d] == pytest.approx(want, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.windows import (
+    survival_curve,
+)
+
+
+def test_survival_curve_hand_computed(spark):
+    DAY = 86_400_000_000  # us
+    base = datetime.datetime(2024, 1, 1)
+    us = lambda d: base + datetime.timedelta(days=d)
+    # users 1-4 sign up day 0; 1 converts day 1, 2 converts day 2,
+    # 3 never converts, 4 converts day 2.  Horizon = day 3 (an
+    # unrelated event pushes max_ts).
+    rows = [
+        (1, 1, us(0), "signup"), (2, 2, us(0), "signup"),
+        (3, 3, us(0), "signup"), (4, 4, us(0), "signup"),
+        (5, 1, us(1), "purchase"),
+        (6, 2, us(2), "purchase"), (7, 4, us(2), "purchase"),
+        (8, 9, us(3), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["duration_days"]: r for r in survival_curve(df).collect()}
+    # KM: t=1: n=4, d=1 -> S=0.75 ; t=2: n=3, d=2 -> S=0.75*(1/3)=0.25
+    # t=3: censored user 3 leaves, d=0 -> S stays 0.25
+    assert out[1]["at_risk"] == 4 and out[1]["d_events"] == 1
+    assert out[1]["survival"] == pytest.approx(0.75, abs=1e-6)
+    assert out[2]["at_risk"] == 3 and out[2]["d_events"] == 2
+    assert out[2]["survival"] == pytest.approx(0.25, abs=1e-6)
+    assert out[3]["d_events"] == 0 and out[3]["n_ending"] == 1
+    assert out[3]["survival"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_survival_curve_all_convert_reaches_zero(spark):
+    base = datetime.datetime(2024, 2, 1)
+    rows = [
+        (1, 1, base, "signup"),
+        (2, 1, base + datetime.timedelta(days=1), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = survival_curve(df).collect()
+    assert len(out) == 1
+    assert out[0]["survival"] == pytest.approx(0.0, abs=1e-6)

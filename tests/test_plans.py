@@ -61,6 +61,16 @@ SCALAR_JOIN_OK = {
     "copurchase_pagerank",
     # vocab x |classes| grid: bounded label-dimension cross-expansion
     "chi2_terms",
+    # 1-row smoothed-distribution totals broadcast onto bucket models
+    "dsir_weights",
+    # 1-row quantile-breakpoint row broadcast onto the customer frame
+    "rfm_segments",
+    # 1-row global-mean broadcast onto the category frame
+    "target_encode",
+    # 1-row global-quantile-grid broadcast onto the doc frame
+    "quantile_normalize",
+    # 1-row horizon + n_total scalars broadcast onto the duration axis
+    "survival_curve",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",

@@ -186,6 +186,10 @@ EXTENDED = [
     "rfm_segments",
     "touch_attribution",
     "triangle_count",
+    "revenue_anomalies",
+    "quantile_normalize",
+    "hash_embed",
+    "survival_curve",
 ]
 
 

@@ -931,6 +931,31 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals: 9-row digit
+    axis with observed/expected shares and per-digit chi-square
+    contributions — the forensic QA check for fabricated amounts."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        benford_check,
+    )
+
+    return benford_check(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration summary (HHI, CR4, top share) across
+    nations: one fact agg, then |nations|-row frame only."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        market_concentration,
+    )
+
+    return market_concentration(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier signup -> first-purchase conversion curve with
     right censoring at the corpus horizon: two per-user aggs, then
@@ -2529,7 +2554,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
 # k_anonymity, lp_communities, rfm_segments, touch_attribution,
 # triangle_count, revenue_anomalies, quantile_normalize, hash_embed,
-# survival_curve.
+# survival_curve, benford_check, market_concentration.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2667,6 +2692,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "hash_embed": q_hash_embed,
         "survival_curve": q_survival_curve,
+        "benford_check": q_benford_check,
+        "market_concentration": q_market_concentration,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4570,6 +4597,43 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "benford_check": (
+            "WITH d AS (SELECT CAST(substr(CAST(abs(o_totalprice)"
+            "   AS VARCHAR), 1, 1) AS INT) AS digit"
+            "  FROM orders WHERE o_totalprice >= 1.0),"
+            " g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs"
+            "  FROM d GROUP BY digit),"
+            " t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n_total"
+            "  FROM g)"
+            " SELECT digit, n_obs,"
+            " round(n_obs / n_total + 1e-9, 6) AS observed_share,"
+            " round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)"
+            "  + 1e-9, 6) AS expected_share,"
+            " round(n_total * (n_obs / n_total"
+            "   - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))"
+            "  * (n_obs / n_total"
+            "   - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))"
+            "  / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))"
+            "  + 1e-9, 6) AS chi2_term"
+            " FROM g CROSS JOIN t ORDER BY digit"
+        ),
+        "market_concentration": (
+            "WITH rev AS (SELECT n_name,"
+            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS rev"
+            "  FROM orders JOIN customer ON o_custkey = c_custkey"
+            "  JOIN nation ON c_nationkey = n_nationkey"
+            "  GROUP BY n_name),"
+            " t AS (SELECT sum(rev) AS tot FROM rev),"
+            " s AS (SELECT n_name, rev / tot AS share"
+            "  FROM rev CROSS JOIN t),"
+            " r AS (SELECT *, row_number() OVER ("
+            "  ORDER BY share DESC, n_name) AS rk FROM s)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_markets,"
+            " round(sum(share * share) + 1e-9, 6) AS hhi,"
+            " round(sum(CASE WHEN rk <= 4 THEN share ELSE 0.0 END)"
+            "  + 1e-9, 6) AS cr4,"
+            " round(max(share) + 1e-9, 6) AS top_share FROM r"
         ),
         "survival_curve": (
             "WITH su AS (SELECT user_id, min(ts) AS signup_ts"

@@ -190,6 +190,8 @@ EXTENDED = [
     "quantile_normalize",
     "hash_embed",
     "survival_curve",
+    "benford_check",
+    "market_concentration",
 ]
 
 

@@ -515,3 +515,89 @@ def revenue_anomalies(
         )
         .orderBy("day")
     )
+
+
+def benford_check(
+    df: DataFrame, value_col: str, *, min_value: float = 1.0
+) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic data-quality
+    check for naturally-occurring positive amounts (fabricated or
+    clipped numbers bend the log-uniform digit curve).
+
+    One partial+final aggregation to the 9-row digit axis, then
+    expected shares ln(1 + 1/d) / ln(10) and each digit's chi-square
+    contribution n * (obs - exp)^2 / exp — all engine-exact given the
+    rounding discipline.  Values below ``min_value`` are excluded
+    (Benford applies to magnitudes spanning decades, not to zeros).
+    """
+    first_digit = F.substring(
+        F.abs(F.col(value_col)).cast("double").cast("string"), 1, 1
+    ).cast("int")
+    digits = (
+        df.where(F.col(value_col) >= F.lit(min_value))
+        .select(first_digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = digits.agg(
+        F.sum("n_obs").cast("double").alias("n_total")
+    )  # 1-row scalar
+    expected = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    obs_share = F.col("n_obs") / F.col("n_total")
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.round(obs_share + F.lit(1e-9), 6).alias("observed_share"),
+            F.round(expected + F.lit(1e-9), 6).alias("expected_share"),
+            F.round(
+                F.col("n_total")
+                * (obs_share - expected)
+                * (obs_share - expected)
+                / expected
+                + F.lit(1e-9),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def market_concentration(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Revenue-concentration metrics per region-free market view:
+    Herfindahl-Hirschman index (sum of squared nation revenue shares)
+    and CR4 (top-4 nation share) — the standard concentration summary
+    an analytics engine ships for mix monitoring.  Everything past the
+    one fact aggregation happens on the |nations|-row frame.
+    """
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).cast("double").alias("rev"))
+    )
+    total = rev.agg(F.sum("rev").alias("tot"))  # 1-row scalar
+    shares = rev.crossJoin(F.broadcast(total)).select(
+        "n_name", (F.col("rev") / F.col("tot")).alias("share")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("share").desc(), F.col("n_name"))
+    ranked = shares.withColumn("rk", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_markets"),
+        F.round(
+            F.sum(F.col("share") * F.col("share")) + F.lit(1e-9), 6
+        ).alias("hhi"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 4, F.col("share")).otherwise(F.lit(0.0)))
+            + F.lit(1e-9),
+            6,
+        ).alias("cr4"),
+        F.round(F.max("share") + F.lit(1e-9), 6).alias("top_share"),
+    )

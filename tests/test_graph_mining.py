@@ -784,3 +784,53 @@ def test_survival_curve_all_convert_reaches_zero(spark):
     out = survival_curve(df).collect()
     assert len(out) == 1
     assert out[0]["survival"] == pytest.approx(0.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Benford audit + market concentration
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.quality import (
+    benford_check,
+    market_concentration,
+)
+
+
+def test_benford_uniform_digits_flagged(spark):
+    # equal counts of every first digit: 1 and 2 UNDER-represented
+    # relative to Benford would be wrong — equal shares mean digit 1
+    # (expected 30.1%) contributes the largest chi2 term
+    rows = [(float(d) * 100.0,) for d in range(1, 10) for _ in range(10)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_check(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    for d in range(1, 10):
+        assert out[d]["observed_share"] == pytest.approx(1 / 9, abs=1e-6)
+    assert out[1]["expected_share"] == pytest.approx(0.30103, abs=1e-5)
+    worst = max(out.values(), key=lambda r: r["chi2_term"])
+    assert worst["digit"] == 1
+
+
+def test_benford_excludes_small_values(spark):
+    df = spark.createDataFrame([(0.5,), (0.0,), (123.0,)], "v double")
+    out = benford_check(df, "v").collect()
+    assert len(out) == 1 and out[0]["digit"] == 1 and out[0]["n_obs"] == 1
+
+
+def test_market_concentration_extremes(spark):
+    orders = spark.createDataFrame(
+        [(i, i % 2, 100.0) for i in range(10)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(0, 0), (1, 1)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(0, "A"), (1, "B")], "n_nationkey long, n_name string"
+    )
+    r = market_concentration(orders, cust, nation).collect()[0]
+    # two equal markets: HHI = 0.5, CR4 = 1, top = 0.5
+    assert r["n_markets"] == 2
+    assert r["hhi"] == pytest.approx(0.5, abs=1e-6)
+    assert r["cr4"] == pytest.approx(1.0, abs=1e-6)
+    assert r["top_share"] == pytest.approx(0.5, abs=1e-6)

@@ -71,6 +71,10 @@ SCALAR_JOIN_OK = {
     "quantile_normalize",
     # 1-row horizon + n_total scalars broadcast onto the duration axis
     "survival_curve",
+    # 1-row digit-total broadcast onto the 9-row digit axis
+    "benford_check",
+    # 1-row revenue-total broadcast onto the |nations|-row frame
+    "market_concentration",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",

@@ -931,6 +931,18 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 + __MICRO__ accuracy of the
+    heuristic language-ID against the gold lang labels — the eval
+    loop for model-scored corpus gates; everything past the first
+    agg is label-cardinality-sized."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        classifier_eval,
+    )
+
+    return classifier_eval(X.language_id(_t(spark, sf_dir, "documents")))
+
+
 def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit on order totals: 9-row digit
     axis with observed/expected shares and per-digit chi-square
@@ -2554,7 +2566,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
 # k_anonymity, lp_communities, rfm_segments, touch_attribution,
 # triangle_count, revenue_anomalies, quantile_normalize, hash_embed,
-# survival_curve, benford_check, market_concentration.
+# survival_curve, benford_check, market_concentration, langid_eval.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2694,6 +2706,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_curve": q_survival_curve,
         "benford_check": q_benford_check,
         "market_concentration": q_market_concentration,
+        "langid_eval": q_langid_eval,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4597,6 +4610,57 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "langid_eval": (
+            "WITH toks AS (SELECT doc_id, lang,"
+            "  string_split_regex(trim(text), '\\s+') AS t"
+            "  FROM documents),"
+            " hits AS (SELECT doc_id, lang,"
+            "  len(list_filter(t, x -> lower(x) IN"
+            "   ('der','die','das','und','ist'))) AS hits_de,"
+            "  len(list_filter(t, x -> lower(x) IN"
+            "   ('the','a','of','and','to'))) AS hits_en,"
+            "  len(list_filter(t, x -> lower(x) IN"
+            "   ('le','la','de','et','est'))) AS hits_fr FROM toks),"
+            " pr AS (SELECT lang AS t,"
+            "  CASE WHEN greatest(hits_de, hits_en, hits_fr) <= 0"
+            "   THEN 'und'"
+            "  WHEN hits_de = greatest(hits_de, hits_en, hits_fr)"
+            "   THEN 'de'"
+            "  WHEN hits_en = greatest(hits_de, hits_en, hits_fr)"
+            "   THEN 'en' ELSE 'fr' END AS p FROM hits),"
+            " cm AS (SELECT t, p, count(*) AS n FROM pr GROUP BY 1, 2),"
+            " tp AS (SELECT t AS cls, n AS tp FROM cm WHERE t = p),"
+            " sup AS (SELECT t AS cls, sum(n) AS support FROM cm"
+            "  GROUP BY 1),"
+            " prd AS (SELECT p AS cls, sum(n) AS n_predicted FROM cm"
+            "  GROUP BY 1),"
+            " pc0 AS (SELECT COALESCE(sup.cls, prd.cls) AS cls,"
+            "  CAST(COALESCE(support, 0) AS BIGINT) AS support,"
+            "  CAST(COALESCE(n_predicted, 0) AS BIGINT) AS n_predicted"
+            "  FROM sup FULL JOIN prd ON prd.cls = sup.cls),"
+            " pc1 AS (SELECT pc0.*,"
+            "  CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp FROM pc0"
+            "  LEFT JOIN tp ON tp.cls = pc0.cls),"
+            " pc2 AS (SELECT *, CASE WHEN n_predicted > 0 THEN"
+            "  round(tp / CAST(n_predicted AS DOUBLE) + 1e-9, 6) END"
+            "   AS precision,"
+            "  CASE WHEN support > 0 THEN"
+            "  round(tp / CAST(support AS DOUBLE) + 1e-9, 6) END"
+            "   AS recall FROM pc1),"
+            " pc AS (SELECT cls, support, n_predicted, tp, precision,"
+            "  recall, CASE WHEN precision + recall > 0 THEN"
+            "  round(2.0 * precision * recall / (precision + recall)"
+            "   + 1e-9, 6) END AS f1 FROM pc2),"
+            " tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,"
+            "  CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT)"
+            "   AS n_correct FROM cm)"
+            " SELECT * FROM (SELECT * FROM pc UNION ALL"
+            "  SELECT '__MICRO__', n_all, n_all, n_correct,"
+            "  round(n_correct / CAST(n_all AS DOUBLE) + 1e-9, 6),"
+            "  round(n_correct / CAST(n_all AS DOUBLE) + 1e-9, 6),"
+            "  round(n_correct / CAST(n_all AS DOUBLE) + 1e-9, 6)"
+            "  FROM tot) ORDER BY cls"
         ),
         "benford_check": (
             "WITH d AS (SELECT CAST(substr(CAST(abs(o_totalprice)"

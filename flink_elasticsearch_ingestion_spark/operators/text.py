@@ -1740,3 +1740,100 @@ def quantile_normalize_by_source(
         )
         .orderBy(source_col, id_col)
     )
+
+
+def classifier_eval(
+    predictions: DataFrame,
+    *,
+    true_col: str = "lang",
+    pred_col: str = "lang_guess",
+) -> DataFrame:
+    """Multi-class classifier evaluation: per-class precision / recall
+    / F1 plus support, from a (true, predicted) label frame — the eval
+    loop every model-scored corpus gate needs (here closing the loop
+    on the engine's own heuristic language-ID).
+
+    One partial+final agg to the |true x pred| confusion matrix, then
+    class-keyed marginals joined back — everything past the first agg
+    is label-cardinality-sized.  A ``__MICRO__`` row carries overall
+    accuracy (micro-averaged P = R = F1 for single-label tasks).
+    """
+    cm = predictions.groupBy(
+        F.col(true_col).alias("t"), F.col(pred_col).alias("p")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tp = cm.where(F.col("t") == F.col("p")).select(
+        F.col("t").alias("cls"), F.col("n").alias("tp")
+    )
+    support = cm.groupBy(F.col("t").alias("cls")).agg(
+        F.sum("n").alias("support")
+    )
+    predicted = cm.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("n").alias("n_predicted")
+    )
+    per_class = (
+        support.join(predicted, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+            F.coalesce("n_predicted", F.lit(0))
+            .cast("bigint")
+            .alias("n_predicted"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+        .withColumn(
+            "precision",
+            F.when(
+                F.col("n_predicted") > 0,
+                F.round(
+                    F.col("tp") / F.col("n_predicted").cast("double")
+                    + F.lit(1e-9),
+                    6,
+                ),
+            ),
+        )
+        .withColumn(
+            "recall",
+            F.when(
+                F.col("support") > 0,
+                F.round(
+                    F.col("tp") / F.col("support").cast("double")
+                    + F.lit(1e-9),
+                    6,
+                ),
+            ),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                F.round(
+                    F.lit(2.0)
+                    * F.col("precision")
+                    * F.col("recall")
+                    / (F.col("precision") + F.col("recall"))
+                    + F.lit(1e-9),
+                    6,
+                ),
+            ),
+        )
+    )
+    totals = cm.agg(
+        F.sum("n").alias("n_all"),
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("n")).otherwise(0)).alias(
+            "n_correct"
+        ),
+    )
+    acc = F.round(
+        F.col("n_correct") / F.col("n_all").cast("double") + F.lit(1e-9), 6
+    )
+    micro = totals.select(
+        F.lit("__MICRO__").alias("cls"),
+        F.col("n_all").cast("bigint").alias("support"),
+        F.col("n_all").cast("bigint").alias("n_predicted"),
+        F.col("n_correct").cast("bigint").alias("tp"),
+        acc.alias("precision"),
+        acc.alias("recall"),
+        acc.alias("f1"),
+    )
+    return per_class.unionByName(micro).orderBy("cls")

@@ -834,3 +834,32 @@ def test_market_concentration_extremes(spark):
     assert r["hhi"] == pytest.approx(0.5, abs=1e-6)
     assert r["cr4"] == pytest.approx(1.0, abs=1e-6)
     assert r["top_share"] == pytest.approx(0.5, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation (precision / recall / F1)
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.text import classifier_eval
+
+
+def test_classifier_eval_hand_computed(spark):
+    # truth:  a a a b b  /  pred: a a b b c
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c")]
+    df = spark.createDataFrame(rows, "lang string, lang_guess string")
+    out = {r["cls"]: r for r in classifier_eval(df).collect()}
+    a = out["a"]
+    assert (a["support"], a["n_predicted"], a["tp"]) == (3, 2, 2)
+    assert a["precision"] == pytest.approx(1.0, abs=1e-6)
+    assert a["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert a["f1"] == pytest.approx(0.8, abs=1e-6)
+    b = out["b"]
+    assert (b["support"], b["n_predicted"], b["tp"]) == (2, 2, 1)
+    assert b["precision"] == pytest.approx(0.5, abs=1e-6)
+    # c never occurs in truth: support 0, recall undefined (null)
+    c = out["c"]
+    assert c["support"] == 0 and c["n_predicted"] == 1 and c["tp"] == 0
+    assert c["recall"] is None and c["precision"] == pytest.approx(0.0)
+    micro = out["__MICRO__"]
+    assert micro["support"] == 5
+    assert micro["f1"] == pytest.approx(3 / 5, abs=1e-6)

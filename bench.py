@@ -192,6 +192,7 @@ EXTENDED = [
     "survival_curve",
     "benford_check",
     "market_concentration",
+    "langid_eval",
 ]
 
 

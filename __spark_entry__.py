@@ -931,6 +931,14 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration via the
+    exact rank formula, global ranks built two-phase (coarse literal
+    buckets + broadcast prefix offsets) — no single-partition window
+    over the customer axis."""
+    return R.revenue_gini(_t(spark, sf_dir, "orders"))
+
+
 def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class precision/recall/F1 + __MICRO__ accuracy of the
     heuristic language-ID against the gold lang labels — the eval
@@ -2566,7 +2574,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
 # k_anonymity, lp_communities, rfm_segments, touch_attribution,
 # triangle_count, revenue_anomalies, quantile_normalize, hash_embed,
-# survival_curve, benford_check, market_concentration, langid_eval.
+# survival_curve, benford_check, market_concentration, langid_eval,
+# revenue_gini.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2707,6 +2716,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_check": q_benford_check,
         "market_concentration": q_market_concentration,
         "langid_eval": q_langid_eval,
+        "revenue_gini": q_revenue_gini,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4610,6 +4620,18 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "revenue_gini": (
+            "WITH pc AS (SELECT o_custkey,"
+            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS rev"
+            "  FROM orders GROUP BY 1),"
+            " r AS (SELECT rev, row_number() OVER ("
+            "  ORDER BY rev, o_custkey) AS rk FROM pc)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_customers,"
+            " round(sum(rev), 2) AS total_revenue,"
+            " round(2.0 * sum(rk * rev) / (count(*) * sum(rev))"
+            "  - (count(*) + 1.0) / count(*) + 1e-9, 6) AS gini"
+            " FROM r"
         ),
         "langid_eval": (
             "WITH toks AS (SELECT doc_id, lang,"

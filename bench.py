@@ -193,6 +193,7 @@ EXTENDED = [
     "benford_check",
     "market_concentration",
     "langid_eval",
+    "revenue_gini",
 ]
 
 

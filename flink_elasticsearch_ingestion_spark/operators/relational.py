@@ -1887,3 +1887,68 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def revenue_gini(
+    orders: DataFrame, *, coarse_edges: tuple[float, ...] = ()
+) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the inequality summary (0 = perfectly even spend, ->1 = one whale)
+    computed from the exact rank formula
+
+        G = 2 * sum(rank_i * x_i) / (n * sum(x)) - (n + 1) / n
+
+    with every customer's global ascending rank built TWO-PHASE
+    (literal coarse range buckets -> per-bucket row_number + broadcast
+    prefix-sum offsets — the equi_depth_buckets/shuffle_order
+    discipline), so no single-partition window ever sees the customer
+    axis.  Edge choice only balances work, never results.
+
+    Returns one row: n_customers, total_revenue, gini.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).cast("double").alias("rev")
+    )
+    edges = list(coarse_edges) or [
+        float(e) for e in range(200_000, 2_000_000, 200_000)
+    ]
+    coarse = F.lit(len(edges))
+    for i, e in reversed(list(enumerate(edges))):
+        coarse = F.when(F.col("rev") < F.lit(e), F.lit(i)).otherwise(coarse)
+    src = per_cust.select(
+        "rev", F.col("o_custkey").alias("ck"), coarse.alias("__coarse")
+    )
+    within = F.row_number().over(
+        Window.partitionBy("__coarse").orderBy("rev", "ck")
+    )
+    counts = src.groupBy("__coarse").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__coarse",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__coarse").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    ranked = (
+        src.withColumn("__within", within)
+        .join(F.broadcast(offsets), "__coarse")
+        .select(
+            "rev", (F.col("__offset") + F.col("__within")).alias("rk")
+        )
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("rk") * F.col("rev"))
+            / (F.count(F.lit(1)) * F.sum("rev"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("gini"),
+    )

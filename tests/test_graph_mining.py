@@ -863,3 +863,47 @@ def test_classifier_eval_hand_computed(spark):
     micro = out["__MICRO__"]
     assert micro["support"] == 5
     assert micro["f1"] == pytest.approx(3 / 5, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.relational import (
+    revenue_gini,
+)
+
+
+def _orders_df(spark, revs):
+    rows = [(i, i, float(v)) for i, v in enumerate(revs)]
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+
+
+def test_gini_equal_distribution_is_zero(spark):
+    r = revenue_gini(_orders_df(spark, [100.0] * 10)).collect()[0]
+    assert r["n_customers"] == 10
+    assert r["gini"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_gini_matches_python_reference(spark):
+    revs = [10.0, 20.0, 30.0, 40.0, 400.0]
+    r = revenue_gini(_orders_df(spark, revs)).collect()[0]
+    xs = sorted(revs)
+    n = len(xs)
+    want = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (
+        n * sum(xs)
+    ) - (n + 1) / n
+    assert r["gini"] == pytest.approx(want, abs=1e-6)
+    assert r["gini"] > 0.4  # whale-dominated -> strongly unequal
+
+
+def test_gini_two_phase_rank_matches_naive_edges(spark):
+    # any coarse-edge choice must give identical results
+    revs = [5.0, 50.0, 500.0, 5000.0, 50000.0, 2.0, 3.0]
+    a = revenue_gini(_orders_df(spark, revs)).collect()[0]
+    b = revenue_gini(
+        _orders_df(spark, revs), coarse_edges=(4.0, 400.0, 40000.0)
+    ).collect()[0]
+    assert a["gini"] == b["gini"]

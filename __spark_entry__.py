@@ -931,6 +931,28 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA revenue forecast (truncated 14-lag
+    exponential kernel, literal renormalized weights) + __MAE__
+    summary; windows only over the bounded daily axis."""
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        ewma_forecast,
+    )
+
+    return ewma_forecast(_t(spark, sf_dir, "orders"))
+
+
+def _ewma_terms_sql(alpha: float = 0.3, n_lags: int = 14) -> str:
+    """The same literal renormalized kernel the Spark operator unrolls,
+    as a left-assoc SQL sum of lag() terms."""
+    weights = [alpha * (1 - alpha) ** (k - 1) for k in range(1, n_lags + 1)]
+    norm = sum(weights)
+    return " + ".join(
+        f"lag(revenue, {k}) OVER w * {w / norm!r}"
+        for k, w in enumerate(weights, start=1)
+    )
+
+
 def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue concentration via the
     exact rank formula, global ranks built two-phase (coarse literal
@@ -2575,7 +2597,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k_anonymity, lp_communities, rfm_segments, touch_attribution,
 # triangle_count, revenue_anomalies, quantile_normalize, hash_embed,
 # survival_curve, benford_check, market_concentration, langid_eval,
-# revenue_gini.
+# revenue_gini, ewma_forecast.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2717,6 +2739,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_concentration": q_market_concentration,
         "langid_eval": q_langid_eval,
         "revenue_gini": q_revenue_gini,
+        "ewma_forecast": q_ewma_forecast,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4620,6 +4643,23 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "ewma_forecast": (
+            "WITH daily AS (SELECT date_trunc('day', o_orderdate)"
+            "  AS day, CAST(round(sum(o_totalprice), 2) AS DOUBLE)"
+            "  AS revenue FROM orders GROUP BY 1),"
+            " sc AS (SELECT day, revenue,"
+            "  round(" + _ewma_terms_sql() + " + 1e-9, 4) AS forecast"
+            "  FROM daily WINDOW w AS (ORDER BY day)),"
+            " sc2 AS (SELECT day, revenue, forecast,"
+            "  round(abs(revenue - forecast) + 1e-9, 4) AS abs_error"
+            "  FROM sc),"
+            " m AS (SELECT round(CAST(round(sum(abs_error), 4)"
+            "   AS DOUBLE) / count(*) + 1e-9, 4) AS mae FROM sc2"
+            "  WHERE forecast IS NOT NULL)"
+            " SELECT * FROM (SELECT day, revenue, forecast, abs_error"
+            "  FROM sc2 UNION ALL SELECT NULL, NULL, NULL, mae FROM m)"
+            " ORDER BY day NULLS LAST"
         ),
         "revenue_gini": (
             "WITH pc AS (SELECT o_custkey,"

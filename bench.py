@@ -194,6 +194,7 @@ EXTENDED = [
     "market_concentration",
     "langid_eval",
     "revenue_gini",
+    "ewma_forecast",
 ]
 
 

@@ -851,3 +851,60 @@ def survival_curve(events: DataFrame) -> DataFrame:
         )
         .orderBy("duration_days")
     )
+
+
+def ewma_forecast(
+    orders: DataFrame, *, alpha: float = 0.3, n_lags: int = 14
+) -> DataFrame:
+    """One-step-ahead EWMA forecast of daily revenue with a TRUNCATED
+    exponential kernel: forecast_t = sum_{k=1..K} w_k * x_{t-k},
+    w_k = alpha * (1-alpha)^(k-1) renormalized over the available
+    lags — the bounded-memory form of simple exponential smoothing
+    (the infinite-history recursion would need pow((1-a), -t) terms
+    that overflow; the truncated kernel is what streaming monitors
+    actually run).
+
+    The fact table collapses to the daily axis first, the kernel
+    unrolls to ``n_lags`` lag() terms with LITERAL weights (pure
+    window arithmetic, engine-portable), and each day reports
+    forecast, actual, error — plus a __MAE__ summary row of mean
+    absolute error over fully-windowed days.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue"))
+    w = Window.orderBy("day")
+    weights = [alpha * (1 - alpha) ** (k - 1) for k in range(1, n_lags + 1)]
+    norm = sum(weights)
+    acc = None
+    for k, wt in enumerate(weights, start=1):
+        term = F.lag("revenue", k).over(w) * F.lit(wt / norm)
+        acc = term if acc is None else acc + term
+    scored = daily.select(
+        "day",
+        "revenue",
+        F.round(acc + F.lit(1e-9), 4).alias("forecast"),
+    ).select(
+        "day",
+        "revenue",
+        "forecast",
+        F.round(F.abs(F.col("revenue") - F.col("forecast")) + F.lit(1e-9), 4)
+        .alias("abs_error"),
+    )
+    mae = scored.where(F.col("forecast").isNotNull()).agg(
+        F.round(
+            F.round(F.sum("abs_error"), 4) / F.count(F.lit(1)) + F.lit(1e-9),
+            4,
+        ).alias("mae")
+    )
+    summary = mae.select(
+        F.lit(None).cast("timestamp_ntz").alias("day"),
+        F.lit(None).cast("double").alias("revenue"),
+        F.lit(None).cast("double").alias("forecast"),
+        F.col("mae").alias("abs_error"),
+    )
+    return scored.unionByName(summary).orderBy(
+        F.col("day").asc_nulls_last()
+    )

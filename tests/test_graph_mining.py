@@ -907,3 +907,52 @@ def test_gini_two_phase_rank_matches_naive_edges(spark):
         _orders_df(spark, revs), coarse_edges=(4.0, 400.0, 40000.0)
     ).collect()[0]
     assert a["gini"] == b["gini"]
+
+
+# ---------------------------------------------------------------------------
+# EWMA forecast
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.windows import ewma_forecast
+
+
+def test_ewma_constant_series_forecasts_itself(spark):
+    base = datetime.datetime(2024, 5, 1)
+    rows = [(i, base + datetime.timedelta(days=i), 500.0) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = ewma_forecast(df).collect()
+    scored = [r for r in out if r["day"] is not None and r["forecast"] is not None]
+    # constant input + renormalized kernel -> exact constant forecast
+    for r in scored:
+        assert r["forecast"] == pytest.approx(500.0, abs=1e-3)
+        assert r["abs_error"] == pytest.approx(0.0, abs=1e-3)
+    mae = [r for r in out if r["day"] is None]
+    assert len(mae) == 1 and mae[0]["abs_error"] == pytest.approx(0.0, abs=1e-3)
+    # first 14 days lack the full kernel: unscored
+    assert sum(1 for r in out if r["day"] is not None and r["forecast"] is None) == 14
+
+
+def test_ewma_weights_recent_days_most(spark):
+    base = datetime.datetime(2024, 6, 1)
+    # 20 days at 100, then a step to 1000 for 5 days: forecast for the
+    # last day must sit well above 100 (recent lags dominate) but
+    # below 1000 (older lags still pull down)
+    rows = [(i, base + datetime.timedelta(days=i),
+             1000.0 if i >= 20 else 100.0) for i in range(25)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r["day"]: r for r in ewma_forecast(df).collect() if r["day"]}
+    last = out[base + datetime.timedelta(days=24)]
+    assert 600.0 < last["forecast"] < 1000.0
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1.0)],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_forecast(df, alpha=1.5)

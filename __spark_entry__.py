@@ -931,6 +931,28 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 denoising-objective prep: deterministic hash-seeded mask
+    spans (~15%), sentinel-collapsed corrupted input + sentinel-
+    prefixed target, md5-scalar contract columns."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        span_corruption,
+    )
+
+    return span_corruption(_t(spark, sf_dir, "documents"))
+
+
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment (portable hash of the key,
+    per-fold balance audit) — reproducible across runs, engines, and
+    cluster layouts."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        kfold_split,
+    )
+
+    return kfold_split(_t(spark, sf_dir, "documents"), "doc_id")
+
+
 def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step-ahead EWMA revenue forecast (truncated 14-lag
     exponential kernel, literal renormalized weights) + __MAE__
@@ -2597,7 +2619,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k_anonymity, lp_communities, rfm_segments, touch_attribution,
 # triangle_count, revenue_anomalies, quantile_normalize, hash_embed,
 # survival_curve, benford_check, market_concentration, langid_eval,
-# revenue_gini, ewma_forecast.
+# revenue_gini, ewma_forecast, span_corruption, kfold_split.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2740,6 +2762,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_eval": q_langid_eval,
         "revenue_gini": q_revenue_gini,
         "ewma_forecast": q_ewma_forecast,
+        "span_corruption": q_span_corruption,
+        "kfold_split": q_kfold_split,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4643,6 +4667,59 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "span_corruption": (
+            "WITH t AS (SELECT doc_id,"
+            "  string_split_regex(trim(text), '\\s+') AS toks"
+            "  FROM documents),"
+            " b AS (SELECT doc_id, toks, len(toks) AS n,"
+            "  [(('0x' || substr(md5('t5:' ||"
+            "     CAST(doc_id AS VARCHAR) || ':' ||"
+            "     CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT"
+            "    % 2147483647) % 20 = 0"
+            "   FOR i IN generate_series(1, len(toks))] AS st FROM t),"
+            " m AS (SELECT doc_id, toks, n, st,"
+            "  [st[i] OR (i >= 2 AND st[i - 1])"
+            "   OR (i >= 3 AND st[i - 2])"
+            "   FOR i IN generate_series(1, n)] AS mk FROM b),"
+            " r AS (SELECT doc_id, toks, n, mk,"
+            "  [mk[i] AND (i = 1 OR NOT mk[i - 1])"
+            "   FOR i IN generate_series(1, n)] AS nr FROM m),"
+            " r2 AS (SELECT *,"
+            "  [CASE WHEN x THEN 1 ELSE 0 END FOR x IN nr] AS nri"
+            "  FROM r),"
+            " r3 AS (SELECT *,"
+            "  [CAST(list_sum(nri[1:i]) AS INT)"
+            "   FOR i IN generate_series(1, n)] AS rid FROM r2),"
+            " p AS (SELECT doc_id, n, mk, nr,"
+            "  [CASE WHEN NOT mk[i] THEN toks[i]"
+            "   WHEN nr[i] THEN '<extra_id_' ||"
+            "    CAST(rid[i] - 1 AS VARCHAR) || '>'"
+            "   ELSE '' END FOR i IN generate_series(1, n)] AS corr,"
+            "  [CASE WHEN nr[i] THEN '<extra_id_' ||"
+            "    CAST(rid[i] - 1 AS VARCHAR) || '> ' || toks[i]"
+            "   WHEN mk[i] THEN toks[i]"
+            "   ELSE '' END FOR i IN generate_series(1, n)] AS tgt"
+            "  FROM r3)"
+            " SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,"
+            " CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked,"
+            " CAST(len(list_filter(nr, x -> x)) AS BIGINT) AS n_spans,"
+            " md5(COALESCE(array_to_string(list_filter(corr,"
+            "  p -> p <> ''), ' '), '')) AS corrupted_md5,"
+            " md5(COALESCE(array_to_string(list_filter(tgt,"
+            "  p -> p <> ''), ' '), '')) AS target_md5"
+            " FROM p ORDER BY doc_id"
+        ),
+        "kfold_split": (
+            "WITH f AS (SELECT (('0x' || substr(md5('kfold-v1:' ||"
+            "  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2147483647)"
+            "  % 5 AS fold FROM documents),"
+            " t AS (SELECT CAST(count(*) AS DOUBLE) AS total"
+            "  FROM documents)"
+            " SELECT CAST(fold AS INT) AS fold,"
+            " CAST(count(*) AS BIGINT) AS n_rows,"
+            " round(count(*) / total + 1e-9, 6) AS share"
+            " FROM f CROSS JOIN t GROUP BY fold, total ORDER BY fold"
         ),
         "ewma_forecast": (
             "WITH daily AS (SELECT date_trunc('day', o_orderdate)"

@@ -195,6 +195,8 @@ EXTENDED = [
     "langid_eval",
     "revenue_gini",
     "ewma_forecast",
+    "span_corruption",
+    "kfold_split",
 ]
 
 

@@ -633,3 +633,47 @@ def dsir_importance_weights(
         )
         .orderBy("doc_id")
     )
+
+
+def kfold_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int = 5,
+    salt: str = "kfold-v1",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    portable md5 hash of (salt, key) mod k — membership is a pure
+    function of the key, so folds are reproducible across runs,
+    engines, and cluster layouts, and any worker can recompute its
+    rows' folds without coordination (the same contract as
+    ``hash_split``, generalized to k ways).
+
+    Returns the per-fold summary (n_rows, share) — the assignment
+    itself is the one-line expression ``fold_of(key)`` callers embed;
+    the summary is the balance audit run before training.
+    """
+    if k < 2:
+        raise ValueError(f"kfold_split requires k >= 2, got {k}")
+    from .dedup import portable_hash31
+
+    fold = (
+        portable_hash31(
+            F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+        )
+        % F.lit(k)
+    ).alias("fold")
+    total = df.count()  # scalar
+    return (
+        df.select(fold)
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            "n_rows",
+            F.round(
+                F.col("n_rows") / F.lit(float(total)) + F.lit(1e-9), 6
+            ).alias("share"),
+        )
+        .orderBy("fold")
+    )

@@ -1837,3 +1837,126 @@ def classifier_eval(
         acc.alias("f1"),
     )
     return per_class.unionByName(micro).orderBy("cls")
+
+
+def span_corruption(
+    documents: DataFrame,
+    *,
+    start_rate: int = 20,
+    span_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "t5",
+) -> DataFrame:
+    """T5-style span-corruption data prep (the denoising objective's
+    input/target pair): deterministic hash-seeded mask spans — a token
+    position STARTS a span when ``portable_hash(doc, pos) %
+    start_rate == 0`` (so ~``span_len / start_rate`` of tokens mask,
+    T5's ~15% at the defaults), each span covering ``span_len``
+    positions.  Masked runs collapse to ``<extra_id_N>`` sentinels in
+    the corrupted input; the target emits each sentinel followed by
+    the hidden tokens — the exact seq2seq contract.
+
+    Determinism is the point: masks are a pure function of (salt,
+    doc, position), so any engine, run, or worker reproduces the same
+    corruption — the property that makes cached corrupted corpora
+    verifiable.  Output keeps scalar columns (counts + md5 of both
+    sequences); plan = one explode, per-doc windows, one agg.
+    """
+    from .dedup import portable_hash31
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    ).where(F.col("tok") != "")
+
+    def _start(pos_col: F.Column) -> F.Column:
+        h = portable_hash31(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                pos_col.cast("string"),
+            )
+        )
+        return (h % F.lit(start_rate)) == 0
+
+    masked = _start(F.col("pos"))
+    for back in range(1, span_len):
+        masked = masked | (
+            (F.col("pos") >= back) & _start(F.col("pos") - back)
+        )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = toks.withColumn("m", masked).withColumn(
+        "new_run",
+        F.col("m")
+        & ~F.coalesce(F.lag("m").over(w), F.lit(False)),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum(F.when(F.col("new_run"), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("run_id") - 1).cast("string"), F.lit(">")
+    )
+    pieces = runs.select(
+        "doc_id",
+        "pos",
+        "m",
+        "new_run",
+        F.when(~F.col("m"), F.col("tok"))
+        .when(F.col("new_run"), sentinel)
+        .otherwise(F.lit(""))
+        .alias("corr_piece"),
+        F.when(
+            F.col("new_run"), F.concat(sentinel, F.lit(" "), F.col("tok"))
+        )
+        .when(F.col("m"), F.col("tok"))
+        .otherwise(F.lit(""))
+        .alias("tgt_piece"),
+    )
+    joined = pieces.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("m"), 1).otherwise(0)).cast("bigint").alias(
+            "n_masked"
+        ),
+        F.sum(F.when(F.col("new_run"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_spans"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "corr_piece"))
+                    ),
+                    lambda s: s["corr_piece"],
+                ),
+                lambda p: p != "",
+            ),
+        ).alias("corrupted"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tgt_piece"))
+                    ),
+                    lambda s: s["tgt_piece"],
+                ),
+                lambda p: p != "",
+            ),
+        ).alias("target"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        F.md5(F.col("corrupted")).alias("corrupted_md5"),
+        F.md5(F.col("target")).alias("target_md5"),
+    ).orderBy("doc_id")

@@ -956,3 +956,69 @@ def test_ewma_rejects_bad_alpha(spark):
     )
     with pytest.raises(ValueError, match="alpha"):
         ewma_forecast(df, alpha=1.5)
+
+
+# ---------------------------------------------------------------------------
+# Span corruption + k-fold split
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.sampling import kfold_split
+from flink_elasticsearch_ingestion_spark.operators.text import span_corruption
+
+
+def _py_span_corruption(doc_id, text, start_rate=20, span_len=3, salt="t5"):
+    h31 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2147483647
+    toks = text.strip().split()
+    start = [h31(f"{salt}:{doc_id}:{i}") % start_rate == 0
+             for i in range(len(toks))]
+    masked = [any(start[i - b] for b in range(span_len) if i - b >= 0)
+              for i in range(len(toks))]
+    corr, tgt, run = [], [], -1
+    for i, t in enumerate(toks):
+        if not masked[i]:
+            corr.append(t)
+        elif i == 0 or not masked[i - 1]:
+            run += 1
+            corr.append(f"<extra_id_{run}>")
+            tgt.append(f"<extra_id_{run}> {t}")
+        else:
+            tgt.append(t)
+    return (
+        len(toks), sum(masked), run + 1,
+        hashlib.md5(" ".join(corr).encode()).hexdigest(),
+        hashlib.md5(" ".join(tgt).encode()).hexdigest(),
+    )
+
+
+def test_span_corruption_matches_python_replica(spark):
+    docs = [(i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_corruption(df).collect()}
+    masked_somewhere = 0
+    for doc_id, text in docs:
+        n, nm, ns, cmd5, tmd5 = _py_span_corruption(doc_id, text)
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["n_masked"] == nm
+        assert r["n_spans"] == ns
+        assert r["corrupted_md5"] == cmd5
+        assert r["target_md5"] == tmd5
+        masked_somewhere += nm
+    assert masked_somewhere > 0  # the default rate masks something
+
+
+def test_kfold_split_balanced_and_complete(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(1000)], "doc_id long"
+    )
+    out = kfold_split(df, "doc_id", k=5).collect()
+    assert len(out) == 5
+    assert sum(r["n_rows"] for r in out) == 1000
+    for r in out:
+        assert 0.15 < r["share"] < 0.25  # roughly balanced
+
+
+def test_kfold_split_rejects_k1(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="k >= 2"):
+        kfold_split(df, "doc_id", k=1)

@@ -931,6 +931,31 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against deterministic all-terms
+    binary relevance — the rank-quality metric completing the
+    search-eval family; <= k-row frames after the TakeOrdered."""
+    from flink_elasticsearch_ingestion_spark.operators.text import ndcg_eval
+
+    return ndcg_eval(
+        _t(spark, sf_dir, "documents"), ["spark", "merge", "window"], k=10
+    )
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric columns
+    in ONE aggregation pass (6 corr buffers, single scan) — the
+    feature-redundancy profiler companion."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        correlation_matrix,
+    )
+
+    return correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 denoising-objective prep: deterministic hash-seeded mask
     spans (~15%), sentinel-collapsed corrupted input + sentinel-
@@ -2619,7 +2644,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k_anonymity, lp_communities, rfm_segments, touch_attribution,
 # triangle_count, revenue_anomalies, quantile_normalize, hash_embed,
 # survival_curve, benford_check, market_concentration, langid_eval,
-# revenue_gini, ewma_forecast, span_corruption, kfold_split.
+# revenue_gini, ewma_forecast, span_corruption, kfold_split,
+# correlation_matrix, ndcg_eval.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2764,6 +2790,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_forecast": q_ewma_forecast,
         "span_corruption": q_span_corruption,
         "kfold_split": q_kfold_split,
+        "correlation_matrix": q_correlation_matrix,
+        "ndcg_eval": q_ndcg_eval,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -2977,6 +3005,41 @@ def _shared_spans_cte(window_k: int = 8, min_span: int = 12, df_cap: int = 50) -
         f" CAST(count(*) + {k - 1} AS BIGINT) AS span_tokens"
         " FROM isl GROUP BY doc_a, doc_b, pa - pb, grp"
         f" HAVING count(*) + {k - 1} >= {min_span})"
+    )
+
+
+def _bm25_cte() -> str:
+    """The shared BM25 scoring CTE chain (feat/stats/scored) — used
+    verbatim by the bm25_search oracle and re-used by ndcg_eval so the
+    two can never drift.  Constants mirror the engine's Python-driver
+    arithmetic: (1.2 + 1.0) = k1+1 computed as the same IEEE sum,
+    0.25 = 1.0-b, and the term sum folds left-to-right in query order
+    (spark, merge, window) so addition order matches."""
+    return (
+        r"feat AS (SELECT doc_id,"
+        r" len(regexp_split_to_array(trim(lower(text)), '\s+')) AS doclen,"
+        r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+        r"   x -> x = 'spark')) AS tf_0,"
+        r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+        r"   x -> x = 'merge')) AS tf_1,"
+        r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+        r"   x -> x = 'window')) AS tf_2 FROM documents),"
+        " stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,"
+        "  CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl,"
+        "  CAST(sum(CAST(tf_0 > 0 AS INT)) AS DOUBLE) AS df_0,"
+        "  CAST(sum(CAST(tf_1 > 0 AS INT)) AS DOUBLE) AS df_1,"
+        "  CAST(sum(CAST(tf_2 > 0 AS INT)) AS DOUBLE) AS df_2 FROM feat),"
+        " scored AS (SELECT doc_id, doclen, round(0.0"
+        "  + ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))"
+        "    * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))"
+        "    / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
+        "  + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))"
+        "    * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))"
+        "    / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
+        "  + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))"
+        "    * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))"
+        "    / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
+        "  + 1e-9, 6) AS bm25 FROM feat, stats)"
     )
 
 
@@ -3689,36 +3752,32 @@ def oracle_sql() -> dict[str, str]:
             " FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 20"
         ),
         "bm25_search": (
-            # constants mirror the engine's Python-driver arithmetic:
-            # (1.2 + 1.0) = k1+1 computed as the same IEEE sum, 0.25 =
-            # 1.0-b, and the term sum folds left-to-right in query
-            # order (spark, merge, window) so addition order matches
-            r"WITH feat AS (SELECT doc_id,"
-            r" len(regexp_split_to_array(trim(lower(text)), '\s+')) AS doclen,"
-            r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
-            r"   x -> x = 'spark')) AS tf_0,"
-            r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
-            r"   x -> x = 'merge')) AS tf_1,"
-            r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
-            r"   x -> x = 'window')) AS tf_2 FROM documents),"
-            " stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,"
-            "  CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl,"
-            "  CAST(sum(CAST(tf_0 > 0 AS INT)) AS DOUBLE) AS df_0,"
-            "  CAST(sum(CAST(tf_1 > 0 AS INT)) AS DOUBLE) AS df_1,"
-            "  CAST(sum(CAST(tf_2 > 0 AS INT)) AS DOUBLE) AS df_2 FROM feat),"
-            " scored AS (SELECT doc_id, doclen, round(0.0"
-            "  + ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))"
-            "    * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))"
-            "    / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
-            "  + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))"
-            "    * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))"
-            "    / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
-            "  + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))"
-            "    * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))"
-            "    / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
-            "  + 1e-9, 6) AS bm25 FROM feat, stats)"
-            " SELECT doc_id, doclen, bm25 FROM scored WHERE bm25 > 0.0"
+            "WITH " + _bm25_cte()
+            + " SELECT doc_id, doclen, bm25 FROM scored WHERE bm25 > 0.0"
             " ORDER BY bm25 DESC, doc_id LIMIT 10"
+        ),
+        "ndcg_eval": (
+            "WITH " + _bm25_cte() + ","
+            " top AS (SELECT doc_id, bm25 FROM scored"
+            "  WHERE bm25 > 0.0 ORDER BY bm25 DESC, doc_id LIMIT 10),"
+            " rkd AS (SELECT doc_id, row_number() OVER ("
+            "  ORDER BY bm25 DESC, doc_id) AS rk FROM top),"
+            " lab AS (SELECT doc_id, CASE WHEN tf_0 > 0 AND tf_1 > 0"
+            "  AND tf_2 > 0 THEN 1 ELSE 0 END AS rel FROM feat),"
+            " sc AS (SELECT rkd.rk, lab.rel FROM rkd"
+            "  JOIN lab ON lab.doc_id = rkd.doc_id),"
+            " a AS (SELECT CAST(count(*) AS BIGINT) AS k_eval,"
+            "  CAST(sum(rel) AS BIGINT) AS n_relevant,"
+            "  round(sum(rel / (ln(CAST(rk AS DOUBLE) + 1.0)"
+            "   / ln(2.0))) + 1e-9, 6) AS dcg FROM sc),"
+            " ir AS (SELECT row_number() OVER (ORDER BY rk) AS irk"
+            "  FROM sc WHERE rel > 0),"
+            " i AS (SELECT round(COALESCE(sum(1.0 /"
+            "  (ln(CAST(irk AS DOUBLE) + 1.0) / ln(2.0))), 0.0)"
+            "  + 1e-9, 6) AS idcg FROM ir)"
+            " SELECT k_eval, n_relevant, dcg, idcg,"
+            " CASE WHEN idcg > 0 THEN round(dcg / idcg + 1e-9, 6)"
+            "  ELSE 0.0 END AS ndcg FROM a CROSS JOIN i"
         ),
         "source_mix": (
             "SELECT source, count(*) AS n_docs,"
@@ -4667,6 +4726,26 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "correlation_matrix": (
+            "SELECT * FROM ("
+            " SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,"
+            "  round(corr(l_quantity, l_extendedprice) + 1e-9, 6)"
+            "  AS pearson_r FROM lineitem"
+            " UNION ALL SELECT 'l_quantity', 'l_discount',"
+            "  round(corr(l_quantity, l_discount) + 1e-9, 6)"
+            "  FROM lineitem"
+            " UNION ALL SELECT 'l_quantity', 'l_tax',"
+            "  round(corr(l_quantity, l_tax) + 1e-9, 6) FROM lineitem"
+            " UNION ALL SELECT 'l_extendedprice', 'l_discount',"
+            "  round(corr(l_extendedprice, l_discount) + 1e-9, 6)"
+            "  FROM lineitem"
+            " UNION ALL SELECT 'l_extendedprice', 'l_tax',"
+            "  round(corr(l_extendedprice, l_tax) + 1e-9, 6)"
+            "  FROM lineitem"
+            " UNION ALL SELECT 'l_discount', 'l_tax',"
+            "  round(corr(l_discount, l_tax) + 1e-9, 6) FROM lineitem"
+            ") ORDER BY col_a, col_b"
         ),
         "span_corruption": (
             "WITH t AS (SELECT doc_id,"

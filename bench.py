@@ -197,6 +197,8 @@ EXTENDED = [
     "ewma_forecast",
     "span_corruption",
     "kfold_split",
+    "correlation_matrix",
+    "ndcg_eval",
 ]
 
 

@@ -601,3 +601,32 @@ def market_concentration(
         ).alias("cr4"),
         F.round(F.max("share") + F.lit(1e-9), 6).alias("top_share"),
     )
+
+
+def correlation_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE
+    aggregation pass (k*(k-1)/2 corr buffers in a single partial+final
+    agg — the profiler companion for feature-redundancy checks; never
+    k^2 scans).  Long-form output (col_a < col_b, corr rounded)."""
+    if len(columns) < 2:
+        raise ValueError("correlation_matrix needs at least two columns")
+    pairs = [
+        (a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]
+    ]
+    one = df.agg(
+        *[
+            F.round(F.corr(a, b) + F.lit(1e-9), 6).alias(f"__{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__{a}__{b}").alias("pearson_r"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return one.select(F.inline(structs)).orderBy("col_a", "col_b")

@@ -1960,3 +1960,85 @@ def span_corruption(
         F.md5(F.col("corrupted")).alias("corrupted_md5"),
         F.md5(F.col("target")).alias("target_md5"),
     ).orderBy("doc_id")
+
+
+def ndcg_eval(
+    documents: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NDCG@k of the engine's BM25 ranking against a deterministic
+    binary relevance label (document contains EVERY query term) — the
+    rank-quality metric that rewards putting relevant results early,
+    completing the search-eval family (calibration, confusion,
+    now ranking).
+
+        DCG  = sum rel_i / log2(rank_i + 1)
+        IDCG = best possible ordering of the list's relevance
+        NDCG = DCG / IDCG   (0 when nothing relevant)
+
+    Everything after the BM25 TakeOrdered happens on the <= k-row
+    frame; log2 runs as ln(x)/ln(2) on both engines.
+    """
+    ranked = bm25_search(
+        documents, query_terms, k=k, id_col=id_col, text_col=text_col
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    has_all = None
+    for t in query_terms:
+        cond = F.array_contains(toks, t.lower())
+        has_all = cond if has_all is None else (has_all & cond)
+    labels = documents.select(
+        F.col(id_col).alias("__id"),
+        F.when(has_all, F.lit(1)).otherwise(F.lit(0)).alias("rel"),
+    )
+    scored = (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .join(labels, F.col(id_col) == F.col("__id"))
+        .select("rk", "rel")
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    dcg = F.sum(
+        F.col("rel") / log2(F.col("rk").cast("double") + F.lit(1.0))
+    )
+    # ideal rank of the i-th relevant item is i: rank relevant items
+    # by their actual rank (stable), then discount at position
+    wi = Window.orderBy("rk")
+    ideal = scored.where(F.col("rel") > 0).withColumn(
+        "irk", F.row_number().over(wi)
+    )
+    idcg_df = ideal.agg(
+        F.coalesce(
+            F.sum(
+                F.lit(1.0) / log2(F.col("irk").cast("double") + F.lit(1.0))
+            ),
+            F.lit(0.0),
+        ).alias("idcg")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_eval"),
+        F.sum("rel").cast("bigint").alias("n_relevant"),
+        F.round(dcg + F.lit(1e-9), 6).alias("dcg"),
+    )
+    # round BOTH inputs before the ratio so the published ndcg is a
+    # pure function of the published dcg/idcg on any engine
+    return (
+        agg.crossJoin(F.broadcast(idcg_df))
+        .withColumn("idcg", F.round(F.col("idcg") + F.lit(1e-9), 6))
+        .select(
+            "k_eval",
+            "n_relevant",
+            "dcg",
+            "idcg",
+            F.when(
+                F.col("idcg") > 0,
+                F.round(F.col("dcg") / F.col("idcg") + F.lit(1e-9), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )

@@ -1022,3 +1022,52 @@ def test_kfold_split_rejects_k1(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="k >= 2"):
         kfold_split(df, "doc_id", k=1)
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix + NDCG
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.quality import (
+    correlation_matrix,
+)
+from flink_elasticsearch_ingestion_spark.operators.text import ndcg_eval
+
+
+def test_correlation_matrix_known_relationships(spark):
+    rows = [(float(i), 2.0 * i, -3.0 * i, float(i % 2)) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {(r["col_a"], r["col_b"]): r["pearson_r"] for r in
+           correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert out[("a", "b")] == pytest.approx(1.0, abs=1e-6)
+    assert out[("a", "c")] == pytest.approx(-1.0, abs=1e-6)
+    assert abs(out[("a", "d")]) < 0.2
+    assert len(out) == 6
+
+
+def test_correlation_matrix_requires_two(spark):
+    df = spark.createDataFrame([(1.0,)], "a double")
+    with pytest.raises(ValueError, match="two columns"):
+        correlation_matrix(df, ["a"])
+
+
+def test_ndcg_perfect_when_all_top_relevant(spark):
+    # docs 0..4 contain both terms (relevant + high bm25); 5..9 only
+    # one term (retrieved but irrelevant)
+    docs = [(i, "alpha beta filler" + str(i)) for i in range(5)]
+    docs += [(10 + i, "alpha filler" + str(i)) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = ndcg_eval(df, ["alpha", "beta"], k=10).collect()[0]
+    assert r["n_relevant"] == 5
+    # relevant docs score higher bm25 (extra matching term), so they
+    # occupy the top ranks -> NDCG = 1
+    assert r["ndcg"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ndcg_zero_when_nothing_relevant(spark):
+    docs = [(i, "alpha filler" + str(i)) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = ndcg_eval(df, ["alpha", "zzz_absent"], k=10).collect()[0]
+    assert r["n_relevant"] == 0
+    assert r["ndcg"] == pytest.approx(0.0, abs=1e-9)
+    assert r["idcg"] == pytest.approx(0.0, abs=1e-9)

@@ -75,6 +75,8 @@ SCALAR_JOIN_OK = {
     "benford_check",
     # 1-row revenue-total broadcast onto the |nations|-row frame
     "market_concentration",
+    # 1-row idcg scalar broadcast onto the 1-row dcg aggregate
+    "ndcg_eval",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",

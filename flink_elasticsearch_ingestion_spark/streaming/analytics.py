@@ -1039,3 +1039,96 @@ def stream_drift(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def anomaly_apply_factory(
+    spark: SparkSession,
+    monitor_path: str,
+    *,
+    value_col: str = "value",
+    window_n: int = 14,
+    min_history: int = 7,
+    z_threshold: float = 3.0,
+):
+    """foreachBatch body for ``stream_anomaly``: fold each
+    micro-batch's value total into the persistent per-batch series and
+    append one z-score snapshot judged against the PRECEDING
+    ``window_n`` batch totals — the continuously-evaluated twin of the
+    batch ``revenue_anomalies`` monitor (ingestion gaps / double loads
+    surface as |z| spikes the moment the batch lands, not at the next
+    nightly audit).
+
+    State is one bounded parquet table (one row per batch: total +
+    its verdict).  The batch total is a distributed aggregate; the
+    z-score is arithmetic over <= ``window_n`` numbers, driver-side
+    by construction.  Exactly-once under foreachBatch retries: the
+    series records batch ids; a replayed id is a no-op.
+    """
+    import math
+
+    series_path = monitor_path.rstrip("/") + "/series"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prior: list = []
+        if os.path.isdir(series_path):
+            prior = sorted(
+                spark.read.parquet(series_path).collect(),
+                key=lambda r: r["batch_id"],
+            )
+            if prior and any(r["batch_id"] == batch_id for r in prior):
+                return  # replayed batch: already folded in
+        total = batch_df.agg(
+            F.coalesce(F.round(F.sum(value_col), 2), F.lit(0.0)).cast(
+                "double"
+            )
+        ).collect()[0][0]
+        hist = [r["total"] for r in prior][-window_n:]
+        z = None
+        flag = False
+        if len(hist) >= min_history:
+            mean = round(sum(hist) / len(hist) + 1e-9, 4)
+            var = sum((x - mean) ** 2 for x in hist) / (len(hist) - 1)
+            std = round(math.sqrt(var) + 1e-9, 4)
+            if std > 0:
+                z = round((total - mean) / std + 1e-9, 4)
+                flag = abs(z) > z_threshold
+        row = spark.createDataFrame(
+            [(int(batch_id), float(total), z, bool(flag))],
+            "batch_id long, total double, z double, is_anomaly boolean",
+        )
+        row.write.mode("append").parquet(series_path)
+
+    return apply_batch
+
+
+def stream_anomaly(
+    spark: SparkSession,
+    events_path: str,
+    monitor_path: str,
+    checkpoint_dir: str,
+    *,
+    value_col: str = "value",
+    window_n: int = 14,
+    min_history: int = 7,
+):
+    """Streaming anomaly monitor: every micro-batch appends its total
+    + trailing z-score verdict (see ``anomaly_apply_factory``)."""
+    schema = spark.read.parquet(events_path).schema
+    apply_batch = anomaly_apply_factory(
+        spark,
+        monitor_path,
+        value_col=value_col,
+        window_n=window_n,
+        min_history=min_history,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -548,3 +548,42 @@ def test_stream_drift_monitor_converges_and_replays(tmp_path, spark):
     log = spark.read.parquet(monitor + "/psi_log").orderBy("batch_id").collect()
     assert len(log) == 2  # the replay appended nothing
     assert log[1]["psi"] > 0.25  # drift detected
+
+
+def test_stream_anomaly_monitor_flags_spike_and_replays(tmp_path, spark):
+    """Steady batches stay unflagged, a 10x spike batch flags the
+    moment it lands, early batches stay unscored, and a replayed
+    batch id is a no-op."""
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        anomaly_apply_factory,
+    )
+
+    monitor = str(tmp_path / "anomaly")
+    apply_batch = anomaly_apply_factory(
+        spark, monitor, value_col="v", window_n=14, min_history=7
+    )
+    steady = spark.createDataFrame([(10.0,)] * 10, "v double")
+    for i in range(8):
+        # tiny wiggle so the trailing stddev is nonzero
+        b = spark.createDataFrame([(10.0 + (i % 2),)] * 10, "v double")
+        apply_batch(b, i)
+    spike = spark.createDataFrame([(100.0,)] * 10, "v double")
+    apply_batch(spike, 8)
+    apply_batch(spike, 8)  # replay: no-op
+    apply_batch(steady, 9)
+    rows = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(monitor + "/series").collect()
+    }
+    assert len(rows) == 10  # replay appended nothing
+    # batches 0..6 lack min_history: unscored
+    assert rows[0]["z"] is None and not rows[0]["is_anomaly"]
+    assert rows[6]["z"] is None
+    # batch 7 has 7 prior steady batches: scored, not flagged
+    assert rows[7]["z"] is not None and not rows[7]["is_anomaly"]
+    # the spike is flagged the moment it lands
+    assert rows[8]["is_anomaly"] and abs(rows[8]["z"]) > 3
+    # the post-spike steady batch is judged against a window that now
+    # contains the spike, but stays within bounds (not flagged as
+    # extreme as the spike itself)
+    assert abs(rows[9]["z"]) < abs(rows[8]["z"])

@@ -931,6 +931,33 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for the mean order value
+    (50 hash-derived resamples, one partial+final agg on the resample
+    id) — a bootstrap an independent engine re-derives bit-for-bit."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        bootstrap_ci,
+    )
+
+    return bootstrap_ci(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey"
+    )
+
+
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: one fact agg to the
+    (nation, year) grid, lag over the bounded year axis."""
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        yoy_growth,
+    )
+
+    return yoy_growth(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@10 of the BM25 ranking against deterministic all-terms
     binary relevance — the rank-quality metric completing the
@@ -2645,7 +2672,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triangle_count, revenue_anomalies, quantile_normalize, hash_embed,
 # survival_curve, benford_check, market_concentration, langid_eval,
 # revenue_gini, ewma_forecast, span_corruption, kfold_split,
-# correlation_matrix, ndcg_eval.
+# correlation_matrix, ndcg_eval, yoy_growth, bootstrap_ci.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2792,6 +2819,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_split": q_kfold_split,
         "correlation_matrix": q_correlation_matrix,
         "ndcg_eval": q_ndcg_eval,
+        "yoy_growth": q_yoy_growth,
+        "bootstrap_ci": q_bootstrap_ci,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4726,6 +4755,46 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "bootstrap_ci": (
+            "WITH e AS (SELECT o_totalprice AS x, g.b,"
+            "  (('0x' || substr(md5('boot-v1:' ||"
+            "    CAST(o_orderkey AS VARCHAR) || ':' ||"
+            "    CAST(g.b AS VARCHAR)), 1, 8))::BIGINT % 2147483647)"
+            "   / 2147483647.0 AS u"
+            "  FROM orders CROSS JOIN generate_series(1, 50) AS g(b)),"
+            " c AS (SELECT x, b, CASE"
+            "  WHEN u < 0.36787944117144233 THEN 0"
+            "  WHEN u < 0.7357588823428847 THEN 1"
+            "  WHEN u < 0.9196986029286058 THEN 2"
+            "  WHEN u < 0.9810118431238463 THEN 3"
+            "  WHEN u < 0.9963401531726563 THEN 4"
+            "  ELSE 5 END AS c FROM e),"
+            " m AS (SELECT round(sum(c * x) / sum(c) + 1e-9, 4) AS m"
+            "  FROM c GROUP BY b HAVING sum(c) > 0),"
+            " boot AS (SELECT CAST(count(*) AS BIGINT) AS b_resamples,"
+            "  round(sum(m) / count(*) + 1e-9, 4) AS boot_mean,"
+            "  quantile_disc(m, 0.025) AS ci_lo,"
+            "  quantile_disc(m, 0.975) AS ci_hi FROM m),"
+            " p AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+            "  round(sum(o_totalprice) / count(*) + 1e-9, 4) AS est_mean"
+            "  FROM orders)"
+            " SELECT n_rows, est_mean, b_resamples, boot_mean,"
+            " ci_lo, ci_hi FROM p CROSS JOIN boot"
+        ),
+        "yoy_growth": (
+            "WITH rev AS (SELECT n_name,"
+            "  CAST(year(o_orderdate) AS INT) AS yr,"
+            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue"
+            "  FROM orders JOIN customer ON o_custkey = c_custkey"
+            "  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2)"
+            " SELECT n_name, yr, revenue,"
+            " round(lag(revenue) OVER w + 1e-9, 2) AS prev_revenue,"
+            " CASE WHEN lag(revenue) OVER w > 0 THEN"
+            "  round((revenue - lag(revenue) OVER w)"
+            "   / lag(revenue) OVER w * 100.0 + 1e-9, 4) END AS yoy_pct"
+            " FROM rev WINDOW w AS (PARTITION BY n_name ORDER BY yr)"
+            " ORDER BY n_name, yr"
         ),
         "correlation_matrix": (
             "SELECT * FROM ("

@@ -199,6 +199,8 @@ EXTENDED = [
     "kfold_split",
     "correlation_matrix",
     "ndcg_eval",
+    "yoy_growth",
+    "bootstrap_ci",
 ]
 
 

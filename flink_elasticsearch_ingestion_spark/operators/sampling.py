@@ -677,3 +677,98 @@ def kfold_split(
         )
         .orderBy("fold")
     )
+
+
+#: Poisson(1) CDF thresholds for the hash-uniform -> count mapping
+#: (counts capped at 5; P(X > 5) ~ 0.06%).  Python floats repr
+#: round-trip exactly, so both engines compare against identical
+#: doubles.
+import math as _math
+
+POISSON1_CDF: tuple[float, ...] = tuple(
+    sum(_math.exp(-1.0) / _math.factorial(j) for j in range(k + 1))
+    for k in range(5)
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    *,
+    n_resamples: int = 50,
+    salt: str = "boot-v1",
+) -> DataFrame:
+    """Distributed Poisson bootstrap CI for the mean (the online /
+    streaming bootstrap: each row appears Poisson(1) times in each
+    resample, indistinguishable from multinomial resampling at scale).
+
+    Every count is a PURE FUNCTION of (salt, key, resample id) via the
+    portable hash -> uniform -> Poisson-CDF inversion, so the whole
+    resampling plan is deterministic and engine-replayable — a bootstrap
+    an independent SQL engine can re-derive bit-for-bit, which classic
+    RNG resampling can never be.
+
+    Scale shape: one map-side explode (x ``n_resamples``) feeding ONE
+    partial+final aggregation on the resample id — map-side combine
+    collapses each partition to ``n_resamples`` partial rows, so the
+    shuffle carries B x partitions rows, not B x data.  The final
+    percentile runs over ``n_resamples`` numbers.
+
+    Returns one row: n_rows, point estimate, bootstrap mean,
+    [2.5%, 97.5%] CI bounds.
+    """
+    from .dedup import MERSENNE31, portable_hash31
+
+    u = (
+        portable_hash31(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col("k").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        ).cast("double")
+        / F.lit(float(MERSENNE31))
+    )
+    cnt = F.lit(len(POISSON1_CDF))
+    for k in reversed(range(len(POISSON1_CDF))):
+        cnt = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(cnt)
+    exploded = df.select(
+        F.col(value_col).alias("x"),
+        F.col(key_col).alias("k"),
+        F.explode(F.sequence(F.lit(1), F.lit(n_resamples))).alias("b"),
+    ).select("x", "b", cnt.alias("c"))
+    means = (
+        exploded.groupBy("b")
+        .agg(
+            F.sum(F.col("c") * F.col("x")).alias("sx"),
+            F.sum("c").alias("sc"),
+        )
+        .where(F.col("sc") > 0)
+        .select(
+            F.round(F.col("sx") / F.col("sc") + F.lit(1e-9), 4).alias("m")
+        )
+    )
+    exact = 2147483647
+    boot = means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b_resamples"),
+        F.round(
+            F.sum("m") / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("boot_mean"),
+        F.percentile_approx("m", [0.025, 0.975], exact).alias("ci"),
+    )
+    point = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum(value_col) / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("est_mean"),
+    )
+    return point.crossJoin(F.broadcast(boot)).select(
+        "n_rows",
+        "est_mean",
+        "b_resamples",
+        "boot_mean",
+        F.element_at("ci", 1).alias("ci_lo"),
+        F.element_at("ci", 2).alias("ci_hi"),
+    )

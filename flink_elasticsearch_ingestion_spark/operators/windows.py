@@ -908,3 +908,36 @@ def ewma_forecast(
     return scored.unionByName(summary).orderBy(
         F.col("day").asc_nulls_last()
     )
+
+
+def yoy_growth(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Year-over-year revenue growth per nation: one fact aggregation
+    to the (nation, year) grid, then lag() over each nation's bounded
+    year axis — the contribution-analysis staple.  Growth is null for
+    a nation's first year; ratios round after the rounded-sum
+    discipline so both engines agree."""
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("yr")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "n_name",
+        "yr",
+        "revenue",
+        F.round(prev + F.lit(1e-9), 2).alias("prev_revenue"),
+        F.when(
+            prev > 0,
+            F.round(
+                (F.col("revenue") - prev) / prev * F.lit(100.0) + F.lit(1e-9),
+                4,
+            ),
+        ).alias("yoy_pct"),
+    ).orderBy("n_name", "yr")

@@ -1071,3 +1071,55 @@ def test_ndcg_zero_when_nothing_relevant(spark):
     assert r["n_relevant"] == 0
     assert r["ndcg"] == pytest.approx(0.0, abs=1e-9)
     assert r["idcg"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# YoY growth + bootstrap CI
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.sampling import bootstrap_ci
+from flink_elasticsearch_ingestion_spark.operators.windows import yoy_growth
+
+
+def test_yoy_growth_hand_computed(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 1, datetime.datetime(2020, 5, 1), 100.0),
+            (2, 1, datetime.datetime(2021, 5, 1), 150.0),
+            (3, 1, datetime.datetime(2022, 5, 1), 75.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    cust = spark.createDataFrame([(1, 0)], "c_custkey long, c_nationkey long")
+    nation = spark.createDataFrame([(0, "A")], "n_nationkey long, n_name string")
+    out = {r["yr"]: r for r in yoy_growth(orders, cust, nation).collect()}
+    assert out[2020]["yoy_pct"] is None
+    assert out[2021]["yoy_pct"] == pytest.approx(50.0, abs=1e-4)
+    assert out[2022]["yoy_pct"] == pytest.approx(-50.0, abs=1e-4)
+    assert out[2022]["prev_revenue"] == pytest.approx(150.0, abs=1e-4)
+
+
+def test_bootstrap_ci_covers_true_mean_and_is_deterministic(spark):
+    rows = [(i, 100.0 + (i % 21)) for i in range(400)]  # mean 110
+    df = spark.createDataFrame(rows, "k long, v double")
+    r1 = bootstrap_ci(df, "v", "k").collect()[0]
+    r2 = bootstrap_ci(df, "v", "k").collect()[0]
+    assert r1 == r2  # hash-deterministic: identical reruns
+    assert r1["n_rows"] == 400
+    assert r1["est_mean"] == pytest.approx(110.0, abs=0.5)
+    assert r1["ci_lo"] < r1["est_mean"] < r1["ci_hi"]
+    # CI width for n=400, sd~6: roughly 2*1.96*6/20 ~ 1.2 — sane bounds
+    assert 0.2 < r1["ci_hi"] - r1["ci_lo"] < 5.0
+    assert r1["b_resamples"] == 50
+
+
+def test_bootstrap_ci_salt_changes_resamples(spark):
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    a = bootstrap_ci(df, "v", "k", salt="s1").collect()[0]
+    b = bootstrap_ci(df, "v", "k", salt="s2").collect()[0]
+    assert (a["ci_lo"], a["ci_hi"]) != (b["ci_lo"], b["ci_hi"])
+    # but both bracket the point estimate
+    assert a["ci_lo"] < a["est_mean"] < a["ci_hi"]
+    assert b["ci_lo"] < b["est_mean"] < b["ci_hi"]

@@ -77,6 +77,8 @@ SCALAR_JOIN_OK = {
     "market_concentration",
     # 1-row idcg scalar broadcast onto the 1-row dcg aggregate
     "ndcg_eval",
+    # 1-row bootstrap summary broadcast onto the 1-row point estimate
+    "bootstrap_ci",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",

@@ -81,7 +81,11 @@ def pagerank_fixed(
         )
         contrib = (
             e.join(
-                ranks.select(
+                # filter BEFORE the division: dangling nodes never join
+                # (no out-edges), but ANSI mode hard-errors if Catalyst
+                # evaluates the projection eagerly for them — a plan-
+                # dependent latent crash the hypothesis sweep caught
+                ranks.where(F.col("out_degree") > 0).select(
                     F.col("node").alias("src"),
                     (F.col("rank") / F.col("out_degree")).alias("share"),
                 ),

@@ -398,3 +398,61 @@ def test_heavy_hitters_contract_holds_on_random_corpora(spark, word_lists, m):
     for r in out:
         assert r["never_over"] is True
         assert r["within_bound"] is True
+
+
+# ---------------------------------------------------------------------------
+# Graph-operator properties (round 4)
+# ---------------------------------------------------------------------------
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=_EDGES)
+@settings(**_SETTINGS)
+def test_pagerank_matches_reference_and_conserves_mass(spark, edges):
+    """On arbitrary small digraphs, pagerank_fixed equals the pure-
+    Python power iteration at every node AND total rank stays |V|
+    (dangling redistribution conserves mass by construction)."""
+    from flink_elasticsearch_ingestion_spark.operators.graph import (
+        pagerank_fixed,
+    )
+    from tests.test_graph_mining import _py_pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_score"] for r in
+           pagerank_fixed(df, n_iter=2).collect()}
+    ref = _py_pagerank(edges, n_iter=2)
+    assert set(got) == set(ref)
+    for n, want in ref.items():
+        assert got[n] == pytest.approx(want, abs=5e-6)
+    assert sum(got.values()) == pytest.approx(len(ref), abs=1e-3)
+
+
+@given(edges=_EDGES)
+@settings(**_SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-ordered wedge counting equals the O(n^3) brute force on
+    arbitrary graphs (direction- and duplicate-insensitive)."""
+    from itertools import combinations
+
+    from flink_elasticsearch_ingestion_spark.operators.graph import (
+        triangle_count,
+    )
+
+    und = {frozenset(e) for e in edges}
+    nodes = sorted({n for e in und for n in e})
+    brute = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in
+           triangle_count(df).collect()}
+    assert got["__TOTAL__"] == brute

@@ -456,3 +456,37 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     got = {r["node"]: r["n_triangles"] for r in
            triangle_count(df).collect()}
     assert got["__TOTAL__"] == brute
+
+
+_TOKEN_TEXTS = st.lists(
+    st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        min_size=1,
+        max_size=25,
+    ).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=_TOKEN_TEXTS)
+@settings(**_SETTINGS)
+def test_span_corruption_matches_python_on_random_texts(spark, texts):
+    """Mask decisions, run numbering, and both output digests equal
+    the pure-Python replica on arbitrary token streams; masked +
+    unmasked-token count = total."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        span_corruption,
+    )
+    from tests.test_graph_mining import _py_span_corruption
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_corruption(df).collect()}
+    for doc_id, text in docs:
+        n, nm, ns, cmd5, tmd5 = _py_span_corruption(doc_id, text)
+        r = got[doc_id]
+        assert (r["n_tokens"], r["n_masked"], r["n_spans"]) == (n, nm, ns)
+        assert r["corrupted_md5"] == cmd5
+        assert r["target_md5"] == tmd5
+        assert 0 <= r["n_spans"] <= r["n_masked"] <= r["n_tokens"]

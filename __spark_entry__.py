@@ -931,6 +931,17 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped top-20 by quality (max 2 per source):
+    per-source window then one TakeOrdered over <= cap x |sources|
+    rows — the anti-monopoly result-shaping constraint."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        diversified_topk,
+    )
+
+    return diversified_topk(_t(spark, sf_dir, "documents"))
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson-bootstrap 95% CI for the mean order value
     (50 hash-derived resamples, one partial+final agg on the resample
@@ -2672,7 +2683,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triangle_count, revenue_anomalies, quantile_normalize, hash_embed,
 # survival_curve, benford_check, market_concentration, langid_eval,
 # revenue_gini, ewma_forecast, span_corruption, kfold_split,
-# correlation_matrix, ndcg_eval, yoy_growth, bootstrap_ci.
+# correlation_matrix, ndcg_eval, yoy_growth, bootstrap_ci,
+# diversified_topk.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2821,6 +2833,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "yoy_growth": q_yoy_growth,
         "bootstrap_ci": q_bootstrap_ci,
+        "diversified_topk": q_diversified_topk,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4755,6 +4768,26 @@ def oracle_sql() -> dict[str, str]:
             "  AS cosine"
             " FROM v a JOIN v b ON a.src < b.src"
             " ORDER BY src_a, src_b"
+        ),
+        "diversified_topk": (
+            "WITH t AS (SELECT doc_id,"
+            "   lower(unnest(string_split(trim(text), ' '))) AS token"
+            "   FROM documents),"
+            " pt AS (SELECT doc_id, token, count(*) AS c FROM t"
+            "   WHERE length(token) > 0 GROUP BY 1, 2),"
+            " ent AS (SELECT doc_id,"
+            "  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)"
+            "   AS entropy FROM pt GROUP BY doc_id),"
+            " j AS (SELECT d.doc_id, d.source, e.entropy"
+            "  FROM documents d JOIN ent e ON e.doc_id = d.doc_id),"
+            " c AS (SELECT *, row_number() OVER (PARTITION BY source"
+            "  ORDER BY entropy DESC, doc_id) AS src_rank FROM j),"
+            " f AS (SELECT * FROM c WHERE src_rank <= 2),"
+            " g AS (SELECT *, row_number() OVER ("
+            "  ORDER BY entropy DESC, doc_id) AS rank FROM f)"
+            " SELECT CAST(rank AS INT) AS rank, doc_id, source,"
+            " CAST(src_rank AS INT) AS src_rank, entropy"
+            " FROM g WHERE rank <= 20 ORDER BY rank"
         ),
         "bootstrap_ci": (
             "WITH e AS (SELECT o_totalprice AS x, g.b,"

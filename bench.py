@@ -201,6 +201,7 @@ EXTENDED = [
     "ndcg_eval",
     "yoy_growth",
     "bootstrap_ci",
+    "diversified_topk",
 ]
 
 

@@ -2042,3 +2042,48 @@ def ndcg_eval(
             .alias("ndcg"),
         )
     )
+
+
+def diversified_topk(
+    documents: DataFrame,
+    *,
+    k: int = 20,
+    per_source_cap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Diversity-capped top-k: rank documents by a quality signal
+    (token entropy) but admit at most ``per_source_cap`` per source —
+    the result-shaping constraint every production ranking applies so
+    one prolific source cannot monopolize a page / a training batch.
+
+    Two-stage cut, both bounded: a per-source window (source-sized
+    partitions) keeps each source's best ``per_source_cap`` rows, then
+    one TakeOrdered over the surviving <= cap x |sources| rows picks
+    the global k.  All ordering on the ROUNDED score + id, so the cut
+    is engine-portable.
+    """
+    ent = token_entropy(documents, id_col=id_col, text_col=text_col).select(
+        id_col, "entropy"
+    )
+    scored = documents.select(id_col, source_col).join(ent, id_col)
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("entropy").desc(), F.col(id_col)
+    )
+    capped = scored.withColumn("src_rank", F.row_number().over(w)).where(
+        F.col("src_rank") <= per_source_cap
+    )
+    wg = Window.orderBy(F.col("entropy").desc(), F.col(id_col))
+    return (
+        capped.withColumn("rank", F.row_number().over(wg))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            id_col,
+            source_col,
+            F.col("src_rank").cast("int").alias("src_rank"),
+            "entropy",
+        )
+        .orderBy("rank")
+    )

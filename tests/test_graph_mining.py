@@ -1123,3 +1123,29 @@ def test_bootstrap_ci_salt_changes_resamples(spark):
     # but both bracket the point estimate
     assert a["ci_lo"] < a["est_mean"] < a["ci_hi"]
     assert b["ci_lo"] < b["est_mean"] < b["ci_hi"]
+
+
+# ---------------------------------------------------------------------------
+# Diversified top-k
+# ---------------------------------------------------------------------------
+
+from flink_elasticsearch_ingestion_spark.operators.text import diversified_topk
+
+
+def test_diversified_topk_caps_per_source(spark):
+    # source A has the 5 highest-entropy docs; cap 2 forces B entries in
+    docs = []
+    for i in range(5):
+        docs.append((i, " ".join(f"a{i}w{j}" for j in range(20 + i)), "A"))
+    for i in range(5):
+        docs.append((10 + i, " ".join(f"b{i}w{j}" for j in range(5 + i)), "B"))
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = diversified_topk(df, k=6, per_source_cap=2).collect()
+    by_src = {}
+    for r in out:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src == {"A": 2, "B": 2} or by_src.get("A", 0) <= 2
+    assert all(r["src_rank"] <= 2 for r in out)
+    assert len(out) == 4  # 2 per source is all that survives the cap
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks) == list(range(1, 5))

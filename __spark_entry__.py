@@ -3050,6 +3050,16 @@ def _shared_spans_cte(window_k: int = 8, min_span: int = 12, df_cap: int = 50) -
     )
 
 
+def _bootstrap_coeff_values() -> str:
+    """VALUES rows ``(b, a, cc)`` inlining the deterministic bootstrap
+    affine coefficients (sampling.bootstrap_coeffs, seed 0xB007)."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        bootstrap_coeffs,
+    )
+
+    return ", ".join(f"({b}, {a}, {c})" for b, a, c in bootstrap_coeffs(50))
+
+
 def _bm25_cte() -> str:
     """The shared BM25 scoring CTE chain (feat/stats/scored) — used
     verbatim by the bm25_search oracle and re-used by ndcg_eval so the
@@ -4790,12 +4800,16 @@ def oracle_sql() -> dict[str, str]:
             " FROM g WHERE rank <= 20 ORDER BY rank"
         ),
         "bootstrap_ci": (
-            "WITH e AS (SELECT o_totalprice AS x, g.b,"
-            "  (('0x' || substr(md5('boot-v1:' ||"
-            "    CAST(o_orderkey AS VARCHAR) || ':' ||"
-            "    CAST(g.b AS VARCHAR)), 1, 8))::BIGINT % 2147483647)"
-            "   / 2147483647.0 AS u"
-            "  FROM orders CROSS JOIN generate_series(1, 50) AS g(b)),"
+            "WITH co AS (SELECT * FROM (VALUES "
+            + _bootstrap_coeff_values()
+            + ") AS t(b, a, cc)),"
+            " h AS (SELECT o_totalprice AS x,"
+            "  ('0x' || substr(md5('boot-v1:' ||"
+            "   CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT"
+            "   % 2147483647 AS h FROM orders),"
+            " e AS (SELECT h.x, co.b,"
+            "  CAST((co.a * h.h + co.cc) % 2147483647 AS DOUBLE)"
+            "   / 2147483647.0 AS u FROM h CROSS JOIN co),"
             " c AS (SELECT x, b, CASE"
             "  WHEN u < 0.36787944117144233 THEN 0"
             "  WHEN u < 0.7357588823428847 THEN 1"

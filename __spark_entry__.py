@@ -942,6 +942,20 @@ def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diversified_topk(_t(spark, sf_dir, "documents"))
 
 
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical richness (TTR / hapax ratio / Herdan's C):
+    one explode + two partial+final hash aggs, no windows."""
+    return X.lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate against the corpus's own top-200 token
+    vocabulary (deterministic count-desc/token-asc cut): vocab-sized
+    ranking window + broadcast membership join, fact side is pure
+    partial+final aggregation."""
+    return X.oov_rate(_t(spark, sf_dir, "documents"), vocab_size=200)
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson-bootstrap 95% CI for the mean order value
     (50 hash-derived resamples, one partial+final agg on the resample
@@ -2834,6 +2848,8 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yoy_growth": q_yoy_growth,
         "bootstrap_ci": q_bootstrap_ci,
         "diversified_topk": q_diversified_topk,
+        "lexical_diversity": q_lexical_diversity,
+        "oov_rate": q_oov_rate,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4798,6 +4814,43 @@ def oracle_sql() -> dict[str, str]:
             " SELECT CAST(rank AS INT) AS rank, doc_id, source,"
             " CAST(src_rank AS INT) AS src_rank, entropy"
             " FROM g WHERE rank <= 20 ORDER BY rank"
+        ),
+        "lexical_diversity": (
+            "WITH t AS (SELECT source,"
+            "   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token"
+            "   FROM documents),"
+            " pt AS (SELECT source, token, count(*) AS c FROM t"
+            "   WHERE length(token) > 0 GROUP BY 1, 2)"
+            " SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,"
+            "  count(*) AS n_types,"
+            "  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n_hapax,"
+            "  round(count(*) / sum(c) + 1e-9, 6) AS ttr,"
+            "  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / count(*)"
+            "   + 1e-9, 6) AS hapax_ratio,"
+            "  round(ln(count(*)) / ln(sum(c)) + 1e-9, 6) AS herdan_c"
+            " FROM pt GROUP BY source ORDER BY source"
+        ),
+        "oov_rate": (
+            "WITH t AS (SELECT source, doc_id,"
+            "   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token"
+            "   FROM documents),"
+            " tf AS (SELECT * FROM t WHERE length(token) > 0),"
+            " c AS (SELECT token, count(*) AS c FROM tf GROUP BY 1),"
+            " v AS (SELECT token FROM (SELECT token,"
+            "   row_number() OVER (ORDER BY c DESC, token) AS rk FROM c)"
+            "   WHERE rk <= 200),"
+            " fl AS (SELECT tf.source, tf.doc_id,"
+            "   CASE WHEN v.token IS NOT NULL THEN 0 ELSE 1 END AS oov"
+            "   FROM tf LEFT JOIN v ON tf.token = v.token),"
+            " pd AS (SELECT source, doc_id, count(*) AS n_tok,"
+            "   sum(oov) AS n_oov FROM fl GROUP BY 1, 2)"
+            " SELECT source, count(*) AS n_docs,"
+            "  CAST(sum(n_tok) AS BIGINT) AS n_tokens,"
+            "  CAST(sum(n_oov) AS BIGINT) AS n_oov,"
+            "  round(sum(n_oov) / sum(n_tok) + 1e-9, 6) AS micro_oov_rate,"
+            "  round(avg(n_oov / n_tok) + 1e-9, 6) AS macro_oov_rate"
+            " FROM pd GROUP BY source ORDER BY source"
         ),
         "bootstrap_ci": (
             "WITH co AS (SELECT * FROM (VALUES "

@@ -202,6 +202,8 @@ EXTENDED = [
     "yoy_growth",
     "bootstrap_ci",
     "diversified_topk",
+    "lexical_diversity",
+    "oov_rate",
 ]
 
 

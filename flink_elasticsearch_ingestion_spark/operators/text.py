@@ -2087,3 +2087,123 @@ def diversified_topk(
         )
         .orderBy("rank")
     )
+
+
+def lexical_diversity(
+    documents: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source lexical-richness profile: type-token ratio, hapax
+    ratio, and Herdan's C — the corpus-health metrics a data-mixing
+    decision reads before weighting a source up or down (a source
+    whose TTR collapses is template/boilerplate-heavy; a hapax spike
+    flags OCR noise or tokenizer damage).
+
+      * ttr        = |types| / |tokens|   (length-sensitive)
+      * hapax_ratio= |{t : c(t)=1}| / |types|
+      * herdan_c   = ln |types| / ln |tokens|  (length-corrected TTR)
+
+    Plan shape: one explode, then TWO partial+final hash aggregations
+    — (source, token) -> c, then source -> {sum c, count, count c=1}.
+    State per key is a handful of longs; the (source, token) shuffle
+    is vocabulary-sized per source, never corpus-sized. No windows,
+    no collects — survives any corpus size where the per-source
+    vocabulary fits a hash aggregate (Zipf guarantees it).
+    """
+    toks = documents.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    per_token = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_token.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens") + 1e-9, 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types") + 1e-9, 6).alias(
+                "hapax_ratio"
+            ),
+            F.round(F.log("n_types") / F.log("n_tokens") + 1e-9, 6).alias(
+                "herdan_c"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def oov_rate(
+    documents: DataFrame,
+    *,
+    vocab_size: int = 200,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus's own
+    top-``vocab_size`` token vocabulary — the coverage check run
+    before freezing a tokenizer/vocab: a source with a high OOV rate
+    under the candidate vocab will fragment into byte-fallback tokens
+    and train poorly.
+
+    Vocabulary selection is deterministic: global token counts, keep
+    the ``vocab_size`` most frequent (count desc, token asc
+    tie-break). The ranking window runs over the VOCABULARY relation
+    (Zipf-bounded, orders of magnitude smaller than the corpus), and
+    the membership test joins the token stream against a
+    vocab_size-row table — a broadcast hash join at any corpus scale.
+    Everything else is partial+final aggregation.
+
+    Emits per source: micro OOV rate (token-weighted), macro OOV rate
+    (doc-averaged), and doc counts — micro vs macro diverging is
+    itself a signal (a few giant noisy docs vs uniform noise).
+    """
+    toks = documents.select(
+        F.col(source_col).alias("source"),
+        F.col("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("token"))
+    vocab = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= vocab_size)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "token", "left").select(
+        "source",
+        "doc_id",
+        F.coalesce(F.col("in_vocab"), F.lit(False)).alias("in_vocab"),
+    )
+    per_doc = flagged.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.when(~F.col("in_vocab"), 1).otherwise(0)).alias("n_oov"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_oov").alias("n_oov"),
+            F.avg(F.col("n_oov") / F.col("n_tok")).alias("__macro"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens") + 1e-9, 6).alias(
+                "micro_oov_rate"
+            ),
+            F.round(F.col("__macro") + 1e-9, 6).alias("macro_oov_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,75 @@
+"""Tests for the round-4 text-quality additions: per-source lexical
+diversity (TTR / hapax / Herdan's C) and OOV-rate against the corpus's
+own top-k vocabulary."""
+
+import math
+
+from flink_elasticsearch_ingestion_spark.operators.text import (
+    lexical_diversity,
+    oov_rate,
+)
+
+
+def test_lexical_diversity_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b", "s1"),
+            (2, "b c", "s1"),
+            (3, "x x x x", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in lexical_diversity(docs).collect()}
+    s1 = out["s1"]
+    # s1 tokens: a:2 b:2 c:1 -> 5 tokens, 3 types, 1 hapax (c)
+    assert s1.n_tokens == 5 and s1.n_types == 3 and s1.n_hapax == 1
+    assert abs(s1.ttr - round(3 / 5 + 1e-9, 6)) < 1e-12
+    assert abs(s1.hapax_ratio - round(1 / 3 + 1e-9, 6)) < 1e-12
+    assert abs(s1.herdan_c - round(math.log(3) / math.log(5) + 1e-9, 6)) < 1e-12
+    s2 = out["s2"]
+    # degenerate source: one type, zero hapax, Herdan ln(1)/ln(4) = 0
+    assert s2.n_tokens == 4 and s2.n_types == 1 and s2.n_hapax == 0
+    assert s2.ttr == 0.25 and s2.hapax_ratio == 0.0 and s2.herdan_c == 0.0
+
+
+def test_lexical_diversity_mixed_whitespace(spark):
+    # \s+ tokenizer: tabs / newlines / multi-space must not create
+    # empty or glued tokens (the ADVICE-r3 single-space-split trap)
+    docs = spark.createDataFrame(
+        [(1, "a\tb  c\nd", "s")], "doc_id long, text string, source string"
+    )
+    row = lexical_diversity(docs).collect()[0]
+    assert row.n_tokens == 4 and row.n_types == 4 and row.n_hapax == 4
+
+
+def test_oov_rate_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b", "s1"),
+            (2, "a c", "s1"),
+            (3, "b b d", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # counts: a:3 b:3 c:1 d:1 -> top-2 (count desc, token asc) = {a, b}
+    out = {r.source: r for r in oov_rate(docs, vocab_size=2).collect()}
+    s1 = out["s1"]
+    assert s1.n_docs == 2 and s1.n_tokens == 5 and s1.n_oov == 1
+    assert abs(s1.micro_oov_rate - round(1 / 5 + 1e-9, 6)) < 1e-12
+    # macro: doc1 rate 0, doc2 rate 1/2 -> 0.25
+    assert abs(s1.macro_oov_rate - round(0.25 + 1e-9, 6)) < 1e-12
+    s2 = out["s2"]
+    assert s2.n_docs == 1 and s2.n_tokens == 3 and s2.n_oov == 1
+    assert abs(s2.micro_oov_rate - round(1 / 3 + 1e-9, 6)) < 1e-12
+    assert s2.micro_oov_rate == s2.macro_oov_rate
+
+
+def test_oov_rate_vocab_tiebreak_is_token_asc(spark):
+    # b and c tie at count 2; vocab_size=1 must keep 'b' (token asc)
+    docs = spark.createDataFrame(
+        [(1, "b c", "s"), (2, "c b", "s")],
+        "doc_id long, text string, source string",
+    )
+    row = oov_rate(docs, vocab_size=1).collect()[0]
+    # 4 tokens, the two 'c' occurrences are OOV
+    assert row.n_tokens == 4 and row.n_oov == 2

@@ -956,6 +956,13 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.oov_rate(_t(spark, sf_dir, "documents"), vocab_size=200)
 
 
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking duplication audit: rolling-hash
+    boundaries (base-31 poly over trailing 4 chars, cut at 0 mod 16),
+    per-doc windows only, chunk-text global counts joined back."""
+    return X.cdc_chunk_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson-bootstrap 95% CI for the mean order value
     (50 hash-derived resamples, one partial+final agg on the resample
@@ -2850,6 +2857,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_topk": q_diversified_topk,
         "lexical_diversity": q_lexical_diversity,
         "oov_rate": q_oov_rate,
+        "cdc_chunk_stats": q_cdc_chunk_stats,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4851,6 +4859,38 @@ def oracle_sql() -> dict[str, str]:
             "  round(sum(n_oov) / sum(n_tok) + 1e-9, 6) AS micro_oov_rate,"
             "  round(avg(n_oov / n_tok) + 1e-9, 6) AS macro_oov_rate"
             " FROM pd GROUP BY source ORDER BY source"
+        ),
+        "cdc_chunk_stats": (
+            "WITH chars AS (SELECT doc_id, source, u.pos AS pos,"
+            "   ascii(substring(text, CAST(u.pos AS INT), 1)) AS code"
+            "  FROM documents,"
+            "   unnest(generate_series(1, length(text))) AS u(pos)),"
+            " h AS (SELECT doc_id, source, pos, code,"
+            "   code + 31 * lag(code, 1) OVER w + 961 * lag(code, 2) OVER w"
+            "    + 29791 * lag(code, 3) OVER w AS hh"
+            "  FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),"
+            " fl AS (SELECT *, CASE WHEN pos >= 4 AND hh % 16 = 0"
+            "   THEN 1 ELSE 0 END AS b FROM h),"
+            " ck AS (SELECT doc_id, source, pos, coalesce(sum(b) OVER ("
+            "   PARTITION BY doc_id ORDER BY pos"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            "   AS chunk_id FROM fl),"
+            " gr AS (SELECT doc_id, source, chunk_id, min(pos) AS cstart,"
+            "   count(*) AS chunk_len FROM ck GROUP BY 1, 2, 3),"
+            " ct AS (SELECT gr.doc_id, gr.source, gr.chunk_id, gr.chunk_len,"
+            "   substring(d.text, CAST(gr.cstart AS INT),"
+            "    CAST(gr.chunk_len AS INT)) AS chunk_text"
+            "  FROM gr JOIN documents d ON d.doc_id = gr.doc_id),"
+            " gc AS (SELECT chunk_text, count(*) AS g_c FROM ct GROUP BY 1)"
+            " SELECT source, count(*) AS n_chunks,"
+            "  count(DISTINCT chunk_text) AS n_distinct,"
+            "  CAST(sum(CASE WHEN g_c > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n_dup_occ,"
+            "  round(sum(CASE WHEN g_c > 1 THEN 1 ELSE 0 END) / count(*)"
+            "   + 1e-9, 6) AS dup_ratio,"
+            "  round(avg(chunk_len) + 1e-9, 4) AS avg_chunk_len"
+            " FROM ct JOIN gc USING (chunk_text)"
+            " GROUP BY source ORDER BY source"
         ),
         "bootstrap_ci": (
             "WITH co AS (SELECT * FROM (VALUES "

@@ -204,6 +204,7 @@ EXTENDED = [
     "diversified_topk",
     "lexical_diversity",
     "oov_rate",
+    "cdc_chunk_stats",
 ]
 
 

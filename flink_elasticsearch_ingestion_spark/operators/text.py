@@ -2207,3 +2207,121 @@ def oov_rate(
         )
         .orderBy("source")
     )
+
+
+def cdc_chunks(
+    documents: DataFrame,
+    *,
+    window: int = 4,
+    mask: int = 16,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries, the
+    rsync/LBFS family): split each document where a polynomial hash of
+    the trailing ``window`` characters is ``0 mod mask``.  Unlike
+    fixed-size ``chunk_documents``, CDC boundaries survive insertions
+    — a one-word edit shifts only the chunks it touches, so shared
+    chunks between near-identical docs still align.  Expected chunk
+    length ~= mask.
+
+    The boundary hash is a fixed-depth base-31 polynomial over the
+    last ``window`` char codes, computed with LAG over a per-document
+    window — per-doc partitions, never a global sort.  Chunk ids are a
+    prefix sum of boundary flags (again per doc).  Chunk TEXT is
+    recovered as substring(text, min(pos), len) from the grouped char
+    positions — the chars themselves are never re-assembled by
+    aggregation, so the wide shuffle carries (doc_id, pos, code) longs
+    only.  Rows = corpus bytes: the honest cost of byte-level
+    chunking, embarrassingly parallel per document."""
+    if window != 4:
+        raise ValueError("cdc_chunks: the lag-unrolled hash is fixed at window=4")
+    chars = documents.select(
+        F.col("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(text_col),
+        F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("pos"),
+    ).select(
+        "doc_id",
+        "source",
+        "pos",
+        F.ascii(F.expr(f"substring({text_col}, pos, 1)")).alias("code"),
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    h = (
+        F.col("code")
+        + F.lag("code", 1).over(wl) * 31
+        + F.lag("code", 2).over(wl) * 961
+        + F.lag("code", 3).over(wl) * 29791
+    )
+    flagged = chars.withColumn(
+        "b",
+        F.when((F.col("pos") >= window) & (h % mask == 0), 1).otherwise(0),
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = flagged.withColumn(
+        "chunk_id", F.coalesce(F.sum("b").over(wp), F.lit(0))
+    )
+    return (
+        chunked.groupBy("doc_id", "source", "chunk_id")
+        .agg(F.min("pos").alias("start"), F.count(F.lit(1)).alias("chunk_len"))
+        .join(documents.select("doc_id", text_col), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "chunk_id",
+            "chunk_len",
+            F.expr(f"substring({text_col}, start, chunk_len)").alias("chunk_text"),
+        )
+    )
+
+
+def cdc_chunk_stats(
+    documents: DataFrame,
+    *,
+    window: int = 4,
+    mask: int = 16,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source chunk-duplication audit over ``cdc_chunks``: chunk
+    counts, within-source distinct chunks, the share of chunk
+    OCCURRENCES whose text repeats anywhere in the corpus
+    (``dup_ratio`` — the dedup opportunity CDC exists to find), and
+    mean chunk length.  One chunk-text global count
+    (chunk-vocabulary-sized) + one keyed join back + one partial+final
+    agg; all deterministic integer arithmetic, so an independent
+    engine replays it bit-for-bit."""
+    chunks = cdc_chunks(
+        documents,
+        window=window,
+        mask=mask,
+        source_col=source_col,
+        text_col=text_col,
+    )
+    global_counts = chunks.groupBy("chunk_text").agg(
+        F.count(F.lit(1)).alias("g_c")
+    )
+    per_chunk = chunks.join(global_counts, "chunk_text")
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_text").alias("n_distinct"),
+            F.sum(F.when(F.col("g_c") > 1, 1).otherwise(0)).alias("n_dup_occ"),
+            F.avg("chunk_len").alias("__avg_len"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            "n_dup_occ",
+            F.round(F.col("n_dup_occ") / F.col("n_chunks") + 1e-9, 6).alias(
+                "dup_ratio"
+            ),
+            F.round(F.col("__avg_len") + 1e-9, 4).alias("avg_chunk_len"),
+        )
+        .orderBy("source")
+    )

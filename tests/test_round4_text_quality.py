@@ -73,3 +73,72 @@ def test_oov_rate_vocab_tiebreak_is_token_asc(spark):
     row = oov_rate(docs, vocab_size=1).collect()[0]
     # 4 tokens, the two 'c' occurrences are OOV
     assert row.n_tokens == 4 and row.n_oov == 2
+
+
+# ------------------------------------------------- CDC chunking
+
+def _py_cdc(text, window=4, mask=16):
+    """Pure-Python replica of the cdc_chunks boundary rule."""
+    codes = [ord(c) for c in text]
+    bounds = []
+    for i in range(len(text)):  # pos = i + 1
+        if i + 1 >= window:
+            h = (
+                codes[i]
+                + 31 * codes[i - 1]
+                + 961 * codes[i - 2]
+                + 29791 * codes[i - 3]
+            )
+            if h % mask == 0:
+                bounds.append(i + 1)
+    chunks, start = [], 1
+    for b in bounds:
+        chunks.append(text[start - 1 : b])
+        start = b + 1
+    if start <= len(text):
+        chunks.append(text[start - 1 :])
+    return chunks
+
+
+def test_cdc_chunks_match_python_replica_and_reassemble(spark):
+    from flink_elasticsearch_ingestion_spark.operators.text import cdc_chunks
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    rows = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for i, t in enumerate(texts):
+        got = [c for _, c in sorted(by_doc[i])]
+        assert got == _py_cdc(t)          # exact boundary agreement
+        assert "".join(got) == t          # lossless reassembly
+
+
+def test_cdc_boundaries_survive_prefix_insertion(spark):
+    """The CDC selling point: prepending text realigns within one
+    chunk — every original chunk after the first boundary reappears
+    verbatim in the edited doc's chunking."""
+    from flink_elasticsearch_ingestion_spark.operators.text import cdc_chunks
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    edited = "INSERTED PREFIX " + base
+    py_base, py_edit = _py_cdc(base), _py_cdc(edited)
+    assert len(py_base) >= 3  # fixture actually chunks
+    # all base chunks except (possibly) the first are preserved
+    assert set(py_base[1:]) <= set(py_edit)
+    docs = spark.createDataFrame(
+        [(0, base, "s"), (1, edited, "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = cdc_chunks(docs).collect()
+    got0 = [r.chunk_text for r in sorted(rows, key=lambda r: r.chunk_id) if r.doc_id == 0]
+    got1 = {r.chunk_text for r in rows if r.doc_id == 1}
+    assert set(got0[1:]) <= got1

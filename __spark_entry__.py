@@ -963,6 +963,18 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.cdc_chunk_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM over daily revenue: fact table aggregates to the
+    calendar-bounded day axis, the sequential recurrence runs as ONE
+    JVM aggregate fold (inputs pre-rounded so any engine replays the
+    IEEE sequence bit-for-bit)."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(_t(spark, sf_dir, "orders"))
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson-bootstrap 95% CI for the mean order value
     (50 hash-derived resamples, one partial+final agg on the resample
@@ -2858,6 +2870,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "oov_rate": q_oov_rate,
         "cdc_chunk_stats": q_cdc_chunk_stats,
+        "cusum_changepoints": q_cusum_changepoints,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4891,6 +4904,39 @@ def oracle_sql() -> dict[str, str]:
             "  round(avg(chunk_len) + 1e-9, 4) AS avg_chunk_len"
             " FROM ct JOIN gc USING (chunk_text)"
             " GROUP BY source ORDER BY source"
+        ),
+        "cusum_changepoints": (
+            # the recurrence replays exactly: daily revenue / mu /
+            # sigma are rounded to 2dp BEFORE the fold on both sides,
+            # then the recursive CTE performs the identical IEEE
+            # double sequence the JVM aggregate fold performs
+            "WITH RECURSIVE daily AS (SELECT date_trunc('day',"
+            "   o_orderdate) AS day, CAST(round(sum(o_totalprice), 2)"
+            "   AS DOUBLE) AS revenue FROM orders GROUP BY 1),"
+            " p AS (SELECT round(avg(revenue) + 1e-9, 2) AS mu,"
+            "   round(stddev_samp(revenue) + 1e-9, 2) AS sigma"
+            "   FROM daily),"
+            " d AS (SELECT day, revenue,"
+            "   row_number() OVER (ORDER BY day) AS rn FROM daily),"
+            " r AS ("
+            "  SELECT d.rn, d.day, d.revenue,"
+            "   greatest(CAST(0 AS DOUBLE),"
+            "    d.revenue - p.mu - 0.5 * p.sigma) AS sp,"
+            "   greatest(CAST(0 AS DOUBLE),"
+            "    -(d.revenue - p.mu) - 0.5 * p.sigma) AS sn"
+            "  FROM d, p WHERE d.rn = 1"
+            "  UNION ALL"
+            "  SELECT d.rn, d.day, d.revenue,"
+            "   greatest(CAST(0 AS DOUBLE),"
+            "    r.sp + d.revenue - p.mu - 0.5 * p.sigma),"
+            "   greatest(CAST(0 AS DOUBLE),"
+            "    r.sn - (d.revenue - p.mu) - 0.5 * p.sigma)"
+            "  FROM d, p, r WHERE d.rn = r.rn + 1)"
+            " SELECT r.day, r.revenue,"
+            "  round(r.sp + 1e-9, 4) AS s_pos,"
+            "  round(r.sn + 1e-9, 4) AS s_neg,"
+            "  (r.sp > 4.0 * p.sigma OR r.sn > 4.0 * p.sigma) AS alarm"
+            " FROM r, p ORDER BY r.day"
         ),
         "bootstrap_ci": (
             "WITH co AS (SELECT * FROM (VALUES "

@@ -205,6 +205,7 @@ EXTENDED = [
     "lexical_diversity",
     "oov_rate",
     "cdc_chunk_stats",
+    "cusum_changepoints",
 ]
 
 

@@ -630,3 +630,112 @@ def correlation_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         ]
     )
     return one.select(F.inline(structs)).orderBy("col_a", "col_b")
+
+
+def cusum_changepoints(
+    orders: DataFrame,
+    *,
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM control chart over daily revenue (Page 1954):
+    S+_t = max(0, S+_{t-1} + (x_t - mu) - k), S-_t symmetric, alarm
+    when either statistic exceeds h — the sequential change-point
+    detector that catches small sustained level shifts a per-day
+    z-score (``revenue_anomalies``) misses entirely.
+
+    The recurrence is inherently sequential over the DAY axis, which
+    is calendar-bounded (a century of days < 40k rows) no matter how
+    large the fact table is — so the plan aggregates the corpus down
+    to days (partial+final, the only wide work), collects the day
+    series into ONE array, and runs the recurrence as a JVM
+    ``aggregate`` fold — the same bounded-axis fold discipline as
+    ``bpe_train``'s merge loop.  Nothing per-fact-row ever reaches the
+    driver or a single-partition window.
+
+    Engine portability: daily revenue, mu, and sigma are rounded to 2
+    decimals BEFORE the recurrence, so the fold consumes bit-identical
+    doubles on any engine; the recurrence itself is then a
+    deterministic IEEE sequence (same order, same ops) and replays
+    exactly in a recursive-CTE oracle.  k = ``k_sigma``*sigma (slack),
+    h = ``h_sigma``*sigma.
+    """
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue"))
+    params = daily.agg(
+        F.round(F.avg("revenue") + 1e-9, 2).alias("mu"),
+        F.round(F.stddev_samp("revenue") + 1e-9, 2).alias("sigma"),
+    )
+    series = (
+        daily.crossJoin(F.broadcast(params))  # 1-row params broadcast
+        .groupBy("mu", "sigma")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("day", "revenue"))
+            ).alias("s")
+        )
+    )
+    acc_t = (
+        "struct<sp:double,sn:double,"
+        "out:array<struct<day:timestamp,revenue:double,sp:double,sn:double>>>"
+    )
+    folded = series.select(
+        "mu",
+        "sigma",
+        F.aggregate(
+            "s",
+            F.expr(
+                f"CAST(named_struct('sp', 0.0d, 'sn', 0.0d, 'out',"
+                f" array()) AS {acc_t})"
+            ),
+            lambda acc, v: F.struct(
+                F.greatest(
+                    F.lit(0.0),
+                    acc["sp"]
+                    + v["revenue"]
+                    - F.col("mu")
+                    - F.lit(k_sigma) * F.col("sigma"),
+                ).alias("sp"),
+                F.greatest(
+                    F.lit(0.0),
+                    acc["sn"]
+                    - (v["revenue"] - F.col("mu"))
+                    - F.lit(k_sigma) * F.col("sigma"),
+                ).alias("sn"),
+                F.array_append(
+                    acc["out"],
+                    F.struct(
+                        v["day"].alias("day"),
+                        v["revenue"].alias("revenue"),
+                        F.greatest(
+                            F.lit(0.0),
+                            acc["sp"]
+                            + v["revenue"]
+                            - F.col("mu")
+                            - F.lit(k_sigma) * F.col("sigma"),
+                        ).alias("sp"),
+                        F.greatest(
+                            F.lit(0.0),
+                            acc["sn"]
+                            - (v["revenue"] - F.col("mu"))
+                            - F.lit(k_sigma) * F.col("sigma"),
+                        ).alias("sn"),
+                    ),
+                ).alias("out"),
+            ),
+        ).alias("acc"),
+    )
+    rows = folded.select(
+        "sigma", F.explode(F.col("acc.out")).alias("r")
+    )
+    return rows.select(
+        F.col("r.day").alias("day"),
+        F.col("r.revenue").alias("revenue"),
+        F.round(F.col("r.sp") + 1e-9, 4).alias("s_pos"),
+        F.round(F.col("r.sn") + 1e-9, 4).alias("s_neg"),
+        (
+            (F.col("r.sp") > F.lit(h_sigma) * F.col("sigma"))
+            | (F.col("r.sn") > F.lit(h_sigma) * F.col("sigma"))
+        ).alias("alarm"),
+    ).orderBy("day")

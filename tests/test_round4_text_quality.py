@@ -142,3 +142,50 @@ def test_cdc_boundaries_survive_prefix_insertion(spark):
     got0 = [r.chunk_text for r in sorted(rows, key=lambda r: r.chunk_id) if r.doc_id == 0]
     got1 = {r.chunk_text for r in rows if r.doc_id == 1}
     assert set(got0[1:]) <= got1
+
+
+# ------------------------------------------------- CUSUM change-points
+
+def test_cusum_matches_python_recurrence_and_flags_shift(spark):
+    """Level shift in the back half must push S+ over h while the
+    front half stays quiet; values must equal the exact recurrence."""
+    import datetime
+
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        cusum_changepoints,
+    )
+
+    # 10 quiet days at ~100, then 10 shifted days at ~130
+    vals = [100.0, 101.0, 99.0, 100.0, 102.0, 98.0, 100.0, 101.0, 99.0, 100.0]
+    vals += [130.0, 131.0, 129.0, 130.0, 132.0, 128.0, 130.0, 131.0, 129.0, 130.0]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = cusum_changepoints(orders).collect()
+    assert len(out) == 20
+
+    # replica with identical pre-rounding
+    import statistics
+
+    mu = round(sum(vals) / len(vals) + 1e-9, 2)
+    sigma = round(statistics.stdev(vals) + 1e-9, 2)
+    k, h = 0.5 * sigma, 4.0 * sigma
+    sp = sn = 0.0
+    for r, x in zip(out, vals):
+        sp = max(0.0, sp + x - mu - k)
+        sn = max(0.0, sn - (x - mu) - k)
+        assert r.s_pos == round(sp + 1e-9, 4)
+        assert r.s_neg == round(sn + 1e-9, 4)
+        assert r.alarm == (sp > h or sn > h)
+    # a step vs the GLOBAL mean shows up on both sides: the low half
+    # drives S- (never S+), the high half drives S+ — and the very
+    # first days are quiet until slack is overcome
+    assert not any(r.alarm for r in out[:3])
+    assert all(r.s_pos == 0.0 for r in out[:10])
+    assert any(r.alarm and r.s_neg > 0 for r in out[:10])
+    assert any(r.alarm and r.s_pos > 0 for r in out[10:])

@@ -963,6 +963,19 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.cdc_chunk_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonicalization: near-dup clusters keep
+    their highest-entropy member (tie-break id) instead of min id —
+    per-cluster window argmax on the bounded duplicate subgraph.
+    band_cap=None to match the uncapped oracle candidate set."""
+    return D.quality_dedup_survivors(
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=0.4,
+        portable=True,
+        band_cap=None,
+    )
+
+
 def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM over daily revenue: fact table aggregates to the
     calendar-bounded day axis, the sequential recurrence runs as ONE
@@ -2871,6 +2884,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "cusum_changepoints": q_cusum_changepoints,
+        "quality_dedup_survivors": q_quality_dedup_survivors,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4266,6 +4280,32 @@ def oracle_sql() -> dict[str, str]:
             "   min(node) AS keep_doc_id"
             " FROM (SELECT node, min(label) AS component FROM reach GROUP BY node)"
             " GROUP BY component ORDER BY component"
+        ),
+        "quality_dedup_survivors": (
+            "WITH RECURSIVE " + _minhash_pairs_cte(0.4)
+            + ", sym AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs"
+            "   UNION SELECT doc_b, doc_a FROM mh_pairs),"
+            " reach AS (SELECT u AS node, u AS label FROM sym"
+            "   UNION SELECT s.u AS node, r.label FROM sym s"
+            "    JOIN reach r ON r.node = s.v),"
+            " comp AS (SELECT node, min(label) AS component FROM reach"
+            "   GROUP BY node),"
+            " etk AS (SELECT doc_id,"
+            "   lower(unnest(string_split(trim(text), ' '))) AS token"
+            "   FROM documents),"
+            " ept AS (SELECT doc_id, token, count(*) AS c FROM etk"
+            "   WHERE length(token) > 0 GROUP BY 1, 2),"
+            " ent AS (SELECT doc_id AS node,"
+            "   round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)"
+            "    AS entropy FROM ept GROUP BY doc_id),"
+            " rk AS (SELECT c.component, c.node, e.entropy,"
+            "   row_number() OVER (PARTITION BY c.component"
+            "    ORDER BY e.entropy DESC, c.node ASC) AS rk"
+            "   FROM comp c JOIN ent e ON e.node = c.node)"
+            " SELECT component, count(*) AS cluster_size,"
+            "  max(CASE WHEN rk = 1 THEN node END) AS keep_doc_id,"
+            "  max(CASE WHEN rk = 1 THEN entropy END) AS keep_entropy"
+            " FROM rk GROUP BY component ORDER BY component"
         ),
         "text_dup_components": (
             "WITH RECURSIVE docs AS (SELECT doc_id,"

@@ -206,6 +206,7 @@ EXTENDED = [
     "oov_rate",
     "cdc_chunk_stats",
     "cusum_changepoints",
+    "quality_dedup_survivors",
 ]
 
 

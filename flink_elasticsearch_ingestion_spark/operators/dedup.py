@@ -1604,3 +1604,60 @@ def contrastive_triples(
         .select("anchor", "positive", "jaccard", "neg_rank", F.col("cand").alias("negative"))
         .orderBy("anchor", "positive", "neg_rank")
     )
+
+
+def quality_dedup_survivors(
+    documents: DataFrame,
+    *,
+    jaccard_threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+    band_cap: int | None = 1000,
+) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: where
+    ``near_dup_clusters`` keeps the MIN doc id (a tie-break, not a
+    judgment), production corpus dedup keeps the BEST member — here
+    the highest token-entropy document (ties broken by id), so a
+    boilerplate-damaged copy never survives over the clean original.
+
+    Plan: the same pairs -> connected-components subgraph as
+    ``near_dup_clusters`` (iterative star contraction on the duplicate
+    subgraph only), then one join against the per-doc entropy table
+    and a per-COMPONENT window argmax — partitions are cluster-sized,
+    so the window is bounded by the largest duplicate cluster, never
+    by the corpus.  Entropy is pre-rounded to 4dp (the
+    ``token_entropy`` contract), making the argmax engine-portable."""
+    from flink_elasticsearch_ingestion_spark.operators.text import token_entropy
+
+    pairs = minhash_near_duplicates(
+        documents,
+        jaccard_threshold=jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        portable=portable,
+        band_cap=band_cap,
+    )
+    comp = connected_components(pairs)
+    ent = token_entropy(documents, id_col=id_col, text_col=text_col).select(
+        F.col("doc_id").alias("node"), "entropy"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("entropy").desc(), F.col("node").asc()
+    )
+    ranked = comp.join(ent, "node").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(F.when(F.col("rk") == 1, F.col("node"))).alias(
+                "keep_doc_id"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("entropy"))).alias(
+                "keep_entropy"
+            ),
+        )
+        .orderBy("component")
+    )

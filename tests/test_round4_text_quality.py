@@ -189,3 +189,40 @@ def test_cusum_matches_python_recurrence_and_flags_shift(spark):
     assert all(r.s_pos == 0.0 for r in out[:10])
     assert any(r.alarm and r.s_neg > 0 for r in out[:10])
     assert any(r.alarm and r.s_pos > 0 for r in out[10:])
+
+
+# -------------------------------------- quality-aware dedup survivors
+
+def test_quality_survivor_beats_min_id(spark):
+    """A cluster whose LOWEST-id member is degenerate must keep the
+    higher-entropy twin — the policy difference vs near_dup_clusters."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        near_dup_clusters,
+        quality_dedup_survivors,
+    )
+
+    rich = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            # doc 1: repetitive (low entropy) near-dup of doc 2's shingles
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota iota"),
+            (2, rich),
+            # isolated doc — singleton cluster keeps itself
+            (7, "completely unrelated words nothing shared here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(jaccard_threshold=0.5, portable=True, band_cap=None)
+    legacy = {
+        r.component: r.keep_doc_id for r in near_dup_clusters(docs, **kw).collect()
+    }
+    quality = {
+        r.component: r for r in quality_dedup_survivors(docs, **kw).collect()
+    }
+    # both see the same {1,2} cluster keyed by min node
+    assert set(legacy) == set(quality)
+    assert legacy[1] == 1                      # min-id policy
+    assert quality[1].keep_doc_id == 2         # quality policy
+    assert quality[1].cluster_size == 2
+    # singletons never enter the duplicate subgraph in either policy
+    assert 7 not in quality

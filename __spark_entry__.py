@@ -963,6 +963,17 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.cdc_chunk_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise scan: per-vector squared distance to own vs
+    nearest-other label centroid (broadcast centroid table, map-side
+    arithmetic, |labels|-bounded ranking); negative margin = suspect."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        centroid_margin,
+    )
+
+    return centroid_margin(_t(spark, sf_dir, "embeddings"))
+
+
 def q_quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup canonicalization: near-dup clusters keep
     their highest-entropy member (tie-break id) instead of min id —
@@ -2885,6 +2896,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "cusum_changepoints": q_cusum_changepoints,
         "quality_dedup_survivors": q_quality_dedup_survivors,
+        "centroid_margin": q_centroid_margin,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4944,6 +4956,36 @@ def oracle_sql() -> dict[str, str]:
             "  round(avg(chunk_len) + 1e-9, 4) AS avg_chunk_len"
             " FROM ct JOIN gc USING (chunk_text)"
             " GROUP BY source ORDER BY source"
+        ),
+        "centroid_margin": (
+            "WITH e0 AS (SELECT vec_id, label,"
+            "   CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),"
+            " cent AS (SELECT label, dim1 AS dim1, count(*) AS n,"
+            "   round(round(sum(emb[dim1]), 2) / count(*) + 1e-9, 4)"
+            "    AS centroid"
+            "  FROM (SELECT label, unnest(generate_series(1, len(emb)))"
+            "    AS dim1, emb FROM e0) GROUP BY 1, 2),"
+            " cv AS (SELECT label AS c_label,"
+            "   list(centroid ORDER BY dim1) AS cvec FROM cent"
+            "   GROUP BY label),"
+            " d AS (SELECT e.vec_id, e.label, c.c_label,"
+            "   round(list_sum(list_transform("
+            "     generate_series(1, len(c.cvec)),"
+            "     i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i])))"
+            "    + 1e-9, 4) AS dist"
+            "  FROM e0 e, cv c),"
+            " own AS (SELECT vec_id, label, dist AS d_own FROM d"
+            "   WHERE c_label = label),"
+            " oth AS (SELECT vec_id, c_label, dist, row_number() OVER ("
+            "   PARTITION BY vec_id ORDER BY dist ASC, c_label ASC)"
+            "   AS rk FROM d WHERE c_label != label)"
+            " SELECT w.vec_id, w.label,"
+            "  o.c_label AS nearest_other_label, w.d_own,"
+            "  o.dist AS d_nearest_other,"
+            "  round(o.dist - w.d_own + 1e-9, 4) AS margin,"
+            "  round(o.dist - w.d_own + 1e-9, 4) < 0 AS suspect"
+            " FROM own w JOIN oth o ON o.vec_id = w.vec_id AND o.rk = 1"
+            " ORDER BY w.vec_id"
         ),
         "cusum_changepoints": (
             # the recurrence replays exactly: daily revenue / mu /

@@ -207,6 +207,7 @@ EXTENDED = [
     "cdc_chunk_stats",
     "cusum_changepoints",
     "quality_dedup_survivors",
+    "centroid_margin",
 ]
 
 

@@ -565,3 +565,86 @@ def hash_embed_documents(
         )
         .orderBy("doc_id", "d")
     )
+
+
+def centroid_margin(embeddings: DataFrame) -> DataFrame:
+    """Label-noise scan via centroid margins (silhouette-lite): for
+    each vector, squared-euclidean distance to its OWN label centroid
+    vs the NEAREST other-label centroid; a negative margin (closer to
+    a foreign class than to its own) flags a likely mislabeled
+    example — the cheap first pass before any kNN-based confident-
+    learning sweep.
+
+    Scale shape: centroids come from ``label_centroids`` (ONE
+    partial+final agg, |labels| x dims rows), pivot to |labels|
+    centroid vectors — a table small enough to BROADCAST at any
+    corpus size.  Each vector then does O(dims x |labels|) pure
+    map-side arithmetic; the only per-vector "window" ranks |labels|
+    candidate rows per vec_id — bounded by the label count, never by
+    the corpus.
+
+    Portability: centroids are pre-rounded to 4dp (the
+    ``label_centroids`` contract), distances re-rounded to 4dp, and
+    nearest-other ties break on label asc — every downstream
+    comparison runs on identical decimals in any engine.
+    """
+    from pyspark.sql import Window
+
+    cent = label_centroids(embeddings)
+    cvec = cent.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cvec")
+    )
+    d = embeddings.crossJoin(F.broadcast(cvec)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("cvec"),
+                    lambda x, c: (x.cast("double") - c)
+                    * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            + 1e-9,
+            4,
+        ).alias("dist"),
+    )
+    own = d.filter(F.col("c_label") == F.col("label")).select(
+        "vec_id", "label", F.col("dist").alias("d_own")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("c_label").asc()
+    )
+    other = (
+        d.filter(F.col("c_label") != F.col("label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("c_label").alias("nearest_other_label"),
+            F.col("dist").alias("d_nearest_other"),
+        )
+    )
+    margin = F.round(
+        F.col("d_nearest_other") - F.col("d_own") + 1e-9, 4
+    )
+    return (
+        own.join(other, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "nearest_other_label",
+            "d_own",
+            "d_nearest_other",
+            margin.alias("margin"),
+            (margin < 0).alias("suspect"),
+        )
+        .orderBy("vec_id")
+    )

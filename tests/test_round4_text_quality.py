@@ -226,3 +226,31 @@ def test_quality_survivor_beats_min_id(spark):
     assert quality[1].cluster_size == 2
     # singletons never enter the duplicate subgraph in either policy
     assert 7 not in quality
+
+
+# -------------------------------------------- centroid-margin label scan
+
+def test_centroid_margin_flags_planted_mislabel(spark):
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        centroid_margin,
+    )
+
+    # two tight clusters around (0,0) and (10,10); vec 99 sits in
+    # cluster B but carries label 0
+    rows = [
+        (1, [0.0, 0.1], 0),
+        (2, [0.1, 0.0], 0),
+        (3, [0.0, 0.0], 0),
+        (11, [10.0, 10.1], 1),
+        (12, [10.1, 10.0], 1),
+        (13, [10.0, 10.0], 1),
+        (99, [10.0, 10.05], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r for r in centroid_margin(emb).collect()}
+    assert out[99].suspect and out[99].margin < 0
+    assert out[99].nearest_other_label == 1
+    for vid in (1, 2, 3, 11, 12, 13):
+        assert not out[vid].suspect and out[vid].margin > 0

@@ -963,6 +963,15 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.cdc_chunk_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-disagreement mislabel scan: LSH-candidate kNN with
+    the corpus as its own query set, then per-vector share of
+    different-label neighbors; majority disagreement = suspect."""
+    return S.label_disagreement_knn(
+        _t(spark, sf_dir, "embeddings"), k=5, bits=4, tables=4
+    )
+
+
 def q_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise scan: per-vector squared distance to own vs
     nearest-other label centroid (broadcast centroid table, map-side
@@ -2897,6 +2906,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "quality_dedup_survivors": q_quality_dedup_survivors,
         "centroid_margin": q_centroid_margin,
+        "label_disagreement": q_label_disagreement,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4956,6 +4966,42 @@ def oracle_sql() -> dict[str, str]:
             "  round(avg(chunk_len) + 1e-9, 4) AS avg_chunk_len"
             " FROM ct JOIN gc USING (chunk_text)"
             " GROUP BY source ORDER BY source"
+        ),
+        "label_disagreement": (
+            "WITH planes AS (SELECT * FROM (VALUES "
+            + _plane_values(4, [42 + t for t in range(4)])
+            + ") AS t(tbl, i, p)),"
+            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            "   FROM embeddings),"
+            " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
+            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes"
+            "   GROUP BY vec_id, v, tbl),"
+            " cand AS (SELECT DISTINCT q.vec_id AS query_id,"
+            "   c.vec_id AS neighbor_id"
+            "   FROM buckets q JOIN buckets c ON q.tbl = c.tbl"
+            "   AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),"
+            " scored AS (SELECT query_id, neighbor_id,"
+            "   round(list_dot_product(a.v, b.v) /"
+            "     (sqrt(list_dot_product(a.v, a.v))"
+            "      * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine"
+            "   FROM cand JOIN vecs a ON a.vec_id = cand.query_id"
+            "   JOIN vecs b ON b.vec_id = cand.neighbor_id),"
+            " nn AS (SELECT query_id, neighbor_id FROM (SELECT query_id,"
+            "   neighbor_id, row_number() OVER (PARTITION BY query_id"
+            "   ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)"
+            "   WHERE rank <= 5)"
+            " SELECT n.query_id AS vec_id, eq.label,"
+            "  count(*) AS n_neighbors,"
+            "  CAST(sum(CASE WHEN en.label <> eq.label THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_disagree,"
+            "  round(sum(CASE WHEN en.label <> eq.label THEN 1 ELSE 0 END)"
+            "   / count(*) + 1e-9, 6) AS disagreement,"
+            "  round(sum(CASE WHEN en.label <> eq.label THEN 1 ELSE 0 END)"
+            "   / count(*) + 1e-9, 6) > 0.5 AS suspect"
+            " FROM nn n JOIN embeddings eq ON eq.vec_id = n.query_id"
+            " JOIN embeddings en ON en.vec_id = n.neighbor_id"
+            " GROUP BY 1, 2 ORDER BY 1"
         ),
         "centroid_margin": (
             "WITH e0 AS (SELECT vec_id, label,"

@@ -208,6 +208,7 @@ EXTENDED = [
     "cusum_changepoints",
     "quality_dedup_survivors",
     "centroid_margin",
+    "label_disagreement",
 ]
 
 

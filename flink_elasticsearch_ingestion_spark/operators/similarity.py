@@ -891,3 +891,77 @@ def pq_search_adc(
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def label_disagreement_knn(
+    embeddings: DataFrame,
+    *,
+    k: int = 5,
+    bits: int = 4,
+    tables: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label-disagreement scan (the confident-learning-style
+    mislabel detector, one level up from ``centroid_margin``): for
+    every vector, the share of its k approximate nearest neighbors
+    carrying a DIFFERENT label; majority disagreement flags a suspect.
+    Catches label noise inside multi-modal classes where a single
+    per-class centroid is meaningless.
+
+    Neighbors come from :func:`knn_join_lsh` with the corpus as its
+    own query set — multi-table sign-LSH bucket collisions, ids-only
+    candidate shuffle, exact cosine + per-query rank among candidates
+    only.  Sub-quadratic at any corpus size; vectors with zero bucket
+    collisions are absent from the output (the approximate contract,
+    identical in the oracle's replay of the same plane family).
+    """
+    nn = knn_join_lsh(
+        embeddings,
+        embeddings,
+        k=k,
+        bits=bits,
+        tables=tables,
+        seed=seed,
+        query_id=id_col,
+        corpus_id=id_col,
+        vec_col=vec_col,
+    )
+    lab = embeddings.select(F.col(id_col), F.col(label_col))
+    joined = nn.join(
+        lab.select(
+            F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
+        ),
+        "query_id",
+    ).join(
+        lab.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("n_label"),
+        ),
+        "neighbor_id",
+    )
+    rate = F.round(
+        F.col("n_disagree") / F.col("n_neighbors") + 1e-9, 6
+    )
+    return (
+        joined.groupBy(
+            F.col("query_id").alias("vec_id"), F.col("q_label").alias("label")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("n_label") != F.col("q_label"), 1).otherwise(0)
+            ).alias("n_disagree"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n_neighbors",
+            "n_disagree",
+            rate.alias("disagreement"),
+            (rate > 0.5).alias("suspect"),
+        )
+        .orderBy("vec_id")
+    )

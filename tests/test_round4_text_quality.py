@@ -254,3 +254,38 @@ def test_centroid_margin_flags_planted_mislabel(spark):
     assert out[99].nearest_other_label == 1
     for vid in (1, 2, 3, 11, 12, 13):
         assert not out[vid].suspect and out[vid].margin > 0
+
+
+# ------------------------------------- kNN label-disagreement scan
+
+def test_label_disagreement_flags_planted_mislabel(spark):
+    """A vector embedded inside the other class's cluster must show
+    majority disagreement among its neighbors; core members must not."""
+    import random
+
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        label_disagreement_knn,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # two well-separated gaussian blobs in 8d, 20 vectors each
+    for i in range(20):
+        rows.append((i, [1.0 + rng.gauss(0, 0.05) for _ in range(8)], 0))
+    for i in range(20, 40):
+        rows.append((i, [-1.0 + rng.gauss(0, 0.05) for _ in range(8)], 1))
+    # planted: lives in blob B, labeled 0
+    rows.append((99, [-1.0 + rng.gauss(0, 0.05) for _ in range(8)], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.vec_id: r
+        for r in label_disagreement_knn(emb, k=5, bits=2, tables=4).collect()
+    }
+    assert out[99].suspect and out[99].disagreement > 0.5
+    # blob cores agree with their neighbors (99 may appear as one
+    # neighbor of a B-core vector, so allow <= 1 disagreeing neighbor)
+    for vid in range(40):
+        if vid in out:
+            assert out[vid].n_disagree <= 1 and not out[vid].suspect

@@ -963,6 +963,17 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.cdc_chunk_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal):
+    k-1 one-job iterations, incremental least(md, dist) state —
+    O(dim)-sized expressions per step, k-bounded driver state."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        kcenter_select,
+    )
+
+    return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
+
+
 def q_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label-disagreement mislabel scan: LSH-candidate kNN with
     the corpus as its own query set, then per-vector share of
@@ -2750,7 +2761,9 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # survival_curve, benford_check, market_concentration, langid_eval,
 # revenue_gini, ewma_forecast, span_corruption, kfold_split,
 # correlation_matrix, ndcg_eval, yoy_growth, bootstrap_ci,
-# diversified_topk.
+# diversified_topk, cdc_chunk_stats, cusum_changepoints,
+# quality_dedup_survivors, centroid_margin, label_disagreement,
+# lexical_diversity, oov_rate, kcenter_select.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2907,6 +2920,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_dedup_survivors": q_quality_dedup_survivors,
         "centroid_margin": q_centroid_margin,
         "label_disagreement": q_label_disagreement,
+        "kcenter_select": q_kcenter_select,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -3192,6 +3206,58 @@ def _pq_values() -> str:
             lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
             rows.append(f"({sub}, {cid}, {lit})")
     return ", ".join(rows)
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled SQL replay of the greedy k-center trajectory
+    (``kcenter_select``): step CTEs d0..d{k-2} maintain the running
+    4dp-rounded min-distance exactly as the Spark loop's incremental
+    ``least(md, dist_to_new)`` does, c1..c{k-1} take the same
+    (md DESC, vec_id ASC) argmax — the greedy path is a pure function
+    of the data, so the two engines walk it identically."""
+
+    def sq(prev: str, center_sub: str) -> str:
+        return (
+            f"round(list_sum(list_transform(generate_series(1,"
+            f" len({prev}.v)), i -> ({prev}.v[i] - cv.v[i])"
+            f" * ({prev}.v[i] - cv.v[i]))) + 1e-9, 4)"
+        )
+
+    seed = "(SELECT min(vec_id) FROM vecs)"
+    parts = [
+        "WITH vecs AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f", d0 AS MATERIALIZED (SELECT vecs.vec_id, vecs.v,"
+        f" {sq('vecs', seed)} AS md"
+        f" FROM vecs, (SELECT v FROM vecs WHERE vec_id = {seed}) cv(v))",
+    ]
+    chosen = [seed]
+    for i in range(1, k):
+        excl = ", ".join(chosen)
+        parts.append(
+            f", c{i} AS MATERIALIZED (SELECT vec_id, md FROM d{i-1}"
+            f" WHERE vec_id NOT IN ({excl})"
+            f" ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(
+                f", d{i} AS MATERIALIZED"
+                f" (SELECT d{i-1}.vec_id, d{i-1}.v,"
+                f" least(d{i-1}.md, {sq(f'd{i-1}', f'c{i}')}) AS md"
+                f" FROM d{i-1}, (SELECT v FROM vecs WHERE vec_id ="
+                f" (SELECT vec_id FROM c{i})) cv(v))"
+            )
+        chosen.append(f"(SELECT vec_id FROM c{i})")
+    selects = [
+        f" SELECT CAST(0 AS INT) AS rank, {seed} AS vec_id,"
+        f" CAST(0.0 AS DOUBLE) AS dist"
+    ]
+    for i in range(1, k):
+        selects.append(
+            f" UNION ALL SELECT CAST({i} AS INT),"
+            f" (SELECT vec_id FROM c{i}), (SELECT md FROM c{i})"
+        )
+    return "".join(parts) + "".join(selects) + " ORDER BY rank"
 
 
 def _plane_values(bits: int, seeds: list[int], dim: int = 64) -> str:
@@ -4967,6 +5033,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM ct JOIN gc USING (chunk_text)"
             " GROUP BY source ORDER BY source"
         ),
+        "kcenter_select": _kcenter_sql(8),
         "label_disagreement": (
             "WITH planes AS (SELECT * FROM (VALUES "
             + _plane_values(4, [42 + t for t in range(4)])

@@ -648,3 +648,84 @@ def centroid_margin(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal) — the diversity-maximizing data-selection pass: pick the
+    min-id seed, then repeatedly take the vector FARTHEST from the
+    already-selected set.  The selected k points 2-approximate the
+    optimal k-center cover; the emitted distance sequence is the
+    coverage-radius curve a data-curation run reads to choose k.
+
+    Scale shape (the ``bpe_train``/IVF iterative discipline): the
+    min-distance column is maintained INCREMENTALLY — each of the k-1
+    iterations folds exactly ONE new center literal into
+    ``least(md, dist_to_new)`` (so expression trees stay O(dim), never
+    O(k x dim) — the round-4 Catalyst plan-size lesson), persists the
+    k-bounded state, and takes a 1-row argmax action.  Driver state is
+    k ids + k vectors; per-row work across the whole run is O(k x dim).
+
+    Portability: every distance is rounded to 4dp BEFORE entering the
+    running min / argmax, ties break on id asc — the greedy trajectory
+    is then a pure function of the data and replays exactly in an
+    unrolled SQL oracle."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    seed_row = vecs.orderBy("vec_id").first()
+    selected = [(0, int(seed_row["vec_id"]), 0.0)]
+    center = list(seed_row["v"])
+
+    def dist_to(center_vals):
+        carr = F.array(*[F.lit(float(c)) for c in center_vals])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), carr, lambda x, c: (x - c) * (x - c)
+                ),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+            + 1e-9,
+            4,
+        )
+
+    state = vecs.withColumn("md", dist_to(center)).persist()
+    prev = None
+    try:
+        for rank in range(1, k):
+            chosen_ids = [s[1] for s in selected]
+            # ONE job per iteration: the argmax action materializes this
+            # iteration's cached state (carrying v, so no second lookup)
+            far = (
+                state.filter(~F.col("vec_id").isin(chosen_ids))
+                .orderBy(F.col("md").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .collect()
+            )
+            if prev is not None:
+                prev.unpersist()
+            if not far:
+                break
+            row = far[0]
+            selected.append((rank, int(row["vec_id"]), float(row["md"])))
+            prev = state
+            state = state.withColumn(
+                "md", F.least(F.col("md"), dist_to(list(row["v"])))
+            ).persist()
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        state.unpersist()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        selected, "rank int, vec_id long, dist double"
+    ).orderBy("rank")

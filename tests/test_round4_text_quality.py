@@ -289,3 +289,61 @@ def test_label_disagreement_flags_planted_mislabel(spark):
     for vid in range(40):
         if vid in out:
             assert out[vid].n_disagree <= 1 and not out[vid].suspect
+
+
+# ------------------------------------------ greedy k-center selection
+
+def test_kcenter_select_matches_bruteforce_greedy(spark):
+    """The Spark farthest-point traversal must walk the exact greedy
+    trajectory of a pure-Python replica (same seed=min id, same 4dp
+    rounding, same id-asc tie-break)."""
+    import random
+
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        kcenter_select,
+    )
+
+    rng = random.Random(13)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(30)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # replica: float32 cast first (matches array<float> storage)
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    pv = {i: [f32(x) for x in v] for i, v in vecs.items()}
+
+    def d2(a, b):
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)) + 1e-9, 4)
+
+    k = 6
+    chosen = [(0, 0, 0.0)]
+    md = {i: d2(v, pv[0]) for i, v in pv.items()}
+    for rank in range(1, k):
+        pool = [i for i in pv if i not in {c[1] for c in chosen}]
+        far = max(pool, key=lambda i: (md[i], -i))
+        chosen.append((rank, far, md[far]))
+        md = {i: min(md[i], d2(pv[i], pv[far])) for i in pv}
+    got = [(r.rank, r.vec_id, r.dist) for r in kcenter_select(emb, k=k).collect()]
+    assert got == [(r, i, d) for r, i, d in chosen]
+    # coverage-radius curve is non-increasing after the seed row
+    dists = [d for _, _, d in got[1:]]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_kcenter_select_k_exceeds_rows(spark):
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        kcenter_select,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kcenter_select(emb, k=5).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert abs(out[1].dist - 25.0) < 1e-6

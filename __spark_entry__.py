@@ -974,6 +974,20 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the full embedding corpus
+    (k=8, 3 fixed iterations): per iteration ONE partial+final
+    aggregate (64 exact int64 dim-sums) + a k-row collect; assignment
+    re-enters each job as a one-parse literal-codebook expression.
+    The quantized-int update rule makes the whole trajectory replay
+    bit-for-bit in the unrolled materialized-CTE oracle."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        kmeans_fixed,
+    )
+
+    return kmeans_fixed(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
 def q_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label-disagreement mislabel scan: LSH-candidate kNN with
     the corpus as its own query set, then per-vector share of
@@ -2763,7 +2777,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correlation_matrix, ndcg_eval, yoy_growth, bootstrap_ci,
 # diversified_topk, cdc_chunk_stats, cusum_changepoints,
 # quality_dedup_survivors, centroid_margin, label_disagreement,
-# lexical_diversity, oov_rate, kcenter_select.
+# lexical_diversity, oov_rate, kcenter_select, kmeans_fixed.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2921,6 +2935,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_margin": q_centroid_margin,
         "label_disagreement": q_label_disagreement,
         "kcenter_select": q_kcenter_select,
+        "kmeans_fixed": q_kmeans_fixed,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -3206,6 +3221,68 @@ def _pq_values() -> str:
             lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
             rows.append(f"({sub}, {cid}, {lit})")
     return ", ".join(rows)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled SQL replay of the fixed-iteration Lloyd trajectory
+    (``kmeans_fixed``): MATERIALIZED step CTEs (DuckDB inlines CTEs by
+    default — the chained references would re-evaluate exponentially,
+    the k-center lesson) assign via the same 4dp-rounded distance /
+    lowest-cluster tie-break, update centroids from exact int64 sums
+    with the same floor((2s+n)/(2n)) half-up mean, and keep empty
+    clusters via LEFT JOIN + CASE."""
+    sq = (
+        "round(list_sum(list_transform(generate_series(1, len(v)),"
+        " i -> (v[i] - m[i] / 10000.0) * (v[i] - m[i] / 10000.0)))"
+        " + 1e-9, 4)"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        return (
+            f", {name} AS MATERIALIZED (SELECT vec_id, iv, cl, d FROM"
+            f" (SELECT vecs.vec_id, vecs.iv, {cents}.cl, {sq} AS d"
+            f" FROM vecs, {cents})"
+            f" QUALIFY row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY d, cl) = 1)"
+        )
+
+    sums = ", ".join(
+        f"CAST(sum(iv[{i + 1}]) AS BIGINT) AS s{i}" for i in range(dim)
+    )
+    means = ", ".join(
+        f"CAST(floor((2 * s.s{i} + s.n) / (2.0 * s.n)) AS BIGINT)"
+        for i in range(dim)
+    )
+    parts = [
+        "WITH vecs AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> CAST(round(x * 10000.0, 0) AS BIGINT)) AS iv"
+        " FROM embeddings)",
+        ", c0 AS MATERIALIZED (SELECT"
+        " CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,"
+        " iv AS m FROM (SELECT vec_id, iv FROM vecs ORDER BY vec_id"
+        f" LIMIT {k}))",
+    ]
+    for t in range(iters):
+        parts.append(assign(f"a{t}", f"c{t}"))
+        parts.append(
+            f", s{t + 1} AS MATERIALIZED (SELECT cl, count(*) AS n,"
+            f" {sums} FROM a{t} GROUP BY cl)"
+        )
+        parts.append(
+            f", c{t + 1} AS MATERIALIZED (SELECT p.cl,"
+            f" CASE WHEN s.n IS NULL THEN p.m ELSE [{means}] END AS m"
+            f" FROM c{t} p LEFT JOIN s{t + 1} s ON p.cl = s.cl)"
+        )
+    parts.append(assign("af", f"c{iters}"))
+    parts.append(
+        " SELECT cl AS cluster_id, count(*) AS n_members,"
+        " CAST(sum(CAST(round(d * 10000.0, 0) AS BIGINT)) AS BIGINT)"
+        " / 10000.0 AS inertia"
+        " FROM af GROUP BY cl ORDER BY cl"
+    )
+    return "".join(parts)
 
 
 def _kcenter_sql(k: int = 8) -> str:
@@ -5034,6 +5111,7 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY source ORDER BY source"
         ),
         "kcenter_select": _kcenter_sql(8),
+        "kmeans_fixed": _kmeans_sql(8, 3),
         "label_disagreement": (
             "WITH planes AS (SELECT * FROM (VALUES "
             + _plane_values(4, [42 + t for t in range(4)])

@@ -729,3 +729,126 @@ def kcenter_select(
     return spark.createDataFrame(
         selected, "rank int, vec_id long, dist double"
     ).orderBy("rank")
+
+
+def _kmeans_assign_expr(vec_name: str, cents_scaled, scale: float = 1e4):
+    """Nearest-centroid struct ``(d, i)`` for a scaled-int codebook,
+    built as ONE parsed SQL expression (the pq_encode plan-size
+    discipline: a single ``transform`` over a literal codebook array,
+    argmin via struct-``array_min`` — never k copies of the distance
+    tree).  Centroid doubles are Python-computed ``m / scale`` literals;
+    IEEE division makes them bit-identical to an engine computing
+    ``m / 10000.0`` from the same integers."""
+    cb = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(m / scale) + "D" for m in c) + ")"
+            for c in cents_scaled
+        )
+        + ")"
+    )
+    return F.expr(
+        f"array_min(transform({cb}, (c, j) -> named_struct("
+        f"'d', round(aggregate(zip_with({vec_name}, c,"
+        f" (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) + 1e-9, 4),"
+        f" 'i', j)))"
+    )
+
+
+def kmeans_fixed(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the FULL corpus, fixed
+    iterations, bit-replayable trajectory — the semantic-clustering
+    pass a corpus-curation pipeline runs before per-cluster sampling
+    or cluster-balanced training mixes.  Complements
+    ``train_ivf_centroids`` (driver-side sampled k-means, rows-only
+    oracle): here every corpus vector votes in every update, yet the
+    whole trajectory is a pure function of the data, hash-verified by
+    an independent engine.
+
+    Determinism contract (the cross-engine float discipline):
+    - init = the k min-id vectors, quantized to 1e-4 ints in-engine;
+    - assignment distance pre-rounded to 4dp, ties to the lowest
+      cluster id (struct-``array_min``);
+    - centroid updates accumulate the QUANTIZED int vectors in exact
+      int64 (64 map-side partial sums, one aggregate per iteration —
+      never a float sum, whose order-dependence would diverge between
+      engines), then ONE IEEE double division + floor per element:
+      ``floor((2*s + n) / (2*n))`` == round-half-up of s/n at scale;
+    - empty clusters keep their previous centroid.
+
+    Scale shape: per iteration = one partial+final aggregate (dim sum
+    columns) + a k-row collect; driver state is k x dim ints; the
+    codebook re-enters each job as a one-parse literal expression.
+    Output: one row per non-empty final cluster
+    ``(cluster_id, n_members, inertia)`` with inertia summed exactly
+    in scaled int64."""
+    import math
+
+    vecs = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias(
+                "v"
+            ),
+        )
+        .withColumn(
+            "iv",
+            F.expr("transform(v, x -> CAST(round(x * 10000.0, 0) AS BIGINT))"),
+        )
+        .persist()
+    )
+    try:
+        init = vecs.orderBy("vec_id").limit(k).collect()
+        cents = [[int(x) for x in r["iv"]] for r in init]
+        dim = len(cents[0])
+        for _ in range(iters):
+            assigned = vecs.withColumn(
+                "st", _kmeans_assign_expr("v", cents)
+            )
+            sums = (
+                assigned.groupBy(F.col("st.i").alias("cl"))
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.element_at("iv", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            by_cl = {int(r["cl"]): r for r in sums}
+            cents = [
+                cents[j]
+                if j not in by_cl
+                else [
+                    math.floor(
+                        (2 * int(by_cl[j][f"s{i}"]) + int(by_cl[j]["n"]))
+                        / (2 * int(by_cl[j]["n"]))
+                    )
+                    for i in range(dim)
+                ]
+                for j in range(len(cents))
+            ]
+        final = vecs.withColumn("st", _kmeans_assign_expr("v", cents))
+        return (
+            final.groupBy(F.col("st.i").cast("int").alias("cluster_id"))
+            .agg(
+                F.count("*").alias("n_members"),
+                F.sum(
+                    F.expr("CAST(round(st.d * 10000.0, 0) AS BIGINT)")
+                ).alias("in_scaled"),
+            )
+            .withColumn("inertia", F.col("in_scaled") / F.lit(10000.0))
+            .drop("in_scaled")
+            .orderBy("cluster_id")
+        )
+    finally:
+        vecs.unpersist()

@@ -347,3 +347,122 @@ def test_kcenter_select_k_exceeds_rows(spark):
     out = kcenter_select(emb, k=5).collect()
     assert [r.vec_id for r in out] == [1, 2]
     assert abs(out[1].dist - 25.0) < 1e-6
+
+
+# ------------------------------------------ fixed-iteration k-means
+
+def test_kmeans_fixed_recovers_planted_clusters(spark):
+    """Three tight, well-separated blobs with k=3 must converge to one
+    cluster per blob with near-zero inertia."""
+    import random
+
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        kmeans_fixed,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    centers = [(-5.0, -5.0), (0.0, 5.0), (5.0, -5.0)]
+    for i in range(60):
+        cx, cy = centers[i % 3]
+        rows.append(
+            (i, [cx + rng.gauss(0, 0.01), cy + rng.gauss(0, 0.01)])
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = kmeans_fixed(emb, k=3, iters=3).collect()
+    assert sorted(r.n_members for r in out) == [20, 20, 20]
+    assert all(r.inertia < 0.1 for r in out)
+
+
+def test_kmeans_fixed_matches_python_replica(spark):
+    """Exact trajectory differential: quantized-int updates + 4dp
+    distances + lowest-cluster tie-break replayed in pure Python."""
+    import math
+    import random
+    import struct
+
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        kmeans_fixed,
+    )
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    rng = random.Random(11)
+    vecs = {
+        i: [f32(rng.uniform(-1, 1)) for _ in range(5)] for i in range(40)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    k, iters = 4, 3
+    iv = {
+        i: [math.floor(abs(x * 1e4) + 0.5) * (1 if x >= 0 else -1) for x in v]
+        for i, v in vecs.items()
+    }
+    cents = [iv[i] for i in sorted(vecs)[:k]]
+
+    def assign(cs):
+        out = {}
+        for i, v in vecs.items():
+            ds = []
+            for j, m in enumerate(cs):
+                d = 0.0
+                for x, mm in zip(v, m):
+                    c = mm / 1e4
+                    d = d + (x - c) * (x - c)
+                ds.append((round(d + 1e-9, 4), j))
+            out[i] = min(ds)
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        newc = []
+        for j in range(k):
+            members = [i for i, (_, cl) in a.items() if cl == j]
+            if not members:
+                newc.append(cents[j])
+                continue
+            n = len(members)
+            newc.append(
+                [
+                    math.floor(
+                        (2 * sum(iv[i][d] for i in members) + n) / (2 * n)
+                    )
+                    for d in range(5)
+                ]
+            )
+        cents = newc
+    a = assign(cents)
+    expect = {}
+    for i, (d, cl) in a.items():
+        n, s = expect.get(cl, (0, 0))
+        expect[cl] = (n + 1, s + math.floor(abs(d * 1e4) + 0.5))
+    got = {
+        r.cluster_id: (r.n_members, round(r.inertia * 1e4))
+        for r in kmeans_fixed(emb, k=k, iters=iters).collect()
+    }
+    assert got == {cl: (n, s) for cl, (n, s) in expect.items()}
+
+
+def test_kmeans_fixed_empty_cluster_keeps_centroid(spark):
+    """k exceeding the number of distinct points: duplicate initial
+    centroids leave clusters empty; the run must not crash and every
+    point lands in the lowest-id duplicate centroid."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        kmeans_fixed,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [9.0, 9.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_fixed(emb, k=3, iters=2).collect()
+    got = {r.cluster_id: r.n_members for r in out}
+    # clusters 0 and 1 start identical -> ties go to cluster 0;
+    # cluster 1 stays empty and emits no row
+    assert got == {0: 2, 2: 1}
+    assert all(r.inertia < 1e-6 for r in out)

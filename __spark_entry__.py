@@ -974,6 +974,19 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (alpha=beta=0.5) over daily
+    revenue + 7-day-ahead extrapolation: fact table collapses to the
+    calendar-bounded day axis, recurrence runs as ONE JVM aggregate
+    fold whose IEEE op sequence replays exactly in a recursive-CTE
+    oracle (no intermediate rounding needed)."""
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        holt_forecast,
+    )
+
+    return holt_forecast(_t(spark, sf_dir, "orders"), horizon=7)
+
+
 def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the full embedding corpus
     (k=8, 3 fixed iterations): per iteration ONE partial+final
@@ -2777,7 +2790,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correlation_matrix, ndcg_eval, yoy_growth, bootstrap_ci,
 # diversified_topk, cdc_chunk_stats, cusum_changepoints,
 # quality_dedup_survivors, centroid_margin, label_disagreement,
-# lexical_diversity, oov_rate, kcenter_select, kmeans_fixed.
+# lexical_diversity, oov_rate, kcenter_select, kmeans_fixed,
+# holt_forecast.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2936,6 +2950,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_disagreement": q_label_disagreement,
         "kcenter_select": q_kcenter_select,
         "kmeans_fixed": q_kmeans_fixed,
+        "holt_forecast": q_holt_forecast,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5112,6 +5127,36 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
+        "holt_forecast": (
+            "WITH RECURSIVE daily AS MATERIALIZED (SELECT day, revenue,"
+            "  CAST(row_number() OVER (ORDER BY day) AS INT) AS t FROM"
+            "  (SELECT date_trunc('day', o_orderdate) AS day,"
+            "   CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue"
+            "   FROM orders GROUP BY 1)),"
+            " rec(t, l, b) AS ("
+            "  SELECT 1, revenue, CAST(0.0 AS DOUBLE) FROM daily"
+            "   WHERE t = 1"
+            "  UNION ALL"
+            "  SELECT d.t, 0.5 * d.revenue + 0.5 * (rec.l + rec.b),"
+            "   0.5 * ((0.5 * d.revenue + 0.5 * (rec.l + rec.b)) - rec.l)"
+            "   + 0.5 * rec.b"
+            "  FROM rec JOIN daily d ON d.t = rec.t + 1),"
+            " ins AS (SELECT d.day, d.revenue,"
+            "  CASE WHEN d.t = 1 THEN NULL"
+            "   ELSE round(p.l + p.b + 1e-9, 4) END AS forecast,"
+            "  CAST(0 AS INT) AS horizon"
+            "  FROM daily d LEFT JOIN rec p ON p.t = d.t - 1),"
+            " fin AS (SELECT l, b FROM rec"
+            "  WHERE t = (SELECT max(t) FROM daily)),"
+            " fut AS (SELECT"
+            "  (SELECT max(day) FROM daily) + INTERVAL (g.h) DAY AS day,"
+            "  CAST(NULL AS DOUBLE) AS revenue,"
+            "  round(fin.l + CAST(g.h AS DOUBLE) * fin.b + 1e-9, 4)"
+            "   AS forecast, CAST(g.h AS INT) AS horizon"
+            "  FROM generate_series(1, 7) g(h), fin)"
+            " SELECT * FROM (SELECT * FROM ins UNION ALL"
+            "  SELECT * FROM fut) ORDER BY day"
+        ),
         "label_disagreement": (
             "WITH planes AS (SELECT * FROM (VALUES "
             + _plane_values(4, [42 + t for t in range(4)])

@@ -941,3 +941,103 @@ def yoy_growth(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> Dat
             ),
         ).alias("yoy_pct"),
     ).orderBy("n_name", "yr")
+
+
+def holt_forecast(orders: DataFrame, *, horizon: int = 7) -> DataFrame:
+    """Holt's linear-trend (double) exponential smoothing over daily
+    revenue, alpha = beta = 0.5, plus a ``horizon``-step-ahead
+    extrapolation — the trend-aware upgrade of ``ewma_forecast``
+    (whose flat kernel cannot forecast beyond one step): l_t =
+    0.5*y_t + 0.5*(l+b); b_t = 0.5*(l_t - l) + 0.5*b; y-hat_{T+h} =
+    l_T + h*b_T.
+
+    Scale + portability (the ``cusum_changepoints`` discipline): the
+    fact table collapses to the calendar-bounded day axis (partial+
+    final agg, the only wide work), the recurrence runs as ONE JVM
+    ``aggregate`` fold over the collected day array, and because
+    every op in the recurrence is a single correctly-rounded IEEE
+    multiply/add applied in the same order on 2dp-pre-rounded inputs,
+    the whole level/trend sequence is bit-identical in any IEEE
+    engine — replayed by a recursive-CTE oracle with NO intermediate
+    rounding.  Output: in-sample rows (horizon=0, forecast = prior
+    l+b, null for the first day) + ``horizon`` future rows with null
+    revenue."""
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue"))
+    day_t = dict(daily.dtypes)["day"]
+    acc_t = (
+        f"struct<l:double,b:double,n:int,"
+        f"out:array<struct<day:{day_t},revenue:double,forecast:double>>>"
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "revenue"))).alias("s")
+    )
+
+    def step(acc, v):
+        new_l = F.lit(0.5) * v["revenue"] + F.lit(0.5) * (
+            acc["l"] + acc["b"]
+        )
+        return F.when(
+            acc["n"] == F.lit(0),
+            F.struct(
+                v["revenue"].alias("l"),
+                F.lit(0.0).alias("b"),
+                F.lit(1).alias("n"),
+                F.array(
+                    F.struct(
+                        v["day"].alias("day"),
+                        v["revenue"].alias("revenue"),
+                        F.lit(None).cast("double").alias("forecast"),
+                    )
+                ).alias("out"),
+            ),
+        ).otherwise(
+            F.struct(
+                new_l.alias("l"),
+                (
+                    F.lit(0.5) * (new_l - acc["l"]) + F.lit(0.5) * acc["b"]
+                ).alias("b"),
+                (acc["n"] + F.lit(1)).alias("n"),
+                F.array_append(
+                    acc["out"],
+                    F.struct(
+                        v["day"].alias("day"),
+                        v["revenue"].alias("revenue"),
+                        F.round(acc["l"] + acc["b"] + F.lit(1e-9), 4).alias(
+                            "forecast"
+                        ),
+                    ),
+                ).alias("out"),
+            )
+        )
+
+    folded = series.select(
+        F.aggregate(
+            "s",
+            F.expr(
+                f"CAST(named_struct('l', 0.0d, 'b', 0.0d, 'n', 0,"
+                f" 'out', array()) AS {acc_t})"
+            ),
+            step,
+        ).alias("st")
+    )
+    in_sample = folded.select(F.explode("st.out").alias("r")).select(
+        "r.day",
+        "r.revenue",
+        "r.forecast",
+        F.lit(0).alias("horizon"),
+    )
+    future = folded.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {int(horizon)}), h -> named_struct("
+                "'day', timestampadd(DAY, h, element_at(st.out, -1).day),"
+                "'revenue', CAST(NULL AS DOUBLE),"
+                "'forecast', round(st.l + CAST(h AS DOUBLE) * st.b"
+                " + 1e-9, 4),"
+                "'horizon', h))"
+            )
+        ).alias("r")
+    ).select("r.day", "r.revenue", "r.forecast", "r.horizon")
+    return in_sample.unionByName(future).orderBy("day")

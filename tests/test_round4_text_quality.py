@@ -466,3 +466,78 @@ def test_kmeans_fixed_empty_cluster_keeps_centroid(spark):
     # cluster 1 stays empty and emits no row
     assert got == {0: 2, 2: 1}
     assert all(r.inertia < 1e-6 for r in out)
+
+
+# ------------------------------------- Holt linear-trend forecasting
+
+def test_holt_forecast_tracks_linear_trend(spark):
+    """On an exactly linear series Holt's recurrence locks onto the
+    trend: in-sample forecasts converge to the truth and every
+    future-horizon row extrapolates the line exactly."""
+    import datetime
+
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        holt_forecast,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    oid = 0
+    for t in range(30):
+        # revenue = 100 + 10*t, split across two orders
+        for part in (40.0, 60.0 + 10.0 * t):
+            rows.append((oid, base + datetime.timedelta(days=t), part))
+            oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    out = holt_forecast(orders, horizon=3).collect()
+    ins = [r for r in out if r.horizon == 0]
+    fut = sorted(
+        (r for r in out if r.horizon > 0), key=lambda r: r.horizon
+    )
+    assert ins[0].forecast is None and len(fut) == 3
+    # after burn-in the one-step error vanishes (geometric decay)
+    for r in ins[-5:]:
+        assert abs(r.forecast - r.revenue) < 0.01
+    for h, r in enumerate(fut, start=1):
+        assert r.revenue is None
+        assert abs(r.forecast - (100.0 + 10.0 * (29 + h))) < 0.05
+        assert r.day.date() == base + datetime.timedelta(days=29 + h)
+
+
+def test_holt_forecast_matches_python_recurrence(spark):
+    """Bit-level differential: the fold must equal the textbook
+    recurrence computed in Python on the same 2dp-rounded inputs."""
+    import datetime
+    import random
+
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        holt_forecast,
+    )
+
+    rng = random.Random(3)
+    base = datetime.date(2023, 6, 1)
+    ys = [round(rng.uniform(50, 150), 2) for _ in range(20)]
+    orders = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(days=i), y)
+            for i, y in enumerate(ys)
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    l, b = ys[0], 0.0
+    expect = [None]
+    for y in ys[1:]:
+        expect.append(round(l + b + 1e-9, 4))
+        nl = 0.5 * y + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b
+        l = nl
+    out = holt_forecast(orders, horizon=2).collect()
+    ins = [r.forecast for r in out if r.horizon == 0]
+    assert ins == expect
+    fut = {r.horizon: r.forecast for r in out if r.horizon > 0}
+    assert fut == {
+        1: round(l + 1.0 * b + 1e-9, 4),
+        2: round(l + 2.0 * b + 1e-9, 4),
+    }

@@ -974,6 +974,17 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier (skyline) document selection on (token count,
+    type-token ratio): map-side per-doc metrics, dominance sweep on
+    the bounded distinct-length axis, broadcast frontier rejoin."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        skyline_docs,
+    )
+
+    return skyline_docs(_t(spark, sf_dir, "documents"))
+
+
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double exponential smoothing (alpha=beta=0.5) over daily
     revenue + 7-day-ahead extrapolation: fact table collapses to the
@@ -2791,7 +2802,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diversified_topk, cdc_chunk_stats, cusum_changepoints,
 # quality_dedup_survivors, centroid_margin, label_disagreement,
 # lexical_diversity, oov_rate, kcenter_select, kmeans_fixed,
-# holt_forecast.
+# holt_forecast, skyline_docs.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2951,6 +2962,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_select": q_kcenter_select,
         "kmeans_fixed": q_kmeans_fixed,
         "holt_forecast": q_holt_forecast,
+        "skyline_docs": q_skyline_docs,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5127,6 +5139,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
+        "skyline_docs": (
+            "WITH per AS (SELECT doc_id, CAST(len(t) AS BIGINT)"
+            "  AS n_tokens, round(len(list_distinct(t))"
+            "   / CAST(len(t) AS DOUBLE) + 1e-9, 4) AS ttr FROM"
+            "  (SELECT doc_id, list_filter(string_split_regex("
+            "   lower(trim(text)), '\\s+'), x -> x <> '') AS t"
+            "   FROM documents) WHERE len(t) > 0),"
+            " bx AS (SELECT n_tokens, max(ttr) AS best_ttr FROM per"
+            "  GROUP BY n_tokens),"
+            " fx AS (SELECT n_tokens, best_ttr, max(best_ttr) OVER ("
+            "  ORDER BY n_tokens DESC ROWS BETWEEN UNBOUNDED PRECEDING"
+            "  AND 1 PRECEDING) AS pm FROM bx)"
+            " SELECT p.doc_id, p.n_tokens, p.ttr"
+            " FROM per p JOIN fx ON p.n_tokens = fx.n_tokens"
+            "  AND p.ttr = fx.best_ttr"
+            " WHERE fx.pm IS NULL OR fx.best_ttr > fx.pm"
+            " ORDER BY p.n_tokens DESC, p.doc_id"
+        ),
         "holt_forecast": (
             "WITH RECURSIVE daily AS MATERIALIZED (SELECT day, revenue,"
             "  CAST(row_number() OVER (ORDER BY day) AS INT) AS t FROM"

@@ -2325,3 +2325,67 @@ def cdc_chunk_stats(
         )
         .orderBy("source")
     )
+
+
+def skyline_docs(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pareto-frontier (skyline) document selection: the documents for
+    which no other document is at least as long AND at least as
+    lexically diverse, with one strict improvement — the
+    multi-objective version of top-k that data-curation uses when
+    "best" has no single score (here: maximize token count and
+    type-token ratio, two naturally conflicting axes).
+
+    Scale shape: per-doc metrics are pure map-side array expressions
+    (no explode); the dominance sweep runs on the DISTINCT-x axis
+    (group by n_tokens -> best ttr, then one running-max window over
+    that axis, bounded by the longest document's token count — the
+    calendar-day-axis discipline, never corpus-sized); frontier
+    membership rejoins as a broadcast.  Ties: equal (x, y) points are
+    mutually non-dominating and all kept; a lower-ttr doc at the same
+    length is dominated and dropped.  Empty documents are excluded
+    (undefined diversity, never frontier-eligible)."""
+    per = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+                " t -> t <> '')"
+            ).alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.when(
+                F.size("t") > 0,
+                F.round(
+                    F.size(F.array_distinct("t")) / F.size("t")
+                    + F.lit(1e-9),
+                    4,
+                ),
+            ).alias("ttr"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    bx = per.groupBy("n_tokens").agg(F.max("ttr").alias("best_ttr"))
+    w = (
+        Window.orderBy(F.col("n_tokens").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = bx.withColumn("pm", F.max("best_ttr").over(w)).filter(
+        F.col("pm").isNull() | (F.col("best_ttr") > F.col("pm"))
+    )
+    return (
+        per.join(
+            F.broadcast(frontier.select("n_tokens", "best_ttr")),
+            on="n_tokens",
+            how="inner",
+        )
+        .filter(F.col("ttr") == F.col("best_ttr"))
+        .select("doc_id", "n_tokens", "ttr")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    )

@@ -541,3 +541,68 @@ def test_holt_forecast_matches_python_recurrence(spark):
         1: round(l + 1.0 * b + 1e-9, 4),
         2: round(l + 2.0 * b + 1e-9, 4),
     }
+
+
+# ---------------------------------------- Pareto skyline selection
+
+def test_skyline_docs_dominance(spark):
+    """Hand-built frontier: dominated docs drop, ties survive, empty
+    docs never appear."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        skyline_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 4 tokens, all distinct -> ttr 1.0 (frontier: longest)
+            (1, "a b c d"),
+            # 4 tokens, ttr 0.5 -> dominated by doc 1 (same x, lower y)
+            (2, "a a b b"),
+            # 3 tokens, ttr 1.0 -> dominated by doc 1 (shorter, same y)
+            (3, "a b c"),
+            # 2 tokens ttr 1.0 dominated by 1; but nothing beats 1
+            (4, "x y"),
+            # duplicate point of doc 1 -> tie, both kept
+            (5, "p q r s"),
+            (6, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = skyline_docs(docs).collect()
+    assert [(r.doc_id, r.n_tokens, r.ttr) for r in out] == [
+        (1, 4, 1.0),
+        (5, 4, 1.0),
+    ]
+
+
+def test_skyline_docs_matches_bruteforce(spark):
+    """Random corpus: frontier == brute-force O(n^2) dominance scan."""
+    import random
+
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        skyline_docs,
+    )
+
+    rng = random.Random(21)
+    words = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 25)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pts = {}
+    for i, text in rows:
+        t = [x for x in text.lower().split() if x]
+        pts[i] = (len(t), round(len(set(t)) / len(t) + 1e-9, 4))
+    keep = []
+    for i, (x, y) in pts.items():
+        dominated = any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for j, (x2, y2) in pts.items()
+            if j != i
+        )
+        if not dominated:
+            keep.append((x, i))
+    expect = [i for x, i in sorted(keep, key=lambda p: (-p[0], p[1]))]
+    got = [r.doc_id for r in skyline_docs(docs).collect()]
+    assert got == expect

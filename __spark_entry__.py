@@ -974,6 +974,21 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release audit over the
+    (lang, source) grid: symmetric-geometric integer noise derived
+    from an engine-portable seeded hash (P(|z|=m)=2^-(m+1), eps~ln2),
+    noisy count clamped at zero — all exact integer arithmetic, one
+    partial+final aggregate."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        dp_histogram,
+    )
+
+    return dp_histogram(
+        _t(spark, sf_dir, "documents"), ["lang", "source"]
+    )
+
+
 def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto-frontier (skyline) document selection on (token count,
     type-token ratio): map-side per-doc metrics, dominance sweep on
@@ -2802,7 +2817,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diversified_topk, cdc_chunk_stats, cusum_changepoints,
 # quality_dedup_survivors, centroid_margin, label_disagreement,
 # lexical_diversity, oov_rate, kcenter_select, kmeans_fixed,
-# holt_forecast, skyline_docs.
+# holt_forecast, skyline_docs, dp_histogram.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2963,6 +2978,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fixed": q_kmeans_fixed,
         "holt_forecast": q_holt_forecast,
         "skyline_docs": q_skyline_docs,
+        "dp_histogram": q_dp_histogram,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5139,6 +5155,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
+        "dp_histogram": (
+            # same seeded md5-31 hash, sign bit, trailing-zero
+            # geometric magnitude, zero clamp -- pure integer replay
+            "WITH g AS (SELECT lang, source, count(*) AS true_count,"
+            "  ('0x' || substr(md5('dp-seed-0|' || lang || '|' ||"
+            "   source), 1, 8))::BIGINT % 2147483647 AS h"
+            "  FROM documents GROUP BY lang, source),"
+            " n AS (SELECT lang, source,"
+            "  CAST(true_count AS BIGINT) AS true_count,"
+            "  CAST((CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END) *"
+            "   len(list_filter(generate_series(1, 20),"
+            "    b -> ((h - h % 2) / 2)::BIGINT"
+            "     % (1::BIGINT << b) = 0)) AS BIGINT) AS noise"
+            "  FROM g)"
+            " SELECT lang, source, true_count, noise,"
+            "  greatest(0::BIGINT, true_count + noise) AS noisy_count"
+            " FROM n ORDER BY lang, source"
+        ),
         "skyline_docs": (
             "WITH per AS (SELECT doc_id, CAST(len(t) AS BIGINT)"
             "  AS n_tokens, round(len(list_distinct(t))"

@@ -739,3 +739,64 @@ def cusum_changepoints(
             | (F.col("r.sn") > F.lit(h_sigma) * F.col("sigma"))
         ).alias("alarm"),
     ).orderBy("day")
+
+
+def dp_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    seed: str = "dp-seed-0",
+    max_magnitude: int = 20,
+) -> DataFrame:
+    """Differentially-private histogram release audit: per-group counts
+    plus symmetric-geometric integer noise (sign from one hash bit,
+    magnitude = trailing-zero count of the remaining bits, so
+    P(|z| = m) = 2^-(m+1) — the discrete-Laplace-shaped mechanism at
+    epsilon ~ ln 2), with the noisy count clamped at zero.
+
+    Noise is derived DETERMINISTICALLY from an engine-portable seeded
+    hash of the group key: the release is reproducible and
+    hash-verifiable by an independent engine — the property this
+    engine's whole oracle gate is built on.  A production release
+    would draw the magnitude from a CSPRNG instead (one-line swap) and
+    publish ONLY ``noisy_count``; ``true_count``/``noise`` are emitted
+    here so the utility loss is auditable.
+
+    Everything is exact integer arithmetic (hash, modulo powers of
+    two, trailing-zero fold) — no float path at all.  Scale shape: one
+    partial+final aggregate on the group key; noise is O(1) expression
+    work per GROUP, not per row."""
+    from .dedup import portable_hash31
+
+    if not group_cols:
+        raise ValueError("dp_histogram requires at least one group column")
+    g = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("true_count"))
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    h = portable_hash31(F.concat(F.lit(seed + "|"), key))
+    sign = F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+    # trailing zeros of (h >> 1), capped: tz >= b iff (h>>1) mod 2^b = 0
+    half = (h - h % 2) / F.lit(2)
+    hv = half.cast("bigint")
+    st = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_magnitude))),
+        F.expr("CAST(named_struct('tz', 0, 'pw', CAST(1 AS BIGINT))"
+               " AS struct<tz:int,pw:bigint>)"),
+        lambda acc, _b: F.struct(
+            (
+                acc["tz"]
+                + F.when(hv % (acc["pw"] * 2) == 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("tz"),
+            (acc["pw"] * 2).alias("pw"),
+        ),
+    )
+    noise = (sign * st["tz"]).cast("bigint")
+    return (
+        g.withColumn("noise", noise)
+        .withColumn(
+            "noisy_count",
+            F.greatest(F.lit(0).cast("bigint"), F.col("true_count") + F.col("noise")),
+        )
+        .orderBy(*group_cols)
+    )

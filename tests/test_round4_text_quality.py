@@ -606,3 +606,61 @@ def test_skyline_docs_matches_bruteforce(spark):
     expect = [i for x, i in sorted(keep, key=lambda p: (-p[0], p[1]))]
     got = [r.doc_id for r in skyline_docs(docs).collect()]
     assert got == expect
+
+
+# ------------------------------------ DP histogram release audit
+
+def test_dp_histogram_matches_python_replica(spark):
+    """Noise replay: sign bit + trailing-zero geometric magnitude of
+    the seeded md5-31 hash, zero clamp — exact integer differential."""
+    import hashlib
+
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        dp_histogram,
+    )
+
+    rows = [(f"g{i % 7}", i) for i in range(50)] + [("rare", 0)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    out = {r.grp: r for r in dp_histogram(df, ["grp"]).collect()}
+
+    def py_noise(key):
+        h = int(hashlib.md5(f"dp-seed-0|{key}".encode()).hexdigest()[:8], 16)
+        h %= 2147483647
+        sign = 1 if h % 2 == 1 else -1
+        v = h // 2
+        tz = 0
+        while tz < 20 and v % (2 ** (tz + 1)) == 0:
+            tz += 1
+        return sign * tz
+
+    for key in {g for g, _ in rows}:
+        true = sum(1 for g, _ in rows if g == key)
+        n = py_noise(key)
+        r = out[key]
+        assert (r.true_count, r.noise, r.noisy_count) == (
+            true,
+            n,
+            max(0, true + n),
+        )
+
+
+def test_dp_histogram_noise_distribution(spark):
+    """Across many groups the geometric magnitudes must look like
+    P(|z|=m)=2^-(m+1): >=40% zeros, heavy mass at small magnitudes,
+    and the clamp keeps counts non-negative."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        dp_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(f"group-{i}", 1) for i in range(400)], "grp string, one int"
+    )
+    out = dp_histogram(df, ["grp"]).collect()
+    mags = [abs(r.noise) for r in out]
+    assert sum(1 for m in mags if m == 0) >= 0.4 * len(mags)
+    assert sum(1 for m in mags if m <= 2) >= 0.8 * len(mags)
+    assert max(mags) <= 20
+    assert all(r.noisy_count >= 0 for r in out)
+    signs = [r.noise for r in out if r.noise != 0]
+    pos = sum(1 for s in signs if s > 0)
+    assert 0.3 < pos / len(signs) < 0.7

@@ -974,6 +974,26 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=6) over the (nation, market-segment) QI
+    pair with the balance bucket as the sensitive attribute: groups
+    with < 6 distinct sensitive values leak the attribute even when
+    k-anonymous.  One partial+final aggregate."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        l_diversity_audit,
+    )
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0)).cast(
+            "bigint"
+        ),
+    )
+    return l_diversity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", l=6
+    )
+
+
 def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private histogram release audit over the
     (lang, source) grid: symmetric-geometric integer noise derived
@@ -2817,7 +2837,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diversified_topk, cdc_chunk_stats, cusum_changepoints,
 # quality_dedup_survivors, centroid_margin, label_disagreement,
 # lexical_diversity, oov_rate, kcenter_select, kmeans_fixed,
-# holt_forecast, skyline_docs, dp_histogram.
+# holt_forecast, skyline_docs, dp_histogram, l_diversity.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -2979,6 +2999,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": q_holt_forecast,
         "skyline_docs": q_skyline_docs,
         "dp_histogram": q_dp_histogram,
+        "l_diversity": q_l_diversity,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5155,6 +5176,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
+        "l_diversity": (
+            "WITH g AS (SELECT c_nationkey, c_mktsegment,"
+            "  count(*) AS group_size,"
+            "  count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE)"
+            "   / 1000.0) AS BIGINT)) AS n_sensitive"
+            "  FROM customer GROUP BY c_nationkey, c_mktsegment),"
+            " r AS (SELECT * FROM g WHERE n_sensitive < 6)"
+            " SELECT * FROM ("
+            "  SELECT CAST(c_nationkey AS VARCHAR) || '|' ||"
+            "   c_mktsegment AS qi_values,"
+            "   CAST(group_size AS BIGINT) AS group_size,"
+            "   CAST(n_sensitive AS BIGINT) AS n_sensitive FROM r"
+            "  UNION ALL SELECT '__TOTAL__',"
+            "   CAST(count(*) AS BIGINT),"
+            "   CAST(coalesce(sum(group_size), 0) AS BIGINT) FROM r)"
+            " ORDER BY qi_values"
+        ),
         "dp_histogram": (
             # same seeded md5-31 hash, sign bit, trailing-zero
             # geometric magnitude, zero clamp -- pure integer replay

@@ -800,3 +800,47 @@ def dp_histogram(
         )
         .orderBy(*group_cols)
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    *,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion to
+    ``k_anonymity_audit``: a QI group can satisfy k-anonymity yet
+    still leak its members' sensitive attribute if (nearly) everyone
+    in the group shares one value.  A group is at risk when it holds
+    fewer than ``l`` DISTINCT non-null sensitive values (distinct
+    l-diversity, Machanavajjhala 2007).
+
+    Returns one row per at-risk group
+    ``(qi_values, group_size, n_sensitive)`` plus a ``__TOTAL__``
+    summary (group_size = at-risk groups, n_sensitive = total exposed
+    rows).  Scale shape: ONE partial+final aggregate on the QI key
+    (count + exact countDistinct — swap to approx_count_distinct for
+    petabyte audits, same trade as ``table_profile``); the at-risk
+    output is bounded by group count."""
+    if not quasi_identifiers:
+        raise ValueError("l_diversity_audit requires at least one QI column")
+    groups = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(sensitive_col).alias("n_sensitive"),
+    )
+    risky = groups.where(F.col("n_sensitive") < l)
+    per_group = risky.select(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in quasi_identifiers]
+        ).alias("qi_values"),
+        "group_size",
+        "n_sensitive",
+    )
+    total = risky.agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.coalesce(F.sum("group_size"), F.lit(0)).alias("n_sensitive"),
+    ).select(
+        F.lit("__TOTAL__").alias("qi_values"), "group_size", "n_sensitive"
+    )
+    return per_group.unionByName(total).orderBy("qi_values")

@@ -664,3 +664,32 @@ def test_dp_histogram_noise_distribution(spark):
     signs = [r.noise for r in out if r.noise != 0]
     pos = sum(1 for s in signs if s > 0)
     assert 0.3 < pos / len(signs) < 0.7
+
+
+# ---------------------------------------------- l-diversity audit
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    """A k-anonymous group whose sensitive attribute is uniform must
+    be flagged; a diverse group must not."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        l_diversity_audit,
+    )
+
+    rows = (
+        # group A: 5 members, all share sensitive value 1 -> at risk
+        [("A", "x", 1)] * 5
+        # group B: 5 members, 5 distinct sensitive values -> safe
+        + [("B", "x", v) for v in range(5)]
+        # group C: 4 members, 2 distinct -> at risk (l=3)
+        + [("C", "y", 1), ("C", "y", 1), ("C", "y", 2), ("C", "y", 2)]
+    )
+    df = spark.createDataFrame(rows, "qi1 string, qi2 string, s int")
+    out = {
+        r.qi_values: (r.group_size, r.n_sensitive)
+        for r in l_diversity_audit(df, ["qi1", "qi2"], "s", l=3).collect()
+    }
+    assert out == {
+        "A|x": (5, 1),
+        "C|y": (4, 2),
+        "__TOTAL__": (2, 9),
+    }

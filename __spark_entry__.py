@@ -974,6 +974,20 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval: per-query recall@10 of 32-dim
+    truncated cosine retrieval vs the full 64-dim ground truth over a
+    fixed 16-query panel — broadcast panel join + two bounded
+    per-query windows."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        dim_truncation_recall,
+    )
+
+    return dim_truncation_recall(
+        _t(spark, sf_dir, "embeddings"), trunc_dim=32, k=10, n_queries=16
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit (l=6) over the (nation, market-segment) QI
     pair with the balance bucket as the sensitive attribute: groups
@@ -2837,7 +2851,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diversified_topk, cdc_chunk_stats, cusum_changepoints,
 # quality_dedup_survivors, centroid_margin, label_disagreement,
 # lexical_diversity, oov_rate, kcenter_select, kmeans_fixed,
-# holt_forecast, skyline_docs, dp_histogram, l_diversity.
+# holt_forecast, skyline_docs, dp_histogram, l_diversity,
+# dim_truncation_recall.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -3000,6 +3015,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_docs": q_skyline_docs,
         "dp_histogram": q_dp_histogram,
         "l_diversity": q_l_diversity,
+        "dim_truncation_recall": q_dim_truncation_recall,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5176,6 +5192,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
+        "dim_truncation_recall": (
+            "WITH base AS (SELECT vec_id,"
+            "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+            " q AS (SELECT vec_id AS qid, v AS qv FROM base"
+            "  WHERE vec_id < 16),"
+            " p AS (SELECT q.qid, b.vec_id,"
+            "  round(list_dot_product(b.v, q.qv)"
+            "   / (sqrt(list_dot_product(b.v, b.v))"
+            "      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs_full,"
+            "  round(list_dot_product(b.v[1:32], q.qv[1:32])"
+            "   / (sqrt(list_dot_product(b.v[1:32], b.v[1:32]))"
+            "      * sqrt(list_dot_product(q.qv[1:32], q.qv[1:32]))), 6)"
+            "   AS cs_tr"
+            "  FROM base b, q WHERE b.vec_id <> q.qid),"
+            " r AS (SELECT qid, vec_id,"
+            "  row_number() OVER (PARTITION BY qid"
+            "   ORDER BY cs_full DESC, vec_id) AS rf,"
+            "  row_number() OVER (PARTITION BY qid"
+            "   ORDER BY cs_tr DESC, vec_id) AS rt FROM p)"
+            " SELECT qid AS query_id,"
+            "  CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0"
+            "   END) AS BIGINT) AS n_overlap,"
+            "  round(CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1"
+            "   ELSE 0 END) AS BIGINT) / 10.0 + 1e-9, 4) AS recall"
+            " FROM r GROUP BY qid ORDER BY qid"
+        ),
         "l_diversity": (
             "WITH g AS (SELECT c_nationkey, c_mktsegment,"
             "  count(*) AS group_size,"

@@ -852,3 +852,80 @@ def kmeans_fixed(
         )
     finally:
         vecs.unpersist()
+
+
+def dim_truncation_recall(
+    embeddings: DataFrame,
+    *,
+    trunc_dim: int = 32,
+    k: int = 10,
+    n_queries: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation eval: recall@k of TRUNCATED-dimension
+    cosine retrieval against full-dimension ground truth, per query —
+    the measurement that decides whether an embedding column can be
+    stored/searched at half width (2x memory-bandwidth win in every
+    downstream ANN pass) without losing ranking quality.
+
+    For each query in a FIXED bounded panel (``vec_id < n_queries`` —
+    an eval runs on a sampled query set by design, so the
+    corpus x panel candidate join is a broadcast of the panel, the
+    same named exemption as ``knn_join``'s exact baseline), rank the
+    corpus by full-dim cosine and by first-``trunc_dim``-dim cosine
+    (both rounded to 6dp, ties to the lowest id) and report the top-k
+    overlap.  Wide work = one broadcast join + two bounded
+    per-query-partition windows; at 100 TB the panel stays O(10-100)
+    and the ranking becomes per-query TakeOrdered."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cs_full"),
+            F.round(
+                cosine(
+                    F.slice(F.col("v"), 1, trunc_dim),
+                    F.slice(F.col("qv"), 1, trunc_dim),
+                ),
+                6,
+            ).alias("cs_tr"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cs_full"), "vec_id")
+    wt = Window.partitionBy("qid").orderBy(F.desc("cs_tr"), "vec_id")
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rt", F.row_number().over(wt)
+    )
+    return (
+        ranked.filter((F.col("rf") <= k) | (F.col("rt") <= k))
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.sum(
+                F.when((F.col("rf") <= k) & (F.col("rt") <= k), 1).otherwise(
+                    0
+                )
+            ).alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.lit(float(k)) + F.lit(1e-9), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

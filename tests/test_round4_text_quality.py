@@ -693,3 +693,41 @@ def test_l_diversity_flags_homogeneous_group(spark):
         "C|y": (4, 2),
         "__TOTAL__": (2, 9),
     }
+
+
+# --------------------------------- matryoshka truncation recall eval
+
+def test_dim_truncation_recall_extremes(spark):
+    """If the first half of every vector carries ALL the signal,
+    truncated retrieval is perfect (recall 1.0); if it carries NONE,
+    recall collapses toward chance."""
+    import random
+
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        dim_truncation_recall,
+    )
+
+    rng = random.Random(9)
+
+    def corpus(signal_first_half):
+        rows = []
+        for i in range(40):
+            sig = [rng.gauss(0, 1) for _ in range(4)]
+            noise = [0.001 * rng.gauss(0, 1) for _ in range(4)]
+            v = (sig + noise) if signal_first_half else (noise + sig)
+            rows.append((i, v))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    good = dim_truncation_recall(
+        corpus(True), trunc_dim=4, k=5, n_queries=4
+    ).collect()
+    assert all(r.recall > 0.95 for r in good)
+    bad = dim_truncation_recall(
+        corpus(False), trunc_dim=4, k=5, n_queries=4
+    ).collect()
+    assert sum(r.recall for r in bad) / len(bad) < 0.6
+    # schema sanity
+    assert {r.query_id for r in good} == {0, 1, 2, 3}
+    assert all(r.n_overlap == round(r.recall * 5) for r in good)

@@ -974,6 +974,28 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) closed-form OLS of extended price
+    on quantity: one aggregate of exact-decimal sufficient statistics
+    (order-independent sums), then a fixed IEEE closed form — no
+    iterative fitting, group-count-sized output."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        groupwise_ols,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        # the stored doubles ARE 2dp decimals: quantize so every
+        # sufficient statistic sums exactly (order-independent)
+        F.col("l_quantity").cast("decimal(18,2)").alias("qx"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("py"),
+    )
+    return groupwise_ols(
+        li, ["l_returnflag", "l_linestatus"], "qx", "py"
+    )
+
+
 def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation eval: per-query recall@10 of 32-dim
     truncated cosine retrieval vs the full 64-dim ground truth over a
@@ -2852,7 +2874,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality_dedup_survivors, centroid_margin, label_disagreement,
 # lexical_diversity, oov_rate, kcenter_select, kmeans_fixed,
 # holt_forecast, skyline_docs, dp_histogram, l_diversity,
-# dim_truncation_recall.
+# dim_truncation_recall, groupwise_ols.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -3016,6 +3038,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_histogram": q_dp_histogram,
         "l_diversity": q_l_diversity,
         "dim_truncation_recall": q_dim_truncation_recall,
+        "groupwise_ols": q_groupwise_ols,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5192,6 +5215,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
+        "groupwise_ols": (
+            "WITH li AS (SELECT l_returnflag, l_linestatus,"
+            "  CAST(l_quantity AS DECIMAL(18,2)) AS qx,"
+            "  CAST(l_extendedprice AS DECIMAL(18,2)) AS py"
+            "  FROM lineitem),"
+            " g AS (SELECT l_returnflag, l_linestatus,"
+            "  count(*) AS n,"
+            "  CAST(sum(qx) AS DOUBLE) AS sx,"
+            "  CAST(sum(py) AS DOUBLE) AS sy,"
+            "  CAST(sum(qx * py) AS DOUBLE) AS sxy,"
+            "  CAST(sum(qx * qx) AS DOUBLE) AS sxx,"
+            "  CAST(sum(py * py) AS DOUBLE) AS syy"
+            "  FROM li GROUP BY 1, 2)"
+            " SELECT l_returnflag, l_linestatus,"
+            "  CAST(n AS BIGINT) AS n,"
+            "  round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0"
+            "   THEN (CAST(n AS DOUBLE) * sxy - sx * sy)"
+            "    / (CAST(n AS DOUBLE) * sxx - sx * sx) END"
+            "   + 1e-9, 6) AS slope,"
+            "  round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0"
+            "   THEN (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)"
+            "    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)"
+            "    / CAST(n AS DOUBLE) END + 1e-9, 6) AS intercept,"
+            "  round(CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx <> 0)"
+            "   AND (CAST(n AS DOUBLE) * syy - sy * sy <> 0)"
+            "   THEN ((CAST(n AS DOUBLE) * sxy - sx * sy)"
+            "    * (CAST(n AS DOUBLE) * sxy - sx * sy))"
+            "    / ((CAST(n AS DOUBLE) * sxx - sx * sx)"
+            "     * (CAST(n AS DOUBLE) * syy - sy * sy)) END"
+            "   + 1e-9, 6) AS r2"
+            " FROM g ORDER BY l_returnflag, l_linestatus"
+        ),
         "dim_truncation_recall": (
             "WITH base AS (SELECT vec_id,"
             "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"

@@ -1952,3 +1952,66 @@ def revenue_gini(
             6,
         ).alias("gini"),
     )
+
+
+def groupwise_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group closed-form OLS (slope, intercept, r^2) of ``y`` on
+    ``x`` — the grouped regression every contribution/elasticity
+    analysis runs, computed WITHOUT any iterative fitting: one
+    partial+final aggregate collecting the five sufficient statistics
+    (n, Sx, Sy, Sxy, Sxx, Syy), then pure scalar arithmetic.
+
+    Cross-engine float discipline: the sufficient statistics are
+    summed as EXACT decimals (decimal x decimal products never round,
+    so the sums are order-independent — the property a double sum
+    lacks), cast to double once (one correctly-rounded conversion),
+    and the closed form is a fixed IEEE op sequence — deterministic on
+    any engine.  Degenerate groups (zero x-variance or y-variance)
+    emit null slope/intercept/r2 instead of dividing by zero (guarded
+    IN the expression — ANSI mode may evaluate eagerly).
+
+    Scale shape: one aggregate, group-count-sized output; at any
+    corpus size the wide work is the single keyed shuffle of five
+    partial sums per group."""
+    x = F.col(x_col)
+    y = F.col(y_col)
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(denx != 0, num / denx)
+    return (
+        g.select(
+            *group_cols,
+            "n",
+            F.round(slope + F.lit(1e-9), 6).alias("slope"),
+            F.round(
+                F.when(
+                    denx != 0, (F.col("sy") - (num / denx) * F.col("sx")) / nd
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("intercept"),
+            F.round(
+                F.when(
+                    (denx != 0) & (deny != 0), (num * num) / (denx * deny)
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("r2"),
+        )
+        .orderBy(*group_cols)
+    )

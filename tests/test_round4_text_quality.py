@@ -731,3 +731,62 @@ def test_dim_truncation_recall_extremes(spark):
     # schema sanity
     assert {r.query_id for r in good} == {0, 1, 2, 3}
     assert all(r.n_overlap == round(r.recall * 5) for r in good)
+
+
+# ------------------------------------------- grouped closed-form OLS
+
+def test_groupwise_ols_recovers_planted_lines(spark):
+    """Exact lines per group -> slope/intercept recovered, r2 = 1;
+    a pure-noise group -> r2 near 0; a constant-x group -> nulls."""
+    from decimal import Decimal
+
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        groupwise_ols,
+    )
+
+    rows = []
+    # group a: y = 3x + 10 exactly
+    for x in range(1, 21):
+        rows.append(("a", Decimal(x), Decimal(3 * x + 10)))
+    # group b: y alternates independent of x
+    for x in range(1, 21):
+        rows.append(("b", Decimal(x % 4), Decimal(100 if x % 2 else -100)))
+    # group c: constant x -> zero x-variance -> null fit
+    for x in range(5):
+        rows.append(("c", Decimal(7), Decimal(x)))
+    df = spark.createDataFrame(
+        rows, "grp string, x decimal(18,2), y decimal(18,2)"
+    )
+    out = {r.grp: r for r in groupwise_ols(df, ["grp"], "x", "y").collect()}
+    assert abs(out["a"].slope - 3.0) < 1e-6
+    assert abs(out["a"].intercept - 10.0) < 1e-6
+    assert abs(out["a"].r2 - 1.0) < 1e-6
+    assert out["b"].r2 <= 0.25
+    assert out["c"].slope is None and out["c"].r2 is None
+    assert out["a"].n == 20 and out["c"].n == 5
+
+
+def test_groupwise_ols_matches_numpy(spark):
+    """Random-data differential against numpy polyfit / corrcoef."""
+    import random
+    from decimal import Decimal
+
+    import numpy as np
+
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        groupwise_ols,
+    )
+
+    rng = random.Random(17)
+    xs = [round(rng.uniform(0, 100), 2) for _ in range(200)]
+    ys = [round(2.5 * x + rng.gauss(0, 25), 2) for x in xs]
+    df = spark.createDataFrame(
+        [("g", Decimal(str(x)), Decimal(str(y))) for x, y in zip(xs, ys)],
+        "grp string, x decimal(18,2), y decimal(18,2)",
+    )
+    r = groupwise_ols(df, ["grp"], "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    r2 = np.corrcoef(xs, ys)[0, 1] ** 2
+    assert abs(r.slope - slope) < 1e-4
+    assert abs(r.intercept - intercept) < 1e-4
+    assert abs(r.r2 - r2) < 1e-6

@@ -974,6 +974,20 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TextRank keywords: adjacent-token co-occurrence graph +
+    damped random-walk centrality run as a FIXED-POINT integer
+    recurrence (1e-6-unit int64 ranks, exact int division/sums — no
+    float op in the loop), bit-replayed by an unrolled CTE oracle."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        textrank_keywords,
+    )
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"), n_iter=4, top_k=20
+    )
+
+
 def q_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(returnflag, linestatus) closed-form OLS of extended price
     on quantity: one aggregate of exact-decimal sufficient statistics
@@ -2874,7 +2888,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality_dedup_survivors, centroid_margin, label_disagreement,
 # lexical_diversity, oov_rate, kcenter_select, kmeans_fixed,
 # holt_forecast, skyline_docs, dp_histogram, l_diversity,
-# dim_truncation_recall, groupwise_ols.
+# dim_truncation_recall, groupwise_ols, textrank_keywords.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -3039,6 +3053,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "dim_truncation_recall": q_dim_truncation_recall,
         "groupwise_ols": q_groupwise_ols,
+        "textrank_keywords": q_textrank_keywords,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -3324,6 +3339,53 @@ def _pq_values() -> str:
             lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
             rows.append(f"({sub}, {cid}, {lit})")
     return ", ".join(rows)
+
+
+def _textrank_sql(n_iter: int = 4, top_k: int = 20, min_len: int = 3) -> str:
+    """Unrolled SQL replay of the integer fixed-point TextRank
+    trajectory (``textrank_keywords``): same adjacency pairs, same
+    exact int64 edge contributions ``(w*r)//wu`` and damping
+    ``(85*mass)//100`` — every intermediate is an integer, so the
+    replay is bit-exact with no rounding discipline needed."""
+    parts = [
+        "WITH toks AS MATERIALIZED (SELECT"
+        " list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        f" t -> length(t) >= {min_len}) AS t FROM documents)",
+        ", pr AS MATERIALIZED (SELECT"
+        " CASE WHEN p.a < p.b THEN p.a ELSE p.b END AS u,"
+        " CASE WHEN p.a < p.b THEN p.b ELSE p.a END AS v"
+        " FROM (SELECT unnest(list_transform(generate_series(1,"
+        " len(t) - 1), i -> struct_pack(a := t[i], b := t[i + 1])))"
+        " AS p FROM toks WHERE len(t) >= 2) WHERE p.a <> p.b)",
+        ", uw AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT)"
+        " AS w FROM pr GROUP BY u, v)",
+        ", ed AS MATERIALIZED (SELECT u, v, w FROM uw"
+        " UNION ALL SELECT v, u, w FROM uw)",
+        ", ws AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS wu"
+        " FROM ed GROUP BY u)",
+        ", e AS MATERIALIZED (SELECT ed.u AS src, ed.v AS dst, ed.w,"
+        " ws.wu FROM ed JOIN ws ON ed.u = ws.u)",
+        ", r0 AS MATERIALIZED (SELECT u AS node, wu,"
+        " CAST(1000000 AS BIGINT) AS r FROM ws)",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f", m{t} AS MATERIALIZED (SELECT e.dst,"
+            f" CAST(sum((e.w * p.r) // e.wu) AS BIGINT) AS mass"
+            f" FROM e JOIN r{t - 1} p ON e.src = p.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f", r{t} AS MATERIALIZED (SELECT p.node, p.wu,"
+            f" CAST(150000 + (85 * coalesce(m.mass, 0)) // 100"
+            f" AS BIGINT) AS r"
+            f" FROM r{t - 1} p LEFT JOIN m{t} m ON p.node = m.dst)"
+        )
+    parts.append(
+        f" SELECT node AS token, wu AS weighted_degree,"
+        f" r / 1000000.0 AS rank_score FROM r{n_iter}"
+        f" ORDER BY rank_score DESC, token LIMIT {top_k}"
+    )
+    return "".join(parts)
 
 
 def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
@@ -5215,6 +5277,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
+        "textrank_keywords": _textrank_sql(4, 20),
         "groupwise_ols": (
             "WITH li AS (SELECT l_returnflag, l_linestatus,"
             "  CAST(l_quantity AS DECIMAL(18,2)) AS qx,"

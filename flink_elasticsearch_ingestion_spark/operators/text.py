@@ -2389,3 +2389,112 @@ def skyline_docs(
         .select("doc_id", "n_tokens", "ttr")
         .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    *,
+    n_iter: int = 4,
+    top_k: int = 20,
+    min_token_len: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau
+    2004): adjacent-token co-occurrence graph over the corpus, then a
+    damped random-walk centrality — the unsupervised keyword scorer a
+    curation pipeline runs to label/compare sources.
+
+    FIXED-POINT integer recurrence (the kmeans_fixed discipline,
+    pushed further — NO float op anywhere in the iteration):
+    ranks live in 1e-6 units as int64, each edge contributes
+    ``(w_uv * r_u) div W_u`` (exact integer division of exact ints),
+    per-node in-mass is an exact int64 sum (order-independent, unlike
+    the float sums a textbook implementation shuffles), and damping
+    0.85 is ``(85 * mass) div 100``.  The whole trajectory is
+    bit-identical on any engine — it replays in an unrolled
+    materialized-CTE oracle.  r_v = 0.15 + 0.85 * sum_u w_uv/W_u * r_u
+    in 1e-6 units, truncated — a deterministic fixed-point variant of
+    the float recurrence (documented, not an approximation bug).
+
+    Scale shape: tokenize map-side, ONE explode to adjacency pairs,
+    edge weights = one partial+final count agg (vocabulary^2-bounded,
+    Zipf-sparse in practice); each iteration is one keyed join +
+    int-sum agg over the edge list (persisted once); output is
+    top-k TakeOrdered."""
+    toks = documents.select(
+        F.expr(
+            f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+            f" t -> length(t) >= {int(min_token_len)})"
+        ).alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> named_struct('a', element_at(t, i),"
+                " 'b', element_at(t, i + 1)))"
+            )
+        ).alias("p")
+    ).filter(F.col("p.a") != F.col("p.b"))
+    und = pairs.select(
+        F.least("p.a", "p.b").alias("u"), F.greatest("p.a", "p.b").alias("v")
+    )
+    uw = und.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    edges = (
+        uw.select("u", "v", "w")
+        .unionByName(
+            uw.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
+        )
+        .persist()
+    )
+    wsum = edges.groupBy("u").agg(F.sum("w").alias("wu"))
+    e = edges.join(wsum, "u").select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w", "wu"
+    ).persist()
+    ranks = wsum.select(
+        F.col("u").alias("node"),
+        F.col("wu"),
+        F.lit(1000000).cast("bigint").alias("r"),
+    )
+    prev = None
+    for _ in range(n_iter):
+        contrib = (
+            e.join(
+                ranks.select(F.col("node").alias("src"), F.col("r")), "src"
+            )
+            .select(
+                "dst", F.expr("(w * r) div wu").alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        new_ranks = (
+            ranks.select("node", "wu")
+            .join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                "wu",
+                (
+                    F.lit(150000).cast("bigint")
+                    + F.expr("(85 * coalesce(mass, 0)) div 100")
+                ).alias("r"),
+            )
+            .persist()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks = new_ranks
+    out = (
+        ranks.select(
+            F.col("node").alias("token"),
+            F.col("wu").alias("weighted_degree"),
+            (F.col("r") / F.lit(1000000.0)).alias("rank_score"),
+        )
+        .orderBy(F.col("rank_score").desc(), "token")
+        .limit(top_k)
+    )
+    # the returned plan re-reads the persisted frames lazily; they stay
+    # cached for the caller's single action, then GC'd with the session
+    return out

@@ -790,3 +790,73 @@ def test_groupwise_ols_matches_numpy(spark):
     assert abs(r.slope - slope) < 1e-4
     assert abs(r.intercept - intercept) < 1e-4
     assert abs(r.r2 - r2) < 1e-6
+
+
+# --------------------------------------------- TextRank keywords
+
+def test_textrank_hub_token_ranks_first(spark):
+    """A token adjacent to every other token (a star hub) must out-rank
+    the leaves; rank mass is deterministic integers."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        textrank_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hub alpha hub beta hub gamma hub delta"),
+            (2, "hub alpha hub beta hub gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(docs, n_iter=4, top_k=10).collect()
+    assert out[0].token == "hub"
+    assert out[0].rank_score > max(r.rank_score for r in out[1:])
+    leaves = {r.token for r in out[1:]}
+    assert leaves == {"alpha", "beta", "gamma", "delta"}
+
+
+def test_textrank_matches_python_fixed_point(spark):
+    """Exact integer differential: the (w*r)//W and (85*m)//100 int
+    recurrence replayed in pure Python must match bit-for-bit."""
+    import random
+    from collections import defaultdict
+
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        textrank_keywords,
+    )
+
+    rng = random.Random(23)
+    words = ["apple", "berry", "cedar", "delta", "ember", "frost"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(12)))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    und = defaultdict(int)
+    for _, text in rows:
+        t = [x for x in text.lower().split() if len(x) >= 3]
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                und[(min(a, b), max(a, b))] += 1
+    edges = defaultdict(dict)
+    for (u, v), w in und.items():
+        edges[u][v] = edges[u].get(v, 0) + w
+        edges[v][u] = edges[v].get(u, 0) + w
+    wu = {u: sum(nb.values()) for u, nb in edges.items()}
+    r = {u: 1_000_000 for u in wu}
+    for _ in range(4):
+        mass = defaultdict(int)
+        for u, nb in edges.items():
+            for v, w in nb.items():
+                mass[v] += (w * r[u]) // wu[u]
+        r = {u: 150_000 + (85 * mass.get(u, 0)) // 100 for u in wu}
+    expect = sorted(
+        ((u, wu[u], r[u] / 1_000_000.0) for u in wu),
+        key=lambda x: (-x[2], x[0]),
+    )[:10]
+    got = [
+        (x.token, x.weighted_degree, x.rank_score)
+        for x in textrank_keywords(docs, n_iter=4, top_k=10).collect()
+    ]
+    assert got == expect

@@ -209,6 +209,15 @@ EXTENDED = [
     "quality_dedup_survivors",
     "centroid_margin",
     "label_disagreement",
+    "kcenter_select",
+    "kmeans_fixed",
+    "holt_forecast",
+    "skyline_docs",
+    "dp_histogram",
+    "l_diversity",
+    "dim_truncation_recall",
+    "groupwise_ols",
+    "textrank_keywords",
 ]
 
 

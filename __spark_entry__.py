@@ -974,6 +974,25 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted quantity quantiles per return flag: at which
+    quantity level does 25/50/75% of revenue sit?  Weights quantized
+    to exact cents, one fact aggregate to the bounded (flag, quantity)
+    grid, integer-only threshold tests — bit-exact on any engine."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        weighted_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)"
+        ).alias("cents"),
+    )
+    return weighted_quantiles(li, "l_returnflag", "qty", "cents")
+
+
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TextRank keywords: adjacent-token co-occurrence graph +
     damped random-walk centrality run as a FIXED-POINT integer
@@ -2888,7 +2907,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality_dedup_survivors, centroid_margin, label_disagreement,
 # lexical_diversity, oov_rate, kcenter_select, kmeans_fixed,
 # holt_forecast, skyline_docs, dp_histogram, l_diversity,
-# dim_truncation_recall, groupwise_ols, textrank_keywords.
+# dim_truncation_recall, groupwise_ols, textrank_keywords,
+# weighted_quantiles.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -3054,6 +3074,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_truncation_recall": q_dim_truncation_recall,
         "groupwise_ols": q_groupwise_ols,
         "textrank_keywords": q_textrank_keywords,
+        "weighted_quantiles": q_weighted_quantiles,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5278,6 +5299,28 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
         "textrank_keywords": _textrank_sql(4, 20),
+        "weighted_quantiles": (
+            "WITH li AS (SELECT l_returnflag,"
+            "  CAST(l_quantity AS INT) AS qty,"
+            "  CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)"
+            "   AS cents FROM lineitem),"
+            " g AS (SELECT l_returnflag, qty,"
+            "  CAST(sum(cents) AS BIGINT) AS w FROM li GROUP BY 1, 2),"
+            " c AS (SELECT l_returnflag, qty,"
+            "  CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            "   AS BIGINT) AS cum,"
+            "  CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)"
+            "   AS total FROM g)"
+            " SELECT l_returnflag, max(total) AS total_weight,"
+            "  min(CASE WHEN 100 * cum >= 25 * total THEN qty END)"
+            "   AS p25,"
+            "  min(CASE WHEN 100 * cum >= 50 * total THEN qty END)"
+            "   AS p50,"
+            "  min(CASE WHEN 100 * cum >= 75 * total THEN qty END)"
+            "   AS p75"
+            " FROM c GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
         "groupwise_ols": (
             "WITH li AS (SELECT l_returnflag, l_linestatus,"
             "  CAST(l_quantity AS DECIMAL(18,2)) AS qx,"

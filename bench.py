@@ -218,6 +218,7 @@ EXTENDED = [
     "dim_truncation_recall",
     "groupwise_ols",
     "textrank_keywords",
+    "weighted_quantiles",
 ]
 
 

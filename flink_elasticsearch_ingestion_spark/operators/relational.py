@@ -2015,3 +2015,53 @@ def groupwise_ols(
         )
         .orderBy(*group_cols)
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    *,
+    percents: tuple[int, ...] = (25, 50, 75),
+) -> DataFrame:
+    """Per-group WEIGHTED quantiles (lower/type-1: the smallest value v
+    whose cumulative weight reaches p% of the group total) — e.g. "the
+    quantity level below which half the revenue sits", the
+    revenue-weighted view an unweighted percentile cannot give.
+
+    Exactness contract: weights must already be EXACT integers (the
+    caller quantizes, e.g. cents); then cumulative sums, totals, and
+    every threshold test ``100*cum >= p*total`` are pure int64
+    arithmetic — bit-identical on any engine, no float anywhere.
+
+    Scale shape: ONE partial+final aggregate to (group, distinct
+    value) with summed weights — the fact table never re-shuffles —
+    then windows over the BOUNDED distinct-value axis (50 quantity
+    levels, a price grid, a rating scale...; the day-axis discipline).
+    For unbounded continuous values, quantize the value column first
+    or swap in approx_percentile."""
+    g = df.groupBy(group_col, value_col).agg(
+        F.sum(weight_col).alias("w")
+    )
+    wc = Window.partitionBy(group_col).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(group_col)
+    cum = g.select(
+        group_col,
+        value_col,
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("total"),
+    )
+    aggs = [F.max("total").alias("total_weight")]
+    for p in percents:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("cum") >= F.lit(int(p)) * F.col("total"),
+                    F.col(value_col),
+                )
+            ).alias(f"p{int(p)}")
+        )
+    return cum.groupBy(group_col).agg(*aggs).orderBy(group_col)

@@ -860,3 +860,51 @@ def test_textrank_matches_python_fixed_point(spark):
         for x in textrank_keywords(docs, n_iter=4, top_k=10).collect()
     ]
     assert got == expect
+
+
+# ------------------------------------------ weighted quantiles
+
+def test_weighted_quantiles_hand_case(spark):
+    """Lower weighted median: value whose cumulative weight first
+    reaches the threshold — verified against a hand computation."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        weighted_quantiles,
+    )
+
+    rows = [
+        # group a: values 1..4 with weights 1, 1, 6, 2 (total 10)
+        # cum: 1, 2, 8, 10 -> p25 -> first cum>=2.5 -> 3;
+        # p50 -> first cum>=5 -> 3; p75 -> first cum>=7.5 -> 3
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 6), ("a", 4, 2),
+        # group b: uniform weights over 1..4 -> cum 1,2,3,4
+        # p25 -> 1, p50 -> 2, p75 -> 3
+        ("b", 1, 1), ("b", 2, 1), ("b", 3, 1), ("b", 4, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v int, w long")
+    out = {r.grp: r for r in weighted_quantiles(df, "grp", "v", "w").collect()}
+    assert (out["a"].p25, out["a"].p50, out["a"].p75) == (3, 3, 3)
+    assert (out["b"].p25, out["b"].p50, out["b"].p75) == (1, 2, 3)
+    assert out["a"].total_weight == 10 and out["b"].total_weight == 4
+
+
+def test_weighted_quantiles_matches_expansion(spark):
+    """Weighted median == unweighted lower median of the
+    frequency-expanded multiset, on random integer data."""
+    import random
+
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        weighted_quantiles,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        ("g", rng.randint(1, 12), rng.randint(1, 9)) for _ in range(80)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v int, w long")
+    out = weighted_quantiles(df, "grp", "v", "w").collect()[0]
+    expanded = sorted(v for _, v, w in rows for _ in range(w))
+    n = len(expanded)
+    for p, got in ((25, out.p25), (50, out.p50), (75, out.p75)):
+        # lower quantile: smallest v with cum >= p% of total
+        idx = -(-n * p // 100)  # ceil(n*p/100)
+        assert got == expanded[idx - 1]

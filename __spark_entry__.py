@@ -974,6 +974,21 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_priority_spanning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: customers whose orders span EVERY order
+    priority (Codd's FOR ALL query) — count-matching form: distinct
+    (customer, priority) pairs, per-customer count vs a 1-row
+    broadcast domain cardinality; no double NOT EXISTS, no cross
+    join."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        relational_division,
+    )
+
+    return relational_division(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderpriority"
+    ).select(F.col("entity").alias("o_custkey"), "n_values")
+
+
 def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-weighted quantity quantiles per return flag: at which
     quantity level does 25/50/75% of revenue sit?  Weights quantized
@@ -2908,7 +2923,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lexical_diversity, oov_rate, kcenter_select, kmeans_fixed,
 # holt_forecast, skyline_docs, dp_histogram, l_diversity,
 # dim_truncation_recall, groupwise_ols, textrank_keywords,
-# weighted_quantiles.
+# weighted_quantiles, priority_spanning_customers.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -3075,6 +3090,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupwise_ols": q_groupwise_ols,
         "textrank_keywords": q_textrank_keywords,
         "weighted_quantiles": q_weighted_quantiles,
+        "priority_spanning_customers": q_priority_spanning_customers,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5299,6 +5315,16 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
         "textrank_keywords": _textrank_sql(4, 20),
+        "priority_spanning_customers": (
+            "WITH p AS (SELECT DISTINCT o_custkey, o_orderpriority"
+            "  FROM orders),"
+            " need AS (SELECT count(DISTINCT o_orderpriority) AS need"
+            "  FROM orders)"
+            " SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_values"
+            " FROM p GROUP BY o_custkey"
+            " HAVING count(*) = (SELECT need FROM need)"
+            " ORDER BY o_custkey"
+        ),
         "weighted_quantiles": (
             "WITH li AS (SELECT l_returnflag,"
             "  CAST(l_quantity AS INT) AS qty,"

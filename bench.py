@@ -219,6 +219,7 @@ EXTENDED = [
     "groupwise_ols",
     "textrank_keywords",
     "weighted_quantiles",
+    "priority_spanning_customers",
 ]
 
 

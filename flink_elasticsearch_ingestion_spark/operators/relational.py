@@ -2065,3 +2065,44 @@ def weighted_quantiles(
             ).alias(f"p{int(p)}")
         )
     return cum.groupBy(group_col).agg(*aggs).orderBy(group_col)
+
+
+def relational_division(
+    df: DataFrame,
+    dividend_col: str,
+    divisor_col: str,
+    divisor: DataFrame | None = None,
+) -> DataFrame:
+    """Relational division — "the entities related to ALL values of the
+    divisor set" (Codd's / operator; the FOR ALL query SQL famously
+    lacks): e.g. customers whose orders span every order priority.
+
+    Implemented as the count-matching form (the only shape that scales):
+    one DISTINCT (entity, value) projection, one per-entity count, one
+    1-row broadcast of the divisor cardinality, keep entities whose
+    distinct-value count equals it.  No double-negation correlated
+    NOT EXISTS (which plans as a nested-loop anti-join twice), no
+    cross join of entities x divisor.  When ``divisor`` is None the
+    divisor set is the distinct values present in ``df`` itself
+    (division by the active domain).
+
+    Output: ``(entity, n_values)`` for full-coverage entities."""
+    pairs = df.select(
+        F.col(dividend_col).alias("entity"),
+        F.col(divisor_col).alias("val"),
+    ).distinct()
+    if divisor is None:
+        dom = pairs.select("val").distinct()
+    else:
+        dom = divisor.select(F.col(divisor_col).alias("val")).distinct()
+        pairs = pairs.join(F.broadcast(dom), "val")  # ignore extras
+    need = dom.agg(F.count(F.lit(1)).alias("need"))
+    counts = pairs.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_values")
+    )
+    return (
+        counts.crossJoin(F.broadcast(need))  # 1-row scalar
+        .filter(F.col("n_values") == F.col("need"))
+        .select("entity", "n_values")
+        .orderBy("entity")
+    )

@@ -908,3 +908,35 @@ def test_weighted_quantiles_matches_expansion(spark):
         # lower quantile: smallest v with cum >= p% of total
         idx = -(-n * p // 100)  # ceil(n*p/100)
         assert got == expanded[idx - 1]
+
+
+# ------------------------------------------- relational division
+
+def test_relational_division_explicit_divisor(spark):
+    """Division by an explicit divisor set: extras in the dividend are
+    ignored; partial coverage fails; the empty-divisor edge returns
+    everything-with-zero? No: nothing (need=0 matches only entities
+    with 0 rows, which never appear)."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        relational_division,
+    )
+
+    taken = spark.createDataFrame(
+        [
+            ("alice", "sql"), ("alice", "spark"), ("alice", "extras"),
+            ("bob", "sql"),
+            ("carol", "spark"), ("carol", "sql"),
+        ],
+        "student string, course string",
+    )
+    required = spark.createDataFrame(
+        [("sql",), ("spark",)], "course string"
+    )
+    out = relational_division(taken, "student", "course", required).collect()
+    assert [(r.entity, r.n_values) for r in out] == [
+        ("alice", 2),
+        ("carol", 2),
+    ]
+    # active-domain division: only entities covering ALL courses seen
+    out2 = relational_division(taken, "student", "course").collect()
+    assert [r.entity for r in out2] == ["alice"]

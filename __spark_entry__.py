@@ -974,6 +974,23 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS/CM inner-product join-cardinality estimate for
+    lineitem JOIN orders on orderkey: depth x width integer sketches
+    per side, bucket-wise product, min across rows; exact arm pins
+    the never-underestimates contract.  All int64, md5-portable."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        join_size_estimate,
+    )
+
+    return join_size_estimate(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
 def q_priority_spanning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational division: customers whose orders span EVERY order
     priority (Codd's FOR ALL query) — count-matching form: distinct
@@ -2923,7 +2940,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lexical_diversity, oov_rate, kcenter_select, kmeans_fixed,
 # holt_forecast, skyline_docs, dp_histogram, l_diversity,
 # dim_truncation_recall, groupwise_ols, textrank_keywords,
-# weighted_quantiles, priority_spanning_customers.
+# weighted_quantiles, priority_spanning_customers,
+# join_size_estimate.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -3091,6 +3109,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "weighted_quantiles": q_weighted_quantiles,
         "priority_spanning_customers": q_priority_spanning_customers,
+        "join_size_estimate": q_join_size_estimate,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5315,6 +5334,43 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
         "textrank_keywords": _textrank_sql(4, 20),
+        "join_size_estimate": (
+            "WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k"
+            "  FROM lineitem),"
+            " ra AS (SELECT CAST(o_orderkey AS VARCHAR) AS k"
+            "  FROM orders),"
+            " sa AS (SELECT j, ('0x' || substr(md5('jse' ||"
+            "   CAST(j AS VARCHAR) || ':' || k), 1, 8))::BIGINT"
+            "   % 2147483647 % 256 AS bucket,"
+            "  CAST(count(*) AS BIGINT) AS c"
+            "  FROM la, generate_series(0, 3) g(j) GROUP BY 1, 2),"
+            " sb AS (SELECT j, ('0x' || substr(md5('jse' ||"
+            "   CAST(j AS VARCHAR) || ':' || k), 1, 8))::BIGINT"
+            "   % 2147483647 % 256 AS bucket,"
+            "  CAST(count(*) AS BIGINT) AS cb"
+            "  FROM ra, generate_series(0, 3) g(j) GROUP BY 1, 2),"
+            " est AS (SELECT CAST(min(row_est) AS BIGINT)"
+            "   AS est_join_size FROM ("
+            "  SELECT sa.j, sum(sa.c * sb.cb) AS row_est FROM sa"
+            "  JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket"
+            "  GROUP BY sa.j)),"
+            " tr AS (SELECT CAST(coalesce(sum(ca.c * cb.c), 0)"
+            "   AS BIGINT) AS true_join_size FROM"
+            "  (SELECT l_orderkey AS k, count(*) AS c FROM lineitem"
+            "   GROUP BY 1) ca JOIN"
+            "  (SELECT o_orderkey AS k, count(*) AS c FROM orders"
+            "   GROUP BY 1) cb ON ca.k = cb.k),"
+            " nl AS (SELECT CAST(count(*) AS BIGINT) AS n_left"
+            "  FROM lineitem),"
+            " nr AS (SELECT CAST(count(*) AS BIGINT) AS n_right"
+            "  FROM orders)"
+            " SELECT n_left, n_right, true_join_size, est_join_size,"
+            "  est_join_size - true_join_size AS overestimate,"
+            "  round(CASE WHEN true_join_size > 0 THEN"
+            "   CAST(est_join_size - true_join_size AS DOUBLE)"
+            "    / true_join_size END + 1e-9, 6) AS rel_error"
+            " FROM nl, nr, tr, est"
+        ),
         "priority_spanning_customers": (
             "WITH p AS (SELECT DISTINCT o_custkey, o_orderpriority"
             "  FROM orders),"

@@ -220,6 +220,7 @@ EXTENDED = [
     "textrank_keywords",
     "weighted_quantiles",
     "priority_spanning_customers",
+    "join_size_estimate",
 ]
 
 

@@ -2106,3 +2106,105 @@ def relational_division(
         .select("entity", "n_values")
         .orderBy("entity")
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Sketch-based equi-join cardinality estimation (the AMS /
+    count-min inner-product estimator, Alon-Gibbons-Matias-Szegedy):
+    |A join B| = sum_k cA(k)*cB(k) is estimated by the bucket-wise
+    inner product of each side's count sketch, taking the MIN across
+    ``depth`` independent hash rows.  This is what a cost-based
+    optimizer (or a pipeline pre-flight check) runs BEFORE committing
+    to a shuffle strategy: sketch state is ``depth x width`` cells per
+    side regardless of data volume, mergeable cell-wise across shards,
+    and the estimator never underestimates.
+
+    The exact arm (per-key count join) is computed alongside to pin
+    the contract — production keeps only the sketches.  Hashes are the
+    engine-portable md5 family, so every cell and the estimate replay
+    bit-for-bit in an independent engine; all arithmetic is exact
+    int64.
+
+    Output: ONE row (n_left, n_right, true_join_size, est_join_size,
+    overestimate, rel_error)."""
+    from .dedup import portable_hash31
+
+    def sketch(df: DataFrame, key: str) -> DataFrame:
+        fan = df.select(F.col(key).cast("string").alias("k")).select(
+            "k",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+        )
+        bucket = (
+            portable_hash31(
+                F.concat(
+                    F.lit("jse"),
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("k"),
+                )
+            )
+            % width
+        )
+        return (
+            fan.select("j", bucket.alias("bucket"))
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    sa = sketch(left, left_key)
+    sb = sketch(right, right_key)
+    est = (
+        sa.join(
+            F.broadcast(sb.select("j", "bucket", F.col("c").alias("cb"))),
+            ["j", "bucket"],
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("row_est"))
+        .agg(F.min("row_est").alias("est_join_size"))
+    )
+    ca = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    true_sz = ca.join(cb, "k").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias(
+            "true_join_size"
+        )
+    )
+    nl = left.agg(F.count(F.lit(1)).alias("n_left"))
+    nr = right.agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        nl.crossJoin(nr)
+        .crossJoin(true_sz)
+        .crossJoin(est)  # all 1-row scalar frames
+        .select(
+            "n_left",
+            "n_right",
+            "true_join_size",
+            "est_join_size",
+            (F.col("est_join_size") - F.col("true_join_size")).alias(
+                "overestimate"
+            ),
+            F.round(
+                F.when(
+                    F.col("true_join_size") > 0,
+                    (
+                        F.col("est_join_size") - F.col("true_join_size")
+                    ).cast("double")
+                    / F.col("true_join_size"),
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("rel_error"),
+        )
+    )

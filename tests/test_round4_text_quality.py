@@ -940,3 +940,46 @@ def test_relational_division_explicit_divisor(spark):
     # active-domain division: only entities covering ALL courses seen
     out2 = relational_division(taken, "student", "course").collect()
     assert [r.entity for r in out2] == ["alice"]
+
+
+# ---------------------------------------- join-size estimation
+
+def test_join_size_estimate_never_underestimates(spark):
+    """CMS inner product >= true join size always; exact on
+    collision-free data; overestimate grows only via collisions."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        join_size_estimate,
+    )
+
+    left = spark.createDataFrame(
+        [(k, "l") for k in range(30) for _ in range(k % 3 + 1)],
+        "k long, side string",
+    )
+    right = spark.createDataFrame(
+        [(k, "r") for k in range(15, 45) for _ in range(2)],
+        "k long, side string",
+    )
+    r = join_size_estimate(left, right, "k", "k", width=64).collect()[0]
+    true = sum(2 * (k % 3 + 1) for k in range(15, 30))
+    assert r.true_join_size == true
+    assert r.est_join_size >= r.true_join_size
+    assert r.overestimate == r.est_join_size - r.true_join_size
+    assert r.n_left == sum(k % 3 + 1 for k in range(30))
+    assert r.n_right == 60
+    # with a wide sketch the estimate should be tight-ish
+    r2 = join_size_estimate(left, right, "k", "k", width=4096).collect()[0]
+    assert r2.est_join_size - r2.true_join_size <= r.est_join_size - r.true_join_size
+    assert r2.rel_error < 0.5
+
+
+def test_join_size_estimate_disjoint_keys(spark):
+    """Disjoint key sets: true size 0, rel_error null."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        join_size_estimate,
+    )
+
+    left = spark.createDataFrame([(k,) for k in range(10)], "k long")
+    right = spark.createDataFrame([(k,) for k in range(100, 110)], "k long")
+    r = join_size_estimate(left, right, "k", "k").collect()[0]
+    assert r.true_join_size == 0 and r.rel_error is None
+    assert r.est_join_size >= 0

@@ -974,6 +974,20 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view incremental maintenance: enriched-orders view kept
+    fresh via the delta-join algebra (dA|><|B_old + A_old|><|dB +
+    dA|><|dB unioned onto the base view); the oracle recomputes the
+    view naively, so a missed/duplicated delta term breaks the hash."""
+    from flink_elasticsearch_ingestion_spark.operators.copy import (
+        incremental_join_view,
+    )
+
+    return incremental_join_view(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS/CM inner-product join-cardinality estimate for
     lineitem JOIN orders on orderkey: depth x width integer sketches
@@ -2941,7 +2955,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # holt_forecast, skyline_docs, dp_histogram, l_diversity,
 # dim_truncation_recall, groupwise_ols, textrank_keywords,
 # weighted_quantiles, priority_spanning_customers,
-# join_size_estimate.
+# join_size_estimate, incremental_join_view.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -3110,6 +3124,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": q_weighted_quantiles,
         "priority_spanning_customers": q_priority_spanning_customers,
         "join_size_estimate": q_join_size_estimate,
+        "incremental_join_view": q_incremental_join_view,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5334,6 +5349,16 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
         "textrank_keywords": _textrank_sql(4, 20),
+        "incremental_join_view": (
+            # naive full recompute -- the differential that catches
+            # missed/duplicated delta terms in the Spark IVM path
+            "SELECT c_mktsegment AS segment,"
+            " CAST(count(*) AS BIGINT) AS n_orders,"
+            " CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))"
+            "  AS BIGINT) / 100.0 AS revenue"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_mktsegment ORDER BY segment"
+        ),
         "join_size_estimate": (
             "WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k"
             "  FROM lineitem),"

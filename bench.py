@@ -221,6 +221,7 @@ EXTENDED = [
     "weighted_quantiles",
     "priority_spanning_customers",
     "join_size_estimate",
+    "incremental_join_view",
 ]
 
 

@@ -343,3 +343,64 @@ def erase_users(
         .orderBy(user_col)
     )
     return cleaned, audit
+
+
+def incremental_join_view(
+    orders: DataFrame,
+    customer: DataFrame,
+    *,
+    cutoff: str = "1997-01-01",
+    new_cust_mod: int = 10,
+) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view — the
+    delta-join algebra (V = A join B maintained as
+    V_old + dA join B_old + A_old join dB + dA join dB) that keeps an
+    enriched-orders view fresh WITHOUT re-joining the full fact table
+    every batch; the join-view counterpart of ``incremental_rollup``
+    (aggregate IVM) and ``merge_apply`` (CDC upsert).
+
+    The split is simulated deterministically: orders on/after
+    ``cutoff`` are the order delta, customers with
+    ``c_custkey % new_cust_mod == 0`` are the customer delta.  The
+    maintained view then aggregates per market segment — and the
+    ORACLE computes the same aggregate from a naive full recompute, so
+    any missed or duplicated delta term (the classic IVM bugs) breaks
+    the hash.
+
+    Scale shape: the three delta terms each join a DELTA against a
+    static side (broadcast the delta when batch-sized; the
+    ``incremental_near_dup`` production shape — wide work scales with
+    the increment, base x base never re-joins); the final union feeds
+    ONE partial+final aggregate.  Revenue is quantized to exact cents
+    before summing (order-independent)."""
+    key = orders["o_custkey"] == customer["c_custkey"]
+    a_old = orders.filter(F.col("o_orderdate") < F.lit(cutoff))
+    a_new = orders.filter(F.col("o_orderdate") >= F.lit(cutoff))
+    b_old = customer.filter(
+        F.col("c_custkey") % new_cust_mod != 0
+    )
+    b_new = customer.filter(F.col("c_custkey") % new_cust_mod == 0)
+
+    def enrich(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a["o_custkey"] == b["c_custkey"]).select(
+            b["c_mktsegment"].alias("segment"),
+            F.expr("CAST(round(o_totalprice * 100.0, 0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+
+    v_old = enrich(a_old, b_old)
+    delta = (
+        enrich(a_new, b_old)
+        .unionByName(enrich(a_old, b_new))
+        .unionByName(enrich(a_new, b_new))
+    )
+    return (
+        v_old.unionByName(delta)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("segment")
+    )

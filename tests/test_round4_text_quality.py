@@ -983,3 +983,43 @@ def test_join_size_estimate_disjoint_keys(spark):
     r = join_size_estimate(left, right, "k", "k").collect()[0]
     assert r.true_join_size == 0 and r.rel_error is None
     assert r.est_join_size >= 0
+
+
+# ------------------------------------- incremental join-view IVM
+
+def test_incremental_join_view_equals_full_recompute(spark):
+    """The delta-join algebra must reproduce the naive join exactly,
+    including orders/customers that fall in every delta quadrant."""
+    import datetime
+
+    from flink_elasticsearch_ingestion_spark.operators.copy import (
+        incremental_join_view,
+    )
+
+    d_old = datetime.date(1996, 6, 1)
+    d_new = datetime.date(1997, 6, 1)
+    orders = spark.createDataFrame(
+        [
+            # (orderkey, custkey, date, price): old/new x old/new cust
+            (1, 1, d_old, 100.0),   # old order, old cust (1%10 != 0)
+            (2, 10, d_old, 200.0),  # old order, NEW cust (10%10 == 0)
+            (3, 1, d_new, 400.0),   # new order, old cust
+            (4, 20, d_new, 800.0),  # new order, new cust
+            (5, 99, d_new, 50.0),   # new order, no matching cust
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(1, "BUILDING"), (10, "AUTO"), (20, "AUTO"), (30, "MACHINERY")],
+        "c_custkey long, c_mktsegment string",
+    )
+    out = {
+        r.segment: (r.n_orders, r.revenue)
+        for r in incremental_join_view(orders, customer).collect()
+    }
+    # full recompute: BUILDING gets orders 1+3, AUTO gets 2+4
+    assert out == {
+        "BUILDING": (2, 500.0),
+        "AUTO": (2, 1000.0),
+    }

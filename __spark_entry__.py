@@ -974,6 +974,28 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the same (price-bucket,
+    custkey-residue) grid as ``zorder_key`` — no diagonal jumps, so
+    per-file bounding boxes are tighter than Morton's; ONE aggregate
+    fold over bit levels, exact int64 only."""
+    from flink_elasticsearch_ingestion_spark.sources.layout import (
+        hilbert_value,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    x = F.least(
+        F.lit(65535), F.floor(F.col("o_totalprice") / 8).cast("bigint")
+    )
+    y = F.pmod(F.col("o_custkey"), 65536)
+    return orders.select(
+        "o_orderkey",
+        x.alias("price_bucket"),
+        y.alias("cust_bucket"),
+        hilbert_value(x, y).alias("h_key"),
+    ).orderBy("o_orderkey")
+
+
 def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-view incremental maintenance: enriched-orders view kept
     fresh via the delta-join algebra (dA|><|B_old + A_old|><|dB +
@@ -2955,7 +2977,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # holt_forecast, skyline_docs, dp_histogram, l_diversity,
 # dim_truncation_recall, groupwise_ols, textrank_keywords,
 # weighted_quantiles, priority_spanning_customers,
-# join_size_estimate, incremental_join_view.
+# join_size_estimate, incremental_join_view, hilbert_key.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -3125,6 +3147,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_spanning_customers": q_priority_spanning_customers,
         "join_size_estimate": q_join_size_estimate,
         "incremental_join_view": q_incremental_join_view,
+        "hilbert_key": q_hilbert_key,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -3410,6 +3433,41 @@ def _pq_values() -> str:
             lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
             rows.append(f"({sub}, {cid}, {lit})")
     return ", ".join(rows)
+
+
+def _hilbert_sql(bits: int = 16) -> str:
+    """Unrolled SQL replay of the Hilbert xy2d bit walk
+    (``hilbert_value``): one CTE per bit level maintaining (x, y, d)
+    with the same reflect/transpose CASEs and exact int64 quadrant
+    digits — bit-exact, no rounding discipline needed."""
+    parts = [
+        "WITH h0 AS MATERIALIZED (SELECT o_orderkey,"
+        " least(65535, CAST(floor(o_totalprice / 8) AS BIGINT))"
+        " AS price_bucket, o_custkey % 65536 AS cust_bucket,"
+        " least(65535, CAST(floor(o_totalprice / 8) AS BIGINT)) AS x,"
+        " o_custkey % 65536 AS y, CAST(0 AS BIGINT) AS d FROM orders)"
+    ]
+    for i in range(1, bits + 1):
+        s_val = 1 << (bits - i)
+        parts.append(
+            f", h{i} AS MATERIALIZED (SELECT o_orderkey, price_bucket,"
+            f" cust_bucket,"
+            f" CASE WHEN ry = 0 AND rx = 1 THEN {s_val} - 1 - y"
+            f"  WHEN ry = 0 THEN y ELSE x END AS x,"
+            f" CASE WHEN ry = 0 AND rx = 1 THEN {s_val} - 1 - x"
+            f"  WHEN ry = 0 THEN x ELSE y END AS y,"
+            f" d + {s_val * s_val} * xor(3 * rx, ry) AS d"
+            f" FROM (SELECT *,"
+            f" CASE WHEN (x & {s_val}) > 0 THEN CAST(1 AS BIGINT)"
+            f"  ELSE CAST(0 AS BIGINT) END AS rx,"
+            f" CASE WHEN (y & {s_val}) > 0 THEN CAST(1 AS BIGINT)"
+            f"  ELSE CAST(0 AS BIGINT) END AS ry FROM h{i - 1}))"
+        )
+    parts.append(
+        f" SELECT o_orderkey, price_bucket, cust_bucket,"
+        f" CAST(d AS BIGINT) AS h_key FROM h{bits} ORDER BY o_orderkey"
+    )
+    return "".join(parts)
 
 
 def _textrank_sql(n_iter: int = 4, top_k: int = 20, min_len: int = 3) -> str:
@@ -5349,6 +5407,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_select": _kcenter_sql(8),
         "kmeans_fixed": _kmeans_sql(8, 3),
         "textrank_keywords": _textrank_sql(4, 20),
+        "hilbert_key": _hilbert_sql(16),
         "incremental_join_view": (
             # naive full recompute -- the differential that catches
             # missed/duplicated delta terms in the Spark IVM path

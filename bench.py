@@ -222,6 +222,7 @@ EXTENDED = [
     "priority_spanning_customers",
     "join_size_estimate",
     "incremental_join_view",
+    "hilbert_key",
 ]
 
 

@@ -124,3 +124,60 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def hilbert_value(x: F.Column, y: F.Column, bits: int = ZORDER_BITS) -> F.Column:
+    """Hilbert-curve index of a 2-D point (``bits`` bits per axis) —
+    the space-filling curve Delta/Iceberg moved to AFTER z-order,
+    because Hilbert has no long diagonal jumps: consecutive key values
+    are always grid-neighbors, so each file's (x, y) bounding box is
+    tighter and min/max skipping prunes strictly better on mixed
+    predicates than the Morton curve's corner teleports.
+
+    The classic bit-level walk (the xy2d form): from the top bit down,
+    quadrant digits accumulate ``s*s*((3*rx) XOR ry)`` while the lower
+    half-plane is reflected/transposed as the curve recurses.
+    Implemented as ONE ``aggregate`` fold over the bit levels with an
+    integer struct accumulator — O(bits) expression nodes (one parse),
+    exact int64 arithmetic only, engine-portable, no UDF."""
+
+    def step(acc, _b):
+        rx = (
+            F.when(acc["x"].bitwiseAND(acc["s"]) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        ry = (
+            F.when(acc["y"].bitwiseAND(acc["s"]) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        d2 = acc["d"] + acc["s"] * acc["s"] * (
+            (F.lit(3).cast("bigint") * rx).bitwiseXOR(ry)
+        )
+        low = ry == 0
+        refl = rx == 1
+        new_x = (
+            F.when(low & refl, acc["s"] - 1 - acc["y"])
+            .when(low, acc["y"])
+            .otherwise(acc["x"])
+        )
+        new_y = (
+            F.when(low & refl, acc["s"] - 1 - acc["x"])
+            .when(low, acc["x"])
+            .otherwise(acc["y"])
+        )
+        return F.struct(
+            new_x.alias("x"),
+            new_y.alias("y"),
+            d2.alias("d"),
+            (acc["s"] / F.lit(2)).cast("bigint").alias("s"),
+        )
+
+    init = F.struct(
+        x.cast("bigint").alias("x"),
+        y.cast("bigint").alias("y"),
+        F.lit(0).cast("bigint").alias("d"),
+        F.lit(1 << (bits - 1)).cast("bigint").alias("s"),
+    )
+    return F.aggregate(F.sequence(F.lit(1), F.lit(bits)), init, step)["d"]

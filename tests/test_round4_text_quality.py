@@ -1023,3 +1023,44 @@ def test_incremental_join_view_equals_full_recompute(spark):
         "BUILDING": (2, 500.0),
         "AUTO": (2, 1000.0),
     }
+
+
+# ------------------------------------------ Hilbert layout key
+
+def test_hilbert_value_matches_reference_walk(spark):
+    """Exact differential vs the textbook xy2d walk on a full 16x16
+    grid, plus the locality property that justifies Hilbert over
+    Morton: consecutive keys are always grid neighbors."""
+    from pyspark.sql import functions as F
+
+    from flink_elasticsearch_ingestion_spark.sources.layout import (
+        hilbert_value,
+    )
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = df.select(
+        "x", "y", hilbert_value(F.col("x"), F.col("y"), bits=4).alias("h")
+    ).collect()
+    assert all(r.h == xy2d(16, r.x, r.y) for r in rows)
+    assert sorted(r.h for r in rows) == list(range(256))  # bijection
+    by_h = {r.h: (r.x, r.y) for r in rows}
+    assert all(
+        abs(by_h[i][0] - by_h[i + 1][0]) + abs(by_h[i][1] - by_h[i + 1][1])
+        == 1
+        for i in range(255)
+    )

@@ -1132,3 +1132,93 @@ def stream_anomaly(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cusum_apply_factory(
+    spark: SparkSession,
+    monitor_path: str,
+    *,
+    value_col: str = "value",
+    mu: float = 0.0,
+    k_slack: float = 0.5,
+    h_limit: float = 4.0,
+):
+    """foreachBatch body for ``stream_cusum``: fold each micro-batch's
+    value total into the persistent two-sided CUSUM state — the
+    continuously-evaluated twin of the batch ``cusum_changepoints``
+    chart (a small SUSTAINED level shift trips the cumulative
+    statistic batches before any per-batch z-score would notice).
+
+    Streaming semantics: the reference level ``mu`` and the k/h design
+    constants are CALLER-provided (estimated on a training window, the
+    standard SPC deployment), not re-fit per batch — re-fitting on
+    drifting data is exactly what masks the shift being monitored.
+    State is the bounded per-batch series parquet; the batch total is
+    a distributed aggregate, the recurrence is O(1) driver arithmetic.
+    Exactly-once under foreachBatch retries: replayed batch ids
+    are no-ops."""
+
+    series_path = monitor_path.rstrip("/") + "/series"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prior: list = []
+        if os.path.isdir(series_path):
+            prior = sorted(
+                spark.read.parquet(series_path).collect(),
+                key=lambda r: r["batch_id"],
+            )
+            if prior and any(r["batch_id"] == batch_id for r in prior):
+                return
+        total = batch_df.agg(
+            F.coalesce(F.round(F.sum(value_col), 2), F.lit(0.0)).cast(
+                "double"
+            )
+        ).collect()[0][0]
+        sp_prev = prior[-1]["sp"] if prior else 0.0
+        sn_prev = prior[-1]["sn"] if prior else 0.0
+        sp = max(0.0, sp_prev + (total - mu) - k_slack)
+        sn = max(0.0, sn_prev - (total - mu) - k_slack)
+        alarm = sp > h_limit or sn > h_limit
+        spark.createDataFrame(
+            [(int(batch_id), float(total), float(sp), float(sn), bool(alarm))],
+            "batch_id long, total double, sp double, sn double,"
+            " alarm boolean",
+        ).write.mode("append").parquet(series_path)
+
+    return apply_batch
+
+
+def stream_cusum(
+    spark: SparkSession,
+    events_path: str,
+    monitor_path: str,
+    checkpoint_dir: str,
+    *,
+    value_col: str = "value",
+    mu: float = 0.0,
+    k_slack: float = 0.5,
+    h_limit: float = 4.0,
+):
+    """Streaming two-sided CUSUM monitor: every micro-batch folds its
+    total into the persistent control-chart state (see
+    ``cusum_apply_factory``)."""
+    schema = spark.read.parquet(events_path).schema
+    apply_batch = cusum_apply_factory(
+        spark,
+        monitor_path,
+        value_col=value_col,
+        mu=mu,
+        k_slack=k_slack,
+        h_limit=h_limit,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -587,3 +587,69 @@ def test_stream_anomaly_monitor_flags_spike_and_replays(tmp_path, spark):
     # contains the spike, but stays within bounds (not flagged as
     # extreme as the spike itself)
     assert abs(rows[9]["z"]) < abs(rows[8]["z"])
+
+
+def test_stream_cusum_catches_sustained_shift_and_replays(tmp_path, spark):
+    """A small sustained level shift (invisible to any per-batch
+    z-score) trips the cumulative statistic within a few batches; the
+    recurrence matches a pure-Python replica; replays are no-ops."""
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        cusum_apply_factory,
+    )
+
+    monitor = str(tmp_path / "cusum")
+    apply_batch = cusum_apply_factory(
+        spark, monitor, value_col="v", mu=10.0, k_slack=1.0, h_limit=5.0
+    )
+    totals = [10.0] * 5 + [13.0] * 4  # +3 shift, k=1 -> sp +2/batch
+    for i, t in enumerate(totals):
+        b = spark.createDataFrame([(t / 2,), (t / 2,)], "v double")
+        apply_batch(b, i)
+    apply_batch(
+        spark.createDataFrame([(99.0,)], "v double"), 3
+    )  # replay id 3: no-op
+    rows = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(monitor + "/series").collect()
+    }
+    assert len(rows) == 9
+    # python replica of the recurrence on the same totals
+    sp = sn = 0.0
+    expect = []
+    for t in totals:
+        sp = max(0.0, sp + (t - 10.0) - 1.0)
+        sn = max(0.0, sn - (t - 10.0) - 1.0)
+        expect.append((sp, sn, sp > 5.0 or sn > 5.0))
+    for i, (esp, esn, ealarm) in enumerate(expect):
+        assert abs(rows[i]["sp"] - esp) < 1e-9
+        assert abs(rows[i]["sn"] - esn) < 1e-9
+        assert rows[i]["alarm"] == ealarm
+    # steady prefix never alarms; the shift alarms by its 3rd batch
+    assert not rows[4]["alarm"] and rows[7]["alarm"] and rows[8]["alarm"]
+
+
+def test_stream_cusum_end_to_end_availablenow(tmp_path, spark):
+    """The writeStream wiring: staged parquet files drain under
+    AvailableNow, one series row per micro-batch."""
+    from flink_elasticsearch_ingestion_spark.streaming.analytics import (
+        stream_cusum,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.createDataFrame(
+            [(float(10 + i),)], "value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_cusum(
+        spark,
+        src,
+        str(tmp_path / "mon"),
+        str(tmp_path / "ckpt"),
+        mu=10.0,
+        k_slack=0.5,
+        h_limit=100.0,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "mon") + "/series").collect()
+    assert len(rows) == 3
+    assert {round(r["total"], 1) for r in rows} == {10.0, 11.0, 12.0}

@@ -79,6 +79,15 @@ SCALAR_JOIN_OK = {
     "ndcg_eval",
     # 1-row bootstrap summary broadcast onto the 1-row point estimate
     "bootstrap_ci",
+    # |labels|-row centroid-vector table broadcast onto the corpus
+    # (bounded label-dimension cross-expansion, same class as
+    # chi2_terms)
+    "centroid_margin",
+    # bounded eval-panel broadcast (16 query vectors) onto the corpus
+    # -- an eval runs on a sampled panel by design
+    "dim_truncation_recall",
+    # four 1-row scalar frames (n_left/n_right/true/estimate) chained
+    "join_size_estimate",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",

@@ -974,6 +974,20 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by power iteration on the distributed
+    Gram matrix — the hash-verifiable sibling of the rows-only
+    embedding_pca: dim^2-bounded corpus reduction, then 5 driver-side
+    matrix-vector products on the 6dp-rounded matrix with the shared
+    sequential-fold dot order; unrolled CTE oracle replays the whole
+    trajectory."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        top_component,
+    )
+
+    return top_component(_t(spark, sf_dir, "embeddings"), iters=5)
+
+
 def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert-curve clustering key over the same (price-bucket,
     custkey-residue) grid as ``zorder_key`` — no diagonal jumps, so
@@ -2977,7 +2991,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # holt_forecast, skyline_docs, dp_histogram, l_diversity,
 # dim_truncation_recall, groupwise_ols, textrank_keywords,
 # weighted_quantiles, priority_spanning_customers,
-# join_size_estimate, incremental_join_view, hilbert_key.
+# join_size_estimate, incremental_join_view, hilbert_key,
+# top_component.
 _WINDOW_PRIORITY = [
     # (a) the r03 red, repaired
     "es_scroll_roundtrip",
@@ -3148,6 +3163,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "incremental_join_view": q_incremental_join_view,
         "hilbert_key": q_hilbert_key,
+        "top_component": q_top_component,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -3433,6 +3449,71 @@ def _pq_values() -> str:
             lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
             rows.append(f"({sub}, {cid}, {lit})")
     return ", ".join(rows)
+
+
+def _top_component_sql(iters: int = 5, dim: int = 64) -> str:
+    """Unrolled SQL replay of the power-iteration trajectory
+    (``top_component``): the 6dp Gram matrix (the proven
+    embedding_gramian oracle) mirrored to full symmetric row-lists,
+    then per-iteration list_dot_product matrix-vector steps with the
+    EXPLICIT floor(|x|*1e6 + 0.5)/1e6 rounding — the same IEEE op
+    sequence as the engine's Python fold, no library round semantics
+    in play."""
+    r6 = (
+        "(CASE WHEN {x} >= 0 THEN floor(({x}) * 1000000.0 + 0.5)"
+        " ELSE -floor(-({x}) * 1000000.0 + 0.5) END / 1000000.0)"
+    )
+    parts = [
+        "WITH p AS (SELECT i, j,"
+        " CAST(embedding[i + 1] AS DOUBLE) *"
+        " CAST(embedding[j + 1] AS DOUBLE) AS v FROM embeddings,"
+        f" LATERAL (SELECT unnest(generate_series(0, {dim - 1})) AS i) gi,"
+        f" LATERAL (SELECT unnest(generate_series(0, {dim - 1})) AS j) gj"
+        " WHERE j >= i)",
+        ", g AS MATERIALIZED (SELECT i, j, round(sum(v) + 1e-9, 6)"
+        " AS dot FROM p GROUP BY i, j)",
+        ", gf AS MATERIALIZED (SELECT i, j, dot FROM g"
+        " UNION ALL SELECT j, i, dot FROM g WHERE i <> j)",
+        ", gr AS MATERIALIZED (SELECT i, list(dot ORDER BY j) AS gv"
+        " FROM gf GROUP BY i)",
+        ", v0 AS MATERIALIZED (SELECT list_transform("
+        f"generate_series(1, {dim}), x -> 1.0) AS v)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f", w{t} AS MATERIALIZED (SELECT i, list_dot_product(gv,"
+            f" (SELECT v FROM v{t - 1})) AS w FROM gr)"
+        )
+        parts.append(
+            f", n{t} AS MATERIALIZED (SELECT"
+            f" sqrt(list_dot_product(wl, wl)) AS nn FROM"
+            f" (SELECT list(w ORDER BY i) AS wl FROM w{t}))"
+        )
+        parts.append(
+            f", v{t}t AS MATERIALIZED (SELECT i, "
+            + r6.format(x=f"w / (SELECT nn FROM n{t})")
+            + f" AS val FROM w{t})"
+        )
+        parts.append(
+            f", v{t} AS MATERIALIZED (SELECT list(val ORDER BY i)"
+            f" AS v FROM v{t}t)"
+        )
+    parts.append(
+        f", wf AS MATERIALIZED (SELECT i, list_dot_product(gv,"
+        f" (SELECT v FROM v{iters})) AS w FROM gr)"
+    )
+    parts.append(
+        ", lam AS (SELECT "
+        + r6.format(
+            x=f"list_dot_product((SELECT v FROM v{iters}), wl)"
+        )
+        + " AS ev FROM (SELECT list(w ORDER BY i) AS wl FROM wf))"
+    )
+    parts.append(
+        f" SELECT CAST(t.i AS INT) AS dim_index, t.val AS loading,"
+        f" lam.ev AS eigenvalue FROM v{iters}t t, lam ORDER BY dim_index"
+    )
+    return "".join(parts)
 
 
 def _hilbert_sql(bits: int = 16) -> str:
@@ -5408,6 +5489,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_fixed": _kmeans_sql(8, 3),
         "textrank_keywords": _textrank_sql(4, 20),
         "hilbert_key": _hilbert_sql(16),
+        "top_component": _top_component_sql(5, 64),
         "incremental_join_view": (
             # naive full recompute -- the differential that catches
             # missed/duplicated delta terms in the Spark IVM path

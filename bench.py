@@ -223,6 +223,7 @@ EXTENDED = [
     "join_size_estimate",
     "incremental_join_view",
     "hilbert_key",
+    "top_component",
 ]
 
 

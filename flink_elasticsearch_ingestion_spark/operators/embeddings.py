@@ -929,3 +929,58 @@ def dim_truncation_recall(
         )
         .orderBy("query_id")
     )
+
+
+def top_component(
+    embeddings: DataFrame,
+    *,
+    iters: int = 5,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION on the distributed Gram matrix — the hash-verifiable
+    sibling of ``embedding_pca`` (whose driver-side ``eigh`` is
+    rows-only by nature): one corpus-scale X'X reduction
+    (``embedding_gramian``: dim^2-bounded shuffle regardless of N),
+    then ``iters`` matrix-vector products on the 6dp-ROUNDED dim x dim
+    matrix, driver-side and bounded.
+
+    Determinism contract: the rounded Gram matrix is the cross-engine
+    boundary (already oracle-pinned); every subsequent dot product
+    uses the sequential left fold (``_py_dot`` order == DuckDB
+    ``list_dot_product`` == Spark ``aggregate``), norms are single
+    ``sqrt`` calls (IEEE-correct), and each iterate is re-rounded to
+    6dp — so the whole trajectory replays in an unrolled CTE oracle.
+    v0 = all-ones (no normalization-sign ambiguity: the iterate's sign
+    flows from G itself).
+
+    Output: one row per dimension ``(dim_index, loading, eigenvalue)``
+    with the Rayleigh-quotient eigenvalue repeated (the top spectral
+    summary a whitening/JL decision reads)."""
+    import math
+
+    from .similarity import _py_dot
+
+    g_rows = embedding_gramian(embeddings, dim=dim, vec_col=vec_col).collect()
+    G = [[0.0] * dim for _ in range(dim)]
+    for r in g_rows:
+        G[r["i"]][r["j"]] = r["dot"]
+        G[r["j"]][r["i"]] = r["dot"]
+
+    def rnd6(x: float) -> float:
+        s = 1.0 if x >= 0 else -1.0
+        return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+    v = [1.0] * dim
+    for _ in range(iters):
+        w = [_py_dot(G[i], v) for i in range(dim)]
+        nrm = math.sqrt(_py_dot(w, w))
+        v = [rnd6(x / nrm) for x in w]
+    w = [_py_dot(G[i], v) for i in range(dim)]
+    lam = rnd6(_py_dot(v, w))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i], lam) for i in range(dim)],
+        "dim_index int, loading double, eigenvalue double",
+    ).orderBy("dim_index")

@@ -1064,3 +1064,40 @@ def test_hilbert_value_matches_reference_walk(spark):
         == 1
         for i in range(255)
     )
+
+
+# -------------------------------------- power-iteration component
+
+def test_top_component_matches_numpy_eigh(spark):
+    """On a corpus with one dominant direction, 5 power iterations
+    recover numpy's top eigenvector (up to sign) and eigenvalue."""
+    import random
+
+    import numpy as np
+
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        top_component,
+    )
+
+    rng = random.Random(41)
+    axis = np.array([3.0, 1.0, 0.5, 0.25])
+    axis /= np.linalg.norm(axis)
+    rows = []
+    for i in range(300):
+        v = rng.gauss(0, 5) * axis + np.array(
+            [rng.gauss(0, 0.3) for _ in range(4)]
+        )
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = top_component(emb, iters=5, dim=4).collect()
+    v = np.array([r.loading for r in sorted(out, key=lambda r: r.dim_index)])
+    lam = out[0].eigenvalue
+    X = np.array([r[1] for r in rows])
+    G = X.T @ X
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.999
+    assert abs(lam - evals[-1]) / evals[-1] < 0.01
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    assert all(r.eigenvalue == lam for r in out)

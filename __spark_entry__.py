@@ -478,17 +478,18 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_price_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: ntile / percent_rank / cume_dist
     over a deterministic (tie-broken) global order, quartile summary so
-    the result stays small at any SF."""
-    from pyspark.sql import Window
+    the result stays small at any SF.  Built on the two-phase
+    ``global_distribution_ranks`` operator (coarse literal ranges +
+    broadcast prefix offsets) so NO single-partition window ever sees
+    the orders table — bit-identical to the ntile/percent_rank/
+    cume_dist window functions the oracle runs."""
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        global_distribution_ranks,
+    )
 
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_distribution_ranks(
+        orders, "o_totalprice", "o_orderkey", ntile_k=4
     )
     return (
         ranked.groupBy("quartile")
@@ -2955,64 +2956,105 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Round-4 driver window (the driver hash-checks the FIRST 50 entries of
-# ``queries()`` per round).  Priority: (a) the one r03 red, repaired
-# this round (es_scroll_roundtrip failed only because the driver's
-# vanilla session runs spark.sql.python.filterPushdown.enabled=false;
-# the query now goes through ``scroll_read``, which enables the conf at
-# runtime and degrades to a no-pushFilters reader when locked — proven
-# by tests/test_vanilla_session.py's bare-subprocess replica); (b) the
-# 43 round-3 additions that landed at position 51+ in the r03 window
-# and have NEVER produced a driver row (all hash-green under the
-# type-strict local gate, scripts/check_oracle.py); (c) rotation fill
-# of round-1 greens not re-checked since r01.  Names absent from the
-# catalog are skipped, extras append in catalog order, so the list is
-# safe to edit.  Cumulative driver verification after this window:
-# 178/178 of the round-3 catalog.
+def q_leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold split: near-dup clusters assign as UNITS
+    (fold keyed on the cluster representative), so cross-fold near-dup
+    leakage is zero by construction — the dedup-aware split a training
+    pipeline needs before cross-validation. The oracle re-derives the
+    clusters (recursive CTE), the fold hash, the per-fold sizes AND the
+    zero leaky-pair proof."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        leakage_safe_folds,
+    )
+
+    return leakage_safe_folds(
+        _t(spark, sf_dir, "documents"),
+        k=5,
+        jaccard_threshold=0.4,
+        portable=True,
+        band_cap=None,
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority revenue computed off a CO-LOCATED bucketed
+    layout (sources/layout.py): lineitem and orders staged bucketed by
+    the join key with matching bucket counts, joined with ZERO exchange
+    on either side — the bucket-once-join-shuffle-free-forever shape of
+    repeated fact-fact joins at 100 TB. Values are layout-independent
+    (the oracle joins the raw tables); the exchange-free plan is pinned
+    by tests/test_plans.py::test_bucketed_join_is_colocated."""
+    import tempfile
+
+    from flink_elasticsearch_ingestion_spark.sources.layout import (
+        colocated_order_revenue,
+    )
+
+    staging = tempfile.mkdtemp(prefix="bucketed_join_")
+    return colocated_order_revenue(
+        spark, _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"), staging
+    )
+
+
+def q_streaming_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end streaming ingestion pipeline's deterministic
+    batch twin (streaming/pipeline.py): documents arrive in 3 polls
+    (doc_id % 3), each poll is near-dup-admission-checked against the
+    accumulated signature store of everything admitted so far PLUS its
+    own earlier-id docs — the exact greedy policy the foreachBatch
+    stream runs per micro-batch (same ``admit_batch`` code path).
+    Output: the per-epoch monitor row (arrivals / admissions /
+    rejections / admitted volume). The DuckDB oracle unrolls the
+    3-stage sequential admission over the SQL-replayed portable
+    minhash pair table."""
+    from flink_elasticsearch_ingestion_spark.streaming.pipeline import (
+        multi_poll_admission,
+    )
+
+    return multi_poll_admission(
+        _t(spark, sf_dir, "documents"), n_polls=3, jaccard_threshold=0.4
+    )
+
+
+# Round-5 driver window (the driver hash-checks the FIRST 50 entries of
+# ``queries()`` per round).  Priority: the 50 round-4 additions that
+# landed at position 51+ in the r04 window and have NEVER produced a
+# driver row (all hash-green under the type-strict local gate AND the
+# vanilla-session driver replica, scripts/check_oracle.py --vanilla).
+# Names absent from the catalog are skipped, extras append in catalog
+# order, so the list is safe to edit.
 #
-# ROUND-5 ROTATION NOTE: the round-4 additions land at position 51+
-# and will need promotion next round (all hash-green under the local
-# gate and the vanilla-session driver replica): kmv_overlap,
-# probe_calibration, ivf_topk_fixed, bpe_encode, ks_drift,
-# dedup_threshold_sweep, media_near_dup, shared_spans, span_leakage,
-# skew_profile, bigram_pmi, binary_ingest, ab_test,
-# temperature_sample, session_occupancy, contrastive_triples,
+# ROUND-6 ROTATION NOTE: the remaining 22 never-driver-checked round-4
+# additions land at position 51+ and need promotion next round:
+# probe_calibration, session_occupancy, contrastive_triples,
 # score_normalize, winnowing, neyman_sample, source_similarity,
-# copurchase_pagerank, basket_rules, dsir_weights, chi2_terms,
-# mmr_rerank, pq_encode, pq_search, zipf_fit, target_encode,
-# k_anonymity, lp_communities, rfm_segments, touch_attribution,
-# triangle_count, revenue_anomalies, quantile_normalize, hash_embed,
-# survival_curve, benford_check, market_concentration, langid_eval,
-# revenue_gini, ewma_forecast, span_corruption, kfold_split,
-# correlation_matrix, ndcg_eval, yoy_growth, bootstrap_ci,
-# diversified_topk, cdc_chunk_stats, cusum_changepoints,
-# quality_dedup_survivors, centroid_margin, label_disagreement,
-# lexical_diversity, oov_rate, kcenter_select, kmeans_fixed,
-# holt_forecast, skyline_docs, dp_histogram, l_diversity,
-# dim_truncation_recall, groupwise_ols, textrank_keywords,
-# weighted_quantiles, priority_spanning_customers,
+# kcenter_select, kmeans_fixed, holt_forecast, skyline_docs,
+# dp_histogram, l_diversity, dim_truncation_recall, groupwise_ols,
+# textrank_keywords, weighted_quantiles, priority_spanning_customers,
 # join_size_estimate, incremental_join_view, hilbert_key,
-# top_component.
+# top_component — plus every round-5 addition (see the round-5
+# sections of _catalog()).
 _WINDOW_PRIORITY = [
-    # (a) the r03 red, repaired
-    "es_scroll_roundtrip",
-    # (b) never driver-checked round-3 additions (43)
-    "token_budget_by_source", "time_weighted_value", "event_trigrams",
-    "cohort_retention", "table_profile", "growth_accounting",
-    "drift_psi", "scrub_boilerplate", "equi_depth_buckets",
-    "sessionize", "rolling_wau", "winsorized_stats", "merge_apply",
-    "embedding_gramian", "embedding_pca", "cms_word_counts",
-    "scd2_lookup", "jl_projection", "ohlc_bars", "erase_users",
-    "gopher_quality", "substring_contamination", "token_set_join",
-    "bloom_prefilter_join", "mad_outliers", "heavy_hitters",
-    "linear_probe", "corpus_build_pipeline", "feature_hashing",
-    "bpe_pair_counts", "bpe_train", "embedding_dup_clusters",
-    "training_batches", "incremental_near_dup", "split_leakage",
-    "term_postings", "bm25_search", "weighted_sample", "salted_join",
-    "hll_rollup", "ivf_assign", "lsh_topk_multiprobe", "knn_join_lsh",
-    # (c) rotation fill (green in r01, not re-checked since)
-    "pricing_summary", "asof_join", "tumbling_windows",
-    "session_windows", "returnflag_pivot", "segment_set_ops",
+    # Round-5 window: the first 50 of the round-4 additions that have
+    # never produced a driver-verified row (all hash-green under the
+    # vanilla-session driver replica, scripts/check_oracle.py
+    # --vanilla). Cumulative driver verification after this window:
+    # 228/250.
+    "basket_rules", "copurchase_pagerank", "lp_communities",
+    "triangle_count", "pq_encode", "pq_search", "bpe_encode",
+    "ivf_topk_fixed", "kmv_overlap", "ks_drift",
+    "dedup_threshold_sweep", "shared_spans", "media_near_dup",
+    "span_leakage", "skew_profile", "bigram_pmi", "binary_ingest",
+    "ab_test", "temperature_sample", "dsir_weights", "chi2_terms",
+    "mmr_rerank", "zipf_fit", "target_encode", "k_anonymity",
+    "rfm_segments", "touch_attribution", "revenue_anomalies",
+    "quantile_normalize", "hash_embed", "survival_curve",
+    "benford_check", "market_concentration", "langid_eval",
+    "revenue_gini", "ewma_forecast", "span_corruption", "kfold_split",
+    "correlation_matrix", "ndcg_eval", "yoy_growth", "bootstrap_ci",
+    "diversified_topk", "cdc_chunk_stats", "cusum_changepoints",
+    "quality_dedup_survivors", "centroid_margin", "label_disagreement",
+    "lexical_diversity", "oov_rate",
 ]
 
 
@@ -3164,6 +3206,10 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_view": q_incremental_join_view,
         "hilbert_key": q_hilbert_key,
         "top_component": q_top_component,
+        # --- new in round 5 ---
+        "streaming_admission_replay": q_streaming_admission_replay,
+        "bucketed_join": q_bucketed_join,
+        "leakage_safe_folds": q_leakage_safe_folds,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4809,6 +4855,72 @@ def oracle_sql() -> dict[str, str]:
             " jaccard FROM mh_pairs"
             " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
             " ORDER BY new_id, dup_id"
+        ),
+        "leakage_safe_folds": (
+            "WITH RECURSIVE " + _minhash_pairs_cte(0.4)
+            + ", sym AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs"
+            "   UNION SELECT doc_b, doc_a FROM mh_pairs),"
+            " reach AS (SELECT u AS node, u AS label FROM sym"
+            "   UNION SELECT s.u AS node, r.label FROM sym s JOIN reach r ON r.node = s.v),"
+            " comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),"
+            " asg AS (SELECT d.doc_id,"
+            "   coalesce(c.component, d.doc_id) AS grp, d.n_chars"
+            "   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),"
+            " fld AS (SELECT doc_id, grp, n_chars,"
+            "   ('0x' || substr(md5('groupfold-v1:' || grp::VARCHAR), 1, 8))::BIGINT % 5"
+            "    AS fold FROM asg),"
+            " leaks AS (SELECT f AS fold, CAST(count(*) AS BIGINT) AS n FROM ("
+            "   SELECT fa.fold AS f FROM mh_pairs p"
+            "    JOIN fld fa ON fa.doc_id = p.doc_a"
+            "    JOIN fld fb ON fb.doc_id = p.doc_b WHERE fa.fold <> fb.fold"
+            "   UNION ALL SELECT fb.fold FROM mh_pairs p"
+            "    JOIN fld fa ON fa.doc_id = p.doc_a"
+            "    JOIN fld fb ON fb.doc_id = p.doc_b WHERE fa.fold <> fb.fold)"
+            "  GROUP BY f)"
+            " SELECT f.fold, CAST(count(*) AS BIGINT) AS n_docs,"
+            "  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,"
+            "  CAST(sum(n_chars) AS BIGINT) AS n_chars,"
+            "  coalesce(any_value(l.n), 0) AS n_leaky_pairs"
+            " FROM fld f LEFT JOIN leaks l ON l.fold = f.fold"
+            " GROUP BY f.fold ORDER BY f.fold"
+        ),
+        "bucketed_join": (
+            "SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,"
+            " round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue"
+            " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            " GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+        ),
+        "streaming_admission_replay": (
+            "WITH " + _minhash_pairs_cte(0.4)
+            + ", sym AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs"
+            "   UNION ALL SELECT doc_b, doc_a FROM mh_pairs),"
+            " p AS (SELECT doc_id, doc_id % 3 AS poll, n_chars FROM documents),"
+            " adm0 AS (SELECT d.doc_id, d.n_chars FROM p d WHERE d.poll = 0"
+            "   AND NOT EXISTS (SELECT 1 FROM sym s JOIN p x ON x.doc_id = s.v"
+            "     WHERE s.u = d.doc_id AND x.poll = 0 AND x.doc_id < d.doc_id)),"
+            " adm1 AS (SELECT d.doc_id, d.n_chars FROM p d WHERE d.poll = 1"
+            "   AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = d.doc_id AND ("
+            "     s.v IN (SELECT doc_id FROM adm0)"
+            "     OR EXISTS (SELECT 1 FROM p x WHERE x.doc_id = s.v"
+            "        AND x.poll = 1 AND x.doc_id < d.doc_id)))),"
+            " adm2 AS (SELECT d.doc_id, d.n_chars FROM p d WHERE d.poll = 2"
+            "   AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = d.doc_id AND ("
+            "     s.v IN (SELECT doc_id FROM adm0)"
+            "     OR s.v IN (SELECT doc_id FROM adm1)"
+            "     OR EXISTS (SELECT 1 FROM p x WHERE x.doc_id = s.v"
+            "        AND x.poll = 2 AND x.doc_id < d.doc_id)))),"
+            " base AS (SELECT poll, CAST(count(*) AS BIGINT) AS n_arrived"
+            "   FROM p GROUP BY poll),"
+            " adm AS ("
+            "  SELECT 0 AS poll, CAST(count(*) AS BIGINT) AS n_admitted,"
+            "   CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS admitted_chars FROM adm0"
+            "  UNION ALL SELECT 1, CAST(count(*) AS BIGINT),"
+            "   CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM adm1"
+            "  UNION ALL SELECT 2, CAST(count(*) AS BIGINT),"
+            "   CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM adm2)"
+            " SELECT CAST(b.poll AS INT) AS poll, b.n_arrived, a.n_admitted,"
+            "  b.n_arrived - a.n_admitted AS n_rejected, a.admitted_chars"
+            " FROM base b JOIN adm a USING (poll) ORDER BY poll"
         ),
         "near_dup_clusters": (
             "WITH RECURSIVE " + _minhash_pairs_cte(0.4)

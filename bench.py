@@ -224,6 +224,10 @@ EXTENDED = [
     "incremental_join_view",
     "hilbert_key",
     "top_component",
+    # round-5 additions
+    "streaming_admission_replay",
+    "bucketed_join",
+    "leakage_safe_folds",
 ]
 
 
@@ -258,9 +262,14 @@ def main() -> None:
         # timings don't pay GC/eviction for earlier queries' caches
         spark.catalog.clearCache()
 
+    # session hygiene between groups (VERDICT r4 #6): a full JVM GC
+    # drains the plan/codegen/shuffle-buffer debt the headline pass
+    # accrued so extended-set numbers stay comparable round-over-round
+    spark._jvm.System.gc()
+
     ext: dict[str, float] = {}
     ext_warm: dict[str, float] = {}
-    for name in EXTENDED:
+    for i, name in enumerate(EXTENDED):
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
@@ -269,6 +278,8 @@ def main() -> None:
         fn(spark, sf_dir).count()
         ext_warm[name] = round(time.perf_counter() - t0, 4)
         spark.catalog.clearCache()
+        if (i + 1) % 25 == 0:
+            spark._jvm.System.gc()
 
     # headline value: per-query min(first, second) — the steady-state
     # number. A single cold pass couples the metric to one-time Janino

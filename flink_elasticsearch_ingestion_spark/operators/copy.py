@@ -102,16 +102,52 @@ def max_ts_checkpoint(df: DataFrame, ts_col: str = TS) -> DataFrame:
     return df.agg(F.max(ts_col).alias("checkpoint_ts"))
 
 
-def bulk_chunks(df: DataFrame, max_actions: int = BULK_MAX_ACTIONS, order_col: str = "doc_id") -> DataFrame:
-    """Assign each doc a bulk-flush chunk id, mirroring the sink's
-    64-action batching (core.clj:72). Global row_number is a single-
-    partition window — acceptable only because chunking is a *sink-side*
-    per-partition concern; at scale chunk within partitions instead
-    (see ``bulk_chunks_distributed``)."""
-    w = Window.orderBy(F.col(order_col))
-    return df.withColumn(
-        "chunk_id",
-        ((F.row_number().over(w) - F.lit(1)) / F.lit(max_actions)).cast("bigint"),
+def bulk_chunks(
+    df: DataFrame,
+    max_actions: int = BULK_MAX_ACTIONS,
+    order_col: str = "doc_id",
+    coarse_edges: tuple[float, ...] = (),
+) -> DataFrame:
+    """Assign each doc its GLOBAL bulk-flush chunk id, mirroring the
+    sink's 64-action batching over one ordered stream (core.clj:72).
+
+    The global row_number is computed TWO-PHASE (literal coarse id
+    ranges -> per-range row_number in parallel -> broadcast prefix-sum
+    offsets of the tiny per-range count table — the
+    ``equi_depth_buckets`` discipline), so the exact global chunk
+    layout needs NO single-partition window.  Edge choice only
+    balances work, never results; the log-spaced defaults suit
+    monotonically-assigned ids.  When chunk layout need not be global
+    (normal sink operation), ``bulk_chunks_distributed`` chunks within
+    partitions with zero cross-partition coordination."""
+    edges = list(coarse_edges) or [float(4096 << i) for i in range(16)]
+    coarse = F.lit(len(edges))
+    for i, e in reversed(list(enumerate(edges))):
+        coarse = F.when(F.col(order_col) < F.lit(e), F.lit(i)).otherwise(coarse)
+    src = df.withColumn("__coarse", coarse)
+    within = F.row_number().over(
+        Window.partitionBy("__coarse").orderBy(F.col(order_col))
+    )
+    counts = src.groupBy("__coarse").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__coarse",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__coarse").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    return (
+        src.withColumn("__within", within)
+        .join(F.broadcast(offsets), "__coarse")
+        .withColumn(
+            "chunk_id",
+            ((F.col("__offset") + F.col("__within") - F.lit(1)) / F.lit(max_actions)).cast(
+                "bigint"
+            ),
+        )
+        .drop("__coarse", "__within", "__offset")
     )
 
 

@@ -813,3 +813,100 @@ def bootstrap_ci(
         F.element_at("ci", 1).alias("ci_lo"),
         F.element_at("ci", 2).alias("ci_hi"),
     )
+
+
+def leakage_safe_folds(
+    documents: DataFrame,
+    *,
+    k: int = 5,
+    jaccard_threshold: float = 0.4,
+    salt: str = "groupfold-v1",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    band_cap: int | None = 1000,
+) -> DataFrame:
+    """Group-aware k-fold split: every member of a near-dup cluster
+    lands in the SAME fold, so no fold pair shares near-duplicate
+    content — the straddling pairs ``split_leakage`` audits are zero BY
+    CONSTRUCTION, not by luck. This is the dedup-aware split a training
+    pipeline needs before any cross-validation or holdout eval: a plain
+    per-doc hash split leaks every near-dup cluster across folds.
+
+    Mechanics: MinHash near-dup pairs -> connected components (only the
+    duplicate subgraph iterates); fold = portable md5 of the CLUSTER
+    representative (singletons key on their own id), so membership is a
+    pure engine-replayable function of content clusters + salt.
+
+    Returns one row per fold: docs, distinct groups, character volume,
+    and the cross-fold leaky-pair count (provably 0 for every fold —
+    the column exists so the oracle re-derives the proof, not just the
+    sizes).
+    """
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    pairs = minhash_near_duplicates(
+        documents,
+        jaccard_threshold=jaccard_threshold,
+        id_col=id_col,
+        portable=portable,
+        band_cap=band_cap,
+    ).persist()
+    pairs.count()  # eager fill (see minhash_near_duplicates)
+    comp = connected_components(pairs)
+    grouped = documents.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    group = F.coalesce(F.col("component"), F.col(id_col))
+    fold = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), group.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(int(k)),
+    )
+    assigned = grouped.select(
+        F.col(id_col),
+        group.alias("group_key"),
+        fold.alias("fold"),
+        F.col("n_chars"),
+    ).persist()
+    assigned.count()
+    fa = assigned.select(F.col(id_col).alias("doc_a"), F.col("fold").alias("fold_a"))
+    fb = assigned.select(F.col(id_col).alias("doc_b"), F.col("fold").alias("fold_b"))
+    straddle = (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .filter(F.col("fold_a") != F.col("fold_b"))
+    )
+    leaks = (
+        straddle.select(F.col("fold_a").alias("fold"))
+        .unionByName(straddle.select(F.col("fold_b").alias("fold")))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaky_pairs"))
+    )
+    out = (
+        assigned.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("group_key").cast("bigint").alias("n_groups"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .join(leaks, "fold", "left")
+        .select(
+            "fold",
+            "n_docs",
+            "n_groups",
+            "n_chars",
+            F.coalesce(F.col("n_leaky_pairs"), F.lit(0)).cast("bigint").alias(
+                "n_leaky_pairs"
+            ),
+        )
+        .orderBy("fold")
+    )
+    return out

@@ -1041,3 +1041,80 @@ def holt_forecast(orders: DataFrame, *, horizon: int = 7) -> DataFrame:
         ).alias("r")
     ).select("r.day", "r.revenue", "r.forecast", "r.horizon")
     return in_sample.unionByName(future).orderBy("day")
+
+
+def global_distribution_ranks(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    ntile_k: int = 4,
+    coarse_edges: tuple[float, ...] = (),
+) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a GLOBAL order without a
+    single-partition window (the ``WindowExec: No Partition Defined``
+    shape that funnels the whole fact table through one task).
+
+    Mirrors the reference's need for globally-ranked export batches
+    (core.clj's single-stream copy implies a total order) but built on
+    the ``equi_depth_buckets``/``revenue_gini`` two-phase discipline:
+
+    1. literal ``coarse_edges`` range-bucket the value column (the
+       coarse bucket is a PREFIX of the sort key, so coarse order ==
+       global order; edge choice balances work, never results);
+    2. ``row_number`` ranks within each coarse range in parallel;
+    3. broadcast prefix-sum offsets of the tiny per-range count table
+       convert within-range ranks to exact global ranks.
+
+    Because ``(value, tiebreak)`` is unique, rank == row_number and the
+    distribution functions are pure arithmetic on (rank, total):
+
+    - ``ntile(k)``: first ``n % k`` buckets take ``n div k + 1`` rows
+      (the SQL-standard distribution) — bit-identical to the window
+      function;
+    - ``percent_rank`` = (rank-1)/(total-1)  (0.0 for a 1-row input);
+    - ``cume_dist``    = rank/total          (no peer groups).
+
+    Returns ``df``'s rows plus ``quartile`` (ntile bucket), ``pr``,
+    ``cd`` — same schema the window-function form would emit.
+    """
+    edges = list(coarse_edges) or [float(e) for e in range(50_000, 500_000, 50_000)]
+    coarse = F.lit(len(edges))
+    for i, e in reversed(list(enumerate(edges))):
+        coarse = F.when(F.col(value_col) < F.lit(e), F.lit(i)).otherwise(coarse)
+    src = df.withColumn("__coarse", coarse)
+    within = F.row_number().over(
+        Window.partitionBy("__coarse").orderBy(value_col, tiebreak_col)
+    )
+    counts = src.groupBy("__coarse").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__coarse",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__coarse").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+        F.sum("__n")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__total"),
+    )
+    ranked = src.withColumn("__within", within).join(F.broadcast(offsets), "__coarse")
+    r = F.col("__offset") + F.col("__within")
+    n = F.col("__total")
+    k = F.lit(int(ntile_k))
+    base = (n / k).cast("bigint")
+    extra = n % k
+    big_span = (base + F.lit(1)) * extra
+    bucket = F.when(
+        r <= big_span, ((r - 1) / (base + F.lit(1))).cast("bigint") + 1
+    ).otherwise(extra + ((r - big_span - 1) / base).cast("bigint") + 1)
+    pr = F.when(n > 1, (r - F.lit(1)).cast("double") / (n - F.lit(1))).otherwise(
+        F.lit(0.0)
+    )
+    return ranked.select(
+        *df.columns,
+        bucket.cast("int").alias("quartile"),
+        pr.alias("pr"),
+        (r.cast("double") / n).alias("cd"),
+    )

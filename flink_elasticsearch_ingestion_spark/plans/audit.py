@@ -79,3 +79,73 @@ def assert_no_accidental_quadratic_join(
         assert (
             "BroadcastNestedLoopJoin" not in plan
         ), "plan contains a broadcast nested-loop join"
+
+
+#: logical operators that bound their output's cardinality regardless
+#: of what sits below them: a grouped aggregate emits one row per key
+#: group, a limit emits at most N rows
+_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Limit"}
+#: leaves that ARE literal data (driver-side constant tables) — bounded
+_LITERAL_LEAVES = {"LocalRelation", "OneRowRelation"}
+
+
+def _jvm_children(node) -> list:
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.length())]
+
+
+def _subtree_is_bounded(node) -> bool:
+    """True iff every leaf-to-here path passes through a cardinality-
+    bounding operator (aggregate/limit) or starts at a literal relation
+    — i.e. this subtree's row count is group-count/limit-sized, never
+    fact-sized."""
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDING_NODES or name in _LITERAL_LEAVES:
+        return True
+    children = _jvm_children(node)
+    if not children:
+        # unknown leaf (file relation, cached scan, stream source):
+        # assume fact-sized
+        return False
+    return all(_subtree_is_bounded(c) for c in children)
+
+
+def unpartitioned_fact_windows(df: DataFrame) -> list[str]:
+    """Every ``Window`` in the optimized logical plan whose partition
+    spec is EMPTY and whose input is not provably bounded (see
+    ``_subtree_is_bounded``) — the ``WindowExec: No Partition Defined``
+    shape that funnels a fact table through ONE task at scale.
+
+    Windows over grouped axes (day / vocab / bucket tables) and
+    post-limit frames pass by construction: an Aggregate or Limit below
+    the window bounds the rows a single partition must absorb.  Returns
+    one description string per offending node (empty list == clean).
+    """
+    offenders: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name in {"Window", "WindowGroupLimit"}:
+            if node.partitionSpec().isEmpty():
+                children = _jvm_children(node)
+                if not all(_subtree_is_bounded(c) for c in children):
+                    offenders.append(
+                        f"{name} [order: {node.orderSpec().toString()}] "
+                        "has no partitioning over a fact-sized input"
+                    )
+        for c in _jvm_children(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return offenders
+
+
+def assert_no_unpartitioned_fact_window(df: DataFrame) -> None:
+    """Raise AssertionError if any global (unpartitioned) window runs
+    over a fact-sized input — the missing twin of the quadratic-join
+    audit. Fix pattern: two-phase ranking (coarse literal ranges +
+    broadcast prefix offsets), see ``operators.windows.
+    global_distribution_ranks`` / ``operators.sampling.
+    equi_depth_buckets``."""
+    offenders = unpartitioned_fact_windows(df)
+    assert not offenders, "; ".join(offenders)

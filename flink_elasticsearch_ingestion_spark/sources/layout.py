@@ -181,3 +181,83 @@ def hilbert_value(x: F.Column, y: F.Column, bits: int = ZORDER_BITS) -> F.Column
         F.lit(1 << (bits - 1)).cast("bigint").alias("s"),
     )
     return F.aggregate(F.sequence(F.lit(1), F.lit(bits)), init, step)["d"]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str,
+    *,
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed parquet table (``bucketBy`` + ``saveAsTable`` with
+    an explicit ``path`` so no warehouse directory is touched) — the
+    co-location half of the 100 TB join story.
+
+    Two tables bucketed by their join key with the SAME bucket count
+    join with ZERO exchange on either side: each task reads bucket i of
+    both tables, so the terabytes of shuffle a fact-fact join normally
+    pays disappear from the plan entirely (pinned by
+    tests/test_plans.py::test_bucketed_join_is_colocated). ``sort_cols``
+    pre-sorts within buckets so the sort-merge join can also skip or
+    cheapen its partition-local sort.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def colocated_order_revenue(
+    spark: SparkSession,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    staging_dir: str,
+    *,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Order-priority revenue off a CO-LOCATED bucketed layout: stage
+    both fact tables bucketed by the join key, then join the bucketed
+    tables — the exchange-free physical shape every repeated fact-fact
+    join at 100 TB should run on (bucket once, join shuffle-free
+    forever). Results are layout-independent; only the plan changes.
+    """
+    import os
+
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "__bucketed_lineitem",
+        os.path.join(staging_dir, "lineitem"),
+        "l_orderkey",
+        n_buckets=n_buckets,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderpriority"),
+        "__bucketed_orders",
+        os.path.join(staging_dir, "orders"),
+        "o_orderkey",
+        n_buckets=n_buckets,
+        sort_cols=["o_orderkey"],
+    )
+    li = spark.table("__bucketed_lineitem")
+    od = spark.table("__bucketed_orders")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

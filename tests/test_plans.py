@@ -88,6 +88,9 @@ SCALAR_JOIN_OK = {
     "dim_truncation_recall",
     # four 1-row scalar frames (n_left/n_right/true/estimate) chained
     "join_size_estimate",
+    # 1-row (mean, std, k, h) CUSUM-parameter aggregate broadcast onto
+    # the calendar-bounded day axis — scalar subquery
+    "cusum_changepoints",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",
@@ -99,8 +102,18 @@ SCALAR_JOIN_OK = {
 }
 
 
+#: unpartitioned-window audit exceptions — every entry must say WHY the
+#: window input is bounded even though the plan can't prove it.
+#: ndcg_eval: the rk/irk windows run on the <= k-row BM25 TakeOrdered
+#: frame inner-joined (unique doc_id) to the relevance labels — the
+#: join can't amplify past k rows, but the label side is a fact scan so
+#: the structural boundedness walk can't see it
+UNPARTITIONED_WINDOW_OK = {"ndcg_eval"}
+
+
 from flink_elasticsearch_ingestion_spark.plans import (
     assert_no_accidental_quadratic_join,
+    assert_no_unpartitioned_fact_window,
     physical_plan,
     scan_summary,
 )
@@ -116,6 +129,19 @@ def test_no_accidental_quadratic_join(spark, sf_dir, name):
         pytest.skip("intentional cross join (exact-kNN baseline)")
     df = E.queries()[name](spark, sf_dir)
     assert_no_accidental_quadratic_join(df, allow_nested_loop=name in SCALAR_JOIN_OK)
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_no_unpartitioned_fact_window(spark, sf_dir, name):
+    """The quadratic-join audit's missing twin (VERDICT r4): no query
+    may funnel a fact-sized input through a global (unpartitioned)
+    window — Spark's `WindowExec: No Partition Defined` single-task
+    shape. Bounded axes (day/vocab/bucket aggregates, post-limit
+    frames) pass structurally; anything else needs an explicit
+    UNPARTITIONED_WINDOW_OK entry with a boundedness justification."""
+    if name in UNPARTITIONED_WINDOW_OK:
+        pytest.skip("documented bounded-input unpartitioned window")
+    assert_no_unpartitioned_fact_window(E.queries()[name](spark, sf_dir))
 
 
 def test_copy_filter_is_pushed_to_scan(spark, sf_dir):
@@ -176,6 +202,40 @@ def test_last_wins_is_partial_final_agg_not_window(spark, sf_dir):
     n_aggs = plan.count("SortAggregate") + plan.count("HashAggregate")
     assert n_aggs >= 2  # partial + final
     assert "Exchange hashpartitioning" in plan
+
+
+def test_bucketed_join_is_colocated(spark, sf_dir):
+    """The co-location contract of sources/layout.py::write_bucketed:
+    two tables bucketed by the join key with matching bucket counts
+    join with ZERO exchange on the join key — no hashpartitioning on
+    l_orderkey/o_orderkey anywhere in the plan (the groupBy's
+    o_orderpriority exchange is the only shuffle left). Broadcast is
+    disabled so the sort-merge join can't hide the property."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        plan = _physical(spark, "bucketed_join", sf_dir)
+    finally:
+        spark.conf.set(key, old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # sanity: the same join WITHOUT bucketing does exchange on the key
+    import __spark_entry__ as _E
+
+    li = _E._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = _E._t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    spark.conf.set(key, "-1")
+    try:
+        from flink_elasticsearch_ingestion_spark.plans import physical_plan
+
+        raw = physical_plan(li.join(od, li["l_orderkey"] == od["o_orderkey"]))
+    finally:
+        spark.conf.set(key, old)
+    assert "Exchange hashpartitioning(l_orderkey" in raw
 
 
 def test_bulk_chunks_distributed_no_global_window(spark, sf_dir):

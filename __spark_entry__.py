@@ -2956,6 +2956,46 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel + CDC in one flow
+    (sources/versioned.py): commit three snapshots of orders —
+    v0 = two thirds of the table, v1 = append of the rest,
+    v2 = overwrite where every key%7==0 order is deleted and every
+    surviving key%5==0 order is repriced (+1) — then CDC-classify
+    read(v1) vs read(v2) THROUGH the manifest-resolved time-travel
+    scans. Proves the commit protocol serves exact historical
+    snapshots: the oracle derives both versions straight from the raw
+    table and replays the same classification."""
+    import tempfile
+
+    from flink_elasticsearch_ingestion_spark.operators.copy import cdc_classify
+    from flink_elasticsearch_ingestion_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="time_travel_"))
+    t.commit(orders.filter(F.col("o_orderkey") % 3 != 0))
+    t.commit(orders.filter(F.col("o_orderkey") % 3 == 0))
+    v2 = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.round(F.col("o_totalprice") + 1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    t.commit(v2, mode="overwrite")
+    return cdc_classify(
+        t.read(1),
+        t.read(2),
+        key_col="o_orderkey",
+        compare_cols=("o_totalprice",),
+    ).select("change_type", F.col("n_keys").cast("bigint").alias("n_keys"))
+
+
 def q_leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-aware k-fold split: near-dup clusters assign as UNITS
     (fold keyed on the cluster representative), so cross-fold near-dup
@@ -3210,6 +3250,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_admission_replay": q_streaming_admission_replay,
         "bucketed_join": q_bucketed_join,
         "leakage_safe_folds": q_leakage_safe_folds,
+        "time_travel_diff": q_time_travel_diff,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4855,6 +4896,23 @@ def oracle_sql() -> dict[str, str]:
             " jaccard FROM mh_pairs"
             " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
             " ORDER BY new_id, dup_id"
+        ),
+        "time_travel_diff": (
+            # v1 = full orders table; v2 = keys%7!=0 with %5==0 repriced —
+            # replay the classification straight off the raw table
+            "WITH e AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),"
+            " i AS (SELECT o_orderkey AS k,"
+            "   CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice + 1, 2)"
+            "    ELSE o_totalprice END AS p"
+            "   FROM orders WHERE o_orderkey % 7 <> 0),"
+            " c AS (SELECT CASE"
+            "   WHEN e.k IS NULL THEN 'insert'"
+            "   WHEN i.k IS NULL THEN 'delete'"
+            "   WHEN e.p <> i.p THEN 'update'"
+            "   ELSE 'unchanged' END AS change_type"
+            "  FROM e FULL OUTER JOIN i ON e.k = i.k)"
+            " SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys"
+            " FROM c GROUP BY change_type ORDER BY change_type"
         ),
         "leakage_safe_folds": (
             "WITH RECURSIVE " + _minhash_pairs_cte(0.4)

@@ -228,6 +228,7 @@ EXTENDED = [
     "streaming_admission_replay",
     "bucketed_join",
     "leakage_safe_folds",
+    "time_travel_diff",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Versioned parquet tables: manifest-committed snapshots with
+time-travel reads — the minimal transactional-table protocol a 100 TB
+deployment needs when a full lakehouse format isn't available.
+
+Plain ``df.write.parquet`` has no atomic visibility: a reader listing
+the directory mid-write sees half a snapshot, and there is no way to
+ask "what did this table contain yesterday?". The fix is the same
+manifest discipline the es_bulk sink uses for exactly-once commits
+(sources/es_bulk.py): data files land first, then ONE manifest file is
+published atomically (tmp + rename), and readers resolve file lists
+ONLY through manifests:
+
+- ``commit``: write ``data/v=<n>/`` parquet, then publish
+  ``_versions/<n>.json`` listing the snapshot's directories (its own
+  plus, in append mode, the parent's). A crash before the rename
+  leaves the table exactly at the previous version — no torn reads.
+  Re-committing the same version overwrites its own data dir and
+  manifest, so at-least-once replay (the foreachBatch failure mode)
+  converges to the same state.
+- ``read``: time travel — resolve any historical version's manifest to
+  its directory list and scan just those. Column pruning and predicate
+  pushdown apply unchanged (it's a plain multi-path parquet scan).
+- ``vacuum``: delete data directories no retained manifest references
+  (the compaction-era garbage collector).
+
+Single-writer by design (one ingest pipeline owns a table); what the
+protocol buys is *reader* isolation and history, which is the part
+object stores can't give you for free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._manifest_dir = os.path.join(root, "_versions")
+
+    # -- protocol internals -------------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"{version:08d}.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    # -- public surface -----------------------------------------------------
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._manifest_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self._manifest_dir)
+            if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def commit(self, df: DataFrame, *, mode: str = "append", version: int | None = None) -> int:
+        """Publish ``df`` as the next snapshot. ``mode='append'`` keeps
+        the parent snapshot's directories and adds this commit's;
+        ``mode='overwrite'`` starts a fresh file set. Returns the
+        committed version number."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown commit mode: {mode!r}")
+        latest = self.latest_version()
+        if version is None:
+            version = 0 if latest is None else latest + 1
+        data_dir = os.path.join(self.root, "data", f"v={version}")
+        # data first (invisible until the manifest publishes) ...
+        df.write.mode("overwrite").parquet(data_dir)
+        dirs = [f"data/v={version}"]
+        if mode == "append" and latest is not None and version > 0:
+            parent = self._read_manifest(min(latest, version - 1))
+            dirs = parent["dirs"] + dirs
+        manifest = {"version": version, "mode": mode, "dirs": dirs}
+        # ... then the atomic publish: tmp + rename IS the commit point
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path(version))
+        return version
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot-isolated scan of ``version`` (default: latest).
+        Plain multi-path parquet read, so pruning/pushdown behave
+        exactly as on an unversioned table."""
+        if version is None:
+            version = self.latest_version()
+        if version is None or not os.path.exists(self._manifest_path(version)):
+            raise FileNotFoundError(f"no committed version {version} under {self.root}")
+        manifest = self._read_manifest(version)
+        paths = [os.path.join(self.root, d) for d in manifest["dirs"]]
+        return self.spark.read.parquet(*paths)
+
+    def vacuum(self, *, keep_last: int = 1) -> list[str]:
+        """Drop manifests older than the last ``keep_last`` versions and
+        delete every data directory no retained manifest references.
+        Returns the deleted directories."""
+        vs = self.versions()
+        keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._read_manifest(v)["dirs"])
+        for v in vs:
+            if v not in keep:
+                os.remove(self._manifest_path(v))
+        deleted = []
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                rel = f"data/{d}"
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(data_root, d))
+                    deleted.append(rel)
+        return deleted

@@ -1,0 +1,106 @@
+"""Versioned-table commit protocol (sources/versioned.py): atomic
+manifest publishes, time-travel reads, replay idempotence, vacuum
+garbage collection — and pruning/pushdown surviving the indirection."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_elasticsearch_ingestion_spark.plans import scan_summary
+from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+from flink_elasticsearch_ingestion_spark.sources.versioned import VersionedTable
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+
+def test_commit_read_time_travel(tmp_path, spark, sf_dir):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    old = orders.filter(F.col("o_orderkey") % 3 != 0)
+    new = orders.filter(F.col("o_orderkey") % 3 == 0)
+
+    assert t.versions() == []
+    v0 = t.commit(old)
+    v1 = t.commit(new)  # append: v1 = old + new
+    assert (v0, v1) == (0, 1)
+    assert t.read(0).count() == old.count()
+    assert t.read(1).count() == orders.count()
+    assert t.read().count() == orders.count()  # default = latest
+    assert t.read(1).exceptAll(orders).count() == 0
+    assert orders.exceptAll(t.read(1)).count() == 0
+    # history is immutable: v0 still reads the pre-append snapshot
+    assert t.read(0).exceptAll(old).count() == 0
+
+
+def test_overwrite_starts_fresh_file_set(tmp_path, spark, sf_dir):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    t.commit(orders)
+    small = orders.limit(10)
+    v = t.commit(small, mode="overwrite")
+    assert t.read(v).count() == 10
+    assert t.read(0).count() == orders.count()
+
+
+def test_uncommitted_data_is_invisible(tmp_path, spark, sf_dir):
+    """The commit point is the manifest rename: data written without a
+    published manifest must not change what readers see (the torn-write
+    crash window)."""
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root)
+    orders = _orders(spark, sf_dir)
+    t.commit(orders.limit(100))
+    # simulate a crash after the data write, before the manifest publish
+    orders.limit(7).write.parquet(os.path.join(root, "data", "v=1"))
+    assert t.latest_version() == 0
+    assert t.read().count() == 100
+    with pytest.raises(FileNotFoundError):
+        t.read(1)
+
+
+def test_replayed_commit_is_idempotent(tmp_path, spark, sf_dir):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    t.commit(orders.filter(F.col("o_orderkey") % 3 != 0))
+    batch = orders.filter(F.col("o_orderkey") % 3 == 0)
+    t.commit(batch, version=1)
+    before = sorted(r["o_orderkey"] for r in t.read(1).collect())
+    t.commit(batch, version=1)  # at-least-once replay of the same epoch
+    assert t.latest_version() == 1
+    assert sorted(r["o_orderkey"] for r in t.read(1).collect()) == before
+
+
+def test_vacuum_drops_only_unreferenced(tmp_path, spark, sf_dir):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    t.commit(orders.limit(50), mode="overwrite")
+    t.commit(orders.limit(80), mode="overwrite")  # fresh set: v0 orphaned
+    t.commit(orders.limit(20))  # append onto v1
+    deleted = t.vacuum(keep_last=1)
+    assert deleted == ["data/v=0"]
+    assert t.versions() == [2]
+    assert t.read(2).count() == 100  # v1's files survive: v2 references them
+    with pytest.raises(FileNotFoundError):
+        t.read(0)
+
+
+def test_pruning_and_pushdown_survive_versioning(tmp_path, spark, sf_dir):
+    """Time travel is a plain multi-path parquet scan: the column-prune
+    and predicate-pushdown guarantees of the audit library must hold on
+    a versioned read exactly as on a raw one."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    t.commit(orders.filter(F.col("o_orderkey") % 3 != 0))
+    t.commit(orders.filter(F.col("o_orderkey") % 3 == 0))
+    q = t.read(1).filter(F.col("o_totalprice") > 100000.0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    scans = scan_summary(q)
+    assert len(scans) == 1
+    assert "o_custkey" not in scans[0]["columns"]  # pruned
+    assert any("o_totalprice" in f for f in scans[0].get("pushed_filters", []))

@@ -2956,6 +2956,15 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy per document — the
+    smoothed corpus-LM quality filter (continuation probabilities +
+    absolute discounting) next to the unsmoothed bigram_lm. All model
+    quantities are exact integer counts, so the oracle replays the
+    model bit-for-bit."""
+    return X.kneser_ney_score(_t(spark, sf_dir, "documents"))
+
+
 def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-table time travel + CDC in one flow
     (sources/versioned.py): commit three snapshots of orders —
@@ -3251,6 +3260,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "leakage_safe_folds": q_leakage_safe_folds,
         "time_travel_diff": q_time_travel_diff,
+        "kn_bigram_score": q_kn_bigram_score,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4896,6 +4906,26 @@ def oracle_sql() -> dict[str, str]:
             " jaccard FROM mh_pairs"
             " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
             " ORDER BY new_id, dup_id"
+        ),
+        "kn_bigram_score": (
+            "WITH toks AS (SELECT doc_id,"
+            " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
+            "   ' ') AS t FROM documents),"
+            " e AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2"
+            "  FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)"
+            "  WHERE len(t) >= 2),"
+            " bgc AS (SELECT w1, w2, count(*) AS c_bg FROM e GROUP BY w1, w2),"
+            " pfc AS (SELECT w1, count(*) AS c_w1,"
+            "   count(DISTINCT w2) AS n1p_fw FROM e GROUP BY w1),"
+            " sfc AS (SELECT w2, count(DISTINCT w1) AS n1p_bw FROM e GROUP BY w2),"
+            " tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bgc)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+            "  round(-sum(ln(greatest(c_bg - 0.75, 0.0) / c_w1"
+            "   + ((0.75 * n1p_fw) / c_w1) * (n1p_bw / t))) / count(*) + 1e-9, 4)"
+            "   AS kn_cross_entropy"
+            " FROM e JOIN bgc USING (w1, w2) JOIN pfc USING (w1)"
+            "  JOIN sfc USING (w2) CROSS JOIN tot"
+            " GROUP BY doc_id ORDER BY doc_id"
         ),
         "time_travel_diff": (
             # v1 = full orders table; v2 = keys%7!=0 with %5==0 repriced —

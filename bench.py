@@ -229,6 +229,7 @@ EXTENDED = [
     "bucketed_join",
     "leakage_safe_folds",
     "time_travel_diff",
+    "kn_bigram_score",
 ]
 
 

@@ -2498,3 +2498,75 @@ def textrank_keywords(
     # the returned plan re-reads the persisted frames lazily; they stay
     # cached for the caller's single action, then GC'd with the session
     return out
+
+
+def kneser_ney_score(
+    documents: DataFrame,
+    *,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    bigram model (Kneser & Ney 1995; Chen & Goodman 1998) — the
+    smoothing that makes corpus-LM quality filtering robust on rare
+    prefixes, where the unsmoothed ``bigram_lm_score`` degenerates:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1·)
+                 + (D · N1+(w1,·) / c(w1·)) · N1+(·,w2) / |bigram types|
+
+    continuation probability instead of raw unigram frequency, absolute
+    discounting instead of add-k. Every model quantity is an exact
+    integer count, so the doubles are a fixed IEEE op sequence on both
+    engines (the groupwise_ols discipline) and the DuckDB oracle
+    replays the model bit-for-bit.
+
+    Plan shape mirrors ``bigram_lm_score``: map-side explode, four
+    vocabulary-sized partial+final count tables (bigram, prefix,
+    distinct-continuations per prefix, distinct-histories per word),
+    one 1-row |types| scalar broadcast, joins on vocabulary keys, one
+    keyed agg back to doc granularity.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    exploded = (
+        documents.filter(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bgc = exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    pfc = exploded.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c_w1"),
+        F.countDistinct("w2").alias("n1p_fw"),
+    )
+    sfc = exploded.groupBy("w2").agg(F.countDistinct("w1").alias("n1p_bw"))
+    tot = bgc.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    d = F.lit(float(discount))
+    prob = (
+        F.greatest(F.col("c_bg") - d, F.lit(0.0)) / F.col("c_w1")
+        + ((d * F.col("n1p_fw")) / F.col("c_w1"))
+        * (F.col("n1p_bw") / F.col("t"))
+    )
+    scored = (
+        exploded.join(bgc, ["w1", "w2"])
+        .join(pfc, "w1")
+        .join(sfc, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(prob).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"), F.sum("lp").alias("__slp"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(-F.col("__slp") / F.col("n_bigrams") + 1e-9, 4).alias(
+                "kn_cross_entropy"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -188,7 +188,11 @@ def stream_scroll_ingest_pipeline(
 
     Outputs under ``work_dir``:
 
-    - ``accepted/batch=<epoch>/``  admitted documents (parquet)
+    - ``accepted/``                admitted documents as a VERSIONED
+      table (sources/versioned.py): epoch N commits snapshot version N
+      via the atomic manifest protocol, so readers get torn-write-free
+      snapshot isolation AND time travel over ingestion history
+      (``read_accepted(..., version=epoch)``)
     - ``sigstore/batch=<epoch>/``  admitted signatures (parquet)
     - ``monitor/batch=<epoch>/``   one monitor row per epoch (parquet)
     - ``bulk/batch=<epoch>/``      NDJSON bulk bodies + manifest (the
@@ -207,11 +211,14 @@ def stream_scroll_ingest_pipeline(
     from flink_elasticsearch_ingestion_spark.sources.es_scroll import (
         register_scroll_source,
     )
+    from flink_elasticsearch_ingestion_spark.sources.versioned import (
+        VersionedTable,
+    )
 
     register_scroll_source(spark)
     register_bulk_sink(spark)
     sig_store = os.path.join(work_dir, "sigstore")
-    accepted = os.path.join(work_dir, "accepted")
+    accepted = VersionedTable(spark, os.path.join(work_dir, "accepted"))
     monitor = os.path.join(work_dir, "monitor")
     bulk_out = os.path.join(work_dir, "bulk")
 
@@ -241,10 +248,10 @@ def stream_scroll_ingest_pipeline(
         n_admitted = survivors.count()
         n_unique = docs.count()
         # epoch-tagged overwrites: a replayed epoch rewrites exactly
-        # its own slice of every output
-        survivors.drop("n_chars").write.mode("overwrite").parquet(
-            f"{accepted}/batch={batch_id}"
-        )
+        # its own slice of every output; the accepted corpus goes
+        # through the versioned-table manifest commit (epoch == version)
+        # so a replayed epoch rewrites the same snapshot
+        accepted.commit(survivors.drop("n_chars"), version=int(batch_id))
         survivor_sigs.write.mode("overwrite").parquet(
             f"{sig_store}/batch={batch_id}"
         )
@@ -296,3 +303,15 @@ def read_monitor_log(spark: SparkSession, work_dir: str) -> DataFrame:
     """The pipeline's epoch-granular monitor table (one row per epoch,
     bounded by epoch count — driver-safe to collect)."""
     return spark.read.parquet(os.path.join(work_dir, "monitor")).orderBy("epoch")
+
+
+def read_accepted(
+    spark: SparkSession, work_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated (optionally time-traveled) read of the
+    pipeline's accepted corpus: version N == the corpus as of epoch N."""
+    from flink_elasticsearch_ingestion_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    return VersionedTable(spark, os.path.join(work_dir, "accepted")).read(version)

@@ -91,6 +91,10 @@ SCALAR_JOIN_OK = {
     # 1-row (mean, std, k, h) CUSUM-parameter aggregate broadcast onto
     # the calendar-bounded day axis — scalar subquery
     "cusum_changepoints",
+    # 1-row |distinct bigram types| normalizer broadcast onto the
+    # vocabulary-keyed scoring stream — scalar subquery (same class as
+    # bm25_search's corpus statistics)
+    "kn_bigram_score",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",

@@ -18,6 +18,7 @@ from flink_elasticsearch_ingestion_spark.sources.tables import load_table
 from flink_elasticsearch_ingestion_spark.streaming.pipeline import (
     admit_batch,
     multi_poll_admission,
+    read_accepted,
     read_monitor_log,
     stream_scroll_ingest_pipeline,
 )
@@ -62,7 +63,7 @@ def test_pipeline_end_to_end_and_checkpoint_resume(tmp_path, spark, sf_dir):
     assert row["n_rejected"] == n_docs - row["n_admitted"]
 
     # accepted corpus == bulk payload == signature store (same survivors)
-    accepted = spark.read.parquet(f"{work}/accepted")
+    accepted = read_accepted(spark, work)
     assert accepted.count() == row["n_admitted"]
     payload = read_bulk_payload(f"{work}/bulk/batch=0")
     assert len(payload) == row["n_admitted"]
@@ -107,9 +108,15 @@ def test_pipeline_end_to_end_and_checkpoint_resume(tmp_path, spark, sf_dir):
     assert mon2[1]["n_seen"] == 2  # checkpoint resume: only the tail
     assert mon2[1]["n_admitted"] == 1
     assert mon2[1]["n_rejected"] == 1
-    acc2 = spark.read.parquet(f"{work}/accepted")
+    acc2 = read_accepted(spark, work)
     assert acc2.filter(F.col("doc_id") == "late-new").count() == 1
     assert acc2.filter(F.col("doc_id") == "late-dup").count() == 0
+    # time travel over ingestion history: version 0 is the corpus as of
+    # epoch 0 — the late doc is invisible there, and counts match the
+    # epoch-0 monitor row exactly
+    acc_v0 = read_accepted(spark, work, version=0)
+    assert acc_v0.count() == mon2[0]["n_admitted"]
+    assert acc_v0.filter(F.col("doc_id") == "late-new").count() == 0
 
 
 def test_upsert_grain_last_write_wins(tmp_path, spark, sf_dir):
@@ -130,7 +137,7 @@ def test_upsert_grain_last_write_wins(tmp_path, spark, sf_dir):
     _run(spark, idx, work)
     mon = read_monitor_log(spark, work).collect()[0].asDict()
     assert mon["n_seen"] == 2 and mon["n_unique"] == 1 and mon["n_admitted"] == 1
-    acc = spark.read.parquet(f"{work}/accepted").collect()
+    acc = read_accepted(spark, work).collect()
     assert len(acc) == 1
     assert acc[0]["source"].startswith("new version")
 
@@ -147,7 +154,7 @@ def test_epoch_replay_is_idempotent(tmp_path, spark, sf_dir):
     def snapshot():
         acc = sorted(
             (r["doc_id"], r["source"])
-            for r in spark.read.parquet(f"{work}/accepted").collect()
+            for r in read_accepted(spark, work).collect()
         )
         mon = [
             tuple(r)
@@ -174,8 +181,12 @@ def test_epoch_replay_is_idempotent(tmp_path, spark, sf_dir):
         None,
         text_col="source",
     )
-    survivors.drop("n_chars").write.mode("overwrite").parquet(
-        f"{work}/accepted/batch=0"
+    from flink_elasticsearch_ingestion_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    VersionedTable(spark, f"{work}/accepted").commit(
+        survivors.drop("n_chars"), version=0
     )
     (
         survivors.select("doc_id", "index_id", "source")

@@ -2956,6 +2956,15 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scrub_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL (Lee et al. policy): every maximal
+    shared span keeps its lowest-doc occurrence and is excised from the
+    higher doc; overlapping removal intervals union before excision.
+    The oracle re-derives the span mining, the interval merge, and the
+    token-level rebuild — the cleaned corpus hash-matches end to end."""
+    return D.scrub_shared_spans(_t(spark, sf_dir, "documents"))
+
+
 def q_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram cross-entropy per document — the
     smoothed corpus-LM quality filter (continuation probabilities +
@@ -3261,6 +3270,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_folds": q_leakage_safe_folds,
         "time_travel_diff": q_time_travel_diff,
         "kn_bigram_score": q_kn_bigram_score,
+        "scrub_shared_spans": q_scrub_shared_spans,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4906,6 +4916,36 @@ def oracle_sql() -> dict[str, str]:
             " jaccard FROM mh_pairs"
             " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
             " ORDER BY new_id, dup_id"
+        ),
+        "scrub_shared_spans": (
+            "WITH " + _shared_spans_cte()
+            + ", iv AS (SELECT doc_b AS doc, CAST(start_b AS BIGINT) AS s,"
+            "   CAST(start_b + span_tokens AS BIGINT) AS e FROM spans),"
+            " marked AS (SELECT doc, s, e, max(e) OVER (PARTITION BY doc"
+            "   ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            "   AS pm FROM iv),"
+            " gi AS (SELECT doc, s, e,"
+            "   sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)"
+            "    OVER (PARTITION BY doc ORDER BY s, e"
+            "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid"
+            "  FROM marked),"
+            " merged AS (SELECT doc, min(s) AS s, max(e) AS e FROM gi"
+            "   GROUP BY doc, gid),"
+            " ivs AS (SELECT doc, list({'s': s, 'e': e} ORDER BY s, e) AS ivl"
+            "   FROM merged GROUP BY doc),"
+            " cleaned AS (SELECT t.doc, len(t.toks) AS n_before,"
+            "   CASE WHEN ivs.ivl IS NULL THEN t.toks"
+            "    ELSE [t.toks[i] FOR i IN generate_series(1, len(t.toks))"
+            "          IF len(list_filter(ivs.ivl,"
+            "            iv -> (i-1) >= iv.s AND (i-1) < iv.e)) = 0]"
+            "   END AS kept,"
+            "   coalesce(len(ivs.ivl), 0) AS n_spans"
+            "  FROM t LEFT JOIN ivs ON ivs.doc = t.doc)"
+            " SELECT doc AS doc_id, CAST(n_before AS BIGINT) AS n_tokens_before,"
+            "  CAST(len(kept) AS BIGINT) AS n_tokens_after,"
+            "  CAST(n_spans AS BIGINT) AS n_spans_removed,"
+            "  coalesce(array_to_string(kept, ' '), '') AS clean_text"
+            " FROM cleaned ORDER BY doc_id"
         ),
         "kn_bigram_score": (
             "WITH toks AS (SELECT doc_id,"

@@ -230,6 +230,7 @@ EXTENDED = [
     "leakage_safe_folds",
     "time_travel_diff",
     "kn_bigram_score",
+    "scrub_shared_spans",
 ]
 
 

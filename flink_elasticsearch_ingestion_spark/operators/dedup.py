@@ -1661,3 +1661,85 @@ def quality_dedup_survivors(
         )
         .orderBy("component")
     )
+
+
+def scrub_shared_spans(
+    documents: DataFrame,
+    *,
+    window_k: int = 8,
+    min_span: int = 12,
+    df_cap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup, removal half (Lee et al. 2022 §4.2): for
+    every maximal shared span mined by ``shared_span_mining``, keep the
+    occurrence in the LOWER doc id and excise the tokens from the
+    higher one — the policy that leaves exactly one copy of every
+    duplicated passage in the corpus.
+
+    Stages, all relational:
+      1. mine maximal spans (window-hash equi-join, df-capped);
+      2. per victim doc, union overlapping/adjacent removal intervals
+         with gaps-and-islands (running max end over a doc-partitioned
+         window — interval counts are span-list-sized, never
+         token-stream-sized);
+      3. rebuild each document with ONE array expression: positions
+         falling inside any merged interval drop out (nested
+         higher-order filter/exists — JVM-side, no UDF), untouched
+         documents pass through the left join unchanged.
+
+    Returns per document: token counts before/after, merged spans
+    removed, and the cleaned text — the corpus the training pipeline
+    actually feeds downstream.
+    """
+    spans = shared_span_mining(
+        documents,
+        window_k=window_k,
+        min_span=min_span,
+        df_cap=df_cap,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    iv = spans.select(
+        F.col("doc_b").alias("doc"),
+        F.col("start_b").cast("bigint").alias("s"),
+        (F.col("start_b") + F.col("span_tokens")).cast("bigint").alias("e"),
+    )
+    w = Window.partitionBy("doc").orderBy("s", "e")
+    marked = iv.withColumn(
+        "pm", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    gid = F.sum(
+        F.when(F.col("pm").isNull() | (F.col("s") > F.col("pm")), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    merged = (
+        marked.withColumn("gid", gid)
+        .groupBy("doc", "gid")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    ivs = merged.groupBy("doc").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivl")
+    )
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    joined = base.join(ivs, base["doc_id"] == ivs["doc"], "left")
+    indexed = F.transform(
+        "toks", lambda t, i: F.struct(t.alias("t"), i.cast("bigint").alias("i"))
+    )
+    kept_structs = F.filter(
+        indexed,
+        lambda st: ~F.exists(
+            "ivl", lambda r: (st["i"] >= r["s"]) & (st["i"] < r["e"])
+        ),
+    )
+    kept = F.when(F.col("ivl").isNull(), F.col("toks")).otherwise(
+        F.transform(kept_structs, lambda st: st["t"])
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens_before"),
+        F.size(kept).cast("bigint").alias("n_tokens_after"),
+        F.coalesce(F.size("ivl"), F.lit(0)).cast("bigint").alias("n_spans_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    ).orderBy("doc_id")

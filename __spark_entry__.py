@@ -2956,6 +2956,39 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_es_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after`` pagination through the real source plugin:
+    stage a 5% event slice as a sharded index, fetch ONE page of 200
+    docs strictly after the (checkpoint_ts, '0') cursor — the cursor
+    filter runs INSIDE the reader, the page is the global (ts, doc_id)
+    order's next 200. doc_id compares as a string (ES _id semantics);
+    the oracle replays the cursor, the lexicographic order, and the
+    page boundary on the raw events table."""
+    import tempfile
+
+    from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_body
+    from flink_elasticsearch_ingestion_spark.sources.es_scroll import (
+        search_after_read,
+        write_index_shards,
+    )
+
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    docs = encode_body(C.shape_documents(events), C.BODY_COLS).select(
+        "doc_id", "index_id", "ts", "source"
+    )
+    idx = tempfile.mkdtemp(prefix="es_search_after_")
+    write_index_shards(docs, idx, n_shards=8)
+    page = search_after_read(
+        spark, idx, page_size=200, after=(CHECKPOINT, "0")
+    )
+    return page.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "index_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.get_json_object("source", "$.user_id").cast("bigint").alias("user_id"),
+    )
+
+
 def q_scrub_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup REMOVAL (Lee et al. policy): every maximal
     shared span keeps its lowest-doc occurrence and is excised from the
@@ -3271,6 +3304,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_diff": q_time_travel_diff,
         "kn_bigram_score": q_kn_bigram_score,
         "scrub_shared_spans": q_scrub_shared_spans,
+        "es_search_after_page": q_es_search_after_page,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4916,6 +4950,17 @@ def oracle_sql() -> dict[str, str]:
             " jaccard FROM mh_pairs"
             " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
             " ORDER BY new_id, dup_id"
+        ),
+        "es_search_after_page": (
+            "SELECT CAST(event_id AS BIGINT) AS doc_id,"
+            " event_type AS index_id, CAST(ts AS TIMESTAMP) AS ts,"
+            " CAST(user_id AS BIGINT) AS user_id"
+            " FROM events WHERE event_id % 20 = 0 AND ("
+            f"  CAST(ts AS TIMESTAMP) > TIMESTAMP '{CHECKPOINT}'"
+            f"  OR (CAST(ts AS TIMESTAMP) = TIMESTAMP '{CHECKPOINT}'"
+            "      AND CAST(event_id AS VARCHAR) > '0'))"
+            " ORDER BY CAST(ts AS TIMESTAMP), CAST(event_id AS VARCHAR)"
+            " LIMIT 200"
         ),
         "scrub_shared_spans": (
             "WITH " + _shared_spans_cte()

@@ -231,6 +231,7 @@ EXTENDED = [
     "time_travel_diff",
     "kn_bigram_score",
     "scrub_shared_spans",
+    "es_search_after_page",
 ]
 
 

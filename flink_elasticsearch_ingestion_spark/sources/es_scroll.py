@@ -94,6 +94,16 @@ class EsScrollPlainReader(DataSourceReader):
         self.batch_size = int(options.get("batch_size", "1000"))
         self.ts_lower: dt.datetime | None = None
         self.ts_lower_inclusive = False
+        # search_after cursor (the PIT-era stateless pagination ES
+        # offers alongside scroll): rows are kept only when their
+        # (ts, doc_id-as-string) sort key is STRICTLY after the cursor.
+        # Stateless by construction — any page is re-fetchable from
+        # just its cursor, no server-side scroll context to keep alive.
+        after_ts = options.get("after_ts")
+        after_id = options.get("after_id")
+        self.cursor: tuple[dt.datetime, str] | None = None
+        if after_ts is not None and after_id is not None:
+            self.cursor = (_parse_ts(after_ts), str(after_id))
 
     def _push_ts_filters(self, filters: "list[Filter]") -> "Iterator[Filter]":
         """Accept ts lower bounds (the checkpoint range); everything
@@ -162,8 +172,11 @@ class EsScrollPlainReader(DataSourceReader):
     def _emit(self, page: list[str]):
         for line in page:
             row = _row(line)
-            if self._keep(row[2]):
-                yield row
+            if not self._keep(row[2]):
+                continue
+            if self.cursor is not None and (row[2], str(row[0])) <= self.cursor:
+                continue
+            yield row
 
 
 class EsScrollReader(EsScrollPlainReader):
@@ -303,6 +316,44 @@ def scroll_read(spark, path: str, batch_size: int = 1000):
         .option("pushdown", "true" if pushdown else "false")
         .load()
     )
+
+
+def search_after_read(
+    spark,
+    path: str,
+    *,
+    page_size: int = 1000,
+    after: "tuple[dt.datetime | str, str] | None" = None,
+    batch_size: int = 1000,
+):
+    """ES ``search_after`` pagination — the stateless keyed-cursor
+    protocol ES offers alongside scroll (public ES docs; the PIT-era
+    replacement for scroll contexts): each call returns the next
+    ``page_size`` documents in ``(ts, doc_id)`` order STRICTLY after
+    the ``after`` cursor, with the cursor filter evaluated INSIDE the
+    reader ("provide range in query", the same contract as the
+    checkpoint pushdown).
+
+    Unlike a scroll context there is no server-side state: any page is
+    re-fetchable from just its cursor — exactly the replayable-offset
+    property a distributed, retrying source needs. ``doc_id`` compares
+    as a STRING (ES ``_id`` is a string; numeric ids order
+    lexicographically and the cursor contract documents it).
+    Conf-safe: uses the plain (no-pushFilters) reader, so it works on
+    any session."""
+    register_scroll_source(spark)
+    r = (
+        spark.read.format("es_scroll")
+        .option("path", path)
+        .option("batch_size", str(batch_size))
+        .option("pushdown", "false")
+    )
+    if after is not None:
+        ats, aid = after
+        if isinstance(ats, dt.datetime):
+            ats = ats.isoformat()
+        r = r.option("after_ts", ats).option("after_id", str(aid))
+    return r.load().orderBy("ts", "doc_id").limit(page_size)
 
 
 def write_index_shards(df, path: str, n_shards: int = 4) -> None:

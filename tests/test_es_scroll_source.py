@@ -237,3 +237,47 @@ def test_scroll_to_bulk_streaming_copy(tmp_path, spark, sf_dir):
         row = want[action["index"]["_id"]]
         assert action["index"]["_index"] == row["index_id"]
         assert body == row["source"]
+
+
+def test_search_after_pagination_walks_index_exactly_once(tmp_path, spark, sf_dir):
+    """search_after contract: repeatedly fetching the next page from
+    the last row's (ts, doc_id) cursor visits every document exactly
+    once, in global (ts, doc_id-string) order, with no server-side
+    state — and any page is re-fetchable from just its cursor."""
+    from flink_elasticsearch_ingestion_spark.sources.es_scroll import (
+        search_after_read,
+    )
+
+    idx = _stage(tmp_path, spark, sf_dir, n_shards=3)
+    want = sorted(
+        ((r["ts"], str(r["doc_id"])) for r in _docs(spark, sf_dir).collect())
+    )
+
+    seen = []
+    after = None
+    pages = 0
+    while True:
+        rows = search_after_read(spark, idx, page_size=137, after=after).collect()
+        if not rows:
+            break
+        pages += 1
+        page_keys = [(r["ts"], r["doc_id"]) for r in rows]
+        assert page_keys == sorted(page_keys)  # in-page order
+        if after is not None:
+            at = after
+            if isinstance(at[0], str):
+                import datetime as dt
+
+                at = (dt.datetime.fromisoformat(at[0]), at[1])
+            assert page_keys[0] > at  # strictly after the cursor
+        seen.extend(page_keys)
+        after = (rows[-1]["ts"], rows[-1]["doc_id"])
+    assert pages == -(-len(want) // 137)
+    assert seen == want  # exactly once, global order
+
+    # stateless re-fetch: the SAME cursor yields the SAME page
+    mid_cursor = seen[136]
+    p1 = search_after_read(spark, idx, page_size=50, after=mid_cursor).collect()
+    p2 = search_after_read(spark, idx, page_size=50, after=mid_cursor).collect()
+    assert [tuple(r) for r in p1] == [tuple(r) for r in p2]
+    assert len(p1) == 50

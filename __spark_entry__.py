@@ -2956,6 +2956,14 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_passages_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 keep-first passage dedup: each exact 10-word passage keeps
+    its earliest (doc_id, pos) occurrence corpus-wide; later copies
+    drop and documents reassemble in order. The oracle re-derives the
+    winner election and the rebuilt text hash per doc."""
+    return X.dedup_passages_global(_t(spark, sf_dir, "documents"))
+
+
 def q_es_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``search_after`` pagination through the real source plugin:
     stage a 5% event slice as a sharded index, fetch ONE page of 200
@@ -3305,6 +3313,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram_score": q_kn_bigram_score,
         "scrub_shared_spans": q_scrub_shared_spans,
         "es_search_after_page": q_es_search_after_page,
+        "dedup_passages_global": q_dedup_passages_global,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4950,6 +4959,28 @@ def oracle_sql() -> dict[str, str]:
             " jaccard FROM mh_pairs"
             " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
             " ORDER BY new_id, dup_id"
+        ),
+        "dedup_passages_global": (
+            "WITH t AS (SELECT doc_id,"
+            " regexp_split_to_array(trim(text), '\\s+') AS toks"
+            " FROM documents WHERE trim(text) <> ''),"
+            " c AS (SELECT doc_id, i AS pos,"
+            "  array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10),"
+            "   ' ') AS passage"
+            "  FROM t, LATERAL (SELECT unnest(generate_series(0,"
+            "   CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS i) g),"
+            " w AS (SELECT passage, min({'d': doc_id, 'p': pos}) AS win"
+            "  FROM c GROUP BY passage),"
+            " f AS (SELECT c.doc_id, c.pos, c.passage,"
+            "  (c.doc_id = (w.win).d AND c.pos = (w.win).p) AS keep"
+            "  FROM c JOIN w ON c.passage = w.passage)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,"
+            " CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,"
+            " CAST(length(coalesce(string_agg(passage, ' ' ORDER BY pos)"
+            "  FILTER (WHERE keep), '')) AS BIGINT) AS n_chars_clean,"
+            " md5(coalesce(string_agg(passage, ' ' ORDER BY pos)"
+            "  FILTER (WHERE keep), '')) AS clean_sha"
+            " FROM f GROUP BY doc_id ORDER BY doc_id"
         ),
         "es_search_after_page": (
             "SELECT CAST(event_id AS BIGINT) AS doc_id,"

@@ -232,6 +232,7 @@ EXTENDED = [
     "kn_bigram_score",
     "scrub_shared_spans",
     "es_search_after_page",
+    "dedup_passages_global",
 ]
 
 

@@ -2570,3 +2570,82 @@ def kneser_ney_score(
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_passages_global(
+    documents: DataFrame,
+    *,
+    chunk_words: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide passage dedup with the KEEP-FIRST policy (C4's
+    line-level rule, Raffel et al. 2020 §2.2: "discard all but one of
+    any three-sentence span occurring more than once") — the companion
+    to ``scrub_boilerplate``, which drops repeated passages from EVERY
+    document; here each exact passage keeps its earliest (doc_id, pos)
+    occurrence and only the LATER copies drop, so no content is lost
+    from the corpus.
+
+    Winner election is one aggregate: ``min(struct(doc_id, pos))`` per
+    passage (partial+final, map-side combine collapses per-task
+    repeats). An occurrence survives iff it IS its passage's winner.
+    Scale shape: explode map-side, one shuffle on the passage key for
+    the winner table, one join back on the same key (AQE co-plans the
+    pair), one doc-keyed rebuild whose collect state is bounded by the
+    document's own length.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.util import (
+        bind_once,
+        ensure_parallelism,
+    )
+
+    documents = ensure_parallelism(documents.filter(F.trim(F.col(text_col)) != ""))
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    chunks = bind_once(
+        toks,
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(t) / F.lit(chunk_words)).cast("int") - 1
+            ),
+            lambda i: F.array_join(F.slice(t, i * chunk_words + 1, chunk_words), " "),
+        ),
+    )
+    exploded = documents.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "passage")
+    )
+    winners = exploded.groupBy("passage").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    flagged = exploded.join(winners, "passage").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos")),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+            F.count(F.when(~F.col("keep"), 1)).cast("bigint").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("passage")),
+                            )
+                        )
+                    ),
+                    lambda s: s.passage,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dropped",
+            F.length("clean_text").cast("bigint").alias("n_chars_clean"),
+            F.md5("clean_text").alias("clean_sha"),
+        )
+        .orderBy("doc_id")
+    )

@@ -3131,8 +3131,11 @@ def q_streaming_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dp_histogram, l_diversity, dim_truncation_recall, groupwise_ols,
 # textrank_keywords, weighted_quantiles, priority_spanning_customers,
 # join_size_estimate, incremental_join_view, hilbert_key,
-# top_component — plus every round-5 addition (see the round-5
-# sections of _catalog()).
+# top_component — plus the round-5 additions (all hash-green under the
+# local gate and the vanilla-session driver replica):
+# streaming_admission_replay, bucketed_join, leakage_safe_folds,
+# time_travel_diff, kn_bigram_score, scrub_shared_spans,
+# es_search_after_page, dedup_passages_global.
 _WINDOW_PRIORITY = [
     # Round-5 window: the first 50 of the round-4 additions that have
     # never produced a driver-verified row (all hash-green under the

@@ -1,0 +1,171 @@
+"""Round-5 operator properties: two-phase distribution ranks equal the
+window functions bit-for-bit, span removal excises exactly the planted
+duplicates, keep-first passage dedup preserves first occurrences,
+Kneser-Ney is a proper probability model, group-aware folds partition
+the corpus with zero leakage."""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from flink_elasticsearch_ingestion_spark.operators.dedup import scrub_shared_spans
+from flink_elasticsearch_ingestion_spark.operators.sampling import leakage_safe_folds
+from flink_elasticsearch_ingestion_spark.operators.text import (
+    dedup_passages_global,
+    kneser_ney_score,
+)
+from flink_elasticsearch_ingestion_spark.operators.windows import (
+    global_distribution_ranks,
+)
+from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+
+def test_distribution_ranks_equal_window_functions(spark, sf_dir):
+    """The two-phase path must be BIT-identical to
+    ntile/percent_rank/cume_dist over the same order — including the
+    uneven-bucket distribution when n % k != 0."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for k in (4, 7):  # 7 rarely divides the row count: exercises n % k
+        got = global_distribution_ranks(
+            orders, "o_totalprice", "o_orderkey", ntile_k=k
+        ).select("o_orderkey", "quartile", "pr", "cd")
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        want = orders.select(
+            "o_orderkey",
+            F.ntile(k).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_distribution_ranks_single_row():
+    from flink_elasticsearch_ingestion_spark import get_spark
+
+    spark = get_spark("tests")
+    df = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    row = global_distribution_ranks(df, "v", "id", ntile_k=4).collect()[0]
+    assert (row["quartile"], row["pr"], row["cd"]) == (1, 0.0, 1.0)
+
+
+def test_scrub_shared_spans_removes_planted_duplicate(spark):
+    """A 16-token passage shared by two docs: the lower doc keeps it,
+    the higher doc loses exactly those tokens; a third unrelated doc
+    is untouched."""
+    span = " ".join(f"dup{i}" for i in range(16))
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"one two three four five {span} six seven"),
+        (3, "totally unrelated words here " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_shared_spans(df).collect()}
+    assert out[1]["n_spans_removed"] == 0
+    assert out[1]["clean_text"] == rows[0][1]
+    assert out[2]["n_spans_removed"] == 1
+    assert out[2]["n_tokens_after"] == out[2]["n_tokens_before"] - 16
+    assert "dup0" not in out[2]["clean_text"]
+    assert out[2]["clean_text"] == "one two three four five six seven"
+    assert out[3]["n_spans_removed"] == 0
+
+
+def test_scrub_shared_spans_merges_overlapping_intervals(spark):
+    """Two overlapping spans (shared with two different partners) must
+    union before excision — tokens in the overlap are removed once,
+    not twice, and the count is the union's length."""
+    a = " ".join(f"w{i}" for i in range(20))  # doc 1: tokens w0..w19
+    left = " ".join(f"w{i}" for i in range(0, 14))  # w0..w13  (14 toks)
+    right = " ".join(f"w{i}" for i in range(6, 20))  # w6..w19 (14 toks)
+    rows = [
+        (1, left),
+        (2, right),
+        (3, a + " tail0 tail1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_shared_spans(df).collect()}
+    # doc 3 shares w0..w13 with doc 1 and w6..w19 with doc 2: the
+    # merged removal interval is w0..w19 (all 20), leaving the tail
+    assert out[3]["n_spans_removed"] == 1  # merged into ONE interval
+    assert out[3]["n_tokens_after"] == 2
+    assert out[3]["clean_text"] == "tail0 tail1"
+
+
+def test_dedup_passages_keep_first(spark):
+    """The same 10-word passage in three docs: (lowest doc, lowest pos)
+    keeps it, everyone else drops it — including a second copy INSIDE
+    the first doc."""
+    p = " ".join(f"p{i}" for i in range(10))
+    other = " ".join(f"q{i}" for i in range(10))
+    rows = [
+        (1, f"{p} {p}"),          # first occurrence + in-doc repeat
+        (2, f"{other} {p}"),      # later doc: drops the shared passage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_passages_global(df).collect()}
+    assert out[1]["n_passages"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["n_passages"] == 2 and out[2]["n_dropped"] == 1
+    # doc 2 keeps only its unique passage
+    import hashlib
+
+    assert out[2]["clean_sha"] == hashlib.md5(other.encode()).hexdigest()
+
+
+def test_kneser_ney_is_a_proper_distribution(spark):
+    """For every prefix w1, sum over the OBSERVED vocabulary of
+    P_KN(w2|w1) must be exactly 1 (the defining property of
+    interpolated KN: discounted mass re-enters via continuation
+    probabilities). Verified by reconstructing P from the same counts
+    the operator uses."""
+    rows = [
+        (1, "a b a c a b d"),
+        (2, "b c b a c c a"),
+        (3, "d a d b d c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # rebuild the model exactly as the operator defines it
+    import collections
+    import math
+
+    bg = collections.Counter()
+    for _, t in rows:
+        w = t.split()
+        for i in range(len(w) - 1):
+            bg[(w[i], w[i + 1])] += 1
+    c_w1 = collections.Counter()
+    n1p_fw = collections.defaultdict(set)
+    n1p_bw = collections.defaultdict(set)
+    for (w1, w2), c in bg.items():
+        c_w1[w1] += c
+        n1p_fw[w1].add(w2)
+        n1p_bw[w2].add(w1)
+    T = len(bg)
+    vocab = {w for pair in bg for w in pair}
+    for w1 in c_w1:
+        s = sum(
+            max(bg.get((w1, w2), 0) - 0.75, 0.0) / c_w1[w1]
+            + (0.75 * len(n1p_fw[w1]) / c_w1[w1]) * (len(n1p_bw.get(w2, ())) / T)
+            for w2 in vocab
+        )
+        assert abs(s - 1.0) < 1e-9, (w1, s)
+    # and the operator agrees with a direct per-doc computation
+    out = {r["doc_id"]: r for r in kneser_ney_score(df).collect()}
+    for doc_id, t in rows:
+        w = t.split()
+        lps = []
+        for i in range(len(w) - 1):
+            w1, w2 = w[i], w[i + 1]
+            p = max(bg[(w1, w2)] - 0.75, 0.0) / c_w1[w1] + (
+                0.75 * len(n1p_fw[w1]) / c_w1[w1]
+            ) * (len(n1p_bw[w2]) / T)
+            lps.append(math.log(p))
+        want = round(-sum(lps) / len(lps) + 1e-9, 4)
+        assert out[doc_id]["kn_cross_entropy"] == want
+
+
+def test_leakage_safe_folds_partition_and_zero_leaks(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = leakage_safe_folds(docs, k=5, jaccard_threshold=0.4, portable=True,
+                             band_cap=None).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert all(r["n_leaky_pairs"] == 0 for r in out)
+    assert all(r["n_groups"] <= r["n_docs"] for r in out)

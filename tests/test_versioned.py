@@ -104,3 +104,61 @@ def test_pruning_and_pushdown_survive_versioning(tmp_path, spark, sf_dir):
     assert len(scans) == 1
     assert "o_custkey" not in scans[0]["columns"]  # pruned
     assert any("o_totalprice" in f for f in scans[0].get("pushed_filters", []))
+
+
+def test_stream_table_versions_delivers_each_commit_exactly_once(
+    tmp_path, spark, sf_dir
+):
+    """The commit log as a streaming source: offsets are version
+    numbers, so each drain delivers exactly the versions committed
+    since the checkpoint — append commits as their delta, overwrite
+    commits as their fresh snapshot, every row tagged with its
+    _commit_version."""
+    from flink_elasticsearch_ingestion_spark.sources.versioned import (
+        stream_table_versions,
+    )
+
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t = VersionedTable(spark, root)
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    v0 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    v1 = orders.filter(F.col("o_orderkey") % 3 == 1)
+    t.commit(v0)
+
+    def drain():
+        q = (
+            stream_table_versions(spark, root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == v0.count()
+    assert got.select("_commit_version").distinct().collect()[0][0] == 0
+
+    t.commit(v1)  # append: the delta is exactly v1's rows
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == v0.count() + v1.count()
+    per_v = {
+        r["_commit_version"]: r["n"]
+        for r in got.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_v == {0: v0.count(), 1: v1.count()}
+    # the union of streamed deltas IS the latest snapshot
+    keys = sorted(r["o_orderkey"] for r in got.select("o_orderkey").collect())
+    want = sorted(r["o_orderkey"] for r in t.read(1).collect())
+    assert keys == want
+
+    small = orders.limit(5)
+    t.commit(small, mode="overwrite")  # fresh file set: full snapshot streams
+    drain()
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("_commit_version") == 2).count() == 5

@@ -179,6 +179,18 @@ class VersionedTableStreamReader:
 
         import pyarrow.parquet as pq
 
+        import datetime as _dt
+
+        def _conv(v):
+            # naive parquet timestamps surface as tz-naive pandas
+            # Timestamps; Spark's ingest path tz_converts, so localize
+            # to the UTC wall-clock the engine stores
+            if hasattr(v, "to_pydatetime"):
+                v = v.to_pydatetime()
+            if isinstance(v, _dt.datetime) and v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return v
+
         for v in [x for x in self._versions() if lo < x <= hi]:
             dirs = set(self._manifest(v)["dirs"])
             prev: set = set()
@@ -192,7 +204,7 @@ class VersionedTableStreamReader:
                 ):
                     for batch in pq.ParquetFile(f).iter_batches():
                         for row in batch.to_pylist():
-                            yield tuple(row.values()) + (v,)
+                            yield tuple(_conv(x) for x in row.values()) + (v,)
 
     def read(self, start: dict):
         vs = self._versions()

@@ -217,3 +217,69 @@ def test_stream_agrees_with_batch_twin_on_admission(tmp_path, spark, sf_dir):
     # not guaranteed, so assert via the count of a text-keyed set)
     admitted_batch = summary[0]["n_admitted"]
     assert mon["n_admitted"] == admitted_batch
+
+
+def test_full_loop_ingest_then_cdc_consume(tmp_path, spark, sf_dir):
+    """The complete story in one test: scroll source -> admission ->
+    versioned commit (the ingest pipeline), then a SECOND stream
+    consumes the accepted table's commit log downstream — each ingest
+    epoch arrives exactly once, tagged with its version, and the
+    union of consumed deltas equals the table's latest snapshot."""
+    import json as _json
+
+    from flink_elasticsearch_ingestion_spark.sources.versioned import (
+        VersionedTable,
+        stream_table_versions,
+    )
+
+    idx = str(tmp_path / "index")
+    work = str(tmp_path / "work")
+    out = str(tmp_path / "consumed")
+    ck = str(tmp_path / "consume_ck")
+    write_index_shards(_doc_frame(spark, sf_dir), idx, n_shards=2)
+    _run(spark, idx, work)  # ingest epoch 0
+
+    def consume():
+        q = (
+            stream_table_versions(spark, f"{work}/accepted")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    consume()
+    mon = {r["epoch"]: r.asDict() for r in read_monitor_log(spark, work).collect()}
+    got = spark.read.parquet(out)
+    assert got.count() == mon[0]["n_admitted"]
+
+    # second ingest epoch: append one fresh doc, re-run, re-consume
+    shard = sorted(os.listdir(idx))[0]
+    with open(os.path.join(idx, shard), "a") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "doc_id": "late-new",
+                    "index_id": "en",
+                    "ts": "2024-02-01T00:00:00.000000",
+                    "source": "zz yy xx ww vv uu tt ss " * 9,
+                }
+            )
+            + "\n"
+        )
+    _run(spark, idx, work)
+    consume()
+    got = spark.read.parquet(out)
+    per_v = {
+        r["_commit_version"]: r["n"]
+        for r in got.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+    }
+    mon = {r["epoch"]: r.asDict() for r in read_monitor_log(spark, work).collect()}
+    assert per_v == {0: mon[0]["n_admitted"], 1: mon[1]["n_admitted"]}
+    # consumed deltas == the accepted table's latest snapshot
+    tbl = VersionedTable(spark, f"{work}/accepted")
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in tbl.read().collect()
+    )

@@ -108,11 +108,11 @@ SCALAR_JOIN_OK = {
 
 #: unpartitioned-window audit exceptions — every entry must say WHY the
 #: window input is bounded even though the plan can't prove it.
-#: ndcg_eval: the rk/irk windows run on the <= k-row BM25 TakeOrdered
-#: frame inner-joined (unique doc_id) to the relevance labels — the
-#: join can't amplify past k rows, but the label side is a fact scan so
-#: the structural boundedness walk can't see it
-UNPARTITIONED_WINDOW_OK = {"ndcg_eval"}
+#: Currently EMPTY: the one bounded-in-fact-but-not-structurally case
+#: (ndcg_eval's post-join rank windows) was rewritten as aggregate
+#: folds over the collected <= k-row array, so the whole catalog passes
+#: the audit structurally.
+UNPARTITIONED_WINDOW_OK: set[str] = set()
 
 
 from flink_elasticsearch_ingestion_spark.plans import (

@@ -103,6 +103,16 @@ class VersionedTable:
         paths = [os.path.join(self.root, d) for d in manifest["dirs"]]
         return self.spark.read.parquet(*paths)
 
+    def compact(self, *, files: int = 1) -> int:
+        """Rewrite the LATEST snapshot as one fresh overwrite commit
+        with ``files`` files — the small-files fixer for a table grown
+        through many append epochs (each epoch leaves its own
+        directory; a thousand epochs = a thousand directories). History
+        stays intact: prior versions still time-travel, and ``vacuum``
+        reclaims the old directories once retention allows. Returns the
+        new version number."""
+        return self.commit(self.read().coalesce(files), mode="overwrite")
+
     def vacuum(self, *, keep_last: int = 1) -> list[str]:
         """Drop manifests older than the last ``keep_last`` versions and
         delete every data directory no retained manifest references.

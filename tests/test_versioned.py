@@ -162,3 +162,27 @@ def test_stream_table_versions_delivers_each_commit_exactly_once(
     drain()
     got = spark.read.parquet(out)
     assert got.filter(F.col("_commit_version") == 2).count() == 5
+
+
+def test_compact_rewrites_latest_without_losing_history(tmp_path, spark, sf_dir):
+    import glob
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    for m in range(4):  # four append epochs -> four data dirs
+        t.commit(orders.filter(F.col("o_orderkey") % 4 == m).repartition(4))
+    before = sorted(r["o_orderkey"] for r in t.read().collect())
+    n_files_before = len(glob.glob(str(tmp_path / "tbl" / "data" / "*" / "*.parquet")))
+
+    v = t.compact(files=1)
+    assert v == 4
+    assert sorted(r["o_orderkey"] for r in t.read().collect()) == before
+    assert t.read(3).count() == len(before)  # history intact
+    assert t.read(0).count() < len(before)
+    # the compacted snapshot reads from ONE file
+    man_files = glob.glob(str(tmp_path / "tbl" / "data" / "v=4" / "*.parquet"))
+    assert len(man_files) == 1 and n_files_before >= 16
+    # vacuum now reclaims every pre-compaction directory
+    deleted = t.vacuum(keep_last=1)
+    assert sorted(deleted) == [f"data/v={i}" for i in range(4)]
+    assert sorted(r["o_orderkey"] for r in t.read().collect()) == before

@@ -529,3 +529,38 @@ def test_bloom_prefilter_probe_is_mapside_and_join_broadcast(spark, sf_dir):
     assert "Filter" in plan[: filter_idx + 2000] or "Filter" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning: a selective dim-side
+    filter creates a bloom_filter_agg subquery and the fact side gains
+    a might_contain predicate BEFORE the join — at 100 TB the
+    difference between shuffling the whole fact table and shuffling
+    only rows that can possibly match. Thresholds are lowered here only
+    because the test data is tiny; the assertion is that our join
+    shapes stay ELIGIBLE for the rewrite (equi-join, plain scan, no
+    structure that blocks the filter)."""
+    import __spark_entry__ as _E
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = _E._t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        od = _E._t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        from flink_elasticsearch_ingestion_spark.plans import physical_plan
+
+        plan = physical_plan(li.join(od, li["l_orderkey"] == od["o_orderkey"]))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan

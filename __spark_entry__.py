@@ -2956,6 +2956,22 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIMAX water-filling language balance (Chung et al. 2023):
+    budget splits equally across languages except where a language's
+    whole corpus is smaller (it saturates, leftover flows up) — the
+    bounded-epochs replacement for temperature sampling. Oracle replays
+    the level solve, the allocation, and the salted per-language
+    selection."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        unimax_language_sample,
+    )
+
+    return unimax_language_sample(
+        _t(spark, sf_dir, "documents"), budget_tokens=20_000
+    )
+
+
 def q_dedup_passages_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 keep-first passage dedup: each exact 10-word passage keeps
     its earliest (doc_id, pos) occurrence corpus-wide; later copies
@@ -3317,6 +3333,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_shared_spans": q_scrub_shared_spans,
         "es_search_after_page": q_es_search_after_page,
         "dedup_passages_global": q_dedup_passages_global,
+        "unimax_sample": q_unimax_sample,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4962,6 +4979,38 @@ def oracle_sql() -> dict[str, str]:
             " jaccard FROM mh_pairs"
             " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
             " ORDER BY new_id, dup_id"
+        ),
+        "unimax_sample": (
+            "WITH tok AS (SELECT doc_id, lang,"
+            "  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok"
+            "  FROM documents),"
+            " caps AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS cap"
+            "  FROM tok GROUP BY lang),"
+            " ordered AS (SELECT lang, cap,"
+            "  row_number() OVER (ORDER BY cap, lang) AS i,"
+            "  count(*) OVER () AS n,"
+            "  coalesce(sum(cap) OVER (ORDER BY cap, lang"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx"
+            "  FROM caps),"
+            " lv AS (SELECT arg_min((20000.0 - pfx) / (n - i + 1), i) AS level"
+            "  FROM ordered WHERE (20000.0 - pfx) / (n - i + 1) < cap),"
+            " alloc AS (SELECT lang, cap,"
+            "  CASE WHEN lv.level IS NULL THEN CAST(cap AS DOUBLE)"
+            "   ELSE least(CAST(cap AS DOUBLE), lv.level) END AS alloc"
+            "  FROM ordered CROSS JOIN lv),"
+            " sel AS (SELECT t.doc_id, t.lang, t.n_tok,"
+            "  sum(t.n_tok) OVER (PARTITION BY t.lang"
+            "   ORDER BY md5('unimax-v1:' || t.doc_id::VARCHAR), t.doc_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
+            "  FROM tok t),"
+            " kept AS (SELECT s.lang, s.n_tok FROM sel s"
+            "  JOIN alloc a ON a.lang = s.lang WHERE s.cum <= a.alloc)"
+            " SELECT a.lang, a.cap AS cap_tokens,"
+            "  round(a.alloc + 1e-9, 4) AS alloc_tokens,"
+            "  CAST(coalesce(count(k.n_tok), 0) AS BIGINT) AS n_docs,"
+            "  CAST(coalesce(sum(k.n_tok), 0) AS BIGINT) AS sel_tokens"
+            " FROM alloc a LEFT JOIN kept k ON k.lang = a.lang"
+            " GROUP BY a.lang, a.cap, a.alloc ORDER BY a.lang"
         ),
         "dedup_passages_global": (
             "WITH t AS (SELECT doc_id,"

@@ -233,6 +233,7 @@ EXTENDED = [
     "scrub_shared_spans",
     "es_search_after_page",
     "dedup_passages_global",
+    "unimax_sample",
 ]
 
 

@@ -910,3 +910,103 @@ def leakage_safe_folds(
         .orderBy("fold")
     )
     return out
+
+
+def unimax_language_sample(
+    documents: DataFrame,
+    *,
+    budget_tokens: int = 20_000,
+    salt: str = "unimax-v1",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """UNIMAX language balancing (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a token budget across languages by
+    WATER-FILLING — every language gets an equal share of the budget
+    unless its whole corpus is smaller, in which case it saturates and
+    its leftover flows to the bigger languages. This is the principled
+    replacement for temperature sampling: no language is ever
+    upsampled past its natural size (epochs are bounded), and the
+    budget splits as uniformly as the data allows.
+
+    Mechanics, all relational and engine-replayable:
+
+    1. per-language token caps: one aggregate (|langs|-sized);
+    2. the water level solves ``sum(min(cap_i, L)) = budget``: with
+       caps sorted ascending, L = the first candidate
+       ``(budget - prefix_caps) / languages_remaining`` that falls
+       below its own cap — two windows over the bounded language axis
+       plus ONE 1-row scalar broadcast (the level);
+    3. per-language selection to the allocation: documents order by a
+       portable md5 (salted, so remixes are a new salt) and accumulate
+       tokens in a lang-partitioned running sum; docs keep while the
+       prefix fits the allocation — the ``token_budget`` discipline.
+
+    Returns per language: cap, allocation, selected docs/tokens.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        toks.cast("bigint").alias("n_tok"),
+    )
+    caps = tok.groupBy("lang").agg(F.sum("n_tok").cast("bigint").alias("cap"))
+    w = Window.orderBy("cap", "lang")
+    ordered = caps.select(
+        "lang",
+        "cap",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("pfx"),
+    )
+    b = F.lit(float(budget_tokens))
+    cand = (b - F.col("pfx")) / (F.col("n") - F.col("i") + F.lit(1))
+    # the level is the FIRST (smallest-i) candidate that falls below
+    # its own cap: for later i the prefix already includes unsaturated
+    # caps, so those candidates are meaningless (can even go negative)
+    level = ordered.filter(cand < F.col("cap")).agg(
+        F.min(F.struct(F.col("i"), cand.alias("c")))["c"].alias("level")
+    )
+    alloc = ordered.crossJoin(F.broadcast(level)).select(
+        "lang",
+        "cap",
+        F.when(F.col("level").isNull(), F.col("cap").cast("double"))
+        .otherwise(F.least(F.col("cap").cast("double"), F.col("level")))
+        .alias("alloc"),
+    )
+    cum = F.sum("n_tok").over(
+        Window.partitionBy("lang")
+        .orderBy(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sel = tok.withColumn("cum", cum)
+    kept = sel.join(alloc.select("lang", "alloc"), "lang").filter(
+        F.col("cum") <= F.col("alloc")
+    )
+    picked = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sel_tokens"),
+    )
+    return (
+        alloc.join(picked, "lang", "left")
+        .select(
+            "lang",
+            F.col("cap").alias("cap_tokens"),
+            F.round(F.col("alloc") + F.lit(1e-9), 4).alias("alloc_tokens"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("sel_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("sel_tokens"),
+        )
+        .orderBy("lang")
+    )

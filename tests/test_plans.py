@@ -95,6 +95,8 @@ SCALAR_JOIN_OK = {
     # vocabulary-keyed scoring stream — scalar subquery (same class as
     # bm25_search's corpus statistics)
     "kn_bigram_score",
+    # 1-row water-filling level broadcast onto the |langs|-row frame
+    "unimax_sample",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",

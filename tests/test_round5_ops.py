@@ -169,3 +169,42 @@ def test_leakage_safe_folds_partition_and_zero_leaks(spark, sf_dir):
     assert sum(r["n_docs"] for r in out) == docs.count()
     assert all(r["n_leaky_pairs"] == 0 for r in out)
     assert all(r["n_groups"] <= r["n_docs"] for r in out)
+
+
+def test_unimax_water_filling_properties(spark):
+    """UNIMAX invariants on a corpus where the budget forces
+    saturation: (a) no language exceeds its natural size, (b) the
+    allocations sum to min(budget, corpus), (c) every unsaturated
+    language gets the SAME share, and that share >= every saturated
+    language's cap."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        unimax_language_sample,
+    )
+
+    rows = []
+    did = 0
+    # tiny lang: 3 docs x 5 tokens; mid: 10 x 20; two big: 40 x 50
+    for lang, n_docs, n_tok in [("aa", 3, 5), ("bb", 10, 20), ("cc", 40, 50), ("dd", 40, 50)]:
+        for _ in range(n_docs):
+            rows.append((did, lang, " ".join(f"t{i}" for i in range(n_tok))))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    budget = 1_000  # < total (4215): the two big langs must share
+    out = {r["lang"]: r.asDict() for r in unimax_language_sample(df, budget_tokens=budget).collect()}
+    caps = {"aa": 15, "bb": 200, "cc": 2000, "dd": 2000}
+    for lang, cap in caps.items():
+        assert out[lang]["cap_tokens"] == cap
+        assert out[lang]["alloc_tokens"] <= cap + 1e-6
+    total_alloc = sum(out[lang]["alloc_tokens"] for lang in caps)
+    assert abs(total_alloc - budget) < 1e-3
+    # aa saturates (15 < 1000/4); bb saturates (200 < (1000-15)/3=328);
+    # cc and dd split the leftover equally
+    assert out["aa"]["alloc_tokens"] == 15.0
+    assert out["bb"]["alloc_tokens"] == 200.0
+    assert out["cc"]["alloc_tokens"] == out["dd"]["alloc_tokens"]
+    assert abs(out["cc"]["alloc_tokens"] - (1000 - 215) / 2) < 1e-6
+    # selection never exceeds the allocation, and saturated langs take all
+    for lang in caps:
+        assert out[lang]["sel_tokens"] <= out[lang]["alloc_tokens"] + 1e-6
+    assert out["aa"]["sel_tokens"] == 15 and out["aa"]["n_docs"] == 3
+    assert out["bb"]["sel_tokens"] == 200 and out["bb"]["n_docs"] == 10

@@ -2956,6 +2956,25 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (SemDeDup-family): sampling weight 1/|near-dup
+    cluster| so each cluster contributes ~one document's expected mass
+    — re-weighting instead of deletion. Output is the per-cluster-size
+    selection audit; the oracle replays components, weights, the A-ES
+    keys, and the exact-k cut."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        cluster_weighted_sample,
+    )
+
+    return cluster_weighted_sample(
+        _t(spark, sf_dir, "documents"),
+        k=150,
+        jaccard_threshold=0.4,
+        portable=True,
+        band_cap=None,
+    )
+
+
 def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNIMAX water-filling language balance (Chung et al. 2023):
     budget splits equally across languages except where a language's
@@ -3334,6 +3353,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_after_page": q_es_search_after_page,
         "dedup_passages_global": q_dedup_passages_global,
         "unimax_sample": q_unimax_sample,
+        "cluster_weighted_sample": q_cluster_weighted_sample,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -4979,6 +4999,37 @@ def oracle_sql() -> dict[str, str]:
             " jaccard FROM mh_pairs"
             " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
             " ORDER BY new_id, dup_id"
+        ),
+        "cluster_weighted_sample": (
+            "WITH RECURSIVE " + _minhash_pairs_cte(0.4)
+            + ", sym AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs"
+            "   UNION SELECT doc_b, doc_a FROM mh_pairs),"
+            " reach AS (SELECT u AS node, u AS label FROM sym"
+            "   UNION SELECT s.u AS node, r.label FROM sym s"
+            "    JOIN reach r ON r.node = s.v),"
+            " comp AS (SELECT node, min(label) AS component FROM reach"
+            "   GROUP BY node),"
+            " sizes AS (SELECT component, count(*) AS csize FROM comp"
+            "   GROUP BY component),"
+            " wt AS (SELECT d.doc_id,"
+            "   CAST(coalesce(s.csize, 1) AS BIGINT) AS csize,"
+            "   1.0 / coalesce(s.csize, 1) AS w"
+            "  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
+            "  LEFT JOIN sizes s ON s.component = c.component),"
+            " keyed AS (SELECT doc_id, csize,"
+            "   CASE WHEN w > 0 THEN"
+            "    ln(('0x' || substr(md5('softdedup-v1:' || doc_id::VARCHAR), 1, 13))::BIGINT"
+            "       / 4503599627370496.0) / w"
+            "   ELSE -1e308 END AS k FROM wt),"
+            " picked AS (SELECT doc_id FROM keyed"
+            "   ORDER BY k DESC, doc_id LIMIT 150)"
+            " SELECT w.csize AS cluster_size,"
+            "  CAST(count(*) AS BIGINT) AS n_candidates,"
+            "  CAST(count(p.doc_id) AS BIGINT) AS n_selected,"
+            "  round(count(p.doc_id) * 1.0 / count(*) + 1e-9, 6)"
+            "   AS selection_rate"
+            " FROM wt w LEFT JOIN picked p ON p.doc_id = w.doc_id"
+            " GROUP BY w.csize ORDER BY cluster_size"
         ),
         "unimax_sample": (
             "WITH tok AS (SELECT doc_id, lang,"

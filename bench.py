@@ -234,6 +234,7 @@ EXTENDED = [
     "es_search_after_page",
     "dedup_passages_global",
     "unimax_sample",
+    "cluster_weighted_sample",
 ]
 
 

@@ -1010,3 +1010,81 @@ def unimax_language_sample(
         )
         .orderBy("lang")
     )
+
+
+def cluster_weighted_sample(
+    documents: DataFrame,
+    *,
+    k: int = 150,
+    jaccard_threshold: float = 0.4,
+    salt: str = "softdedup-v1",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    band_cap: int | None = 1000,
+) -> DataFrame:
+    """Soft dedup by cluster-weighted sampling (the SemDeDup-family
+    alternative to hard removal): instead of deleting near-duplicates,
+    every document's sampling weight is 1/|its near-dup cluster|, so
+    each CLUSTER contributes ~one document's worth of expected mass and
+    over-represented boilerplate stops dominating the mix while still
+    being reachable. Hard dedup throws information away; soft dedup
+    re-weights it.
+
+    Composition of two proven primitives: MinHash pairs -> connected
+    components (cluster sizes; singletons weigh 1) feeding the
+    Efraimidis–Spirakis exact-k weighted sampler (engine-portable md5
+    keys, TakeOrdered plan — no global sort).
+
+    Returns the selection audit grouped by cluster size: candidates vs
+    selected and the implied per-doc selection rate — the numbers that
+    show equalization (rate falls ~linearly with cluster size).
+    """
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    pairs = minhash_near_duplicates(
+        documents,
+        jaccard_threshold=jaccard_threshold,
+        id_col=id_col,
+        portable=portable,
+        band_cap=band_cap,
+    ).persist()
+    pairs.count()  # eager fill (see minhash_near_duplicates)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    member = comp.join(sizes, "component").select(
+        F.col("node").alias(id_col), "csize"
+    )
+    weighted = (
+        documents.select(id_col)
+        .join(member, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("csize"), F.lit(1)).cast("bigint").alias("csize"),
+        )
+        .withColumn("w", F.lit(1.0) / F.col("csize"))
+    )
+    picked = weighted_sample_k(
+        weighted, "w", k, key_col=id_col, salt=salt
+    ).select(id_col, F.lit(1).alias("__sel"))
+    return (
+        weighted.join(picked.select(id_col, "__sel"), id_col, "left")
+        .groupBy("csize")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.count(F.when(F.col("__sel").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_selected"),
+        )
+        .select(
+            F.col("csize").alias("cluster_size"),
+            "n_candidates",
+            "n_selected",
+            F.round(
+                F.col("n_selected").cast("double") / F.col("n_candidates") + 1e-9, 6
+            ).alias("selection_rate"),
+        )
+        .orderBy("cluster_size")
+    )

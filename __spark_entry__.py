@@ -2956,6 +2956,14 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication profile: fraction of 8-token windows
+    shared with any other document — the cheap novelty triage before
+    pairwise span mining (one df aggregate + membership join, no pair
+    expansion). Oracle replays windows, sharing, and the ratio."""
+    return D.window_novelty(_t(spark, sf_dir, "documents"))
+
+
 def q_cluster_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft dedup (SemDeDup-family): sampling weight 1/|near-dup
     cluster| so each cluster contributes ~one document's expected mass
@@ -3355,6 +3363,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages_global": q_dedup_passages_global,
         "unimax_sample": q_unimax_sample,
         "cluster_weighted_sample": q_cluster_weighted_sample,
+        "window_novelty": q_window_novelty,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5000,6 +5009,27 @@ def oracle_sql() -> dict[str, str]:
             " jaccard FROM mh_pairs"
             " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
             " ORDER BY new_id, dup_id"
+        ),
+        "window_novelty": (
+            "WITH t AS (SELECT doc_id AS doc,"
+            "  string_split_regex(trim(text), '\\s+') AS toks FROM documents),"
+            " win AS (SELECT doc, i AS pos,"
+            "  ('0x' || substr(md5(array_to_string("
+            "    toks[i + 1 : i + 8], ' ')), 1, 8))::BIGINT"
+            "    % 2147483647 AS wh"
+            "  FROM t, LATERAL (SELECT unnest(generate_series(0,"
+            "   len(toks) - 8)) AS i) g WHERE len(toks) >= 8),"
+            " sh AS (SELECT wh FROM win GROUP BY wh"
+            "  HAVING count(DISTINCT doc) > 1),"
+            " per AS (SELECT w.doc, CAST(count(*) AS BIGINT) AS n_windows,"
+            "  CAST(count(s.wh) AS BIGINT) AS n_shared"
+            "  FROM win w LEFT JOIN sh s ON s.wh = w.wh GROUP BY w.doc)"
+            " SELECT t.doc AS doc_id,"
+            "  CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,"
+            "  CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,"
+            "  round(1.0 - coalesce(p.n_shared, 0)"
+            "   / greatest(coalesce(p.n_windows, 0), 1) + 1e-9, 6) AS novelty"
+            " FROM t LEFT JOIN per p ON p.doc = t.doc ORDER BY doc_id"
         ),
         "cluster_weighted_sample": (
             "WITH RECURSIVE " + _minhash_pairs_cte(0.4)

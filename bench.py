@@ -235,6 +235,7 @@ EXTENDED = [
     "dedup_passages_global",
     "unimax_sample",
     "cluster_weighted_sample",
+    "window_novelty",
 ]
 
 

@@ -1743,3 +1743,71 @@ def scrub_shared_spans(
         F.coalesce(F.size("ivl"), F.lit(0)).cast("bigint").alias("n_spans_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     ).orderBy("doc_id")
+
+
+def window_novelty(
+    documents: DataFrame,
+    *,
+    window_k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DUPLICATION PROFILE: what fraction of a document's
+    ``window_k``-token windows also occur in at least one OTHER
+    document — the memorization-risk / novelty scalar the dedup papers
+    report per corpus slice (a doc whose windows are mostly shared is
+    boilerplate or a near-copy even when no single span crosses the
+    span-mining threshold).
+
+    Same window-hash table as ``shared_span_mining`` (portable md5-31,
+    map-side explode), ONE document-frequency aggregate on the window
+    key, one membership join back — no pair expansion at all, so this
+    is the cheap first-pass triage before pairwise span mining.
+
+    Returns per doc: window counts, shared-window count, and
+    ``novelty`` = 1 - shared/windows (1.0 = fully novel; docs shorter
+    than ``window_k`` tokens have no windows and report novelty 1.0).
+    """
+    arr = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = documents.select(F.col(id_col).alias("doc"), arr.alias("toks"))
+    n_win = F.size("toks") - F.lit(window_k)
+    win_hash = lambda i: portable_hash31(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.col("toks"), i + F.lit(1), window_k))
+    )
+    windows = base.select(
+        "doc",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= window_k,
+                F.transform(F.sequence(F.lit(0), n_win), win_hash),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        ).alias("pos", "wh"),
+    )
+    shared = (
+        windows.groupBy("wh")
+        .agg(F.count_distinct("doc").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("wh", F.lit(True).alias("is_shared"))
+    )
+    flagged = windows.join(shared, "wh", "left")
+    per_doc = flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.count(F.when(F.col("is_shared"), 1)).cast("bigint").alias("n_shared"),
+    )
+    return (
+        base.select("doc")
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            F.round(
+                F.lit(1.0)
+                - F.coalesce(F.col("n_shared"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_windows"), F.lit(0)), F.lit(1))
+                + 1e-9,
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )

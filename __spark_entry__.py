@@ -2956,6 +2956,18 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout backtest of the baseline forecasters (naive vs
+    seasonal-naive) on daily revenue with MAE / sMAPE / MASE — the eval
+    companion of ewma/holt: measures whether a forecaster beats the
+    trivial repeats on a true holdout. Day-axis bounded."""
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        forecast_backtest,
+    )
+
+    return forecast_backtest(_t(spark, sf_dir, "orders"))
+
+
 def q_window_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplication profile: fraction of 8-token windows
     shared with any other document — the cheap novelty triage before
@@ -3364,6 +3376,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_sample": q_unimax_sample,
         "cluster_weighted_sample": q_cluster_weighted_sample,
         "window_novelty": q_window_novelty,
+        "forecast_backtest": q_forecast_backtest,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5009,6 +5022,31 @@ def oracle_sql() -> dict[str, str]:
             " jaccard FROM mh_pairs"
             " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
             " ORDER BY new_id, dup_id"
+        ),
+        "forecast_backtest": (
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
+            "  round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1),"
+            " d AS (SELECT day, rev,"
+            "  row_number() OVER (ORDER BY day) AS i,"
+            "  lag(rev, 7) OVER (ORDER BY day) AS sn FROM daily),"
+            " s AS (SELECT max(i) AS n FROM d),"
+            " d2 AS (SELECT d.*, s.n - 7 AS cutoff FROM d CROSS JOIN s),"
+            " nv AS (SELECT max(rev) AS naive_f FROM d2 WHERE i = cutoff),"
+            " dn AS (SELECT sum(abs(rev - sn)) / count(*) AS mase_denom"
+            "  FROM d2 WHERE i > 7 AND i <= cutoff),"
+            " test AS (SELECT d2.rev, d2.sn, nv.naive_f, dn.mase_denom"
+            "  FROM d2 CROSS JOIN nv CROSS JOIN dn WHERE d2.i > d2.cutoff),"
+            " arms AS ("
+            "  SELECT 'naive' AS model, rev, naive_f AS f, mase_denom FROM test"
+            "  UNION ALL"
+            "  SELECT 'seasonal_naive', rev, sn, mase_denom FROM test)"
+            " SELECT model, CAST(count(*) AS BIGINT) AS n_days,"
+            "  round(sum(abs(f - rev)) / count(*) + 1e-9, 4) AS mae,"
+            "  round(sum(2.0 * abs(f - rev) / (abs(f) + abs(rev)))"
+            "   / count(*) + 1e-9, 4) AS smape,"
+            "  round((sum(abs(f - rev)) / count(*)) / max(mase_denom)"
+            "   + 1e-9, 4) AS mase"
+            " FROM arms GROUP BY model ORDER BY model"
         ),
         "window_novelty": (
             "WITH t AS (SELECT doc_id AS doc,"

@@ -236,6 +236,7 @@ EXTENDED = [
     "unimax_sample",
     "cluster_weighted_sample",
     "window_novelty",
+    "forecast_backtest",
 ]
 
 

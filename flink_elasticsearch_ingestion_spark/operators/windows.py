@@ -1118,3 +1118,85 @@ def global_distribution_ranks(
         pr.alias("pr"),
         (r.cast("double") / n).alias("cd"),
     )
+
+
+def forecast_backtest(
+    orders: DataFrame,
+    *,
+    horizon: int = 7,
+    season: int = 7,
+) -> DataFrame:
+    """Backtest evaluation of the baseline forecasters on daily
+    revenue: hold out the LAST ``horizon`` days, forecast them with
+    (a) seasonal-naive (value ``season`` days earlier) and (b) naive
+    (last training value), and score MAE / sMAPE / MASE — MASE per
+    Hyndman & Koehler 2006: MAE scaled by the training one-step
+    seasonal-naive MAE, so scores compare across series and a value
+    >= 1 means "no better than the trivial seasonal repeat".
+
+    The eval companion of ``ewma_forecast``/``holt_forecast``: those
+    produce forecasts, this measures whether a forecaster beats the
+    baselines on a true holdout. Everything runs on the calendar-
+    bounded day axis (one fact aggregate, lag windows over the bounded
+    frame, three 1-row scalar broadcasts), so the plan is day-count-
+    sized regardless of corpus size.
+    """
+    w = Window.orderBy("i")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    d = daily.withColumn(
+        "i", F.row_number().over(Window.orderBy("day"))
+    ).withColumn("sn", F.lag("rev", season).over(w))
+    scalars = d.agg(
+        F.max("i").alias("n"),
+    )
+    d2 = d.crossJoin(F.broadcast(scalars)).withColumn(
+        "cutoff", F.col("n") - F.lit(horizon)
+    )
+    naive_val = d2.filter(F.col("i") == F.col("cutoff")).agg(
+        F.max("rev").alias("naive_f")
+    )
+    denom = d2.filter(
+        (F.col("i") > season) & (F.col("i") <= F.col("cutoff"))
+    ).agg(
+        (F.sum(F.abs(F.col("rev") - F.col("sn"))) / F.count(F.lit(1))).alias(
+            "mase_denom"
+        )
+    )
+    test = (
+        d2.filter(F.col("i") > F.col("cutoff"))
+        .crossJoin(F.broadcast(naive_val))
+        .crossJoin(F.broadcast(denom))
+    )
+    arms = test.select(
+        "rev",
+        "mase_denom",
+        F.explode(
+            F.array(
+                F.struct(F.lit("naive").alias("model"), F.col("naive_f").alias("f")),
+                F.struct(F.lit("seasonal_naive").alias("model"), F.col("sn").alias("f")),
+            )
+        ).alias("m"),
+    ).select("rev", "mase_denom", F.col("m.model").alias("model"), F.col("m.f").alias("f"))
+    err = F.abs(F.col("f") - F.col("rev"))
+    return (
+        arms.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.sum(err) / F.count(F.lit(1)) + 1e-9, 4).alias("mae"),
+            F.round(
+                F.sum(
+                    F.lit(2.0) * err / (F.abs(F.col("f")) + F.abs(F.col("rev")))
+                )
+                / F.count(F.lit(1))
+                + 1e-9,
+                4,
+            ).alias("smape"),
+            F.round(
+                (F.sum(err) / F.count(F.lit(1))) / F.max("mase_denom") + 1e-9, 4
+            ).alias("mase"),
+        )
+        .orderBy("model")
+    )

@@ -97,6 +97,9 @@ SCALAR_JOIN_OK = {
     "kn_bigram_score",
     # 1-row water-filling level broadcast onto the |langs|-row frame
     "unimax_sample",
+    # three 1-row scalars (n, last-train value, train seasonal MAE)
+    # broadcast onto the calendar-bounded day axis
+    "forecast_backtest",
     "heavy_hitters",
     "order_stats",
     "tfidf_top_terms",

@@ -2956,6 +2956,18 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style sole-late-supplier attribution — the double
+    EXISTS/NOT-EXISTS pattern reformulated as ONE aggregate pass per
+    order (distinct vs distinct-late supplier counts), shuffling
+    lineitem once instead of self-joining it twice."""
+    return R.waiting_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
 def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holdout backtest of the baseline forecasters (naive vs
     seasonal-naive) on daily revenue with MAE / sMAPE / MASE — the eval
@@ -3377,6 +3389,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_weighted_sample": q_cluster_weighted_sample,
         "window_novelty": q_window_novelty,
         "forecast_backtest": q_forecast_backtest,
+        "waiting_suppliers": q_waiting_suppliers,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5022,6 +5035,23 @@ def oracle_sql() -> dict[str, str]:
             " jaccard FROM mh_pairs"
             " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
             " ORDER BY new_id, dup_id"
+        ),
+        "waiting_suppliers": (
+            "WITH lo AS (SELECT l.l_orderkey, l.l_suppkey,"
+            "  l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late"
+            "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            "  WHERE o.o_orderstatus = 'F'),"
+            " per_order AS (SELECT l_orderkey,"
+            "  count(DISTINCT l_suppkey) AS n_supps,"
+            "  count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,"
+            "  max(CASE WHEN late THEN l_suppkey END) AS late_supp"
+            "  FROM lo GROUP BY l_orderkey),"
+            " waits AS (SELECT late_supp, CAST(count(*) AS BIGINT) AS numwait"
+            "  FROM per_order WHERE n_supps >= 2 AND n_late = 1"
+            "  GROUP BY late_supp)"
+            " SELECT s.s_name, w.numwait FROM waits w"
+            " JOIN supplier s ON w.late_supp = s.s_suppkey"
+            " ORDER BY w.numwait DESC, s.s_name LIMIT 20"
         ),
         "forecast_backtest": (
             "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"

@@ -237,6 +237,7 @@ EXTENDED = [
     "cluster_weighted_sample",
     "window_novelty",
     "forecast_backtest",
+    "waiting_suppliers",
 ]
 
 

@@ -2208,3 +2208,49 @@ def join_size_estimate(
             ).alias("rel_error"),
         )
     )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    *,
+    late_days: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21-style "suppliers who kept orders waiting": in finished
+    ('F') multi-supplier orders, find the supplier who was the SOLE
+    late shipper (shipped more than ``late_days`` after the order
+    date) — the reference query's double EXISTS / NOT EXISTS
+    correlated self-joins, reformulated as ONE aggregate pass per
+    order: count distinct suppliers, count distinct LATE suppliers,
+    and when exactly one supplier is late in a >=2-supplier order,
+    ``max(late supplier)`` IS that supplier.  The aggregate form
+    shuffles lineitem once on the order key instead of self-joining it
+    twice — the 100 TB win over the textbook plan.
+
+    Returns the top-``k`` suppliers by wait count (name tiebreak).
+    """
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)
+    lo = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    waits = (
+        per_order.filter((F.col("n_supps") >= 2) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+    return (
+        waits.join(supplier, waits["late_supp"] == supplier["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(k)
+    )

@@ -2956,6 +2956,15 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_difficulty_stratified_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difficulty-stratified eval panel: KN cross-entropy quartiles x
+    language, deterministic exact-k per cell — the balanced eval set.
+    Composition of three independently oracle-proven stages (KN score,
+    two-phase quartiles, salted per-cell cut); the oracle replays the
+    full chain with plain ntile (bit-identical by construction)."""
+    return X.difficulty_stratified_eval(_t(spark, sf_dir, "documents"))
+
+
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-style sole-late-supplier attribution — the double
     EXISTS/NOT-EXISTS pattern reformulated as ONE aggregate pass per
@@ -3390,6 +3399,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_novelty": q_window_novelty,
         "forecast_backtest": q_forecast_backtest,
         "waiting_suppliers": q_waiting_suppliers,
+        "difficulty_stratified_eval": q_difficulty_stratified_eval,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -3522,6 +3532,34 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup": q_hll_rollup,
         "top_words": q_top_words,
     }
+
+
+def _kn_scores_sql() -> str:
+    """Shared DuckDB replay of the interpolated Kneser-Ney per-document
+    cross-entropy (operators/text.py::kneser_ney_score): one SELECT
+    (doc_id, n_bigrams, kn_cross_entropy), embedded by the
+    kn_bigram_score oracle directly and by difficulty_stratified_eval
+    as a subquery, so the score model can never drift between them."""
+    return (
+        "WITH toks AS (SELECT doc_id,"
+        " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
+        "   ' ') AS t FROM documents),"
+        " e AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2"
+        "  FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)"
+        "  WHERE len(t) >= 2),"
+        " bgc AS (SELECT w1, w2, count(*) AS c_bg FROM e GROUP BY w1, w2),"
+        " pfc AS (SELECT w1, count(*) AS c_w1,"
+        "   count(DISTINCT w2) AS n1p_fw FROM e GROUP BY w1),"
+        " sfc AS (SELECT w2, count(DISTINCT w1) AS n1p_bw FROM e GROUP BY w2),"
+        " tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bgc)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+        "  round(-sum(ln(greatest(c_bg - 0.75, 0.0) / c_w1"
+        "   + ((0.75 * n1p_fw) / c_w1) * (n1p_bw / t))) / count(*) + 1e-9, 4)"
+        "   AS kn_cross_entropy"
+        " FROM e JOIN bgc USING (w1, w2) JOIN pfc USING (w1)"
+        "  JOIN sfc USING (w2) CROSS JOIN tot"
+        " GROUP BY doc_id"
+    )
 
 
 def _minhash_pairs_cte(threshold: float = 0.4) -> str:
@@ -5225,25 +5263,24 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(array_to_string(kept, ' '), '') AS clean_text"
             " FROM cleaned ORDER BY doc_id"
         ),
-        "kn_bigram_score": (
-            "WITH toks AS (SELECT doc_id,"
-            " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
-            "   ' ') AS t FROM documents),"
-            " e AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2"
-            "  FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)"
-            "  WHERE len(t) >= 2),"
-            " bgc AS (SELECT w1, w2, count(*) AS c_bg FROM e GROUP BY w1, w2),"
-            " pfc AS (SELECT w1, count(*) AS c_w1,"
-            "   count(DISTINCT w2) AS n1p_fw FROM e GROUP BY w1),"
-            " sfc AS (SELECT w2, count(DISTINCT w1) AS n1p_bw FROM e GROUP BY w2),"
-            " tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bgc)"
-            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
-            "  round(-sum(ln(greatest(c_bg - 0.75, 0.0) / c_w1"
-            "   + ((0.75 * n1p_fw) / c_w1) * (n1p_bw / t))) / count(*) + 1e-9, 4)"
-            "   AS kn_cross_entropy"
-            " FROM e JOIN bgc USING (w1, w2) JOIN pfc USING (w1)"
-            "  JOIN sfc USING (w2) CROSS JOIN tot"
-            " GROUP BY doc_id ORDER BY doc_id"
+        "kn_bigram_score": _kn_scores_sql() + " ORDER BY doc_id",
+        "difficulty_stratified_eval": (
+            "WITH s AS (SELECT * FROM (" + _kn_scores_sql() + ")),"
+            " r AS (SELECT doc_id, kn_cross_entropy,"
+            "  ntile(4) OVER (ORDER BY kn_cross_entropy, doc_id) AS quartile"
+            "  FROM s),"
+            " c AS (SELECT r.*, d.lang FROM r JOIN documents d USING (doc_id)),"
+            " sel AS (SELECT c.*, row_number() OVER ("
+            "  PARTITION BY lang, quartile"
+            "  ORDER BY md5('evalsel-v1:' || doc_id::VARCHAR), doc_id) AS rn"
+            "  FROM c)"
+            " SELECT lang, CAST(quartile AS INT) AS quartile,"
+            "  CAST(count(*) AS BIGINT) AS n_pool,"
+            "  CAST(count(*) FILTER (WHERE rn <= 5) AS BIGINT) AS n_selected,"
+            "  round(coalesce(sum(kn_cross_entropy) FILTER (WHERE rn <= 5)"
+            "   / nullif(count(*) FILTER (WHERE rn <= 5), 0), 0.0) + 1e-9, 4)"
+            "   AS avg_ce_selected"
+            " FROM sel GROUP BY lang, quartile ORDER BY lang, quartile"
         ),
         "time_travel_diff": (
             # v1 = full orders table; v2 = keys%7!=0 with %5==0 repriced —

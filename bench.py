@@ -238,6 +238,7 @@ EXTENDED = [
     "window_novelty",
     "forecast_backtest",
     "waiting_suppliers",
+    "difficulty_stratified_eval",
 ]
 
 

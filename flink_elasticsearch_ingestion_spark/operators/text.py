@@ -2664,3 +2664,64 @@ def dedup_passages_global(
         )
         .orderBy("doc_id")
     )
+
+
+def difficulty_stratified_eval(
+    documents: DataFrame,
+    *,
+    per_cell: int = 5,
+    salt: str = "evalsel-v1",
+) -> DataFrame:
+    """Difficulty-stratified eval-set construction: bucket the corpus
+    into Kneser-Ney cross-entropy QUARTILES (model-difficulty bins),
+    cross them with language, and draw a deterministic exact-k sample
+    per (lang, difficulty) cell — the balanced eval panel that stops a
+    "quality improved" claim from hiding behind easy-cell wins.
+
+    A round-5 composition capstone: KN scoring (``kneser_ney_score``)
+    -> two-phase global quartiles (``global_distribution_ranks``, no
+    single-partition window) -> salted per-cell exact-k (portable md5
+    order), every stage independently oracle-proven. Documents shorter
+    than one bigram have no score and are excluded from the pool.
+
+    Returns per cell: pool size, selected count, mean difficulty of
+    the selection.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        global_distribution_ranks,
+    )
+
+    scores = kneser_ney_score(documents).select("doc_id", "kn_cross_entropy")
+    ranked = global_distribution_ranks(
+        scores,
+        "kn_cross_entropy",
+        "doc_id",
+        ntile_k=4,
+        coarse_edges=(2.0, 4.0, 6.0, 8.0),
+    ).select("doc_id", "kn_cross_entropy", "quartile")
+    cells = ranked.join(documents.select("doc_id", "lang"), "doc_id")
+    rn = F.row_number().over(
+        Window.partitionBy("lang", "quartile").orderBy(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    sel = cells.withColumn("rn", rn)
+    picked = F.col("rn") <= per_cell
+    return (
+        sel.groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pool"),
+            F.count(F.when(picked, 1)).cast("bigint").alias("n_selected"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(picked, F.col("kn_cross_entropy")))
+                    / F.count(F.when(picked, 1)),
+                    F.lit(0.0),
+                )
+                + 1e-9,
+                4,
+            ).alias("avg_ce_selected"),
+        )
+        .orderBy("lang", "quartile")
+    )

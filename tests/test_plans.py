@@ -95,6 +95,8 @@ SCALAR_JOIN_OK = {
     # vocabulary-keyed scoring stream — scalar subquery (same class as
     # bm25_search's corpus statistics)
     "kn_bigram_score",
+    # embeds kn_bigram_score's 1-row normalizer broadcast
+    "difficulty_stratified_eval",
     # 1-row water-filling level broadcast onto the |langs|-row frame
     "unimax_sample",
     # three 1-row scalars (n, last-train value, train seasonal MAE)

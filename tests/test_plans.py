@@ -571,3 +571,47 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
             spark.conf.set(k, v)
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine-native alternative to manual salting: AQE's runtime
+    skew-join handling must split an oversized shuffle partition into
+    parallel sub-joins (SortMergeJoin(skew=true) + AQEShuffleRead
+    skewed in the FINAL adaptive plan). Thresholds are lowered only
+    because the test data is tiny; the assertion is that our session
+    leaves the rewrite available and the join shape stays eligible —
+    at 100 TB this is what absorbs a hot key without a code change
+    (salted_join remains the deterministic-layout alternative)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 == 0, 7)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert j.count() == 300_000
+        j.collect()  # executes j's OWN QueryExecution -> final plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in plan
+    assert "AQEShuffleRead skewed" in plan

@@ -65,13 +65,42 @@ class VersionedTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def commit(self, df: DataFrame, *, mode: str = "append", version: int | None = None) -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        *,
+        mode: str = "append",
+        version: int | None = None,
+        expectations: "list[tuple[str, str]] | None" = None,
+    ) -> int:
         """Publish ``df`` as the next snapshot. ``mode='append'`` keeps
         the parent snapshot's directories and adds this commit's;
         ``mode='overwrite'`` starts a fresh file set. Returns the
-        committed version number."""
+        committed version number.
+
+        ``expectations``: optional write-path data-quality gate — a
+        list of ``(name, sql_predicate)`` pairs every incoming row must
+        satisfy (e.g. ``("pk_not_null", "doc_id IS NOT NULL")``).
+        Violations raise BEFORE anything is written, so a failed gate
+        leaves the table at its previous version — the manifest
+        protocol's atomicity extends to quality checks for free.
+        """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode: {mode!r}")
+        if expectations:
+            from pyspark.sql import functions as F
+
+            bad = df.select(
+                *[
+                    F.count(F.when(~F.expr(pred), 1)).alias(name)
+                    for name, pred in expectations
+                ]
+            ).first()
+            failed = {n: bad[n] for n, _ in expectations if bad[n]}
+            if failed:
+                raise ValueError(
+                    f"commit rejected, expectations violated: {failed}"
+                )
         latest = self.latest_version()
         if version is None:
             version = 0 if latest is None else latest + 1

@@ -186,3 +186,28 @@ def test_compact_rewrites_latest_without_losing_history(tmp_path, spark, sf_dir)
     deleted = t.vacuum(keep_last=1)
     assert sorted(deleted) == [f"data/v={i}" for i in range(4)]
     assert sorted(r["o_orderkey"] for r in t.read().collect()) == before
+
+
+def test_commit_expectations_gate_atomically(tmp_path, spark, sf_dir):
+    """A failed write-path expectation rejects the commit BEFORE any
+    data lands: the table stays at its previous version and a corrected
+    retry takes the version the failed attempt would have."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    checks = [
+        ("pk_not_null", "o_orderkey IS NOT NULL"),
+        ("price_positive", "o_totalprice > 0"),
+    ]
+    t.commit(orders.limit(100), expectations=checks)
+
+    bad = orders.limit(10).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    with pytest.raises(ValueError, match="price_positive"):
+        t.commit(bad, expectations=checks)
+    assert t.latest_version() == 0
+    assert t.read().count() == 100
+
+    t.commit(orders.limit(10), expectations=checks)  # corrected retry
+    assert t.latest_version() == 1
+    assert t.read().count() == 110

@@ -2956,6 +2956,16 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft /
+    Zhai & Lafferty) — the language-modeling scorer beside BM25; same
+    two-pass shape (one broadcast corpus-stats row, pure-expression
+    score, TakeOrdered)."""
+    return X.ql_search(
+        _t(spark, sf_dir, "documents"), ["spark", "merge", "window"], k=10
+    )
+
+
 def q_difficulty_stratified_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difficulty-stratified eval panel: KN cross-entropy quartiles x
     language, deterministic exact-k per cell — the balanced eval set.
@@ -3401,6 +3411,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": q_forecast_backtest,
         "waiting_suppliers": q_waiting_suppliers,
         "difficulty_stratified_eval": q_difficulty_stratified_eval,
+        "ql_search": q_ql_search,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5265,6 +5276,29 @@ def oracle_sql() -> dict[str, str]:
             " FROM cleaned ORDER BY doc_id"
         ),
         "kn_bigram_score": _kn_scores_sql() + " ORDER BY doc_id",
+        "ql_search": (
+            "WITH feat AS (SELECT doc_id,"
+            " len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS doclen,"
+            " len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+            "   x -> x = 'spark')) AS tf_0,"
+            " len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+            "   x -> x = 'merge')) AS tf_1,"
+            " len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+            "   x -> x = 'window')) AS tf_2"
+            " FROM documents),"
+            " stats AS (SELECT CAST(sum(doclen) AS DOUBLE) AS c_total,"
+            "  CAST(sum(tf_0) AS DOUBLE) AS cf_0,"
+            "  CAST(sum(tf_1) AS DOUBLE) AS cf_1,"
+            "  CAST(sum(tf_2) AS DOUBLE) AS cf_2 FROM feat)"
+            " SELECT doc_id, CAST(doclen AS BIGINT) AS doclen,"
+            "  round(0.0"
+            "   + ln((tf_0 + 2000.0 * (cf_0 / c_total)) / (doclen + 2000.0))"
+            "   + ln((tf_1 + 2000.0 * (cf_1 / c_total)) / (doclen + 2000.0))"
+            "   + ln((tf_2 + 2000.0 * (cf_2 / c_total)) / (doclen + 2000.0))"
+            "   + 1e-9, 6) AS ql"
+            " FROM feat CROSS JOIN stats"
+            " ORDER BY ql DESC, doc_id LIMIT 10"
+        ),
         "difficulty_stratified_eval": (
             "WITH s AS (SELECT * FROM (" + _kn_scores_sql() + ")),"
             " r AS (SELECT doc_id, kn_cross_entropy,"

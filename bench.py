@@ -239,6 +239,7 @@ EXTENDED = [
     "forecast_backtest",
     "waiting_suppliers",
     "difficulty_stratified_eval",
+    "ql_search",
 ]
 
 

@@ -2725,3 +2725,66 @@ def difficulty_stratified_eval(
         )
         .orderBy("lang", "quartile")
     )
+
+
+def ql_search(
+    documents: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-likelihood ranked retrieval with Dirichlet smoothing
+    (Ponte & Croft 1998; Zhai & Lafferty 2001) — the language-modeling
+    scorer that complements ``bm25_search``:
+
+        score(q, d) = sum_t ln( (tf(t,d) + mu * cf(t)/|C|) / (|d| + mu) )
+
+    where cf(t) is the term's corpus frequency and |C| the corpus token
+    count. Same two-pass shape as BM25: one broadcastable corpus-stats
+    row (|C| plus cf per QUERY term only — higher-order filter over the
+    token array, no vocabulary shuffle), then a pure-expression score
+    and ``TakeOrderedAndProject``. The term sum folds in query order so
+    the IEEE sequence matches the oracle; 6 dp rounding + doc_id
+    tie-break pin the ranking.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.util import ensure_parallelism
+
+    documents = ensure_parallelism(documents)
+    terms = [t.lower() for t in query_terms]
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+
+    def _is(term: str):
+        return lambda x: x == F.lit(term)
+
+    feat = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("doclen"),
+        *[F.size(F.filter(toks, _is(t))).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = feat.agg(
+        F.sum("doclen").cast("double").alias("c_total"),
+        *[
+            F.sum(F.col(f"tf_{i}")).cast("double").alias(f"cf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = feat.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        p_c = F.col(f"cf_{i}") / F.col("c_total")
+        score = score + F.log(
+            (F.col(f"tf_{i}") + F.lit(mu) * p_c)
+            / (F.col("doclen") + F.lit(mu))
+        )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("doclen").cast("bigint").alias("doclen"),
+            F.round(score + F.lit(1e-9), 6).alias("ql"),
+        )
+        .orderBy(F.col("ql").desc(), F.col("doc_id"))
+        .limit(k)
+    )

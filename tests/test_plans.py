@@ -97,6 +97,9 @@ SCALAR_JOIN_OK = {
     "kn_bigram_score",
     # embeds kn_bigram_score's 1-row normalizer broadcast
     "difficulty_stratified_eval",
+    # 1-row (|C|, cf_i) corpus-statistics broadcast — same class as
+    # bm25_search
+    "ql_search",
     # 1-row water-filling level broadcast onto the |langs|-row frame
     "unimax_sample",
     # three 1-row scalars (n, last-train value, train seasonal MAE)

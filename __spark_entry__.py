@@ -2956,6 +2956,15 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (Broder |A∩B|/|A|): documents
+    QUOTED inside longer ones, which symmetric Jaccard misses. Rare-
+    prefix blocking (never all-pairs) + exact verify on the portable
+    shingle sets; the oracle re-derives shingles, prefix, candidates,
+    and the containment cut."""
+    return D.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
 def q_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft /
     Zhai & Lafferty) — the language-modeling scorer beside BM25; same
@@ -3412,6 +3421,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "difficulty_stratified_eval": q_difficulty_stratified_eval,
         "ql_search": q_ql_search,
+        "containment_pairs": q_containment_pairs,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5276,6 +5286,37 @@ def oracle_sql() -> dict[str, str]:
             " FROM cleaned ORDER BY doc_id"
         ),
         "kn_bigram_score": _kn_scores_sql() + " ORDER BY doc_id",
+        "containment_pairs": (
+            "WITH docs AS (SELECT doc_id,"
+            " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+            "  AS w FROM documents),"
+            " th AS (SELECT doc_id, list_transform(w,"
+            "   t -> ('0x' || substr(md5(t),1,8))::BIGINT % 2147483647) AS ht"
+            "  FROM docs),"
+            " hv AS (SELECT doc_id, list_distinct(["
+            "   list_reduce(list_prepend(0::BIGINT, ht[i:i+2]),"
+            "     (a, x) -> ((a*1000003) % 2147483647 + x) % 2147483647)"
+            "   FOR i IN generate_series(1, greatest(len(ht)-2, 1))]) AS h FROM th),"
+            " ex AS (SELECT doc_id AS doc, unnest(h) AS s FROM hv),"
+            " dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY s),"
+            " pre AS (SELECT e.doc, e.s, row_number() OVER ("
+            "   PARTITION BY e.doc ORDER BY d.df, e.s) AS rn"
+            "  FROM ex e JOIN dfc d USING (s)),"
+            " pl AS (SELECT doc_id AS doc,"
+            "   CAST(floor((1.0 - 0.6) * len(h)) + 1 AS INT) AS plen FROM hv),"
+            " cand AS (SELECT DISTINCT p.doc AS doc_a, b.doc AS doc_b"
+            "  FROM pre p JOIN pl ON pl.doc = p.doc"
+            "  JOIN ex b ON b.s = p.s AND b.doc <> p.doc"
+            "  WHERE p.rn <= pl.plen),"
+            " ver AS (SELECT doc_a, doc_b,"
+            "  round(len(list_intersect(ha.h, hb.h))"
+            "   / greatest(len(ha.h), 1) + 1e-9, 6) AS containment"
+            "  FROM cand JOIN hv ha ON ha.doc_id = doc_a"
+            "  JOIN hv hb ON hb.doc_id = doc_b)"
+            " SELECT doc_a AS contained_id, doc_b AS container_id, containment"
+            " FROM ver WHERE containment >= 0.6"
+            " ORDER BY contained_id, container_id"
+        ),
         "ql_search": (
             "WITH feat AS (SELECT doc_id,"
             " len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS doclen,"

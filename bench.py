@@ -240,6 +240,7 @@ EXTENDED = [
     "waiting_suppliers",
     "difficulty_stratified_eval",
     "ql_search",
+    "containment_pairs",
 ]
 
 

@@ -1811,3 +1811,72 @@ def window_novelty(
         )
         .orderBy(id_col)
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    *,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection — Broder containment
+    ``|S(A) ∩ S(B)| / |S(A)|``: document A is (mostly) QUOTED INSIDE B
+    even when their symmetric Jaccard is low because B is much longer.
+    This is the subset/quotation case every symmetric near-dup pass
+    misses: a tweet embedded in a news roundup, a license header inside
+    a source file, an abstract inside the full paper.
+
+    Blocking is the prefix-filter adapted to containment: if A shares
+    NONE of its ``floor((1-t)*|S(A)|)+1`` globally-RAREST shingles with
+    B, more than ``(1-t)*|S(A)|`` of A's shingles are missing and
+    containment < t — so only A's rare prefix joins the corpus shingle
+    postings (never all-pairs). Exact verification on the full hashed
+    shingle sets. Same portable shingle family as MinHash, so the
+    DuckDB oracle re-derives every pair.
+
+    Returns (contained_id, container_id, containment), containment
+    rounded to 6 dp.
+    """
+    sigs = minhash_signature_table(documents, portable=True, id_col=id_col,
+                                   text_col=text_col).select(
+        F.col(id_col).alias("doc"), F.col("shingles").alias("sh")
+    ).persist()
+    sigs.count()  # eager fill (see minhash_near_duplicates)
+    ex = sigs.select("doc", F.explode("sh").alias("s"))
+    dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    plen = (F.floor((F.lit(1.0) - F.lit(threshold)) * F.size("sh")) + 1).cast("int")
+    ranked = (
+        ex.join(dfc, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc").orderBy("df", "s")),
+        )
+        .join(sigs.select("doc", plen.alias("plen")), "doc")
+        .filter(F.col("rn") <= F.col("plen"))
+        .select("doc", "s")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ex.alias("b"), F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    ha = sigs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    hb = sigs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cont = F.size(F.array_intersect("sh_a", "sh_b")) / F.greatest(
+        F.size("sh_a"), F.lit(1)
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("containment", F.round(cont + 1e-9, 6))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("doc_a").alias("contained_id"),
+            F.col("doc_b").alias("container_id"),
+            "containment",
+        )
+        .orderBy("contained_id", "container_id")
+    )

@@ -208,3 +208,32 @@ def test_unimax_water_filling_properties(spark):
         assert out[lang]["sel_tokens"] <= out[lang]["alloc_tokens"] + 1e-6
     assert out["aa"]["sel_tokens"] == 15 and out["aa"]["n_docs"] == 3
     assert out["bb"]["sel_tokens"] == 200 and out["bb"]["n_docs"] == 10
+
+
+def test_containment_catches_quotes_symmetric_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment
+    (|A∩B|/|A|) ~= 1 while symmetric Jaccard is far below the near-dup
+    threshold — the subset case containment_pairs exists for."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        containment_pairs,
+        minhash_near_duplicates,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(30))
+    filler = " ".join(f"f{i}" for i in range(300))
+    rows = [
+        (1, quote),
+        (2, f"{filler} {quote}"),
+        (3, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert (2, 1) not in got  # asymmetric: the long doc is NOT contained
+    assert not any(3 in p for p in got)
+    # the symmetric pass at the same grain misses it
+    sym = minhash_near_duplicates(df, jaccard_threshold=0.6, portable=True).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in sym)

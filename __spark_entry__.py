@@ -3232,7 +3232,8 @@ def q_streaming_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time_travel_diff, kn_bigram_score, scrub_shared_spans,
 # es_search_after_page, dedup_passages_global, unimax_sample,
 # cluster_weighted_sample, window_novelty, forecast_backtest,
-# waiting_suppliers, difficulty_stratified_eval.
+# waiting_suppliers, difficulty_stratified_eval, ql_search,
+# containment_pairs.
 _WINDOW_PRIORITY = [
     # Round-5 window: the first 50 of the round-4 additions that have
     # never produced a driver-verified row (all hash-green under the

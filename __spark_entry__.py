@@ -2956,6 +2956,13 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group two-sided trimmed mean/min/max (drop floor(10% n) from
+    each tail) — the robust-stats member between plain mean and the
+    clamping winsorized_stats; group-partitioned ranks only."""
+    return R.trimmed_stats(_t(spark, sf_dir, "lineitem"))
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dups (Broder |A∩B|/|A|): documents
     QUOTED inside longer ones, which symmetric Jaccard misses. Rare-
@@ -3233,7 +3240,7 @@ def q_streaming_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # es_search_after_page, dedup_passages_global, unimax_sample,
 # cluster_weighted_sample, window_novelty, forecast_backtest,
 # waiting_suppliers, difficulty_stratified_eval, ql_search,
-# containment_pairs.
+# containment_pairs, trimmed_stats.
 _WINDOW_PRIORITY = [
     # Round-5 window: the first 50 of the round-4 additions that have
     # never produced a driver-verified row (all hash-green under the
@@ -3423,6 +3430,7 @@ def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "difficulty_stratified_eval": q_difficulty_stratified_eval,
         "ql_search": q_ql_search,
         "containment_pairs": q_containment_pairs,
+        "trimmed_stats": q_trimmed_stats,
         "linear_probe": q_linear_probe,
         "corpus_build_pipeline": q_corpus_build_pipeline,
         "feature_hashing": q_feature_hashing,
@@ -5287,6 +5295,22 @@ def oracle_sql() -> dict[str, str]:
             " FROM cleaned ORDER BY doc_id"
         ),
         "kn_bigram_score": _kn_scores_sql() + " ORDER BY doc_id",
+        "trimmed_stats": (
+            "WITH ranked AS (SELECT l_returnflag, l_extendedprice,"
+            "  row_number() OVER (PARTITION BY l_returnflag"
+            "   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,"
+            "  count(*) OVER (PARTITION BY l_returnflag) AS n"
+            "  FROM lineitem),"
+            " kept AS (SELECT * FROM ranked"
+            "  WHERE rk > CAST(floor(0.1 * n) AS BIGINT)"
+            "   AND rk <= n - CAST(floor(0.1 * n) AS BIGINT))"
+            " SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,"
+            "  round(min(l_extendedprice), 2) AS trimmed_min,"
+            "  round(max(l_extendedprice), 2) AS trimmed_max,"
+            "  round(round(sum(l_extendedprice), 2) / count(*) + 1e-9, 4)"
+            "   AS trimmed_mean"
+            " FROM kept GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
         "containment_pairs": (
             "WITH docs AS (SELECT doc_id,"
             " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"

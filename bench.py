@@ -241,6 +241,7 @@ EXTENDED = [
     "difficulty_stratified_eval",
     "ql_search",
     "containment_pairs",
+    "trimmed_stats",
 ]
 
 

@@ -2254,3 +2254,44 @@ def waiting_suppliers(
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(k)
     )
+
+
+def trimmed_stats(
+    lineitem: DataFrame,
+    *,
+    trim_frac: float = 0.1,
+    group_col: str = "l_returnflag",
+    value_col: str = "l_extendedprice",
+) -> DataFrame:
+    """Per-group two-sided TRIMMED mean/min/max: drop the lowest and
+    highest ``floor(trim_frac * n)`` values per group, aggregate the
+    middle — the robust-stats member between plain mean (outlier-
+    hostile) and ``winsorized_stats`` (which CLAMPS the tails instead
+    of dropping them). Ranks come from a group-partitioned window
+    (each partition holds one group's rows — the unpartitioned-window
+    audit shape never appears), count rides the same window, and the
+    trim bounds are pure rank arithmetic.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, "l_orderkey", "l_linenumber")
+    ranked = lineitem.select(
+        group_col,
+        value_col,
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(group_col))
+        .alias("n"),
+    )
+    k = F.floor(F.lit(float(trim_frac)) * F.col("n")).cast("bigint")
+    kept = ranked.filter((F.col("rk") > k) & (F.col("rk") <= F.col("n") - k))
+    return (
+        kept.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.round(F.min(value_col), 2).alias("trimmed_min"),
+            F.round(F.max(value_col), 2).alias("trimmed_max"),
+            F.round(
+                F.round(F.sum(value_col), 2) / F.count(F.lit(1)) + 1e-9, 4
+            ).alias("trimmed_mean"),
+        )
+        .orderBy(group_col)
+    )

@@ -3217,51 +3217,42 @@ def q_streaming_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Round-5 driver window (the driver hash-checks the FIRST 50 entries of
-# ``queries()`` per round).  Priority: the 50 round-4 additions that
-# landed at position 51+ in the r04 window and have NEVER produced a
-# driver row (all hash-green under the type-strict local gate AND the
-# vanilla-session driver replica, scripts/check_oracle.py --vanilla).
-# Names absent from the catalog are skipped, extras append in catalog
-# order, so the list is safe to edit.
+# Round-6 driver window (the driver hash-checks the FIRST 50 entries of
+# ``queries()`` per round).  Priority: the 39 catalog entries that have
+# NEVER produced a driver-verified row — the 22 round-4 leftovers plus
+# the 17 round-5 additions (all hash-green under the type-strict local
+# gate AND the vanilla-session driver replica,
+# scripts/check_oracle.py --vanilla) — topped up to 50 with 11 stable
+# round-1 re-checks.  Names absent from the catalog are skipped, extras
+# append in catalog order, so the list is safe to edit.
 #
-# ROUND-6 ROTATION NOTE: the remaining 22 never-driver-checked round-4
-# additions land at position 51+ and need promotion next round:
-# probe_calibration, session_occupancy, contrastive_triples,
-# score_normalize, winnowing, neyman_sample, source_similarity,
-# kcenter_select, kmeans_fixed, holt_forecast, skyline_docs,
-# dp_histogram, l_diversity, dim_truncation_recall, groupwise_ols,
-# textrank_keywords, weighted_quantiles, priority_spanning_customers,
-# join_size_estimate, incremental_join_view, hilbert_key,
-# top_component — plus the round-5 additions (all hash-green under the
-# local gate and the vanilla-session driver replica):
-# streaming_admission_replay, bucketed_join, leakage_safe_folds,
-# time_travel_diff, kn_bigram_score, scrub_shared_spans,
-# es_search_after_page, dedup_passages_global, unimax_sample,
-# cluster_weighted_sample, window_novelty, forecast_backtest,
-# waiting_suppliers, difficulty_stratified_eval, ql_search,
-# containment_pairs, trimmed_stats.
+# ROUND-7 ROTATION NOTE: after this window lands green, every catalog
+# entry authored through round 5 is driver-proven.  Round-6 additions
+# (see the "round-6" section of _catalog()) land at position 51+ and
+# need promotion next round; fill the remainder with round-2/3
+# re-checks oldest-first.
 _WINDOW_PRIORITY = [
-    # Round-5 window: the first 50 of the round-4 additions that have
-    # never produced a driver-verified row (all hash-green under the
-    # vanilla-session driver replica, scripts/check_oracle.py
-    # --vanilla). Cumulative driver verification after this window:
-    # 228/250.
-    "basket_rules", "copurchase_pagerank", "lp_communities",
-    "triangle_count", "pq_encode", "pq_search", "bpe_encode",
-    "ivf_topk_fixed", "kmv_overlap", "ks_drift",
-    "dedup_threshold_sweep", "shared_spans", "media_near_dup",
-    "span_leakage", "skew_profile", "bigram_pmi", "binary_ingest",
-    "ab_test", "temperature_sample", "dsir_weights", "chi2_terms",
-    "mmr_rerank", "zipf_fit", "target_encode", "k_anonymity",
-    "rfm_segments", "touch_attribution", "revenue_anomalies",
-    "quantile_normalize", "hash_embed", "survival_curve",
-    "benford_check", "market_concentration", "langid_eval",
-    "revenue_gini", "ewma_forecast", "span_corruption", "kfold_split",
-    "correlation_matrix", "ndcg_eval", "yoy_growth", "bootstrap_ci",
-    "diversified_topk", "cdc_chunk_stats", "cusum_changepoints",
-    "quality_dedup_survivors", "centroid_margin", "label_disagreement",
-    "lexical_diversity", "oov_rate",
+    # 22 round-4 leftovers, never driver-checked:
+    "probe_calibration", "session_occupancy", "contrastive_triples",
+    "score_normalize", "winnowing", "neyman_sample",
+    "source_similarity", "kcenter_select", "kmeans_fixed",
+    "holt_forecast", "skyline_docs", "dp_histogram", "l_diversity",
+    "dim_truncation_recall", "groupwise_ols", "textrank_keywords",
+    "weighted_quantiles", "priority_spanning_customers",
+    "join_size_estimate", "incremental_join_view", "hilbert_key",
+    "top_component",
+    # 17 round-5 additions, never driver-checked:
+    "streaming_admission_replay", "bucketed_join",
+    "leakage_safe_folds", "time_travel_diff", "kn_bigram_score",
+    "scrub_shared_spans", "es_search_after_page",
+    "dedup_passages_global", "unimax_sample",
+    "cluster_weighted_sample", "window_novelty", "forecast_backtest",
+    "waiting_suppliers", "difficulty_stratified_eval", "ql_search",
+    "containment_pairs", "trimmed_stats",
+    # 11 round-1 re-checks (stable, cheap) to fill the 50:
+    "pricing_summary", "top_orders", "dedup_exact", "cosine_topk",
+    "text_stats", "json_extract", "url_parse", "asof_join",
+    "tumbling_windows", "latest_event_per_user", "string_functions",
 ]
 
 

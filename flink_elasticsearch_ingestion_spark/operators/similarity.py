@@ -9,8 +9,10 @@
   vector, search only the probe's bucket(s); trades recall for a
   ~(1/2^bits) scan fraction. Hyperplanes are derived deterministically
   from a seed so plans are reproducible.
-- ``knn_join``: top-k neighbors for EVERY query row (window rank over a
-  candidate join) — the batch ANN-join used for embedding-dedup.
+- ``knn_join``: exact top-k neighbors for every row of a BOUNDED query
+  panel (broadcast panel + two-phase salted rank; structurally refuses
+  fact-sized query sides). ``knn_join_lsh`` is the sub-quadratic
+  LSH-blocked batch ANN-join for fact-sized query sides.
 
 All floats are cast to double before accumulation so results are
 deterministic and oracle-comparable.
@@ -368,25 +370,65 @@ def knn_join(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    max_queries: int = 10_000,
+    shards: int = 8,
 ) -> DataFrame:
-    """Exact k-NN for every query row: candidate cross join + per-query
-    window rank. Correctness baseline; pair with ``lsh_bucket`` as the
-    join key to make the candidate set sub-quadratic at scale."""
+    """Exact k-NN for every query row of a BOUNDED query panel.
+
+    Scale shape (the query side must be panel-sized, never fact-sized —
+    enforced structurally by ``max_queries``; a fact-sized query side
+    belongs on :func:`knn_join_lsh`, the sub-quadratic LSH-blocked
+    path):
+
+    - the query panel is **broadcast** (``F.broadcast``) so the corpus
+      is scored in a single map-side pass — no corpus shuffle to build
+      candidates, unlike the naive ``crossJoin`` form this replaces;
+    - the per-query top-k runs **two-phase** (the
+      ``global_distribution_ranks`` salting pattern,
+      operators/windows.py): phase 1 ranks within
+      ``(query_id, shard)`` where ``shard = crc32(neighbor_id) %
+      shards`` — every reducer sees ~1/shards of one query's
+      candidates, so no single partition ever holds a whole corpus —
+      and phase 2 re-ranks the surviving ``shards * k`` rows per
+      query.  Results are exactly the single-window answer (both
+      phases break ties on ``neighbor_id``).
+
+    Exact kNN inherently scores ``|queries| x |corpus|`` pairs; what
+    this shape removes is the corpus-sized shuffle, the skewed
+    one-partition-per-query rank, and the unbounded query side.
+    """
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"knn_join is the exact path for a bounded query panel "
+            f"(got {n_q} query rows > max_queries={max_queries}); "
+            f"use knn_join_lsh for fact-sized query sides"
+        )
     q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
-        )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    order = [F.col("cosine").desc(), F.col("neighbor_id")]
+    w1 = Window.partitionBy("query_id", "shard").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    survivors = (
+        scored.withColumn(
+            "shard",
+            F.pmod(F.crc32(F.col("neighbor_id").cast("string")), F.lit(shards)),
+        )
+        .withColumn("shard_rank", F.row_number().over(w1))
+        .filter(F.col("shard_rank") <= k)
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
 

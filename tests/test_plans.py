@@ -13,10 +13,10 @@ import pytest
 
 import __spark_entry__ as E
 
-#: brute-force-by-design: exact kNN scores every (query, corpus) pair;
-#: similar_part_names all-pairs the DISTINCT name vocabulary (dimension-
-#: sized, never fact-sized — LSH/n-gram blocking is the fact-scale path)
-CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
+#: brute-force-by-design: similar_part_names all-pairs the DISTINCT
+#: name vocabulary (dimension-sized, never fact-sized — LSH/n-gram
+#: blocking is the fact-scale path)
+CROSS_JOIN_OK = {"similar_part_names"}
 #: join a single-row scalar aggregate (corr over lineitem; the corpus
 #: size N for idf) — a 1-row broadcast nested loop is the correct plan
 #: for a scalar subquery
@@ -41,6 +41,13 @@ CROSS_JOIN_OK = {"knn_join", "similar_part_names"}
 #: skew_profile joins the 1-row (total, n_keys) summary onto the
 #: top-N frame — scalar subquery
 SCALAR_JOIN_OK = {
+    # knn_join broadcasts its BOUNDED query panel (max_queries
+    # structural cap; count-checked at build) onto a single corpus
+    # scan — the BNLJ small side is panel-sized by construction, and
+    # the per-query rank is two-phase salted (no corpus-sized window
+    # partitions). Fact-sized query sides raise and route to
+    # knn_join_lsh.
+    "knn_join",
     "kmv_overlap",
     "dedup_threshold_sweep",
     "skew_profile",

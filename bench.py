@@ -302,34 +302,78 @@ def main() -> None:
     # the weather. Both raw passes are still recorded (queries_cold /
     # queries_warm) so regressions in either remain visible.
     best = {n: min(timings[n], warm[n]) for n in timings}
+    ext_best = {n: min(ext[n], ext_warm[n]) for n in ext}
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    # Round-over-round ext diff (VERDICT r5 #3): bench_out.json was
+    # overwritten each round and BENCH_rN.json truncates the ext map,
+    # so extended-catalog regressions were not diffable from committed
+    # artifacts. Now every run also writes bench_out_r{N}.json (N
+    # inferred from the newest committed BENCH_r*.json + 1) and diffs
+    # ext timings against bench_out_r{N-1}.json: overlap aggregate
+    # ratio (the ±5% warm-catalog check) + a >1.3x regression list.
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    round_n = (max(rounds) + 1) if rounds else 1
+    prior_path = os.path.join(here, f"bench_out_r{round_n - 1}.json")
+    ext_overlap_ratio = None
+    ext_regressions: dict[str, list[float]] = {}
+    if os.path.exists(prior_path):
+        with open(prior_path) as fh:
+            prev_ext = json.load(fh).get("queries_ext", {})
+        overlap = sorted(set(prev_ext) & set(ext_best))
+        prev_sum = sum(prev_ext[n] for n in overlap)
+        if overlap and prev_sum > 0:
+            ext_overlap_ratio = round(
+                sum(ext_best[n] for n in overlap) / prev_sum, 4
+            )
+        ext_regressions = {
+            # floor at 0.2 s: sub-200ms queries flap on host noise,
+            # not on plan changes
+            n: [prev_ext[n], ext_best[n]]
+            for n in overlap
+            if ext_best[n] > 1.3 * prev_ext[n] and ext_best[n] > 0.2
+        }
+
     payload = json.dumps(
         {
                 "metric": "headline_queries_total_runtime",
                 "value": round(sum(best.values()), 4),
                 "unit": "sec",
                 "timing": "per-query min of 2 back-to-back runs",
+                "round": round_n,
                 "queries": best,
                 "queries_cold": timings,
                 "value_cold": round(sum(timings.values()), 4),
                 "queries_warm": warm,
                 "value_warm": round(sum(warm.values()), 4),
-                "queries_ext": {n: min(ext[n], ext_warm[n]) for n in ext},
-                "value_ext": round(
-                    sum(min(ext[n], ext_warm[n]) for n in ext), 4
-                ),
+                "queries_ext": ext_best,
+                "value_ext": round(sum(ext_best.values()), 4),
                 "queries_ext_cold": ext,
                 "value_ext_cold": round(sum(ext.values()), 4),
                 "queries_ext_warm": ext_warm,
                 "value_ext_warm": round(sum(ext_warm.values()), 4),
+                "ext_overlap_vs_prev_round": ext_overlap_ratio,
+                "ext_regressions_vs_prev_round": ext_regressions,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )
     # the driver captures stdout, but its capture has truncated mid-line
     # before (BENCH_r02 lost the headline section) — persist the same
-    # JSON to a file so the numbers always survive intact
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
-    with open(out_path, "w") as fh:
-        fh.write(payload + "\n")
+    # JSON to a file so the numbers always survive intact, plus the
+    # per-round copy that makes r(N-1)->rN ext diffs possible
+    for out_path in (
+        os.path.join(here, "bench_out.json"),
+        os.path.join(here, f"bench_out_r{round_n}.json"),
+    ):
+        with open(out_path, "w") as fh:
+            fh.write(payload + "\n")
     # Print the FULL payload first and a SHORT compact line LAST: the
     # driver's tail capture truncated the big line twice (BENCH_r02,
     # BENCH_r03 both "parsed": null) — a final sub-1KB line always
@@ -342,12 +386,12 @@ def main() -> None:
             "unit": "sec",
             "queries": {n: round(v, 3) for n, v in best.items()},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "value_ext": round(sum(min(ext[n], ext_warm[n]) for n in ext), 3),
+            "value_ext": round(sum(ext_best.values()), 3),
             "n_ext_queries": len(ext),
-            "ext_worst": max(
-                ext, key=lambda n: min(ext[n], ext_warm[n])
-            ),
-            "detail": "bench_out.json",
+            "ext_worst": max(ext_best, key=ext_best.get),
+            "ext_overlap_vs_prev_round": ext_overlap_ratio,
+            "n_ext_regressions": len(ext_regressions),
+            "detail": f"bench_out_r{round_n}.json",
         },
         separators=(",", ":"),
     )

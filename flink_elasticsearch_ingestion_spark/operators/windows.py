@@ -1141,6 +1141,16 @@ def forecast_backtest(
     frame, three 1-row scalar broadcasts), so the plan is day-count-
     sized regardless of corpus size.
     """
+    if horizon > season:
+        # the seasonal-naive arm is lag(rev, season) over the FULL
+        # series: with horizon > season a later holdout day's
+        # "forecast" would be an earlier HOLDOUT day's actual value —
+        # silent test-set leakage that inflates the baseline score
+        raise ValueError(
+            f"horizon ({horizon}) must be <= season ({season}): the "
+            f"seasonal-naive baseline would forecast holdout days from "
+            f"other holdout days (test-set leakage)"
+        )
     w = Window.orderBy("i")
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))

@@ -104,14 +104,32 @@ class VersionedTable:
         latest = self.latest_version()
         if version is None:
             version = 0 if latest is None else latest + 1
-        data_dir = os.path.join(self.root, "data", f"v={version}")
+        # Published directories are NEVER mutated in place: an
+        # at-least-once replay of an already-published version stages
+        # into a fresh attempt directory and re-points the manifest at
+        # it atomically — an overwrite of the live directory would
+        # delete files the current manifest still references, tearing
+        # concurrent readers of that version. The superseded attempt
+        # directory becomes unreferenced garbage that vacuum() reclaims.
+        rel = f"data/v={version}"
+        data_dir = os.path.join(self.root, rel)
+        attempt = 0
+        while os.path.exists(data_dir):
+            attempt += 1
+            rel = f"data/v={version}-attempt={attempt}"
+            data_dir = os.path.join(self.root, rel)
         # data first (invisible until the manifest publishes) ...
-        df.write.mode("overwrite").parquet(data_dir)
-        dirs = [f"data/v={version}"]
+        df.write.parquet(data_dir)
+        dirs = [rel]
         if mode == "append" and latest is not None and version > 0:
             parent = self._read_manifest(min(latest, version - 1))
             dirs = parent["dirs"] + dirs
-        manifest = {"version": version, "mode": mode, "dirs": dirs}
+        # "added": this commit's OWN delta directories, recorded so the
+        # CDC stream never has to diff against the parent manifest —
+        # which vacuum() may have deleted (diffing against a missing
+        # parent would replay the full cumulative list as one version's
+        # delta, breaking the exactly-once contract).
+        manifest = {"version": version, "mode": mode, "dirs": dirs, "added": [rel]}
         # ... then the atomic publish: tmp + rename IS the commit point
         os.makedirs(self._manifest_dir, exist_ok=True)
         tmp = self._manifest_path(version) + ".tmp"
@@ -231,13 +249,31 @@ class VersionedTableStreamReader:
             return v
 
         for v in [x for x in self._versions() if lo < x <= hi]:
-            dirs = set(self._manifest(v)["dirs"])
-            prev: set = set()
-            if v > 0 and os.path.exists(
-                os.path.join(self.root, "_versions", f"{v - 1:08d}.json")
-            ):
-                prev = set(self._manifest(v - 1)["dirs"])
-            for d in sorted(dirs - prev):
+            m = self._manifest(v)
+            if "added" in m:
+                # the commit recorded its own delta — vacuum-proof,
+                # never needs the parent manifest
+                delta = set(m["added"])
+            elif m.get("mode") == "overwrite" or v == 0:
+                delta = set(m["dirs"])
+            else:
+                # legacy append manifest without "added": the parent
+                # diff is only correct if the parent manifest survives.
+                # After a vacuum it does not — fail loudly instead of
+                # replaying the full cumulative list as one version's
+                # delta (which would duplicate every inherited row and
+                # mis-tag it with this _commit_version).
+                parent = os.path.join(
+                    self.root, "_versions", f"{v - 1:08d}.json"
+                )
+                if not os.path.exists(parent):
+                    raise RuntimeError(
+                        f"cannot derive append delta for version {v}: "
+                        f"parent manifest {v - 1} is gone (vacuumed?) "
+                        f"and the manifest has no 'added' field"
+                    )
+                delta = set(m["dirs"]) - set(self._manifest(v - 1)["dirs"])
+            for d in sorted(delta):
                 for f in sorted(
                     _glob.glob(os.path.join(self.root, d, "*.parquet"))
                 ):

@@ -57,10 +57,16 @@ def admit_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_sigs: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """One admission round: near-dup-check ``batch_docs`` against the
     admitted-so-far signature store plus earlier-id batch docs, return
-    ``(survivors, survivor_sigs, dropped_ids)``.
+    ``(survivors, survivor_sigs, dropped_ids, sigs)``.
+
+    ``sigs`` (the persisted batch signature slice every other output
+    derives from) is returned so the CALLER can ``unpersist()`` it once
+    survivors/survivor_sigs are materialized — a long-lived
+    processingTime stream would otherwise accumulate one pinned
+    DataFrame per micro-batch for the life of the query.
 
     A batch doc is REJECTED iff it near-duplicates (jaccard >=
     threshold) any store document or any earlier-id document of its own
@@ -95,7 +101,7 @@ def admit_batch(
     drop = dups.select(F.col("new_id").alias(id_col)).distinct()
     survivors = batch_docs.join(drop, id_col, "left_anti")
     survivor_sigs = sigs.join(drop, id_col, "left_anti")
-    return survivors, survivor_sigs, drop
+    return survivors, survivor_sigs, drop, sigs
 
 
 def multi_poll_admission(
@@ -129,7 +135,7 @@ def multi_poll_admission(
     cached = [all_sigs]
     for poll in range(n_polls):
         batch = docs.filter(F.col("doc_id") % n_polls == poll)
-        survivors, survivor_sigs, drop = admit_batch(
+        survivors, survivor_sigs, drop, batch_sigs = admit_batch(
             spark,
             batch,
             store_sigs,
@@ -142,6 +148,7 @@ def multi_poll_admission(
         survivor_sigs = survivor_sigs.persist()
         survivor_sigs.count()  # materialize BEFORE the next poll joins it
         cached.append(survivor_sigs)
+        batch_sigs.unpersist()  # the slice cache served its one poll
         # ONE aggregate over the flagged batch — no 1-row scalar joins
         adm = F.col("__drop").isNull()
         summaries.append(
@@ -235,7 +242,7 @@ def stream_scroll_ingest_pipeline(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         docs = last_wins(batch_df, key="doc_id", order_col="ts").persist()
         n_seen = batch_df.count()
-        survivors, survivor_sigs, _drop = admit_batch(
+        survivors, survivor_sigs, _drop, sigs = admit_batch(
             spark,
             docs.withColumn("n_chars", F.length("source").cast("bigint")),
             _prior_store(batch_id),
@@ -283,6 +290,10 @@ def stream_scroll_ingest_pipeline(
             .option("path", f"{bulk_out}/batch={batch_id}")
             .save()
         )
+        # release every per-epoch cache: a continuous processingTime
+        # stream runs this for the life of the query, and one pinned
+        # DataFrame per micro-batch is a slow memory leak
+        sigs.unpersist()
         survivors.unpersist()
         docs.unpersist()
 

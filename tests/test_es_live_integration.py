@@ -1,0 +1,150 @@
+"""OPTIONAL live-Elasticsearch integration: drives the real REST
+client (sources/es_client.py) against a running ES when ``ES_URL`` is
+set — e.g. the ES 7.x the reference develops against
+(dev/docker-compose.yml:3-23) —  and auto-skips otherwise.
+
+Covers the full wire surface the offline unit tests pin with fake
+transports: basic-auth request construction, NDJSON ``_bulk`` upserts
+(id-keyed index ops, reference core.clj:62-63), scroll pagination
+(core.clj:124-140's spec), and the stateless ``search_after`` walk.
+
+Run with e.g.::
+
+    docker compose -f dev/docker-compose.yml up -d   # or any ES 7/8
+    ES_URL=http://localhost:9200 ES_USERNAME=elastic ES_PASSWORD=... \
+        python -m pytest tests/test_es_live_integration.py -v
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+import uuid
+
+import pytest
+
+from flink_elasticsearch_ingestion_spark.config import SinkConfig
+from flink_elasticsearch_ingestion_spark.sources.es_client import (
+    ElasticsearchRestClient,
+)
+
+ES_URL = os.environ.get("ES_URL", "")
+
+pytestmark = pytest.mark.skipif(
+    not ES_URL, reason="live-ES integration: set ES_URL to enable"
+)
+
+
+def _urllib_transport(req: dict):
+    """Minimal stdlib transport: the client builds the request dict,
+    this puts it on the wire."""
+    body = req.get("body")
+    data = body.encode() if isinstance(body, str) else (
+        json.dumps(body).encode() if body is not None else None
+    )
+    r = urllib.request.Request(
+        req["url"], data=data, headers=req["headers"], method=req["method"]
+    )
+    try:
+        with urllib.request.urlopen(r, timeout=30) as resp:
+            return json.loads(resp.read().decode() or "{}")
+    except urllib.error.HTTPError as e:  # surface the ES error body
+        raise AssertionError(f"{e.code} {e.reason}: {e.read().decode()}") from e
+
+
+@pytest.fixture()
+def client():
+    cfg = SinkConfig(
+        urls=ES_URL,
+        username=os.environ.get("ES_USERNAME", ""),
+        password=os.environ.get("ES_PASSWORD", ""),
+    )
+    c = ElasticsearchRestClient(cfg, transport=_urllib_transport)
+    info = c.send(c.request("GET", "/"))
+    assert "version" in info, f"not an Elasticsearch endpoint: {info}"
+    return c
+
+
+@pytest.fixture()
+def index(client):
+    name = f"spark-graft-it-{uuid.uuid4().hex[:8]}"
+    client.send(client.request("PUT", f"/{name}"))
+    yield name
+    client.send(client.request("DELETE", f"/{name}"))
+
+
+def _bulk_docs(n: int, index: str) -> list[dict]:
+    return [
+        {"index_id": index, "doc_id": i, "body": {"user": f"u{i % 7}", "n": i}}
+        for i in range(n)
+    ]
+
+
+def test_bulk_upsert_roundtrip(client, index):
+    """id-keyed bulk index ops are upserts: a second write of the same
+    ids must not grow the doc count (the last-write-wins grain the copy
+    pipeline depends on)."""
+    docs = _bulk_docs(130, index)  # > 2 reference-sized bulks of 64
+    resp = client.send(client.bulk_request(docs))
+    assert not resp.get("errors"), resp
+    client.send(client.request("POST", f"/{index}/_refresh"))
+    count = client.send(client.request("GET", f"/{index}/_count"))
+    assert count["count"] == 130
+
+    resp = client.send(client.bulk_request(docs))  # replay: pure upsert
+    assert not resp.get("errors")
+    client.send(client.request("POST", f"/{index}/_refresh"))
+    count = client.send(client.request("GET", f"/{index}/_count"))
+    assert count["count"] == 130
+
+
+def test_scroll_pagination_covers_index_exactly_once(client, index):
+    """The scroll walk the reference specs (core.clj:124-140): open a
+    scroll, page until empty, union of pages == index, no dup ids."""
+    client.send(client.bulk_request(_bulk_docs(95, index)))
+    client.send(client.request("POST", f"/{index}/_refresh"))
+
+    page = client.send(
+        client.request(
+            "POST",
+            f"/{index}/_search?scroll=1m",
+            {"size": 20, "sort": ["_doc"]},
+        )
+    )
+    seen: list[str] = []
+    scroll_id = page["_scroll_id"]
+    while page["hits"]["hits"]:
+        seen += [h["_id"] for h in page["hits"]["hits"]]
+        page = client.send(
+            client.request(
+                "POST", "/_search/scroll", {"scroll": "1m", "scroll_id": scroll_id}
+            )
+        )
+        scroll_id = page["_scroll_id"]
+    client.send(client.request("DELETE", "/_search/scroll", {"scroll_id": scroll_id}))
+    assert sorted(seen, key=int) == [str(i) for i in range(95)]
+    assert len(set(seen)) == len(seen)
+
+
+def test_search_after_walk_is_stateless_and_exactly_once(client, index):
+    """The search_after cursor (sources/es_scroll.py:321's live twin):
+    strictly-ordered sort key, no server-side scroll context, each page
+    resumes from the last sort value."""
+    client.send(client.bulk_request(_bulk_docs(73, index)))
+    client.send(client.request("POST", f"/{index}/_refresh"))
+
+    seen: list[int] = []
+    after = None
+    while True:
+        body: dict = {"size": 25, "sort": [{"n": "asc"}]}
+        if after is not None:
+            body["search_after"] = after
+        page = client.send(client.request("POST", f"/{index}/_search", body))
+        hits = page["hits"]["hits"]
+        if not hits:
+            break
+        seen += [h["_source"]["n"] for h in hits]
+        after = hits[-1]["sort"]
+    assert seen == list(range(73))

@@ -175,7 +175,7 @@ def test_epoch_replay_is_idempotent(tmp_path, spark, sf_dir):
     from flink_elasticsearch_ingestion_spark.operators.copy import last_wins
 
     docs = last_wins(batch0, key="doc_id", order_col="ts")
-    survivors, survivor_sigs, _drop = admit_batch(
+    survivors, survivor_sigs, _drop, _sigs = admit_batch(
         spark,
         docs.withColumn("n_chars", F.length("source").cast("bigint")),
         None,

@@ -211,3 +211,108 @@ def test_commit_expectations_gate_atomically(tmp_path, spark, sf_dir):
     t.commit(orders.limit(10), expectations=checks)  # corrected retry
     assert t.latest_version() == 1
     assert t.read().count() == 110
+
+
+def test_replay_never_mutates_a_published_directory(tmp_path, spark, sf_dir):
+    """At-least-once replay of an already-published version stages into
+    a fresh attempt directory: the directory the live manifest points at
+    is never deleted out from under a concurrent reader (the torn-read
+    window an in-place overwrite would open)."""
+    import json
+
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root)
+    orders = _orders(spark, sf_dir)
+    t.commit(orders.limit(50), version=0)
+    first_dirs = set(
+        json.load(open(os.path.join(root, "_versions", "00000000.json")))["dirs"]
+    )
+    first_files = {
+        f
+        for d in first_dirs
+        for f in os.listdir(os.path.join(root, d))
+        if f.endswith(".parquet")
+    }
+    # replay the same epoch: must publish from a DIFFERENT directory
+    t.commit(orders.limit(50), version=0)
+    replay_dirs = set(
+        json.load(open(os.path.join(root, "_versions", "00000000.json")))["dirs"]
+    )
+    assert replay_dirs != first_dirs, "replay re-used the published directory"
+    # the originally published files are still intact on disk
+    for d in first_dirs:
+        assert first_files <= set(os.listdir(os.path.join(root, d)))
+    assert t.read(0).count() == 50
+    # the superseded attempt directory is unreferenced garbage vacuum reclaims
+    deleted = t.vacuum(keep_last=1)
+    assert sorted(first_dirs) == deleted
+
+
+def test_stream_delta_survives_vacuum_of_parent_manifests(tmp_path, spark, sf_dir):
+    """A new subscriber starting AFTER a vacuum must still see each
+    surviving append version's OWN delta (from the manifest's 'added'
+    field), never the full cumulative directory list mis-tagged as one
+    version's delta."""
+    from flink_elasticsearch_ingestion_spark.sources.versioned import (
+        stream_table_versions,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root)
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = orders.filter(F.col("o_orderkey") % 3 == 1)
+    c = orders.filter(F.col("o_orderkey") % 3 == 2)
+    t.commit(a)
+    t.commit(b)
+    t.commit(c)
+    t.vacuum(keep_last=2)  # v0's manifest is gone; v1/v2 survive
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        stream_table_versions(spark, root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    per_v = {
+        r["_commit_version"]: r["n"]
+        for r in got.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+    }
+    # v1's delta is exactly b's rows — NOT a+b (the pre-fix behavior:
+    # missing parent manifest => prev=set() => cumulative list as delta)
+    assert per_v == {1: b.count(), 2: c.count()}
+
+
+def test_legacy_append_manifest_with_vacuumed_parent_fails_loudly(
+    tmp_path, spark, sf_dir
+):
+    """Pre-'added' manifests can only derive an append delta by diffing
+    the parent manifest; if that parent was vacuumed the read must fail
+    rather than silently duplicate inherited rows."""
+    import json
+
+    from flink_elasticsearch_ingestion_spark.sources.versioned import (
+        VersionedTableStreamReader,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root)
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t.commit(orders.limit(10))
+    t.commit(orders.limit(30))
+    # strip the 'added' field (simulate a legacy manifest) and vacuum
+    m_path = os.path.join(root, "_versions", "00000001.json")
+    m = json.load(open(m_path))
+    del m["added"]
+    json.dump(m, open(m_path, "w"))
+    os.remove(os.path.join(root, "_versions", "00000000.json"))
+
+    reader = VersionedTableStreamReader({"path": root})
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        list(reader._rows_for(-1, 1))

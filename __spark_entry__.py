@@ -14,29 +14,13 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from flink_elasticsearch_ingestion_spark.operators import (
-    copy as C,
-    dedup as D,
-    multimodal as M,
-    relational as R,
-    similarity as S,
-    text as X,
-    windows as W,
+from flink_elasticsearch_ingestion_spark.catalog import MODULES
+from flink_elasticsearch_ingestion_spark.operators import copy as C
+from flink_elasticsearch_ingestion_spark.catalog._shared import (  # noqa: F401
+    CHECKPOINT,  # re-exported: tests and fixtures key off this constant
+    _t,  # re-exported: tests load tables through the contract's loader
 )
-from flink_elasticsearch_ingestion_spark.operators.asof import as_of_join
-from flink_elasticsearch_ingestion_spark.functions import urls as U
-
-#: fixed incremental checkpoint used by the ts-range queries (UTC)
-CHECKPOINT = "2024-01-15 00:00:00"
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return load_table(spark, sf_dir, name)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -45,3176 +29,6 @@ def entry(spark: SparkSession) -> DataFrame:
     SURVEY.md §7.1."""
     events = _t(spark, "/root/testdata/sf0.001", "events")
     return C.incremental_copy(events, checkpoint_ts=CHECKPOINT)
-
-
-# --------------------------------------------------------------------------
-# copy-pipeline queries (reference-derived semantics)
-# --------------------------------------------------------------------------
-
-
-def q_copy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return C.incremental_copy(_t(spark, sf_dir, "events"), checkpoint_ts=CHECKPOINT)
-
-
-def q_copy_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1:1 index copy (no checkpoint): full scan, emitter projection."""
-    return C.incremental_copy(_t(spark, sf_dir, "events"), checkpoint_ts=None)
-
-
-def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-write-wins upsert semantics keyed on user_id."""
-    events = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
-    return C.last_wins(events, key="user_id", order_col="ts")
-
-
-def q_checkpoint_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = C.shape_documents(_t(spark, sf_dir, "events"))
-    return C.max_ts_checkpoint(docs, ts_col="ts")
-
-
-def q_bulk_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = C.shape_documents(_t(spark, sf_dir, "events"))
-    return (
-        C.bulk_chunks(docs)
-        .groupBy("chunk_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-        .orderBy("chunk_id")
-    )
-
-
-def q_bulk_chunks_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path bulk chunking (per-partition chunk ids — no global
-    single-partition window). The chunk layout depends on the physical
-    partitioning, so the contract surface checks the deterministic
-    invariants instead: every chunk holds <= 64 docs and no doc is
-    lost or duplicated."""
-    docs = C.shape_documents(_t(spark, sf_dir, "events"))
-    per_chunk = (
-        C.bulk_chunks_distributed(docs)
-        .groupBy("chunk_id")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("doc_id").alias("n_distinct"))
-    )
-    return per_chunk.agg(
-        F.sum("n_docs").alias("total_docs"),
-        F.sum("n_distinct").alias("total_distinct"),
-        (F.max("n_docs") <= C.BULK_MAX_ACTIONS).alias("within_cap"),
-    )
-
-
-def q_es_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end through the REAL write path: shape events into
-    documents, write them with ``df.write.format("es_bulk")`` (executor
-    chunking, 64-action files, manifest-gated commit), parse the
-    committed NDJSON payload back DISTRIBUTED (manifest-listed chunk
-    scan + JVM-side line pairing, no driver loop), and aggregate per index from
-    the PARSED action/body fields. Hash-green against the DuckDB oracle
-    on the raw events table proves the bulk wire format preserved every
-    (doc_id, index_id, body) through the sink and back."""
-    import tempfile
-
-    from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_body
-    from flink_elasticsearch_ingestion_spark.sources.es_bulk import (
-        read_bulk_payload_df,
-        register_bulk_sink,
-    )
-
-    register_bulk_sink(spark)
-    # deterministic 5% slice keeps the written-file count bounded while
-    # still exercising the full write path (chunking, manifest,
-    # parse-back); the oracle applies the same residue
-    events = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
-    docs = encode_body(C.shape_documents(events), C.BODY_COLS).select(
-        "doc_id", "index_id", "source"
-    )
-    out = tempfile.mkdtemp(prefix="es_bulk_roundtrip_")
-    docs.write.format("es_bulk").mode("overwrite").option("path", out).save()
-    back = read_bulk_payload_df(spark, out)
-    return (
-        back.select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            "index_id",
-            F.get_json_object("source", "$.user_id").cast("bigint").alias("user_id"),
-            F.get_json_object("source", "$.value").cast("double").alias("value"),
-        )
-        .groupBy("index_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("doc_id").alias("n_distinct"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-            F.sum("user_id").alias("sum_user_id"),
-            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
-        )
-        .orderBy("index_id")
-    )
-
-
-def q_es_scroll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end through the REAL scroll-source read path: stage a 5%
-    event slice as a sharded es_scroll index (JSONL shard files, the
-    reference's scroll contract), read it back through the registered
-    DataSource V2 plugin WITH a ts-range predicate (exercises
-    pushFilters — the reader evaluates the checkpoint range inside each
-    shard scan), and aggregate per index from the PARSED fields.
-    Hash-green against the DuckDB oracle on the raw events table proves
-    the shard staging + scroll read + pushdown preserved every
-    (doc_id, index_id, ts, source)."""
-    import tempfile
-
-    from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_body
-    from flink_elasticsearch_ingestion_spark.sources.es_scroll import (
-        scroll_read,
-        write_index_shards,
-    )
-
-    events = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
-    docs = encode_body(C.shape_documents(events), C.BODY_COLS).select(
-        "doc_id", "index_id", "ts", "source"
-    )
-    idx = tempfile.mkdtemp(prefix="es_scroll_roundtrip_")
-    write_index_shards(docs, idx, n_shards=8)
-    # scroll_read is session-conf-safe: it enables the pushdown conf
-    # when runtime-settable (the vanilla driver session included) and
-    # degrades to post-scan filtering when locked — the r3 driver red
-    # (DATA_SOURCE_PUSHDOWN_DISABLED) cannot recur
-    back = scroll_read(spark, idx, batch_size=500).filter(
-        F.col("ts") > F.lit(CHECKPOINT).cast("timestamp")
-    )
-    return (
-        back.select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            "index_id",
-            F.get_json_object("source", "$.user_id").cast("bigint").alias("user_id"),
-            F.get_json_object("source", "$.value").cast("double").alias("value"),
-        )
-        .groupBy("index_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("doc_id").alias("n_distinct"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-            F.sum("user_id").alias("sum_user_id"),
-            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
-        )
-        .orderBy("index_id")
-    )
-
-
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
-    return events.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    ).orderBy("event_id")
-
-
-def q_users_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingestion-diff shape (anti join on the stream): users with click
-    events but no purchase events."""
-    events = _t(spark, sf_dir, "events")
-    clickers = events.filter(F.col("event_type") == "click").select("user_id").distinct()
-    buyers = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    return clickers.join(buyers, "user_id", "left_anti").orderBy("user_id")
-
-
-def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL parsing with the reference's 9200 port default (core.clj:36-46),
-    exercised on synthesized URL lists."""
-    nation = _t(spark, sf_dir, "nation")
-    urls = nation.select(
-        "n_nationkey",
-        F.concat(
-            F.lit("http://node"),
-            F.col("n_nationkey"),
-            F.lit(".example.com"),
-            F.when(F.col("n_nationkey") % 2 == 0, F.lit(":9300")).otherwise(F.lit("")),
-        ).alias("url"),
-    )
-    return U.parse_url_columns(urls, "url").select(
-        "n_nationkey", "host", "scheme", "port"
-    ).orderBy("n_nationkey")
-
-
-# --------------------------------------------------------------------------
-# relational surface (joins / aggs / windows / set ops / grouping sets)
-# --------------------------------------------------------------------------
-
-
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = R.pricing_summary(_t(spark, sf_dir, "lineitem"))
-    return df.select(
-        "l_returnflag",
-        "l_linestatus",
-        F.round("sum_qty", 2).alias("sum_qty"),
-        F.round("sum_base_price", 2).alias("sum_base_price"),
-        F.round("sum_disc_price", 2).alias("sum_disc_price"),
-        F.round("sum_charge", 2).alias("sum_charge"),
-        # avgs derived from 2-decimal-rounded sums: both engines then
-        # divide bit-identical doubles, so round(.,4) can't straddle an
-        # FP half-boundary differently (raw avg() did, on real data)
-        F.round(F.round("sum_qty", 2) / F.col("count_order") + 1e-9, 4).alias("avg_qty"),
-        F.round(F.round("sum_base_price", 2) / F.col("count_order") + 1e-9, 4).alias("avg_price"),
-        F.round(F.round("sum_disc", 2) / F.col("count_order") + 1e-9, 4).alias("avg_disc"),
-        "count_order",
-    )
-
-
-def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = R.top_revenue_orders(
-        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
-    )
-    return df.select(
-        "o_orderkey", "o_orderdate", "o_orderpriority", F.round("revenue", 2).alias("revenue")
-    )
-
-
-def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = R.local_supplier_volume(
-        _t(spark, sf_dir, "region"),
-        _t(spark, sf_dir, "nation"),
-        _t(spark, sf_dir, "customer"),
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "lineitem"),
-        _t(spark, sf_dir, "supplier"),
-        region_name="EUROPE",
-    )
-    return df.select("n_name", F.round("revenue", 2).alias("revenue"))
-
-
-def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = R.returned_item_losses(
-        _t(spark, sf_dir, "customer"),
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "lineitem"),
-        _t(spark, sf_dir, "nation"),
-    )
-    return df.select(
-        "c_custkey", "c_name", "n_name", F.round("revenue", 2).alias("revenue")
-    )
-
-
-def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.large_quantity_orders(
-        _t(spark, sf_dir, "customer"),
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "lineitem"),
-    )
-
-
-def q_nation_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.nation_region_broadcast(_t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"))
-
-
-def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.customers_with_orders(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
-
-
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.customers_without_orders(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
-
-
-def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.top_order_per_customer(_t(spark, sf_dir, "orders"))
-
-
-def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = R.revenue_rollup(_t(spark, sf_dir, "lineitem"))
-    return df.select(
-        "l_returnflag", "l_linestatus", F.round("sum_qty", 2).alias("sum_qty"), "n_rows"
-    )
-
-
-def q_order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = R.order_priority_cube(_t(spark, sf_dir, "orders"))
-    return df.select(
-        "o_orderstatus", "o_orderpriority", F.round("sum_price", 2).alias("sum_price"), "n_orders"
-    )
-
-
-def q_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = R.returnflag_pivot(_t(spark, sf_dir, "lineitem"))
-    return df.select(
-        "l_returnflag",
-        F.round("qty_open", 2).alias("qty_open"),
-        F.round("qty_filled", 2).alias("qty_filled"),
-    )
-
-
-def q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.segment_set_ops(_t(spark, sf_dir, "customer"))
-
-
-def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.top_orders(_t(spark, sf_dir, "orders"))
-
-
-def q_ship_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.ship_within_30d(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
-
-
-def q_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            # day as a string: DATE round-trips differently through
-            # pandas in Spark (datetime.date) vs DuckDB (datetime64)
-            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)) + 1e-9, 4).alias("avg_value"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-        .orderBy("day", "event_type")
-    )
-
-
-def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
-        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
-        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
-        F.substring("p_name", 1, 3).alias("prefix3"),
-        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
-    ).orderBy("p_partkey")
-
-
-def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.round("p_retailprice", 0).alias("price_round"),
-        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
-        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
-        F.abs(F.col("p_retailprice") - 1000).alias("price_dev"),
-        (F.col("p_size") % 5).alias("size_mod"),
-    ).orderBy("p_partkey")
-
-
-# --------------------------------------------------------------------------
-# windows (event-time + analytic) and as-of join
-# --------------------------------------------------------------------------
-
-
-def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.tumbling_event_windows(_t(spark, sf_dir, "events"))
-
-
-def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.session_windows(_t(spark, sf_dir, "events"))
-
-
-def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.sliding_event_windows(_t(spark, sf_dir, "events"))
-
-
-def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.event_gaps(_t(spark, sf_dir, "events"))
-
-
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.funnel_counts(_t(spark, sf_dir, "events"))
-
-
-def q_event_gaps_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas path; same oracle as event_gaps, so
-    the pandas and expression implementations must agree exactly."""
-    return W.event_gaps_pandas(_t(spark, sf_dir, "events"))
-
-
-def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.running_revenue(_t(spark, sf_dir, "orders"))
-
-
-def q_order_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded window frame (rowsBetween 3 preceding .. current): 4-order
-    moving average of each customer's spend, ordered by date."""
-    from pyspark.sql import Window
-
-    orders = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(-3, 0)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.round(F.sum("o_totalprice").over(w), 2) / F.count(F.lit(1)).over(w) + 1e-9, 4).alias(
-            "moving_avg"
-        ),
-    ).orderBy("o_custkey", "o_orderkey")
-
-
-def q_next_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.next_event_type(_t(spark, sf_dir, "events"))
-
-
-def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each event matched to the customer's latest order at
-    or before the event time. Right side pre-aggregated to one row per
-    (custkey, date) so the match is deterministic."""
-    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
-    )
-    out = as_of_join(
-        events, orders, on_left="user_id", on_right="o_custkey",
-        left_ts="ts", right_ts="o_orderdate", payload_cols=["day_total"],
-    )
-    return out.select("event_id", "user_id", "ts", "day_total", "matched_ts").orderBy("event_id")
-
-
-def q_price_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: ntile / percent_rank / cume_dist
-    over a deterministic (tie-broken) global order, quartile summary so
-    the result stays small at any SF.  Built on the two-phase
-    ``global_distribution_ranks`` operator (coarse literal ranges +
-    broadcast prefix offsets) so NO single-partition window ever sees
-    the orders table — bit-identical to the ntile/percent_rank/
-    cume_dist window functions the oracle runs."""
-    from flink_elasticsearch_ingestion_spark.operators.windows import (
-        global_distribution_ranks,
-    )
-
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranked = global_distribution_ranks(
-        orders, "o_totalprice", "o_orderkey", ntile_k=4
-    )
-    return (
-        ranked.groupBy("quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(F.max("pr"), 6).alias("max_percent_rank"),
-            F.round(F.max("cd"), 6).alias("max_cume_dist"),
-        )
-        .orderBy("quartile")
-    )
-
-
-def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.orders_above_customer_avg(_t(spark, sf_dir, "orders"))
-
-
-def q_purchases_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.purchases_after_click(_t(spark, sf_dir, "events"))
-
-
-def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.date_functions(_t(spark, sf_dir, "orders"))
-
-
-def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array scalar surface over the embedding column: size, element_at,
-    slice + aggregate (fold), array_max — all JVM-side expressions."""
-    emb = _t(spark, sf_dir, "embeddings")
-    dv = F.col("embedding").cast("array<double>")
-    return emb.select(
-        "vec_id",
-        F.size("embedding").alias("n_dims"),
-        F.round(F.element_at(dv, 1), 6).alias("first_val"),
-        F.round(
-            F.aggregate(F.slice(dv, 1, 8), F.lit(0.0), lambda acc, x: acc + x), 6
-        ).alias("head_sum"),
-        F.round(F.array_max(dv), 6).alias("max_val"),
-    ).orderBy("vec_id")
-
-
-def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map scalar surface: create_map, element_at, size, map_keys,
-    map_values (list outputs flattened to csv so the cross-engine value
-    hash compares scalars)."""
-    events = _t(spark, sf_dir, "events")
-    m = F.create_map(
-        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
-    )
-    return events.select(
-        "event_id",
-        F.element_at(m, "type").alias("type_val"),
-        F.element_at(m, "uid").alias("uid_val"),
-        F.size(m).alias("n_entries"),
-        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
-        F.array_join(F.array_sort(F.map_values(m)), ",").alias("values_csv"),
-    ).orderBy("event_id")
-
-
-def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """posexplode (UNNEST) -> per-dimension profile of the embedding
-    corpus. The explode is map-side; the per-dim agg is one shuffle on a
-    64-key space."""
-    emb = _t(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
-    ).select((F.col("pos") + 1).alias("dim"), "val")
-    return (
-        exploded.groupBy("dim")
-        .agg(
-            F.round(F.round(F.sum("val"), 6) / F.count(F.lit(1)) + 1e-9, 6).alias("avg_val"),
-            F.round(F.min("val"), 6).alias("min_val"),
-            F.round(F.max("val"), 6).alias("max_val"),
-            F.count(F.lit(1)).alias("n_vals"),
-        )
-        .orderBy("dim")
-    )
-
-
-def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.price_quantiles(_t(spark, sf_dir, "orders"))
-
-
-def q_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.order_stats(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
-
-
-def q_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.arg_extremes(_t(spark, sf_dir, "events"))
-
-
-def q_user_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded collect_set per user; the array is flattened to a sorted
-    CSV string for the contract surface (the driver's value-hash
-    canonicalizer can't sort raw array cells — same convention as
-    map_functions' keys_csv)."""
-    return R.user_event_sets(_t(spark, sf_dir, "events")).select(
-        "user_id", F.array_join("event_types", ",").alias("event_types_csv")
-    )
-
-
-def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-mitigated equi-join (heavy-hitter join keys): the small
-    build side is replicated per salt value so one hot probe key
-    spreads over ``salt_buckets`` reducers instead of one. Results must
-    equal the plain inner join — which is exactly what the oracle
-    checks (join + rollup vs DuckDB's plain join)."""
-    from flink_elasticsearch_ingestion_spark.operators.skew import (
-        salted_broadcast_join,
-    )
-
-    events = _t(spark, sf_dir, "events")
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    joined = salted_broadcast_join(events, cust, on="user_id", salt_buckets=8)
-    return (
-        joined.groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") + F.lit(1e-9), 2).alias("total_value"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase salted aggregation (heavy-hitter mitigation): results
-    must be identical to the plain group-by, which is exactly what the
-    oracle checks."""
-    from flink_elasticsearch_ingestion_spark.operators.skew import salted_agg
-
-    events = _t(spark, sf_dir, "events")
-    return salted_agg(
-        events,
-        ["event_type"],
-        {
-            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
-            "total_raw": (F.sum("value"), F.sum("total_raw")),
-            "max_value": (F.max("value"), F.max("max_value")),
-        },
-        salt_buckets=8,
-    ).select(
-        "event_type",
-        "n_events",
-        F.round("total_raw", 2).alias("total_value"),
-        F.round("max_value", 6).alias("max_value"),
-    ).orderBy("event_type")
-
-
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.grouping_sets_revenue(spark, _t(spark, sf_dir, "lineitem"))
-
-
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: HLL++ estimates are engine-specific."""
-    return R.approx_distinct_counts(_t(spark, sf_dir, "events"))
-
-
-def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch distinct rollup (daily DataSketches-HLL
-    sketches union-merged per group). Oracle-checked via the accuracy
-    contract: exact per-group distincts plus a sketch_ok flag the
-    oracle pins TRUE — an estimator drifting past tolerance turns the
-    row red."""
-    return R.mergeable_distinct_rollup(_t(spark, sf_dir, "events"))
-
-
-# --------------------------------------------------------------------------
-# text analysis (north-star ext)
-# --------------------------------------------------------------------------
-
-
-def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus term frequency: explode tokens -> count -> top 20.
-    The explode is map-side; the count is one shuffle on the token."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("word")
-    ).filter(F.length("word") >= 3)
-    return (
-        toks.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("word"))
-        .limit(20)
-    )
-
-
-def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Share-of-total per event type: group counts divided by a window
-    total (no second scan, no collect)."""
-    from pyspark.sql import Window
-
-    events = _t(spark, sf_dir, "events")
-    counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    total = F.sum("n_events").over(Window.partitionBy())
-    return counts.select(
-        "event_type",
-        "n_events",
-        F.round(F.col("n_events") / total + 1e-9, 6).alias("share"),
-    ).orderBy("event_type")
-
-
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.text_stats(_t(spark, sf_dir, "documents"))
-
-
-def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.quality_scores(_t(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.fingerprints(_t(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        X.token_count("text").alias("ws_tokens"),
-        X.bpe_ish_token_count("text").alias("bpe_tokens"),
-    ).orderBy("doc_id")
-
-
-# --------------------------------------------------------------------------
-# dedup (north-star ext)
-# --------------------------------------------------------------------------
-
-
-def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed LLM-training-data pipeline in one plan: quality
-    filter -> exact near-dup removal (content hash, keep smallest id)
-    -> per-language corpus profile. Each stage is an already-verified
-    operator; this query proves they compose without materialization
-    barriers (one job, scan -> filter -> agg -> join -> agg)."""
-    docs = _t(spark, sf_dir, "documents")
-    scored = X.quality_scores(docs).filter(F.col("quality_score") >= 0.7)
-    kept_ids = D.dedup_by_content(
-        docs.join(scored.select("doc_id"), "doc_id")
-    ).select("doc_id")
-    kept = docs.join(kept_ids, "doc_id").select(
-        "doc_id", "lang", X.token_count("text").alias("n_tokens"), F.length("text").alias("n_chars")
-    )
-    return (
-        kept.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.round(F.sum("n_chars"), 2) / F.count(F.lit(1)) + 1e-9, 4).alias("avg_chars"),
-        )
-        .orderBy("lang")
-    )
-
-
-def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test corpus split — membership is a pure
-    function of doc_id + salt, so re-runs and backfills agree without
-    an assignment table. The md5-based uniform is engine-portable, so
-    the DuckDB oracle re-derives the identical per-doc membership (the
-    split boundaries are embedded with Python float accumulation
-    semantics to match the engine's literals exactly)."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import hash_split
-
-    docs = _t(spark, sf_dir, "documents")
-    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-    return (
-        out.groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
-        .orderBy("split")
-    )
-
-
-def q_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.dedup_by_content(_t(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
-    return D.dedup_exact(docs, key="doc_id").orderBy("doc_id")
-
-
-def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs with the engine-portable hash family
-    (md5-31-bit base + affine perms, signature-slice band keys): the
-    DuckDB oracle re-derives the IDENTICAL signatures, band keys, and
-    candidate set from SQL, so banding + pair join + exact-Jaccard
-    verify are all value-hash-checked end-to-end (the xxhash64 variant
-    remains the pure-speed path, unit-pinned). band_cap=None because
-    the oracle derives ALL band-collision candidates — the production
-    cap would make Spark drop pairs the oracle keeps on a degenerate
-    bucket (the cap's own planted test covers that guard)."""
-    return D.minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"),
-        jaccard_threshold=0.4,
-        portable=True,
-        band_cap=None,
-    )
-
-
-def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal shared token spans across doc pairs (exact-substring
-    dedup, Lee et al. 2022): window-hash join + diagonal
-    gaps-and-islands; ids+hashes-only shuffle, df-capped stop
-    windows.  Oracle replays windows, matches, and island collapse."""
-    return D.shared_span_mining(_t(spark, sf_dir, "documents"))
-
-
-def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion A/B significance test over event conversions:
-    users deterministically assigned to arms via the portable hash
-    split, per-user purchase conversion, per-arm rates, pooled
-    two-proportion z-score and the |z| > 1.96 significance flag — the
-    experiment-analysis query every product pipeline ends in.  One
-    user_id shuffle; everything after is a 2-row aggregate.  Under the
-    null (assignment independent of behavior, true here by
-    construction) the flag should be false."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import hash_split
-
-    events = _t(spark, sf_dir, "events")
-    # outcome: purchase-count residue — at any sf EVERY user has
-    # purchase events (max(has-purchase) would make p_pool = 1 and the
-    # pooled SE zero), so the binary outcome derives from the count's
-    # mod-3 class (~1/3 rate, deterministic, engine-replayable, and
-    # independent of the arm assignment by construction)
-    per_user = events.groupBy("user_id").agg(
-        (
-            F.sum((F.col("event_type") == "purchase").cast("int")) % 3 == 0
-        )
-        .cast("int")
-        .alias("converted")
-    )
-    arms = hash_split(per_user, "user_id", {"A": 0.5, "B": 0.5}, salt="ab-v1")
-    per_arm = arms.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("converted").alias("n_converted"),
-    )
-    a = per_arm.filter(F.col("split") == "A").select(
-        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
-    )
-    b = per_arm.filter(F.col("split") == "B").select(
-        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
-    )
-    j = a.crossJoin(b)  # two 1-row frames
-    p_pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
-    se = F.sqrt(
-        p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
-    )
-    diff = F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b")
-    # degenerate pools (all or none converted) have zero variance: the
-    # rates are identical by construction there, so z := 0
-    z = F.when(se > 0, diff / se).otherwise(F.lit(0.0))
-    return j.select(
-        "n_a",
-        "c_a",
-        F.round(F.col("c_a") / F.col("n_a") + 1e-9, 6).alias("rate_a"),
-        "n_b",
-        "c_b",
-        F.round(F.col("c_b") / F.col("n_b") + 1e-9, 6).alias("rate_b"),
-        F.round(z + 1e-9, 4).alias("z_score"),
-        (F.abs(F.round(z + 1e-9, 4)) > 1.96).alias("significant"),
-    )
-
-
-def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mT5-style temperature (alpha=0.5) language resampling:
-    per-language budgets proportional to sqrt(N_l) — up-samples
-    low-resource languages — with deterministic md5-ordered picks.
-    sqrt is IEEE-exactly-rounded, so the oracle re-derives every
-    budget and pick bit-for-bit."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        temperature_language_sample,
-    )
-
-    return temperature_language_sample(_t(spark, sf_dir, "documents"))
-
-
-def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus cartography: pairwise cosine between sources over hashed
-    bag-of-words distributions — the mixing/contamination overview.
-    Quadratic only in SOURCE count; hashes engine-portable."""
-    return X.source_similarity(_t(spark, sf_dir, "documents"))
-
-
-def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variance-aware stratified allocation (Neyman's N_h x S_h rule)
-    over order priorities by total-price spread; exact-grid weights
-    keep every integer budget engine-identical."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        neyman_allocation_sample,
-    )
-
-    return neyman_allocation_sample(
-        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
-    )
-
-
-def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) rolling-hash fingerprints: per-doc summary of
-    the window-minimum gram-hash selection — the position-robust local
-    fingerprint with the w+k-1 shared-run detection guarantee."""
-    from flink_elasticsearch_ingestion_spark.operators.text import (
-        winnowing_fingerprints,
-    )
-
-    return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
-
-
-def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source quality normalization: per-document token-entropy
-    percentile WITHIN its source, so one percentile threshold means
-    the same thing across heterogeneous sources."""
-    return X.score_normalize_by_source(_t(spark, sf_dir, "documents"))
-
-
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights (hashed-unigram log-likelihood ratio,
-    target = English vs the raw pool, 256 buckets, add-one smoothing)
-    — the importance-resampling data-selection signal.  One corpus
-    shuffle on (doc, bucket); both model tables broadcast."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        dsir_importance_weights,
-    )
-
-    return dsir_importance_weights(_t(spark, sf_dir, "documents"))
-
-
-def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First/last-touch purchase attribution via one per-user window
-    (frame = strictly-before rows, first/last ignore-nulls carry) —
-    no self-join, bounded touch-type output."""
-    from flink_elasticsearch_ingestion_spark.operators.windows import (
-        touch_attribution,
-    )
-
-    return touch_attribution(_t(spark, sf_dir, "events"))
-
-
-def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diversity-capped top-20 by quality (max 2 per source):
-    per-source window then one TakeOrdered over <= cap x |sources|
-    rows — the anti-monopoly result-shaping constraint."""
-    from flink_elasticsearch_ingestion_spark.operators.text import (
-        diversified_topk,
-    )
-
-    return diversified_topk(_t(spark, sf_dir, "documents"))
-
-
-def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source lexical richness (TTR / hapax ratio / Herdan's C):
-    one explode + two partial+final hash aggs, no windows."""
-    return X.lexical_diversity(_t(spark, sf_dir, "documents"))
-
-
-def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source OOV rate against the corpus's own top-200 token
-    vocabulary (deterministic count-desc/token-asc cut): vocab-sized
-    ranking window + broadcast membership join, fact side is pure
-    partial+final aggregation."""
-    return X.oov_rate(_t(spark, sf_dir, "documents"), vocab_size=200)
-
-
-def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunking duplication audit: rolling-hash
-    boundaries (base-31 poly over trailing 4 chars, cut at 0 mod 16),
-    per-doc windows only, chunk-text global counts joined back."""
-    return X.cdc_chunk_stats(_t(spark, sf_dir, "documents"))
-
-
-def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy k-center coreset selection (farthest-point traversal):
-    k-1 one-job iterations, incremental least(md, dist) state —
-    O(dim)-sized expressions per step, k-bounded driver state."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        kcenter_select,
-    )
-
-    return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
-
-
-def q_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction by power iteration on the distributed
-    Gram matrix — the hash-verifiable sibling of the rows-only
-    embedding_pca: dim^2-bounded corpus reduction, then 5 driver-side
-    matrix-vector products on the 6dp-rounded matrix with the shared
-    sequential-fold dot order; unrolled CTE oracle replays the whole
-    trajectory."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        top_component,
-    )
-
-    return top_component(_t(spark, sf_dir, "embeddings"), iters=5)
-
-
-def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hilbert-curve clustering key over the same (price-bucket,
-    custkey-residue) grid as ``zorder_key`` — no diagonal jumps, so
-    per-file bounding boxes are tighter than Morton's; ONE aggregate
-    fold over bit levels, exact int64 only."""
-    from flink_elasticsearch_ingestion_spark.sources.layout import (
-        hilbert_value,
-    )
-
-    orders = _t(spark, sf_dir, "orders")
-    x = F.least(
-        F.lit(65535), F.floor(F.col("o_totalprice") / 8).cast("bigint")
-    )
-    y = F.pmod(F.col("o_custkey"), 65536)
-    return orders.select(
-        "o_orderkey",
-        x.alias("price_bucket"),
-        y.alias("cust_bucket"),
-        hilbert_value(x, y).alias("h_key"),
-    ).orderBy("o_orderkey")
-
-
-def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JOIN-view incremental maintenance: enriched-orders view kept
-    fresh via the delta-join algebra (dA|><|B_old + A_old|><|dB +
-    dA|><|dB unioned onto the base view); the oracle recomputes the
-    view naively, so a missed/duplicated delta term breaks the hash."""
-    from flink_elasticsearch_ingestion_spark.operators.copy import (
-        incremental_join_view,
-    )
-
-    return incremental_join_view(
-        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
-    )
-
-
-def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AMS/CM inner-product join-cardinality estimate for
-    lineitem JOIN orders on orderkey: depth x width integer sketches
-    per side, bucket-wise product, min across rows; exact arm pins
-    the never-underestimates contract.  All int64, md5-portable."""
-    from flink_elasticsearch_ingestion_spark.operators.relational import (
-        join_size_estimate,
-    )
-
-    return join_size_estimate(
-        _t(spark, sf_dir, "lineitem"),
-        _t(spark, sf_dir, "orders"),
-        "l_orderkey",
-        "o_orderkey",
-    )
-
-
-def q_priority_spanning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational division: customers whose orders span EVERY order
-    priority (Codd's FOR ALL query) — count-matching form: distinct
-    (customer, priority) pairs, per-customer count vs a 1-row
-    broadcast domain cardinality; no double NOT EXISTS, no cross
-    join."""
-    from flink_elasticsearch_ingestion_spark.operators.relational import (
-        relational_division,
-    )
-
-    return relational_division(
-        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderpriority"
-    ).select(F.col("entity").alias("o_custkey"), "n_values")
-
-
-def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue-weighted quantity quantiles per return flag: at which
-    quantity level does 25/50/75% of revenue sit?  Weights quantized
-    to exact cents, one fact aggregate to the bounded (flag, quantity)
-    grid, integer-only threshold tests — bit-exact on any engine."""
-    from flink_elasticsearch_ingestion_spark.operators.relational import (
-        weighted_quantiles,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_quantity").cast("int").alias("qty"),
-        F.expr(
-            "CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)"
-        ).alias("cents"),
-    )
-    return weighted_quantiles(li, "l_returnflag", "qty", "cents")
-
-
-def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus TextRank keywords: adjacent-token co-occurrence graph +
-    damped random-walk centrality run as a FIXED-POINT integer
-    recurrence (1e-6-unit int64 ranks, exact int division/sums — no
-    float op in the loop), bit-replayed by an unrolled CTE oracle."""
-    from flink_elasticsearch_ingestion_spark.operators.text import (
-        textrank_keywords,
-    )
-
-    return textrank_keywords(
-        _t(spark, sf_dir, "documents"), n_iter=4, top_k=20
-    )
-
-
-def q_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(returnflag, linestatus) closed-form OLS of extended price
-    on quantity: one aggregate of exact-decimal sufficient statistics
-    (order-independent sums), then a fixed IEEE closed form — no
-    iterative fitting, group-count-sized output."""
-    from flink_elasticsearch_ingestion_spark.operators.relational import (
-        groupwise_ols,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_linestatus",
-        # the stored doubles ARE 2dp decimals: quantize so every
-        # sufficient statistic sums exactly (order-independent)
-        F.col("l_quantity").cast("decimal(18,2)").alias("qx"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("py"),
-    )
-    return groupwise_ols(
-        li, ["l_returnflag", "l_linestatus"], "qx", "py"
-    )
-
-
-def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka truncation eval: per-query recall@10 of 32-dim
-    truncated cosine retrieval vs the full 64-dim ground truth over a
-    fixed 16-query panel — broadcast panel join + two bounded
-    per-query windows."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        dim_truncation_recall,
-    )
-
-    return dim_truncation_recall(
-        _t(spark, sf_dir, "embeddings"), trunc_dim=32, k=10, n_queries=16
-    )
-
-
-def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit (l=6) over the (nation, market-segment) QI
-    pair with the balance bucket as the sensitive attribute: groups
-    with < 6 distinct sensitive values leak the attribute even when
-    k-anonymous.  One partial+final aggregate."""
-    from flink_elasticsearch_ingestion_spark.operators.quality import (
-        l_diversity_audit,
-    )
-
-    cust = _t(spark, sf_dir, "customer").withColumn(
-        "bal_bucket",
-        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0)).cast(
-            "bigint"
-        ),
-    )
-    return l_diversity_audit(
-        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", l=6
-    )
-
-
-def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private histogram release audit over the
-    (lang, source) grid: symmetric-geometric integer noise derived
-    from an engine-portable seeded hash (P(|z|=m)=2^-(m+1), eps~ln2),
-    noisy count clamped at zero — all exact integer arithmetic, one
-    partial+final aggregate."""
-    from flink_elasticsearch_ingestion_spark.operators.quality import (
-        dp_histogram,
-    )
-
-    return dp_histogram(
-        _t(spark, sf_dir, "documents"), ["lang", "source"]
-    )
-
-
-def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto-frontier (skyline) document selection on (token count,
-    type-token ratio): map-side per-doc metrics, dominance sweep on
-    the bounded distinct-length axis, broadcast frontier rejoin."""
-    from flink_elasticsearch_ingestion_spark.operators.text import (
-        skyline_docs,
-    )
-
-    return skyline_docs(_t(spark, sf_dir, "documents"))
-
-
-def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt double exponential smoothing (alpha=beta=0.5) over daily
-    revenue + 7-day-ahead extrapolation: fact table collapses to the
-    calendar-bounded day axis, recurrence runs as ONE JVM aggregate
-    fold whose IEEE op sequence replays exactly in a recursive-CTE
-    oracle (no intermediate rounding needed)."""
-    from flink_elasticsearch_ingestion_spark.operators.windows import (
-        holt_forecast,
-    )
-
-    return holt_forecast(_t(spark, sf_dir, "orders"), horizon=7)
-
-
-def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's k-means over the full embedding corpus
-    (k=8, 3 fixed iterations): per iteration ONE partial+final
-    aggregate (64 exact int64 dim-sums) + a k-row collect; assignment
-    re-enters each job as a one-parse literal-codebook expression.
-    The quantized-int update rule makes the whole trajectory replay
-    bit-for-bit in the unrolled materialized-CTE oracle."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        kmeans_fixed,
-    )
-
-    return kmeans_fixed(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
-
-
-def q_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN label-disagreement mislabel scan: LSH-candidate kNN with
-    the corpus as its own query set, then per-vector share of
-    different-label neighbors; majority disagreement = suspect."""
-    return S.label_disagreement_knn(
-        _t(spark, sf_dir, "embeddings"), k=5, bits=4, tables=4
-    )
-
-
-def q_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-noise scan: per-vector squared distance to own vs
-    nearest-other label centroid (broadcast centroid table, map-side
-    arithmetic, |labels|-bounded ranking); negative margin = suspect."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        centroid_margin,
-    )
-
-    return centroid_margin(_t(spark, sf_dir, "embeddings"))
-
-
-def q_quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware dedup canonicalization: near-dup clusters keep
-    their highest-entropy member (tie-break id) instead of min id —
-    per-cluster window argmax on the bounded duplicate subgraph.
-    band_cap=None to match the uncapped oracle candidate set."""
-    return D.quality_dedup_survivors(
-        _t(spark, sf_dir, "documents"),
-        jaccard_threshold=0.4,
-        portable=True,
-        band_cap=None,
-    )
-
-
-def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sided CUSUM over daily revenue: fact table aggregates to the
-    calendar-bounded day axis, the sequential recurrence runs as ONE
-    JVM aggregate fold (inputs pre-rounded so any engine replays the
-    IEEE sequence bit-for-bit)."""
-    from flink_elasticsearch_ingestion_spark.operators.quality import (
-        cusum_changepoints,
-    )
-
-    return cusum_changepoints(_t(spark, sf_dir, "orders"))
-
-
-def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Poisson-bootstrap 95% CI for the mean order value
-    (50 hash-derived resamples, one partial+final agg on the resample
-    id) — a bootstrap an independent engine re-derives bit-for-bit."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        bootstrap_ci,
-    )
-
-    return bootstrap_ci(
-        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey"
-    )
-
-
-def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Year-over-year revenue growth per nation: one fact agg to the
-    (nation, year) grid, lag over the bounded year axis."""
-    from flink_elasticsearch_ingestion_spark.operators.windows import (
-        yoy_growth,
-    )
-
-    return yoy_growth(
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "customer"),
-        _t(spark, sf_dir, "nation"),
-    )
-
-
-def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@10 of the BM25 ranking against deterministic all-terms
-    binary relevance — the rank-quality metric completing the
-    search-eval family; <= k-row frames after the TakeOrdered."""
-    from flink_elasticsearch_ingestion_spark.operators.text import ndcg_eval
-
-    return ndcg_eval(
-        _t(spark, sf_dir, "documents"), ["spark", "merge", "window"], k=10
-    )
-
-
-def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Pearson correlations of the lineitem numeric columns
-    in ONE aggregation pass (6 corr buffers, single scan) — the
-    feature-redundancy profiler companion."""
-    from flink_elasticsearch_ingestion_spark.operators.quality import (
-        correlation_matrix,
-    )
-
-    return correlation_matrix(
-        _t(spark, sf_dir, "lineitem"),
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-    )
-
-
-def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 denoising-objective prep: deterministic hash-seeded mask
-    spans (~15%), sentinel-collapsed corrupted input + sentinel-
-    prefixed target, md5-scalar contract columns."""
-    from flink_elasticsearch_ingestion_spark.operators.text import (
-        span_corruption,
-    )
-
-    return span_corruption(_t(spark, sf_dir, "documents"))
-
-
-def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 5-fold CV assignment (portable hash of the key,
-    per-fold balance audit) — reproducible across runs, engines, and
-    cluster layouts."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        kfold_split,
-    )
-
-    return kfold_split(_t(spark, sf_dir, "documents"), "doc_id")
-
-
-def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-step-ahead EWMA revenue forecast (truncated 14-lag
-    exponential kernel, literal renormalized weights) + __MAE__
-    summary; windows only over the bounded daily axis."""
-    from flink_elasticsearch_ingestion_spark.operators.windows import (
-        ewma_forecast,
-    )
-
-    return ewma_forecast(_t(spark, sf_dir, "orders"))
-
-
-def _ewma_terms_sql(alpha: float = 0.3, n_lags: int = 14) -> str:
-    """The same literal renormalized kernel the Spark operator unrolls,
-    as a left-assoc SQL sum of lag() terms."""
-    weights = [alpha * (1 - alpha) ** (k - 1) for k in range(1, n_lags + 1)]
-    norm = sum(weights)
-    return " + ".join(
-        f"lag(revenue, {k}) OVER w * {w / norm!r}"
-        for k, w in enumerate(weights, start=1)
-    )
-
-
-def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of customer revenue concentration via the
-    exact rank formula, global ranks built two-phase (coarse literal
-    buckets + broadcast prefix offsets) — no single-partition window
-    over the customer axis."""
-    return R.revenue_gini(_t(spark, sf_dir, "orders"))
-
-
-def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-class precision/recall/F1 + __MICRO__ accuracy of the
-    heuristic language-ID against the gold lang labels — the eval
-    loop for model-scored corpus gates; everything past the first
-    agg is label-cardinality-sized."""
-    from flink_elasticsearch_ingestion_spark.operators.text import (
-        classifier_eval,
-    )
-
-    return classifier_eval(X.language_id(_t(spark, sf_dir, "documents")))
-
-
-def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit audit on order totals: 9-row digit
-    axis with observed/expected shares and per-digit chi-square
-    contributions — the forensic QA check for fabricated amounts."""
-    from flink_elasticsearch_ingestion_spark.operators.quality import (
-        benford_check,
-    )
-
-    return benford_check(_t(spark, sf_dir, "orders"), "o_totalprice")
-
-
-def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue-concentration summary (HHI, CR4, top share) across
-    nations: one fact agg, then |nations|-row frame only."""
-    from flink_elasticsearch_ingestion_spark.operators.quality import (
-        market_concentration,
-    )
-
-    return market_concentration(
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "customer"),
-        _t(spark, sf_dir, "nation"),
-    )
-
-
-def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier signup -> first-purchase conversion curve with
-    right censoring at the corpus horizon: two per-user aggs, then
-    calendar-bounded windows over the duration axis; the running
-    product runs as exp(sum(ln)) for engine portability."""
-    from flink_elasticsearch_ingestion_spark.operators.windows import (
-        survival_curve,
-    )
-
-    return survival_curve(_t(spark, sf_dir, "events"))
-
-
-def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashed random-projection document embeddings (32 portable-hash
-    buckets -> literal Gaussian matrix -> 16 dims, long form): the
-    deterministic text->vector encoder feeding the ANN stack; one
-    corpus shuffle + one broadcast join + one (doc, dim) agg."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        hash_embed_documents,
-    )
-
-    return hash_embed_documents(_t(spark, sf_dir, "documents"))
-
-
-def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile normalization of per-source quality percentiles onto
-    the global entropy distribution (21-point exact quantile grid,
-    1-row broadcast, map-side array lookup) — cross-source scores on
-    ONE comparable scale."""
-    from flink_elasticsearch_ingestion_spark.operators.text import (
-        quantile_normalize_by_source,
-    )
-
-    return quantile_normalize_by_source(_t(spark, sf_dir, "documents"))
-
-
-def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-14-row z-score anomaly flags on the daily revenue
-    series (self-excluded frame, min 7 days history): one calendar-
-    bounded aggregate, analytic window over <= |days| rows only."""
-    from flink_elasticsearch_ingestion_spark.operators.quality import (
-        revenue_anomalies,
-    )
-
-    return revenue_anomalies(_t(spark, sf_dir, "orders"))
-
-
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting with degree-ordered orientation over the
-    nation trade graph: orientation bounds wedge fan-out by
-    O(sqrt(|E|)) per node, the standard skew-proof distributed
-    formulation.  Per-node counts + a __TOTAL__ row."""
-    from flink_elasticsearch_ingestion_spark.operators.graph import (
-        triangle_count,
-    )
-
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .where(F.col("c_nationkey") != F.col("s_nationkey"))
-        .select(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-    )
-    return triangle_count(edges)
-
-
-def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation by broadcast quantile thresholds (exact
-    percentile sketch at max accuracy, recency scored inversely):
-    one fact agg + map-side scoring, no global-window NTILE; bounded
-    <= 125-row segment summary."""
-    return R.rfm_segments(_t(spark, sf_dir, "orders"))
-
-
-def q_lp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-propagation communities (2 synchronous iterations, most-
-    frequent in-neighbor label, ties to the smallest) over the buyer-
-    nation -> seller-nation trade graph — cluster discovery without a
-    fixed cluster count; per iteration one keyed join + one argmax
-    agg, both |V|-bounded."""
-    from flink_elasticsearch_ingestion_spark.operators.graph import (
-        label_propagation,
-    )
-
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .where(F.col("c_nationkey") != F.col("s_nationkey"))
-        .select(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-    )
-    return label_propagation(edges, n_iter=2)
-
-
-def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf's-law OLS fit per language (ln freq ~ ln rank, top-200
-    terms): corpus-distribution sanity metric.  Vocab-keyed aggs and
-    vocabulary-sized window partitions only."""
-    from flink_elasticsearch_ingestion_spark.operators.text import zipf_fit
-
-    return zipf_fit(_t(spark, sf_dir, "documents"))
-
-
-def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Smoothed target (mean) encoding of order priority by total
-    price (m=10 shrink toward the global mean): one category-keyed
-    agg + a 1-row global broadcast; decimal sums rounded before
-    double arithmetic per the engine float-hazard rule."""
-    return R.target_encode(
-        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
-    )
-
-
-def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit (k=5) over the (nation, market-segment,
-    balance-bucket) quasi-identifier triple: per at-risk group rows
-    plus a __TOTAL__ summary — the governance gate before releasing
-    user-adjacent data."""
-    from flink_elasticsearch_ingestion_spark.operators.quality import (
-        k_anonymity_audit,
-    )
-
-    cust = _t(spark, sf_dir, "customer").withColumn(
-        "bal_bucket",
-        F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0)).cast(
-            "bigint"
-        ),
-    )
-    return k_anonymity_audit(
-        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
-    )
-
-
-def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encoding (4 subspaces x 8 centroids over
-    the 64-dim embeddings): map-side-only expression work, zero
-    shuffles — 64 floats compress to 4 codes.  Deterministic codebook
-    (similarity.pq_codebook) so the oracle re-derives every
-    assignment."""
-    return S.pq_encode(_t(spark, sf_dir, "embeddings"))
-
-
-def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric-distance (ADC) PQ top-10: literal per-subspace
-    lookup tables (constant-folded), each candidate scored by 4 array
-    lookups + adds — the compressed-domain scan of billion-vector
-    search.  TakeOrdered on rounded distance."""
-    qv = _query_vector(spark, sf_dir)
-    return S.pq_search_adc(_t(spark, sf_dir, "embeddings"), qv, k=10)
-
-
-def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR diversified re-ranking (lambda 0.7, pool 20, k 5) over the
-    standard query vector: distributed relevance + pool cut, bounded
-    greedy selection, every score rounded before comparison so the
-    DuckDB oracle replays all five unrolled steps exactly."""
-    qv = _query_vector(spark, sf_dir)
-    return S.mmr_rerank(_t(spark, sf_dir, "embeddings"), qv, k=5, pool=20)
-
-
-def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square term-class association (top-10 per language, min doc
-    freq 5): feature selection / domain-term mining.  Vocab-keyed aggs
-    and vocabulary-sized window partitions; products in double so the
-    statistic survives petabyte doc counts; the top-k cut ranks on the
-    ROUNDED statistic so both engines agree at boundaries."""
-    from flink_elasticsearch_ingestion_spark.operators.text import chi2_terms
-
-    return chi2_terms(_t(spark, sf_dir, "documents"))
-
-
-def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link-graph centrality (fixed 3-iteration PageRank, damping
-    0.85) over the brand co-purchase graph — the corpus-curation
-    primitive behind crawl-graph quality ranking.  Each iteration is
-    one keyed shuffle + one partial/final agg; dangling mass is
-    redistributed uniformly so the oracle's unrolled CTE replay
-    matches the power-iteration definition exactly."""
-    from flink_elasticsearch_ingestion_spark.operators.graph import (
-        copurchase_edges,
-        pagerank_fixed,
-    )
-
-    edges = copurchase_edges(
-        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
-    )
-    return pagerank_fixed(edges, n_iter=3, damping=0.85)
-
-
-def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association rules (support / confidence / lift)
-    between brands co-occurring in orders — Apriori-style pair mining
-    with the item universe projected to a bounded attribute, so the
-    within-order pair expansion stays order-width bounded."""
-    from flink_elasticsearch_ingestion_spark.operators.mining import (
-        basket_rules,
-    )
-
-    return basket_rules(
-        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
-        min_pair_orders=20,
-    )
-
-
-def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation mining: top-20 bigrams by pointwise mutual
-    information (min count 5) — separates true collocations from
-    merely-frequent pairs; tokenizer-seeding / phrase-dedup input."""
-    return X.bigram_pmi(_t(spark, sf_dir, "documents"))
-
-
-def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-join skew preflight: top-20 heaviest events.user_id keys
-    with share / cumulative share / multiple-of-average — the numbers
-    that pick salting vs AQE vs broadcast before a 100 TB shuffle."""
-    from flink_elasticsearch_ingestion_spark.operators.skew import (
-        join_key_skew_profile,
-    )
-
-    return join_key_skew_profile(_t(spark, sf_dir, "events"), "user_id")
-
-
-def q_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring leakage across the train/val/test split:
-    maximal shared spans whose endpoints live in DIFFERENT splits —
-    the verbatim-overlap eval-hygiene audit (complement of
-    split_leakage's near-dup view).  Composes hash_split with
-    shared_span_mining; the oracle re-derives both."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import hash_split
-
-    docs = _t(spark, sf_dir, "documents")
-    spans = D.shared_span_mining(docs)
-    split = hash_split(
-        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
-    ).select("doc_id", "split")
-    sa = split.select(
-        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
-    )
-    sb = split.select(
-        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
-    )
-    return (
-        spans.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(F.col("split_a") != F.col("split_b"))
-        .select(
-            "doc_a", "doc_b", "split_a", "split_b",
-            "start_a", "start_b", "span_tokens",
-        )
-        .orderBy("doc_a", "doc_b", "start_a", "start_b")
-    )
-
-
-def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup tuning curve: per candidate Jaccard threshold, the
-    surviving near-dup pair count and the number of documents touched —
-    one MinHash pass at the loosest threshold feeds the whole grid.
-    Oracle replays the portable-MinHash pair chain plus both
-    histogram-vs-grid aggregations."""
-    return D.near_dup_threshold_sweep(_t(spark, sf_dir, "documents"))
-
-
-def q_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(anchor, positive, negative) triples for contrastive embedding
-    training: near-dup positives + shared deterministic negative pool
-    with a false-negative screen — the training-pair construction step
-    between dedup and the embedding trainer."""
-    return D.contrastive_triples(_t(spark, sf_dir, "documents"))
-
-
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs over an inverted-index join (bounded
-    to doc_id < 200 to keep candidate pairs sane at any sf; the df_cap
-    stop-gram guard cannot fire under that bound, so the uncapped
-    DuckDB oracle is exact)."""
-    return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.15, max_docs=200
-    )
-
-
-def q_text_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters with a FULLY SQL-expressible edge set: n-gram
-    Jaccard pairs (deterministic, no engine-specific hashing) resolved
-    by alternating large-star/small-star contraction — so the iterative
-    component operator itself is differential-tested against a DuckDB
-    recursive-CTE transitive closure, not just rows-counted."""
-    pairs = D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.15, max_docs=200
-    )
-    return D.connected_components_star(pairs).orderBy("node")
-
-
-def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup capstone — portable-MinHash near-dup pairs resolved
-    into clusters via iterative connected components; one row per
-    cluster with size + kept representative. Oracle-checked: the DuckDB
-    side re-derives the same pairs and resolves components with a
-    recursive CTE. band_cap=None to match the uncapped oracle
-    candidate set (see q_minhash_near_dup)."""
-    return D.near_dup_clusters(
-        _t(spark, sf_dir, "documents"),
-        jaccard_threshold=0.4,
-        portable=True,
-        band_cap=None,
-    )
-
-
-def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-hygiene audit: near-duplicate pairs that STRADDLE the
-    train/val/test split — the leakage a held-out set must not have.
-    Composes the deterministic hash split with portable-MinHash
-    near-dup pairs, so the DuckDB oracle re-derives both the split
-    membership and the pair set and checks the exact leak list."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import hash_split
-
-    docs = _t(spark, sf_dir, "documents")
-    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
-        "doc_id", "split"
-    )
-    pairs = D.minhash_near_duplicates(
-        docs, jaccard_threshold=0.4, portable=True, band_cap=None
-    )
-    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
-    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(F.col("split_a") != F.col("split_b"))
-        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup: a 10% 'new batch' (doc_id % 10 == 7)
-    near-dup-checked against the remaining 90% corpus signature table +
-    itself — the daily-crawl ingestion shape, where wide work scales
-    with the increment, never corpus x corpus. Portable hash family, so
-    the DuckDB oracle verifies it as the full self-join restricted to
-    pairs touching the batch (an equivalence the operator guarantees)."""
-    docs = _t(spark, sf_dir, "documents")
-    is_new = F.col("doc_id") % 10 == 7
-    cs = D.minhash_signature_table(docs.filter(~is_new), portable=True).persist()
-    ns = D.minhash_signature_table(docs.filter(is_new), portable=True).persist()
-    cs.count(), ns.count()  # eager fill: see minhash_near_duplicates
-    # materialize the (tiny) pair result, then RELEASE the two
-    # corpus-scale signature caches — the caller collects from the
-    # small cached result, so nothing leaks into the rest of a
-    # long-lived session
-    out = D.near_duplicates_incremental(
-        cs, ns, jaccard_threshold=0.4, band_cap=None, portable=True
-    ).persist()
-    out.count()
-    cs.unpersist()
-    ns.unpersist()
-    return out
-
-
-def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 characteristic terms per doc by smoothed TF-IDF; rank ties
-    break alphabetically so both engines order identically."""
-    return X.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
-
-
-def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing of token counts into capacity-512 bins
-    per (lang, doc_id%8) stream (applyInPandas per group), summarized
-    as per-stream packing efficiency. The oracle replays the identical
-    greedy recurrence as a DuckDB recursive CTE."""
-    from flink_elasticsearch_ingestion_spark.operators.packing import (
-        pack_documents,
-        packing_summary,
-    )
-
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "n_tokens", X.token_count("text").cast("long")
-    )
-    assigned = pack_documents(docs, capacity=512, n_shards=8)
-    return packing_summary(assigned, capacity=512)
-
-
-def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language deterministic corpus mixing: keep 50% of 'en' and
-    20% of every other language, membership a pure function of doc_id."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        deterministic_stratified_sample,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    kept = deterministic_stratified_sample(
-        docs, "lang", {"en": 0.5}, default_rate=0.2
-    )
-    return (
-        kept.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
-        .orderBy("lang")
-    )
-
-
-def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-doc repeated-trigram fraction (Gopher-style repetition
-    filter) — map-side only."""
-    return X.repetition_ratio(_t(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-set decontamination: corpus docs (doc_id >= 25) sharing >= 2
-    distinct trigrams with any probe doc (doc_id < 25)."""
-    docs = _t(spark, sf_dir, "documents")
-    return D.cross_corpus_contamination(
-        docs.filter(F.col("doc_id") >= 25),
-        docs.filter(F.col("doc_id") < 25),
-        min_shared=2,
-    )
-
-
-def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub contract: deterministic synthetic PII is appended to
-    each doc (same construction in the oracle), then redacted; the
-    sha256 of the redacted text pins the exact replacement behavior."""
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or +123456789"),
-        ),
-    )
-    out = X.redact_pii(docs)
-    return out.select(
-        "doc_id",
-        "n_emails",
-        "n_phones",
-        F.length("redacted_text").alias("n_chars"),
-        F.sha2("redacted_text", 256).alias("redacted_sha"),
-    ).orderBy("doc_id")
-
-
-def q_ingestion_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Re-ingestion diff (anti join on doc_id): docs in the source not
-    yet present in the target — the target here is the pre-checkpoint
-    slice, so the diff must equal the post-checkpoint docs."""
-    docs = C.shape_documents(_t(spark, sf_dir, "events"))
-    target = docs.filter(F.col("ts") <= F.lit(CHECKPOINT))
-    return C.ingestion_diff(docs, target).select("doc_id", "index_id", "ts").orderBy("doc_id")
-
-
-def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram of event values (integer bucket arithmetic
-    — exact on both engines; profiling primitive for corpus numeric
-    columns). One map-side bucket expr + one small agg."""
-    events = _t(spark, sf_dir, "events")
-    bucket = F.floor(F.col("value") / 50).cast("int").alias("bucket")
-    return (
-        events.select(bucket)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("bucket")
-    )
-
-
-def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.promo_revenue_share(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
-
-
-def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.idle_rich_customers(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
-
-
-def q_lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.lonely_late_suppliers(
-        _t(spark, sf_dir, "supplier"),
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "lineitem"),
-    )
-
-
-def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.revenue_forecast(_t(spark, sf_dir, "lineitem"))
-
-
-def q_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.late_shipment_priorities(
-        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
-    )
-
-
-def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.volume_shipping(
-        _t(spark, sf_dir, "lineitem"),
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "customer"),
-        _t(spark, sf_dir, "supplier"),
-        _t(spark, sf_dir, "nation"),
-    )
-
-
-def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.market_share(
-        _t(spark, sf_dir, "lineitem"),
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "customer"),
-        _t(spark, sf_dir, "supplier"),
-        _t(spark, sf_dir, "nation"),
-        _t(spark, sf_dir, "region"),
-        _t(spark, sf_dir, "part"),
-    )
-
-
-def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.product_type_profit(
-        _t(spark, sf_dir, "lineitem"),
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "supplier"),
-        _t(spark, sf_dir, "nation"),
-        _t(spark, sf_dir, "part"),
-    )
-
-
-def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.order_count_distribution(
-        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
-    )
-
-
-def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.top_supplier(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"))
-
-
-def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.small_quantity_revenue(
-        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
-    )
-
-
-def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.disjunctive_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
-
-
-def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.passage_dedup(_t(spark, sf_dir, "documents"))
-
-
-def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.top_bigrams(_t(spark, sf_dir, "documents"))
-
-
-def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.source_mix(_t(spark, sf_dir, "documents"))
-
-
-def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import embedding_norms
-
-    return embedding_norms(_t(spark, sf_dir, "embeddings"))
-
-
-def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        quantize_embeddings,
-    )
-
-    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
-
-
-def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_elasticsearch_ingestion_spark.operators.sampling import shuffle_order
-
-    return shuffle_order(_t(spark, sf_dir, "documents"))
-
-
-def q_trailing_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.trailing_revenue_window(_t(spark, sf_dir, "orders"))
-
-
-def q_priority_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.priority_value_percentiles(_t(spark, sf_dir, "orders"))
-
-
-def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.similar_part_names(_t(spark, sf_dir, "part"))
-
-
-def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.parts_supplier_counts(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
-
-
-def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.dominant_suppliers(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"))
-
-
-def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.cheapest_supplier_per_part(
-        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
-    )
-
-
-def q_prior_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.prior_event_counts_cogroup(
-        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders")
-    )
-
-
-def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qv = _query_vector(spark, sf_dir)
-    return S.hybrid_search(
-        _t(spark, sf_dir, "documents"),
-        _t(spark, sf_dir, "embeddings"),
-        ["spark", "window"],
-        qv,
-        k=10,
-    )
-
-
-def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        label_centroids,
-    )
-
-    return label_centroids(_t(spark, sf_dir, "embeddings"))
-
-
-def q_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two deterministic snapshots derived from events (mod-arithmetic
-    membership + a planted value rewrite) so insert/update/delete/
-    unchanged all occur and the oracle can rebuild both sides."""
-    events = _t(spark, sf_dir, "events")
-    existing = events.filter(F.col("event_id") % 7 != 0).select("event_id", "value")
-    incoming = events.filter(F.col("event_id") % 5 != 0).select(
-        "event_id",
-        F.when(
-            F.col("event_id") % 3 == 0, F.round(F.col("value") * 2, 2)
-        )
-        .otherwise(F.col("value"))
-        .alias("value"),
-    )
-    return C.cdc_classify(existing, incoming, key_col="event_id")
-
-
-def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.approx_stats(_t(spark, sf_dir, "orders"))
-
-
-def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.important_part_value(
-        _t(spark, sf_dir, "lineitem"),
-        _t(spark, sf_dir, "supplier"),
-        _t(spark, sf_dir, "nation"),
-    )
-
-
-def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.scd2_user_state(_t(spark, sf_dir, "events"))
-
-
-def q_vocab_with_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.vocab_with_ids(_t(spark, sf_dir, "documents"), min_count=2)
-
-
-def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The z-order clustering key over (price-bucket, custkey-residue)
-    — the exact expression ``write_zordered`` sorts by, checked for
-    bit-identical parity against the oracle's integer arithmetic."""
-    from flink_elasticsearch_ingestion_spark.sources.layout import zorder_value
-
-    orders = _t(spark, sf_dir, "orders")
-    x = F.least(F.lit(65535), F.floor(F.col("o_totalprice") / 8).cast("bigint"))
-    y = F.pmod(F.col("o_custkey"), 65536)
-    return orders.select(
-        "o_orderkey",
-        x.alias("price_bucket"),
-        y.alias("cust_bucket"),
-        zorder_value(x, y).alias("z_key"),
-    ).orderBy("o_orderkey")
-
-
-def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized-rollup maintenance, oracle-proven: history (80% of
-    events) is pre-aggregated into a snapshot, the remaining 20% merges
-    in via incremental_rollup — and the oracle recomputes the FULL
-    aggregate from scratch, so a green row proves incremental == full."""
-    events = _t(spark, sf_dir, "events").select(
-        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("event_date"),
-        "event_type",
-        F.col("value").cast("decimal(18,4)").alias("value"),
-        "event_id",
-    )
-    hist = events.filter(F.col("event_id") % 5 != 0)
-    batch = events.filter(F.col("event_id") % 5 == 0)
-    snapshot = hist.groupBy("event_date", "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
-    )
-    merged = R.incremental_rollup(snapshot, batch, ["event_date", "event_type"])
-    return merged.select(
-        "event_date",
-        "event_type",
-        "n_events",
-        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
-    ).orderBy("event_date", "event_type")
-
-
-def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling without replacement (A-ES keys
-    over the portable md5 uniform, weight = document length): the
-    corpus-mixing primitive for oversampling preferred documents.
-    Oracle re-derives the identical ln(u)/w ranking in DuckDB."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        weighted_sample_k,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    return weighted_sample_k(docs, "n_chars", 50).orderBy("doc_id")
-
-
-def q_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        stratified_exact_k,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return stratified_exact_k(docs, "lang", 40).orderBy("lang", "doc_id")
-
-
-def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.token_entropy(_t(spark, sf_dir, "documents"))
-
-
-#: rules for the orders-table audit (constraint_report catalog entry)
-ORDERS_RULES = (
-    {"kind": "not_null", "column": "o_custkey"},
-    {"kind": "unique", "column": "o_orderkey"},
-    # hi deliberately inside the price distribution so the report
-    # exercises a FAILING rule (nonzero count + passed=false), not just
-    # all-green rows
-    {"kind": "in_range", "column": "o_totalprice", "lo": 0.0, "hi": 450000.0},
-    {"kind": "accepted_values", "column": "o_orderstatus", "values": ("O", "F", "P")},
-    {"kind": "matches", "column": "o_orderpriority", "pattern": "^[1-5]-"},
-)
-
-
-def q_priority_shipping_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.priority_shipping_mix(
-        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
-    )
-
-
-def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy best-tokens-first corpus selection under a 50k-token
-    budget (two-phase prefix sum — no single-partition window); the
-    budget is set inside the sf0.01 corpus's total so the cutoff
-    actually excludes documents."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        select_within_token_budget,
-    )
-
-    return select_within_token_budget(_t(spark, sf_dir, "documents"), 10_000)
-
-
-def q_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source greedy token budgets (corpus mixing: "N best tokens
-    per source") — the grouped two-phase prefix sum; the per-group
-    budget sits inside each source's total so the cutoff bites."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        select_within_token_budget_by_group,
-    )
-
-    return select_within_token_budget_by_group(
-        _t(spark, sf_dir, "documents"), 1_500, group_col="source"
-    )
-
-
-def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.time_weighted_value(_t(spark, sf_dir, "events"))
-
-
-def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.event_trigrams(_t(spark, sf_dir, "events"))
-
-
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.cohort_retention(_t(spark, sf_dir, "events"))
-
-
-def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass per-column profiler over lineitem's numeric measures."""
-    from flink_elasticsearch_ingestion_spark.operators import quality as Q
-
-    return Q.table_profile(
-        _t(spark, sf_dir, "lineitem"),
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-    )
-
-
-def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly new/retained/resurrected/churned user decomposition."""
-    return R.growth_accounting(_t(spark, sf_dir, "events"))
-
-
-def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI drift monitor: order-value distribution, pre- vs post-1998."""
-    from flink_elasticsearch_ingestion_spark.operators import quality as Q
-
-    period = F.when(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "ref"
-    ).otherwise("cur")
-    return Q.distribution_drift_psi(
-        _t(spark, sf_dir, "orders"), "o_totalprice", period
-    )
-
-
-def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned two-sample KS statistic on the same split/grid as
-    drift_psi: sup-norm CDF distance localizing WHERE the order-value
-    distribution slid between periods."""
-    from flink_elasticsearch_ingestion_spark.operators import quality as Q
-
-    period = F.when(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "ref"
-    ).otherwise("cur")
-    return Q.ks_drift(_t(spark, sf_dir, "orders"), "o_totalprice", period)
-
-
-def q_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-doc repeated-passage removal with in-order reassembly."""
-    return X.scrub_boilerplate(_t(spark, sf_dir, "documents"), df_threshold=3)
-
-
-def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index dictionary head: df/cf/max_tf of the top-20 terms."""
-    return X.term_statistics(_t(spark, sf_dir, "documents"), k=20)
-
-
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 for a fixed 3-term query (Lucene idf variant)."""
-    return X.bm25_search(
-        _t(spark, sf_dir, "documents"), ["spark", "merge", "window"], k=10
-    )
-
-
-def q_equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact NTILE(8) equi-depth histogram of order values, two-phase."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        equi_depth_buckets,
-    )
-
-    return equi_depth_buckets(
-        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", k=8
-    )
-
-
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level sessionization: 30-min inactivity gap, session ids."""
-    return W.sessionize(_t(spark, sf_dir, "events"))
-
-
-def q_session_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly open-session concurrency curve via boundary sweep
-    (+1/-1 deltas, bounded-frame running sum over the hour aggregate)
-    — interval-overlap analytics without a quadratic pair join."""
-    return W.session_occupancy(_t(spark, sf_dir, "events"))
-
-
-def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 7-day distinct active users per day."""
-    return W.rolling_active_users(_t(spark, sf_dir, "events"))
-
-
-def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-priority winsorized order-value stats (exact p01/p99 clip)."""
-    from flink_elasticsearch_ingestion_spark.operators import quality as Q
-
-    return Q.winsorized_stats(
-        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
-    )
-
-
-def q_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO semantics: apply a deterministic CDC changeset
-    (updates % 7, deletes % 11, inserts shifted +10000 % 13) to the
-    documents snapshot and return the converged next snapshot."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-    upd = (
-        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3))
-        .withColumn("n_chars", F.col("n_chars") + 1000)
-        .withColumn("is_delete", F.lit(False))
-    )
-    dele = docs.filter(F.col("doc_id") % 11 == 3).withColumn(
-        "is_delete", F.lit(True)
-    )
-    ins = (
-        docs.filter(F.col("doc_id") % 13 == 1)
-        .withColumn("doc_id", F.col("doc_id") + 10000)
-        .withColumn("is_delete", F.lit(False))
-    )
-    changes = upd.unionByName(dele).unionByName(ins)
-    return C.merge_apply(docs, changes).orderBy("doc_id")
-
-
-def q_embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed X'X upper triangle over the embedding corpus."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        embedding_gramian,
-    )
-
-    return embedding_gramian(_t(spark, sf_dir, "embeddings"))
-
-
-def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-pass distributed PCA projection (top-2 components).
-    Rows-only driver check by design: the eigendecomposition is not
-    SQL-expressible; parity is pinned by the numpy differential unit
-    test, and the distributed reduction feeding it (the Gram matrix)
-    is hash-verified via ``embedding_gramian``."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        embedding_pca,
-    )
-
-    return embedding_pca(_t(spark, sf_dir, "embeddings"))
-
-
-def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly OHLC bars per event type (min_by/max_by, one hash agg)."""
-    return W.ohlc_bars(_t(spark, sf_dir, "events"))
-
-
-def q_erase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GDPR erasure audit: per-subject removed-record counts, with two
-    phantom subjects proving the zero-record path."""
-    events = _t(spark, sf_dir, "events")
-    requests = (
-        events.select("user_id")
-        .distinct()
-        .filter(F.col("user_id") % 17 == 3)
-        .unionByName(
-            spark.createDataFrame([(99991,), (99992,)], "user_id long")
-        )
-    )
-    cleaned, audit = C.erase_users(events, requests)
-    return audit
-
-
-def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JL random projection 64->16 with per-vector distortion audit."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        jl_projection_audit,
-    )
-
-    return jl_projection_audit(_t(spark, sf_dir, "embeddings"))
-
-
-def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch with a visible error contract (portable md5
-    hash family: DuckDB re-derives sketch cells and estimates)."""
-    return R.cms_word_counts(_t(spark, sf_dir, "documents"))
-
-
-def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time SCD2 dimension lookup for purchase events."""
-    return W.scd2_lookup(_t(spark, sf_dir, "events"))
-
-
-def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-cleaning contract: deterministic HTML/boilerplate lines
-    are appended to each doc (same construction in the oracle) so the
-    tag-strip, entity-unescape, and short-line filters all fire."""
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.lit("\n<div>menu</div>\nHome About\n&amp; final long closing line here"),
-        ),
-    )
-    return X.clean_text(docs).orderBy("doc_id")
-
-
-def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.resample_events_hourly(_t(spark, sf_dir, "events"))
-
-
-def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.unpivot_pricing_metrics(_t(spark, sf_dir, "lineitem"))
-
-
-def q_null_safe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.null_safe_status_rollup(_t(spark, sf_dir, "orders"))
-
-
-def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass declarative DQ audit of orders + one FK check."""
-    from flink_elasticsearch_ingestion_spark.operators import quality as Q
-
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    report = Q.constraint_report(orders, ORDERS_RULES)
-    ref = Q.referential_report(orders, customer, fk="o_custkey", pk="c_custkey")
-    return report.unionByName(ref).orderBy("rule")
-
-
-def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.bigram_lm_score(_t(spark, sf_dir, "documents"))
-
-
-def q_weighted_discount_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.weighted_discount_udaf(_t(spark, sf_dir, "lineitem"))
-
-
-def q_quantize_embeddings_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_elasticsearch_ingestion_spark.operators import embeddings as E
-
-    return E.quantize_embeddings_arrow(_t(spark, sf_dir, "embeddings"))
-
-
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.chunk_documents(_t(spark, sf_dir, "documents"))
-
-
-def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.chunk_documents_udtf(_t(spark, sf_dir, "documents"))
-
-
-def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash bucketing with the engine-portable hash family (md5-31
-    feature hashes, 24-bit signature, 12-bit bucket prefix): the DuckDB
-    oracle re-derives the identical per-bit votes, signatures, and
-    bucket membership — including the capped, deterministically-ordered
-    id sample. The bounded id sample is flattened to CSV so every
-    contract column is scalar."""
-    return D.simhash_buckets(
-        _t(spark, sf_dir, "documents"), bits=24, prefix_bits=12, portable=True
-    ).select(
-        "bucket", "n_docs", F.array_join("doc_ids", ",").alias("doc_ids_csv")
-    ).orderBy("bucket")
-
-
-# --------------------------------------------------------------------------
-# similarity search (north-star ext)
-# --------------------------------------------------------------------------
-
-
-def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = (
-        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
-    )
-    return [float(x) for x in row[0]]
-
-
-def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qv = _query_vector(spark, sf_dir)
-    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), qv, k=10)
-
-
-def q_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Arrow-vectorized (@pandas_udf) scorer; oracle-checked against
-    the SAME SQL as the expression path — both must agree with DuckDB."""
-    qv = _query_vector(spark, sf_dir)
-    return S.pandas_cosine_topk(_t(spark, sf_dir, "embeddings"), qv, k=10)
-
-
-def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    return S.knn_join(queries_df, emb, k=5)
-
-
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table sign-LSH near-dup pairs, hash-verified: the oracle
-    re-derives buckets from inlined hyperplane literals plus the exact
-    cosine verify. Threshold/bits/tables tuned so the synthetic corpus
-    (random vectors, max pairwise cosine ~0.5) yields a non-trivial
-    result."""
-    return S.embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, bits=4, tables=8
-    )
-
-
-def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic-dedup capstone over EMBEDDINGS (the twin of the text
-    capstone text_dup_components): sign-LSH near-dup pairs ->
-    connected components -> one row per cluster (size + kept
-    representative).  Hash-verified end-to-end: the oracle re-derives
-    the hyperplane buckets from inlined literals, the cosine verify,
-    and the component closure via a recursive CTE."""
-    pairs = S.embedding_near_duplicates(
-        # bits=6 (vs the pair query's recall-tuned 4): the capstone
-        # favors precision + bounded candidates — 64 buckets/table
-        # keeps the bucket self-join subquadratic as n grows.
-        # arrow=True: per-partition BLAS bucket matmul (parity-tested
-        # against the expression form, which stays the oracle twin)
-        _t(spark, sf_dir, "embeddings"),
-        threshold=0.4,
-        bits=6,
-        tables=8,
-        arrow=True,
-    )
-    edges = pairs.select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    comp = D.connected_components(edges)
-    return (
-        comp.groupBy("component")
-        .agg(
-            F.count(F.lit(1)).alias("cluster_size"),
-            F.min("node").alias("representative"),
-        )
-        .orderBy("component")
-    )
-
-
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF (learned coarse quantizer) approximate top-k —
-    the data-adaptive ANN family next to LSH. Deterministic (seeded
-    k-means); recall asserted in unit tests."""
-    qv = _query_vector(spark, sf_dir)
-    return S.ivf_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, nlist=8, nprobe=3)
-
-
-def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN join via multi-table sign-LSH blocking — the
-    sub-quadratic scale path next to the exact crossJoin baseline
-    (knn_join). Oracle re-derives the exact candidate set from the
-    inlined plane literals."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return S.knn_join_lsh(
-        emb.filter(F.col("vec_id") < 5), emb, k=4, bits=4, tables=8
-    )
-
-
-def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe sign-LSH top-k (query bucket + all Hamming-1
-    buckets): the recall lever over plain lsh_topk, oracle-checked —
-    DuckDB re-derives the same planes, buckets, and probe set."""
-    qv = _query_vector(spark, sf_dir)
-    return S.lsh_topk_multiprobe(_t(spark, sf_dir, "embeddings"), qv, k=10, bits=4)
-
-
-def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distributed half of IVF, hash-verified: inverted-list
-    assignment (the Arrow-batched numpy argmax pandas_udf that scales
-    to the corpus) with DETERMINISTIC centroids — the first 8
-    embeddings, L2-normalized. The DuckDB oracle re-derives every
-    per-vector nearest-centroid decision in SQL, so the whole
-    normalize->matmul->argmax UDF path is value-checked; only the
-    k-means TRAINER (driver-side bounded sample by design) remains
-    rows-only via ``ivf_topk``. The 8-row centroid collect is the same
-    bounded driver step IVF training is allowed."""
-    import numpy as np
-
-    emb = _t(spark, sf_dir, "embeddings")
-    rows = (
-        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
-    )
-    c = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-    return S.ivf_assign(emb, c).select("vec_id", "centroid_id").orderBy("vec_id")
-
-
-def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: approximate LSH top-k."""
-    qv = _query_vector(spark, sf_dir)
-    return S.lsh_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, bits=4)
-
-
-def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF SEARCH path, hash-verified end-to-end: deterministic
-    centroids (first 8 embeddings, L2-normalized — the same family
-    ``ivf_assign`` pins), driver probe selection (top-3 centroids by
-    query dot product), Arrow-batched assignment, candidate pruning to
-    the probed inverted lists, exact cosine rescore, top-10.  With the
-    trainer factored out (``ivf_topk`` keeps the learned-k-means path,
-    rows-only by design), every remaining IVF decision is re-derived
-    by DuckDB bit-for-bit."""
-    import numpy as np
-
-    emb = _t(spark, sf_dir, "embeddings")
-    rows = (
-        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
-    )
-    c = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-    qv = _query_vector(spark, sf_dir)
-    return S.ivf_topk(emb, qv, k=10, nprobe=3, centroids=c)
-
-
-# --------------------------------------------------------------------------
-# multimodal plumbing (north-star ext)
-# --------------------------------------------------------------------------
-
-
-def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal near-dup: the decode->feature->LSH-bucket->cosine
-    pipeline every image/audio dedup job runs (multi-table sign-LSH
-    self-join, exact cosine verify; dim inferred from the data).  The
-    stub decoder derives features from the payload sha256, so the
-    feature tier runs PURE-JVM here (``sha_features_expr`` — built-ins
-    first; parity with the Arrow ``extract_features`` path, the seam a
-    real codec plugs into, is unit-pinned) and the DuckDB oracle
-    re-derives every feature, bucket, and cosine bit-for-bit."""
-    feats = M.sha_features_expr(
-        M.documents_as_media(_t(spark, sf_dir, "documents"))
-    ).select(F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding"))
-    pairs = S.embedding_near_duplicates(feats, threshold=0.995, bits=4, tables=4)
-    return pairs.select(
-        F.col("vec_a").alias("media_a"),
-        F.col("vec_b").alias("media_b"),
-        "cosine",
-    ).orderBy("media_a", "media_b")
-
-
-def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal INGESTION edge through Spark's real ``binaryFile``
-    source: stage a deterministic slice of document payloads as raw
-    files, read them back distributed (path/length/content columns),
-    and aggregate bytes + content hashes.  Hash-green vs the oracle on
-    the documents table proves the raw-file ingestion path preserves
-    every payload byte — the entry point a real image/audio corpus
-    arrives through before any multimodal operator runs."""
-    import os
-    import tempfile
-
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 10 == 0)
-        .select("doc_id", "text")
-        .collect()
-    )  # bounded staging slice (sf0.01: 50 files) — fixture setup, not the operator
-    d = tempfile.mkdtemp(prefix="binary_ingest_")
-    for r in docs:
-        with open(os.path.join(d, f"{r['doc_id']}.bin"), "wb") as fh:
-            fh.write(r["text"].encode("utf-8"))
-    back = spark.read.format("binaryFile").load(d)
-    return back.agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sum(F.length("content")).alias("total_bytes"),
-        F.count_distinct(F.sha2("content", 256)).alias("n_distinct_payloads"),
-        F.min(F.length("content")).alias("min_bytes"),
-        F.max(F.length("content")).alias("max_bytes"),
-    )
-
-
-def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.media_stats(M.documents_as_media(_t(spark, sf_dir, "documents")))
-
-
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction. The stub decoder
-    derives features from the payload's sha256 digest, which DuckDB can
-    recompute exactly — so the whole binary-payload pipeline (encode ->
-    mapInPandas batch -> digest -> feature floats) is value-hash-checked
-    against an independent engine, not just shape-checked."""
-    media = M.documents_as_media(_t(spark, sf_dir, "documents"))
-    return M.extract_features(media).select(
-        "media_id", "kind", "n_bytes", "content_sha", F.round(F.element_at("feature", 1), 6).alias("f0")
-    ).orderBy("media_id")
-
-
-def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: binary->binary resize plumbing (stub resampler);
-    checked for schema-composability + determinism in unit tests."""
-    media = M.documents_as_media(_t(spark, sf_dir, "documents"))
-    return M.resize_images(media, width=8, height=8).select(
-        "media_id", "kind", F.length("payload").alias("n_bytes"),
-        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
-    ).orderBy("media_id")
-
-
-def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: 1->N frame-sampling fan-out via mapInPandas."""
-    media = M.documents_as_media(_t(spark, sf_dir, "documents"))
-    return (
-        M.sample_frames(media, frame_bytes=64, stride=2)
-        .groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("n_frames"), F.sum(F.length("frame")).alias("frame_bytes"))
-        .orderBy("media_id")
-    )
-
-
-def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style per-document quality rules (word band, mean word
-    length, symbol/bullet/ellipsis/alpha fractions, stopword floor)."""
-    return X.gopher_quality(_t(spark, sf_dir, "documents"))
-
-
-def q_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring benchmark-leakage audit: every 5th document's
-    leading 3-word phrase probed as a contiguous substring of the
-    corpus (broadcast needle table, map-side contains scan)."""
-    docs = _t(spark, sf_dir, "documents")
-    probe = docs.filter(F.col("doc_id") % 5 == 0)
-    return D.substring_contamination(docs, probe, needle_words=3)
-
-
-def q_token_set_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact set-similarity self-join (AllPairs prefix filtering) over
-    distinct word-bigram sets; the oracle is the full all-pairs SQL
-    join, so a hash-green row PROVES the prefix filter loses nothing."""
-    return D.token_set_similarity_join(
-        _t(spark, sf_dir, "documents"), threshold=0.5, gram_k=3
-    )
-
-
-def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runtime Bloom-filter join pruning: urgent-order keys -> bloom ->
-    map-side probe filter on lineitem -> exact join; result is
-    bit-identical to the plain join (the oracle)."""
-    return R.bloom_prefilter_join(
-        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
-    )
-
-
-def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type robust outlier screen: exact median/MAD, values
-    beyond 3 robust sigmas counted."""
-    from flink_elasticsearch_ingestion_spark.operators.quality import mad_outliers
-
-    return mad_outliers(_t(spark, sf_dir, "events"), "value", "event_type")
-
-
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra-Gries frequent-items sketch with its mergeable-summary
-    error contract checked against the exact arm (top-20 words)."""
-    return R.heavy_hitters(_t(spark, sf_dir, "documents"))
-
-
-def q_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability curve of the broadcast linear probe: margin bins vs
-    per-bin label agreement — the calibration audit for any
-    model-scored corpus gate.  Zero shuffles before the <= 8-key agg;
-    oracle replays logits, margins, bins, and rates bit-for-bit."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        probe_calibration,
-    )
-
-    return probe_calibration(_t(spark, sf_dir, "embeddings"))
-
-
-#: fixed BPE merge table for the encoder query (rank order matters);
-#: corpus-independent so the same literals apply at every sf — the
-#: TRAINED path stays in bpe_train, whose loop is rows-only by design
-_BPE_MERGES = [
-    ("t", "a"),
-    ("l", "e"),
-    ("b", "le"),
-    ("ta", "ble"),
-    ("s", "c"),
-    ("sc", "an"),
-    ("q", "u"),
-    ("e", "r"),
-]
-
-
-def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The INFERENCE half of the BPE tokenizer, hash-verified: apply a
-    fixed merge table to every document via the shared JVM merge fold
-    (vocabulary-sized chained passes, one plan, no driver loop) and
-    emit per-doc counts + the full encoded symbol stream.  The DuckDB
-    oracle replays every greedy left-to-right merge decision through a
-    recursive CTE over (word, merge rank, symbol position)."""
-    return X.bpe_encode(_t(spark, sf_dir, "documents"), _BPE_MERGES)
-
-
-def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV k-minimum-values sketches per event type over user sets:
-    distinct estimates plus pairwise Jaccard/intersection estimates
-    with exact arms — the set-INTERSECTION sketch HLL cannot provide.
-    Portable md5-31 hashes let DuckDB re-derive every sketch element
-    and estimate bit-for-bit.  The sketched sets are USER-DAYS per
-    type (users alone fully overlap at small SF — user-days give the
-    partial overlaps that actually exercise the estimator)."""
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "user_day",
-        F.concat(
-            F.col("user_id").cast("string"),
-            F.lit(":"),
-            F.to_date(F.col("ts").cast("timestamp")).cast("string"),
-        ),
-    )
-    return R.kmv_set_overlap(ev, key_col="user_day")
-
-
-def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast-model linear scoring over embeddings: per-class
-    logits, argmax class, top-two margin — one parsed literal matrix,
-    zero shuffles."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        linear_probe_scores,
-    )
-
-    return linear_probe_scores(_t(spark, sf_dir, "embeddings"))
-
-
-def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashing-trick bag-of-words: 16-dim vocabulary-free count
-    vectors, engine-portable hashes, zero shuffles."""
-    return X.feature_hashing(_t(spark, sf_dir, "documents"))
-
-
-def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE training inner loop: corpus-weighted adjacent char-pair
-    counts over the word vocabulary (top 20)."""
-    return X.bpe_pair_counts(_t(spark, sf_dir, "documents"))
-
-
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative BPE training (5 merges). Rows-only by design: the
-    merge LOOP is driver-side control flow (argmax -> merge -> recount
-    like IVF training), not a single SQL expression; the inner-loop
-    recount has its own hash-green oracle (bpe_pair_counts) and the
-    loop is pinned by a pure-Python reference differential test."""
-    return X.bpe_train(_t(spark, sf_dir, "documents"), n_merges=5)
-
-
-def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The five-stage corpus-build capstone, composed from oracled
-    operators into ONE lazy plan: Gopher quality gate -> portable
-    MinHash near-dup drop (keep the smaller doc id of each verified
-    pair) -> exact-substring decontamination (every 5th doc's leading
-    3-word phrase as the benchmark needle set) -> per-source 50% token
-    budget (docs admitted in doc_id order until half the surviving
-    source's tokens) -> per-source funnel report.  Each stage's
-    survivor count is a column, so the report IS the audit trail.
-
-    Scale notes: every stage is an ids-only semi/anti join against the
-    document stream; the budget stage uses a per-source window (source
-    cardinality is small — for skewed sources the two-phase
-    ``token_budget_by_source`` is the documented swap-in)."""
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "source",
-        X.token_count("text").alias("n_tokens"),
-    )
-    s1 = (
-        X.gopher_quality(docs)
-        .filter(F.col("passes_gopher"))
-        .select("doc_id")
-    )
-    pairs = D.minhash_near_duplicates(
-        docs, jaccard_threshold=0.4, portable=True, band_cap=None
-    )
-    dup_drop = (
-        pairs.join(s1.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi")
-        .join(s1.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    s2 = s1.join(dup_drop, "doc_id", "anti")
-    probe = docs.filter(F.col("doc_id") % 5 == 0)
-    s2_docs = docs.join(s2, "doc_id", "semi")
-    contaminated = (
-        D.substring_contamination(s2_docs, probe, needle_words=3)
-        .select(F.col("corpus_id").alias("doc_id"))
-        .distinct()
-    )
-    s3 = s2.join(contaminated, "doc_id", "anti")
-    from pyspark.sql import Window as _W
-
-    s3_base = base.join(s3, "doc_id", "semi")
-    w_cum = _W.partitionBy("source").orderBy("doc_id")
-    w_tot = _W.partitionBy("source")
-    s4 = (
-        s3_base.withColumn("cum", F.sum("n_tokens").over(w_cum))
-        .withColumn("tot", F.sum("n_tokens").over(w_tot))
-        .filter(F.col("cum") <= 0.5 * F.col("tot"))
-        .select("doc_id")
-    )
-    marked = (
-        base.join(s1.withColumn("q1", F.lit(True)), "doc_id", "left")
-        .join(s2.withColumn("q2", F.lit(True)), "doc_id", "left")
-        .join(s3.withColumn("q3", F.lit(True)), "doc_id", "left")
-        .join(s4.withColumn("q4", F.lit(True)), "doc_id", "left")
-    )
-    return (
-        marked.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_raw"),
-            F.count(F.when(F.col("q1"), 1)).alias("n_quality"),
-            F.count(F.when(F.col("q2"), 1)).alias("n_dedup"),
-            F.count(F.when(F.col("q3"), 1)).alias("n_clean"),
-            F.count(F.when(F.col("q4"), 1)).alias("n_kept"),
-            F.sum(F.when(F.col("q4"), F.col("n_tokens")).otherwise(F.lit(0))).alias(
-                "kept_tokens"
-            ),
-        )
-        .orderBy("source")
-    )
-
-
-def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LAST MILE of the training-data pipeline, materialized: build
-    the frequency-ranked vocabulary -> encode every document as its
-    token-id sequence -> greedy-pack documents into capacity-512
-    training bins -> emit each bin's concatenated input-id stream.
-    Everything upstream profiles/filters/dedups documents; THIS is the
-    operator that produces what a trainer actually reads.
-
-    Plan shape: the vocab is vocabulary-sized (two-phase ranked, no
-    global window); encoding is one fact shuffle (token join + per-doc
-    ordered re-collect, state bounded by document length); packing is
-    per-(lang, shard) applyInPandas streams; the bin assembly re-joins
-    ids by doc_id with per-bin state bounded by capacity. The DuckDB
-    oracle replays ALL FOUR stages, including the packing recurrence
-    as a recursive CTE and the exact id streams."""
-    docs = _t(spark, sf_dir, "documents")
-    from flink_elasticsearch_ingestion_spark.operators.packing import pack_documents
-
-    vocab = X.vocab_with_ids(docs, min_count=1).select("token", "token_id")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        # MUST be the same \s+ tokenizer vocab_with_ids uses: a literal
-        # single-space split would silently drop any token adjacent to a
-        # tab/newline/multi-space run at the vocab join, breaking the
-        # lossless decode round-trip
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias(
-            "pos", "token"
-        ),
-    ).filter(F.col("token") != "")
-    encoded = (
-        toks.join(vocab, "token")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "token_id"))
-                    ),
-                    lambda s: s["token_id"].cast("string"),
-                ),
-                ",",
-            ).alias("ids_csv"),
-        )
-    )
-    assign = pack_documents(
-        encoded, capacity=512, size_col="n_tokens", group_cols=("lang",), n_shards=8
-    )
-    return (
-        assign.join(encoded.select("doc_id", "ids_csv"), "doc_id")
-        .groupBy("lang", "shard", "bin_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("bin_tokens"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("doc_id", "ids_csv"))),
-                    lambda s: s["ids_csv"],
-                ),
-                "|",
-            ).alias("input_ids"),
-        )
-        .orderBy("lang", "shard", "bin_id")
-    )
-
-
-def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group two-sided trimmed mean/min/max (drop floor(10% n) from
-    each tail) — the robust-stats member between plain mean and the
-    clamping winsorized_stats; group-partitioned ranks only."""
-    return R.trimmed_stats(_t(spark, sf_dir, "lineitem"))
-
-
-def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment near-dups (Broder |A∩B|/|A|): documents
-    QUOTED inside longer ones, which symmetric Jaccard misses. Rare-
-    prefix blocking (never all-pairs) + exact verify on the portable
-    shingle sets; the oracle re-derives shingles, prefix, candidates,
-    and the containment cut."""
-    return D.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
-
-
-def q_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft /
-    Zhai & Lafferty) — the language-modeling scorer beside BM25; same
-    two-pass shape (one broadcast corpus-stats row, pure-expression
-    score, TakeOrdered)."""
-    return X.ql_search(
-        _t(spark, sf_dir, "documents"), ["spark", "merge", "window"], k=10
-    )
-
-
-def q_difficulty_stratified_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Difficulty-stratified eval panel: KN cross-entropy quartiles x
-    language, deterministic exact-k per cell — the balanced eval set.
-    Composition of three independently oracle-proven stages (KN score,
-    two-phase quartiles, salted per-cell cut); the oracle replays the
-    full chain with plain ntile (bit-identical by construction)."""
-    return X.difficulty_stratified_eval(_t(spark, sf_dir, "documents"))
-
-
-def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21-style sole-late-supplier attribution — the double
-    EXISTS/NOT-EXISTS pattern reformulated as ONE aggregate pass per
-    order (distinct vs distinct-late supplier counts), shuffling
-    lineitem once instead of self-joining it twice."""
-    return R.waiting_suppliers(
-        _t(spark, sf_dir, "lineitem"),
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "supplier"),
-    )
-
-
-def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holdout backtest of the baseline forecasters (naive vs
-    seasonal-naive) on daily revenue with MAE / sMAPE / MASE — the eval
-    companion of ewma/holt: measures whether a forecaster beats the
-    trivial repeats on a true holdout. Day-axis bounded."""
-    from flink_elasticsearch_ingestion_spark.operators.windows import (
-        forecast_backtest,
-    )
-
-    return forecast_backtest(_t(spark, sf_dir, "orders"))
-
-
-def q_window_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document duplication profile: fraction of 8-token windows
-    shared with any other document — the cheap novelty triage before
-    pairwise span mining (one df aggregate + membership join, no pair
-    expansion). Oracle replays windows, sharing, and the ratio."""
-    return D.window_novelty(_t(spark, sf_dir, "documents"))
-
-
-def q_cluster_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Soft dedup (SemDeDup-family): sampling weight 1/|near-dup
-    cluster| so each cluster contributes ~one document's expected mass
-    — re-weighting instead of deletion. Output is the per-cluster-size
-    selection audit; the oracle replays components, weights, the A-ES
-    keys, and the exact-k cut."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        cluster_weighted_sample,
-    )
-
-    return cluster_weighted_sample(
-        _t(spark, sf_dir, "documents"),
-        k=150,
-        jaccard_threshold=0.4,
-        portable=True,
-        band_cap=None,
-    )
-
-
-def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNIMAX water-filling language balance (Chung et al. 2023):
-    budget splits equally across languages except where a language's
-    whole corpus is smaller (it saturates, leftover flows up) — the
-    bounded-epochs replacement for temperature sampling. Oracle replays
-    the level solve, the allocation, and the salted per-language
-    selection."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        unimax_language_sample,
-    )
-
-    return unimax_language_sample(
-        _t(spark, sf_dir, "documents"), budget_tokens=20_000
-    )
-
-
-def q_dedup_passages_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 keep-first passage dedup: each exact 10-word passage keeps
-    its earliest (doc_id, pos) occurrence corpus-wide; later copies
-    drop and documents reassemble in order. The oracle re-derives the
-    winner election and the rebuilt text hash per doc."""
-    return X.dedup_passages_global(_t(spark, sf_dir, "documents"))
-
-
-def q_es_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES ``search_after`` pagination through the real source plugin:
-    stage a 5% event slice as a sharded index, fetch ONE page of 200
-    docs strictly after the (checkpoint_ts, '0') cursor — the cursor
-    filter runs INSIDE the reader, the page is the global (ts, doc_id)
-    order's next 200. doc_id compares as a string (ES _id semantics);
-    the oracle replays the cursor, the lexicographic order, and the
-    page boundary on the raw events table."""
-    import tempfile
-
-    from flink_elasticsearch_ingestion_spark.functions.json_shaping import encode_body
-    from flink_elasticsearch_ingestion_spark.sources.es_scroll import (
-        search_after_read,
-        write_index_shards,
-    )
-
-    events = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
-    docs = encode_body(C.shape_documents(events), C.BODY_COLS).select(
-        "doc_id", "index_id", "ts", "source"
-    )
-    idx = tempfile.mkdtemp(prefix="es_search_after_")
-    write_index_shards(docs, idx, n_shards=8)
-    page = search_after_read(
-        spark, idx, page_size=200, after=(CHECKPOINT, "0")
-    )
-    return page.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        "index_id",
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.get_json_object("source", "$.user_id").cast("bigint").alias("user_id"),
-    )
-
-
-def q_scrub_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring dedup REMOVAL (Lee et al. policy): every maximal
-    shared span keeps its lowest-doc occurrence and is excised from the
-    higher doc; overlapping removal intervals union before excision.
-    The oracle re-derives the span mining, the interval merge, and the
-    token-level rebuild — the cleaned corpus hash-matches end to end."""
-    return D.scrub_shared_spans(_t(spark, sf_dir, "documents"))
-
-
-def q_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated Kneser-Ney bigram cross-entropy per document — the
-    smoothed corpus-LM quality filter (continuation probabilities +
-    absolute discounting) next to the unsmoothed bigram_lm. All model
-    quantities are exact integer counts, so the oracle replays the
-    model bit-for-bit."""
-    return X.kneser_ney_score(_t(spark, sf_dir, "documents"))
-
-
-def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Versioned-table time travel + CDC in one flow
-    (sources/versioned.py): commit three snapshots of orders —
-    v0 = two thirds of the table, v1 = append of the rest,
-    v2 = overwrite where every key%7==0 order is deleted and every
-    surviving key%5==0 order is repriced (+1) — then CDC-classify
-    read(v1) vs read(v2) THROUGH the manifest-resolved time-travel
-    scans. Proves the commit protocol serves exact historical
-    snapshots: the oracle derives both versions straight from the raw
-    table and replays the same classification."""
-    import tempfile
-
-    from flink_elasticsearch_ingestion_spark.operators.copy import cdc_classify
-    from flink_elasticsearch_ingestion_spark.sources.versioned import (
-        VersionedTable,
-    )
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    )
-    t = VersionedTable(spark, tempfile.mkdtemp(prefix="time_travel_"))
-    t.commit(orders.filter(F.col("o_orderkey") % 3 != 0))
-    t.commit(orders.filter(F.col("o_orderkey") % 3 == 0))
-    v2 = orders.filter(F.col("o_orderkey") % 7 != 0).select(
-        "o_orderkey",
-        F.when(
-            F.col("o_orderkey") % 5 == 0, F.round(F.col("o_totalprice") + 1, 2)
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-    )
-    t.commit(v2, mode="overwrite")
-    return cdc_classify(
-        t.read(1),
-        t.read(2),
-        key_col="o_orderkey",
-        compare_cols=("o_totalprice",),
-    ).select("change_type", F.col("n_keys").cast("bigint").alias("n_keys"))
-
-
-def q_leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group-aware k-fold split: near-dup clusters assign as UNITS
-    (fold keyed on the cluster representative), so cross-fold near-dup
-    leakage is zero by construction — the dedup-aware split a training
-    pipeline needs before cross-validation. The oracle re-derives the
-    clusters (recursive CTE), the fold hash, the per-fold sizes AND the
-    zero leaky-pair proof."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        leakage_safe_folds,
-    )
-
-    return leakage_safe_folds(
-        _t(spark, sf_dir, "documents"),
-        k=5,
-        jaccard_threshold=0.4,
-        portable=True,
-        band_cap=None,
-    )
-
-
-def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-priority revenue computed off a CO-LOCATED bucketed
-    layout (sources/layout.py): lineitem and orders staged bucketed by
-    the join key with matching bucket counts, joined with ZERO exchange
-    on either side — the bucket-once-join-shuffle-free-forever shape of
-    repeated fact-fact joins at 100 TB. Values are layout-independent
-    (the oracle joins the raw tables); the exchange-free plan is pinned
-    by tests/test_plans.py::test_bucketed_join_is_colocated."""
-    import tempfile
-
-    from flink_elasticsearch_ingestion_spark.sources.layout import (
-        colocated_order_revenue,
-    )
-
-    staging = tempfile.mkdtemp(prefix="bucketed_join_")
-    return colocated_order_revenue(
-        spark, _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"), staging
-    )
-
-
-def q_streaming_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end streaming ingestion pipeline's deterministic
-    batch twin (streaming/pipeline.py): documents arrive in 3 polls
-    (doc_id % 3), each poll is near-dup-admission-checked against the
-    accumulated signature store of everything admitted so far PLUS its
-    own earlier-id docs — the exact greedy policy the foreachBatch
-    stream runs per micro-batch (same ``admit_batch`` code path).
-    Output: the per-epoch monitor row (arrivals / admissions /
-    rejections / admitted volume). The DuckDB oracle unrolls the
-    3-stage sequential admission over the SQL-replayed portable
-    minhash pair table."""
-    from flink_elasticsearch_ingestion_spark.streaming.pipeline import (
-        multi_poll_admission,
-    )
-
-    return multi_poll_admission(
-        _t(spark, sf_dir, "documents"), n_polls=3, jaccard_threshold=0.4
-    )
 
 
 # Round-6 driver window (the driver hash-checks the FIRST 50 entries of
@@ -3270,4933 +84,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # --- round-1 unchecked: text analysis ---
-        "text_stats": q_text_stats,
-        "quality_scores": q_quality_scores,
-        "language_id": q_language_id,
-        "fingerprints": q_fingerprints,
-        "token_counts": q_token_counts,
-        "event_type_share": q_event_type_share,
-        # --- round-1 unchecked: dedup / sampling / pipeline ---
-        "training_data_pipeline": q_training_data_pipeline,
-        "hash_split": q_hash_split,
-        "dedup_content": q_dedup_content,
-        "dedup_exact": q_dedup_exact,
-        "minhash_near_dup": q_minhash_near_dup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash_buckets": q_simhash_buckets,
-        # --- round-1 unchecked: similarity ---
-        "cosine_topk": q_cosine_topk,
-        "pandas_cosine_topk": q_pandas_cosine_topk,
-        "knn_join": q_knn_join,
-        "embedding_near_dup": q_embedding_near_dup,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "ivf_assign": q_ivf_assign,
-        "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
-        "knn_join_lsh": q_knn_join_lsh,
-        # --- round-1 unchecked: multimodal ---
-        "media_stats": q_media_stats,
-        "media_features": q_media_features,
-        "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
-        # --- round-1 red row, repaired (array -> csv) ---
-        "user_event_sets": q_user_event_sets,
-        # --- new in round 3 ---
-        "es_bulk_roundtrip": q_es_bulk_roundtrip,
-        "es_scroll_roundtrip": q_es_scroll_roundtrip,
-        "token_budget_by_source": q_token_budget_by_source,
-        "time_weighted_value": q_time_weighted_value,
-        "event_trigrams": q_event_trigrams,
-        "cohort_retention": q_cohort_retention,
-        "table_profile": q_table_profile,
-        "growth_accounting": q_growth_accounting,
-        "drift_psi": q_drift_psi,
-        "scrub_boilerplate": q_scrub_boilerplate,
-        "equi_depth_buckets": q_equi_depth_buckets,
-        "sessionize": q_sessionize,
-        "rolling_wau": q_rolling_wau,
-        "winsorized_stats": q_winsorized_stats,
-        "merge_apply": q_merge_apply,
-        "embedding_gramian": q_embedding_gramian,
-        "embedding_pca": q_embedding_pca,
-        "cms_word_counts": q_cms_word_counts,
-        "scd2_lookup": q_scd2_lookup,
-        "jl_projection": q_jl_projection,
-        "ohlc_bars": q_ohlc_bars,
-        "erase_users": q_erase_users,
-        "gopher_quality": q_gopher_quality,
-        "substring_contamination": q_substring_contamination,
-        "token_set_join": q_token_set_join,
-        "bloom_prefilter_join": q_bloom_prefilter_join,
-        "mad_outliers": q_mad_outliers,
-        "heavy_hitters": q_heavy_hitters,
-        "kmv_overlap": q_kmv_overlap,
-        "probe_calibration": q_probe_calibration,
-        "ivf_topk_fixed": q_ivf_topk_fixed,
-        "bpe_encode": q_bpe_encode,
-        "ks_drift": q_ks_drift,
-        "dedup_threshold_sweep": q_dedup_threshold_sweep,
-        "media_near_dup": q_media_near_dup,
-        "shared_spans": q_shared_spans,
-        "span_leakage": q_span_leakage,
-        "skew_profile": q_skew_profile,
-        "bigram_pmi": q_bigram_pmi,
-        "binary_ingest": q_binary_ingest,
-        "ab_test": q_ab_test,
-        "temperature_sample": q_temperature_sample,
-        "session_occupancy": q_session_occupancy,
-        "contrastive_triples": q_contrastive_triples,
-        "score_normalize": q_score_normalize,
-        "winnowing": q_winnowing,
-        "neyman_sample": q_neyman_sample,
-        "source_similarity": q_source_similarity,
-        "copurchase_pagerank": q_copurchase_pagerank,
-        "basket_rules": q_basket_rules,
-        "dsir_weights": q_dsir_weights,
-        "chi2_terms": q_chi2_terms,
-        "mmr_rerank": q_mmr_rerank,
-        "pq_encode": q_pq_encode,
-        "pq_search": q_pq_search,
-        "zipf_fit": q_zipf_fit,
-        "target_encode": q_target_encode,
-        "k_anonymity": q_k_anonymity,
-        "lp_communities": q_lp_communities,
-        "rfm_segments": q_rfm_segments,
-        "touch_attribution": q_touch_attribution,
-        "triangle_count": q_triangle_count,
-        "revenue_anomalies": q_revenue_anomalies,
-        "quantile_normalize": q_quantile_normalize,
-        "hash_embed": q_hash_embed,
-        "survival_curve": q_survival_curve,
-        "benford_check": q_benford_check,
-        "market_concentration": q_market_concentration,
-        "langid_eval": q_langid_eval,
-        "revenue_gini": q_revenue_gini,
-        "ewma_forecast": q_ewma_forecast,
-        "span_corruption": q_span_corruption,
-        "kfold_split": q_kfold_split,
-        "correlation_matrix": q_correlation_matrix,
-        "ndcg_eval": q_ndcg_eval,
-        "yoy_growth": q_yoy_growth,
-        "bootstrap_ci": q_bootstrap_ci,
-        "diversified_topk": q_diversified_topk,
-        "lexical_diversity": q_lexical_diversity,
-        "oov_rate": q_oov_rate,
-        "cdc_chunk_stats": q_cdc_chunk_stats,
-        "cusum_changepoints": q_cusum_changepoints,
-        "quality_dedup_survivors": q_quality_dedup_survivors,
-        "centroid_margin": q_centroid_margin,
-        "label_disagreement": q_label_disagreement,
-        "kcenter_select": q_kcenter_select,
-        "kmeans_fixed": q_kmeans_fixed,
-        "holt_forecast": q_holt_forecast,
-        "skyline_docs": q_skyline_docs,
-        "dp_histogram": q_dp_histogram,
-        "l_diversity": q_l_diversity,
-        "dim_truncation_recall": q_dim_truncation_recall,
-        "groupwise_ols": q_groupwise_ols,
-        "textrank_keywords": q_textrank_keywords,
-        "weighted_quantiles": q_weighted_quantiles,
-        "priority_spanning_customers": q_priority_spanning_customers,
-        "join_size_estimate": q_join_size_estimate,
-        "incremental_join_view": q_incremental_join_view,
-        "hilbert_key": q_hilbert_key,
-        "top_component": q_top_component,
-        # --- new in round 5 ---
-        "streaming_admission_replay": q_streaming_admission_replay,
-        "bucketed_join": q_bucketed_join,
-        "leakage_safe_folds": q_leakage_safe_folds,
-        "time_travel_diff": q_time_travel_diff,
-        "kn_bigram_score": q_kn_bigram_score,
-        "scrub_shared_spans": q_scrub_shared_spans,
-        "es_search_after_page": q_es_search_after_page,
-        "dedup_passages_global": q_dedup_passages_global,
-        "unimax_sample": q_unimax_sample,
-        "cluster_weighted_sample": q_cluster_weighted_sample,
-        "window_novelty": q_window_novelty,
-        "forecast_backtest": q_forecast_backtest,
-        "waiting_suppliers": q_waiting_suppliers,
-        "difficulty_stratified_eval": q_difficulty_stratified_eval,
-        "ql_search": q_ql_search,
-        "containment_pairs": q_containment_pairs,
-        "trimmed_stats": q_trimmed_stats,
-        "linear_probe": q_linear_probe,
-        "corpus_build_pipeline": q_corpus_build_pipeline,
-        "feature_hashing": q_feature_hashing,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "bpe_train": q_bpe_train,
-        "embedding_dup_clusters": q_embedding_dup_clusters,
-        "training_batches": q_training_batches,
-        # --- new in round 2 ---
-        "bulk_chunks_distributed": q_bulk_chunks_distributed,
-        "near_dup_clusters": q_near_dup_clusters,
-        "incremental_near_dup": q_incremental_near_dup,
-        "split_leakage": q_split_leakage,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "pack_documents": q_pack_documents,
-        "deterministic_sample": q_deterministic_sample,
-        "repetition_ratio": q_repetition_ratio,
-        "contamination": q_contamination,
-        "redact_pii": q_redact_pii,
-        "promo_revenue_share": q_promo_revenue_share,
-        "idle_rich_customers": q_idle_rich_customers,
-        "lonely_late_suppliers": q_lonely_late_suppliers,
-        "ingestion_diff": q_ingestion_diff,
-        "value_histogram": q_value_histogram,
-        # --- round-2: TPC-H-style relational depth ---
-        "revenue_forecast": q_revenue_forecast,
-        "late_shipment_priorities": q_late_shipment_priorities,
-        "volume_shipping": q_volume_shipping,
-        "order_count_distribution": q_order_count_distribution,
-        "top_supplier": q_top_supplier,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        # --- round-2: LLM-data-pipeline depth ---
-        "passage_dedup": q_passage_dedup,
-        "top_bigrams": q_top_bigrams,
-        "term_postings": q_term_postings,
-        "bm25_search": q_bm25_search,
-        "source_mix": q_source_mix,
-        "embedding_norms": q_embedding_norms,
-        "quantize_embeddings": q_quantize_embeddings,
-        "shuffle_order": q_shuffle_order,
-        "sliding_windows": q_sliding_windows,
-        # --- round-2 TPC-H overflow: same join/agg families as the
-        # many already-green relational queries above; parked past the
-        # driver's observed 50-entry check window (oracle-verified
-        # locally by scripts/check_oracle.py every round) ---
-        "market_share": q_market_share,
-        "product_type_profit": q_product_type_profit,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "trailing_revenue_window": q_trailing_revenue_window,
-        "priority_value_percentiles": q_priority_value_percentiles,
-        "similar_part_names": q_similar_part_names,
-        "parts_supplier_counts": q_parts_supplier_counts,
-        "dominant_suppliers": q_dominant_suppliers,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "prior_event_counts": q_prior_event_counts,
-        "chunk_documents": q_chunk_documents,
-        "chunk_documents_udtf": q_chunk_documents_udtf,
-        "approx_stats": q_approx_stats,
-        "hybrid_search": q_hybrid_search,
-        "text_dup_components": q_text_dup_components,
-        "label_centroids": q_label_centroids,
-        "cdc_classify": q_cdc_classify,
-        "important_part_value": q_important_part_value,
-        "scd2_user_state": q_scd2_user_state,
-        "vocab_with_ids": q_vocab_with_ids,
-        "zorder_key": q_zorder_key,
-        "incremental_rollup": q_incremental_rollup,
-        "stratified_exact_k": q_stratified_exact_k,
-        "weighted_sample": q_weighted_sample,
-        "token_entropy": q_token_entropy,
-        "constraint_report": q_constraint_report,
-        "bigram_lm": q_bigram_lm,
-        "weighted_discount_udaf": q_weighted_discount_udaf,
-        "quantize_embeddings_arrow": q_quantize_embeddings_arrow,
-        "resample_events": q_resample_events,
-        "unpivot_metrics": q_unpivot_metrics,
-        "null_safe_rollup": q_null_safe_rollup,
-        "clean_text": q_clean_text,
-        "token_budget": q_token_budget,
-        "priority_shipping_mix": q_priority_shipping_mix,
-        # --- round-1 green (CORRECTNESS_r01.json) ---
-        "copy_incremental": q_copy_incremental,
-        "copy_full": q_copy_full,
-        "latest_event_per_user": q_latest_event_per_user,
-        "checkpoint_max_ts": q_checkpoint_max_ts,
-        "bulk_chunks": q_bulk_chunks,
-        "json_extract": q_json_extract,
-        "users_never_purchased": q_users_never_purchased,
-        "url_parse": q_url_parse,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "local_supplier_volume": q_local_supplier_volume,
-        "returned_item_losses": q_returned_item_losses,
-        "large_quantity_orders": q_large_quantity_orders,
-        "nation_region_join": q_nation_region_join,
-        "customers_with_orders": q_customers_with_orders,
-        "customers_without_orders": q_customers_without_orders,
-        "top_order_per_customer": q_top_order_per_customer,
-        "revenue_rollup": q_revenue_rollup,
-        "order_priority_cube": q_order_priority_cube,
-        "returnflag_pivot": q_returnflag_pivot,
-        "segment_set_ops": q_segment_set_ops,
-        "top_orders": q_top_orders,
-        "ship_within_30d": q_ship_within_30d,
-        "events_by_day": q_events_by_day,
-        "string_functions": q_string_functions,
-        "math_functions": q_math_functions,
-        "tumbling_windows": q_tumbling_windows,
-        "session_windows": q_session_windows,
-        "event_gaps": q_event_gaps,
-        "funnel": q_funnel,
-        "event_gaps_pandas": q_event_gaps_pandas,
-        "running_revenue": q_running_revenue,
-        "order_moving_avg": q_order_moving_avg,
-        "next_event_type": q_next_event_type,
-        "asof_join": q_asof_join,
-        "price_rank_distribution": q_price_rank_distribution,
-        "orders_above_cust_avg": q_orders_above_cust_avg,
-        "purchases_after_click": q_purchases_after_click,
-        "date_functions": q_date_functions,
-        "array_functions": q_array_functions,
-        "map_functions": q_map_functions,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        "price_quantiles": q_price_quantiles,
-        "order_stats": q_order_stats,
-        "arg_extremes": q_arg_extremes,
-        "salted_agg": q_salted_agg,
-        "salted_join": q_salted_join,
-        "grouping_sets": q_grouping_sets,
-        "approx_distinct": q_approx_distinct,
-        "hll_rollup": q_hll_rollup,
-        "top_words": q_top_words,
-    }
-
-
-def _kn_scores_sql() -> str:
-    """Shared DuckDB replay of the interpolated Kneser-Ney per-document
-    cross-entropy (operators/text.py::kneser_ney_score): one SELECT
-    (doc_id, n_bigrams, kn_cross_entropy), embedded by the
-    kn_bigram_score oracle directly and by difficulty_stratified_eval
-    as a subquery, so the score model can never drift between them."""
-    return (
-        "WITH toks AS (SELECT doc_id,"
-        " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
-        "   ' ') AS t FROM documents),"
-        " e AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2"
-        "  FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)"
-        "  WHERE len(t) >= 2),"
-        " bgc AS (SELECT w1, w2, count(*) AS c_bg FROM e GROUP BY w1, w2),"
-        " pfc AS (SELECT w1, count(*) AS c_w1,"
-        "   count(DISTINCT w2) AS n1p_fw FROM e GROUP BY w1),"
-        " sfc AS (SELECT w2, count(DISTINCT w1) AS n1p_bw FROM e GROUP BY w2),"
-        " tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bgc)"
-        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
-        "  round(-sum(ln(greatest(c_bg - 0.75, 0.0) / c_w1"
-        "   + ((0.75 * n1p_fw) / c_w1) * (n1p_bw / t))) / count(*) + 1e-9, 4)"
-        "   AS kn_cross_entropy"
-        " FROM e JOIN bgc USING (w1, w2) JOIN pfc USING (w1)"
-        "  JOIN sfc USING (w2) CROSS JOIN tot"
-        " GROUP BY doc_id"
-    )
-
-
-def _minhash_pairs_cte(threshold: float = 0.4) -> str:
-    """Shared CTE chain re-deriving the portable-MinHash near-dup pairs
-    in pure DuckDB SQL: same md5-31-bit shingle hashes, same affine
-    perms (coefficients inlined from MINHASH_COEFFS), same
-    signature-slice band keys, same exact-Jaccard verify. Used by the
-    minhash_near_dup and near_dup_clusters oracles."""
-    from flink_elasticsearch_ingestion_spark.operators.dedup import (
-        MERSENNE31,
-        MINHASH_COEFFS,
-    )
-
-    ab_rows = ", ".join(
-        f"({j + 1}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_COEFFS[:16])
-    )
-    p = MERSENNE31
-    return (
-        "docs AS (SELECT doc_id,"
-        " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"
-        " FROM documents),"
-        " th AS (SELECT doc_id, list_transform(w,"
-        f"   t -> ('0x' || substr(md5(t),1,8))::BIGINT % {p}) AS ht FROM docs),"
-        " hv AS (SELECT doc_id, list_distinct(["
-        "   list_reduce(list_prepend(0::BIGINT, ht[i:i+2]),"
-        f"     (a, x) -> ((a*1000003) % {p} + x) % {p})"
-        "   FOR i IN generate_series(1, greatest(len(ht)-2, 1))]) AS h FROM th),"
-        f" ab AS (SELECT * FROM (VALUES {ab_rows}) AS t(j, a, b)),"
-        " sig AS (SELECT doc_id, j,"
-        f"   list_min(list_transform(h, x -> (a*x+b) % {p})) AS mh"
-        "   FROM hv CROSS JOIN ab),"
-        " bands AS (SELECT doc_id, (j-1)//2 AS band_idx,"
-        "   string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key"
-        "   FROM sig GROUP BY doc_id, (j-1)//2),"
-        " cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        "   FROM bands a JOIN bands b ON a.band_idx = b.band_idx"
-        "   AND a.band_key = b.band_key AND a.doc_id < b.doc_id),"
-        " verified AS (SELECT doc_a, doc_b,"
-        "   round(len(list_intersect(ha.h, hb.h)) * 1.0 /"
-        "     greatest(len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h)), 1),"
-        "     6) AS jaccard"
-        "   FROM cand JOIN hv ha ON ha.doc_id = cand.doc_a"
-        "   JOIN hv hb ON hb.doc_id = cand.doc_b),"
-        " mh_pairs AS (SELECT doc_a, doc_b, jaccard FROM verified"
-        f"   WHERE jaccard >= {threshold})"
-    )
-
-
-def _shared_spans_cte(window_k: int = 8, min_span: int = 12, df_cap: int = 50) -> str:
-    """Shared CTE chain re-deriving ``shared_span_mining`` in DuckDB:
-    md5-31 window hashes over space-joined ``window_k``-token windows,
-    df-capped stop windows, cross-doc equi-join, and the diagonal
-    gaps-and-islands collapse to MAXIMAL spans.  Ends with a ``spans``
-    CTE (doc_a, doc_b, start_a, start_b, span_tokens).  Used by the
-    shared_spans and span_leakage oracles."""
-    k = window_k
-    return (
-        "t AS (SELECT doc_id AS doc,"
-        "  string_split_regex(trim(text), '\\s+') AS toks"
-        "  FROM documents),"
-        " win AS (SELECT doc, i AS pos,"
-        "  ('0x' || substr(md5(array_to_string("
-        f"    toks[i + 1 : i + {k}], ' ')), 1, 8))::BIGINT"
-        "    % 2147483647 AS wh"
-        "  FROM t, LATERAL (SELECT unnest(generate_series(0,"
-        f"   len(toks) - {k})) AS i) g WHERE len(toks) >= {k}),"
-        " keep AS (SELECT wh FROM win GROUP BY wh"
-        f"  HAVING count(DISTINCT doc) <= {df_cap}),"
-        " wk AS (SELECT win.* FROM win JOIN keep USING (wh)),"
-        " m AS (SELECT a.doc AS doc_a, b.doc AS doc_b,"
-        "  a.pos AS pa, b.pos AS pb FROM wk a JOIN wk b"
-        "  ON a.wh = b.wh AND a.doc < b.doc),"
-        " isl AS (SELECT doc_a, doc_b, pa, pb,"
-        "  pa - row_number() OVER (PARTITION BY doc_a, doc_b,"
-        "   pa - pb ORDER BY pa) AS grp FROM m),"
-        " spans AS (SELECT doc_a, doc_b,"
-        " CAST(min(pa) AS INT) AS start_a,"
-        " CAST(min(pb) AS INT) AS start_b,"
-        f" CAST(count(*) + {k - 1} AS BIGINT) AS span_tokens"
-        " FROM isl GROUP BY doc_a, doc_b, pa - pb, grp"
-        f" HAVING count(*) + {k - 1} >= {min_span})"
-    )
-
-
-def _bootstrap_coeff_values() -> str:
-    """VALUES rows ``(b, a, cc)`` inlining the deterministic bootstrap
-    affine coefficients (sampling.bootstrap_coeffs, seed 0xB007)."""
-    from flink_elasticsearch_ingestion_spark.operators.sampling import (
-        bootstrap_coeffs,
-    )
-
-    return ", ".join(f"({b}, {a}, {c})" for b, a, c in bootstrap_coeffs(50))
-
-
-def _bm25_cte() -> str:
-    """The shared BM25 scoring CTE chain (feat/stats/scored) — used
-    verbatim by the bm25_search oracle and re-used by ndcg_eval so the
-    two can never drift.  Constants mirror the engine's Python-driver
-    arithmetic: (1.2 + 1.0) = k1+1 computed as the same IEEE sum,
-    0.25 = 1.0-b, and the term sum folds left-to-right in query order
-    (spark, merge, window) so addition order matches."""
-    return (
-        r"feat AS (SELECT doc_id,"
-        r" len(regexp_split_to_array(trim(lower(text)), '\s+')) AS doclen,"
-        r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
-        r"   x -> x = 'spark')) AS tf_0,"
-        r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
-        r"   x -> x = 'merge')) AS tf_1,"
-        r" len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
-        r"   x -> x = 'window')) AS tf_2 FROM documents),"
-        " stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,"
-        "  CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl,"
-        "  CAST(sum(CAST(tf_0 > 0 AS INT)) AS DOUBLE) AS df_0,"
-        "  CAST(sum(CAST(tf_1 > 0 AS INT)) AS DOUBLE) AS df_1,"
-        "  CAST(sum(CAST(tf_2 > 0 AS INT)) AS DOUBLE) AS df_2 FROM feat),"
-        " scored AS (SELECT doc_id, doclen, round(0.0"
-        "  + ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))"
-        "    * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))"
-        "    / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
-        "  + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))"
-        "    * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))"
-        "    / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
-        "  + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))"
-        "    * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))"
-        "    / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + ((0.75 * doclen) / avgdl)))"
-        "  + 1e-9, 6) AS bm25 FROM feat, stats)"
-    )
-
-
-def _hash_embed_values() -> str:
-    """VALUES rows ``(b, d, w)`` inlining the deterministic hashed-
-    embedding projection matrix (embeddings.hash_embedding_codebook)."""
-    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
-        hash_embedding_codebook,
-    )
-
-    return ", ".join(
-        f"({b}, {d}, {w!r})" for b, d, w in hash_embedding_codebook()
-    )
-
-
-def _pq_values() -> str:
-    """VALUES rows ``(sub, cid, c)`` inlining the deterministic PQ
-    codebook (similarity.pq_codebook, seed 777) — same float-repr
-    round-trip discipline as ``_plane_values``."""
-    from flink_elasticsearch_ingestion_spark.operators.similarity import pq_codebook
-
-    rows = []
-    for sub, cents in enumerate(pq_codebook()):
-        for cid, c in enumerate(cents):
-            lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
-            rows.append(f"({sub}, {cid}, {lit})")
-    return ", ".join(rows)
-
-
-def _top_component_sql(iters: int = 5, dim: int = 64) -> str:
-    """Unrolled SQL replay of the power-iteration trajectory
-    (``top_component``): the 6dp Gram matrix (the proven
-    embedding_gramian oracle) mirrored to full symmetric row-lists,
-    then per-iteration list_dot_product matrix-vector steps with the
-    EXPLICIT floor(|x|*1e6 + 0.5)/1e6 rounding — the same IEEE op
-    sequence as the engine's Python fold, no library round semantics
-    in play."""
-    r6 = (
-        "(CASE WHEN {x} >= 0 THEN floor(({x}) * 1000000.0 + 0.5)"
-        " ELSE -floor(-({x}) * 1000000.0 + 0.5) END / 1000000.0)"
-    )
-    parts = [
-        "WITH p AS (SELECT i, j,"
-        " CAST(embedding[i + 1] AS DOUBLE) *"
-        " CAST(embedding[j + 1] AS DOUBLE) AS v FROM embeddings,"
-        f" LATERAL (SELECT unnest(generate_series(0, {dim - 1})) AS i) gi,"
-        f" LATERAL (SELECT unnest(generate_series(0, {dim - 1})) AS j) gj"
-        " WHERE j >= i)",
-        ", g AS MATERIALIZED (SELECT i, j, round(sum(v) + 1e-9, 6)"
-        " AS dot FROM p GROUP BY i, j)",
-        ", gf AS MATERIALIZED (SELECT i, j, dot FROM g"
-        " UNION ALL SELECT j, i, dot FROM g WHERE i <> j)",
-        ", gr AS MATERIALIZED (SELECT i, list(dot ORDER BY j) AS gv"
-        " FROM gf GROUP BY i)",
-        ", v0 AS MATERIALIZED (SELECT list_transform("
-        f"generate_series(1, {dim}), x -> 1.0) AS v)",
-    ]
-    for t in range(1, iters + 1):
-        parts.append(
-            f", w{t} AS MATERIALIZED (SELECT i, list_dot_product(gv,"
-            f" (SELECT v FROM v{t - 1})) AS w FROM gr)"
-        )
-        parts.append(
-            f", n{t} AS MATERIALIZED (SELECT"
-            f" sqrt(list_dot_product(wl, wl)) AS nn FROM"
-            f" (SELECT list(w ORDER BY i) AS wl FROM w{t}))"
-        )
-        parts.append(
-            f", v{t}t AS MATERIALIZED (SELECT i, "
-            + r6.format(x=f"w / (SELECT nn FROM n{t})")
-            + f" AS val FROM w{t})"
-        )
-        parts.append(
-            f", v{t} AS MATERIALIZED (SELECT list(val ORDER BY i)"
-            f" AS v FROM v{t}t)"
-        )
-    parts.append(
-        f", wf AS MATERIALIZED (SELECT i, list_dot_product(gv,"
-        f" (SELECT v FROM v{iters})) AS w FROM gr)"
-    )
-    parts.append(
-        ", lam AS (SELECT "
-        + r6.format(
-            x=f"list_dot_product((SELECT v FROM v{iters}), wl)"
-        )
-        + " AS ev FROM (SELECT list(w ORDER BY i) AS wl FROM wf))"
-    )
-    parts.append(
-        f" SELECT CAST(t.i AS INT) AS dim_index, t.val AS loading,"
-        f" lam.ev AS eigenvalue FROM v{iters}t t, lam ORDER BY dim_index"
-    )
-    return "".join(parts)
-
-
-def _hilbert_sql(bits: int = 16) -> str:
-    """Unrolled SQL replay of the Hilbert xy2d bit walk
-    (``hilbert_value``): one CTE per bit level maintaining (x, y, d)
-    with the same reflect/transpose CASEs and exact int64 quadrant
-    digits — bit-exact, no rounding discipline needed."""
-    parts = [
-        "WITH h0 AS MATERIALIZED (SELECT o_orderkey,"
-        " least(65535, CAST(floor(o_totalprice / 8) AS BIGINT))"
-        " AS price_bucket, o_custkey % 65536 AS cust_bucket,"
-        " least(65535, CAST(floor(o_totalprice / 8) AS BIGINT)) AS x,"
-        " o_custkey % 65536 AS y, CAST(0 AS BIGINT) AS d FROM orders)"
-    ]
-    for i in range(1, bits + 1):
-        s_val = 1 << (bits - i)
-        parts.append(
-            f", h{i} AS MATERIALIZED (SELECT o_orderkey, price_bucket,"
-            f" cust_bucket,"
-            f" CASE WHEN ry = 0 AND rx = 1 THEN {s_val} - 1 - y"
-            f"  WHEN ry = 0 THEN y ELSE x END AS x,"
-            f" CASE WHEN ry = 0 AND rx = 1 THEN {s_val} - 1 - x"
-            f"  WHEN ry = 0 THEN x ELSE y END AS y,"
-            f" d + {s_val * s_val} * xor(3 * rx, ry) AS d"
-            f" FROM (SELECT *,"
-            f" CASE WHEN (x & {s_val}) > 0 THEN CAST(1 AS BIGINT)"
-            f"  ELSE CAST(0 AS BIGINT) END AS rx,"
-            f" CASE WHEN (y & {s_val}) > 0 THEN CAST(1 AS BIGINT)"
-            f"  ELSE CAST(0 AS BIGINT) END AS ry FROM h{i - 1}))"
-        )
-    parts.append(
-        f" SELECT o_orderkey, price_bucket, cust_bucket,"
-        f" CAST(d AS BIGINT) AS h_key FROM h{bits} ORDER BY o_orderkey"
-    )
-    return "".join(parts)
-
-
-def _textrank_sql(n_iter: int = 4, top_k: int = 20, min_len: int = 3) -> str:
-    """Unrolled SQL replay of the integer fixed-point TextRank
-    trajectory (``textrank_keywords``): same adjacency pairs, same
-    exact int64 edge contributions ``(w*r)//wu`` and damping
-    ``(85*mass)//100`` — every intermediate is an integer, so the
-    replay is bit-exact with no rounding discipline needed."""
-    parts = [
-        "WITH toks AS MATERIALIZED (SELECT"
-        " list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
-        f" t -> length(t) >= {min_len}) AS t FROM documents)",
-        ", pr AS MATERIALIZED (SELECT"
-        " CASE WHEN p.a < p.b THEN p.a ELSE p.b END AS u,"
-        " CASE WHEN p.a < p.b THEN p.b ELSE p.a END AS v"
-        " FROM (SELECT unnest(list_transform(generate_series(1,"
-        " len(t) - 1), i -> struct_pack(a := t[i], b := t[i + 1])))"
-        " AS p FROM toks WHERE len(t) >= 2) WHERE p.a <> p.b)",
-        ", uw AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT)"
-        " AS w FROM pr GROUP BY u, v)",
-        ", ed AS MATERIALIZED (SELECT u, v, w FROM uw"
-        " UNION ALL SELECT v, u, w FROM uw)",
-        ", ws AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS wu"
-        " FROM ed GROUP BY u)",
-        ", e AS MATERIALIZED (SELECT ed.u AS src, ed.v AS dst, ed.w,"
-        " ws.wu FROM ed JOIN ws ON ed.u = ws.u)",
-        ", r0 AS MATERIALIZED (SELECT u AS node, wu,"
-        " CAST(1000000 AS BIGINT) AS r FROM ws)",
-    ]
-    for t in range(1, n_iter + 1):
-        parts.append(
-            f", m{t} AS MATERIALIZED (SELECT e.dst,"
-            f" CAST(sum((e.w * p.r) // e.wu) AS BIGINT) AS mass"
-            f" FROM e JOIN r{t - 1} p ON e.src = p.node GROUP BY e.dst)"
-        )
-        parts.append(
-            f", r{t} AS MATERIALIZED (SELECT p.node, p.wu,"
-            f" CAST(150000 + (85 * coalesce(m.mass, 0)) // 100"
-            f" AS BIGINT) AS r"
-            f" FROM r{t - 1} p LEFT JOIN m{t} m ON p.node = m.dst)"
-        )
-    parts.append(
-        f" SELECT node AS token, wu AS weighted_degree,"
-        f" r / 1000000.0 AS rank_score FROM r{n_iter}"
-        f" ORDER BY rank_score DESC, token LIMIT {top_k}"
-    )
-    return "".join(parts)
-
-
-def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """Unrolled SQL replay of the fixed-iteration Lloyd trajectory
-    (``kmeans_fixed``): MATERIALIZED step CTEs (DuckDB inlines CTEs by
-    default — the chained references would re-evaluate exponentially,
-    the k-center lesson) assign via the same 4dp-rounded distance /
-    lowest-cluster tie-break, update centroids from exact int64 sums
-    with the same floor((2s+n)/(2n)) half-up mean, and keep empty
-    clusters via LEFT JOIN + CASE."""
-    sq = (
-        "round(list_sum(list_transform(generate_series(1, len(v)),"
-        " i -> (v[i] - m[i] / 10000.0) * (v[i] - m[i] / 10000.0)))"
-        " + 1e-9, 4)"
-    )
-
-    def assign(name: str, cents: str) -> str:
-        return (
-            f", {name} AS MATERIALIZED (SELECT vec_id, iv, cl, d FROM"
-            f" (SELECT vecs.vec_id, vecs.iv, {cents}.cl, {sq} AS d"
-            f" FROM vecs, {cents})"
-            f" QUALIFY row_number() OVER (PARTITION BY vec_id"
-            f" ORDER BY d, cl) = 1)"
-        )
-
-    sums = ", ".join(
-        f"CAST(sum(iv[{i + 1}]) AS BIGINT) AS s{i}" for i in range(dim)
-    )
-    means = ", ".join(
-        f"CAST(floor((2 * s.s{i} + s.n) / (2.0 * s.n)) AS BIGINT)"
-        for i in range(dim)
-    )
-    parts = [
-        "WITH vecs AS MATERIALIZED (SELECT vec_id,"
-        " CAST(embedding AS DOUBLE[]) AS v,"
-        " list_transform(CAST(embedding AS DOUBLE[]),"
-        " x -> CAST(round(x * 10000.0, 0) AS BIGINT)) AS iv"
-        " FROM embeddings)",
-        ", c0 AS MATERIALIZED (SELECT"
-        " CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,"
-        " iv AS m FROM (SELECT vec_id, iv FROM vecs ORDER BY vec_id"
-        f" LIMIT {k}))",
-    ]
-    for t in range(iters):
-        parts.append(assign(f"a{t}", f"c{t}"))
-        parts.append(
-            f", s{t + 1} AS MATERIALIZED (SELECT cl, count(*) AS n,"
-            f" {sums} FROM a{t} GROUP BY cl)"
-        )
-        parts.append(
-            f", c{t + 1} AS MATERIALIZED (SELECT p.cl,"
-            f" CASE WHEN s.n IS NULL THEN p.m ELSE [{means}] END AS m"
-            f" FROM c{t} p LEFT JOIN s{t + 1} s ON p.cl = s.cl)"
-        )
-    parts.append(assign("af", f"c{iters}"))
-    parts.append(
-        " SELECT cl AS cluster_id, count(*) AS n_members,"
-        " CAST(sum(CAST(round(d * 10000.0, 0) AS BIGINT)) AS BIGINT)"
-        " / 10000.0 AS inertia"
-        " FROM af GROUP BY cl ORDER BY cl"
-    )
-    return "".join(parts)
-
-
-def _kcenter_sql(k: int = 8) -> str:
-    """Unrolled SQL replay of the greedy k-center trajectory
-    (``kcenter_select``): step CTEs d0..d{k-2} maintain the running
-    4dp-rounded min-distance exactly as the Spark loop's incremental
-    ``least(md, dist_to_new)`` does, c1..c{k-1} take the same
-    (md DESC, vec_id ASC) argmax — the greedy path is a pure function
-    of the data, so the two engines walk it identically."""
-
-    def sq(prev: str, center_sub: str) -> str:
-        return (
-            f"round(list_sum(list_transform(generate_series(1,"
-            f" len({prev}.v)), i -> ({prev}.v[i] - cv.v[i])"
-            f" * ({prev}.v[i] - cv.v[i]))) + 1e-9, 4)"
-        )
-
-    seed = "(SELECT min(vec_id) FROM vecs)"
-    parts = [
-        "WITH vecs AS MATERIALIZED (SELECT vec_id,"
-        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f", d0 AS MATERIALIZED (SELECT vecs.vec_id, vecs.v,"
-        f" {sq('vecs', seed)} AS md"
-        f" FROM vecs, (SELECT v FROM vecs WHERE vec_id = {seed}) cv(v))",
-    ]
-    chosen = [seed]
-    for i in range(1, k):
-        excl = ", ".join(chosen)
-        parts.append(
-            f", c{i} AS MATERIALIZED (SELECT vec_id, md FROM d{i-1}"
-            f" WHERE vec_id NOT IN ({excl})"
-            f" ORDER BY md DESC, vec_id LIMIT 1)"
-        )
-        if i < k - 1:
-            parts.append(
-                f", d{i} AS MATERIALIZED"
-                f" (SELECT d{i-1}.vec_id, d{i-1}.v,"
-                f" least(d{i-1}.md, {sq(f'd{i-1}', f'c{i}')}) AS md"
-                f" FROM d{i-1}, (SELECT v FROM vecs WHERE vec_id ="
-                f" (SELECT vec_id FROM c{i})) cv(v))"
-            )
-        chosen.append(f"(SELECT vec_id FROM c{i})")
-    selects = [
-        f" SELECT CAST(0 AS INT) AS rank, {seed} AS vec_id,"
-        f" CAST(0.0 AS DOUBLE) AS dist"
-    ]
-    for i in range(1, k):
-        selects.append(
-            f" UNION ALL SELECT CAST({i} AS INT),"
-            f" (SELECT vec_id FROM c{i}), (SELECT md FROM c{i})"
-        )
-    return "".join(parts) + "".join(selects) + " ORDER BY rank"
-
-
-def _plane_values(bits: int, seeds: list[int], dim: int = 64) -> str:
-    """VALUES rows ``(tbl, i, plane)`` inlining the deterministic
-    sign-LSH hyperplanes (similarity._hyperplanes, same seeds) so the
-    DuckDB oracle re-derives identical sign-bit buckets. Python float
-    repr round-trips exactly through DuckDB's double parser, so every
-    plane coefficient is bit-identical on both engines."""
-    from flink_elasticsearch_ingestion_spark.operators.similarity import _hyperplanes
-
-    rows = []
-    for t, seed in enumerate(seeds):
-        for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
-            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
-            rows.append(f"({t}, {i}, {lit})")
-    return ", ".join(rows)
-
-
-def _jl_s2_sql() -> str:
-    """Sum-of-squared-projections SQL term for the JL oracle — same
-    seeded planes and the same left-to-right '+' chain as the engine's
-    one-parse expression, literals via float repr (bit-identical)."""
-    import math
-
-    from flink_elasticsearch_ingestion_spark.operators.similarity import (
-        _hyperplanes,
-    )
-
-    planes = _hyperplanes(64, 16, 7)
-    scale = 1.0 / math.sqrt(16)
-    terms = []
-    for p in planes:
-        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
-        terms.append(f"pow(list_dot_product(v, {lit}) * {scale!r}, 2)")
-    return "(" + " + ".join(terms) + ")"
-
-
-def _probe_logit_sqls(n_classes: int = 3, dim: int = 64, seed: int = 11) -> list[str]:
-    """Per-class dot-product SQL terms for the linear_probe oracle —
-    identical seeded Gaussian weights (shared _hyperplanes family) via
-    float repr literals and the same left-to-right fold."""
-    from flink_elasticsearch_ingestion_spark.operators.similarity import (
-        _hyperplanes,
-    )
-
-    out = []
-    for row in _hyperplanes(dim, n_classes, seed):
-        lit = "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
-        out.append(f"list_dot_product(v, {lit})")
+    """Assemble the full catalog from the per-family registries
+    (flink_elasticsearch_ingestion_spark/catalog/*). Duplicate names
+    across families are a bug — fail loudly rather than shadow."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in MODULES:
+        dup = set(out) & set(mod.QUERIES)
+        assert not dup, f"duplicate catalog keys across families: {dup}"
+        out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    ck = f"TIMESTAMP '{CHECKPOINT}'"
-    # events.ts is ns-precision; the engine truncates to us (Spark's
-    # timestamp grain), so oracles compare on CAST(ts AS TIMESTAMP).
-    copy_projection = (
-        "SELECT event_id AS doc_id, event_type AS index_id,"
-        " CAST(ts AS TIMESTAMP) AS ts, user_id, value, props FROM events"
-    )
-    lastwins = (
-        "SELECT doc_id, index_id, ts, user_id, value, props FROM ("
-        "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ts DESC, "
-        "index_id DESC, user_id DESC, value DESC, props DESC) AS rn FROM ({base})"
-        ") WHERE rn = 1"
-    )
-    return {
-        "copy_incremental": lastwins.format(
-            base=f"{copy_projection} WHERE CAST(ts AS TIMESTAMP) > {ck}"
-        ),
-        "copy_full": lastwins.format(base=copy_projection),
-        "latest_event_per_user": (
-            "SELECT user_id, event_id, ts, event_type FROM ("
-            "  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,"
-            "  row_number() OVER ("
-            # tie-break mirrors last_wins' max(struct(ts, event_id,
-            # event_type)) field order exactly, so a (user_id, us-ts) tie
-            # resolves identically in both engines
-            "    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC, event_type DESC"
-            "  ) AS rn FROM events) WHERE rn = 1"
-        ),
-        "checkpoint_max_ts": (
-            "SELECT max(CAST(ts AS TIMESTAMP)) AS checkpoint_ts FROM events"
-        ),
-        "bulk_chunks": (
-            "WITH docs AS (SELECT event_id AS doc_id FROM events),"
-            " chunked AS (SELECT doc_id, CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 64)"
-            "   AS BIGINT) AS chunk_id FROM docs)"
-            " SELECT chunk_id, count(*) AS n_docs, min(doc_id) AS first_doc,"
-            " max(doc_id) AS last_doc FROM chunked GROUP BY chunk_id ORDER BY chunk_id"
-        ),
-        "es_bulk_roundtrip": (
-            # the engine side routes every event through the es_bulk
-            # wire format and back; the oracle reads the events table
-            # directly — equality proves the sink lost/changed nothing
-            "SELECT event_type AS index_id, count(*) AS n_docs,"
-            " count(DISTINCT event_id) AS n_distinct,"
-            " min(event_id) AS first_doc, max(event_id) AS last_doc,"
-            " CAST(sum(user_id) AS BIGINT) AS sum_user_id,"
-            " round(sum(value) + 1e-9, 2) AS sum_value"
-            " FROM events WHERE event_id % 20 = 0"
-            " GROUP BY event_type ORDER BY index_id"
-        ),
-        "es_scroll_roundtrip": (
-            # the engine side stages shards and reads them back through
-            # the scroll DataSource with the checkpoint range pushed
-            # into the reader; the oracle applies the same residue and
-            # ts filter to the raw events table
-            "SELECT event_type AS index_id, count(*) AS n_docs,"
-            " count(DISTINCT event_id) AS n_distinct,"
-            " min(event_id) AS first_doc, max(event_id) AS last_doc,"
-            " CAST(sum(user_id) AS BIGINT) AS sum_user_id,"
-            " round(sum(value) + 1e-9, 2) AS sum_value"
-            " FROM events WHERE event_id % 20 = 0"
-            f" AND CAST(ts AS TIMESTAMP) > {{ck}}"
-            " GROUP BY event_type ORDER BY index_id"
-        ).format(ck=ck),
-        "bulk_chunks_distributed": (
-            # chunk layout is partition-dependent; the deterministic
-            # contract is row preservation + the 64-action cap
-            "SELECT count(*) AS total_docs, count(DISTINCT event_id) AS total_distinct,"
-            " true AS within_cap FROM events"
-        ),
-        "json_extract": (
-            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k"
-            " FROM events ORDER BY event_id"
-        ),
-        "users_never_purchased": (
-            "SELECT DISTINCT user_id FROM events WHERE event_type = 'click'"
-            " AND user_id NOT IN ("
-            "SELECT user_id FROM events WHERE event_type = 'purchase')"
-            " ORDER BY user_id"
-        ),
-        "url_parse": (
-            "SELECT n_nationkey,"
-            " 'node' || n_nationkey || '.example.com' AS host,"
-            " 'http' AS scheme,"
-            " CASE WHEN n_nationkey % 2 = 0 THEN 9300 ELSE 9200 END AS port"
-            " FROM nation ORDER BY n_nationkey"
-        ),
-        "pricing_summary": (
-            "SELECT l_returnflag, l_linestatus,"
-            " round(sum(l_quantity), 2) AS sum_qty,"
-            " round(sum(l_extendedprice), 2) AS sum_base_price,"
-            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
-            " round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,"
-            " round(round(sum(l_quantity), 2) / count(*) + 1e-9, 4) AS avg_qty,"
-            " round(round(sum(l_extendedprice), 2) / count(*) + 1e-9, 4) AS avg_price,"
-            " round(round(sum(l_discount), 2) / count(*) + 1e-9, 4) AS avg_disc,"
-            " count(*) AS count_order"
-            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
-            " ORDER BY l_returnflag, l_linestatus"
-        ),
-        "top_revenue_orders": (
-            "SELECT o_orderkey, o_orderdate, o_orderpriority,"
-            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
-            " FROM customer JOIN orders ON c_custkey = o_custkey"
-            " JOIN lineitem ON o_orderkey = l_orderkey"
-            " WHERE c_mktsegment = 'BUILDING'"
-            " GROUP BY o_orderkey, o_orderdate, o_orderpriority"
-            " ORDER BY revenue DESC, o_orderkey LIMIT 10"
-        ),
-        "local_supplier_volume": (
-            "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
-            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
-            " JOIN customer ON o_custkey = c_custkey"
-            " JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
-            " JOIN nation ON s_nationkey = n_nationkey"
-            " JOIN region ON n_regionkey = r_regionkey"
-            " WHERE r_name = 'EUROPE'"
-            " GROUP BY n_name ORDER BY revenue DESC"
-        ),
-        "returned_item_losses": (
-            "SELECT c_custkey, c_name, n_name,"
-            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
-            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
-            " JOIN customer ON o_custkey = c_custkey"
-            " JOIN nation ON c_nationkey = n_nationkey"
-            " WHERE l_returnflag = 'R'"
-            " GROUP BY c_custkey, c_name, n_name"
-            " ORDER BY revenue DESC, c_custkey LIMIT 20"
-        ),
-        "large_quantity_orders": (
-            "WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty"
-            "  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)"
-            " SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,"
-            " round(total_qty, 2) AS total_qty"
-            " FROM big JOIN orders ON l_orderkey = o_orderkey"
-            " JOIN customer ON o_custkey = c_custkey"
-            " ORDER BY o_totalprice DESC, o_orderkey"
-        ),
-        "nation_region_join": (
-            "SELECT n_nationkey, n_name, r_name FROM nation"
-            " JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey"
-        ),
-        "customers_with_orders": (
-            "SELECT c_custkey, c_name, c_mktsegment FROM customer"
-            " WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
-        ),
-        "customers_without_orders": (
-            "SELECT c_custkey, c_name, c_acctbal FROM customer"
-            " WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
-            "  AND o_orderpriority = '1-URGENT')"
-        ),
-        "top_order_per_customer": (
-            "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
-            "  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
-            "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
-            "  ) AS rn FROM orders) WHERE rn = 1"
-        ),
-        "revenue_rollup": (
-            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,"
-            " count(*) AS n_rows FROM lineitem"
-            " GROUP BY ROLLUP (l_returnflag, l_linestatus)"
-            " ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
-        ),
-        "order_priority_cube": (
-            "SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS sum_price,"
-            " count(*) AS n_orders FROM orders"
-            " GROUP BY CUBE (o_orderstatus, o_orderpriority)"
-            " ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
-        ),
-        "returnflag_pivot": (
-            "SELECT l_returnflag,"
-            " round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,"
-            " round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled"
-            " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
-        ),
-        "segment_set_ops": (
-            # CTEs pin evaluation order (SQL INTERSECT binds tighter than
-            # EXCEPT; the engine applies except-then-intersect)
-            "WITH unioned AS ("
-            " SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
-            " UNION ALL SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),"
-            " minus_neg AS (SELECT c_custkey FROM unioned"
-            "  EXCEPT ALL SELECT c_custkey FROM customer WHERE c_acctbal < 0)"
-            " SELECT c_custkey FROM minus_neg"
-            " INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 0"
-            " ORDER BY c_custkey"
-        ),
-        "top_orders": (
-            "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders"
-            " ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
-        ),
-        "ship_within_30d": (
-            "SELECT o_orderpriority, count(*) AS n_lineitems"
-            " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
-            " WHERE l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY"
-            " GROUP BY o_orderpriority ORDER BY o_orderpriority"
-        ),
-        "events_by_day": (
-            "SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day, event_type,"
-            " count(*) AS n_events, round(round(sum(value), 2) / count(*) + 1e-9, 4) AS avg_value,"
-            " count(DISTINCT user_id) AS n_users"
-            " FROM events GROUP BY 1, 2 ORDER BY day, event_type"
-        ),
-        "string_functions": (
-            "SELECT p_partkey, upper(p_name) AS name_upper, length(p_name) AS name_len,"
-            " coalesce(regexp_extract(p_name, '^([a-z]+)', 1), '') AS first_word,"
-            " concat_ws('/', p_brand, p_type) AS brand_type,"
-            " substring(p_name, 1, 3) AS prefix3,"
-            " replace(p_name, ' ', '_') AS snake_name"
-            " FROM part ORDER BY p_partkey"
-        ),
-        "math_functions": (
-            "SELECT p_partkey, round(p_retailprice, 0) AS price_round,"
-            " round(sqrt(p_retailprice), 6) AS price_sqrt,"
-            " round(ln(p_retailprice), 6) AS price_ln,"
-            " abs(p_retailprice - 1000) AS price_dev,"
-            " p_size % 5 AS size_mod"
-            " FROM part ORDER BY p_partkey"
-        ),
-        "tumbling_windows": (
-            "SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,"
-            " event_type, count(*) AS n_events,"
-            " round(round(sum(value), 2) / count(*) + 1e-9, 4) AS avg_value"
-            " FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"
-        ),
-        "session_windows": (
-            "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),"
-            " flagged AS (SELECT user_id, ts,"
-            "  CASE WHEN lag(ts) OVER w IS NULL"
-            "   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess"
-            "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),"
-            " sess AS (SELECT user_id, ts, sum(new_sess) OVER"
-            "  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged)"
-            " SELECT user_id, min(ts) AS session_start, count(*) AS n_events"
-            " FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"
-        ),
-        "event_gaps": (
-            "WITH g AS (SELECT user_id,"
-            "  epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))"
-            "   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us"
-            " FROM events)"
-            " SELECT user_id, count(*) AS n_gaps,"
-            " CAST(floor(sum(gap_us) / 1000000) AS BIGINT) AS total_gap_s,"
-            " CAST(floor(max(gap_us) / 1000000) AS BIGINT) AS max_gap_s"
-            " FROM g WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id"
-        ),
-        "funnel": (
-            "WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),"
-            " fv AS (SELECT user_id, min(ts) AS t_view FROM e"
-            "   WHERE event_type = 'view' GROUP BY user_id),"
-            " fc AS (SELECT e.user_id, min(e.ts) AS t_click FROM e JOIN fv USING (user_id)"
-            "   WHERE e.event_type = 'click' AND e.ts > fv.t_view GROUP BY e.user_id),"
-            " fp AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e JOIN fc USING (user_id)"
-            "   WHERE e.event_type = 'purchase' AND e.ts > fc.t_click GROUP BY e.user_id)"
-            " SELECT '1_view' AS stage, count(*) AS n_users FROM fv"
-            " UNION ALL SELECT '2_click_after_view', count(*) FROM fc"
-            " UNION ALL SELECT '3_purchase_after_click', count(*) FROM fp"
-            " ORDER BY stage"
-        ),
-        "event_gaps_pandas": (
-            "WITH g AS (SELECT user_id,"
-            "  epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))"
-            "   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us"
-            " FROM events)"
-            " SELECT user_id, count(*) AS n_gaps,"
-            " CAST(floor(sum(gap_us) / 1000000) AS BIGINT) AS total_gap_s,"
-            " CAST(floor(max(gap_us) / 1000000) AS BIGINT) AS max_gap_s"
-            " FROM g WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id"
-        ),
-        "running_revenue": (
-            "SELECT o_custkey, o_orderkey,"
-            " round(sum(o_totalprice) OVER (PARTITION BY o_custkey"
-            "  ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total,"
-            " CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
-            "  AS INTEGER) AS order_seq"
-            " FROM orders"
-        ),
-        "order_moving_avg": (
-            "SELECT o_custkey, o_orderkey,"
-            " round(round(sum(o_totalprice) OVER w, 2) / count(*) OVER w + 1e-9, 4)"
-            "  AS moving_avg"
-            " FROM orders"
-            " WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
-            "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
-            " ORDER BY o_custkey, o_orderkey"
-        ),
-        "next_event_type": (
-            "WITH nxt AS (SELECT event_type, lead(event_type) OVER"
-            " (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type"
-            " FROM events)"
-            " SELECT event_type, next_type, count(*) AS n_transitions FROM nxt"
-            " WHERE next_type IS NOT NULL GROUP BY event_type, next_type"
-            " ORDER BY event_type, next_type"
-        ),
-        "asof_join": (
-            "WITH day_orders AS (SELECT o_custkey, o_orderdate,"
-            "  round(sum(o_totalprice), 2) AS day_total FROM orders"
-            "  GROUP BY o_custkey, o_orderdate),"
-            " e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)"
-            " SELECT e.event_id, e.user_id, e.ts, d.day_total,"
-            "  d.o_orderdate AS matched_ts"
-            " FROM e ASOF LEFT JOIN day_orders d"
-            "  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate"
-            " ORDER BY event_id"
-        ),
-        "price_rank_distribution": (
-            "WITH ranked AS (SELECT o_orderkey, o_totalprice,"
-            "  ntile(4) OVER w AS quartile,"
-            "  percent_rank() OVER w AS pr,"
-            "  cume_dist() OVER w AS cd"
-            "  FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey))"
-            " SELECT quartile, count(*) AS n_orders,"
-            " round(min(o_totalprice), 2) AS min_price,"
-            " round(max(o_totalprice), 2) AS max_price,"
-            " round(max(pr), 6) AS max_percent_rank,"
-            " round(max(cd), 6) AS max_cume_dist"
-            " FROM ranked GROUP BY quartile ORDER BY quartile"
-        ),
-        "orders_above_cust_avg": (
-            "SELECT o_orderkey, o_custkey, o_totalprice,"
-            " round(cust_avg + 1e-9, 4) AS cust_avg FROM ("
-            "  SELECT o_orderkey, o_custkey, o_totalprice,"
-            "  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg FROM orders)"
-            " WHERE o_totalprice > cust_avg ORDER BY o_orderkey"
-        ),
-        "purchases_after_click": (
-            "SELECT c.user_id, count(*) AS n_conversions,"
-            " count(DISTINCT c.event_id) AS n_converting_clicks"
-            " FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id"
-            "   FROM events WHERE event_type = 'click') c"
-            " JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts"
-            "   FROM events WHERE event_type = 'purchase') p"
-            " ON c.user_id = p.user_id"
-            " WHERE purchase_ts >= click_ts"
-            "  AND purchase_ts < click_ts + INTERVAL 7 DAY"
-            " GROUP BY c.user_id ORDER BY c.user_id"
-        ),
-        "date_functions": (
-            "SELECT o_orderkey,"
-            " strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,"
-            " year(o_orderdate) AS order_year,"
-            " quarter(o_orderdate) AS order_quarter,"
-            " dayofweek(o_orderdate) + 1 AS order_dow,"
-            " date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,"
-            " CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s"
-            " FROM orders ORDER BY o_orderkey"
-        ),
-        "array_functions": (
-            "SELECT vec_id, len(embedding) AS n_dims,"
-            " round(CAST(embedding AS DOUBLE[])[1], 6) AS first_val,"
-            " round(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]), 'sum'), 6) AS head_sum,"
-            " round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS max_val"
-            " FROM embeddings ORDER BY vec_id"
-        ),
-        "map_functions": (
-            "WITH m AS (SELECT event_id,"
-            "  MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)} AS mp"
-            "  FROM events)"
-            " SELECT event_id,"
-            " map_extract(mp, 'type')[1] AS type_val,"
-            " map_extract(mp, 'uid')[1] AS uid_val,"
-            " CAST(cardinality(mp) AS INTEGER) AS n_entries,"
-            " array_to_string(list_sort(map_keys(mp)), ',') AS keys_csv,"
-            " array_to_string(list_sort(map_values(mp)), ',') AS values_csv"
-            " FROM m ORDER BY event_id"
-        ),
-        "embedding_dim_stats": (
-            "WITH e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,"
-            "  unnest(range(1, len(embedding)+1)) AS dim FROM embeddings)"
-            " SELECT dim, round(round(sum(val), 6) / count(*) + 1e-9, 6) AS avg_val,"
-            " round(min(val), 6) AS min_val, round(max(val), 6) AS max_val,"
-            " count(*) AS n_vals"
-            " FROM e GROUP BY dim ORDER BY dim"
-        ),
-        "price_quantiles": (
-            "SELECT o_orderpriority,"
-            " round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,"
-            " round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,"
-            " count(*) AS n_orders"
-            " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
-        ),
-        "order_stats": (
-            "WITH li AS (SELECT round(corr(l_quantity, l_extendedprice), 4)"
-            "  AS qty_price_corr FROM lineitem)"
-            " SELECT o_orderstatus, round(stddev_samp(o_totalprice), 2) AS price_stddev,"
-            " round(round(sum(o_totalprice), 2) / count(*) + 1e-9, 4) AS price_mean,"
-            " count(*) AS n_orders, li.qty_price_corr"
-            " FROM orders, li GROUP BY o_orderstatus, li.qty_price_corr"
-            " ORDER BY o_orderstatus"
-        ),
-        "arg_extremes": (
-            "SELECT event_type, arg_max(user_id, event_id) AS last_user,"
-            " arg_min(user_id, event_id) AS first_user, max(event_id) AS last_event_id"
-            " FROM events GROUP BY event_type ORDER BY event_type"
-        ),
-        "user_event_sets": (
-            "SELECT user_id, array_to_string("
-            " array_agg(DISTINCT event_type ORDER BY event_type), ',')"
-            " AS event_types_csv FROM events GROUP BY user_id ORDER BY user_id"
-        ),
-        "salted_join": (
-            "SELECT c_mktsegment, count(*) AS n_events,"
-            " round(sum(value) + 1e-9, 2) AS total_value"
-            " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
-            " GROUP BY c_mktsegment ORDER BY c_mktsegment"
-        ),
-        "salted_agg": (
-            "SELECT event_type, count(*) AS n_events,"
-            " round(sum(value), 2) AS total_value,"
-            " round(max(value), 6) AS max_value"
-            " FROM events GROUP BY event_type ORDER BY event_type"
-        ),
-        "grouping_sets": (
-            "SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,"
-            " count(*) AS n_rows FROM lineitem"
-            " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
-            " ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
-        ),
-        "top_words": (
-            "SELECT word, count(*) AS n FROM ("
-            " SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word"
-            " FROM documents) WHERE length(word) >= 3"
-            " GROUP BY word ORDER BY n DESC, word LIMIT 20"
-        ),
-        "event_type_share": (
-            "WITH c AS (SELECT event_type, count(*) AS n_events FROM events"
-            "  GROUP BY event_type)"
-            " SELECT event_type, n_events,"
-            " round(n_events / (SELECT sum(n_events) FROM c) + 1e-9, 6) AS share"
-            " FROM c ORDER BY event_type"
-        ),
-        "text_stats": (
-            "WITH toks AS (SELECT lang, length(text) AS n_chars,"
-            "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents)"
-            " SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
-            " round(avg(n_chars), 4) AS avg_chars, round(avg(n_tokens), 4) AS avg_tokens"
-            " FROM toks GROUP BY lang ORDER BY lang"
-        ),
-        "quality_scores": (
-            "WITH base AS (SELECT doc_id, lang, n_chars, text,"
-            "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,"
-            "  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,"
-            "  len(list_filter(string_split_regex(trim(text), '\\s+'),"
-            "      t -> lower(t) IN ('the','a','of','and','to'))) AS n_stop"
-            "  FROM documents)"
-            " SELECT doc_id, lang, n_chars, n_tokens,"
-            " round(n_punct / greatest(length(text), 1) + 1e-9, 6) AS punct_ratio,"
-            " round(n_stop / greatest(n_tokens, 1) + 1e-9, 6) AS stopword_ratio,"
-            " round((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)"
-            "  + (CASE WHEN n_punct / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END)"
-            "  + (CASE WHEN n_stop / greatest(n_tokens, 1) > 0.01 THEN 0.3 ELSE 0.0 END), 2)"
-            "  AS quality_score"
-            " FROM base ORDER BY doc_id"
-        ),
-        "language_id": (
-            "WITH toks AS (SELECT doc_id, lang,"
-            "  string_split_regex(trim(text), '\\s+') AS t FROM documents),"
-            " hits AS (SELECT doc_id, lang,"
-            "  len(list_filter(t, x -> lower(x) IN ('der','die','das','und','ist'))) AS hits_de,"
-            "  len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to'))) AS hits_en,"
-            "  len(list_filter(t, x -> lower(x) IN ('le','la','de','et','est'))) AS hits_fr"
-            "  FROM toks)"
-            " SELECT doc_id, lang, hits_de, hits_en, hits_fr,"
-            " CASE WHEN greatest(hits_de, hits_en, hits_fr) <= 0 THEN 'und'"
-            "  WHEN hits_de = greatest(hits_de, hits_en, hits_fr) THEN 'de'"
-            "  WHEN hits_en = greatest(hits_de, hits_en, hits_fr) THEN 'en'"
-            "  ELSE 'fr' END AS lang_guess"
-            " FROM hits ORDER BY doc_id"
-        ),
-        "fingerprints": (
-            "SELECT doc_id,"
-            " sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,"
-            " length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_chars_norm"
-            " FROM documents ORDER BY doc_id"
-        ),
-        "token_counts": (
-            "SELECT doc_id,"
-            " len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,"
-            " len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens"
-            " FROM documents ORDER BY doc_id"
-        ),
-        "training_data_pipeline": (
-            "WITH scored AS ("
-            " SELECT doc_id, text, lang, round("
-            "  (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)"
-            "  + (CASE WHEN len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
-            "      / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END)"
-            "  + (CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),"
-            "      t -> lower(t) IN ('the','a','of','and','to')))"
-            "      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) > 0.01"
-            "      THEN 0.3 ELSE 0.0 END), 2) AS quality_score"
-            " FROM documents),"
-            " passed AS (SELECT * FROM scored WHERE quality_score >= 0.7),"
-            " kept AS (SELECT min(doc_id) AS doc_id FROM passed"
-            "  GROUP BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))"
-            " SELECT d.lang, count(*) AS n_docs,"
-            " CAST(sum(len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT)"
-            "  AS total_tokens,"
-            " round(round(sum(length(d.text)), 2) / count(*) + 1e-9, 4) AS avg_chars"
-            " FROM documents d JOIN kept USING (doc_id)"
-            " GROUP BY d.lang ORDER BY d.lang"
-        ),
-        "ingestion_diff": (
-            f"WITH docs AS ({copy_projection}),"
-            " target AS (SELECT doc_id FROM docs WHERE ts <= {ck})"
-            " SELECT doc_id, index_id, ts FROM docs"
-            " WHERE doc_id NOT IN (SELECT doc_id FROM target)"
-            " ORDER BY doc_id"
-        ).replace("{ck}", ck),
-        "value_histogram": (
-            "SELECT CAST(floor(value / 50) AS INTEGER) AS bucket,"
-            " count(*) AS n_events FROM events GROUP BY 1 ORDER BY bucket"
-        ),
-        "revenue_forecast": (
-            "SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,"
-            " count(*) AS n_lineitems FROM lineitem"
-            " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
-            " AND l_shipdate < TIMESTAMP '1997-01-01'"
-            " AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
-        ),
-        "late_shipment_priorities": (
-            "WITH in_year AS (SELECT * FROM orders"
-            "  WHERE o_orderdate >= TIMESTAMP '1997-01-01'"
-            "  AND o_orderdate < TIMESTAMP '1998-01-01')"
-            " SELECT o_orderpriority, count(*) AS n_orders FROM in_year o"
-            " WHERE EXISTS (SELECT 1 FROM lineitem l"
-            "   WHERE l.l_orderkey = o.o_orderkey"
-            "   AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)"
-            " GROUP BY o_orderpriority ORDER BY o_orderpriority"
-        ),
-        "volume_shipping": (
-            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
-            " year(l_shipdate) AS ship_year,"
-            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume,"
-            " count(*) AS n_lineitems"
-            " FROM lineitem"
-            " JOIN supplier ON l_suppkey = s_suppkey"
-            " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
-            " JOIN orders ON l_orderkey = o_orderkey"
-            " JOIN customer ON o_custkey = c_custkey"
-            " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
-            " WHERE n1.n_name IN ('NATION_1', 'NATION_2')"
-            " AND n2.n_name IN ('NATION_1', 'NATION_2')"
-            " AND n1.n_name <> n2.n_name"
-            " GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year"
-        ),
-        "market_share": (
-            "SELECT year(o_orderdate) AS order_year,"
-            " round(round(sum(CASE WHEN n_name = 'NATION_5'"
-            "   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) * 100"
-            "  / round(sum(l_extendedprice * (1 - l_discount)), 2) + 1e-9, 4)"
-            "  AS share_pct,"
-            " count(*) AS n_lineitems"
-            " FROM lineitem"
-            " JOIN part ON l_partkey = p_partkey"
-            " JOIN supplier ON l_suppkey = s_suppkey"
-            " JOIN nation ON s_nationkey = n_nationkey"
-            " JOIN orders ON l_orderkey = o_orderkey"
-            " JOIN customer ON o_custkey = c_custkey"
-            " WHERE p_type = 'ECONOMY'"
-            " GROUP BY 1 ORDER BY order_year"
-        ),
-        "product_type_profit": (
-            "SELECT n_name AS supp_nation, year(o_orderdate) AS order_year,"
-            " round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)"
-            "   AS DECIMAL(18,4))) AS DOUBLE), 2) AS profit"
-            " FROM lineitem"
-            " JOIN part ON l_partkey = p_partkey"
-            " JOIN supplier ON l_suppkey = s_suppkey"
-            " JOIN nation ON s_nationkey = n_nationkey"
-            " JOIN orders ON l_orderkey = o_orderkey"
-            " WHERE p_name LIKE '%blue%'"
-            " GROUP BY 1, 2 ORDER BY supp_nation, order_year"
-        ),
-        "order_count_distribution": (
-            "WITH per_cust AS (SELECT c_custkey, count(o_orderkey) AS n_orders"
-            "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
-            "  GROUP BY c_custkey)"
-            " SELECT n_orders, count(*) AS n_customers FROM per_cust"
-            " GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC"
-        ),
-        "top_supplier": (
-            "WITH rev AS (SELECT l_suppkey,"
-            "  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue"
-            "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
-            "  AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey)"
-            " SELECT s_suppkey, s_name, total_revenue"
-            " FROM rev JOIN supplier ON l_suppkey = s_suppkey"
-            " WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"
-            " ORDER BY s_suppkey"
-        ),
-        "small_quantity_revenue": (
-            "WITH branded AS (SELECT l.* FROM lineitem l"
-            "  JOIN part p ON l_partkey = p_partkey WHERE p_brand = 'Brand#13'),"
-            " avg_q AS (SELECT l_partkey AS ap_partkey,"
-            "  round(round(sum(l_quantity), 2) / count(*) + 1e-9, 4) AS avg_qty"
-            "  FROM branded GROUP BY l_partkey)"
-            " SELECT round(round(sum(l_extendedprice), 2) / 7.0 + 1e-9, 4) AS avg_yearly,"
-            " count(*) AS n_lineitems"
-            " FROM branded JOIN avg_q ON l_partkey = ap_partkey"
-            " WHERE l_quantity < avg_qty * 0.5"
-        ),
-        "passage_dedup": (
-            "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t"
-            "  FROM documents),"
-            " chunks AS (SELECT doc_id,"
-            "  unnest(list_transform(range(0, CAST(ceil(len(t) / 10.0) AS INT)),"
-            "   i -> md5(array_to_string(t[(i*10+1):(i*10+10)], ' ')))) AS passage_hash"
-            "  FROM toks)"
-            " SELECT passage_hash, count(*) AS n_occurrences,"
-            " count(DISTINCT doc_id) AS n_docs"
-            " FROM chunks GROUP BY 1 HAVING count(*) > 1"
-            " ORDER BY n_occurrences DESC, passage_hash"
-        ),
-        "top_bigrams": (
-            "WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),"
-            " bg AS (SELECT unnest(list_transform(range(1, len(t)),"
-            "   i -> t[i] || ' ' || t[i+1])) AS bigram"
-            "  FROM toks WHERE len(t) >= 2)"
-            " SELECT bigram, count(*) AS n_occurrences FROM bg"
-            " GROUP BY 1 ORDER BY n_occurrences DESC, bigram LIMIT 20"
-        ),
-        "term_postings": (
-            r"WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
-            r"trim(lower(text)), '\s+')) AS term FROM documents),"
-            " f AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),"
-            " tf AS (SELECT term, doc_id, count(*) AS tf FROM f GROUP BY 1, 2)"
-            " SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,"
-            " CAST(max(tf) AS BIGINT) AS max_tf"
-            " FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 20"
-        ),
-        "bm25_search": (
-            "WITH " + _bm25_cte()
-            + " SELECT doc_id, doclen, bm25 FROM scored WHERE bm25 > 0.0"
-            " ORDER BY bm25 DESC, doc_id LIMIT 10"
-        ),
-        "ndcg_eval": (
-            "WITH " + _bm25_cte() + ","
-            " top AS (SELECT doc_id, bm25 FROM scored"
-            "  WHERE bm25 > 0.0 ORDER BY bm25 DESC, doc_id LIMIT 10),"
-            " rkd AS (SELECT doc_id, row_number() OVER ("
-            "  ORDER BY bm25 DESC, doc_id) AS rk FROM top),"
-            " lab AS (SELECT doc_id, CASE WHEN tf_0 > 0 AND tf_1 > 0"
-            "  AND tf_2 > 0 THEN 1 ELSE 0 END AS rel FROM feat),"
-            " sc AS (SELECT rkd.rk, lab.rel FROM rkd"
-            "  JOIN lab ON lab.doc_id = rkd.doc_id),"
-            " a AS (SELECT CAST(count(*) AS BIGINT) AS k_eval,"
-            "  CAST(sum(rel) AS BIGINT) AS n_relevant,"
-            "  round(sum(rel / (ln(CAST(rk AS DOUBLE) + 1.0)"
-            "   / ln(2.0))) + 1e-9, 6) AS dcg FROM sc),"
-            " ir AS (SELECT row_number() OVER (ORDER BY rk) AS irk"
-            "  FROM sc WHERE rel > 0),"
-            " i AS (SELECT round(COALESCE(sum(1.0 /"
-            "  (ln(CAST(irk AS DOUBLE) + 1.0) / ln(2.0))), 0.0)"
-            "  + 1e-9, 6) AS idcg FROM ir)"
-            " SELECT k_eval, n_relevant, dcg, idcg,"
-            " CASE WHEN idcg > 0 THEN round(dcg / idcg + 1e-9, 6)"
-            "  ELSE 0.0 END AS ndcg FROM a CROSS JOIN i"
-        ),
-        "source_mix": (
-            "SELECT source, count(*) AS n_docs,"
-            " count(DISTINCT lang) AS n_langs,"
-            " CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,"
-            " round(round(CAST(sum(length(text)) AS DOUBLE), 2) / count(*) + 1e-9, 4)"
-            "  AS avg_chars"
-            " FROM documents GROUP BY source ORDER BY source"
-        ),
-        "embedding_norms": (
-            "WITH norms AS (SELECT label,"
-            "  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),"
-            "   x -> x * x))) + 1e-9, 6) AS norm FROM embeddings)"
-            " SELECT label, count(*) AS n_vectors,"
-            " round(round(sum(norm), 2) / count(*) + 1e-9, 4) AS avg_norm,"
-            " round(min(norm), 4) AS min_norm, round(max(norm), 4) AS max_norm"
-            " FROM norms GROUP BY label ORDER BY label"
-        ),
-        "quantize_embeddings": (
-            "WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,"
-            "  list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))"
-            "   / 127.0 AS s FROM embeddings)"
-            " SELECT vec_id, label, round(s + 1e-12, 8) AS scale,"
-            " CAST(list_min(list_transform(e, v -> round(v / s))) AS INT) AS q_min,"
-            " CAST(list_max(list_transform(e, v -> round(v / s))) AS INT) AS q_max,"
-            " round(list_max(list_transform(e, v -> abs(v - round(v / s) * s)))"
-            "  + 1e-12, 6) AS recon_err"
-            " FROM p ORDER BY vec_id"
-        ),
-        "sliding_windows": (
-            # each event lands in width/slide = 2 overlapping windows:
-            # the slide-aligned bucket and the one slide earlier
-            "WITH w AS (SELECT"
-            "  time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))"
-            "   - k * INTERVAL 30 MINUTE AS window_start,"
-            "  event_type, value"
-            "  FROM events, (SELECT unnest([0, 1]) AS k))"
-            " SELECT window_start, event_type, count(*) AS n_events,"
-            " round(round(sum(value), 2) / count(*) + 1e-9, 4) AS avg_value"
-            " FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"
-        ),
-        "shuffle_order": (
-            "SELECT doc_id,"
-            " md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,"
-            " CAST(row_number() OVER ("
-            "  ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id"
-            " ) AS INT) AS shuffle_pos"
-            " FROM documents ORDER BY shuffle_pos"
-        ),
-        "disjunctive_revenue": (
-            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
-            " count(*) AS n_lineitems"
-            " FROM lineitem JOIN part ON l_partkey = p_partkey"
-            " WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10"
-            "   AND l_quantity BETWEEN 1 AND 15)"
-            " OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20"
-            "   AND l_quantity BETWEEN 10 AND 25)"
-            " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30"
-            "   AND l_quantity BETWEEN 20 AND 35)"
-        ),
-        "trailing_revenue_window": (
-            "SELECT o_orderkey, o_custkey, o_orderdate,"
-            " round(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w,"
-            "  0) AS DOUBLE), 2) AS trailing_revenue,"
-            " CAST(count(*) OVER w AS INT) AS n_trailing_orders"
-            " FROM orders"
-            " WINDOW w AS (PARTITION BY o_custkey"
-            "  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)"
-            "  RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING)"
-            " ORDER BY o_orderkey"
-        ),
-        "priority_value_percentiles": (
-            "SELECT o_orderpriority, count(*) AS n_orders,"
-            " round(quantile_cont(o_totalprice, 0.5) + 1e-9, 4) AS p50,"
-            " round(quantile_cont(o_totalprice, 0.9) + 1e-9, 4) AS p90,"
-            " round(quantile_cont(o_totalprice, 0.99) + 1e-9, 4) AS p99"
-            " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
-        ),
-        "similar_part_names": (
-            "WITH names AS (SELECT DISTINCT p_name AS name FROM part)"
-            " SELECT a.name AS name_a, b.name AS name_b,"
-            " levenshtein(a.name, b.name) AS distance"
-            " FROM names a JOIN names b"
-            " ON a.name < b.name"
-            " AND abs(length(a.name) - length(b.name)) <= 2"
-            " WHERE levenshtein(a.name, b.name) <= 2"
-            " ORDER BY name_a, name_b"
-        ),
-        "prior_event_counts": (
-            "SELECT o.o_orderkey, o.o_custkey, count(e.event_id) AS n_prior_events"
-            " FROM orders o LEFT JOIN events e"
-            " ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate"
-            " GROUP BY 1, 2 ORDER BY o_orderkey"
-        ),
-        # chunker: step = chunk_words(40) - overlap(10) = 30; DuckDB list
-        # slice l[a:b] is 1-based inclusive == F.slice(l, a, b-a+1), and
-        # generate_series is end-INCLUSIVE (unlike range)
-        "chunk_documents": (
-            "WITH w AS (SELECT doc_id,"
-            " regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),"
-            " e AS (SELECT doc_id, words,"
-            " unnest(generate_series(0, (len(words)+29)//30 - 1)) AS s FROM w)"
-            " SELECT doc_id, CAST(s AS INT) AS chunk_id,"
-            " CAST(len(words[s*30+1 : s*30+40]) AS INT) AS n_chunk_words,"
-            " array_to_string(words[s*30+1 : s*30+40], ' ') AS chunk_text FROM e"
-        ),
-        "hybrid_search": (
-            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),"
-            " kw AS (SELECT doc_id, len(list_filter("
-            "   regexp_split_to_array(trim(lower(text)), '\\s+'),"
-            "   t -> t IN ('spark', 'window'))) AS tf FROM documents),"
-            " kwt AS (SELECT doc_id, tf FROM kw WHERE tf > 0"
-            "   ORDER BY tf DESC, doc_id LIMIT 100),"
-            " kwr AS (SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS kw_rank FROM kwt),"
-            " vs AS (SELECT vec_id AS doc_id, round("
-            "   list_dot_product(CAST(embedding AS DOUBLE[]), qv) /"
-            "   (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
-            "    * sqrt(list_dot_product(qv, qv))), 6) AS cos FROM embeddings, q),"
-            " vt AS (SELECT doc_id, cos FROM vs ORDER BY cos DESC, doc_id LIMIT 100),"
-            " vr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank FROM vt)"
-            " SELECT COALESCE(kwr.doc_id, vr.doc_id) AS doc_id,"
-            " round(COALESCE(1.0/(60 + kw_rank), 0) + COALESCE(1.0/(60 + vec_rank), 0), 6) AS rrf_score"
-            " FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id"
-            " ORDER BY rrf_score DESC, doc_id LIMIT 10"
-        ),
-        # shared shingle/pair pipeline for the two n-gram entries below:
-        # DuckDB list slice w[i:i+2] is 1-based INCLUSIVE == F.slice(w, i, 3);
-        # generate_series is end-inclusive; list comprehension + list_distinct
-        # mirrors word_shingles() exactly
-        "ngram_jaccard": (
-            "WITH docs AS (SELECT doc_id,"
-            " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"
-            " FROM documents WHERE doc_id < 200),"
-            " sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')"
-            "   FOR i IN generate_series(1, greatest(len(w)-2, 1))]) AS grams FROM docs),"
-            " sizes AS (SELECT doc_id, len(grams) AS n_grams FROM sh),"
-            " ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),"
-            " cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared"
-            "   FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)"
-            " SELECT doc_a, doc_b, n_shared,"
-            " round(n_shared * 1.0 / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard"
-            " FROM cand JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b"
-            " WHERE round(n_shared * 1.0 / (sa.n_grams + sb.n_grams - n_shared), 6) >= 0.15"
-            " ORDER BY doc_a, doc_b"
-        ),
-        "media_features": (
-            "SELECT doc_id AS media_id, 'image' AS kind,"
-            " CAST(octet_length(encode(text)) AS INT) AS n_bytes,"
-            " sha256(text) AS content_sha,"
-            " round(('0x' || substr(sha256(text), 1, 2))::INT / 255.0, 6)"
-            "   AS f0"
-            " FROM documents ORDER BY media_id"
-        ),
-        "media_near_dup": (
-            # features re-derived from the payload sha256 (the stub
-            # decoder's contract), dim-8 planes inlined, full
-            # bucket + cosine replay
-            "WITH planes AS (SELECT * FROM (VALUES "
-            + _plane_values(4, [42 + t for t in range(4)], dim=8)
-            + ") AS t(tbl, i, p)),"
-            " vecs AS (SELECT doc_id AS vec_id, ["
-            + ", ".join(
-                f"('0x' || substr(sha256(text), {i * 2 + 1}, 2))::INT / 255.0"
-                for i in range(8)
-            )
-            + " ]::DOUBLE[] AS v FROM documents),"
-            " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
-            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
-            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
-            " cand AS (SELECT DISTINCT a.vec_id AS media_a, b.vec_id AS media_b"
-            "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl"
-            "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"
-            " verified AS (SELECT media_a, media_b,"
-            "   round(list_dot_product(va.v, vb.v) /"
-            "     (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),"
-            "     6) AS cosine"
-            "   FROM cand JOIN vecs va ON va.vec_id = cand.media_a"
-            "   JOIN vecs vb ON vb.vec_id = cand.media_b)"
-            " SELECT media_a, media_b, cosine FROM verified"
-            " WHERE cosine >= 0.995 ORDER BY media_a, media_b"
-        ),
-        "knn_join_lsh": (
-            "WITH planes AS (SELECT * FROM (VALUES "
-            + _plane_values(4, [42 + t for t in range(8)])
-            + ") AS t(tbl, i, p)),"
-            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-            " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
-            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
-            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
-            " cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id"
-            "   FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket"
-            "   AND q.vec_id <> c.vec_id WHERE q.vec_id < 5),"
-            " scored AS (SELECT query_id, neighbor_id,"
-            "   round(list_dot_product(a.v, b.v) /"
-            "     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),"
-            "     6) AS cosine"
-            "   FROM cand JOIN vecs a ON a.vec_id = cand.query_id"
-            "   JOIN vecs b ON b.vec_id = cand.neighbor_id),"
-            " ranked AS (SELECT query_id, neighbor_id, cosine, CAST(row_number()"
-            "   OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)"
-            "   AS INT) AS rank FROM scored)"
-            " SELECT query_id, neighbor_id, cosine, rank FROM ranked"
-            " WHERE rank <= 4 ORDER BY query_id, rank"
-        ),
-        "hll_rollup": (
-            # the oracle pins the exact counts and asserts the merged
-            # sketch landed inside tolerance (TRUE for every group)
-            "SELECT event_type, count(DISTINCT user_id) AS n_exact,"
-            " true AS sketch_ok"
-            " FROM events GROUP BY event_type ORDER BY event_type"
-        ),
-        "lsh_topk_multiprobe": (
-            "WITH planes AS (SELECT * FROM (VALUES "
-            + _plane_values(4, [42])
-            + ") AS t(tbl, i, p)),"
-            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-            " q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),"
-            " buckets AS (SELECT vec_id, v, CAST(sum(CASE WHEN"
-            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
-            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v),"
-            " qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0)"
-            " SELECT vec_id, round(list_dot_product(v, qv) /"
-            "   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
-            "   AS cosine"
-            " FROM buckets, q, qb"
-            " WHERE bucket = qbucket OR xor(bucket, qbucket) IN (1, 2, 4, 8)"
-            " ORDER BY cosine DESC, vec_id LIMIT 10"
-        ),
-        "ivf_assign": (
-            "WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-            "   FROM embeddings),"
-            " nv AS (SELECT vec_id, list_transform(v,"
-            "   x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn"
-            "   FROM vecs),"
-            " cents AS (SELECT vec_id AS cid, vn AS cn FROM nv WHERE vec_id < 8),"
-            " scored AS (SELECT a.vec_id, c.cid, row_number() OVER ("
-            "   PARTITION BY a.vec_id"
-            "   ORDER BY list_dot_product(a.vn, c.cn) DESC, c.cid) AS rn"
-            "   FROM nv a CROSS JOIN cents c)"
-            " SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM scored"
-            " WHERE rn = 1 ORDER BY vec_id"
-        ),
-        "ivf_topk_fixed": (
-            # full IVF search replay: normalized fixed centroids, the
-            # top-3 probe selection, every per-vector argmax
-            # assignment, candidate pruning, exact cosine top-10
-            "WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-            "   FROM embeddings),"
-            " nv AS (SELECT vec_id, v, list_transform(v,"
-            "   x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn"
-            "   FROM vecs),"
-            " cents AS (SELECT vec_id AS cid, vn AS cn FROM nv WHERE vec_id < 8),"
-            " q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),"
-            " probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER ("
-            "   ORDER BY list_dot_product(c.cn, q.qv) DESC, c.cid) AS rn"
-            "   FROM cents c CROSS JOIN q) WHERE rn <= 3),"
-            " assigned AS (SELECT vec_id, cid FROM (SELECT a.vec_id, c.cid,"
-            "   row_number() OVER (PARTITION BY a.vec_id"
-            "   ORDER BY list_dot_product(a.vn, c.cn) DESC, c.cid) AS rn"
-            "   FROM nv a CROSS JOIN cents c) WHERE rn = 1),"
-            " cand AS (SELECT n.vec_id, n.v FROM nv n"
-            "   JOIN assigned s ON n.vec_id = s.vec_id"
-            "   JOIN probe p ON s.cid = p.cid)"
-            " SELECT vec_id, round(list_dot_product(v, qv) /"
-            "   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
-            "   AS cosine"
-            " FROM cand CROSS JOIN q"
-            " ORDER BY cosine DESC, vec_id LIMIT 10"
-        ),
-        "lsh_topk": (
-            "WITH planes AS (SELECT * FROM (VALUES "
-            + _plane_values(4, [42])
-            + ") AS t(tbl, i, p)),"
-            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-            " q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),"
-            " buckets AS (SELECT vec_id, v, CAST(sum(CASE WHEN"
-            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
-            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v),"
-            " qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0)"
-            " SELECT vec_id, round(list_dot_product(v, qv) /"
-            "   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
-            "   AS cosine"
-            " FROM buckets, q, qb WHERE bucket = qbucket"
-            " ORDER BY cosine DESC, vec_id LIMIT 10"
-        ),
-        "embedding_near_dup": (
-            "WITH planes AS (SELECT * FROM (VALUES "
-            + _plane_values(4, [42 + t for t in range(8)])
-            + ") AS t(tbl, i, p)),"
-            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-            " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
-            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
-            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
-            " cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
-            "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl"
-            "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"
-            " verified AS (SELECT vec_a, vec_b,"
-            "   round(list_dot_product(va.v, vb.v) /"
-            "     (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),"
-            "     6) AS cosine"
-            "   FROM cand JOIN vecs va ON va.vec_id = cand.vec_a"
-            "   JOIN vecs vb ON vb.vec_id = cand.vec_b)"
-            " SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= 0.4"
-            " ORDER BY vec_a, vec_b"
-        ),
-        "embedding_dup_clusters": (
-            "WITH RECURSIVE planes AS (SELECT * FROM (VALUES "
-            + _plane_values(6, [42 + t for t in range(8)])
-            + ") AS t(tbl, i, p)),"
-            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-            " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
-            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
-            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
-            " cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
-            "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl"
-            "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"
-            " pairs AS (SELECT vec_a, vec_b"
-            "   FROM cand JOIN vecs va ON va.vec_id = cand.vec_a"
-            "   JOIN vecs vb ON vb.vec_id = cand.vec_b"
-            "   WHERE round(list_dot_product(va.v, vb.v) /"
-            "     (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),"
-            "     6) >= 0.4),"
-            " sym AS (SELECT vec_a AS u, vec_b AS v FROM pairs"
-            "   UNION SELECT vec_b, vec_a FROM pairs),"
-            " reach AS (SELECT u AS node, u AS label FROM sym"
-            "   UNION SELECT s.u AS node, r.label FROM sym s JOIN reach r ON r.node = s.v),"
-            " labels AS (SELECT node, min(label) AS component FROM reach GROUP BY node)"
-            " SELECT component, count(*) AS cluster_size, min(node) AS representative"
-            " FROM labels GROUP BY component ORDER BY component"
-        ),
-        "simhash_buckets": (
-            "WITH docs AS (SELECT doc_id,"
-            " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"
-            " FROM documents),"
-            " th AS (SELECT doc_id, list_transform(w,"
-            "   t -> ('0x' || substr(md5(t),1,8))::BIGINT % 2147483647) AS ht FROM docs),"
-            " hv AS (SELECT doc_id, list_distinct(["
-            "   list_reduce(list_prepend(0::BIGINT, ht[i:i+1]),"
-            "     (a, x) -> ((a*1000003) % 2147483647 + x) % 2147483647)"
-            "   FOR i IN generate_series(1, greatest(len(ht)-1, 1))]) AS h FROM th),"
-            " sig AS (SELECT doc_id, CAST(list_sum([CASE WHEN"
-            "   list_sum(list_transform(h, x -> CASE WHEN (x >> b) & 1 = 1"
-            "     THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END"
-            "   FOR b IN generate_series(0, 23)]) AS BIGINT) AS s FROM hv),"
-            " ranked AS (SELECT doc_id, s >> 12 AS bucket,"
-            "   row_number() OVER (PARTITION BY (s >> 12) ORDER BY doc_id) AS rn"
-            "   FROM sig)"
-            " SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,"
-            "   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)"
-            "     FILTER (WHERE rn <= 100) AS doc_ids_csv"
-            " FROM ranked GROUP BY bucket HAVING count(*) > 1 ORDER BY bucket"
-        ),
-        "hash_split": (
-            # boundaries accumulate the same way hash_split does
-            # (0.8, then 0.8 + 0.1) so the double literals are identical
-            f"WITH u AS (SELECT n_chars,"
-            f" ('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 13))::BIGINT"
-            f" / 4503599627370496.0 AS u FROM documents),"
-            f" labeled AS (SELECT n_chars, CASE WHEN u < {0.8!r} THEN 'train'"
-            f" WHEN u < {0.8 + 0.1!r} THEN 'val' ELSE 'test' END AS split FROM u)"
-            f" SELECT split, CAST(count(*) AS BIGINT) AS n_docs,"
-            f" CAST(sum(n_chars) AS BIGINT) AS total_chars"
-            f" FROM labeled GROUP BY split ORDER BY split"
-        ),
-        "minhash_near_dup": (
-            "WITH " + _minhash_pairs_cte(0.4)
-            + " SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b"
-        ),
-        "split_leakage": (
-            "WITH " + _minhash_pairs_cte(0.4)
-            + ", sp AS (SELECT doc_id, CASE"
-            f" WHEN u < {0.8!r} THEN 'train'"
-            f" WHEN u < {0.8 + 0.1!r} THEN 'val' ELSE 'test' END AS split FROM ("
-            " SELECT doc_id,"
-            " ('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 13))::BIGINT"
-            " / 4503599627370496.0 AS u FROM documents))"
-            " SELECT doc_a, doc_b, jaccard, a.split AS split_a, b.split AS split_b"
-            " FROM mh_pairs JOIN sp a ON a.doc_id = doc_a"
-            " JOIN sp b ON b.doc_id = doc_b"
-            " WHERE a.split <> b.split ORDER BY doc_a, doc_b"
-        ),
-        "incremental_near_dup": (
-            "WITH " + _minhash_pairs_cte(0.4)
-            + " SELECT CASE WHEN doc_b % 10 = 7 THEN doc_b ELSE doc_a END AS new_id,"
-            " CASE WHEN doc_b % 10 = 7 THEN doc_a ELSE doc_b END AS dup_id,"
-            " jaccard FROM mh_pairs"
-            " WHERE doc_a % 10 = 7 OR doc_b % 10 = 7"
-            " ORDER BY new_id, dup_id"
-        ),
-        "waiting_suppliers": (
-            "WITH lo AS (SELECT l.l_orderkey, l.l_suppkey,"
-            "  l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late"
-            "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
-            "  WHERE o.o_orderstatus = 'F'),"
-            " per_order AS (SELECT l_orderkey,"
-            "  count(DISTINCT l_suppkey) AS n_supps,"
-            "  count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,"
-            "  max(CASE WHEN late THEN l_suppkey END) AS late_supp"
-            "  FROM lo GROUP BY l_orderkey),"
-            " waits AS (SELECT late_supp, CAST(count(*) AS BIGINT) AS numwait"
-            "  FROM per_order WHERE n_supps >= 2 AND n_late = 1"
-            "  GROUP BY late_supp)"
-            " SELECT s.s_name, w.numwait FROM waits w"
-            " JOIN supplier s ON w.late_supp = s.s_suppkey"
-            " ORDER BY w.numwait DESC, s.s_name LIMIT 20"
-        ),
-        "forecast_backtest": (
-            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
-            "  round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1),"
-            " d AS (SELECT day, rev,"
-            "  row_number() OVER (ORDER BY day) AS i,"
-            "  lag(rev, 7) OVER (ORDER BY day) AS sn FROM daily),"
-            " s AS (SELECT max(i) AS n FROM d),"
-            " d2 AS (SELECT d.*, s.n - 7 AS cutoff FROM d CROSS JOIN s),"
-            " nv AS (SELECT max(rev) AS naive_f FROM d2 WHERE i = cutoff),"
-            " dn AS (SELECT sum(abs(rev - sn)) / count(*) AS mase_denom"
-            "  FROM d2 WHERE i > 7 AND i <= cutoff),"
-            " test AS (SELECT d2.rev, d2.sn, nv.naive_f, dn.mase_denom"
-            "  FROM d2 CROSS JOIN nv CROSS JOIN dn WHERE d2.i > d2.cutoff),"
-            " arms AS ("
-            "  SELECT 'naive' AS model, rev, naive_f AS f, mase_denom FROM test"
-            "  UNION ALL"
-            "  SELECT 'seasonal_naive', rev, sn, mase_denom FROM test)"
-            " SELECT model, CAST(count(*) AS BIGINT) AS n_days,"
-            "  round(sum(abs(f - rev)) / count(*) + 1e-9, 4) AS mae,"
-            "  round(sum(2.0 * abs(f - rev) / (abs(f) + abs(rev)))"
-            "   / count(*) + 1e-9, 4) AS smape,"
-            "  round((sum(abs(f - rev)) / count(*)) / max(mase_denom)"
-            "   + 1e-9, 4) AS mase"
-            " FROM arms GROUP BY model ORDER BY model"
-        ),
-        "window_novelty": (
-            "WITH t AS (SELECT doc_id AS doc,"
-            "  string_split_regex(trim(text), '\\s+') AS toks FROM documents),"
-            " win AS (SELECT doc, i AS pos,"
-            "  ('0x' || substr(md5(array_to_string("
-            "    toks[i + 1 : i + 8], ' ')), 1, 8))::BIGINT"
-            "    % 2147483647 AS wh"
-            "  FROM t, LATERAL (SELECT unnest(generate_series(0,"
-            "   len(toks) - 8)) AS i) g WHERE len(toks) >= 8),"
-            " sh AS (SELECT wh FROM win GROUP BY wh"
-            "  HAVING count(DISTINCT doc) > 1),"
-            " per AS (SELECT w.doc, CAST(count(*) AS BIGINT) AS n_windows,"
-            "  CAST(count(s.wh) AS BIGINT) AS n_shared"
-            "  FROM win w LEFT JOIN sh s ON s.wh = w.wh GROUP BY w.doc)"
-            " SELECT t.doc AS doc_id,"
-            "  CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,"
-            "  CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,"
-            "  round(1.0 - coalesce(p.n_shared, 0)"
-            "   / greatest(coalesce(p.n_windows, 0), 1) + 1e-9, 6) AS novelty"
-            " FROM t LEFT JOIN per p ON p.doc = t.doc ORDER BY doc_id"
-        ),
-        "cluster_weighted_sample": (
-            "WITH RECURSIVE " + _minhash_pairs_cte(0.4)
-            + ", sym AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs"
-            "   UNION SELECT doc_b, doc_a FROM mh_pairs),"
-            " reach AS (SELECT u AS node, u AS label FROM sym"
-            "   UNION SELECT s.u AS node, r.label FROM sym s"
-            "    JOIN reach r ON r.node = s.v),"
-            " comp AS (SELECT node, min(label) AS component FROM reach"
-            "   GROUP BY node),"
-            " sizes AS (SELECT component, count(*) AS csize FROM comp"
-            "   GROUP BY component),"
-            " wt AS (SELECT d.doc_id,"
-            "   CAST(coalesce(s.csize, 1) AS BIGINT) AS csize,"
-            "   1.0 / coalesce(s.csize, 1) AS w"
-            "  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
-            "  LEFT JOIN sizes s ON s.component = c.component),"
-            " keyed AS (SELECT doc_id, csize,"
-            "   CASE WHEN w > 0 THEN"
-            "    ln(('0x' || substr(md5('softdedup-v1:' || doc_id::VARCHAR), 1, 13))::BIGINT"
-            "       / 4503599627370496.0) / w"
-            "   ELSE -1e308 END AS k FROM wt),"
-            " picked AS (SELECT doc_id FROM keyed"
-            "   ORDER BY k DESC, doc_id LIMIT 150)"
-            " SELECT w.csize AS cluster_size,"
-            "  CAST(count(*) AS BIGINT) AS n_candidates,"
-            "  CAST(count(p.doc_id) AS BIGINT) AS n_selected,"
-            "  round(count(p.doc_id) * 1.0 / count(*) + 1e-9, 6)"
-            "   AS selection_rate"
-            " FROM wt w LEFT JOIN picked p ON p.doc_id = w.doc_id"
-            " GROUP BY w.csize ORDER BY cluster_size"
-        ),
-        "unimax_sample": (
-            "WITH tok AS (SELECT doc_id, lang,"
-            "  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok"
-            "  FROM documents),"
-            " caps AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS cap"
-            "  FROM tok GROUP BY lang),"
-            " ordered AS (SELECT lang, cap,"
-            "  row_number() OVER (ORDER BY cap, lang) AS i,"
-            "  count(*) OVER () AS n,"
-            "  coalesce(sum(cap) OVER (ORDER BY cap, lang"
-            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx"
-            "  FROM caps),"
-            " lv AS (SELECT arg_min((20000.0 - pfx) / (n - i + 1), i) AS level"
-            "  FROM ordered WHERE (20000.0 - pfx) / (n - i + 1) < cap),"
-            " alloc AS (SELECT lang, cap,"
-            "  CASE WHEN lv.level IS NULL THEN CAST(cap AS DOUBLE)"
-            "   ELSE least(CAST(cap AS DOUBLE), lv.level) END AS alloc"
-            "  FROM ordered CROSS JOIN lv),"
-            " sel AS (SELECT t.doc_id, t.lang, t.n_tok,"
-            "  sum(t.n_tok) OVER (PARTITION BY t.lang"
-            "   ORDER BY md5('unimax-v1:' || t.doc_id::VARCHAR), t.doc_id"
-            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
-            "  FROM tok t),"
-            " kept AS (SELECT s.lang, s.n_tok FROM sel s"
-            "  JOIN alloc a ON a.lang = s.lang WHERE s.cum <= a.alloc)"
-            " SELECT a.lang, a.cap AS cap_tokens,"
-            "  round(a.alloc + 1e-9, 4) AS alloc_tokens,"
-            "  CAST(coalesce(count(k.n_tok), 0) AS BIGINT) AS n_docs,"
-            "  CAST(coalesce(sum(k.n_tok), 0) AS BIGINT) AS sel_tokens"
-            " FROM alloc a LEFT JOIN kept k ON k.lang = a.lang"
-            " GROUP BY a.lang, a.cap, a.alloc ORDER BY a.lang"
-        ),
-        "dedup_passages_global": (
-            "WITH t AS (SELECT doc_id,"
-            " regexp_split_to_array(trim(text), '\\s+') AS toks"
-            " FROM documents WHERE trim(text) <> ''),"
-            " c AS (SELECT doc_id, i AS pos,"
-            "  array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10),"
-            "   ' ') AS passage"
-            "  FROM t, LATERAL (SELECT unnest(generate_series(0,"
-            "   CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS i) g),"
-            " w AS (SELECT passage, min({'d': doc_id, 'p': pos}) AS win"
-            "  FROM c GROUP BY passage),"
-            " f AS (SELECT c.doc_id, c.pos, c.passage,"
-            "  (c.doc_id = (w.win).d AND c.pos = (w.win).p) AS keep"
-            "  FROM c JOIN w ON c.passage = w.passage)"
-            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,"
-            " CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,"
-            " CAST(length(coalesce(string_agg(passage, ' ' ORDER BY pos)"
-            "  FILTER (WHERE keep), '')) AS BIGINT) AS n_chars_clean,"
-            " md5(coalesce(string_agg(passage, ' ' ORDER BY pos)"
-            "  FILTER (WHERE keep), '')) AS clean_sha"
-            " FROM f GROUP BY doc_id ORDER BY doc_id"
-        ),
-        "es_search_after_page": (
-            "SELECT CAST(event_id AS BIGINT) AS doc_id,"
-            " event_type AS index_id, CAST(ts AS TIMESTAMP) AS ts,"
-            " CAST(user_id AS BIGINT) AS user_id"
-            " FROM events WHERE event_id % 20 = 0 AND ("
-            f"  CAST(ts AS TIMESTAMP) > TIMESTAMP '{CHECKPOINT}'"
-            f"  OR (CAST(ts AS TIMESTAMP) = TIMESTAMP '{CHECKPOINT}'"
-            "      AND CAST(event_id AS VARCHAR) > '0'))"
-            " ORDER BY CAST(ts AS TIMESTAMP), CAST(event_id AS VARCHAR)"
-            " LIMIT 200"
-        ),
-        "scrub_shared_spans": (
-            "WITH " + _shared_spans_cte()
-            + ", iv AS (SELECT doc_b AS doc, CAST(start_b AS BIGINT) AS s,"
-            "   CAST(start_b + span_tokens AS BIGINT) AS e FROM spans),"
-            " marked AS (SELECT doc, s, e, max(e) OVER (PARTITION BY doc"
-            "   ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-            "   AS pm FROM iv),"
-            " gi AS (SELECT doc, s, e,"
-            "   sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)"
-            "    OVER (PARTITION BY doc ORDER BY s, e"
-            "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid"
-            "  FROM marked),"
-            " merged AS (SELECT doc, min(s) AS s, max(e) AS e FROM gi"
-            "   GROUP BY doc, gid),"
-            " ivs AS (SELECT doc, list({'s': s, 'e': e} ORDER BY s, e) AS ivl"
-            "   FROM merged GROUP BY doc),"
-            " cleaned AS (SELECT t.doc, len(t.toks) AS n_before,"
-            "   CASE WHEN ivs.ivl IS NULL THEN t.toks"
-            "    ELSE [t.toks[i] FOR i IN generate_series(1, len(t.toks))"
-            "          IF len(list_filter(ivs.ivl,"
-            "            iv -> (i-1) >= iv.s AND (i-1) < iv.e)) = 0]"
-            "   END AS kept,"
-            "   coalesce(len(ivs.ivl), 0) AS n_spans"
-            "  FROM t LEFT JOIN ivs ON ivs.doc = t.doc)"
-            " SELECT doc AS doc_id, CAST(n_before AS BIGINT) AS n_tokens_before,"
-            "  CAST(len(kept) AS BIGINT) AS n_tokens_after,"
-            "  CAST(n_spans AS BIGINT) AS n_spans_removed,"
-            "  coalesce(array_to_string(kept, ' '), '') AS clean_text"
-            " FROM cleaned ORDER BY doc_id"
-        ),
-        "kn_bigram_score": _kn_scores_sql() + " ORDER BY doc_id",
-        "trimmed_stats": (
-            "WITH ranked AS (SELECT l_returnflag, l_extendedprice,"
-            "  row_number() OVER (PARTITION BY l_returnflag"
-            "   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,"
-            "  count(*) OVER (PARTITION BY l_returnflag) AS n"
-            "  FROM lineitem),"
-            " kept AS (SELECT * FROM ranked"
-            "  WHERE rk > CAST(floor(0.1 * n) AS BIGINT)"
-            "   AND rk <= n - CAST(floor(0.1 * n) AS BIGINT))"
-            " SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,"
-            "  round(min(l_extendedprice), 2) AS trimmed_min,"
-            "  round(max(l_extendedprice), 2) AS trimmed_max,"
-            "  round(round(sum(l_extendedprice), 2) / count(*) + 1e-9, 4)"
-            "   AS trimmed_mean"
-            " FROM kept GROUP BY l_returnflag ORDER BY l_returnflag"
-        ),
-        "containment_pairs": (
-            "WITH docs AS (SELECT doc_id,"
-            " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
-            "  AS w FROM documents),"
-            " th AS (SELECT doc_id, list_transform(w,"
-            "   t -> ('0x' || substr(md5(t),1,8))::BIGINT % 2147483647) AS ht"
-            "  FROM docs),"
-            " hv AS (SELECT doc_id, list_distinct(["
-            "   list_reduce(list_prepend(0::BIGINT, ht[i:i+2]),"
-            "     (a, x) -> ((a*1000003) % 2147483647 + x) % 2147483647)"
-            "   FOR i IN generate_series(1, greatest(len(ht)-2, 1))]) AS h FROM th),"
-            " ex AS (SELECT doc_id AS doc, unnest(h) AS s FROM hv),"
-            " dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY s),"
-            " pre AS (SELECT e.doc, e.s, row_number() OVER ("
-            "   PARTITION BY e.doc ORDER BY d.df, e.s) AS rn"
-            "  FROM ex e JOIN dfc d USING (s)),"
-            " pl AS (SELECT doc_id AS doc,"
-            "   CAST(floor((1.0 - 0.6) * len(h)) + 1 AS INT) AS plen FROM hv),"
-            " cand AS (SELECT DISTINCT p.doc AS doc_a, b.doc AS doc_b"
-            "  FROM pre p JOIN pl ON pl.doc = p.doc"
-            "  JOIN ex b ON b.s = p.s AND b.doc <> p.doc"
-            "  WHERE p.rn <= pl.plen),"
-            " ver AS (SELECT doc_a, doc_b,"
-            "  round(len(list_intersect(ha.h, hb.h))"
-            "   / greatest(len(ha.h), 1) + 1e-9, 6) AS containment"
-            "  FROM cand JOIN hv ha ON ha.doc_id = doc_a"
-            "  JOIN hv hb ON hb.doc_id = doc_b)"
-            " SELECT doc_a AS contained_id, doc_b AS container_id, containment"
-            " FROM ver WHERE containment >= 0.6"
-            " ORDER BY contained_id, container_id"
-        ),
-        "ql_search": (
-            "WITH feat AS (SELECT doc_id,"
-            " len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS doclen,"
-            " len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
-            "   x -> x = 'spark')) AS tf_0,"
-            " len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
-            "   x -> x = 'merge')) AS tf_1,"
-            " len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
-            "   x -> x = 'window')) AS tf_2"
-            " FROM documents),"
-            " stats AS (SELECT CAST(sum(doclen) AS DOUBLE) AS c_total,"
-            "  CAST(sum(tf_0) AS DOUBLE) AS cf_0,"
-            "  CAST(sum(tf_1) AS DOUBLE) AS cf_1,"
-            "  CAST(sum(tf_2) AS DOUBLE) AS cf_2 FROM feat)"
-            " SELECT doc_id, CAST(doclen AS BIGINT) AS doclen,"
-            "  round(0.0"
-            "   + ln((tf_0 + 2000.0 * (cf_0 / c_total)) / (doclen + 2000.0))"
-            "   + ln((tf_1 + 2000.0 * (cf_1 / c_total)) / (doclen + 2000.0))"
-            "   + ln((tf_2 + 2000.0 * (cf_2 / c_total)) / (doclen + 2000.0))"
-            "   + 1e-9, 6) AS ql"
-            " FROM feat CROSS JOIN stats"
-            " ORDER BY ql DESC, doc_id LIMIT 10"
-        ),
-        "difficulty_stratified_eval": (
-            "WITH s AS (SELECT * FROM (" + _kn_scores_sql() + ")),"
-            " r AS (SELECT doc_id, kn_cross_entropy,"
-            "  ntile(4) OVER (ORDER BY kn_cross_entropy, doc_id) AS quartile"
-            "  FROM s),"
-            " c AS (SELECT r.*, d.lang FROM r JOIN documents d USING (doc_id)),"
-            " sel AS (SELECT c.*, row_number() OVER ("
-            "  PARTITION BY lang, quartile"
-            "  ORDER BY md5('evalsel-v1:' || doc_id::VARCHAR), doc_id) AS rn"
-            "  FROM c)"
-            " SELECT lang, CAST(quartile AS INT) AS quartile,"
-            "  CAST(count(*) AS BIGINT) AS n_pool,"
-            "  CAST(count(*) FILTER (WHERE rn <= 5) AS BIGINT) AS n_selected,"
-            "  round(coalesce(sum(kn_cross_entropy) FILTER (WHERE rn <= 5)"
-            "   / nullif(count(*) FILTER (WHERE rn <= 5), 0), 0.0) + 1e-9, 4)"
-            "   AS avg_ce_selected"
-            " FROM sel GROUP BY lang, quartile ORDER BY lang, quartile"
-        ),
-        "time_travel_diff": (
-            # v1 = full orders table; v2 = keys%7!=0 with %5==0 repriced —
-            # replay the classification straight off the raw table
-            "WITH e AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),"
-            " i AS (SELECT o_orderkey AS k,"
-            "   CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice + 1, 2)"
-            "    ELSE o_totalprice END AS p"
-            "   FROM orders WHERE o_orderkey % 7 <> 0),"
-            " c AS (SELECT CASE"
-            "   WHEN e.k IS NULL THEN 'insert'"
-            "   WHEN i.k IS NULL THEN 'delete'"
-            "   WHEN e.p <> i.p THEN 'update'"
-            "   ELSE 'unchanged' END AS change_type"
-            "  FROM e FULL OUTER JOIN i ON e.k = i.k)"
-            " SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys"
-            " FROM c GROUP BY change_type ORDER BY change_type"
-        ),
-        "leakage_safe_folds": (
-            "WITH RECURSIVE " + _minhash_pairs_cte(0.4)
-            + ", sym AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs"
-            "   UNION SELECT doc_b, doc_a FROM mh_pairs),"
-            " reach AS (SELECT u AS node, u AS label FROM sym"
-            "   UNION SELECT s.u AS node, r.label FROM sym s JOIN reach r ON r.node = s.v),"
-            " comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),"
-            " asg AS (SELECT d.doc_id,"
-            "   coalesce(c.component, d.doc_id) AS grp, d.n_chars"
-            "   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),"
-            " fld AS (SELECT doc_id, grp, n_chars,"
-            "   ('0x' || substr(md5('groupfold-v1:' || grp::VARCHAR), 1, 8))::BIGINT % 5"
-            "    AS fold FROM asg),"
-            " leaks AS (SELECT f AS fold, CAST(count(*) AS BIGINT) AS n FROM ("
-            "   SELECT fa.fold AS f FROM mh_pairs p"
-            "    JOIN fld fa ON fa.doc_id = p.doc_a"
-            "    JOIN fld fb ON fb.doc_id = p.doc_b WHERE fa.fold <> fb.fold"
-            "   UNION ALL SELECT fb.fold FROM mh_pairs p"
-            "    JOIN fld fa ON fa.doc_id = p.doc_a"
-            "    JOIN fld fb ON fb.doc_id = p.doc_b WHERE fa.fold <> fb.fold)"
-            "  GROUP BY f)"
-            " SELECT f.fold, CAST(count(*) AS BIGINT) AS n_docs,"
-            "  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,"
-            "  CAST(sum(n_chars) AS BIGINT) AS n_chars,"
-            "  coalesce(any_value(l.n), 0) AS n_leaky_pairs"
-            " FROM fld f LEFT JOIN leaks l ON l.fold = f.fold"
-            " GROUP BY f.fold ORDER BY f.fold"
-        ),
-        "bucketed_join": (
-            "SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,"
-            " round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue"
-            " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
-            " GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
-        ),
-        "streaming_admission_replay": (
-            "WITH " + _minhash_pairs_cte(0.4)
-            + ", sym AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs"
-            "   UNION ALL SELECT doc_b, doc_a FROM mh_pairs),"
-            " p AS (SELECT doc_id, doc_id % 3 AS poll, n_chars FROM documents),"
-            " adm0 AS (SELECT d.doc_id, d.n_chars FROM p d WHERE d.poll = 0"
-            "   AND NOT EXISTS (SELECT 1 FROM sym s JOIN p x ON x.doc_id = s.v"
-            "     WHERE s.u = d.doc_id AND x.poll = 0 AND x.doc_id < d.doc_id)),"
-            " adm1 AS (SELECT d.doc_id, d.n_chars FROM p d WHERE d.poll = 1"
-            "   AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = d.doc_id AND ("
-            "     s.v IN (SELECT doc_id FROM adm0)"
-            "     OR EXISTS (SELECT 1 FROM p x WHERE x.doc_id = s.v"
-            "        AND x.poll = 1 AND x.doc_id < d.doc_id)))),"
-            " adm2 AS (SELECT d.doc_id, d.n_chars FROM p d WHERE d.poll = 2"
-            "   AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = d.doc_id AND ("
-            "     s.v IN (SELECT doc_id FROM adm0)"
-            "     OR s.v IN (SELECT doc_id FROM adm1)"
-            "     OR EXISTS (SELECT 1 FROM p x WHERE x.doc_id = s.v"
-            "        AND x.poll = 2 AND x.doc_id < d.doc_id)))),"
-            " base AS (SELECT poll, CAST(count(*) AS BIGINT) AS n_arrived"
-            "   FROM p GROUP BY poll),"
-            " adm AS ("
-            "  SELECT 0 AS poll, CAST(count(*) AS BIGINT) AS n_admitted,"
-            "   CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS admitted_chars FROM adm0"
-            "  UNION ALL SELECT 1, CAST(count(*) AS BIGINT),"
-            "   CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM adm1"
-            "  UNION ALL SELECT 2, CAST(count(*) AS BIGINT),"
-            "   CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM adm2)"
-            " SELECT CAST(b.poll AS INT) AS poll, b.n_arrived, a.n_admitted,"
-            "  b.n_arrived - a.n_admitted AS n_rejected, a.admitted_chars"
-            " FROM base b JOIN adm a USING (poll) ORDER BY poll"
-        ),
-        "near_dup_clusters": (
-            "WITH RECURSIVE " + _minhash_pairs_cte(0.4)
-            + ", sym AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs"
-            "   UNION SELECT doc_b, doc_a FROM mh_pairs),"
-            " reach AS (SELECT u AS node, u AS label FROM sym"
-            "   UNION SELECT s.u AS node, r.label FROM sym s JOIN reach r ON r.node = s.v)"
-            " SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,"
-            "   min(node) AS keep_doc_id"
-            " FROM (SELECT node, min(label) AS component FROM reach GROUP BY node)"
-            " GROUP BY component ORDER BY component"
-        ),
-        "quality_dedup_survivors": (
-            "WITH RECURSIVE " + _minhash_pairs_cte(0.4)
-            + ", sym AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs"
-            "   UNION SELECT doc_b, doc_a FROM mh_pairs),"
-            " reach AS (SELECT u AS node, u AS label FROM sym"
-            "   UNION SELECT s.u AS node, r.label FROM sym s"
-            "    JOIN reach r ON r.node = s.v),"
-            " comp AS (SELECT node, min(label) AS component FROM reach"
-            "   GROUP BY node),"
-            " etk AS (SELECT doc_id,"
-            "   lower(unnest(string_split(trim(text), ' '))) AS token"
-            "   FROM documents),"
-            " ept AS (SELECT doc_id, token, count(*) AS c FROM etk"
-            "   WHERE length(token) > 0 GROUP BY 1, 2),"
-            " ent AS (SELECT doc_id AS node,"
-            "   round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)"
-            "    AS entropy FROM ept GROUP BY doc_id),"
-            " rk AS (SELECT c.component, c.node, e.entropy,"
-            "   row_number() OVER (PARTITION BY c.component"
-            "    ORDER BY e.entropy DESC, c.node ASC) AS rk"
-            "   FROM comp c JOIN ent e ON e.node = c.node)"
-            " SELECT component, count(*) AS cluster_size,"
-            "  max(CASE WHEN rk = 1 THEN node END) AS keep_doc_id,"
-            "  max(CASE WHEN rk = 1 THEN entropy END) AS keep_entropy"
-            " FROM rk GROUP BY component ORDER BY component"
-        ),
-        "text_dup_components": (
-            "WITH RECURSIVE docs AS (SELECT doc_id,"
-            " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"
-            " FROM documents WHERE doc_id < 200),"
-            " sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')"
-            "   FOR i IN generate_series(1, greatest(len(w)-2, 1))]) AS grams FROM docs),"
-            " sizes AS (SELECT doc_id, len(grams) AS n_grams FROM sh),"
-            " ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),"
-            " cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared"
-            "   FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),"
-            " pairs AS (SELECT doc_a, doc_b FROM cand"
-            "   JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b"
-            "   WHERE round(n_shared * 1.0 / (sa.n_grams + sb.n_grams - n_shared), 6) >= 0.15),"
-            " sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
-            "   UNION SELECT doc_b, doc_a FROM pairs),"
-            " reach AS (SELECT u AS node, u AS label FROM sym"
-            "   UNION SELECT s.u AS node, r.label FROM sym s JOIN reach r ON r.node = s.v)"
-            " SELECT node, min(label) AS component FROM reach GROUP BY node ORDER BY node"
-        ),
-        "label_centroids": (
-            "WITH e AS (SELECT label,"
-            " unnest(generate_series(1, len(embedding))) AS dim1,"
-            " CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
-            " SELECT label, CAST(dim1 - 1 AS INT) AS dim, count(*) AS n_vectors,"
-            " round(round(sum(emb[dim1]), 2) / count(*) + 1e-9, 4) AS centroid"
-            " FROM e GROUP BY 1, 2 ORDER BY 1, 2"
-        ),
-        "cdc_classify": (
-            "WITH e AS (SELECT event_id AS k, value FROM events WHERE event_id % 7 != 0),"
-            " i AS (SELECT event_id AS k,"
-            "   CASE WHEN event_id % 3 = 0 THEN round(value * 2, 2) ELSE value END AS value"
-            "   FROM events WHERE event_id % 5 != 0)"
-            " SELECT CASE WHEN e.k IS NULL THEN 'insert'"
-            "   WHEN i.k IS NULL THEN 'delete'"
-            "   WHEN e.value != i.value THEN 'update'"
-            "   ELSE 'unchanged' END AS change_type,"
-            " count(*) AS n_keys"
-            " FROM e FULL OUTER JOIN i ON e.k = i.k"
-            " GROUP BY 1 ORDER BY 1"
-        ),
-        "important_part_value": (
-            "WITH supp AS (SELECT s_suppkey FROM supplier"
-            "   JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'),"
-            " pv AS (SELECT l_partkey,"
-            "   sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS v"
-            "   FROM lineitem JOIN supp ON l_suppkey = s_suppkey GROUP BY l_partkey),"
-            " tot AS (SELECT sum(v) AS total_v, count(*) AS n_parts FROM pv)"
-            " SELECT l_partkey AS partkey, round(CAST(v AS DOUBLE), 2) AS part_value"
-            " FROM pv, tot WHERE v * n_parts > total_v * 2"
-            " ORDER BY part_value DESC, partkey"
-        ),
-        "scd2_user_state": (
-            "WITH marked AS (SELECT user_id, event_type, ts, event_id,"
-            "   (lag(event_type) OVER w IS NULL"
-            "    OR lag(event_type) OVER w <> event_type) AS chg"
-            "   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
-            " starts AS (SELECT * FROM marked WHERE chg)"
-            " SELECT user_id, event_type AS state, ts AS valid_from,"
-            "  coalesce(lead(ts) OVER w2, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,"
-            "  CAST(row_number() OVER w2 AS INT) AS version"
-            " FROM starts WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"
-            " ORDER BY user_id, version"
-        ),
-        "vocab_with_ids": (
-            "WITH t AS (SELECT lower(unnest(string_split(trim(text), ' '))) AS token"
-            "   FROM documents),"
-            " c AS (SELECT token, count(*) AS cnt FROM t"
-            "   WHERE length(token) > 0 GROUP BY token HAVING count(*) >= 2)"
-            " SELECT token, cnt,"
-            "  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS token_id"
-            " FROM c ORDER BY token_id"
-        ),
-        "incremental_rollup": (
-            # full recompute from scratch — equality with the Spark
-            # side's snapshot+batch merge proves the maintenance math
-            "SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS event_date,"
-            " event_type, count(*) AS n_events,"
-            " round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value"
-            " FROM events GROUP BY 1, 2 ORDER BY event_date, event_type"
-        ),
-        "weighted_sample": (
-            "SELECT doc_id, lang, n_chars FROM ("
-            " SELECT doc_id, lang, n_chars,"
-            "  CASE WHEN n_chars > 0 THEN"
-            "   ln(('0x' || substr(md5('wsample-v1:' || doc_id::VARCHAR), 1, 13))::BIGINT"
-            "      / 4503599627370496.0) / n_chars"
-            "  ELSE -1e308 END AS k"
-            " FROM documents ORDER BY k DESC, doc_id LIMIT 50"
-            ") ORDER BY doc_id"
-        ),
-        "stratified_exact_k": (
-            "WITH r AS (SELECT doc_id, lang,"
-            "  row_number() OVER (PARTITION BY lang"
-            "   ORDER BY md5('exact-k-v1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk"
-            "  FROM documents)"
-            " SELECT doc_id, lang FROM r WHERE rk <= 40 ORDER BY lang, doc_id"
-        ),
-        "token_entropy": (
-            "WITH t AS (SELECT doc_id,"
-            "   lower(unnest(string_split(trim(text), ' '))) AS token FROM documents),"
-            " pt AS (SELECT doc_id, token, count(*) AS c FROM t"
-            "   WHERE length(token) > 0 GROUP BY 1, 2)"
-            " SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,"
-            "  count(*) AS n_distinct,"
-            "  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4) AS entropy"
-            " FROM pt GROUP BY doc_id ORDER BY doc_id"
-        ),
-        "constraint_report": (
-            # one scalar-agg arm per rule, mirroring the single-pass
-            # compiled aggregate; passed derives from the count
-            "WITH v AS ("
-            " SELECT 'accepted_values_o_orderstatus' AS rule,"
-            "  'o_orderstatus' AS \"column\", 'accepted_values' AS kind,"
-            "  sum(CASE WHEN o_orderstatus IS NOT NULL"
-            "   AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)"
-            "   AS n_violations FROM orders"
-            " UNION ALL SELECT 'in_range_o_totalprice', 'o_totalprice',"
-            "  'in_range', sum(CASE WHEN o_totalprice IS NOT NULL AND"
-            "  (o_totalprice < 0 OR o_totalprice > 450000)"
-            "  THEN 1 ELSE 0 END) FROM orders"
-            " UNION ALL SELECT 'matches_o_orderpriority', 'o_orderpriority',"
-            "  'matches', sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT"
-            "  regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END)"
-            "  FROM orders"
-            " UNION ALL SELECT 'not_null_o_custkey', 'o_custkey', 'not_null',"
-            "  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders"
-            " UNION ALL SELECT 'ref_o_custkey', 'o_custkey', 'ref_integrity',"
-            "  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND"
-            "   o_custkey NOT IN (SELECT c_custkey FROM customer))"
-            " UNION ALL SELECT 'unique_o_orderkey', 'o_orderkey', 'unique',"
-            "  count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)"
-            " SELECT rule, \"column\", kind,"
-            " CAST(n_violations AS BIGINT) AS n_violations,"
-            " n_violations = 0 AS passed FROM v ORDER BY rule"
-        ),
-        "bigram_lm": (
-            "WITH toks AS (SELECT doc_id,"
-            "  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
-            "   ' ') AS t FROM documents),"
-            " e AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg"
-            "  FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)"
-            "  WHERE len(t) >= 2),"
-            " bgc AS (SELECT bg, count(*) AS c_bg FROM e GROUP BY bg),"
-            " pfc AS (SELECT w1, count(*) AS c_w1 FROM e GROUP BY w1)"
-            " SELECT doc_id, count(*) AS n_bigrams,"
-            " round(-sum(ln(c_bg) - ln(c_w1)) / count(*) + 1e-9, 4)"
-            "  AS cross_entropy"
-            " FROM e JOIN bgc USING (bg) JOIN pfc USING (w1)"
-            " GROUP BY doc_id ORDER BY doc_id"
-        ),
-        "weighted_discount_udaf": (
-            "SELECT l_returnflag, count(*) AS n_items,"
-            " round(round(sum(l_discount * l_quantity), 2)"
-            "  / round(sum(l_quantity), 2) + 1e-9, 4) AS weighted_avg_discount,"
-            " round(round(sum(l_discount * l_quantity), 2)"
-            "  / round(sum(l_quantity), 2) + 1e-9, 4)"
-            "  AS weighted_avg_discount_expr"
-            " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
-        ),
-        "quantize_embeddings_arrow": (
-            # identical contract to quantize_embeddings (the mapInArrow
-            # twin must reproduce the expression form bit-for-bit at 6dp)
-            "WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,"
-            "  list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))"
-            "   / 127.0 AS s FROM embeddings)"
-            " SELECT vec_id, label, round(s + 1e-12, 8) AS scale,"
-            " CAST(list_min(list_transform(e, v -> round(v / s))) AS INT) AS q_min,"
-            " CAST(list_max(list_transform(e, v -> round(v / s))) AS INT) AS q_max,"
-            " round(list_max(list_transform(e, v -> abs(v - round(v / s) * s)))"
-            "  + 1e-12, 6) AS recon_err"
-            " FROM p ORDER BY vec_id"
-        ),
-        "priority_shipping_mix": (
-            "SELECT l_linestatus,"
-            " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
-            "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
-            " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
-            "  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count"
-            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
-            " GROUP BY l_linestatus ORDER BY l_linestatus"
-        ),
-        "token_budget": (
-            # the naive global window IS the spec; the engine reproduces
-            # it with the two-phase prefix sum
-            "WITH base AS (SELECT doc_id,"
-            "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,"
-            "  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,"
-            "  len(list_filter(string_split_regex(trim(text), '\\s+'),"
-            "      t -> lower(t) IN ('the','a','of','and','to'))) AS n_stop,"
-            "  length(text) AS n_chars FROM documents),"
-            " scored AS (SELECT doc_id, n_tokens,"
-            "  round((CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)"
-            "   + (CASE WHEN n_punct / greatest(n_chars, 1) < 0.1 THEN 0.3 ELSE 0.0 END)"
-            "   + (CASE WHEN n_stop / greatest(n_tokens, 1) > 0.01 THEN 0.3 ELSE 0.0 END), 2)"
-            "   AS quality_score FROM base),"
-            " c AS (SELECT doc_id, quality_score, n_tokens,"
-            "  sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id"
-            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens"
-            "  FROM scored)"
-            " SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens,"
-            " CAST(cum_tokens AS BIGINT) AS cum_tokens"
-            " FROM c WHERE cum_tokens <= 10000 ORDER BY cum_tokens"
-        ),
-        "token_budget_by_source": (
-            # naive per-group window IS the spec; the engine reproduces
-            # it with the grouped two-phase prefix sum
-            "WITH base AS (SELECT doc_id, source,"
-            "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,"
-            "  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,"
-            "  len(list_filter(string_split_regex(trim(text), '\\s+'),"
-            "      t -> lower(t) IN ('the','a','of','and','to'))) AS n_stop,"
-            "  length(text) AS n_chars FROM documents),"
-            " scored AS (SELECT doc_id, source, n_tokens,"
-            "  round((CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)"
-            "   + (CASE WHEN n_punct / greatest(n_chars, 1) < 0.1 THEN 0.3 ELSE 0.0 END)"
-            "   + (CASE WHEN n_stop / greatest(n_tokens, 1) > 0.01 THEN 0.3 ELSE 0.0 END), 2)"
-            "   AS quality_score FROM base),"
-            " c AS (SELECT source, doc_id, quality_score, n_tokens,"
-            "  sum(n_tokens) OVER (PARTITION BY source"
-            "   ORDER BY quality_score DESC, doc_id"
-            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens"
-            "  FROM scored)"
-            " SELECT source, doc_id, quality_score,"
-            " CAST(n_tokens AS BIGINT) AS n_tokens,"
-            " CAST(cum_tokens AS BIGINT) AS cum_tokens"
-            " FROM c WHERE cum_tokens <= 1500 ORDER BY source, cum_tokens"
-        ),
-        "time_weighted_value": (
-            "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,"
-            "  value FROM events),"
-            " g AS (SELECT user_id, value,"
-            "  date_diff('us', ts, lead(ts) OVER ("
-            "   PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS dt FROM o)"
-            " SELECT user_id, count(*) AS n_intervals,"
-            " round(sum(value * dt) / sum(dt) + 1e-9, 4) AS twap,"
-            " round(sum(dt) + 1e-9, 3) AS total_seconds"
-            " FROM g WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id"
-        ),
-        "event_trigrams": (
-            "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,"
-            "  event_type FROM events),"
-            " t AS (SELECT event_type || '>' || lead(event_type, 1) OVER w"
-            "   || '>' || lead(event_type, 2) OVER w AS trigram,"
-            "   lead(event_type, 2) OVER w AS t3"
-            "  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
-            " SELECT trigram, count(*) AS n_occurrences FROM t"
-            " WHERE t3 IS NOT NULL GROUP BY trigram"
-            " ORDER BY n_occurrences DESC, trigram LIMIT 20"
-        ),
-        "cohort_retention": (
-            "WITH uw AS (SELECT DISTINCT user_id,"
-            "  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),"
-            " f AS (SELECT user_id, wk,"
-            "  min(wk) OVER (PARTITION BY user_id) AS cw FROM uw)"
-            " SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,"
-            " CAST(date_diff('day', cw, wk) / 7 AS INTEGER) AS week_offset,"
-            " count(DISTINCT user_id) AS n_users"
-            " FROM f GROUP BY 1, 2 ORDER BY cohort_week, week_offset"
-        ),
-        "table_profile": "\nUNION ALL\n".join(
-            "SELECT '{c}' AS column_name, count(*) AS n_rows,"
-            " CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
-            "  AS n_nulls,"
-            " count(DISTINCT {c}) AS n_distinct,"
-            " CAST(min({c}) AS DOUBLE) AS min_val,"
-            " CAST(max({c}) AS DOUBLE) AS max_val,"
-            " round(round(CAST(sum({c}) AS DOUBLE), 2)"
-            "  / (count(*) - sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END))"
-            "  + 1e-9, 4) AS avg_val"
-            " FROM lineitem".format(c=c)
-            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        )
-        + " ORDER BY column_name",
-        "growth_accounting": (
-            "WITH uw AS (SELECT DISTINCT user_id,"
-            "  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),"
-            " mx AS (SELECT max(wk) AS mxw FROM uw),"
-            " f AS (SELECT user_id, wk,"
-            "  min(wk) OVER (PARTITION BY user_id) AS fw FROM uw),"
-            " act AS (SELECT f.wk AS week,"
-            "  CASE WHEN f.wk = f.fw THEN 'new'"
-            "   WHEN p.user_id IS NOT NULL THEN 'retained'"
-            "   ELSE 'resurrected' END AS status"
-            "  FROM f LEFT JOIN uw p ON p.user_id = f.user_id"
-            "   AND p.wk = f.wk - INTERVAL 7 DAY),"
-            " churn AS (SELECT u.wk + INTERVAL 7 DAY AS week,"
-            "  'churned' AS status FROM uw u, mx"
-            "  WHERE u.wk < mx.mxw AND NOT EXISTS (SELECT 1 FROM uw n"
-            "   WHERE n.user_id = u.user_id"
-            "    AND n.wk = u.wk + INTERVAL 7 DAY)),"
-            " allr AS (SELECT * FROM act UNION ALL SELECT * FROM churn)"
-            " SELECT strftime(week, '%Y-%m-%d') AS week,"
-            " CAST(count(*) FILTER (WHERE status = 'new') AS BIGINT) AS n_new,"
-            " CAST(count(*) FILTER (WHERE status = 'retained') AS BIGINT)"
-            "  AS n_retained,"
-            " CAST(count(*) FILTER (WHERE status = 'resurrected') AS BIGINT)"
-            "  AS n_resurrected,"
-            " CAST(count(*) FILTER (WHERE status = 'churned') AS BIGINT)"
-            "  AS n_churned"
-            " FROM allr GROUP BY 1 ORDER BY 1"
-        ),
-        "drift_psi": (
-            "WITH b AS (SELECT least(CAST(floor(o_totalprice / 50000)"
-            "   AS INT), 9) AS bin,"
-            "  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'ref'"
-            "   ELSE 'cur' END AS period FROM orders),"
-            " pb AS (SELECT bin,"
-            "  count(*) FILTER (WHERE period = 'ref') AS n_ref,"
-            "  count(*) FILTER (WHERE period = 'cur') AS n_cur"
-            "  FROM b GROUP BY bin),"
-            " t AS (SELECT bin, n_ref, n_cur,"
-            "  greatest(CAST(n_ref AS DOUBLE) / CAST(sum(n_ref) OVER ()"
-            "   AS DOUBLE), 1e-6) AS p,"
-            "  greatest(CAST(n_cur AS DOUBLE) / CAST(sum(n_cur) OVER ()"
-            "   AS DOUBLE), 1e-6) AS q FROM pb)"
-            " SELECT bin, n_ref, n_cur,"
-            " round(p + 1e-9, 6) AS ref_share,"
-            " round(q + 1e-9, 6) AS cur_share,"
-            " round((p - q) * ln(p / q) + 1e-9, 6) AS psi_term,"
-            " round(sum((p - q) * ln(p / q)) OVER () + 1e-9, 6) AS psi_total"
-            " FROM t ORDER BY bin"
-        ),
-        "shared_spans": (
-            "WITH " + _shared_spans_cte()
-            + " SELECT doc_a, doc_b, start_a, start_b, span_tokens"
-            " FROM spans ORDER BY doc_a, doc_b, start_a, start_b"
-        ),
-        "temperature_sample": (
-            "WITH c AS (SELECT lang, count(*) AS n_docs FROM documents"
-            "  GROUP BY lang),"
-            " w AS (SELECT lang, n_docs, round(sqrt(n_docs), 6) AS s"
-            "  FROM c),"
-            " d AS (SELECT CAST(sum(s) AS DOUBLE) AS s_total FROM w),"
-            " b AS (SELECT lang, n_docs,"
-            "  CAST(floor(s / s_total * 200 + 0.5) AS INT) AS budget"
-            "  FROM w CROSS JOIN d),"
-            " r AS (SELECT doc_id, lang, row_number() OVER ("
-            "  PARTITION BY lang ORDER BY"
-            "  md5('temp-v1:' || CAST(doc_id AS VARCHAR)), doc_id)"
-            "  AS pick_rank FROM documents)"
-            " SELECT r.doc_id, r.lang, r.pick_rank, b.n_docs, b.budget"
-            " FROM r JOIN b ON b.lang = r.lang"
-            " WHERE r.pick_rank <= b.budget"
-            " ORDER BY r.lang, r.pick_rank"
-        ),
-        "binary_ingest": (
-            # the staged files ARE the doc_id % 10 slice's utf-8 text
-            # bytes, so the oracle aggregates straight from documents
-            "SELECT count(*) AS n_files,"
-            " CAST(sum(octet_length(encode(text))) AS BIGINT)"
-            "  AS total_bytes,"
-            " count(DISTINCT sha256(text)) AS n_distinct_payloads,"
-            " CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,"
-            " CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes"
-            " FROM documents WHERE doc_id % 10 = 0"
-        ),
-        "ab_test": (
-            "WITH pu AS (SELECT user_id,"
-            "  CASE WHEN sum(CASE WHEN event_type = 'purchase'"
-            "   THEN 1 ELSE 0 END) % 3 = 0 THEN 1 ELSE 0 END"
-            "   AS converted FROM events GROUP BY user_id),"
-            " arms AS (SELECT converted, CASE WHEN"
-            "  ('0x' || substr(md5('ab-v1:' || user_id), 1, 13))::BIGINT"
-            "   / 4503599627370496.0 < 0.5 THEN 'A' ELSE 'B' END AS split"
-            "  FROM pu),"
-            " pa AS (SELECT count(*) AS n_a,"
-            "  CAST(sum(converted) AS BIGINT) AS c_a FROM arms"
-            "  WHERE split = 'A'),"
-            " pb AS (SELECT count(*) AS n_b,"
-            "  CAST(sum(converted) AS BIGINT) AS c_b FROM arms"
-            "  WHERE split = 'B'),"
-            " j AS (SELECT * FROM pa CROSS JOIN pb),"
-            " c AS (SELECT *,"
-            "  CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool FROM j),"
-            " zc AS (SELECT *, CASE WHEN p_pool > 0 AND p_pool < 1 THEN"
-            "  (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)"
-            "   / sqrt(p_pool * (1 - p_pool)"
-            "     * (1.0 / n_a + 1.0 / n_b)) ELSE 0.0 END AS z FROM c)"
-            " SELECT n_a, c_a,"
-            " round(CAST(c_a AS DOUBLE) / n_a + 1e-9, 6) AS rate_a,"
-            " n_b, c_b,"
-            " round(CAST(c_b AS DOUBLE) / n_b + 1e-9, 6) AS rate_b,"
-            " round(z + 1e-9, 4) AS z_score,"
-            " abs(round(z + 1e-9, 4)) > 1.96 AS significant"
-            " FROM zc"
-        ),
-        "bigram_pmi": (
-            "WITH d AS (SELECT string_split_regex(trim(text), '\\s+') AS toks"
-            "  FROM documents),"
-            " words AS (SELECT unnest(toks) AS w FROM d),"
-            " uni AS (SELECT w, count(*) AS c FROM words WHERE w <> ''"
-            "  GROUP BY w),"
-            " tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),"
-            " bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram"
-            "  FROM d, LATERAL (SELECT unnest(generate_series(1,"
-            "   len(toks) - 1)) AS i) g WHERE len(toks) >= 2),"
-            " bi AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram"
-            "  HAVING count(*) >= 5),"
-            " parts AS (SELECT bigram, c_ab,"
-            "  string_split(bigram, ' ')[1] AS w1,"
-            "  string_split(bigram, ' ')[2] AS w2 FROM bi)"
-            " SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,"
-            " round(ln(CAST(c_ab AS DOUBLE) * n_tokens /"
-            "  (CAST(ua.c AS DOUBLE) * ub.c)) + 1e-9, 6) AS pmi"
-            " FROM parts JOIN uni ua ON ua.w = parts.w1"
-            " JOIN uni ub ON ub.w = parts.w2 CROSS JOIN tot"
-            " ORDER BY pmi DESC, bigram LIMIT 20"
-        ),
-        "skew_profile": (
-            "WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,"
-            "  count(*) AS n FROM events GROUP BY 1),"
-            " tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,"
-            "  count(*) AS n_keys FROM c),"
-            " top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20)"
-            " SELECT key, n,"
-            " round(CAST(n AS DOUBLE) / total + 1e-9, 6) AS share,"
-            " round(CAST(sum(n) OVER (ORDER BY n DESC, key) AS DOUBLE)"
-            "  / total + 1e-9, 6) AS cum_share,"
-            " round(CAST(n AS DOUBLE) * n_keys / total + 1e-9, 4) AS x_avg"
-            " FROM top CROSS JOIN tot ORDER BY n DESC, key"
-        ),
-        "span_leakage": (
-            # shared spans straddling the deterministic hash split:
-            # composes the span-mining replay with the portable-md5
-            # split membership (same uniform as hash_split)
-            "WITH " + _shared_spans_cte()
-            + ", sp AS (SELECT doc_id, CASE"
-            "  WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 13))::BIGINT"
-            "   / 4503599627370496.0 < 0.8 THEN 'train'"
-            "  WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 13))::BIGINT"
-            "   / 4503599627370496.0 < 0.9 THEN 'val'"
-            "  ELSE 'test' END AS split FROM documents)"
-            " SELECT s.doc_a, s.doc_b,"
-            " sa.split AS split_a, sb.split AS split_b,"
-            " s.start_a, s.start_b, s.span_tokens"
-            " FROM spans s JOIN sp sa ON sa.doc_id = s.doc_a"
-            " JOIN sp sb ON sb.doc_id = s.doc_b"
-            " WHERE sa.split <> sb.split"
-            " ORDER BY s.doc_a, s.doc_b, s.start_a, s.start_b"
-        ),
-        "dedup_threshold_sweep": (
-            "WITH " + _minhash_pairs_cte(0.2) + ","
-            " ph AS (SELECT CAST(floor(jaccard * 10) AS INT) AS bin,"
-            "  count(*) AS n_pairs FROM mh_pairs GROUP BY 1),"
-            " dd AS (SELECT doc, max(jaccard) AS mx FROM ("
-            "  SELECT doc_a AS doc, jaccard FROM mh_pairs"
-            "  UNION ALL SELECT doc_b, jaccard FROM mh_pairs)"
-            "  GROUP BY doc),"
-            " dh AS (SELECT CAST(floor(mx * 10) AS INT) AS bin,"
-            "  count(*) AS n_docs FROM dd GROUP BY 1),"
-            " grid AS (SELECT CAST(t AS DOUBLE) AS threshold FROM (VALUES"
-            "  (0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) v(t)),"
-            " a AS (SELECT threshold,"
-            "  CAST(COALESCE(sum(n_pairs), 0) AS BIGINT) AS n_pairs"
-            "  FROM grid LEFT JOIN ph"
-            "  ON ph.bin >= CAST(round(threshold * 10) AS INT)"
-            "  GROUP BY threshold),"
-            " b AS (SELECT threshold,"
-            "  CAST(COALESCE(sum(n_docs), 0) AS BIGINT) AS n_docs_affected"
-            "  FROM grid LEFT JOIN dh"
-            "  ON dh.bin >= CAST(round(threshold * 10) AS INT)"
-            "  GROUP BY threshold)"
-            " SELECT a.threshold, a.n_pairs, b.n_docs_affected"
-            " FROM a JOIN b USING (threshold) ORDER BY threshold"
-        ),
-        "ks_drift": (
-            "WITH b AS (SELECT least(CAST(floor(o_totalprice / 50000)"
-            "   AS INT), 9) AS bin,"
-            "  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'ref'"
-            "   ELSE 'cur' END AS period FROM orders),"
-            " pb AS (SELECT bin,"
-            "  count(*) FILTER (WHERE period = 'ref') AS n_ref,"
-            "  count(*) FILTER (WHERE period = 'cur') AS n_cur"
-            "  FROM b GROUP BY bin),"
-            " t AS (SELECT bin, n_ref, n_cur,"
-            "  CAST(sum(n_ref) OVER (ORDER BY bin) AS DOUBLE)"
-            "   / CAST(sum(n_ref) OVER () AS DOUBLE) AS cr,"
-            "  CAST(sum(n_cur) OVER (ORDER BY bin) AS DOUBLE)"
-            "   / CAST(sum(n_cur) OVER () AS DOUBLE) AS cc FROM pb)"
-            " SELECT bin, n_ref, n_cur,"
-            " round(cr + 1e-9, 6) AS cum_ref_share,"
-            " round(cc + 1e-9, 6) AS cum_cur_share,"
-            " round(abs(cr - cc) + 1e-9, 6) AS cdf_gap,"
-            " max(round(abs(cr - cc) + 1e-9, 6)) OVER () AS ks_stat"
-            " FROM t ORDER BY bin"
-        ),
-        "scrub_boilerplate": (
-            "WITH t AS (SELECT doc_id,"
-            "  regexp_split_to_array(trim(text), '\\s+') AS toks"
-            "  FROM documents WHERE trim(text) <> ''),"
-            " c AS (SELECT doc_id, i AS pos,"
-            "  array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10),"
-            "   ' ') AS passage"
-            "  FROM t, LATERAL (SELECT unnest(generate_series(0,"
-            "   CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS i) g),"
-            " b AS (SELECT passage FROM c GROUP BY passage"
-            "  HAVING count(DISTINCT doc_id) >= 3),"
-            " f AS (SELECT c.doc_id, c.pos, c.passage,"
-            "  b.passage IS NOT NULL AS is_b"
-            "  FROM c LEFT JOIN b ON c.passage = b.passage)"
-            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,"
-            " CAST(count(*) FILTER (WHERE is_b) AS BIGINT) AS n_dropped,"
-            " length(coalesce(string_agg(passage, ' ' ORDER BY pos)"
-            "  FILTER (WHERE NOT is_b), '')) AS n_chars_clean,"
-            " md5(coalesce(string_agg(passage, ' ' ORDER BY pos)"
-            "  FILTER (WHERE NOT is_b), '')) AS clean_sha"
-            " FROM f GROUP BY doc_id ORDER BY doc_id"
-        ),
-        "sessionize": (
-            "WITH o AS (SELECT user_id, event_id,"
-            "  CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),"
-            " g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR"
-            "  date_diff('second', lag(ts) OVER w, ts) > 1800"
-            "  THEN 1 ELSE 0 END AS brk FROM o"
-            "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
-            " s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id"
-            "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
-            "  AS session_seq FROM g)"
-            " SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,"
-            " min(ts) AS session_start, max(ts) AS session_end,"
-            " count(*) AS n_events,"
-            " CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,"
-            " CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)"
-            "  AS duration_s"
-            " FROM s GROUP BY user_id, session_seq"
-            " ORDER BY user_id, session_seq"
-        ),
-        "source_similarity": (
-            "WITH w AS (SELECT source AS src,"
-            "  unnest(string_split_regex(trim(text), '\\s+')) AS t"
-            "  FROM documents),"
-            " c AS (SELECT src,"
-            "  (('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)"
-            "    % 32 AS b, count(*) AS cnt"
-            "  FROM w WHERE t <> '' GROUP BY 1, 2),"
-            " v0 AS (SELECT src, list(b ORDER BY b) AS bs,"
-            "  list(cnt ORDER BY b) AS cs FROM c GROUP BY src),"
-            " v AS (SELECT src,"
-            "  [CASE WHEN COALESCE(list_position(bs, d), 0) > 0"
-            "   THEN cs[list_position(bs, d)]::DOUBLE ELSE 0.0 END"
-            "   FOR d IN generate_series(0, 31)] AS vec FROM v0)"
-            " SELECT a.src AS src_a, b.src AS src_b,"
-            " round(list_dot_product(a.vec, b.vec) /"
-            "  (sqrt(list_dot_product(a.vec, a.vec))"
-            "   * sqrt(list_dot_product(b.vec, b.vec))) + 1e-9, 6)"
-            "  AS cosine"
-            " FROM v a JOIN v b ON a.src < b.src"
-            " ORDER BY src_a, src_b"
-        ),
-        "diversified_topk": (
-            "WITH t AS (SELECT doc_id,"
-            "   lower(unnest(string_split(trim(text), ' '))) AS token"
-            "   FROM documents),"
-            " pt AS (SELECT doc_id, token, count(*) AS c FROM t"
-            "   WHERE length(token) > 0 GROUP BY 1, 2),"
-            " ent AS (SELECT doc_id,"
-            "  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)"
-            "   AS entropy FROM pt GROUP BY doc_id),"
-            " j AS (SELECT d.doc_id, d.source, e.entropy"
-            "  FROM documents d JOIN ent e ON e.doc_id = d.doc_id),"
-            " c AS (SELECT *, row_number() OVER (PARTITION BY source"
-            "  ORDER BY entropy DESC, doc_id) AS src_rank FROM j),"
-            " f AS (SELECT * FROM c WHERE src_rank <= 2),"
-            " g AS (SELECT *, row_number() OVER ("
-            "  ORDER BY entropy DESC, doc_id) AS rank FROM f)"
-            " SELECT CAST(rank AS INT) AS rank, doc_id, source,"
-            " CAST(src_rank AS INT) AS src_rank, entropy"
-            " FROM g WHERE rank <= 20 ORDER BY rank"
-        ),
-        "lexical_diversity": (
-            "WITH t AS (SELECT source,"
-            "   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token"
-            "   FROM documents),"
-            " pt AS (SELECT source, token, count(*) AS c FROM t"
-            "   WHERE length(token) > 0 GROUP BY 1, 2)"
-            " SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,"
-            "  count(*) AS n_types,"
-            "  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)"
-            "   AS n_hapax,"
-            "  round(count(*) / sum(c) + 1e-9, 6) AS ttr,"
-            "  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / count(*)"
-            "   + 1e-9, 6) AS hapax_ratio,"
-            "  round(ln(count(*)) / ln(sum(c)) + 1e-9, 6) AS herdan_c"
-            " FROM pt GROUP BY source ORDER BY source"
-        ),
-        "oov_rate": (
-            "WITH t AS (SELECT source, doc_id,"
-            "   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token"
-            "   FROM documents),"
-            " tf AS (SELECT * FROM t WHERE length(token) > 0),"
-            " c AS (SELECT token, count(*) AS c FROM tf GROUP BY 1),"
-            " v AS (SELECT token FROM (SELECT token,"
-            "   row_number() OVER (ORDER BY c DESC, token) AS rk FROM c)"
-            "   WHERE rk <= 200),"
-            " fl AS (SELECT tf.source, tf.doc_id,"
-            "   CASE WHEN v.token IS NOT NULL THEN 0 ELSE 1 END AS oov"
-            "   FROM tf LEFT JOIN v ON tf.token = v.token),"
-            " pd AS (SELECT source, doc_id, count(*) AS n_tok,"
-            "   sum(oov) AS n_oov FROM fl GROUP BY 1, 2)"
-            " SELECT source, count(*) AS n_docs,"
-            "  CAST(sum(n_tok) AS BIGINT) AS n_tokens,"
-            "  CAST(sum(n_oov) AS BIGINT) AS n_oov,"
-            "  round(sum(n_oov) / sum(n_tok) + 1e-9, 6) AS micro_oov_rate,"
-            "  round(avg(n_oov / n_tok) + 1e-9, 6) AS macro_oov_rate"
-            " FROM pd GROUP BY source ORDER BY source"
-        ),
-        "cdc_chunk_stats": (
-            "WITH chars AS (SELECT doc_id, source, u.pos AS pos,"
-            "   ascii(substring(text, CAST(u.pos AS INT), 1)) AS code"
-            "  FROM documents,"
-            "   unnest(generate_series(1, length(text))) AS u(pos)),"
-            " h AS (SELECT doc_id, source, pos, code,"
-            "   code + 31 * lag(code, 1) OVER w + 961 * lag(code, 2) OVER w"
-            "    + 29791 * lag(code, 3) OVER w AS hh"
-            "  FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),"
-            " fl AS (SELECT *, CASE WHEN pos >= 4 AND hh % 16 = 0"
-            "   THEN 1 ELSE 0 END AS b FROM h),"
-            " ck AS (SELECT doc_id, source, pos, coalesce(sum(b) OVER ("
-            "   PARTITION BY doc_id ORDER BY pos"
-            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
-            "   AS chunk_id FROM fl),"
-            " gr AS (SELECT doc_id, source, chunk_id, min(pos) AS cstart,"
-            "   count(*) AS chunk_len FROM ck GROUP BY 1, 2, 3),"
-            " ct AS (SELECT gr.doc_id, gr.source, gr.chunk_id, gr.chunk_len,"
-            "   substring(d.text, CAST(gr.cstart AS INT),"
-            "    CAST(gr.chunk_len AS INT)) AS chunk_text"
-            "  FROM gr JOIN documents d ON d.doc_id = gr.doc_id),"
-            " gc AS (SELECT chunk_text, count(*) AS g_c FROM ct GROUP BY 1)"
-            " SELECT source, count(*) AS n_chunks,"
-            "  count(DISTINCT chunk_text) AS n_distinct,"
-            "  CAST(sum(CASE WHEN g_c > 1 THEN 1 ELSE 0 END) AS BIGINT)"
-            "   AS n_dup_occ,"
-            "  round(sum(CASE WHEN g_c > 1 THEN 1 ELSE 0 END) / count(*)"
-            "   + 1e-9, 6) AS dup_ratio,"
-            "  round(avg(chunk_len) + 1e-9, 4) AS avg_chunk_len"
-            " FROM ct JOIN gc USING (chunk_text)"
-            " GROUP BY source ORDER BY source"
-        ),
-        "kcenter_select": _kcenter_sql(8),
-        "kmeans_fixed": _kmeans_sql(8, 3),
-        "textrank_keywords": _textrank_sql(4, 20),
-        "hilbert_key": _hilbert_sql(16),
-        "top_component": _top_component_sql(5, 64),
-        "incremental_join_view": (
-            # naive full recompute -- the differential that catches
-            # missed/duplicated delta terms in the Spark IVM path
-            "SELECT c_mktsegment AS segment,"
-            " CAST(count(*) AS BIGINT) AS n_orders,"
-            " CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))"
-            "  AS BIGINT) / 100.0 AS revenue"
-            " FROM orders JOIN customer ON o_custkey = c_custkey"
-            " GROUP BY c_mktsegment ORDER BY segment"
-        ),
-        "join_size_estimate": (
-            "WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k"
-            "  FROM lineitem),"
-            " ra AS (SELECT CAST(o_orderkey AS VARCHAR) AS k"
-            "  FROM orders),"
-            " sa AS (SELECT j, ('0x' || substr(md5('jse' ||"
-            "   CAST(j AS VARCHAR) || ':' || k), 1, 8))::BIGINT"
-            "   % 2147483647 % 256 AS bucket,"
-            "  CAST(count(*) AS BIGINT) AS c"
-            "  FROM la, generate_series(0, 3) g(j) GROUP BY 1, 2),"
-            " sb AS (SELECT j, ('0x' || substr(md5('jse' ||"
-            "   CAST(j AS VARCHAR) || ':' || k), 1, 8))::BIGINT"
-            "   % 2147483647 % 256 AS bucket,"
-            "  CAST(count(*) AS BIGINT) AS cb"
-            "  FROM ra, generate_series(0, 3) g(j) GROUP BY 1, 2),"
-            " est AS (SELECT CAST(min(row_est) AS BIGINT)"
-            "   AS est_join_size FROM ("
-            "  SELECT sa.j, sum(sa.c * sb.cb) AS row_est FROM sa"
-            "  JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket"
-            "  GROUP BY sa.j)),"
-            " tr AS (SELECT CAST(coalesce(sum(ca.c * cb.c), 0)"
-            "   AS BIGINT) AS true_join_size FROM"
-            "  (SELECT l_orderkey AS k, count(*) AS c FROM lineitem"
-            "   GROUP BY 1) ca JOIN"
-            "  (SELECT o_orderkey AS k, count(*) AS c FROM orders"
-            "   GROUP BY 1) cb ON ca.k = cb.k),"
-            " nl AS (SELECT CAST(count(*) AS BIGINT) AS n_left"
-            "  FROM lineitem),"
-            " nr AS (SELECT CAST(count(*) AS BIGINT) AS n_right"
-            "  FROM orders)"
-            " SELECT n_left, n_right, true_join_size, est_join_size,"
-            "  est_join_size - true_join_size AS overestimate,"
-            "  round(CASE WHEN true_join_size > 0 THEN"
-            "   CAST(est_join_size - true_join_size AS DOUBLE)"
-            "    / true_join_size END + 1e-9, 6) AS rel_error"
-            " FROM nl, nr, tr, est"
-        ),
-        "priority_spanning_customers": (
-            "WITH p AS (SELECT DISTINCT o_custkey, o_orderpriority"
-            "  FROM orders),"
-            " need AS (SELECT count(DISTINCT o_orderpriority) AS need"
-            "  FROM orders)"
-            " SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_values"
-            " FROM p GROUP BY o_custkey"
-            " HAVING count(*) = (SELECT need FROM need)"
-            " ORDER BY o_custkey"
-        ),
-        "weighted_quantiles": (
-            "WITH li AS (SELECT l_returnflag,"
-            "  CAST(l_quantity AS INT) AS qty,"
-            "  CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)"
-            "   AS cents FROM lineitem),"
-            " g AS (SELECT l_returnflag, qty,"
-            "  CAST(sum(cents) AS BIGINT) AS w FROM li GROUP BY 1, 2),"
-            " c AS (SELECT l_returnflag, qty,"
-            "  CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty"
-            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-            "   AS BIGINT) AS cum,"
-            "  CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)"
-            "   AS total FROM g)"
-            " SELECT l_returnflag, max(total) AS total_weight,"
-            "  min(CASE WHEN 100 * cum >= 25 * total THEN qty END)"
-            "   AS p25,"
-            "  min(CASE WHEN 100 * cum >= 50 * total THEN qty END)"
-            "   AS p50,"
-            "  min(CASE WHEN 100 * cum >= 75 * total THEN qty END)"
-            "   AS p75"
-            " FROM c GROUP BY l_returnflag ORDER BY l_returnflag"
-        ),
-        "groupwise_ols": (
-            "WITH li AS (SELECT l_returnflag, l_linestatus,"
-            "  CAST(l_quantity AS DECIMAL(18,2)) AS qx,"
-            "  CAST(l_extendedprice AS DECIMAL(18,2)) AS py"
-            "  FROM lineitem),"
-            " g AS (SELECT l_returnflag, l_linestatus,"
-            "  count(*) AS n,"
-            "  CAST(sum(qx) AS DOUBLE) AS sx,"
-            "  CAST(sum(py) AS DOUBLE) AS sy,"
-            "  CAST(sum(qx * py) AS DOUBLE) AS sxy,"
-            "  CAST(sum(qx * qx) AS DOUBLE) AS sxx,"
-            "  CAST(sum(py * py) AS DOUBLE) AS syy"
-            "  FROM li GROUP BY 1, 2)"
-            " SELECT l_returnflag, l_linestatus,"
-            "  CAST(n AS BIGINT) AS n,"
-            "  round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0"
-            "   THEN (CAST(n AS DOUBLE) * sxy - sx * sy)"
-            "    / (CAST(n AS DOUBLE) * sxx - sx * sx) END"
-            "   + 1e-9, 6) AS slope,"
-            "  round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0"
-            "   THEN (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)"
-            "    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)"
-            "    / CAST(n AS DOUBLE) END + 1e-9, 6) AS intercept,"
-            "  round(CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx <> 0)"
-            "   AND (CAST(n AS DOUBLE) * syy - sy * sy <> 0)"
-            "   THEN ((CAST(n AS DOUBLE) * sxy - sx * sy)"
-            "    * (CAST(n AS DOUBLE) * sxy - sx * sy))"
-            "    / ((CAST(n AS DOUBLE) * sxx - sx * sx)"
-            "     * (CAST(n AS DOUBLE) * syy - sy * sy)) END"
-            "   + 1e-9, 6) AS r2"
-            " FROM g ORDER BY l_returnflag, l_linestatus"
-        ),
-        "dim_truncation_recall": (
-            "WITH base AS (SELECT vec_id,"
-            "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-            " q AS (SELECT vec_id AS qid, v AS qv FROM base"
-            "  WHERE vec_id < 16),"
-            " p AS (SELECT q.qid, b.vec_id,"
-            "  round(list_dot_product(b.v, q.qv)"
-            "   / (sqrt(list_dot_product(b.v, b.v))"
-            "      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs_full,"
-            "  round(list_dot_product(b.v[1:32], q.qv[1:32])"
-            "   / (sqrt(list_dot_product(b.v[1:32], b.v[1:32]))"
-            "      * sqrt(list_dot_product(q.qv[1:32], q.qv[1:32]))), 6)"
-            "   AS cs_tr"
-            "  FROM base b, q WHERE b.vec_id <> q.qid),"
-            " r AS (SELECT qid, vec_id,"
-            "  row_number() OVER (PARTITION BY qid"
-            "   ORDER BY cs_full DESC, vec_id) AS rf,"
-            "  row_number() OVER (PARTITION BY qid"
-            "   ORDER BY cs_tr DESC, vec_id) AS rt FROM p)"
-            " SELECT qid AS query_id,"
-            "  CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0"
-            "   END) AS BIGINT) AS n_overlap,"
-            "  round(CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1"
-            "   ELSE 0 END) AS BIGINT) / 10.0 + 1e-9, 4) AS recall"
-            " FROM r GROUP BY qid ORDER BY qid"
-        ),
-        "l_diversity": (
-            "WITH g AS (SELECT c_nationkey, c_mktsegment,"
-            "  count(*) AS group_size,"
-            "  count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE)"
-            "   / 1000.0) AS BIGINT)) AS n_sensitive"
-            "  FROM customer GROUP BY c_nationkey, c_mktsegment),"
-            " r AS (SELECT * FROM g WHERE n_sensitive < 6)"
-            " SELECT * FROM ("
-            "  SELECT CAST(c_nationkey AS VARCHAR) || '|' ||"
-            "   c_mktsegment AS qi_values,"
-            "   CAST(group_size AS BIGINT) AS group_size,"
-            "   CAST(n_sensitive AS BIGINT) AS n_sensitive FROM r"
-            "  UNION ALL SELECT '__TOTAL__',"
-            "   CAST(count(*) AS BIGINT),"
-            "   CAST(coalesce(sum(group_size), 0) AS BIGINT) FROM r)"
-            " ORDER BY qi_values"
-        ),
-        "dp_histogram": (
-            # same seeded md5-31 hash, sign bit, trailing-zero
-            # geometric magnitude, zero clamp -- pure integer replay
-            "WITH g AS (SELECT lang, source, count(*) AS true_count,"
-            "  ('0x' || substr(md5('dp-seed-0|' || lang || '|' ||"
-            "   source), 1, 8))::BIGINT % 2147483647 AS h"
-            "  FROM documents GROUP BY lang, source),"
-            " n AS (SELECT lang, source,"
-            "  CAST(true_count AS BIGINT) AS true_count,"
-            "  CAST((CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END) *"
-            "   len(list_filter(generate_series(1, 20),"
-            "    b -> ((h - h % 2) / 2)::BIGINT"
-            "     % (1::BIGINT << b) = 0)) AS BIGINT) AS noise"
-            "  FROM g)"
-            " SELECT lang, source, true_count, noise,"
-            "  greatest(0::BIGINT, true_count + noise) AS noisy_count"
-            " FROM n ORDER BY lang, source"
-        ),
-        "skyline_docs": (
-            "WITH per AS (SELECT doc_id, CAST(len(t) AS BIGINT)"
-            "  AS n_tokens, round(len(list_distinct(t))"
-            "   / CAST(len(t) AS DOUBLE) + 1e-9, 4) AS ttr FROM"
-            "  (SELECT doc_id, list_filter(string_split_regex("
-            "   lower(trim(text)), '\\s+'), x -> x <> '') AS t"
-            "   FROM documents) WHERE len(t) > 0),"
-            " bx AS (SELECT n_tokens, max(ttr) AS best_ttr FROM per"
-            "  GROUP BY n_tokens),"
-            " fx AS (SELECT n_tokens, best_ttr, max(best_ttr) OVER ("
-            "  ORDER BY n_tokens DESC ROWS BETWEEN UNBOUNDED PRECEDING"
-            "  AND 1 PRECEDING) AS pm FROM bx)"
-            " SELECT p.doc_id, p.n_tokens, p.ttr"
-            " FROM per p JOIN fx ON p.n_tokens = fx.n_tokens"
-            "  AND p.ttr = fx.best_ttr"
-            " WHERE fx.pm IS NULL OR fx.best_ttr > fx.pm"
-            " ORDER BY p.n_tokens DESC, p.doc_id"
-        ),
-        "holt_forecast": (
-            "WITH RECURSIVE daily AS MATERIALIZED (SELECT day, revenue,"
-            "  CAST(row_number() OVER (ORDER BY day) AS INT) AS t FROM"
-            "  (SELECT date_trunc('day', o_orderdate) AS day,"
-            "   CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue"
-            "   FROM orders GROUP BY 1)),"
-            " rec(t, l, b) AS ("
-            "  SELECT 1, revenue, CAST(0.0 AS DOUBLE) FROM daily"
-            "   WHERE t = 1"
-            "  UNION ALL"
-            "  SELECT d.t, 0.5 * d.revenue + 0.5 * (rec.l + rec.b),"
-            "   0.5 * ((0.5 * d.revenue + 0.5 * (rec.l + rec.b)) - rec.l)"
-            "   + 0.5 * rec.b"
-            "  FROM rec JOIN daily d ON d.t = rec.t + 1),"
-            " ins AS (SELECT d.day, d.revenue,"
-            "  CASE WHEN d.t = 1 THEN NULL"
-            "   ELSE round(p.l + p.b + 1e-9, 4) END AS forecast,"
-            "  CAST(0 AS INT) AS horizon"
-            "  FROM daily d LEFT JOIN rec p ON p.t = d.t - 1),"
-            " fin AS (SELECT l, b FROM rec"
-            "  WHERE t = (SELECT max(t) FROM daily)),"
-            " fut AS (SELECT"
-            "  (SELECT max(day) FROM daily) + INTERVAL (g.h) DAY AS day,"
-            "  CAST(NULL AS DOUBLE) AS revenue,"
-            "  round(fin.l + CAST(g.h AS DOUBLE) * fin.b + 1e-9, 4)"
-            "   AS forecast, CAST(g.h AS INT) AS horizon"
-            "  FROM generate_series(1, 7) g(h), fin)"
-            " SELECT * FROM (SELECT * FROM ins UNION ALL"
-            "  SELECT * FROM fut) ORDER BY day"
-        ),
-        "label_disagreement": (
-            "WITH planes AS (SELECT * FROM (VALUES "
-            + _plane_values(4, [42 + t for t in range(4)])
-            + ") AS t(tbl, i, p)),"
-            " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-            "   FROM embeddings),"
-            " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
-            "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
-            "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes"
-            "   GROUP BY vec_id, v, tbl),"
-            " cand AS (SELECT DISTINCT q.vec_id AS query_id,"
-            "   c.vec_id AS neighbor_id"
-            "   FROM buckets q JOIN buckets c ON q.tbl = c.tbl"
-            "   AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),"
-            " scored AS (SELECT query_id, neighbor_id,"
-            "   round(list_dot_product(a.v, b.v) /"
-            "     (sqrt(list_dot_product(a.v, a.v))"
-            "      * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine"
-            "   FROM cand JOIN vecs a ON a.vec_id = cand.query_id"
-            "   JOIN vecs b ON b.vec_id = cand.neighbor_id),"
-            " nn AS (SELECT query_id, neighbor_id FROM (SELECT query_id,"
-            "   neighbor_id, row_number() OVER (PARTITION BY query_id"
-            "   ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)"
-            "   WHERE rank <= 5)"
-            " SELECT n.query_id AS vec_id, eq.label,"
-            "  count(*) AS n_neighbors,"
-            "  CAST(sum(CASE WHEN en.label <> eq.label THEN 1 ELSE 0 END)"
-            "   AS BIGINT) AS n_disagree,"
-            "  round(sum(CASE WHEN en.label <> eq.label THEN 1 ELSE 0 END)"
-            "   / count(*) + 1e-9, 6) AS disagreement,"
-            "  round(sum(CASE WHEN en.label <> eq.label THEN 1 ELSE 0 END)"
-            "   / count(*) + 1e-9, 6) > 0.5 AS suspect"
-            " FROM nn n JOIN embeddings eq ON eq.vec_id = n.query_id"
-            " JOIN embeddings en ON en.vec_id = n.neighbor_id"
-            " GROUP BY 1, 2 ORDER BY 1"
-        ),
-        "centroid_margin": (
-            "WITH e0 AS (SELECT vec_id, label,"
-            "   CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),"
-            " cent AS (SELECT label, dim1 AS dim1, count(*) AS n,"
-            "   round(round(sum(emb[dim1]), 2) / count(*) + 1e-9, 4)"
-            "    AS centroid"
-            "  FROM (SELECT label, unnest(generate_series(1, len(emb)))"
-            "    AS dim1, emb FROM e0) GROUP BY 1, 2),"
-            " cv AS (SELECT label AS c_label,"
-            "   list(centroid ORDER BY dim1) AS cvec FROM cent"
-            "   GROUP BY label),"
-            " d AS (SELECT e.vec_id, e.label, c.c_label,"
-            "   round(list_sum(list_transform("
-            "     generate_series(1, len(c.cvec)),"
-            "     i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i])))"
-            "    + 1e-9, 4) AS dist"
-            "  FROM e0 e, cv c),"
-            " own AS (SELECT vec_id, label, dist AS d_own FROM d"
-            "   WHERE c_label = label),"
-            " oth AS (SELECT vec_id, c_label, dist, row_number() OVER ("
-            "   PARTITION BY vec_id ORDER BY dist ASC, c_label ASC)"
-            "   AS rk FROM d WHERE c_label != label)"
-            " SELECT w.vec_id, w.label,"
-            "  o.c_label AS nearest_other_label, w.d_own,"
-            "  o.dist AS d_nearest_other,"
-            "  round(o.dist - w.d_own + 1e-9, 4) AS margin,"
-            "  round(o.dist - w.d_own + 1e-9, 4) < 0 AS suspect"
-            " FROM own w JOIN oth o ON o.vec_id = w.vec_id AND o.rk = 1"
-            " ORDER BY w.vec_id"
-        ),
-        "cusum_changepoints": (
-            # the recurrence replays exactly: daily revenue / mu /
-            # sigma are rounded to 2dp BEFORE the fold on both sides,
-            # then the recursive CTE performs the identical IEEE
-            # double sequence the JVM aggregate fold performs
-            "WITH RECURSIVE daily AS (SELECT date_trunc('day',"
-            "   o_orderdate) AS day, CAST(round(sum(o_totalprice), 2)"
-            "   AS DOUBLE) AS revenue FROM orders GROUP BY 1),"
-            " p AS (SELECT round(avg(revenue) + 1e-9, 2) AS mu,"
-            "   round(stddev_samp(revenue) + 1e-9, 2) AS sigma"
-            "   FROM daily),"
-            " d AS (SELECT day, revenue,"
-            "   row_number() OVER (ORDER BY day) AS rn FROM daily),"
-            " r AS ("
-            "  SELECT d.rn, d.day, d.revenue,"
-            "   greatest(CAST(0 AS DOUBLE),"
-            "    d.revenue - p.mu - 0.5 * p.sigma) AS sp,"
-            "   greatest(CAST(0 AS DOUBLE),"
-            "    -(d.revenue - p.mu) - 0.5 * p.sigma) AS sn"
-            "  FROM d, p WHERE d.rn = 1"
-            "  UNION ALL"
-            "  SELECT d.rn, d.day, d.revenue,"
-            "   greatest(CAST(0 AS DOUBLE),"
-            "    r.sp + d.revenue - p.mu - 0.5 * p.sigma),"
-            "   greatest(CAST(0 AS DOUBLE),"
-            "    r.sn - (d.revenue - p.mu) - 0.5 * p.sigma)"
-            "  FROM d, p, r WHERE d.rn = r.rn + 1)"
-            " SELECT r.day, r.revenue,"
-            "  round(r.sp + 1e-9, 4) AS s_pos,"
-            "  round(r.sn + 1e-9, 4) AS s_neg,"
-            "  (r.sp > 4.0 * p.sigma OR r.sn > 4.0 * p.sigma) AS alarm"
-            " FROM r, p ORDER BY r.day"
-        ),
-        "bootstrap_ci": (
-            "WITH co AS (SELECT * FROM (VALUES "
-            + _bootstrap_coeff_values()
-            + ") AS t(b, a, cc)),"
-            " h AS (SELECT o_totalprice AS x,"
-            "  ('0x' || substr(md5('boot-v1:' ||"
-            "   CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT"
-            "   % 2147483647 AS h FROM orders),"
-            " e AS (SELECT h.x, co.b,"
-            "  CAST((co.a * h.h + co.cc) % 2147483647 AS DOUBLE)"
-            "   / 2147483647.0 AS u FROM h CROSS JOIN co),"
-            " c AS (SELECT x, b, CASE"
-            "  WHEN u < 0.36787944117144233 THEN 0"
-            "  WHEN u < 0.7357588823428847 THEN 1"
-            "  WHEN u < 0.9196986029286058 THEN 2"
-            "  WHEN u < 0.9810118431238463 THEN 3"
-            "  WHEN u < 0.9963401531726563 THEN 4"
-            "  ELSE 5 END AS c FROM e),"
-            " m AS (SELECT round(sum(c * x) / sum(c) + 1e-9, 4) AS m"
-            "  FROM c GROUP BY b HAVING sum(c) > 0),"
-            " boot AS (SELECT CAST(count(*) AS BIGINT) AS b_resamples,"
-            "  round(sum(m) / count(*) + 1e-9, 4) AS boot_mean,"
-            "  quantile_disc(m, 0.025) AS ci_lo,"
-            "  quantile_disc(m, 0.975) AS ci_hi FROM m),"
-            " p AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,"
-            "  round(sum(o_totalprice) / count(*) + 1e-9, 4) AS est_mean"
-            "  FROM orders)"
-            " SELECT n_rows, est_mean, b_resamples, boot_mean,"
-            " ci_lo, ci_hi FROM p CROSS JOIN boot"
-        ),
-        "yoy_growth": (
-            "WITH rev AS (SELECT n_name,"
-            "  CAST(year(o_orderdate) AS INT) AS yr,"
-            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue"
-            "  FROM orders JOIN customer ON o_custkey = c_custkey"
-            "  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2)"
-            " SELECT n_name, yr, revenue,"
-            " round(lag(revenue) OVER w + 1e-9, 2) AS prev_revenue,"
-            " CASE WHEN lag(revenue) OVER w > 0 THEN"
-            "  round((revenue - lag(revenue) OVER w)"
-            "   / lag(revenue) OVER w * 100.0 + 1e-9, 4) END AS yoy_pct"
-            " FROM rev WINDOW w AS (PARTITION BY n_name ORDER BY yr)"
-            " ORDER BY n_name, yr"
-        ),
-        "correlation_matrix": (
-            "SELECT * FROM ("
-            " SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,"
-            "  round(corr(l_quantity, l_extendedprice) + 1e-9, 6)"
-            "  AS pearson_r FROM lineitem"
-            " UNION ALL SELECT 'l_quantity', 'l_discount',"
-            "  round(corr(l_quantity, l_discount) + 1e-9, 6)"
-            "  FROM lineitem"
-            " UNION ALL SELECT 'l_quantity', 'l_tax',"
-            "  round(corr(l_quantity, l_tax) + 1e-9, 6) FROM lineitem"
-            " UNION ALL SELECT 'l_extendedprice', 'l_discount',"
-            "  round(corr(l_extendedprice, l_discount) + 1e-9, 6)"
-            "  FROM lineitem"
-            " UNION ALL SELECT 'l_extendedprice', 'l_tax',"
-            "  round(corr(l_extendedprice, l_tax) + 1e-9, 6)"
-            "  FROM lineitem"
-            " UNION ALL SELECT 'l_discount', 'l_tax',"
-            "  round(corr(l_discount, l_tax) + 1e-9, 6) FROM lineitem"
-            ") ORDER BY col_a, col_b"
-        ),
-        "span_corruption": (
-            "WITH t AS (SELECT doc_id,"
-            "  string_split_regex(trim(text), '\\s+') AS toks"
-            "  FROM documents),"
-            " b AS (SELECT doc_id, toks, len(toks) AS n,"
-            "  [(('0x' || substr(md5('t5:' ||"
-            "     CAST(doc_id AS VARCHAR) || ':' ||"
-            "     CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT"
-            "    % 2147483647) % 20 = 0"
-            "   FOR i IN generate_series(1, len(toks))] AS st FROM t),"
-            " m AS (SELECT doc_id, toks, n, st,"
-            "  [st[i] OR (i >= 2 AND st[i - 1])"
-            "   OR (i >= 3 AND st[i - 2])"
-            "   FOR i IN generate_series(1, n)] AS mk FROM b),"
-            " r AS (SELECT doc_id, toks, n, mk,"
-            "  [mk[i] AND (i = 1 OR NOT mk[i - 1])"
-            "   FOR i IN generate_series(1, n)] AS nr FROM m),"
-            " r2 AS (SELECT *,"
-            "  [CASE WHEN x THEN 1 ELSE 0 END FOR x IN nr] AS nri"
-            "  FROM r),"
-            " r3 AS (SELECT *,"
-            "  [CAST(list_sum(nri[1:i]) AS INT)"
-            "   FOR i IN generate_series(1, n)] AS rid FROM r2),"
-            " p AS (SELECT doc_id, n, mk, nr,"
-            "  [CASE WHEN NOT mk[i] THEN toks[i]"
-            "   WHEN nr[i] THEN '<extra_id_' ||"
-            "    CAST(rid[i] - 1 AS VARCHAR) || '>'"
-            "   ELSE '' END FOR i IN generate_series(1, n)] AS corr,"
-            "  [CASE WHEN nr[i] THEN '<extra_id_' ||"
-            "    CAST(rid[i] - 1 AS VARCHAR) || '> ' || toks[i]"
-            "   WHEN mk[i] THEN toks[i]"
-            "   ELSE '' END FOR i IN generate_series(1, n)] AS tgt"
-            "  FROM r3)"
-            " SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,"
-            " CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked,"
-            " CAST(len(list_filter(nr, x -> x)) AS BIGINT) AS n_spans,"
-            " md5(COALESCE(array_to_string(list_filter(corr,"
-            "  p -> p <> ''), ' '), '')) AS corrupted_md5,"
-            " md5(COALESCE(array_to_string(list_filter(tgt,"
-            "  p -> p <> ''), ' '), '')) AS target_md5"
-            " FROM p ORDER BY doc_id"
-        ),
-        "kfold_split": (
-            "WITH f AS (SELECT (('0x' || substr(md5('kfold-v1:' ||"
-            "  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2147483647)"
-            "  % 5 AS fold FROM documents),"
-            " t AS (SELECT CAST(count(*) AS DOUBLE) AS total"
-            "  FROM documents)"
-            " SELECT CAST(fold AS INT) AS fold,"
-            " CAST(count(*) AS BIGINT) AS n_rows,"
-            " round(count(*) / total + 1e-9, 6) AS share"
-            " FROM f CROSS JOIN t GROUP BY fold, total ORDER BY fold"
-        ),
-        "ewma_forecast": (
-            "WITH daily AS (SELECT date_trunc('day', o_orderdate)"
-            "  AS day, CAST(round(sum(o_totalprice), 2) AS DOUBLE)"
-            "  AS revenue FROM orders GROUP BY 1),"
-            " sc AS (SELECT day, revenue,"
-            "  round(" + _ewma_terms_sql() + " + 1e-9, 4) AS forecast"
-            "  FROM daily WINDOW w AS (ORDER BY day)),"
-            " sc2 AS (SELECT day, revenue, forecast,"
-            "  round(abs(revenue - forecast) + 1e-9, 4) AS abs_error"
-            "  FROM sc),"
-            " m AS (SELECT round(CAST(round(sum(abs_error), 4)"
-            "   AS DOUBLE) / count(*) + 1e-9, 4) AS mae FROM sc2"
-            "  WHERE forecast IS NOT NULL)"
-            " SELECT * FROM (SELECT day, revenue, forecast, abs_error"
-            "  FROM sc2 UNION ALL SELECT NULL, NULL, NULL, mae FROM m)"
-            " ORDER BY day NULLS LAST"
-        ),
-        "revenue_gini": (
-            "WITH pc AS (SELECT o_custkey,"
-            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS rev"
-            "  FROM orders GROUP BY 1),"
-            " r AS (SELECT rev, row_number() OVER ("
-            "  ORDER BY rev, o_custkey) AS rk FROM pc)"
-            " SELECT CAST(count(*) AS BIGINT) AS n_customers,"
-            " round(sum(rev), 2) AS total_revenue,"
-            " round(2.0 * sum(rk * rev) / (count(*) * sum(rev))"
-            "  - (count(*) + 1.0) / count(*) + 1e-9, 6) AS gini"
-            " FROM r"
-        ),
-        "langid_eval": (
-            "WITH toks AS (SELECT doc_id, lang,"
-            "  string_split_regex(trim(text), '\\s+') AS t"
-            "  FROM documents),"
-            " hits AS (SELECT doc_id, lang,"
-            "  len(list_filter(t, x -> lower(x) IN"
-            "   ('der','die','das','und','ist'))) AS hits_de,"
-            "  len(list_filter(t, x -> lower(x) IN"
-            "   ('the','a','of','and','to'))) AS hits_en,"
-            "  len(list_filter(t, x -> lower(x) IN"
-            "   ('le','la','de','et','est'))) AS hits_fr FROM toks),"
-            " pr AS (SELECT lang AS t,"
-            "  CASE WHEN greatest(hits_de, hits_en, hits_fr) <= 0"
-            "   THEN 'und'"
-            "  WHEN hits_de = greatest(hits_de, hits_en, hits_fr)"
-            "   THEN 'de'"
-            "  WHEN hits_en = greatest(hits_de, hits_en, hits_fr)"
-            "   THEN 'en' ELSE 'fr' END AS p FROM hits),"
-            " cm AS (SELECT t, p, count(*) AS n FROM pr GROUP BY 1, 2),"
-            " tp AS (SELECT t AS cls, n AS tp FROM cm WHERE t = p),"
-            " sup AS (SELECT t AS cls, sum(n) AS support FROM cm"
-            "  GROUP BY 1),"
-            " prd AS (SELECT p AS cls, sum(n) AS n_predicted FROM cm"
-            "  GROUP BY 1),"
-            " pc0 AS (SELECT COALESCE(sup.cls, prd.cls) AS cls,"
-            "  CAST(COALESCE(support, 0) AS BIGINT) AS support,"
-            "  CAST(COALESCE(n_predicted, 0) AS BIGINT) AS n_predicted"
-            "  FROM sup FULL JOIN prd ON prd.cls = sup.cls),"
-            " pc1 AS (SELECT pc0.*,"
-            "  CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp FROM pc0"
-            "  LEFT JOIN tp ON tp.cls = pc0.cls),"
-            " pc2 AS (SELECT *, CASE WHEN n_predicted > 0 THEN"
-            "  round(tp / CAST(n_predicted AS DOUBLE) + 1e-9, 6) END"
-            "   AS precision,"
-            "  CASE WHEN support > 0 THEN"
-            "  round(tp / CAST(support AS DOUBLE) + 1e-9, 6) END"
-            "   AS recall FROM pc1),"
-            " pc AS (SELECT cls, support, n_predicted, tp, precision,"
-            "  recall, CASE WHEN precision + recall > 0 THEN"
-            "  round(2.0 * precision * recall / (precision + recall)"
-            "   + 1e-9, 6) END AS f1 FROM pc2),"
-            " tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,"
-            "  CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT)"
-            "   AS n_correct FROM cm)"
-            " SELECT * FROM (SELECT * FROM pc UNION ALL"
-            "  SELECT '__MICRO__', n_all, n_all, n_correct,"
-            "  round(n_correct / CAST(n_all AS DOUBLE) + 1e-9, 6),"
-            "  round(n_correct / CAST(n_all AS DOUBLE) + 1e-9, 6),"
-            "  round(n_correct / CAST(n_all AS DOUBLE) + 1e-9, 6)"
-            "  FROM tot) ORDER BY cls"
-        ),
-        "benford_check": (
-            "WITH d AS (SELECT CAST(substr(CAST(abs(o_totalprice)"
-            "   AS VARCHAR), 1, 1) AS INT) AS digit"
-            "  FROM orders WHERE o_totalprice >= 1.0),"
-            " g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs"
-            "  FROM d GROUP BY digit),"
-            " t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n_total"
-            "  FROM g)"
-            " SELECT digit, n_obs,"
-            " round(n_obs / n_total + 1e-9, 6) AS observed_share,"
-            " round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)"
-            "  + 1e-9, 6) AS expected_share,"
-            " round(n_total * (n_obs / n_total"
-            "   - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))"
-            "  * (n_obs / n_total"
-            "   - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))"
-            "  / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))"
-            "  + 1e-9, 6) AS chi2_term"
-            " FROM g CROSS JOIN t ORDER BY digit"
-        ),
-        "market_concentration": (
-            "WITH rev AS (SELECT n_name,"
-            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS rev"
-            "  FROM orders JOIN customer ON o_custkey = c_custkey"
-            "  JOIN nation ON c_nationkey = n_nationkey"
-            "  GROUP BY n_name),"
-            " t AS (SELECT sum(rev) AS tot FROM rev),"
-            " s AS (SELECT n_name, rev / tot AS share"
-            "  FROM rev CROSS JOIN t),"
-            " r AS (SELECT *, row_number() OVER ("
-            "  ORDER BY share DESC, n_name) AS rk FROM s)"
-            " SELECT CAST(count(*) AS BIGINT) AS n_markets,"
-            " round(sum(share * share) + 1e-9, 6) AS hhi,"
-            " round(sum(CASE WHEN rk <= 4 THEN share ELSE 0.0 END)"
-            "  + 1e-9, 6) AS cr4,"
-            " round(max(share) + 1e-9, 6) AS top_share FROM r"
-        ),
-        "survival_curve": (
-            "WITH su AS (SELECT user_id, min(ts) AS signup_ts"
-            "  FROM events WHERE event_type = 'signup'"
-            "  GROUP BY user_id),"
-            " pu AS (SELECT e.user_id, min(e.ts) AS purchase_ts"
-            "  FROM events e JOIN su ON su.user_id = e.user_id"
-            "  WHERE e.event_type = 'purchase'"
-            "   AND e.ts >= su.signup_ts GROUP BY e.user_id),"
-            " h AS (SELECT max(ts) AS max_ts FROM events),"
-            " per_user AS (SELECT su.user_id,"
-            "  CAST(floor((epoch_us(COALESCE(pu.purchase_ts, h.max_ts))"
-            "   - epoch_us(su.signup_ts)) / 86400000000.0) AS INT)"
-            "   AS duration_days,"
-            "  pu.purchase_ts IS NOT NULL AS converted"
-            "  FROM su LEFT JOIN pu ON pu.user_id = su.user_id"
-            "  CROSS JOIN h),"
-            " by_t AS (SELECT duration_days,"
-            "  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)"
-            "   AS BIGINT) AS d_events,"
-            "  CAST(count(*) AS BIGINT) AS n_ending FROM per_user"
-            "  GROUP BY duration_days),"
-            " tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total"
-            "  FROM per_user),"
-            " r AS (SELECT by_t.*, tot.n_total,"
-            "  n_total - COALESCE(sum(n_ending) OVER ("
-            "   ORDER BY duration_days ROWS BETWEEN UNBOUNDED"
-            "   PRECEDING AND 1 PRECEDING), 0) AS at_risk"
-            "  FROM by_t CROSS JOIN tot),"
-            " s AS (SELECT duration_days, d_events, n_ending,"
-            "  CAST(at_risk AS BIGINT) AS at_risk,"
-            "  ln(greatest(1.0 - d_events /"
-            "   CAST(at_risk AS DOUBLE), 1e-12)) AS log_term FROM r)"
-            " SELECT duration_days, d_events, n_ending, at_risk,"
-            " round(exp(sum(log_term) OVER (ORDER BY duration_days"
-            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
-            "  + 1e-9, 6) AS survival"
-            " FROM s ORDER BY duration_days"
-        ),
-        "hash_embed": (
-            "WITH m AS (SELECT * FROM (VALUES "
-            + _hash_embed_values()
-            + ") AS t(b, d, w)),"
-            " tk AS (SELECT doc_id,"
-            "  (('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)"
-            "   % 32 AS b FROM (SELECT doc_id,"
-            "  unnest(string_split_regex(trim(text), '\\s+')) AS t"
-            "  FROM documents) WHERE t <> ''),"
-            " db AS (SELECT doc_id, b, count(*) AS cnt FROM tk"
-            "  GROUP BY 1, 2)"
-            " SELECT db.doc_id, m.d,"
-            " round(sum(db.cnt * m.w) + 1e-9, 6) AS value"
-            " FROM db JOIN m ON m.b = db.b"
-            " GROUP BY db.doc_id, m.d ORDER BY db.doc_id, m.d"
-        ),
-        "quantile_normalize": (
-            "WITH t AS (SELECT doc_id,"
-            "   lower(unnest(string_split(trim(text), ' '))) AS token"
-            "   FROM documents),"
-            " pt AS (SELECT doc_id, token, count(*) AS c FROM t"
-            "   WHERE length(token) > 0 GROUP BY 1, 2),"
-            " ent AS (SELECT doc_id,"
-            "  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)"
-            "   AS entropy FROM pt GROUP BY doc_id),"
-            " j AS (SELECT d.doc_id, d.source, e.entropy FROM documents d"
-            "  JOIN ent e ON e.doc_id = d.doc_id),"
-            " p AS (SELECT doc_id, source, entropy,"
-            "  round(percent_rank() OVER (PARTITION BY source"
-            "   ORDER BY entropy, doc_id) + 1e-9, 6) AS source_pctile"
-            "  FROM j),"
-            " gq AS (SELECT quantile_disc(entropy,"
-            "  [x / 20.0 FOR x IN generate_series(0, 20)]) AS gq FROM p)"
-            " SELECT doc_id, source, entropy, source_pctile,"
-            " round(gq[CAST(floor(source_pctile * 20) AS INT) + 1]"
-            "  + 1e-9, 6) AS normalized"
-            " FROM p CROSS JOIN gq ORDER BY source, doc_id"
-        ),
-        "revenue_anomalies": (
-            "WITH daily AS (SELECT date_trunc('day', o_orderdate)"
-            "  AS day, CAST(round(sum(o_totalprice), 2) AS DOUBLE)"
-            "  AS revenue FROM orders GROUP BY 1),"
-            " s AS (SELECT day, revenue,"
-            "  CAST(count(*) OVER w AS BIGINT) AS n_prev,"
-            "  round(avg(revenue) OVER w + 1e-9, 4) AS mean_prev,"
-            "  CASE WHEN count(*) OVER w >= 2 THEN"
-            "   round(stddev_samp(revenue) OVER w + 1e-9, 4) END"
-            "   AS std_prev"
-            "  FROM daily WINDOW w AS (ORDER BY day"
-            "   ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))"
-            " SELECT day, revenue, n_prev, mean_prev, std_prev,"
-            " CASE WHEN n_prev >= 7 AND std_prev > 0 THEN"
-            "  round((revenue - mean_prev) / std_prev + 1e-9, 4) END"
-            "  AS z,"
-            " COALESCE(CASE WHEN n_prev >= 7 AND std_prev > 0 THEN"
-            "  abs(round((revenue - mean_prev) / std_prev + 1e-9, 4))"
-            "   > 3.0 END, FALSE) AS is_anomaly"
-            " FROM s ORDER BY day"
-        ),
-        "triangle_count": (
-            "WITH raw AS (SELECT DISTINCT c_nationkey AS a,"
-            "  s_nationkey AS b FROM lineitem"
-            "  JOIN orders ON l_orderkey = o_orderkey"
-            "  JOIN customer ON o_custkey = c_custkey"
-            "  JOIN supplier ON l_suppkey = s_suppkey"
-            "  WHERE c_nationkey <> s_nationkey),"
-            " und AS (SELECT DISTINCT least(a, b) AS u,"
-            "  greatest(a, b) AS v FROM raw WHERE a <> b),"
-            " deg AS (SELECT node, count(*) AS dg FROM ("
-            "  SELECT u AS node FROM und UNION ALL"
-            "  SELECT v AS node FROM und) GROUP BY node),"
-            " o AS (SELECT CASE WHEN du.dg < dv.dg"
-            "   OR (du.dg = dv.dg AND u < v) THEN u ELSE v END AS s,"
-            "  CASE WHEN du.dg < dv.dg"
-            "   OR (du.dg = dv.dg AND u < v) THEN v ELSE u END AS t"
-            "  FROM und JOIN deg du ON du.node = und.u"
-            "  JOIN deg dv ON dv.node = und.v),"
-            " w AS (SELECT o1.s AS x, o1.t AS y, o2.t AS z"
-            "  FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),"
-            " c AS (SELECT s AS y, t AS z FROM o UNION ALL"
-            "  SELECT t AS y, s AS z FROM o),"
-            " tri AS (SELECT w.x, w.y, w.z FROM w"
-            "  JOIN c ON c.y = w.y AND c.z = w.z),"
-            " pn AS (SELECT CAST(node AS VARCHAR) AS node,"
-            "  CAST(count(*) AS BIGINT) AS n_triangles FROM ("
-            "  SELECT x AS node FROM tri UNION ALL"
-            "  SELECT y AS node FROM tri UNION ALL"
-            "  SELECT z AS node FROM tri) GROUP BY 1)"
-            " SELECT * FROM (SELECT * FROM pn UNION ALL"
-            "  SELECT '__TOTAL__', CAST(count(*) AS BIGINT) FROM tri)"
-            " ORDER BY node"
-        ),
-        "touch_attribution": (
-            "WITH en AS (SELECT user_id, ts, event_id, event_type,"
-            "  value,"
-            "  first_value(CASE WHEN event_type <> 'purchase'"
-            "   THEN event_type END IGNORE NULLS) OVER ("
-            "   PARTITION BY user_id ORDER BY ts, event_id"
-            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-            "   AS first_touch,"
-            "  last_value(CASE WHEN event_type <> 'purchase'"
-            "   THEN event_type END IGNORE NULLS) OVER ("
-            "   PARTITION BY user_id ORDER BY ts, event_id"
-            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-            "   AS last_touch FROM events),"
-            " p AS (SELECT * FROM en WHERE event_type = 'purchase'),"
-            " f AS (SELECT COALESCE(first_touch, '__NONE__')"
-            "   AS touch_type, CAST(count(*) AS BIGINT) AS n_first,"
-            "  CAST(round(sum(value), 2) AS DOUBLE) AS value_first"
-            "  FROM p GROUP BY 1),"
-            " l AS (SELECT COALESCE(last_touch, '__NONE__')"
-            "   AS touch_type, CAST(count(*) AS BIGINT) AS n_last,"
-            "  CAST(round(sum(value), 2) AS DOUBLE) AS value_last"
-            "  FROM p GROUP BY 1)"
-            " SELECT COALESCE(f.touch_type, l.touch_type)"
-            "  AS touch_type,"
-            " CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,"
-            " COALESCE(value_first, 0.0) AS value_first,"
-            " CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last,"
-            " COALESCE(value_last, 0.0) AS value_last"
-            " FROM f FULL JOIN l ON f.touch_type = l.touch_type"
-            " ORDER BY touch_type"
-        ),
-        "rfm_segments": (
-            "WITH ref AS (SELECT max(o_orderdate) AS ref_date"
-            "  FROM orders),"
-            " cust AS (SELECT o_custkey,"
-            "  CAST(date_diff('day', max(o_orderdate), max(ref_date))"
-            "   AS INT) AS recency_days,"
-            "  CAST(count(*) AS BIGINT) AS frequency,"
-            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS monetary"
-            "  FROM orders CROSS JOIN ref GROUP BY o_custkey),"
-            " b AS (SELECT"
-            "  quantile_disc(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,"
-            "  quantile_disc(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,"
-            "  quantile_disc(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb"
-            "  FROM cust),"
-            " s AS (SELECT o_custkey, monetary,"
-            "  5 - ((CASE WHEN recency_days > rb[1] THEN 1 ELSE 0 END)"
-            "   + (CASE WHEN recency_days > rb[2] THEN 1 ELSE 0 END)"
-            "   + (CASE WHEN recency_days > rb[3] THEN 1 ELSE 0 END)"
-            "   + (CASE WHEN recency_days > rb[4] THEN 1 ELSE 0 END))"
-            "   AS r_score,"
-            "  1 + ((CASE WHEN frequency > fb[1] THEN 1 ELSE 0 END)"
-            "   + (CASE WHEN frequency > fb[2] THEN 1 ELSE 0 END)"
-            "   + (CASE WHEN frequency > fb[3] THEN 1 ELSE 0 END)"
-            "   + (CASE WHEN frequency > fb[4] THEN 1 ELSE 0 END))"
-            "   AS f_score,"
-            "  1 + ((CASE WHEN monetary > mb[1] THEN 1 ELSE 0 END)"
-            "   + (CASE WHEN monetary > mb[2] THEN 1 ELSE 0 END)"
-            "   + (CASE WHEN monetary > mb[3] THEN 1 ELSE 0 END)"
-            "   + (CASE WHEN monetary > mb[4] THEN 1 ELSE 0 END))"
-            "   AS m_score"
-            "  FROM cust CROSS JOIN b)"
-            " SELECT r_score, f_score, m_score,"
-            " CAST(count(*) AS BIGINT) AS n_customers,"
-            " round(CAST(round(sum(monetary), 2) AS DOUBLE)"
-            "  / count(*) + 1e-9, 4) AS avg_monetary"
-            " FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
-        ),
-        "lp_communities": (
-            "WITH e AS (SELECT DISTINCT c_nationkey AS src,"
-            "  s_nationkey AS dst FROM lineitem"
-            "  JOIN orders ON l_orderkey = o_orderkey"
-            "  JOIN customer ON o_custkey = c_custkey"
-            "  JOIN supplier ON l_suppkey = s_suppkey"
-            "  WHERE c_nationkey <> s_nationkey),"
-            " n AS (SELECT src AS node FROM e UNION"
-            "  SELECT dst AS node FROM e),"
-            " l0 AS (SELECT node, node AS label FROM n),"
-            " v1 AS (SELECT e.dst AS node, l.label AS cand,"
-            "  count(*) AS votes FROM e JOIN l0 l ON l.node = e.src"
-            "  GROUP BY 1, 2),"
-            " b1 AS (SELECT node, cand AS new_label FROM (SELECT *,"
-            "  row_number() OVER (PARTITION BY node"
-            "   ORDER BY votes DESC, cand ASC) AS rn FROM v1)"
-            "  WHERE rn = 1),"
-            " l1 AS (SELECT l0.node,"
-            "  COALESCE(b1.new_label, l0.label) AS label"
-            "  FROM l0 LEFT JOIN b1 ON b1.node = l0.node),"
-            " v2 AS (SELECT e.dst AS node, l.label AS cand,"
-            "  count(*) AS votes FROM e JOIN l1 l ON l.node = e.src"
-            "  GROUP BY 1, 2),"
-            " b2 AS (SELECT node, cand AS new_label FROM (SELECT *,"
-            "  row_number() OVER (PARTITION BY node"
-            "   ORDER BY votes DESC, cand ASC) AS rn FROM v2)"
-            "  WHERE rn = 1),"
-            " l2 AS (SELECT l1.node,"
-            "  COALESCE(b2.new_label, l1.label) AS label"
-            "  FROM l1 LEFT JOIN b2 ON b2.node = l1.node)"
-            " SELECT node, label FROM l2 ORDER BY node"
-        ),
-        "zipf_fit": (
-            "WITH tf AS (SELECT lang AS cls, t AS term,"
-            "  count(*) AS freq FROM (SELECT lang,"
-            "  unnest(string_split_regex(trim(text), '\\s+')) AS t"
-            "  FROM documents) WHERE t <> '' GROUP BY 1, 2),"
-            " r AS (SELECT cls, ln(CAST(rank AS DOUBLE)) AS x,"
-            "  ln(CAST(freq AS DOUBLE)) AS y FROM (SELECT *,"
-            "  row_number() OVER (PARTITION BY cls"
-            "   ORDER BY freq DESC, term ASC) AS rank FROM tf)"
-            "  WHERE rank <= 200),"
-            " a AS (SELECT cls, CAST(count(*) AS DOUBLE) AS n,"
-            "  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,"
-            "  sum(x * x) AS sxx FROM r GROUP BY cls)"
-            " SELECT cls, CAST(n AS BIGINT) AS n_terms,"
-            " round((n * sxy - sx * sy) / (n * sxx - sx * sx)"
-            "  + 1e-9, 6) AS slope,"
-            " round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))"
-            "  * sx) / n + 1e-9, 6) AS intercept"
-            " FROM a ORDER BY cls"
-        ),
-        "target_encode": (
-            "WITH pc AS (SELECT o_orderpriority,"
-            "  CAST(count(*) AS BIGINT) AS n_rows,"
-            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_t"
-            "  FROM orders GROUP BY 1),"
-            " g AS (SELECT CAST(count(*) AS DOUBLE) AS n_all,"
-            "  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_all"
-            "  FROM orders)"
-            " SELECT o_orderpriority, n_rows,"
-            " round(sum_t / n_rows + 1e-9, 4) AS raw_mean,"
-            " round((sum_t + 10.0 * (sum_all / n_all))"
-            "  / (n_rows + 10.0) + 1e-9, 4) AS encoded"
-            " FROM pc CROSS JOIN g ORDER BY o_orderpriority"
-        ),
-        "k_anonymity": (
-            "WITH b AS (SELECT c_nationkey, c_mktsegment,"
-            "  CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000.0)"
-            "   AS BIGINT) AS bal_bucket FROM customer),"
-            " g AS (SELECT CAST(c_nationkey AS VARCHAR)"
-            "  || '|' || c_mktsegment"
-            "  || '|' || CAST(bal_bucket AS VARCHAR) AS qi_values,"
-            "  CAST(count(*) AS BIGINT) AS group_size"
-            "  FROM b GROUP BY c_nationkey, c_mktsegment, bal_bucket),"
-            " r AS (SELECT qi_values, group_size,"
-            "  group_size AS at_risk_rows FROM g WHERE group_size < 5)"
-            " SELECT * FROM (SELECT * FROM r UNION ALL"
-            "  SELECT '__TOTAL__', CAST(count(*) AS BIGINT),"
-            "  CAST(COALESCE(sum(group_size), 0) AS BIGINT) FROM r)"
-            " ORDER BY qi_values"
-        ),
-        "pq_encode": (
-            "WITH cb AS (SELECT * FROM (VALUES "
-            + _pq_values()
-            + ") AS t(sub, cid, c)),"
-            " v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-            "  FROM embeddings),"
-            " d AS (SELECT vec_id, sub, cid,"
-            "  round(list_dot_product(xs, xs)"
-            "   - 2.0 * list_dot_product(xs, c)"
-            "   + list_dot_product(c, c) + 1e-9, 6) AS d"
-            "  FROM (SELECT vec_id, sub, cid, c,"
-            "   list_slice(v, sub * 16 + 1, sub * 16 + 16) AS xs"
-            "   FROM v CROSS JOIN cb)),"
-            " a AS (SELECT vec_id, sub, cid FROM (SELECT *,"
-            "  row_number() OVER (PARTITION BY vec_id, sub"
-            "   ORDER BY d, cid) AS rn FROM d) WHERE rn = 1)"
-            " SELECT vec_id,"
-            " CAST(max(CASE WHEN sub = 0 THEN cid END) AS INT) AS code0,"
-            " CAST(max(CASE WHEN sub = 1 THEN cid END) AS INT) AS code1,"
-            " CAST(max(CASE WHEN sub = 2 THEN cid END) AS INT) AS code2,"
-            " CAST(max(CASE WHEN sub = 3 THEN cid END) AS INT) AS code3"
-            " FROM a GROUP BY vec_id ORDER BY vec_id"
-        ),
-        "pq_search": (
-            "WITH cb AS (SELECT * FROM (VALUES "
-            + _pq_values()
-            + ") AS t(sub, cid, c)),"
-            " v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-            "  FROM embeddings),"
-            " d AS (SELECT vec_id, sub, cid,"
-            "  round(list_dot_product(xs, xs)"
-            "   - 2.0 * list_dot_product(xs, c)"
-            "   + list_dot_product(c, c) + 1e-9, 6) AS d"
-            "  FROM (SELECT vec_id, sub, cid, c,"
-            "   list_slice(v, sub * 16 + 1, sub * 16 + 16) AS xs"
-            "   FROM v CROSS JOIN cb)),"
-            " a AS (SELECT vec_id, sub, cid FROM (SELECT *,"
-            "  row_number() OVER (PARTITION BY vec_id, sub"
-            "   ORDER BY d, cid) AS rn FROM d) WHERE rn = 1),"
-            " q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv"
-            "  FROM embeddings WHERE vec_id = 0),"
-            " lut AS (SELECT sub, cid,"
-            "  round(list_dot_product(qs, qs)"
-            "   - 2.0 * list_dot_product(qs, c)"
-            "   + list_dot_product(c, c) + 1e-9, 6) AS d"
-            "  FROM (SELECT sub, cid, c,"
-            "   list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS qs"
-            "   FROM cb CROSS JOIN q)),"
-            " s AS (SELECT a.vec_id, round(sum(l.d) + 1e-9, 6)"
-            "   AS adc_dist FROM a JOIN lut l"
-            "   ON l.sub = a.sub AND l.cid = a.cid GROUP BY a.vec_id),"
-            " codes AS (SELECT vec_id,"
-            "  CAST(max(CASE WHEN sub = 0 THEN cid END) AS INT) AS code0,"
-            "  CAST(max(CASE WHEN sub = 1 THEN cid END) AS INT) AS code1,"
-            "  CAST(max(CASE WHEN sub = 2 THEN cid END) AS INT) AS code2,"
-            "  CAST(max(CASE WHEN sub = 3 THEN cid END) AS INT) AS code3"
-            "  FROM a GROUP BY vec_id)"
-            " SELECT s.vec_id, codes.code0, codes.code1, codes.code2,"
-            "  codes.code3, s.adc_dist"
-            " FROM s JOIN codes ON codes.vec_id = s.vec_id"
-            " ORDER BY s.adc_dist, s.vec_id LIMIT 10"
-        ),
-        "mmr_rerank": (
-            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv"
-            "  FROM embeddings WHERE vec_id = 0),"
-            " pool AS (SELECT vec_id,"
-            "  CAST(embedding AS DOUBLE[]) AS v,"
-            "  round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)"
-            "   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
-            "       CAST(embedding AS DOUBLE[])))"
-            "      * sqrt(list_dot_product(qv, qv))), 6) AS rel"
-            "  FROM embeddings, q ORDER BY rel DESC, vec_id LIMIT 20),"
-            " sims AS (SELECT a.vec_id AS ai, b.vec_id AS bi,"
-            "  round(list_dot_product(a.v, b.v)"
-            "   / (sqrt(list_dot_product(a.v, a.v))"
-            "      * sqrt(list_dot_product(b.v, b.v))), 6) AS sim"
-            "  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),"
-            " s1 AS (SELECT vec_id, rel,"
-            "  round(0.7 * rel - (1.0 - 0.7) * 0.0 + 1e-9, 6) AS score"
-            "  FROM pool ORDER BY score DESC, vec_id LIMIT 1),"
-            " l1 AS (SELECT vec_id FROM s1),"
-            " s2 AS (SELECT p.vec_id, p.rel,"
-            "  round(0.7 * p.rel - (1.0 - 0.7)"
-            "   * COALESCE(m.ms, 0.0) + 1e-9, 6) AS score"
-            "  FROM pool p LEFT JOIN (SELECT ai, max(sim) AS ms"
-            "   FROM sims WHERE bi IN (SELECT vec_id FROM l1)"
-            "   GROUP BY ai) m ON m.ai = p.vec_id"
-            "  WHERE p.vec_id NOT IN (SELECT vec_id FROM l1)"
-            "  ORDER BY score DESC, p.vec_id LIMIT 1),"
-            " l2 AS (SELECT vec_id FROM l1 UNION ALL"
-            "  SELECT vec_id FROM s2),"
-            " s3 AS (SELECT p.vec_id, p.rel,"
-            "  round(0.7 * p.rel - (1.0 - 0.7)"
-            "   * COALESCE(m.ms, 0.0) + 1e-9, 6) AS score"
-            "  FROM pool p LEFT JOIN (SELECT ai, max(sim) AS ms"
-            "   FROM sims WHERE bi IN (SELECT vec_id FROM l2)"
-            "   GROUP BY ai) m ON m.ai = p.vec_id"
-            "  WHERE p.vec_id NOT IN (SELECT vec_id FROM l2)"
-            "  ORDER BY score DESC, p.vec_id LIMIT 1),"
-            " l3 AS (SELECT vec_id FROM l2 UNION ALL"
-            "  SELECT vec_id FROM s3),"
-            " s4 AS (SELECT p.vec_id, p.rel,"
-            "  round(0.7 * p.rel - (1.0 - 0.7)"
-            "   * COALESCE(m.ms, 0.0) + 1e-9, 6) AS score"
-            "  FROM pool p LEFT JOIN (SELECT ai, max(sim) AS ms"
-            "   FROM sims WHERE bi IN (SELECT vec_id FROM l3)"
-            "   GROUP BY ai) m ON m.ai = p.vec_id"
-            "  WHERE p.vec_id NOT IN (SELECT vec_id FROM l3)"
-            "  ORDER BY score DESC, p.vec_id LIMIT 1),"
-            " l4 AS (SELECT vec_id FROM l3 UNION ALL"
-            "  SELECT vec_id FROM s4),"
-            " s5 AS (SELECT p.vec_id, p.rel,"
-            "  round(0.7 * p.rel - (1.0 - 0.7)"
-            "   * COALESCE(m.ms, 0.0) + 1e-9, 6) AS score"
-            "  FROM pool p LEFT JOIN (SELECT ai, max(sim) AS ms"
-            "   FROM sims WHERE bi IN (SELECT vec_id FROM l4)"
-            "   GROUP BY ai) m ON m.ai = p.vec_id"
-            "  WHERE p.vec_id NOT IN (SELECT vec_id FROM l4)"
-            "  ORDER BY score DESC, p.vec_id LIMIT 1)"
-            " SELECT * FROM ("
-            "  SELECT CAST(1 AS INT) AS rank, vec_id, rel,"
-            "   score AS mmr_score FROM s1"
-            "  UNION ALL SELECT CAST(2 AS INT), vec_id, rel, score FROM s2"
-            "  UNION ALL SELECT CAST(3 AS INT), vec_id, rel, score FROM s3"
-            "  UNION ALL SELECT CAST(4 AS INT), vec_id, rel, score FROM s4"
-            "  UNION ALL SELECT CAST(5 AS INT), vec_id, rel, score FROM s5"
-            " ) ORDER BY rank"
-        ),
-        "chi2_terms": (
-            "WITH dt AS (SELECT DISTINCT doc_id, lang AS cls, t AS term"
-            "  FROM (SELECT doc_id, lang,"
-            "   unnest(string_split_regex(trim(text), '\\s+')) AS t"
-            "   FROM documents) WHERE t <> ''),"
-            " n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE)"
-            "  AS nd FROM documents),"
-            " cd AS (SELECT lang AS cls,"
-            "  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_cls"
-            "  FROM documents GROUP BY 1),"
-            " p AS (SELECT term, cls, CAST(count(*) AS BIGINT) AS a_raw"
-            "  FROM dt GROUP BY 1, 2),"
-            " tt AS (SELECT term, CAST(sum(a_raw) AS BIGINT) AS df_term"
-            "  FROM p GROUP BY 1),"
-            " tc AS (SELECT tt.term, g.cls, tt.df_term,"
-            "  CAST(COALESCE(p.a_raw, 0) AS BIGINT) AS a"
-            "  FROM tt CROSS JOIN (SELECT cls FROM cd) g"
-            "  LEFT JOIN p ON p.term = tt.term AND p.cls = g.cls),"
-            " s AS (SELECT tc.cls, tc.term, tc.a, tc.df_term,"
-            "   cd.n_cls, n.nd,"
-            "   CAST(a AS DOUBLE) * (nd - n_cls - (df_term - a))"
-            "    - CAST(df_term - a AS DOUBLE)"
-            "      * CAST(n_cls - a AS DOUBLE) AS ad_bc"
-            "  FROM tc JOIN cd ON cd.cls = tc.cls CROSS JOIN n"
-            "  WHERE tc.df_term >= 5),"
-            " sc AS (SELECT cls, term, a, df_term,"
-            "  round(CASE WHEN df_term >= nd OR n_cls >= nd THEN 0.0"
-            "   ELSE nd * ad_bc * ad_bc /"
-            "   (CAST(df_term AS DOUBLE) * (nd - df_term)"
-            "    * CAST(n_cls AS DOUBLE) * (nd - n_cls)) END + 1e-9, 6)"
-            "   AS chi2 FROM s),"
-            " r AS (SELECT *, row_number() OVER (PARTITION BY cls"
-            "  ORDER BY chi2 DESC, term ASC) AS rk FROM sc)"
-            " SELECT cls, CAST(rk AS INT) AS rk, term,"
-            " a AS present_in_class, df_term AS doc_freq, chi2"
-            " FROM r WHERE rk <= 10 ORDER BY cls, rk"
-        ),
-        "dsir_weights": (
-            "WITH tk AS (SELECT doc_id, lang,"
-            "  (('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)"
-            "   % 256 AS b FROM (SELECT doc_id, lang,"
-            "  unnest(string_split_regex(trim(text), '\\s+')) AS t"
-            "  FROM documents) WHERE t <> ''),"
-            " db AS (SELECT doc_id, lang, b, count(*) AS cnt"
-            "  FROM tk GROUP BY 1, 2, 3),"
-            " m AS (SELECT b,"
-            "  CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)"
-            "   AS BIGINT) AS ct,"
-            "  CAST(sum(CASE WHEN lang <> 'en' THEN cnt ELSE 0 END)"
-            "   AS BIGINT) AS cr FROM db GROUP BY b),"
-            " t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,"
-            "  CAST(sum(cr) AS BIGINT) AS tr FROM m),"
-            " lr AS (SELECT b,"
-            "  ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))"
-            "  - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE))"
-            "   AS lr FROM m CROSS JOIN t)"
-            " SELECT db.doc_id, db.lang,"
-            " CAST(sum(cnt) AS BIGINT) AS n_tokens,"
-            " round(sum(cnt * lr) + 1e-9, 6) AS llr"
-            " FROM db JOIN lr ON lr.b = db.b"
-            " GROUP BY db.doc_id, db.lang ORDER BY db.doc_id"
-        ),
-        "copurchase_pagerank": (
-            "WITH it AS (SELECT DISTINCT l_orderkey AS okey,"
-            "  p_brand AS item FROM lineitem"
-            "  JOIN part ON l_partkey = p_partkey),"
-            " e AS (SELECT DISTINCT a.item AS src, b.item AS dst"
-            "  FROM it a JOIN it b ON a.okey = b.okey"
-            "  WHERE a.item <> b.item),"
-            " n AS (SELECT src AS node FROM e UNION"
-            "  SELECT dst AS node FROM e),"
-            " d AS (SELECT n.node,"
-            "  CAST(COALESCE(o.od, 0) AS BIGINT) AS out_degree"
-            "  FROM n LEFT JOIN (SELECT src, count(*) AS od FROM e"
-            "   GROUP BY src) o ON o.src = n.node),"
-            " nv AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM d),"
-            " r0 AS (SELECT node, out_degree, CAST(1.0 AS DOUBLE)"
-            "  AS pr FROM d),"
-            " r1 AS (SELECT d.node, d.out_degree,"
-            "  0.15 + 0.85 * (COALESCE(m.in_mass, 0.0) + dm.dm / nv.nn)"
-            "   AS pr FROM d CROSS JOIN nv CROSS JOIN"
-            "  (SELECT COALESCE(sum(pr), 0.0) AS dm FROM r0"
-            "   WHERE out_degree = 0) dm"
-            "  LEFT JOIN (SELECT e.dst, sum(r.pr / r.out_degree)"
-            "   AS in_mass FROM e JOIN r0 r ON r.node = e.src"
-            "   GROUP BY e.dst) m ON m.dst = d.node),"
-            " r2 AS (SELECT d.node, d.out_degree,"
-            "  0.15 + 0.85 * (COALESCE(m.in_mass, 0.0) + dm.dm / nv.nn)"
-            "   AS pr FROM d CROSS JOIN nv CROSS JOIN"
-            "  (SELECT COALESCE(sum(pr), 0.0) AS dm FROM r1"
-            "   WHERE out_degree = 0) dm"
-            "  LEFT JOIN (SELECT e.dst, sum(r.pr / r.out_degree)"
-            "   AS in_mass FROM e JOIN r1 r ON r.node = e.src"
-            "   GROUP BY e.dst) m ON m.dst = d.node),"
-            " r3 AS (SELECT d.node, d.out_degree,"
-            "  0.15 + 0.85 * (COALESCE(m.in_mass, 0.0) + dm.dm / nv.nn)"
-            "   AS pr FROM d CROSS JOIN nv CROSS JOIN"
-            "  (SELECT COALESCE(sum(pr), 0.0) AS dm FROM r2"
-            "   WHERE out_degree = 0) dm"
-            "  LEFT JOIN (SELECT e.dst, sum(r.pr / r.out_degree)"
-            "   AS in_mass FROM e JOIN r2 r ON r.node = e.src"
-            "   GROUP BY e.dst) m ON m.dst = d.node)"
-            " SELECT node, out_degree, round(pr + 1e-9, 6)"
-            "  AS rank_score FROM r3 ORDER BY node"
-        ),
-        "basket_rules": (
-            "WITH it AS (SELECT DISTINCT l_orderkey AS okey,"
-            "  p_brand AS item FROM lineitem"
-            "  JOIN part ON l_partkey = p_partkey),"
-            " nn AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE)"
-            "  AS nd FROM it),"
-            " io AS (SELECT item, count(*) AS item_orders FROM it"
-            "  GROUP BY item),"
-            " p AS (SELECT a.item AS ante, b.item AS cons,"
-            "  count(*) AS pair_orders"
-            "  FROM it a JOIN it b ON a.okey = b.okey"
-            "  WHERE a.item <> b.item GROUP BY 1, 2"
-            "  HAVING count(*) >= 20)"
-            " SELECT ante, cons, CAST(pair_orders AS BIGINT)"
-            "  AS pair_orders,"
-            " round(pair_orders / nd + 1e-9, 6) AS support,"
-            " round(pair_orders / CAST(ia.item_orders AS DOUBLE)"
-            "  + 1e-9, 6) AS confidence,"
-            " round((pair_orders / CAST(ia.item_orders AS DOUBLE))"
-            "  / (ic.item_orders / nd) + 1e-9, 6) AS lift"
-            " FROM p CROSS JOIN nn"
-            " JOIN io ia ON ia.item = p.ante"
-            " JOIN io ic ON ic.item = p.cons"
-            " ORDER BY ante, cons"
-        ),
-        "neyman_sample": (
-            "WITH st AS (SELECT o_orderpriority, count(*) AS n_rows,"
-            "  max(o_totalprice) - min(o_totalprice) AS spread"
-            "  FROM orders GROUP BY o_orderpriority),"
-            " w AS (SELECT *, n_rows * CAST(spread AS DOUBLE) AS wt FROM st),"
-            " d AS (SELECT CAST(sum(wt) AS DOUBLE) AS w_total FROM w),"
-            " a AS (SELECT o_orderpriority, n_rows, spread,"
-            "  CAST(floor(wt / w_total * 200 + 0.5) AS INT) AS budget"
-            "  FROM w CROSS JOIN d),"
-            " r AS (SELECT o_orderpriority, row_number() OVER ("
-            "  PARTITION BY o_orderpriority ORDER BY"
-            "  md5('neyman-v1:' || CAST(o_orderkey AS VARCHAR)),"
-            "  o_orderkey) AS rk FROM orders),"
-            " p AS (SELECT r.o_orderpriority, count(*) AS n_picked"
-            "  FROM r JOIN a ON a.o_orderpriority = r.o_orderpriority"
-            "  WHERE r.rk <= a.budget GROUP BY r.o_orderpriority)"
-            " SELECT a.o_orderpriority, a.n_rows,"
-            " round(CAST(a.spread AS DOUBLE) + 1e-9, 2) AS spread,"
-            " a.budget, CAST(COALESCE(p.n_picked, 0) AS BIGINT) AS n_picked"
-            " FROM a LEFT JOIN p ON p.o_orderpriority = a.o_orderpriority"
-            " ORDER BY a.o_orderpriority"
-        ),
-        "winnowing": (
-            "WITH t AS (SELECT doc_id,"
-            "  string_split_regex(trim(text), '\\s+') AS toks"
-            "  FROM documents),"
-            " g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN"
-            "  [('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),"
-            "    1, 8))::BIGINT % 2147483647"
-            "   FOR i IN generate_series(1, len(toks) - 2)]"
-            "  ELSE CAST([] AS BIGINT[]) END AS grams FROM t),"
-            " f AS (SELECT doc_id, grams,"
-            "  list_distinct(CASE WHEN len(grams) >= 4 THEN"
-            "   [list_min(grams[j:j+3])"
-            "    FOR j IN generate_series(1, len(grams) - 3)]"
-            "  ELSE grams END) AS fps FROM g)"
-            " SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,"
-            " CAST(len(fps) AS INT) AS n_fps,"
-            " list_min(fps) AS fp_min, list_max(fps) AS fp_max,"
-            " round(CAST(len(fps) AS DOUBLE) / greatest(len(grams), 1)"
-            "  + 1e-9, 6) AS density"
-            " FROM f ORDER BY doc_id"
-        ),
-        "score_normalize": (
-            "WITH t AS (SELECT doc_id,"
-            "   lower(unnest(string_split(trim(text), ' '))) AS token"
-            "   FROM documents),"
-            " pt AS (SELECT doc_id, token, count(*) AS c FROM t"
-            "   WHERE length(token) > 0 GROUP BY 1, 2),"
-            " ent AS (SELECT doc_id,"
-            "  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)"
-            "   AS entropy FROM pt GROUP BY doc_id),"
-            " j AS (SELECT d.doc_id, d.source, e.entropy FROM documents d"
-            "  JOIN ent e ON e.doc_id = d.doc_id)"
-            " SELECT doc_id, source, entropy,"
-            " round(percent_rank() OVER (PARTITION BY source"
-            "  ORDER BY entropy, doc_id) + 1e-9, 6) AS source_pctile"
-            " FROM j ORDER BY source, doc_id"
-        ),
-        "contrastive_triples": (
-            "WITH " + _minhash_pairs_cte(0.4) + ","
-            " pr AS (SELECT doc_a AS anchor, doc_b AS positive, jaccard"
-            "  FROM mh_pairs),"
-            " pool AS (SELECT doc_id AS cand,"
-            "  ('0x' || substr(md5('neg-v1:' || CAST(doc_id AS VARCHAR)),"
-            "   1, 13))::BIGINT / 4503599627370496.0 AS u"
-            "  FROM documents ORDER BY u, cand LIMIT 11),"
-            " adj AS (SELECT anchor AS a, positive AS b FROM pr"
-            "  UNION SELECT positive, anchor FROM pr),"
-            " negs AS (SELECT pr.*, pool.cand, pool.u FROM pr CROSS JOIN pool"
-            "  WHERE pool.cand <> pr.anchor AND pool.cand <> pr.positive"
-            "  AND NOT EXISTS (SELECT 1 FROM adj WHERE adj.a = pr.anchor"
-            "   AND adj.b = pool.cand)),"
-            " rk AS (SELECT *, row_number() OVER (PARTITION BY anchor,"
-            "  positive ORDER BY u, cand) AS neg_rank FROM negs)"
-            " SELECT anchor, positive, jaccard,"
-            " CAST(neg_rank AS INT) AS neg_rank, cand AS negative"
-            " FROM rk WHERE neg_rank <= 3"
-            " ORDER BY anchor, positive, neg_rank"
-        ),
-        "session_occupancy": (
-            "WITH o AS (SELECT user_id, event_id,"
-            "  CAST(ts AS TIMESTAMP) AS ts FROM events),"
-            " g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR"
-            "  date_diff('second', lag(ts) OVER w, ts) > 1800"
-            "  THEN 1 ELSE 0 END AS brk FROM o"
-            "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
-            " s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id"
-            "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
-            "  AS session_seq FROM g),"
-            " sess AS (SELECT user_id, session_seq,"
-            "  min(ts) AS session_start, max(ts) AS session_end"
-            "  FROM s GROUP BY user_id, session_seq),"
-            " b AS (SELECT date_trunc('hour', session_start) AS hour,"
-            "  1 AS delta, 1 AS is_start, 0 AS is_end FROM sess"
-            "  UNION ALL SELECT date_trunc('hour', session_end)"
-            "  + INTERVAL 1 HOUR, -1, 0, 1 FROM sess),"
-            " ph AS (SELECT hour, CAST(sum(is_start) AS BIGINT) AS n_starts,"
-            "  CAST(sum(is_end) AS BIGINT) AS n_ends,"
-            "  sum(delta) AS net FROM b GROUP BY hour)"
-            " SELECT hour, n_starts, n_ends,"
-            " CAST(sum(net) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING)"
-            "  AS BIGINT) AS open_sessions"
-            " FROM ph ORDER BY hour"
-        ),
-        "rolling_wau": (
-            "WITH ud AS (SELECT DISTINCT user_id,"
-            "  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),"
-            " mx AS (SELECT max(day) AS mxd FROM ud),"
-            " e AS (SELECT user_id, day + i * INTERVAL 1 DAY AS report_day"
-            "  FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g)"
-            " SELECT strftime(report_day, '%Y-%m-%d') AS day,"
-            " CAST(count(DISTINCT user_id) AS BIGINT) AS active_users"
-            " FROM e, mx WHERE report_day <= mxd"
-            " GROUP BY 1 ORDER BY 1"
-        ),
-        "winsorized_stats": (
-            "WITH b AS (SELECT o_orderpriority,"
-            "  quantile_cont(o_totalprice, 0.01) AS lo,"
-            "  quantile_cont(o_totalprice, 0.99) AS hi"
-            "  FROM orders GROUP BY o_orderpriority),"
-            " c AS (SELECT o.o_orderpriority, o.o_totalprice AS v,"
-            "  greatest(least(o.o_totalprice, b.hi), b.lo) AS w, b.lo, b.hi"
-            "  FROM orders o JOIN b USING (o_orderpriority))"
-            " SELECT o_orderpriority, count(*) AS n,"
-            " CAST(count(*) FILTER (WHERE v < lo) AS BIGINT) AS n_clipped_lo,"
-            " CAST(count(*) FILTER (WHERE v > hi) AS BIGINT) AS n_clipped_hi,"
-            " round(min(lo) + 1e-9, 4) AS lo_bound,"
-            " round(max(hi) + 1e-9, 4) AS hi_bound,"
-            " round(round(CAST(sum(w) AS DOUBLE), 2) / count(*) + 1e-9, 4)"
-            "  AS winsorized_mean"
-            " FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority"
-        ),
-        "ohlc_bars": (
-            "WITH o AS (SELECT event_type,"
-            "  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_hour,"
-            "  CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),"
-            " w AS (SELECT *,"
-            "  first_value(value) OVER (PARTITION BY event_type, bar_hour"
-            "   ORDER BY ts, event_id) AS open_v,"
-            "  first_value(value) OVER (PARTITION BY event_type, bar_hour"
-            "   ORDER BY ts DESC, event_id DESC) AS close_v FROM o)"
-            " SELECT event_type, bar_hour,"
-            " round(min(open_v) + 1e-9, 4) AS open,"
-            " round(max(value) + 1e-9, 4) AS high,"
-            " round(min(value) + 1e-9, 4) AS low,"
-            " round(min(close_v) + 1e-9, 4) AS close,"
-            " count(*) AS n_events"
-            " FROM w GROUP BY event_type, bar_hour"
-            " ORDER BY event_type, bar_hour"
-        ),
-        "erase_users": (
-            "WITH req AS (SELECT DISTINCT user_id FROM events"
-            "  WHERE user_id % 17 = 3"
-            "  UNION ALL SELECT 99991 UNION ALL SELECT 99992)"
-            " SELECT r.user_id,"
-            " CAST(count(e.user_id) AS BIGINT) AS n_erased"
-            " FROM req r LEFT JOIN events e ON r.user_id = e.user_id"
-            " GROUP BY r.user_id ORDER BY r.user_id"
-        ),
-        "jl_projection": (
-            "WITH vecs AS (SELECT vec_id,"
-            "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-            " s AS (SELECT vec_id, list_dot_product(v, v) AS n2, "
-            + _jl_s2_sql()
-            + "  AS s2 FROM vecs)"
-            " SELECT vec_id, round(sqrt(n2) + 1e-9, 4) AS norm_orig,"
-            " round(sqrt(s2) + 1e-9, 4) AS norm_proj,"
-            " round(sqrt(s2) / sqrt(n2) + 1e-9, 4) AS distortion"
-            " FROM s ORDER BY vec_id"
-        ),
-        "cms_word_counts": (
-            "WITH words AS (SELECT w FROM (SELECT"
-            "  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w"
-            "  FROM documents) WHERE w <> ''),"
-            " exact AS (SELECT w, count(*) AS true_count FROM words"
-            "  GROUP BY w),"
-            " probes AS (SELECT * FROM exact"
-            "  ORDER BY true_count DESC, w LIMIT 20),"
-            " sk AS (SELECT j, ('0x' || substr(md5('cms' ||"
-            "   CAST(j AS VARCHAR) || ':' || w), 1, 8))::BIGINT"
-            "   % 2147483647 % 1024 AS bucket, count(*) AS c"
-            "  FROM words, LATERAL (SELECT"
-            "   unnest(generate_series(0, 3)) AS j) g GROUP BY 1, 2),"
-            " pf AS (SELECT w, true_count, j, ('0x' || substr(md5('cms' ||"
-            "   CAST(j AS VARCHAR) || ':' || w), 1, 8))::BIGINT"
-            "   % 2147483647 % 1024 AS bucket"
-            "  FROM probes, LATERAL (SELECT"
-            "   unnest(generate_series(0, 3)) AS j) g)"
-            " SELECT pf.w AS word, pf.true_count,"
-            " min(sk.c) AS est_count,"
-            " min(sk.c) - pf.true_count AS overestimate"
-            " FROM pf JOIN sk USING (j, bucket)"
-            " GROUP BY pf.w, pf.true_count"
-            " ORDER BY true_count DESC, word"
-        ),
-        "scd2_lookup": (
-            "WITH marked AS (SELECT user_id, event_type, ts, event_id,"
-            "   (lag(event_type) OVER w IS NULL"
-            "    OR lag(event_type) OVER w <> event_type) AS chg"
-            "   FROM events WINDOW w AS"
-            "    (PARTITION BY user_id ORDER BY ts, event_id)),"
-            " starts AS (SELECT * FROM marked WHERE chg),"
-            " dim AS (SELECT user_id, event_type AS state,"
-            "   ts AS valid_from,"
-            "   coalesce(lead(ts) OVER w2,"
-            "    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,"
-            "   CAST(row_number() OVER w2 AS INT) AS version"
-            "  FROM starts WINDOW w2 AS"
-            "   (PARTITION BY user_id ORDER BY ts, event_id)),"
-            " p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts"
-            "  FROM events WHERE event_type = 'purchase')"
-            " SELECT p.event_id, p.user_id, p.ts,"
-            " d.state AS state_at_event, d.version"
-            " FROM p JOIN dim d ON p.user_id = d.user_id"
-            "  AND p.ts >= d.valid_from AND p.ts < d.valid_to"
-            " ORDER BY event_id"
-        ),
-        "embedding_gramian": (
-            "WITH p AS (SELECT i, j,"
-            "  CAST(embedding[i + 1] AS DOUBLE) *"
-            "  CAST(embedding[j + 1] AS DOUBLE) AS v"
-            "  FROM embeddings,"
-            "  LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gi,"
-            "  LATERAL (SELECT unnest(generate_series(0, 63)) AS j) gj"
-            "  WHERE j >= i)"
-            " SELECT i, j, round(sum(v) + 1e-9, 6) AS dot"
-            " FROM p GROUP BY i, j ORDER BY i, j"
-        ),
-        "merge_apply": (
-            "WITH snap AS (SELECT doc_id, lang, source, n_chars"
-            "  FROM documents),"
-            " ch AS ("
-            "  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars,"
-            "   FALSE AS is_delete FROM documents"
-            "   WHERE doc_id % 7 = 0 AND doc_id % 11 <> 3"
-            "  UNION ALL SELECT doc_id, lang, source, n_chars, TRUE"
-            "   FROM documents WHERE doc_id % 11 = 3"
-            "  UNION ALL SELECT doc_id + 10000, lang, source, n_chars,"
-            "   FALSE FROM documents WHERE doc_id % 13 = 1)"
-            " SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,"
-            " CASE WHEN c.doc_id IS NOT NULL THEN c.lang ELSE s.lang END"
-            "  AS lang,"
-            " CASE WHEN c.doc_id IS NOT NULL THEN c.source ELSE s.source END"
-            "  AS source,"
-            " CASE WHEN c.doc_id IS NOT NULL THEN c.n_chars ELSE s.n_chars"
-            "  END AS n_chars"
-            " FROM snap s FULL OUTER JOIN ch c ON s.doc_id = c.doc_id"
-            " WHERE NOT coalesce(c.is_delete, FALSE)"
-            " ORDER BY doc_id"
-        ),
-        "equi_depth_buckets": (
-            "WITH r AS (SELECT o_totalprice AS v,"
-            "  ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket"
-            "  FROM orders)"
-            " SELECT CAST(bucket AS BIGINT) AS bucket,"
-            " count(*) AS n_rows,"
-            " round(min(v), 2) AS min_val, round(max(v), 2) AS max_val,"
-            " round(round(CAST(sum(v) AS DOUBLE), 2) / count(*) + 1e-9, 4)"
-            "  AS avg_val"
-            " FROM r GROUP BY bucket ORDER BY bucket"
-        ),
-        "clean_text": (
-            "WITH aug AS (SELECT doc_id, text || chr(10) || '<div>menu</div>'"
-            "  || chr(10) || 'Home About' || chr(10) ||"
-            "  '&amp; final long closing line here' AS text FROM documents),"
-            " l AS (SELECT doc_id, length(text) AS n_chars_raw,"
-            "  string_split(regexp_replace(regexp_replace(regexp_replace("
-            "   regexp_replace(text, '<[^>]+>', ' ', 'g'),"
-            "   '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),"
-            "   chr(10)) AS lines FROM aug),"
-            " c AS (SELECT doc_id, n_chars_raw, len(lines) AS n_lines,"
-            "  list_filter(lines, x -> length(trim(x)) > 0 AND"
-            "   len(regexp_split_to_array(trim(x), '\\s+')) >= 3) AS kept"
-            "  FROM l)"
-            " SELECT doc_id, n_chars_raw,"
-            " length(trim(regexp_replace(array_to_string(kept, chr(10)),"
-            "  '[ \\t]+', ' ', 'g'))) AS n_chars_clean,"
-            " len(kept) AS n_lines_kept,"
-            " n_lines - len(kept) AS n_lines_dropped,"
-            " trim(regexp_replace(array_to_string(kept, chr(10)),"
-            "  '[ \\t]+', ' ', 'g')) AS clean_text"
-            " FROM c ORDER BY doc_id"
-        ),
-        "resample_events": (
-            "WITH hourly AS (SELECT user_id,"
-            "  date_trunc('hour', ts) AS hour, count(*) AS n_events,"
-            "  round(round(sum(value), 2) / count(*) + 1e-9, 4) AS avg_value"
-            "  FROM events GROUP BY 1, 2),"
-            " span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1"
-            "  FROM hourly GROUP BY 1),"
-            " spine AS (SELECT user_id,"
-            "  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span)"
-            " SELECT s.user_id, s.hour, coalesce(h.n_events, 0) AS n_events,"
-            " last_value(h.avg_value IGNORE NULLS) OVER ("
-            "  PARTITION BY s.user_id ORDER BY s.hour"
-            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill"
-            " FROM spine s LEFT JOIN hourly h USING (user_id, hour)"
-            " ORDER BY user_id, hour"
-        ),
-        "unpivot_metrics": (
-            "WITH wide AS (SELECT l_returnflag,"
-            "  round(sum(l_quantity), 2) AS sum_qty,"
-            "  round(sum(l_extendedprice), 2) AS sum_base_price,"
-            "  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price"
-            "  FROM lineitem GROUP BY 1)"
-            " SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide"
-            " UNION ALL SELECT l_returnflag, 'sum_base_price', sum_base_price FROM wide"
-            " UNION ALL SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM wide"
-            " ORDER BY l_returnflag, metric"
-        ),
-        "null_safe_rollup": (
-            "WITH a AS (SELECT nullif(o_orderstatus, 'P') AS status_norm,"
-            "  o_totalprice FROM orders),"
-            " d AS (SELECT DISTINCT status_norm FROM a)"
-            " SELECT d.status_norm, count(*) AS n_orders,"
-            " round(sum(a.o_totalprice), 2) AS total_price"
-            " FROM a JOIN d ON a.status_norm IS NOT DISTINCT FROM d.status_norm"
-            " GROUP BY d.status_norm ORDER BY d.status_norm"
-        ),
-        "zorder_key": (
-            "WITH b AS (SELECT o_orderkey,"
-            "   least(65535, CAST(floor(o_totalprice / 8) AS BIGINT)) AS price_bucket,"
-            "   o_custkey % 65536 AS cust_bucket FROM orders)"
-            " SELECT o_orderkey, price_bucket, cust_bucket,"
-            "  CAST((SELECT sum((((price_bucket >> j) & 1) << (2 * j))"
-            "              + (((cust_bucket >> j) & 1) << (2 * j + 1)))"
-            "        FROM generate_series(0, 15) AS g(j)) AS BIGINT) AS z_key"
-            " FROM b ORDER BY o_orderkey"
-        ),
-        "approx_stats": (
-            "SELECT o_orderpriority,"
-            " quantile_disc(o_totalprice, 0.5) AS p50_sketch,"
-            " quantile_disc(o_totalprice, 0.9) AS p90_sketch,"
-            " count(*) AS n_orders"
-            " FROM orders GROUP BY 1 ORDER BY 1"
-        ),
-        "chunk_documents_udtf": (
-            "WITH w AS (SELECT doc_id,"
-            " regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),"
-            " e AS (SELECT doc_id, words,"
-            " unnest(generate_series(0, (len(words)+29)//30 - 1)) AS s FROM w)"
-            " SELECT doc_id, CAST(s AS INT) AS chunk_id,"
-            " CAST(len(words[s*30+1 : s*30+40]) AS INT) AS n_chunk_words,"
-            " array_to_string(words[s*30+1 : s*30+40], ' ') AS chunk_text FROM e"
-        ),
-        "parts_supplier_counts": (
-            "WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
-            " SELECT p_brand, p_type,"
-            " CAST(floor(p_size / 10) * 10 AS INT) AS size_band,"
-            " count(DISTINCT l_suppkey) AS n_suppliers"
-            " FROM rel JOIN part ON l_partkey = p_partkey"
-            " GROUP BY 1, 2, 3"
-            " ORDER BY n_suppliers DESC, p_brand, p_type, size_band"
-        ),
-        "dominant_suppliers": (
-            "WITH per_ps AS (SELECT l_partkey, l_suppkey,"
-            "  sum(l_quantity) AS ps_qty FROM lineitem GROUP BY 1, 2),"
-            " per_part AS (SELECT l_partkey, sum(ps_qty) AS part_qty"
-            "  FROM per_ps GROUP BY 1)"
-            " SELECT s_suppkey, s_name FROM supplier"
-            " WHERE s_suppkey IN (SELECT l_suppkey FROM per_ps"
-            "  JOIN per_part USING (l_partkey) WHERE ps_qty > part_qty * 0.2)"
-            " ORDER BY s_suppkey"
-        ),
-        "cheapest_supplier_per_part": (
-            "WITH ap AS (SELECT l_partkey, l_suppkey,"
-            "  round(round(sum(l_extendedprice), 2) / count(*) + 1e-9, 4) AS avg_price"
-            "  FROM lineitem WHERE l_partkey < 200 GROUP BY 1, 2),"
-            " best AS (SELECT l_partkey, l_suppkey, avg_price,"
-            "  row_number() OVER (PARTITION BY l_partkey"
-            "   ORDER BY avg_price, l_suppkey) AS rn FROM ap)"
-            " SELECT l_partkey, s_suppkey, s_name, avg_price AS best_avg_price"
-            " FROM best JOIN supplier ON l_suppkey = s_suppkey"
-            " WHERE rn = 1 ORDER BY l_partkey"
-        ),
-        "promo_revenue_share": (
-            "SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,"
-            " round(round(sum(CASE WHEN p_type LIKE 'PROMO%'"
-            "   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) * 100"
-            "  / round(sum(l_extendedprice * (1 - l_discount)), 2) + 1e-9, 4)"
-            "  AS promo_share_pct,"
-            " count(*) AS n_lineitems"
-            " FROM lineitem JOIN part ON l_partkey = p_partkey"
-            " GROUP BY 1 ORDER BY ship_month"
-        ),
-        "idle_rich_customers": (
-            "WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer"
-            "  WHERE c_acctbal > 0)"
-            " SELECT c_mktsegment, count(*) AS n_customers,"
-            " round(sum(c_acctbal), 2) AS total_bal"
-            " FROM customer, ab"
-            " WHERE c_acctbal > avg_bal"
-            "  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
-            "   AND o_orderpriority = '1-URGENT')"
-            " GROUP BY c_mktsegment ORDER BY c_mktsegment"
-        ),
-        "lonely_late_suppliers": (
-            "WITH li AS (SELECT l_orderkey, l_suppkey,"
-            "  max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY"
-            "   THEN 1 ELSE 0 END) AS late"
-            "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
-            "  GROUP BY l_orderkey, l_suppkey),"
-            " per_o AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late"
-            "  FROM li GROUP BY l_orderkey)"
-            " SELECT s_name, count(*) AS n_orders"
-            " FROM li JOIN per_o USING (l_orderkey)"
-            " JOIN supplier ON s_suppkey = l_suppkey"
-            " WHERE li.late = 1 AND per_o.n_supp >= 2 AND per_o.n_late = 1"
-            " GROUP BY s_name ORDER BY n_orders DESC, s_name LIMIT 20"
-        ),
-        "repetition_ratio": (
-            "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks"
-            "  FROM documents),"
-            " g AS (SELECT doc_id, list_transform("
-            "  range(1, greatest(len(toks) - 2, 1) + 1),"
-            "  i -> array_to_string(toks[i:i+2], ' ')) AS grams FROM t)"
-            " SELECT doc_id, len(grams) AS total_grams,"
-            " len(list_distinct(grams)) AS distinct_grams,"
-            " round((len(grams) - len(list_distinct(grams)))"
-            "  / greatest(len(grams), 1) + 1e-9, 6) AS repetition_ratio"
-            " FROM g ORDER BY doc_id"
-        ),
-        "contamination": (
-            "WITH toks AS (SELECT doc_id,"
-            "  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t"
-            "  FROM documents),"
-            " g AS (SELECT doc_id, list_distinct(list_transform("
-            "  range(1, greatest(len(t) - 2, 1) + 1),"
-            "  i -> array_to_string(t[i:i+2], ' '))) AS grams FROM toks),"
-            " ce AS (SELECT doc_id AS corpus_id, unnest(grams) AS gram FROM g WHERE doc_id >= 25),"
-            " pe AS (SELECT doc_id AS probe_id, unnest(grams) AS gram FROM g WHERE doc_id < 25)"
-            " SELECT corpus_id, probe_id, count(*) AS n_shared"
-            " FROM ce JOIN pe USING (gram) GROUP BY 1, 2"
-            " HAVING count(*) >= 2 ORDER BY corpus_id, probe_id"
-        ),
-        "redact_pii": (
-            "WITH aug AS (SELECT doc_id,"
-            "  text || ' contact user' || doc_id || '@example.com or +123456789' AS t"
-            "  FROM documents),"
-            " red AS (SELECT doc_id, t,"
-            "  regexp_replace(regexp_replace(t,"
-            "   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),"
-            "   '\\+[0-9]{7,15}', '<PHONE>', 'g') AS rt FROM aug)"
-            " SELECT doc_id,"
-            " len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,"
-            " len(regexp_extract_all(t, '\\+[0-9]{7,15}')) AS n_phones,"
-            " length(rt) AS n_chars, sha256(rt) AS redacted_sha"
-            " FROM red ORDER BY doc_id"
-        ),
-        "tfidf_top_terms": (
-            "WITH toks AS (SELECT doc_id,"
-            "  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term"
-            "  FROM documents),"
-            " filt AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),"
-            " tf AS (SELECT doc_id, term, count(*) AS tf FROM filt GROUP BY 1, 2),"
-            " dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),"
-            " n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),"
-            " weighted AS (SELECT doc_id, term, tf, df,"
-            "  round(tf * (ln((n + 1) / (df + 1)) + 1) + 1e-9, 6) AS tfidf"
-            "  FROM tf JOIN dfq USING (term) CROSS JOIN n),"
-            " ranked AS (SELECT *, CAST(row_number() OVER ("
-            "  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank"
-            "  FROM weighted)"
-            " SELECT doc_id, rank, term, tf, df, tfidf FROM ranked"
-            " WHERE rank <= 3 ORDER BY doc_id, rank"
-        ),
-        "pack_documents": (
-            # replay of the engine's greedy sequential packing recurrence
-            # (same order, same overflow rule) as a recursive CTE
-            "WITH RECURSIVE docs AS (SELECT doc_id, lang, doc_id % 8 AS shard,"
-            "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),"
-            " ordered AS (SELECT *, row_number() OVER ("
-            "  PARTITION BY lang, shard ORDER BY doc_id) AS rn FROM docs),"
-            " packed AS ("
-            "  SELECT lang, shard, doc_id, n_tokens, rn,"
-            "   CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill"
-            "  FROM ordered WHERE rn = 1"
-            "  UNION ALL"
-            "  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,"
-            "   CASE WHEN p.fill + o.n_tokens > 512 THEN p.bin_id + 1 ELSE p.bin_id END,"
-            "   CASE WHEN p.fill + o.n_tokens > 512 THEN o.n_tokens ELSE p.fill + o.n_tokens END"
-            "  FROM packed p JOIN ordered o"
-            "   ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1),"
-            " per_bin AS (SELECT lang, shard, bin_id, sum(n_tokens) AS bin_fill,"
-            "  count(*) AS nd FROM packed GROUP BY 1, 2, 3)"
-            " SELECT lang, shard, count(*) AS n_bins,"
-            " CAST(sum(nd) AS BIGINT) AS n_docs,"
-            " CAST(sum(bin_fill) AS BIGINT) AS total_tokens,"
-            " CAST(max(bin_fill) AS BIGINT) AS max_fill,"
-            " round(sum(bin_fill) / (count(*) * 512) + 1e-9, 6) AS fill_ratio"
-            " FROM per_bin GROUP BY lang, shard ORDER BY lang, shard"
-        ),
-        "training_batches": (
-            # four-stage replay: vocab ranking, per-doc id encoding,
-            # the greedy packing recurrence (recursive CTE), and the
-            # concatenated per-bin id streams
-            "WITH RECURSIVE tok AS (SELECT doc_id, lang, i AS pos, w[i] AS token"
-            "  FROM (SELECT doc_id, lang,"
-            "    string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),"
-            "  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g"
-            "  ),"
-            " tk AS (SELECT * FROM tok WHERE length(token) > 0),"
-            " vocab AS (SELECT token,"
-            "   CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS INT)"
-            "     AS token_id"
-            "   FROM tk GROUP BY token),"
-            " encoded AS (SELECT tk.doc_id, tk.lang,"
-            "   count(*) AS n_tokens,"
-            "   string_agg(vocab.token_id::VARCHAR, ',' ORDER BY tk.pos)"
-            "     AS ids_csv"
-            "   FROM tk JOIN vocab USING (token) GROUP BY tk.doc_id, tk.lang),"
-            " ordered AS (SELECT *, doc_id % 8 AS shard, row_number() OVER ("
-            "   PARTITION BY lang, doc_id % 8 ORDER BY doc_id) AS rn FROM encoded),"
-            " packed AS ("
-            "  SELECT lang, shard, doc_id, n_tokens, ids_csv, rn,"
-            "   CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill"
-            "  FROM ordered WHERE rn = 1"
-            "  UNION ALL"
-            "  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.ids_csv, o.rn,"
-            "   CASE WHEN p.fill + o.n_tokens > 512 THEN p.bin_id + 1 ELSE p.bin_id END,"
-            "   CASE WHEN p.fill + o.n_tokens > 512 THEN o.n_tokens ELSE p.fill + o.n_tokens END"
-            "  FROM packed p JOIN ordered o"
-            "   ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1)"
-            " SELECT lang, shard, bin_id, count(*) AS n_docs,"
-            " CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,"
-            " string_agg(ids_csv, '|' ORDER BY doc_id) AS input_ids"
-            " FROM packed GROUP BY lang, shard, bin_id"
-            " ORDER BY lang, shard, bin_id"
-        ),
-        "deterministic_sample": (
-            "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars"
-            " FROM documents"
-            " WHERE doc_id % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END"
-            " GROUP BY lang ORDER BY lang"
-        ),
-        "dedup_content": (
-            "SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,"
-            " min(doc_id) AS doc_id, count(*) AS n_copies"
-            " FROM documents GROUP BY 1 ORDER BY doc_id"
-        ),
-        "dedup_exact": (
-            "SELECT doc_id, min(lang) AS lang, min(source) AS source,"
-            " min(n_chars) AS n_chars FROM documents GROUP BY doc_id ORDER BY doc_id"
-        ),
-        "cosine_topk": (
-            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"
-            " SELECT vec_id, round("
-            "  list_dot_product(CAST(embedding AS DOUBLE[]), qv) /"
-            "  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
-            "   * sqrt(list_dot_product(qv, qv))), 6) AS cosine"
-            " FROM embeddings, q ORDER BY cosine DESC, vec_id LIMIT 10"
-        ),
-        "pandas_cosine_topk": (
-            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"
-            " SELECT vec_id, round("
-            "  list_dot_product(CAST(embedding AS DOUBLE[]), qv) /"
-            "  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
-            "   * sqrt(list_dot_product(qv, qv))), 6) AS cosine"
-            " FROM embeddings, q ORDER BY cosine DESC, vec_id LIMIT 10"
-        ),
-        "knn_join": (
-            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
-            "   FROM embeddings WHERE vec_id < 5),"
-            " c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),"
-            " scored AS (SELECT query_id, neighbor_id, round("
-            "   list_dot_product(qv, cv) /"
-            "   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine"
-            "  FROM q, c WHERE query_id != neighbor_id),"
-            " ranked AS (SELECT *, CAST(row_number() OVER ("
-            "   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM scored)"
-            " SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"
-            " ORDER BY query_id, rank"
-        ),
-        "media_stats": (
-            "SELECT 'image' AS kind, count(*) AS n_items,"
-            " CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,"
-            " count(DISTINCT sha256(text)) AS n_distinct"
-            " FROM documents GROUP BY 1 ORDER BY kind"
-        ),
-        "media_resize": (
-            "SELECT doc_id AS media_id, 'image' AS kind,"
-            " least(octet_length(encode(text)), 64) AS n_bytes,"
-            " 8 AS width, 8 AS height"
-            " FROM documents ORDER BY media_id"
-        ),
-        "media_frames": (
-            "WITH sized AS (SELECT doc_id, octet_length(encode(text)) AS n"
-            "  FROM documents WHERE octet_length(encode(text)) > 0),"
-            " chunked AS (SELECT doc_id, n,"
-            "  CAST(ceil(n / 64.0) AS BIGINT) AS n_chunks FROM sized)"
-            " SELECT doc_id AS media_id,"
-            " len(range(0, n_chunks, 2)) AS n_frames,"
-            " CAST(list_sum(list_transform(range(0, n_chunks, 2),"
-            "  i -> least(64, n - i * 64))) AS BIGINT) AS frame_bytes"
-            " FROM chunked ORDER BY media_id"
-        ),
-        "gopher_quality": (
-            "WITH t AS (SELECT doc_id, text,"
-            "  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w,"
-            "  string_split(text, chr(10)) AS lines FROM documents),"
-            " m AS (SELECT doc_id,"
-            "  len(w) AS n_words,"
-            "  greatest(len(w), 1)::DOUBLE AS nw,"
-            "  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)"
-            "    / greatest(len(w), 1) AS mwl,"
-            "  len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,"
-            "  greatest(len(lines), 1)::DOUBLE AS nl,"
-            "  len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))"
-            "    AS n_bullet,"
-            "  len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$')))"
-            "    AS n_ell,"
-            "  len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,"
-            "  len(list_intersect(list_transform(w, x -> lower(x)),"
-            "    ['the','a','of','and','to'])) AS stop_hits"
-            "  FROM t)"
-            " SELECT doc_id, n_words,"
-            " round(mwl + 1e-9, 6) AS mean_word_len,"
-            " round(n_sym / nw + 1e-9, 6) AS symbol_ratio,"
-            " round(n_bullet / nl + 1e-9, 6) AS bullet_line_frac,"
-            " round(n_ell / nl + 1e-9, 6) AS ellipsis_line_frac,"
-            " round(n_alpha / nw + 1e-9, 6) AS alpha_word_frac,"
-            " stop_hits,"
-            " (n_words >= 50 AND n_words <= 100000"
-            "  AND mwl >= 3.0 AND mwl <= 10.0"
-            "  AND n_sym / nw < 0.1"
-            "  AND n_bullet / nl <= 0.9"
-            "  AND n_ell / nl <= 0.3"
-            "  AND n_alpha / nw >= 0.8"
-            "  AND stop_hits >= 2) AS passes_gopher"
-            " FROM m ORDER BY doc_id"
-        ),
-        "substring_contamination": (
-            "WITH norm AS (SELECT doc_id,"
-            "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t"
-            "  FROM documents),"
-            " needles AS (SELECT doc_id AS probe_id,"
-            "  array_to_string((string_split(t, ' '))[1:3], ' ') AS needle"
-            "  FROM norm WHERE doc_id % 5 = 0"
-            "  AND len(string_split(t, ' ')) >= 3)"
-            " SELECT h.doc_id AS corpus_id, n.probe_id FROM norm h"
-            " JOIN needles n ON contains(h.t, n.needle)"
-            " AND h.doc_id <> n.probe_id"
-            " ORDER BY corpus_id, probe_id"
-        ),
-        "token_set_join": (
-            # the ORACLE is the naive exact all-pairs join; the engine
-            # runs prefix-filtered AllPairs — hash equality proves the
-            # prefix filter admits no false negatives
-            "WITH docs AS (SELECT doc_id,"
-            "  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
-            "    AS w FROM documents),"
-            " s AS (SELECT doc_id,"
-            "  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
-            "    FOR i IN generate_series(1, len(w)-2)]) AS st"
-            "  FROM docs WHERE len(w) >= 3)"
-            " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
-            " round(len(list_intersect(a.st, b.st)) * 1.0 /"
-            "  greatest(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)), 1)"
-            "  + 1e-9, 6) AS jaccard"
-            " FROM s a JOIN s b ON a.doc_id < b.doc_id"
-            " WHERE len(list_intersect(a.st, b.st)) * 1.0 /"
-            "  greatest(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)), 1)"
-            "  >= 0.5"
-            " ORDER BY doc_a, doc_b"
-        ),
-        "bloom_prefilter_join": (
-            # the bloom prefilter is transparent (exact join removes
-            # false positives), so the oracle is the PLAIN join
-            "SELECT date_trunc('month', o_orderdate) AS order_month,"
-            " count(*) AS n_lines, count(DISTINCT l_orderkey) AS n_orders,"
-            " round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue"
-            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
-            " WHERE o_orderpriority = '1-URGENT'"
-            " GROUP BY 1 ORDER BY 1"
-        ),
-        "mad_outliers": (
-            "WITH med AS (SELECT event_type, median(value) AS m"
-            "  FROM events GROUP BY 1),"
-            " dev AS (SELECT e.event_type, e.value, med.m,"
-            "  abs(e.value - med.m) AS ad"
-            "  FROM events e JOIN med USING (event_type)),"
-            " mad AS (SELECT event_type, median(ad) AS md"
-            "  FROM dev GROUP BY 1)"
-            " SELECT dev.event_type, count(*) AS n,"
-            " round(min(dev.m) + 1e-9, 6) AS median,"
-            " round(min(mad.md) + 1e-9, 6) AS mad,"
-            " count(CASE WHEN dev.ad > 3.0 * 1.4826 * mad.md THEN 1 END)"
-            "   AS n_outliers,"
-            " round(max(CASE WHEN mad.md > 0"
-            "   THEN dev.ad / (1.4826 * mad.md) END) + 1e-9, 4) AS max_robust_z"
-            " FROM dev JOIN mad USING (event_type)"
-            " GROUP BY dev.event_type ORDER BY dev.event_type"
-        ),
-        "heavy_hitters": (
-            # the oracle pins the exact arm AND the contract flags:
-            # Misra-Gries never overestimates, and the merged summary's
-            # underestimate stays within the summed decrement budget —
-            # the engine computes the flags from its sketch, the oracle
-            # asserts they must both hold
-            "WITH words AS (SELECT w FROM (SELECT"
-            "  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w"
-            "  FROM documents) WHERE w <> ''),"
-            " exact AS (SELECT w, count(*) AS true_count FROM words"
-            "  GROUP BY w)"
-            " SELECT w AS word, true_count,"
-            " true AS never_over, true AS within_bound"
-            " FROM exact ORDER BY true_count DESC, word LIMIT 20"
-        ),
-        "bpe_encode": (
-            # greedy BPE merge replay: a recursive CTE walks each
-            # vocabulary word through (merge rank, symbol position)
-            # states with the same (result, pending) fold the engine
-            # runs as a JVM aggregate — then re-joins tokens per doc
-            "WITH RECURSIVE merges(mrank, a, b, ab) AS (VALUES "
-            + ", ".join(
-                f"({i}, '{a}', '{b}', '{a + b}')"
-                for i, (a, b) in enumerate(_BPE_MERGES)
-            )
-            + "),"
-            " tok AS (SELECT doc_id, i AS pos, w[i] AS token"
-            "  FROM (SELECT doc_id,"
-            "    string_split_regex(trim(text), '\\s+') AS w FROM documents),"
-            "  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g"
-            "  ),"
-            " tk AS (SELECT * FROM tok WHERE length(token) > 0),"
-            " vocab AS (SELECT DISTINCT token FROM tk),"
-            " rec AS ("
-            "  SELECT token, 0 AS mrank, string_split(token, '') AS syms,"
-            "   0 AS pos, CAST([] AS VARCHAR[]) AS res,"
-            "   CAST(NULL AS VARCHAR) AS pend FROM vocab"
-            "  UNION ALL"
-            "  SELECT r.token,"
-            "   CASE WHEN r.pos < len(r.syms) THEN r.mrank"
-            "    ELSE r.mrank + 1 END,"
-            "   CASE WHEN r.pos < len(r.syms) THEN r.syms"
-            "    ELSE CASE WHEN r.pend IS NULL THEN r.res"
-            "     ELSE r.res || [r.pend] END END,"
-            "   CASE WHEN r.pos < len(r.syms) THEN r.pos + 1 ELSE 0 END,"
-            "   CASE WHEN r.pos < len(r.syms) THEN"
-            "     CASE WHEN r.pend IS NULL THEN r.res"
-            "      WHEN r.pend = m.a AND r.syms[r.pos + 1] = m.b"
-            "       THEN r.res || [m.ab]"
-            "      ELSE r.res || [r.pend] END"
-            "    ELSE CAST([] AS VARCHAR[]) END,"
-            "   CASE WHEN r.pos < len(r.syms) THEN"
-            "     CASE WHEN r.pend IS NULL THEN r.syms[r.pos + 1]"
-            "      WHEN r.pend = m.a AND r.syms[r.pos + 1] = m.b"
-            "       THEN CAST(NULL AS VARCHAR)"
-            "      ELSE r.syms[r.pos + 1] END"
-            "    ELSE CAST(NULL AS VARCHAR) END"
-            "  FROM rec r JOIN merges m ON m.mrank = r.mrank),"
-            " enc AS (SELECT token, len(syms) AS n_syms,"
-            "   array_to_string(syms, ',') AS syms_csv"
-            f"  FROM rec WHERE mrank = {len(_BPE_MERGES)} AND pos = 0)"
-            " SELECT tk.doc_id,"
-            " count(*) AS n_tokens,"
-            " CAST(sum(e.n_syms) AS BIGINT) AS n_symbols,"
-            " round(CAST(sum(e.n_syms) AS DOUBLE) / count(*) + 1e-9, 4)"
-            "  AS symbols_per_token,"
-            " string_agg(e.syms_csv, ' ' ORDER BY tk.pos) AS encoded"
-            " FROM tk JOIN enc e USING (token)"
-            " GROUP BY tk.doc_id ORDER BY tk.doc_id"
-        ),
-        "probe_calibration": (
-            # full replay: probe logits from the shared literal weight
-            # family, margin, fixed 0.05-wide bins, per-bin agreement
-            "WITH vecs AS (SELECT vec_id, label,"
-            "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-            " lg AS (SELECT vec_id, label, "
-            + ", ".join(
-                f"{s} AS l{c}" for c, s in enumerate(_probe_logit_sqls())
-            )
-            + "  FROM vecs),"
-            " arr AS (SELECT vec_id, label, [l0, l1, l2] AS ls FROM lg),"
-            " sc AS (SELECT vec_id, label,"
-            "  CAST(list_position(ls, list_max(ls)) - 1 AS INT)"
-            "    AS pred_class,"
-            "  round(list_max(ls) - list_sort(ls)[2] + 1e-9, 6) AS margin"
-            "  FROM arr),"
-            " b AS (SELECT"
-            "  least(CAST(floor(margin / CAST(0.05 AS DOUBLE)) AS INT), 7)"
-            "    AS bin_id,"
-            "  margin,"
-            "  CASE WHEN pred_class = label THEN 1 ELSE 0 END AS hit"
-            "  FROM sc)"
-            " SELECT bin_id,"
-            " round(bin_id * CAST(0.05 AS DOUBLE) + 1e-9, 2) AS bin_lo,"
-            " count(*) AS n,"
-            " CAST(sum(hit) AS BIGINT) AS n_correct,"
-            " round(CAST(sum(hit) AS DOUBLE) / count(*) + 1e-9, 6)"
-            "  AS accuracy,"
-            " round(round(sum(margin), 6) / count(*) + 1e-9, 6)"
-            "  AS mean_margin"
-            " FROM b GROUP BY bin_id ORDER BY bin_id"
-        ),
-        "kmv_overlap": (
-            # FULL sketch replay: DuckDB re-derives the md5-31 hash of
-            # every user-day, each group's k=128 smallest distinct
-            # hashes, the distinct/Jaccard/intersection estimators over
-            # those sketches, and the 3/sqrt(k) tolerance flag
-            "WITH keys AS (SELECT DISTINCT event_type AS grp,"
-            "  CAST(user_id AS VARCHAR) || ':' ||"
-            "  CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS k"
-            "  FROM events),"
-            " hashed AS (SELECT DISTINCT grp,"
-            "  CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT)"
-            "    % 2147483647 AS h FROM keys),"
-            " ranked AS (SELECT grp, h,"
-            "  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn"
-            "  FROM hashed),"
-            " sk AS (SELECT grp, list(h ORDER BY h) AS sketch,"
-            "  count(*) AS n_sk, max(h) AS kth"
-            "  FROM ranked WHERE rn <= 128 GROUP BY grp),"
-            " skd AS (SELECT grp, sketch, n_sk,"
-            "  CASE WHEN n_sk < 128 THEN CAST(n_sk AS DOUBLE)"
-            "   ELSE 127 * 2147483647.0 / kth END AS est_d FROM sk),"
-            " exd AS (SELECT grp, count(*) AS exact_d FROM hashed"
-            "  GROUP BY grp),"
-            " pg AS (SELECT s.grp, s.sketch, s.est_d, e.exact_d"
-            "  FROM skd s JOIN exd e USING (grp)),"
-            " pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b,"
-            "  a.sketch AS sk_a, b.sketch AS sk_b,"
-            "  a.est_d AS est_a, b.est_d AS est_b,"
-            "  a.exact_d AS exact_a, b.exact_d AS exact_b"
-            "  FROM pg a JOIN pg b ON a.grp < b.grp),"
-            " inter AS (SELECT a.grp AS grp_a, b.grp AS grp_b,"
-            "  count(*) AS exact_inter FROM hashed a JOIN hashed b"
-            "  ON a.h = b.h AND a.grp < b.grp GROUP BY a.grp, b.grp),"
-            " calc AS (SELECT grp_a, grp_b, exact_a, exact_b, est_a,"
-            "  est_b, sk_a, sk_b,"
-            "  list_sort(list_distinct(sk_a || sk_b)) AS uni,"
-            "  COALESCE(i.exact_inter, 0) AS exact_inter"
-            "  FROM pairs LEFT JOIN inter i USING (grp_a, grp_b)),"
-            " calc2 AS (SELECT *, uni[1:128] AS uni_k,"
-            "  list_intersect(sk_a, sk_b) AS ib FROM calc),"
-            " calc3 AS (SELECT *,"
-            "  CAST(len(list_intersect(uni_k, ib)) AS DOUBLE)"
-            "    / len(uni_k) AS j_est,"
-            "  CASE WHEN len(uni) < 128 THEN CAST(len(uni) AS DOUBLE)"
-            "   ELSE 127 * 2147483647.0 / uni_k[128] END AS union_est"
-            "  FROM calc2)"
-            " SELECT grp_a, grp_b, exact_a, exact_b,"
-            " round(est_a + 1e-9, 2) AS est_a,"
-            " round(est_b + 1e-9, 2) AS est_b,"
-            " round(j_est + 1e-9, 6) AS est_jaccard,"
-            " round(CAST(exact_inter AS DOUBLE)"
-            "  / (exact_a + exact_b - exact_inter) + 1e-9, 6)"
-            "  AS exact_jaccard,"
-            " exact_inter,"
-            " round(j_est * union_est + 1e-9, 2) AS est_inter,"
-            " abs(round(j_est + 1e-9, 6) - round(CAST(exact_inter AS"
-            "  DOUBLE) / (exact_a + exact_b - exact_inter) + 1e-9, 6))"
-            "  <= 3.0 / sqrt(128) AS within_tol"
-            " FROM calc3 ORDER BY grp_a, grp_b"
-        ),
-        "linear_probe": (
-            "WITH vecs AS (SELECT vec_id,"
-            "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-            " lg AS (SELECT vec_id, "
-            + ", ".join(
-                f"{s} AS l{c}" for c, s in enumerate(_probe_logit_sqls())
-            )
-            + "  FROM vecs),"
-            " arr AS (SELECT vec_id, l0, l1, l2, [l0, l1, l2] AS ls FROM lg)"
-            " SELECT vec_id,"
-            " round(l0 + 1e-9, 6) AS logit_0,"
-            " round(l1 + 1e-9, 6) AS logit_1,"
-            " round(l2 + 1e-9, 6) AS logit_2,"
-            " CAST(list_position(ls, list_max(ls)) - 1 AS INT) AS pred_class,"
-            " round(list_max(ls) - list_sort(ls)[2] + 1e-9, 6) AS margin"
-            " FROM arr ORDER BY vec_id"
-        ),
-        "bpe_pair_counts": (
-            "WITH words AS (SELECT w, count(*) AS wc FROM (SELECT"
-            "  unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),"
-            "    ' ')) AS w FROM documents) WHERE w <> '' GROUP BY w),"
-            " pr AS (SELECT wc,"
-            "  unnest([c[i] || ' ' || c[i+1]"
-            "    FOR i IN generate_series(1, len(c)-1)]) AS pair"
-            "  FROM (SELECT wc, string_split(w, '') AS c FROM words"
-            "   WHERE length(w) >= 2))"
-            " SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count FROM pr"
-            " GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20"
-        ),
-        "feature_hashing": (
-            "WITH t AS (SELECT doc_id, list_transform("
-            "  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),"
-            "  x -> ('0x' || substr(md5('fh:' || x), 1, 8))::BIGINT"
-            "    % 2147483647 % 16) AS b FROM documents)"
-            " SELECT doc_id, "
-            + ", ".join(
-                f"len(list_filter(b, x -> x = {j})) AS f{j}" for j in range(16)
-            )
-            + " FROM t ORDER BY doc_id"
-        ),
-        "corpus_build_pipeline": (
-            "WITH " + _minhash_pairs_cte(0.4) + ","
-            # stage 1: Gopher quality gate (identical rules to the
-            # gopher_quality oracle)
-            " gt AS (SELECT doc_id, text,"
-            "  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS gw,"
-            "  string_split(text, chr(10)) AS glines FROM documents),"
-            " gm AS (SELECT doc_id,"
-            "  len(gw) AS n_words,"
-            "  greatest(len(gw), 1)::DOUBLE AS nw,"
-            "  CAST(list_sum(list_transform(gw, x -> length(x))) AS DOUBLE)"
-            "    / greatest(len(gw), 1) AS mwl,"
-            "  len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,"
-            "  greatest(len(glines), 1)::DOUBLE AS nl,"
-            "  len(list_filter(glines, l -> regexp_matches(trim(l), '^[-*•]')))"
-            "    AS n_bullet,"
-            "  len(list_filter(glines, l -> regexp_matches(trim(l), '\\.\\.\\.$')))"
-            "    AS n_ell,"
-            "  len(list_filter(gw, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,"
-            "  len(list_intersect(list_transform(gw, x -> lower(x)),"
-            "    ['the','a','of','and','to'])) AS stop_hits"
-            "  FROM gt),"
-            " s1 AS (SELECT doc_id FROM gm WHERE"
-            "  n_words >= 50 AND n_words <= 100000"
-            "  AND mwl >= 3.0 AND mwl <= 10.0"
-            "  AND n_sym / nw < 0.1 AND n_bullet / nl <= 0.9"
-            "  AND n_ell / nl <= 0.3 AND n_alpha / nw >= 0.8"
-            "  AND stop_hits >= 2),"
-            # stage 2: near-dup drop among survivors (keep smaller id)
-            " dupdrop AS (SELECT DISTINCT doc_b AS doc_id FROM mh_pairs"
-            "  WHERE doc_a IN (SELECT doc_id FROM s1)"
-            "  AND doc_b IN (SELECT doc_id FROM s1)),"
-            " s2 AS (SELECT doc_id FROM s1"
-            "  WHERE doc_id NOT IN (SELECT doc_id FROM dupdrop)),"
-            # stage 3: exact-substring decontamination
-            " norm3 AS (SELECT doc_id,"
-            "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t"
-            "  FROM documents),"
-            " needles3 AS (SELECT doc_id AS probe_id,"
-            "  array_to_string((string_split(t, ' '))[1:3], ' ') AS needle"
-            "  FROM norm3 WHERE doc_id % 5 = 0"
-            "  AND len(string_split(t, ' ')) >= 3),"
-            " contaminated AS (SELECT DISTINCT h.doc_id FROM norm3 h"
-            "  JOIN needles3 n ON contains(h.t, n.needle)"
-            "  AND h.doc_id <> n.probe_id"
-            "  WHERE h.doc_id IN (SELECT doc_id FROM s2)),"
-            " s3 AS (SELECT doc_id FROM s2"
-            "  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),"
-            # stage 4: per-source 50% token budget, doc_id admission order
-            " toks AS (SELECT doc_id, source,"
-            "  len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))"
-            "    AS n_tokens FROM documents),"
-            " budg AS (SELECT doc_id, source, n_tokens,"
-            "  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum,"
-            "  sum(n_tokens) OVER (PARTITION BY source) AS tot"
-            "  FROM toks WHERE doc_id IN (SELECT doc_id FROM s3)),"
-            " s4 AS (SELECT doc_id FROM budg WHERE cum <= 0.5 * tot)"
-            # funnel report
-            " SELECT t.source, count(*) AS n_raw,"
-            " count(CASE WHEN t.doc_id IN (SELECT doc_id FROM s1) THEN 1 END)"
-            "   AS n_quality,"
-            " count(CASE WHEN t.doc_id IN (SELECT doc_id FROM s2) THEN 1 END)"
-            "   AS n_dedup,"
-            " count(CASE WHEN t.doc_id IN (SELECT doc_id FROM s3) THEN 1 END)"
-            "   AS n_clean,"
-            " count(CASE WHEN t.doc_id IN (SELECT doc_id FROM s4) THEN 1 END)"
-            "   AS n_kept,"
-            " CAST(sum(CASE WHEN t.doc_id IN (SELECT doc_id FROM s4)"
-            "   THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens"
-            " FROM toks t GROUP BY t.source ORDER BY t.source"
-        ),
-        # rows-only by design: ivf_topk (learned k-means quantizer),
-        # embedding_pca (eigendecomposition), approx_distinct (HLL
-        # bit-runs), bpe_train (iterative driver loop; its inner-loop
-        # recount bpe_pair_counts IS hash-checked)
-    }
+    """Assemble the DuckDB oracle map from the same family registries.
+    Every oracle key must name a catalog query (the reverse need not
+    hold). Rows-only by design — no oracle, pinned by differential or
+    recall units instead: ivf_topk (learned k-means quantizer),
+    embedding_pca (eigendecomposition), approx_distinct (HLL bit-runs),
+    bpe_train (iterative driver loop; its inner-loop recount
+    bpe_pair_counts IS hash-checked)."""
+    queries_keys = set(_catalog())
+    out: dict[str, str] = {}
+    for mod in MODULES:
+        stray = set(mod.ORACLES) - set(mod.QUERIES)
+        assert not stray, f"{mod.__name__}: oracles without queries: {stray}"
+        out.update(mod.ORACLES)
+    assert set(out) <= queries_keys
+    return out

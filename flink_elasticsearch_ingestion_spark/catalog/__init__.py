@@ -1,0 +1,20 @@
+"""Per-family query+oracle registries assembled by __spark_entry__.
+
+Every module exposes QUERIES (catalog name -> callable) and ORACLES
+(catalog name -> DuckDB SQL). A query and its oracle live in the
+same file so they cannot drift apart unreviewed."""
+
+from flink_elasticsearch_ingestion_spark.catalog import (
+    ingest,
+    relational,
+    windows,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    sampling,
+    graph,
+)
+
+#: assembly order (drives catalog iteration order past the window)
+MODULES = [ingest, relational, windows, text, dedup, similarity, multimodal, sampling, graph]

@@ -1,0 +1,188 @@
+"""Catalog family: binary payload ingestion and media plumbing.
+
+Each query (QUERIES) sits next to its DuckDB oracle (ORACLES) so
+the pair is reviewed and edited together — drift between the
+Spark plan and the SQL twin stays visible in one diff."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_elasticsearch_ingestion_spark.operators import (
+    multimodal as M,
+    similarity as S,
+)
+from flink_elasticsearch_ingestion_spark.catalog._shared import (
+    _t,
+    _plane_values,
+)
+
+
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: the decode->feature->LSH-bucket->cosine
+    pipeline every image/audio dedup job runs (multi-table sign-LSH
+    self-join, exact cosine verify; dim inferred from the data).  The
+    stub decoder derives features from the payload sha256, so the
+    feature tier runs PURE-JVM here (``sha_features_expr`` — built-ins
+    first; parity with the Arrow ``extract_features`` path, the seam a
+    real codec plugs into, is unit-pinned) and the DuckDB oracle
+    re-derives every feature, bucket, and cosine bit-for-bit."""
+    feats = M.sha_features_expr(
+        M.documents_as_media(_t(spark, sf_dir, "documents"))
+    ).select(F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding"))
+    pairs = S.embedding_near_duplicates(feats, threshold=0.995, bits=4, tables=4)
+    return pairs.select(
+        F.col("vec_a").alias("media_a"),
+        F.col("vec_b").alias("media_b"),
+        "cosine",
+    ).orderBy("media_a", "media_b")
+
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal INGESTION edge through Spark's real ``binaryFile``
+    source: stage a deterministic slice of document payloads as raw
+    files, read them back distributed (path/length/content columns),
+    and aggregate bytes + content hashes.  Hash-green vs the oracle on
+    the documents table proves the raw-file ingestion path preserves
+    every payload byte — the entry point a real image/audio corpus
+    arrives through before any multimodal operator runs."""
+    import os
+    import tempfile
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )  # bounded staging slice (sf0.01: 50 files) — fixture setup, not the operator
+    d = tempfile.mkdtemp(prefix="binary_ingest_")
+    for r in docs:
+        with open(os.path.join(d, f"{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(d)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.count_distinct(F.sha2("content", 256)).alias("n_distinct_payloads"),
+        F.min(F.length("content")).alias("min_bytes"),
+        F.max(F.length("content")).alias("max_bytes"),
+    )
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.media_stats(M.documents_as_media(_t(spark, sf_dir, "documents")))
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction. The stub decoder
+    derives features from the payload's sha256 digest, which DuckDB can
+    recompute exactly — so the whole binary-payload pipeline (encode ->
+    mapInPandas batch -> digest -> feature floats) is value-hash-checked
+    against an independent engine, not just shape-checked."""
+    media = M.documents_as_media(_t(spark, sf_dir, "documents"))
+    return M.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_sha", F.round(F.element_at("feature", 1), 6).alias("f0")
+    ).orderBy("media_id")
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: binary->binary resize plumbing (stub resampler);
+    checked for schema-composability + determinism in unit tests."""
+    media = M.documents_as_media(_t(spark, sf_dir, "documents"))
+    return M.resize_images(media, width=8, height=8).select(
+        "media_id", "kind", F.length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+    ).orderBy("media_id")
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: 1->N frame-sampling fan-out via mapInPandas."""
+    media = M.documents_as_media(_t(spark, sf_dir, "documents"))
+    return (
+        M.sample_frames(media, frame_bytes=64, stride=2)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.sum(F.length("frame")).alias("frame_bytes"))
+        .orderBy("media_id")
+    )
+
+
+#: driver-contract queries owned by this family (names are the
+#: catalog keys the driver and the oracle gate use verbatim)
+QUERIES = {
+    "media_stats": q_media_stats,
+    "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
+    "media_near_dup": q_media_near_dup,
+    "binary_ingest": q_binary_ingest,
+}
+
+#: DuckDB oracle per query — keys MUST be a subset of QUERIES
+ORACLES = {
+    "media_features": (
+        "SELECT doc_id AS media_id, 'image' AS kind,"
+        " CAST(octet_length(encode(text)) AS INT) AS n_bytes,"
+        " sha256(text) AS content_sha,"
+        " round(('0x' || substr(sha256(text), 1, 2))::INT / 255.0, 6)"
+        "   AS f0"
+        " FROM documents ORDER BY media_id"
+    ),
+    "media_near_dup": (
+        # features re-derived from the payload sha256 (the stub
+        # decoder's contract), dim-8 planes inlined, full
+        # bucket + cosine replay
+        "WITH planes AS (SELECT * FROM (VALUES "
+        + _plane_values(4, [42 + t for t in range(4)], dim=8)
+        + ") AS t(tbl, i, p)),"
+        " vecs AS (SELECT doc_id AS vec_id, ["
+        + ", ".join(
+            f"('0x' || substr(sha256(text), {i * 2 + 1}, 2))::INT / 255.0"
+            for i in range(8)
+        )
+        + " ]::DOUBLE[] AS v FROM documents),"
+        " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
+        "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+        "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
+        " cand AS (SELECT DISTINCT a.vec_id AS media_a, b.vec_id AS media_b"
+        "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl"
+        "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"
+        " verified AS (SELECT media_a, media_b,"
+        "   round(list_dot_product(va.v, vb.v) /"
+        "     (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),"
+        "     6) AS cosine"
+        "   FROM cand JOIN vecs va ON va.vec_id = cand.media_a"
+        "   JOIN vecs vb ON vb.vec_id = cand.media_b)"
+        " SELECT media_a, media_b, cosine FROM verified"
+        " WHERE cosine >= 0.995 ORDER BY media_a, media_b"
+    ),
+    "binary_ingest": (
+        # the staged files ARE the doc_id % 10 slice's utf-8 text
+        # bytes, so the oracle aggregates straight from documents
+        "SELECT count(*) AS n_files,"
+        " CAST(sum(octet_length(encode(text))) AS BIGINT)"
+        "  AS total_bytes,"
+        " count(DISTINCT sha256(text)) AS n_distinct_payloads,"
+        " CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,"
+        " CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes"
+        " FROM documents WHERE doc_id % 10 = 0"
+    ),
+    "media_stats": (
+        "SELECT 'image' AS kind, count(*) AS n_items,"
+        " CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,"
+        " count(DISTINCT sha256(text)) AS n_distinct"
+        " FROM documents GROUP BY 1 ORDER BY kind"
+    ),
+    "media_resize": (
+        "SELECT doc_id AS media_id, 'image' AS kind,"
+        " least(octet_length(encode(text)), 64) AS n_bytes,"
+        " 8 AS width, 8 AS height"
+        " FROM documents ORDER BY media_id"
+    ),
+    "media_frames": (
+        "WITH sized AS (SELECT doc_id, octet_length(encode(text)) AS n"
+        "  FROM documents WHERE octet_length(encode(text)) > 0),"
+        " chunked AS (SELECT doc_id, n,"
+        "  CAST(ceil(n / 64.0) AS BIGINT) AS n_chunks FROM sized)"
+        " SELECT doc_id AS media_id,"
+        " len(range(0, n_chunks, 2)) AS n_frames,"
+        " CAST(list_sum(list_transform(range(0, n_chunks, 2),"
+        "  i -> least(64, n - i * 64))) AS BIGINT) AS frame_bytes"
+        " FROM chunked ORDER BY media_id"
+    ),
+}

@@ -81,6 +81,27 @@ DECODERS: dict[str, object] = {
 }
 
 
+def register_png_decoder(grid: int = 8) -> None:
+    """Swap the stub image decoder for the REAL pure-Python PNG codec
+    (functions/png_codec.py: stdlib zlib inflate + full filter
+    unfiltering + aHash pooling). After this, two byte-different
+    re-encodes of the same pixels produce IDENTICAL features, so
+    media near-dup is perceptual, not payload-hash equality.
+
+    Opt-in (not the default) because the catalog's hash-verified media
+    queries pin the sha-derived stub as their DuckDB-rederivable
+    oracle; deployments whose image payloads are PNGs call this once
+    at startup. Perceptual behavior is pinned by
+    tests/test_multimodal_png.py."""
+    from flink_elasticsearch_ingestion_spark.functions.png_codec import (
+        png_ahash_features,
+    )
+
+    DECODERS["image"] = lambda payload, kind: png_ahash_features(
+        payload, kind, grid=grid
+    )
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter for the test fixtures: treat document text bytes as an
     opaque payload so the multimodal plumbing is exercised end-to-end

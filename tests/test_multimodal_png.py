@@ -1,0 +1,109 @@
+"""Real-image decode path: the pure-Python PNG codec
+(functions/png_codec.py) and its DECODERS registration — the seam
+VERDICT r5 item 7 asked to make real for one modality.
+
+The load-bearing property: features come from PIXELS, not payload
+bytes, so byte-different re-encodes of the same image (different zlib
+level / scanline filter) collapse to one near-dup cluster while the
+sha-stub would scatter them."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_elasticsearch_ingestion_spark.functions.png_codec import (
+    PngFormatError,
+    decode_png,
+    encode_png,
+    png_ahash_features,
+)
+from flink_elasticsearch_ingestion_spark.operators import multimodal as M
+from flink_elasticsearch_ingestion_spark.operators import similarity as S
+
+
+def _gradient(width=24, height=16, channels=3, shift=0):
+    """Deterministic synthetic image: smooth gradient + a diagonal."""
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            base = (x * 7 + y * 11 + shift) % 256
+            for c in range(channels):
+                v = (base + 40 * c) % 256
+                if x == y:
+                    v = 255 - v
+                px.append(v)
+    return bytes(px)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_all_filters_and_color_types(channels, filter_type):
+    px = _gradient(channels=channels)
+    blob = encode_png(px, 24, 16, channels, filter_type=filter_type)
+    w, h, c, out = decode_png(blob)
+    assert (w, h, c) == (24, 16, channels)
+    assert bytes(out) == px
+
+
+def test_reencodes_are_byte_different_but_feature_identical():
+    px = _gradient()
+    a = encode_png(px, 24, 16, 3, level=1, filter_type=0)
+    b = encode_png(px, 24, 16, 3, level=9, filter_type=4)
+    assert a != b
+    assert hashlib.sha256(a).hexdigest() != hashlib.sha256(b).hexdigest()
+    assert png_ahash_features(a) == png_ahash_features(b)
+    # and a genuinely different image lands elsewhere
+    other = encode_png(_gradient(shift=97), 24, 16, 3)
+    fa, fo = png_ahash_features(a), png_ahash_features(other)
+    assert fa != fo
+    assert len(fa) == 64 and all(0.0 <= v <= 1.0 for v in fa)
+
+
+def test_malformed_payloads_fail_loudly():
+    with pytest.raises(PngFormatError):
+        decode_png(b"not a png at all")
+    blob = encode_png(_gradient(), 24, 16, 3)
+    with pytest.raises(PngFormatError):
+        decode_png(blob[:40])  # truncated mid-chunk
+    with pytest.raises(PngFormatError):
+        decode_png(b"")
+
+
+def test_registered_decoder_makes_media_near_dup_perceptual(spark):
+    """End-to-end through the engine's own plumbing: register the PNG
+    decoder, run the Arrow-batched extract_features + sign-LSH near-dup
+    pipeline; the two re-encodes of image 0 pair up, the distinct image
+    stays unpaired — exactly what the sha-stub could never do."""
+    px = _gradient()
+    rows = [
+        (0, "image", bytearray(encode_png(px, 24, 16, 3, level=1, filter_type=0))),
+        (1, "image", bytearray(encode_png(px, 24, 16, 3, level=9, filter_type=4))),
+        (2, "image", bytearray(encode_png(_gradient(shift=131), 24, 16, 3))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(24).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+    stub = M.DECODERS["image"]
+    try:
+        M.register_png_decoder()
+        feats = M.extract_features(media)
+        shas = {r["media_id"]: r["content_sha"] for r in feats.collect()}
+        assert shas[0] != shas[1]  # byte-level: different payloads
+        vecs = feats.select(
+            F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+        )
+        pairs = S.embedding_near_duplicates(
+            vecs, threshold=0.999, bits=2, tables=4
+        ).collect()
+        assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(0, 1)}
+    finally:
+        M.DECODERS["image"] = stub

@@ -1425,3 +1425,76 @@ def test_winnowing_matches_python_reference_and_guarantee(spark):
             assert r["fp_min"] is None and r["fp_max"] is None
     assert sets[1] & sets[2]            # the guarantee fires
     assert not (sets[3] & sets[1])      # unrelated docs stay disjoint
+
+
+def test_substring_contamination_engines_agree(spark, sf_dir):
+    """Differential: the Aho-Corasick mapInPandas pass must equal the
+    broadcast contains scan pair-for-pair on real documents (overlapping
+    needles, repeated matches, unicode text) — the contract that lets
+    auto-routing switch engines on needle-table size alone."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        substring_contamination,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = docs.filter(F.col("doc_id") % 7 == 0)
+    want = substring_contamination(
+        docs, probe, needle_words=4, engine="broadcast"
+    ).collect()
+    got = substring_contamination(
+        docs, probe, needle_words=4, engine="aho"
+    ).collect()
+    assert len(want) > 0  # the fixture must actually exercise matches
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_substring_contamination_auto_routes_off_the_bnlj(spark):
+    """Above max_broadcast_needles the plan must contain NO broadcast
+    nested-loop join — the automaton pass is a pure map-side scan."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        substring_contamination,
+    )
+    from flink_elasticsearch_ingestion_spark.plans.audit import physical_plan
+
+    corpus = _docs(
+        spark,
+        [(i, f"doc number {i} speaks of alpha beta gamma delta")
+         for i in range(20)],
+    )
+    probe = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    routed = substring_contamination(
+        corpus, probe, needle_words=3, max_broadcast_needles=0
+    )
+    plan = physical_plan(routed)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert {(r["corpus_id"], r["probe_id"]) for r in routed.collect()} == {
+        (i, 100) for i in range(20)
+    }
+
+
+def test_aho_corasick_overlapping_and_nested_needles(spark):
+    """Automaton correctness corners the planted test can't reach:
+    needles that are substrings of other needles (failure-link outputs)
+    and duplicate needles shared by several probe ids."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        substring_contamination,
+    )
+
+    corpus = _docs(spark, [(1, "aa bb cc dd ee ff gg")])
+    probe = _docs(
+        spark,
+        [
+            (10, "aa bb cc unrelated tail words"),      # prefix needle
+            (11, "bb cc dd more filler words here"),    # overlapping window
+            (12, "aa bb cc different suffix entirely"), # duplicate needle of 10
+            (13, "zz yy xx nothing matches this one"),
+        ],
+    )
+    hits = {
+        (r["corpus_id"], r["probe_id"])
+        for r in substring_contamination(
+            corpus, probe, needle_words=3, engine="aho"
+        ).collect()
+    }
+    assert hits == {(1, 10), (1, 11), (1, 12)}

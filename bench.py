@@ -242,6 +242,9 @@ EXTENDED = [
     "ql_search",
     "containment_pairs",
     "trimmed_stats",
+    # round-6 additions
+    "interval_overlap",
+    "sqrt_frequency_cap",
 ]
 
 

@@ -586,9 +586,21 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-blocked interval self-join: same-user event pairs whose
+    10-minute windows overlap, found via a pure equi-join on
+    (user, time bucket) probing buckets {b, b+1} — never a per-key
+    theta join (quadratic in the hottest user at 100 TB). Oracle is
+    the naive theta self-join, so the hash match proves the blocking
+    loses no pair and invents none."""
+    return R.interval_overlap_pairs(_t(spark, sf_dir, "events"), gap_s=600)
+
+
+
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
+    "interval_overlap": q_interval_overlap,
     "user_event_sets": q_user_event_sets,
     "growth_accounting": q_growth_accounting,
     "cms_word_counts": q_cms_word_counts,
@@ -664,6 +676,15 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "interval_overlap": (
+        "WITH e AS (SELECT user_id, event_id,"
+        " CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec"
+        " FROM events)"
+        " SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b"
+        " FROM e a JOIN e b ON a.user_id = b.user_id"
+        "  AND a.event_id < b.event_id AND abs(a.sec - b.sec) <= 600"
+        " ORDER BY a.user_id, event_a, event_b"
+    ),
     "json_extract": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k"
         " FROM events ORDER BY event_id"

@@ -285,9 +285,24 @@ def q_leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sqrt_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sublinear per-source frequency capping (keep ceil(sqrt(n)) docs
+    per source, best quality first) on the two-phase salted-rank path —
+    no whole-source window partition ever materializes. Oracle is the
+    single-window form, so the hash match proves the two phases are
+    exactly the naive rank."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        sqrt_frequency_cap,
+    )
+
+    return sqrt_frequency_cap(_t(spark, sf_dir, "documents"))
+
+
+
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
+    "sqrt_frequency_cap": q_sqrt_frequency_cap,
     "hash_split": q_hash_split,
     "token_budget_by_source": q_token_budget_by_source,
     "equi_depth_buckets": q_equi_depth_buckets,
@@ -310,6 +325,15 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "sqrt_frequency_cap": (
+        "WITH ranked AS (SELECT source, doc_id, n_chars,"
+        " CAST(row_number() OVER (PARTITION BY source"
+        "  ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS INTEGER) AS rank,"
+        " CAST(ceil(sqrt(count(*) OVER (PARTITION BY source))) AS INTEGER) AS cap"
+        " FROM documents)"
+        " SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rank, cap"
+        " FROM ranked WHERE rank <= cap ORDER BY source, rank"
+    ),
     "shuffle_order": (
         "SELECT doc_id,"
         " md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,"

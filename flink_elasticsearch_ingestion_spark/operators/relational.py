@@ -2295,3 +2295,62 @@ def trimmed_stats(
         )
         .orderBy(group_col)
     )
+
+
+def interval_overlap_pairs(
+    events: DataFrame,
+    *,
+    gap_s: int = 600,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """All same-key event pairs whose ``gap_s``-second windows overlap
+    (|ts_a - ts_b| <= gap_s) — the interval/range self-join behind
+    co-occurrence mining, session stitching, and duplicate-burst
+    detection.
+
+    Scale shape: a naive range self-join is a per-key theta join —
+    quadratic in the hottest key. Instead each event is BUCKETED by
+    ``floor(ts / gap_s)``; any qualifying pair differs by at most one
+    bucket, so probing buckets {b, b+1} from the left side against the
+    right side's home bucket b finds every pair via a pure EQUI-join on
+    (key, bucket). The residual |delta| predicate then filters exact
+    overlaps, and (least, greatest) id projection + distinct collapses
+    the one-or-two discovery paths per pair. Shuffle volume is 2x the
+    fact (the two probe buckets), never key-count-squared.
+    """
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("eid"),
+        F.col(ts_col).cast("timestamp").alias("t"),
+        (F.unix_timestamp(F.col(ts_col).cast("timestamp")) / gap_s)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    left = base.select(
+        "k", F.col("eid").alias("id_l"), F.col("t").alias("t_l"),
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("bucket"),
+    )
+    right = base.select(
+        "k", F.col("eid").alias("id_r"), F.col("t").alias("t_r"), "bucket"
+    )
+    return (
+        left.join(right, ["k", "bucket"])
+        .filter(
+            (F.col("id_l") != F.col("id_r"))
+            & (
+                F.abs(
+                    F.unix_timestamp("t_l") - F.unix_timestamp("t_r")
+                )
+                <= gap_s
+            )
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.least("id_l", "id_r").alias("event_a"),
+            F.greatest("id_l", "id_r").alias("event_b"),
+        )
+        .distinct()
+        .orderBy(key_col, "event_a", "event_b")
+    )

@@ -1088,3 +1088,58 @@ def cluster_weighted_sample(
         )
         .orderBy("cluster_size")
     )
+
+
+def sqrt_frequency_cap(
+    documents: DataFrame,
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    shards: int = 8,
+) -> DataFrame:
+    """Sublinear per-source frequency capping: keep at most
+    ``ceil(sqrt(n_source))`` documents per source, preferring high
+    ``quality_col`` (ties broken by ``id_col``) — the corpus-curation
+    move that stops a few mega-sources from dominating a training mix
+    while still letting bigger sources contribute more.
+
+    Scale shape: the per-source quota needs a per-source TOP-cap rank,
+    and a single ``row_number() OVER (PARTITION BY source)`` puts an
+    entire hot source on one reducer. Two-phase instead (the
+    ``global_distribution_ranks`` / knn_join salting pattern): phase 1
+    ranks within ``(source, shard)`` — shard = crc32(id) % shards — and
+    keeps each shard's top ``cap`` (a superset of the winners); phase 2
+    re-ranks the <= shards*cap survivors per source. The per-source
+    counts come from one hash aggregate broadcast back (source
+    cardinality is dimension-sized by definition). Result is identical
+    to the single-window form.
+    """
+    caps = documents.groupBy(F.col(key_col).alias("k")).agg(
+        F.ceil(F.sqrt(F.count(F.lit(1)))).cast("int").alias("cap")
+    )
+    ranked_src = documents.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("doc"),
+        F.col(quality_col).cast("double").alias("q"),
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(shards)).alias(
+            "shard"
+        ),
+    ).join(F.broadcast(caps), "k")
+    order = [F.col("q").desc(), F.col("doc")]
+    w1 = Window.partitionBy("k", "shard").orderBy(*order)
+    w2 = Window.partitionBy("k").orderBy(*order)
+    return (
+        ranked_src.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= F.col("cap"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= F.col("cap"))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("doc").alias(id_col),
+            F.col("q").cast("bigint").alias(quality_col),
+            "rank",
+            "cap",
+        )
+        .orderBy(key_col, "rank")
+    )

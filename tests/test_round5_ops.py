@@ -237,3 +237,95 @@ def test_containment_catches_quotes_symmetric_misses(spark):
     # the symmetric pass at the same grain misses it
     sym = minhash_near_duplicates(df, jaccard_threshold=0.6, portable=True).collect()
     assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in sym)
+
+
+# ----------------------------- round-6 additions -----------------------------
+
+
+def test_interval_overlap_blocking_equals_theta_join(spark, sf_dir):
+    """The bucket-blocked equi-join must find exactly the naive theta
+    self-join's pairs — no false negatives at bucket boundaries, no
+    duplicates from the two discovery paths."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        interval_overlap_pairs,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    got = interval_overlap_pairs(events, gap_s=600).collect()
+    e = events.select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    want = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.abs(F.col("a.sec") - F.col("b.sec")) <= 600),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+        )
+        .orderBy("user_id", "event_a", "event_b")
+        .collect()
+    )
+    assert len(want) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_interval_overlap_plan_is_equi_join(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        interval_overlap_pairs,
+    )
+    from flink_elasticsearch_ingestion_spark.plans.audit import physical_plan
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    plan = physical_plan(interval_overlap_pairs(load_table(spark, sf_dir, "events")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sqrt_frequency_cap_two_phase_equals_single_window(spark, sf_dir):
+    """The salted two-phase rank must be bit-identical to the naive
+    single-window per-source rank (same caps, same winners, same rank
+    values)."""
+    from pyspark.sql import Window
+
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        sqrt_frequency_cap,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sqrt_frequency_cap(docs).collect()
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").cast("double").desc(), "doc_id"
+    )
+    caps = docs.groupBy("source").agg(
+        F.ceil(F.sqrt(F.count(F.lit(1)))).cast("int").alias("cap")
+    )
+    want = (
+        docs.join(caps, "source")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("cap"))
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "rank",
+            "cap",
+        )
+        .orderBy("source", "rank")
+        .collect()
+    )
+    assert len(want) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # every source respects its sublinear quota
+    import collections
+
+    per = collections.Counter(r["source"] for r in got)
+    caps_map = {r["source"]: r["cap"] for r in got}
+    assert all(per[s] <= caps_map[s] for s in per)

@@ -398,7 +398,10 @@ def knn_join(
     this shape removes is the corpus-sized shuffle, the skewed
     one-partition-per-query rank, and the unbounded query side.
     """
-    n_q = queries.count()
+    # limit-bounded probe: scans until max_queries+1 rows are found,
+    # never the whole query side — the cap check costs O(cap) even
+    # when someone points a fact table at it
+    n_q = queries.limit(max_queries + 1).count()
     if n_q > max_queries:
         raise ValueError(
             f"knn_join is the exact path for a bounded query panel "

@@ -147,7 +147,9 @@ def _physical(spark, name, sf_dir):
 @pytest.mark.parametrize("name", sorted(E.queries()))
 def test_no_accidental_quadratic_join(spark, sf_dir, name):
     if name in CROSS_JOIN_OK:
-        pytest.skip("intentional cross join (exact-kNN baseline)")
+        pytest.skip(
+            "intentional cross join (dimension-sized all-pairs baseline)"
+        )
     df = E.queries()[name](spark, sf_dir)
     assert_no_accidental_quadratic_join(df, allow_nested_loop=name in SCALAR_JOIN_OK)
 

@@ -884,16 +884,67 @@ def priority_value_percentiles(orders: DataFrame) -> DataFrame:
     )
 
 
-def similar_part_names(part: DataFrame, max_distance: int = 2) -> DataFrame:
+def similar_part_names(
+    part: DataFrame, max_distance: int = 2, *, blocked: bool = True
+) -> DataFrame:
     """Fuzzy self-match over the DISTINCT part-name vocabulary:
-    levenshtein pairs within ``max_distance``. The candidate space is
-    the distinct-name dimension (vocabulary-sized, NOT fact-sized), so
-    the all-pairs comparison is a broadcast nested-loop by design —
-    the fact-scale analog is LSH/n-gram blocking (see dedup.py), which
-    this exact small-domain matcher complements. A length-difference
-    band (|len(a)-len(b)| <= d, a levenshtein lower bound) prunes the
-    comparison before the distance runs."""
+    levenshtein pairs within ``max_distance``.
+
+    Scale shape (``blocked=True``, supports max_distance <= 2): the
+    SymSpell deletion-neighborhood bound — if levenshtein(s, t) <= d
+    then deleting <= d characters from each reaches a COMMON string —
+    turns the all-pairs comparison into an EQUI-join: explode every
+    name's <= d-deletion variants (an O(len^d) higher-order expression,
+    no UDF), hash each variant to a 64-bit key, self-join on the key,
+    and run the exact levenshtein only on colliding candidates. Hash
+    collisions can only ADD candidates (the verify prunes them), never
+    lose a pair, so the blocking is lossless by construction and the
+    result is identical to the naive form. Shuffle volume is
+    vocabulary x neighborhood-size, never vocabulary².
+
+    ``blocked=False`` keeps the naive banded all-pairs comparison
+    (|len(a)-len(b)| <= d pre-filter, then levenshtein) as the
+    correctness baseline for the parity unit and for max_distance > 2.
+    """
     names = part.select(F.col("p_name").alias("name")).distinct()
+    if blocked and max_distance <= 2:
+        dels = [
+            "array(name)",
+            # delete position i (1-based)
+            "transform(sequence(1, length(name)),"
+            " i -> concat(substring(name, 1, i - 1),"
+            "             substring(name, i + 1, length(name))))",
+        ]
+        if max_distance >= 2:
+            # delete positions i < j; filter() (not sequence(i+1, L))
+            # because Spark's sequence DESCENDS when start > stop
+            dels.append(
+                "flatten(transform(sequence(1, length(name)),"
+                " i -> transform(filter(sequence(1, length(name)), j -> j > i),"
+                "  j -> concat(substring(name, 1, i - 1),"
+                "              substring(name, i + 1, j - i - 1),"
+                "              substring(name, j + 1, length(name))))))"
+            )
+        variants = names.select(
+            "name",
+            F.explode(
+                F.array_distinct(F.expr(f"concat({', '.join(dels)})"))
+            ).alias("v"),
+        ).select("name", F.xxhash64("v").alias("h"))
+        x, y = variants.alias("x"), variants.alias("y")
+        cand = (
+            x.join(y, "h")
+            .filter(F.col("x.name") < F.col("y.name"))
+            .select(
+                F.col("x.name").alias("name_a"), F.col("y.name").alias("name_b")
+            )
+            .distinct()
+        )
+        return (
+            cand.withColumn("distance", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("distance") <= max_distance)
+            .orderBy("name_a", "name_b")
+        )
     a, b = names.alias("a"), names.alias("b")
     return (
         a.join(

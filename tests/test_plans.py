@@ -13,10 +13,11 @@ import pytest
 
 import __spark_entry__ as E
 
-#: brute-force-by-design: similar_part_names all-pairs the DISTINCT
-#: name vocabulary (dimension-sized, never fact-sized — LSH/n-gram
-#: blocking is the fact-scale path)
-CROSS_JOIN_OK = {"similar_part_names"}
+#: EMPTY as of round 6: similar_part_names (the last intentional
+#: all-pairs) moved to SymSpell deletion-neighborhood blocking; its
+#: naive form survives only as the blocked=False unit baseline. Keep
+#: this empty by restructuring, never by allowlisting.
+CROSS_JOIN_OK: set[str] = set()
 #: join a single-row scalar aggregate (corr over lineitem; the corpus
 #: size N for idf) — a 1-row broadcast nested loop is the correct plan
 #: for a scalar subquery

@@ -329,3 +329,34 @@ def test_sqrt_frequency_cap_two_phase_equals_single_window(spark, sf_dir):
     per = collections.Counter(r["source"] for r in got)
     caps_map = {r["source"]: r["cap"] for r in got}
     assert all(per[s] <= caps_map[s] for s in per)
+
+
+def test_similar_part_names_blocking_equals_naive(spark, sf_dir):
+    """The SymSpell deletion-neighborhood equi-join must return exactly
+    the naive banded all-pairs result — the lossless-blocking guarantee
+    (levenshtein <= d implies a shared <= d-deletion variant; hash
+    collisions only add candidates, the verify prunes them)."""
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        similar_part_names,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    got = similar_part_names(part).collect()
+    want = similar_part_names(part, blocked=False).collect()
+    assert len(want) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_similar_part_names_plan_has_no_all_pairs_join(spark, sf_dir):
+    from flink_elasticsearch_ingestion_spark.operators.relational import (
+        similar_part_names,
+    )
+    from flink_elasticsearch_ingestion_spark.plans.audit import (
+        assert_no_accidental_quadratic_join,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    assert_no_accidental_quadratic_join(
+        similar_part_names(load_table(spark, sf_dir, "part"))
+    )

@@ -490,3 +490,102 @@ def test_span_corruption_matches_python_on_random_texts(spark, texts):
         assert r["corrupted_md5"] == cmd5
         assert r["target_md5"] == tmd5
         assert 0 <= r["n_spans"] <= r["n_masked"] <= r["n_tokens"]
+
+
+# ------------------------- round-6 pure-python properties -------------------
+# These properties exercise driver-side algorithm kernels (no Spark
+# jobs), so hypothesis can afford real example counts.
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 24),  # width
+            st.integers(1, 16),  # height
+            st.sampled_from([1, 2, 3, 4]),  # channels
+            st.sampled_from([0, 1, 2, 3, 4]),  # filter
+            st.integers(0, 2**32 - 1),  # pixel seed
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(cases):
+    """encode -> decode is the identity for every size / color type /
+    filter combination over arbitrary pixel content."""
+    import random as _r
+
+    from flink_elasticsearch_ingestion_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    for w, h, c, ft, seed in cases:
+        rng = _r.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h * c))
+        blob = encode_png(px, w, h, c, filter_type=ft)
+        got = decode_png(blob)
+        assert got == (w, h, c, bytearray(px))
+
+
+@given(
+    st.lists(st.text(alphabet="abcd ", min_size=1, max_size=12), min_size=1, max_size=20),
+    st.text(alphabet="abcd ", min_size=0, max_size=200),
+)
+@settings(max_examples=100, deadline=None)
+def test_aho_corasick_matches_python_in_operator(needles, hay):
+    """The automaton's matched-needle set must equal the trivially
+    correct {n : n in hay} for arbitrary overlapping/nested/duplicate
+    needle sets."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        _build_aho_corasick,
+    )
+
+    patterns = {}
+    for i, n in enumerate(needles):
+        patterns.setdefault(n, []).append(i)
+    goto, fail, out = _build_aho_corasick(sorted(patterns.items()))
+    node, hits = 0, set()
+    for ch in hay:
+        while node and ch not in goto[node]:
+            node = fail[node]
+        node = goto[node].get(ch, 0)
+        hits.update(out[node])
+    want = {i for i, n in enumerate(needles) if n in hay}
+    assert hits == want
+
+
+@given(
+    st.text(alphabet="abc", min_size=0, max_size=10),
+    st.text(alphabet="abc", min_size=0, max_size=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_deletion_neighborhood_bound_property(s, t):
+    """The SymSpell blocking guarantee similar_part_names rests on:
+    levenshtein(s, t) <= 2 implies the <= 2-deletion neighborhoods of
+    s and t intersect (so the variant equi-join cannot miss a pair)."""
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def neigh(x, d=2):
+        out = {x}
+        layer = {x}
+        for _ in range(d):
+            layer = {
+                v[:i] + v[i + 1 :] for v in layer for i in range(len(v))
+            }
+            out |= layer
+        return out
+
+    if lev(s, t) <= 2:
+        assert neigh(s) & neigh(t)

@@ -245,6 +245,7 @@ EXTENDED = [
     # round-6 additions
     "interval_overlap",
     "sqrt_frequency_cap",
+    "corpus_datasheet",
 ]
 
 

@@ -475,9 +475,23 @@ def q_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.kneser_ney_score(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-note datasheet per (source, lang): volume, exact-dup
+    rate, PII probe — one hash aggregate, formulas shared verbatim
+    with dedup_content / token_counts / redact_pii so the summary and
+    the focused queries cannot disagree."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        corpus_datasheet,
+    )
+
+    return corpus_datasheet(_t(spark, sf_dir, "documents"))
+
+
+
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
+    "corpus_datasheet": q_corpus_datasheet,
     "text_stats": q_text_stats,
     "quality_scores": q_quality_scores,
     "language_id": q_language_id,
@@ -535,6 +549,23 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "corpus_datasheet": (
+        "WITH base AS (SELECT source, lang, n_chars,"
+        "  sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ch,"
+        "  len(string_split_regex(trim(text), '\\s+')) AS ws,"
+        "  len(regexp_extract_all(text,"
+        "   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS em"
+        " FROM documents)"
+        " SELECT source, lang, count(*) AS n_docs,"
+        "  CAST(sum(n_chars) AS BIGINT) AS total_chars,"
+        "  CAST(sum(ws) AS BIGINT) AS total_ws_tokens,"
+        "  count(DISTINCT ch) AS n_distinct_contents,"
+        "  round((count(*) - count(DISTINCT ch)) * 1.0 / count(*) + 1e-9, 4)"
+        "   AS dup_rate,"
+        "  round(sum(n_chars) * 1.0 / count(*) + 1e-9, 2) AS mean_chars,"
+        "  CAST(sum(em) AS BIGINT) AS email_hits"
+        " FROM base GROUP BY source, lang ORDER BY source, lang"
+    ),
     "top_words": (
         "SELECT word, count(*) AS n FROM ("
         " SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word"

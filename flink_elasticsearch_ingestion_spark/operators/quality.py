@@ -844,3 +844,54 @@ def l_diversity_audit(
         F.lit("__TOTAL__").alias("qi_values"), "group_size", "n_sensitive"
     )
     return per_group.unionByName(total).orderBy("qi_values")
+
+
+def corpus_datasheet(documents: DataFrame) -> DataFrame:
+    """Datasheet-for-the-dataset rollup: one row per (source, lang)
+    with the release-note numbers every training-data drop ships —
+    volume (docs/chars/whitespace tokens), exact-duplicate rate
+    (normalized content hash), and a PII-exposure probe (email-pattern
+    hits). The per-cell formulas reuse the exact seams the focused
+    catalog queries pin (dedup_content's normalization + sha256,
+    token_counts' whitespace split, redact_pii's email pattern), so the
+    datasheet cannot drift from the operators it summarizes.
+
+    Scale shape: ONE hash aggregate over the corpus — every metric is
+    an algebraic or sketchable per-group reduction; nothing is
+    per-document after the map stage. At 100 TB swap countDistinct for
+    approx_count_distinct if the 2% error is acceptable."""
+    norm = F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ")
+    email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    return (
+        documents.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.size(F.split(F.trim("text"), "\\s+")))
+            .cast("bigint")
+            .alias("total_ws_tokens"),
+            F.countDistinct(F.sha2(norm, 256)).alias("n_distinct_contents"),
+            F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(email))))
+            .cast("bigint")
+            .alias("email_hits"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_ws_tokens",
+            "n_distinct_contents",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct_contents"))
+                / F.col("n_docs")
+                + F.lit(1e-9),
+                4,
+            ).alias("dup_rate"),
+            F.round(F.col("total_chars") / F.col("n_docs") + F.lit(1e-9), 2).alias(
+                "mean_chars"
+            ),
+            "email_hits",
+        )
+        .orderBy("source", "lang")
+    )

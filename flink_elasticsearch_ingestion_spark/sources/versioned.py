@@ -150,6 +150,48 @@ class VersionedTable:
         paths = [os.path.join(self.root, d) for d in manifest["dirs"]]
         return self.spark.read.parquet(*paths)
 
+    def history(self) -> list[dict]:
+        """The commit log, oldest first: one dict per retained version
+        (version, mode, directory count, own-delta dirs). Bounded by
+        version count — driver-safe."""
+        out = []
+        for v in self.versions():
+            m = self._read_manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "mode": m["mode"],
+                    "n_dirs": len(m["dirs"]),
+                    "added": m.get("added"),
+                }
+            )
+        return out
+
+    def upsert(
+        self, df: DataFrame, *, key: str = "doc_id", order_col: str = "ts"
+    ) -> int:
+        """MERGE: last-write-wins ``df`` into the latest snapshot and
+        publish the result as one overwrite commit — Delta-style
+        copy-on-write upsert on the manifest protocol. New keys insert,
+        existing keys take the incoming row iff it wins the
+        (order_col, full-tuple) tie-break (same grain as the copy
+        pipeline's ``last_wins``); history and time travel stay intact.
+
+        COW trade-off, stated plainly: every upsert rewrites the full
+        snapshot, so this is for dimension/state tables (the scroll
+        pipeline's admitted-corpus scale goes through append commits +
+        compaction instead). A deletion-vector/MOR design is the
+        upgrade path when rewrite cost dominates."""
+        from flink_elasticsearch_ingestion_spark.operators.copy import last_wins
+
+        latest = self.latest_version()
+        if latest is None:
+            return self.commit(df, mode="overwrite")
+        merged = last_wins(
+            self.read(latest).unionByName(df), key=key, order_col=order_col
+        )
+        return self.commit(merged, mode="overwrite")
+
     def compact(self, *, files: int = 1) -> int:
         """Rewrite the LATEST snapshot as one fresh overwrite commit
         with ``files`` files — the small-files fixer for a table grown

@@ -316,3 +316,68 @@ def test_legacy_append_manifest_with_vacuumed_parent_fails_loudly(
     reader = VersionedTableStreamReader({"path": root})
     with pytest.raises(RuntimeError, match="vacuumed"):
         list(reader._rows_for(-1, 1))
+
+
+def test_upsert_merges_last_write_wins(tmp_path, spark, sf_dir):
+    """COW MERGE on the manifest protocol: new keys insert, existing
+    keys take the later-ordered incoming row, history stays
+    time-travelable, and a replayed upsert of the same batch converges
+    (no duplicate keys, same winners)."""
+    from pyspark.sql import functions as F2
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = (
+        _orders(spark, sf_dir)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("ts", F2.lit(1).cast("bigint"))
+        .limit(100)
+    )
+    v0 = t.commit(base)
+    # update half the keys with a later ts, insert 5 fresh keys
+    updates = (
+        base.filter(F2.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F2.col("o_totalprice") + 1000.0)
+        .withColumn("ts", F2.lit(2).cast("bigint"))
+    )
+    inserts = spark.createDataFrame(
+        [(10**9 + i, 1.0, 2) for i in range(5)],
+        "o_orderkey long, o_totalprice double, ts bigint",
+    )
+    batch = updates.unionByName(inserts)
+    v1 = t.upsert(batch, key="o_orderkey", order_col="ts")
+    assert (v0, v1) == (0, 1)
+    cur = t.read(v1)
+    assert cur.count() == 105  # 100 keys + 5 inserts, no duplicates
+    assert cur.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    # updated keys carry the +1000 price, untouched keys the original
+    joined = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in cur.join(
+            base.select("o_orderkey", F2.col("o_totalprice").alias("old")),
+            "o_orderkey",
+        )
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    for r in base.collect():
+        want = r["o_totalprice"] + (1000.0 if r["o_orderkey"] % 2 == 0 else 0.0)
+        assert abs(joined[r["o_orderkey"]] - want) < 1e-6
+    # time travel still shows the pre-merge snapshot
+    assert t.read(v0).count() == 100
+    # replayed merge converges byte-identically
+    before = sorted(map(tuple, t.read(v1).collect()))
+    t.upsert(batch, key="o_orderkey", order_col="ts")
+    assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_history_lists_the_commit_log(tmp_path, spark, sf_dir):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    t.commit(orders.limit(10))
+    t.commit(orders.limit(20))
+    t.commit(orders.limit(5), mode="overwrite")
+    h = t.history()
+    assert [x["version"] for x in h] == [0, 1, 2]
+    assert [x["mode"] for x in h] == ["append", "append", "overwrite"]
+    assert [x["n_dirs"] for x in h] == [1, 2, 1]
+    assert all(len(x["added"]) == 1 for x in h)

@@ -43,9 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROUND-7 ROTATION NOTE: after this window lands green, every catalog
 # entry authored through round 5 is driver-proven.  Round-6 additions
 # land at position 51+ and need promotion next round:
-# interval_overlap, sqrt_frequency_cap, corpus_datasheet
-# (catalog/relational.py, catalog/sampling.py, catalog/text.py);
-# fill the remainder with round-2/3 re-checks oldest-first.
+# interval_overlap, sqrt_frequency_cap, corpus_datasheet,
+# mixing_epochs, quality_threshold_sweep (see the family modules in
+# flink_elasticsearch_ingestion_spark/catalog/); fill the remainder
+# with round-2/3 re-checks oldest-first.
 _WINDOW_PRIORITY = [
     # 22 round-4 leftovers, never driver-checked:
     "probe_calibration", "session_occupancy", "contrastive_triples",

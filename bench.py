@@ -246,6 +246,8 @@ EXTENDED = [
     "interval_overlap",
     "sqrt_frequency_cap",
     "corpus_datasheet",
+    "mixing_epochs",
+    "quality_threshold_sweep",
 ]
 
 

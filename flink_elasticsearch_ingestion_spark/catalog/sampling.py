@@ -299,9 +299,26 @@ def q_sqrt_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_mixing_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mix planner: sqrt mixing weights over per-source
+    token inventories -> drawn tokens + implied epochs per source (the
+    repetition accounting read before any training run). Bounded
+    post-aggregate frame; window sums pass the unpartitioned-window
+    audit structurally."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        mixing_epochs_plan,
+    )
+
+    return mixing_epochs_plan(
+        _t(spark, sf_dir, "documents"), token_budget=1_000_000.0
+    )
+
+
+
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
+    "mixing_epochs": q_mixing_epochs,
     "sqrt_frequency_cap": q_sqrt_frequency_cap,
     "hash_split": q_hash_split,
     "token_budget_by_source": q_token_budget_by_source,
@@ -325,6 +342,21 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "mixing_epochs": (
+        "WITH per AS (SELECT source,"
+        "  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"
+        "   AS avail_tokens"
+        "  FROM documents GROUP BY source),"
+        " w AS (SELECT source, avail_tokens,"
+        "  sqrt(CAST(avail_tokens AS DOUBLE)) AS wt,"
+        "  sum(sqrt(CAST(avail_tokens AS DOUBLE))) OVER () AS tot FROM per)"
+        " SELECT source, avail_tokens,"
+        "  round(wt / tot + 1e-9, 6) AS mix_weight,"
+        "  round(wt / tot * 1000000.0 + 1e-9, 2) AS drawn_tokens,"
+        "  round(round(wt / tot * 1000000.0 + 1e-9, 2) / avail_tokens + 1e-9, 4)"
+        "   AS epochs"
+        " FROM w ORDER BY source"
+    ),
     "sqrt_frequency_cap": (
         "WITH ranked AS (SELECT source, doc_id, n_chars,"
         " CAST(row_number() OVER (PARTITION BY source"

@@ -488,9 +488,24 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter calibration: survivor docs/tokens at each candidate
+    quality threshold (conditional aggregation to ONE row, then a
+    bounded explode — no grid x fact expansion). Thresholds sit between
+    the score formula's attainable 0.1 levels so no float boundary can
+    flip."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        quality_threshold_sweep,
+    )
+
+    return quality_threshold_sweep(_t(spark, sf_dir, "documents"))
+
+
+
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
+    "quality_threshold_sweep": q_quality_threshold_sweep,
     "corpus_datasheet": q_corpus_datasheet,
     "text_stats": q_text_stats,
     "quality_scores": q_quality_scores,
@@ -549,6 +564,31 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "quality_threshold_sweep": (
+        "WITH scored AS (SELECT"
+        "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,"
+        "  round((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)"
+        "   + (CASE WHEN len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
+        "        / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END)"
+        "   + (CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        "        t -> lower(t) IN ('the','a','of','and','to')))"
+        "        / greatest(len(string_split_regex(trim(text), '\\s+')), 1) > 0.01"
+        "       THEN 0.3 ELSE 0.0 END), 2) AS quality_score"
+        " FROM documents),"
+        " tot AS (SELECT count(*) AS nd, CAST(sum(n_tokens) AS BIGINT) AS nt"
+        "  FROM scored),"
+        " grid AS (SELECT * FROM (VALUES (0.0), (0.35), (0.65), (0.95))"
+        "  AS v(threshold))"
+        " SELECT threshold,"
+        "  count(*) FILTER (quality_score >= threshold) AS n_docs_kept,"
+        "  round(count(*) FILTER (quality_score >= threshold) * 1.0 / max(nd)"
+        "   + 1e-9, 4) AS pct_docs,"
+        "  CAST(coalesce(sum(n_tokens) FILTER (quality_score >= threshold), 0)"
+        "   AS BIGINT) AS tokens_kept,"
+        "  round(coalesce(sum(n_tokens) FILTER (quality_score >= threshold), 0)"
+        "   * 1.0 / max(nt) + 1e-9, 4) AS pct_tokens"
+        " FROM grid, scored, tot GROUP BY threshold ORDER BY threshold"
+    ),
     "corpus_datasheet": (
         "WITH base AS (SELECT source, lang, n_chars,"
         "  sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ch,"

@@ -895,3 +895,64 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+def quality_threshold_sweep(
+    documents: DataFrame,
+    thresholds: "tuple[float, ...]" = (0.0, 0.35, 0.65, 0.95),
+) -> DataFrame:
+    """Filter-calibration sweep: for each candidate quality threshold,
+    how many documents and whitespace tokens survive ``score >=
+    threshold`` — the curve you read before choosing a corpus filter
+    (the dedup_threshold_sweep of the quality axis). Thresholds sit
+    BETWEEN the score formula's attainable levels (multiples of 0.1)
+    so float rounding can never flip a boundary.
+
+    Scale shape: scoring is one map pass (the same expression
+    ``quality_scores`` pins), the sweep is CONDITIONAL AGGREGATION to a
+    single row — one column pair per threshold, no grid x fact
+    expansion — then an explode of the bounded threshold axis.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.text import quality_scores
+
+    scored = quality_scores(documents).select("quality_score", "n_tokens")
+    aggs = [
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n_tokens").cast("bigint").alias("nt"),
+    ]
+    for i, t in enumerate(thresholds):
+        cond = F.col("quality_score") >= F.lit(float(t))
+        aggs.append(F.count(F.when(cond, 1)).alias(f"d{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+        )
+    row = scored.agg(*aggs)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(t)).alias("threshold"),
+                    F.col(f"d{i}").alias("n_docs_kept"),
+                    F.col(f"t{i}").alias("tokens_kept"),
+                )
+                for i, t in enumerate(thresholds)
+            ]
+        )
+    ).alias("c")
+    return (
+        row.select("nd", "nt", cells)
+        .select(
+            F.col("c.threshold").alias("threshold"),
+            F.col("c.n_docs_kept").alias("n_docs_kept"),
+            F.round(F.col("c.n_docs_kept") / F.col("nd") + F.lit(1e-9), 4).alias(
+                "pct_docs"
+            ),
+            F.col("c.tokens_kept").alias("tokens_kept"),
+            F.round(F.col("c.tokens_kept") / F.col("nt") + F.lit(1e-9), 4).alias(
+                "pct_tokens"
+            ),
+        )
+        .orderBy("threshold")
+    )

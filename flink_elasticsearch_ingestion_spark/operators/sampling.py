@@ -1143,3 +1143,43 @@ def sqrt_frequency_cap(
         )
         .orderBy(key_col, "rank")
     )
+
+
+def mixing_epochs_plan(
+    documents: DataFrame,
+    *,
+    token_budget: float = 1_000_000.0,
+    key_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pretraining mix planner: given a total token budget and sqrt
+    mixing weights (weight_s ∝ sqrt(available_s) — the sublinear
+    upweighting that stops mega-sources from dominating while letting
+    them contribute more), report per source how many tokens the mix
+    draws and how many EPOCHS of that source that implies — the
+    repetition accounting every data-mixing plan needs before anyone
+    trains on it (epochs >> 1 means memorization-prone repetition).
+
+    Scale shape: one hash aggregate to the per-source frame (bounded
+    by source cardinality), then window sums over that bounded frame —
+    nothing per-document survives the first aggregate.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.text import token_count
+
+    per = documents.groupBy(F.col(key_col).alias("source")).agg(
+        F.sum(token_count(text_col)).cast("bigint").alias("avail_tokens")
+    )
+    w = F.sqrt(F.col("avail_tokens").cast("double"))
+    tot = F.sum(w).over(Window.partitionBy())  # bounded: post-aggregate frame
+    drawn = F.round(w / tot * F.lit(float(token_budget)) + F.lit(1e-9), 2)
+    return (
+        per.withColumn("mix_weight", F.round(w / tot + F.lit(1e-9), 6))
+        .withColumn("drawn_tokens", drawn)
+        .withColumn(
+            "epochs",
+            F.round(
+                F.col("drawn_tokens") / F.col("avail_tokens") + F.lit(1e-9), 4
+            ),
+        )
+        .orderBy("source")
+    )

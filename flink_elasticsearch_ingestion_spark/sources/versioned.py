@@ -37,6 +37,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A commit's optimistic-concurrency check failed: another writer
+    published a version after this writer's read. Re-read and retry."""
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -72,6 +77,7 @@ class VersionedTable:
         mode: str = "append",
         version: int | None = None,
         expectations: "list[tuple[str, str]] | None" = None,
+        expected_version: int | None = None,
     ) -> int:
         """Publish ``df`` as the next snapshot. ``mode='append'`` keeps
         the parent snapshot's directories and adds this commit's;
@@ -84,9 +90,26 @@ class VersionedTable:
         Violations raise BEFORE anything is written, so a failed gate
         leaves the table at its previous version — the manifest
         protocol's atomicity extends to quality checks for free.
+
+        ``expected_version``: optimistic concurrency check — the commit
+        raises ``ConcurrentWriteError`` (before anything lands) unless
+        the table's latest version still equals it. A read-modify-write
+        cycle (e.g. :meth:`upsert`) passes the version it read so a
+        racing writer's commit can never be silently overwritten; pass
+        ``-1`` to require an empty table. Single-writer pipelines can
+        ignore it, which preserves the unconditional behavior.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode: {mode!r}")
+        if expected_version is not None:
+            current = self.latest_version()
+            current = -1 if current is None else current
+            if current != expected_version:
+                raise ConcurrentWriteError(
+                    f"expected latest version {expected_version}, found "
+                    f"{current}: a concurrent writer committed first; "
+                    f"re-read and retry"
+                )
         if expectations:
             from pyspark.sql import functions as F
 
@@ -138,17 +161,29 @@ class VersionedTable:
         os.replace(tmp, self._manifest_path(version))
         return version
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, *, merge_schema: bool = False
+    ) -> DataFrame:
         """Snapshot-isolated scan of ``version`` (default: latest).
         Plain multi-path parquet read, so pruning/pushdown behave
-        exactly as on an unversioned table."""
+        exactly as on an unversioned table.
+
+        ``merge_schema=True`` unions the column sets of every
+        directory in the snapshot (Spark's ``mergeSchema``) — required
+        to see columns ADDED by later append commits; rows from
+        pre-addition directories surface them as null. Off by default
+        because footer-merging every file costs planning time on
+        schema-stable tables."""
         if version is None:
             version = self.latest_version()
         if version is None or not os.path.exists(self._manifest_path(version)):
             raise FileNotFoundError(f"no committed version {version} under {self.root}")
         manifest = self._read_manifest(version)
         paths = [os.path.join(self.root, d) for d in manifest["dirs"]]
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def history(self) -> list[dict]:
         """The commit log, oldest first: one dict per retained version
@@ -186,11 +221,13 @@ class VersionedTable:
 
         latest = self.latest_version()
         if latest is None:
-            return self.commit(df, mode="overwrite")
+            return self.commit(df, mode="overwrite", expected_version=-1)
         merged = last_wins(
             self.read(latest).unionByName(df), key=key, order_col=order_col
         )
-        return self.commit(merged, mode="overwrite")
+        # OCC: the snapshot we merged against must still be latest at
+        # publish time, or a racing writer's rows would vanish silently
+        return self.commit(merged, mode="overwrite", expected_version=latest)
 
     def compact(self, *, files: int = 1) -> int:
         """Rewrite the LATEST snapshot as one fresh overwrite commit

@@ -381,3 +381,49 @@ def test_history_lists_the_commit_log(tmp_path, spark, sf_dir):
     assert [x["mode"] for x in h] == ["append", "append", "overwrite"]
     assert [x["n_dirs"] for x in h] == [1, 2, 1]
     assert all(len(x["added"]) == 1 for x in h)
+
+
+def test_optimistic_concurrency_rejects_stale_writers(tmp_path, spark, sf_dir):
+    """Delta-style OCC: a commit conditioned on the version the writer
+    read must fail (before anything lands) when another writer has
+    published since — the lost-update guard upsert() uses."""
+    from flink_elasticsearch_ingestion_spark.sources.versioned import (
+        ConcurrentWriteError,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    t.commit(orders.limit(10))  # v0
+    # writer A reads v0; writer B commits v1 first
+    t.commit(orders.limit(5), expected_version=0)  # B wins the race -> v1
+    with pytest.raises(ConcurrentWriteError, match="re-read and retry"):
+        t.commit(orders.limit(7), expected_version=0)  # A's stale publish
+    assert t.latest_version() == 1  # A's failed commit left no version
+    # empty-table precondition
+    t2 = VersionedTable(spark, str(tmp_path / "tbl2"))
+    t2.commit(orders.limit(3), expected_version=-1)
+    with pytest.raises(ConcurrentWriteError):
+        t2.commit(orders.limit(3), expected_version=-1)
+
+
+def test_schema_evolution_reads_added_columns(tmp_path, spark, sf_dir):
+    """Append commits may ADD columns; merge_schema=True surfaces them
+    (null for pre-addition rows) while the default read stays cheap for
+    schema-stable tables."""
+    from pyspark.sql import functions as F2
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t.commit(orders.limit(10))
+    t.commit(
+        orders.limit(5)
+        .withColumn("priority", F2.lit("HIGH"))
+        .withColumn("o_orderkey", F2.col("o_orderkey") + 10**9)
+    )
+    evolved = t.read(merge_schema=True)
+    assert "priority" in evolved.columns
+    assert evolved.count() == 15
+    assert evolved.filter(F2.col("priority").isNull()).count() == 10
+    assert evolved.filter(F2.col("priority") == "HIGH").count() == 5
+    # time travel before the addition never shows the column
+    assert "priority" not in t.read(0, merge_schema=True).columns

@@ -163,3 +163,105 @@ def time_flushed_foreach_batch(
         buf.close()
 
     return _write
+
+
+class BulkIndexError(RuntimeError):
+    """Bulk items failed with non-retryable statuses (e.g. 400 mapping
+    errors): retrying cannot help, the caller must fix the documents.
+    ``failures`` holds the per-item error payloads."""
+
+    def __init__(self, message: str, failures: list[dict]):
+        super().__init__(message)
+        self.failures = failures
+
+
+class BulkRetriesExhausted(RuntimeError):
+    """Transient failures (429/5xx) survived every backoff retry."""
+
+    def __init__(self, message: str, pending: list[dict]):
+        super().__init__(message)
+        self.pending = pending
+
+
+#: transient statuses worth retrying (ES backpressure / transient 5xx);
+#: everything else failing is a document problem, not a timing problem
+RETRYABLE_STATUSES = (429, 502, 503)
+
+
+def send_bulk_with_retry(
+    client: ElasticsearchRestClient,
+    actions: list[dict],
+    *,
+    max_retries: int | None = None,
+    base_delay_ms: int | None = None,
+    backoff_policy: str | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> dict:
+    """The reference's bulk failure handler as real driver-side logic
+    (core.clj:72-78: retry 10, base delay 2000 ms, EXPONENTIAL) plus
+    the per-item semantics a real ES ``_bulk`` needs: a bulk response
+    is NOT all-or-nothing — each item carries its own status, so only
+    the items that failed with a RETRYABLE status are re-sent (a full
+    re-send would duplicate work and, for non-idempotent pipelines,
+    rows). Non-retryable item failures (mapping/400s) raise
+    ``BulkIndexError`` immediately — backoff cannot fix a bad document.
+
+    Defaults come from the client's SinkConfig; ``sleep`` is injectable
+    so the exponential schedule is unit-testable with a fake clock.
+    Returns ``{"attempts", "indexed", "retried"}`` on success; raises
+    ``BulkRetriesExhausted`` when transient failures outlive
+    ``max_retries``.
+    """
+    cfg = client.cfg
+    retries = cfg.retry_count if max_retries is None else max_retries
+    base_ms = (
+        cfg.retry_base_delay_ms if base_delay_ms is None else base_delay_ms
+    )
+    policy = (backoff_policy or cfg.backoff_policy).upper()
+    pending = list(actions)
+    retried = 0
+    for attempt in range(retries + 1):
+        resp = client.send(client.bulk_request(pending))
+        if not resp.get("errors"):
+            return {
+                "attempts": attempt + 1,
+                "indexed": len(actions),
+                "retried": retried,
+            }
+        items = resp.get("items", [])
+        if len(items) != len(pending):
+            raise BulkIndexError(
+                f"bulk response has {len(items)} items for "
+                f"{len(pending)} actions",
+                failures=items,
+            )
+        transient, permanent = [], []
+        for action, item in zip(pending, items):
+            result = next(iter(item.values()))  # {"index": {...}}
+            status = result.get("status", 200)
+            if status >= 300:
+                if status in RETRYABLE_STATUSES:
+                    transient.append(action)
+                else:
+                    permanent.append(result)
+        if permanent:
+            raise BulkIndexError(
+                f"{len(permanent)} bulk items failed non-retryably "
+                f"(first: {permanent[0].get('error')})",
+                failures=permanent,
+            )
+        if not transient:  # errors flag set but every item says ok
+            return {
+                "attempts": attempt + 1,
+                "indexed": len(actions),
+                "retried": retried,
+            }
+        pending = transient
+        retried += len(transient)
+        if attempt < retries:
+            factor = 2**attempt if policy == "EXPONENTIAL" else 1
+            sleep(base_ms * factor / 1000.0)
+    raise BulkRetriesExhausted(
+        f"{len(pending)} bulk items still failing after {retries} retries",
+        pending=pending,
+    )

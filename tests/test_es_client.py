@@ -5,6 +5,8 @@ offline — transport and clock are injected fakes."""
 import base64
 import json
 
+import pytest
+
 from flink_elasticsearch_ingestion_spark.config import SinkConfig
 from flink_elasticsearch_ingestion_spark.sources.es_client import (
     BulkBuffer,
@@ -97,3 +99,112 @@ def test_foreach_batch_writer_sends_bulk_requests(spark):
     assert all(r["url"].endswith("/_bulk") for r in sent)
     n_docs = sum(r["body"].count('"index"') for r in sent)
     assert n_docs == 3
+
+
+# ------------------- per-item bulk retry (core.clj:72-78 semantics) ---------
+
+
+def _retry_client(script):
+    """Fake transport that pops one scripted response per bulk send and
+    records the doc ids each attempt carried."""
+    from flink_elasticsearch_ingestion_spark.config import SinkConfig
+    from flink_elasticsearch_ingestion_spark.sources.es_client import (
+        ElasticsearchRestClient,
+    )
+
+    sent: list[list[str]] = []
+
+    def transport(req):
+        ids = [
+            __import__("json").loads(line)["index"]["_id"]
+            for line in req["body"].splitlines()[::2]
+        ]
+        sent.append(ids)
+        return script.pop(0)(ids)
+
+    cfg = SinkConfig(retry_count=3, retry_base_delay_ms=2000)
+    return ElasticsearchRestClient(cfg, transport=transport), sent
+
+
+def _ok(ids):
+    return {"errors": False, "items": [{"index": {"_id": i, "status": 201}} for i in ids]}
+
+
+def _partial(fail_ids, status):
+    def resp(ids):
+        return {
+            "errors": True,
+            "items": [
+                {
+                    "index": {
+                        "_id": i,
+                        "status": status if i in fail_ids else 201,
+                        **({"error": {"type": "x"}} if i in fail_ids else {}),
+                    }
+                }
+                for i in ids
+            ],
+        }
+
+    return resp
+
+
+def _actions(n):
+    return [{"doc_id": i, "index_id": "idx", "body": {"n": i}} for i in range(n)]
+
+
+def test_bulk_retry_resends_only_transient_failures():
+    from flink_elasticsearch_ingestion_spark.sources.es_client import (
+        send_bulk_with_retry,
+    )
+
+    client, sent = _retry_client(
+        [_partial({"1", "3"}, 429), _partial({"3"}, 429), _ok]
+    )
+    delays: list[float] = []
+    out = send_bulk_with_retry(client, _actions(5), sleep=delays.append)
+    assert out == {"attempts": 3, "indexed": 5, "retried": 3}
+    assert sent == [["0", "1", "2", "3", "4"], ["1", "3"], ["3"]]
+    assert delays == [2.0, 4.0]  # exponential: base, base*2
+
+
+def test_bulk_retry_constant_backoff_policy():
+    from flink_elasticsearch_ingestion_spark.sources.es_client import (
+        send_bulk_with_retry,
+    )
+
+    client, _ = _retry_client([_partial({"0"}, 503), _partial({"0"}, 503), _ok])
+    delays: list[float] = []
+    send_bulk_with_retry(
+        client, _actions(2), backoff_policy="CONSTANT", sleep=delays.append
+    )
+    assert delays == [2.0, 2.0]
+
+
+def test_bulk_mapping_errors_raise_immediately_without_retry():
+    from flink_elasticsearch_ingestion_spark.sources.es_client import (
+        BulkIndexError,
+        send_bulk_with_retry,
+    )
+
+    client, sent = _retry_client([_partial({"2"}, 400)])
+    delays: list[float] = []
+    with pytest.raises(BulkIndexError, match="non-retryably"):
+        send_bulk_with_retry(client, _actions(3), sleep=delays.append)
+    assert len(sent) == 1 and delays == []  # no second attempt, no sleep
+
+
+def test_bulk_retries_exhausted_raises_with_pending_items():
+    from flink_elasticsearch_ingestion_spark.sources.es_client import (
+        BulkRetriesExhausted,
+        send_bulk_with_retry,
+    )
+
+    always_fail = _partial({"0"}, 429)
+    client, sent = _retry_client([always_fail] * 4)  # 1 try + 3 retries
+    delays: list[float] = []
+    with pytest.raises(BulkRetriesExhausted) as exc:
+        send_bulk_with_retry(client, _actions(1), sleep=delays.append)
+    assert len(sent) == 4
+    assert delays == [2.0, 4.0, 8.0]  # full exponential schedule
+    assert [a["doc_id"] for a in exc.value.pending] == [0]

@@ -248,6 +248,7 @@ EXTENDED = [
     "corpus_datasheet",
     "mixing_epochs",
     "quality_threshold_sweep",
+    "dormant_rich_customers",
 ]
 
 

@@ -597,9 +597,20 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 pattern: scalar positive-balance average (1-row
+    broadcast), anti join against the orders key set (ids only), nation
+    group-by."""
+    return R.dormant_rich_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
+    "dormant_rich_customers": q_dormant_rich_customers,
     "interval_overlap": q_interval_overlap,
     "user_event_sets": q_user_event_sets,
     "growth_accounting": q_growth_accounting,
@@ -676,6 +687,17 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "dormant_rich_customers": (
+        "WITH avg_pos AS (SELECT avg(c_acctbal) AS avg_bal FROM customer"
+        "  WHERE c_acctbal > 0)"
+        " SELECT c_nationkey, count(*) AS numcust,"
+        "  round(sum(c_acctbal) + 1e-9, 2) AS totacctbal"
+        " FROM customer, avg_pos"
+        " WHERE c_acctbal > avg_bal"
+        "  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+        "   AND o_orderdate >= DATE '2001-01-01')"
+        " GROUP BY c_nationkey ORDER BY c_nationkey"
+    ),
     "interval_overlap": (
         "WITH e AS (SELECT user_id, event_id,"
         " CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec"

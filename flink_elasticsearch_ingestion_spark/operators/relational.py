@@ -2405,3 +2405,39 @@ def interval_overlap_pairs(
         .distinct()
         .orderBy(key_col, "event_a", "event_b")
     )
+
+
+def dormant_rich_customers(
+    customer: DataFrame, orders: DataFrame, *, since: str = "2001-01-01"
+) -> DataFrame:
+    """TPC-H Q22 pattern on this schema's columns: customers with no
+    orders SINCE a cutoff whose balance beats the average POSITIVE
+    balance — grouped by nation (the schema's stand-in for Q22's phone
+    country code; dormancy-since replaces never-ordered because this
+    fixture's order history covers every customer).
+
+    Plan shape: one scalar aggregate (1-row broadcast — the legitimate
+    scalar-subquery BNLJ), an anti join against the recent-orders key
+    set, and a nation-cardinality group-by. The date predicate pushes
+    to the orders scan; the anti join shuffles ids only."""
+    avg_pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = customer.join(F.broadcast(avg_pos)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        orders.filter(F.col("o_orderdate") >= F.lit(since))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal") + F.lit(1e-9), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -49,6 +49,9 @@ SCALAR_JOIN_OK = {
     # partitions). Fact-sized query sides raise and route to
     # knn_join_lsh.
     "knn_join",
+    # 1-row avg-positive-balance scalar broadcast onto the customer
+    # frame (TPC-H Q22 pattern)
+    "dormant_rich_customers",
     "kmv_overlap",
     "dedup_threshold_sweep",
     "skew_profile",

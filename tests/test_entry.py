@@ -51,3 +51,32 @@ def test_engine_api(tmp_path, spark, sf_dir):
     n1 = eng.copy_run(ck, out)
     assert n1 > 0
     assert eng.copy_run(ck, out) == 0
+
+
+def test_catalog_dict_literals_have_no_duplicate_keys():
+    """A duplicate key inside ONE family module's QUERIES/ORACLES dict
+    literal silently resolves to the last entry (Python semantics), so
+    the assembler's cross-module check can't see it — this almost
+    shipped a shadowed query in round 6. Parse each module's source and
+    reject duplicates at the literal level."""
+    import ast
+    import pathlib
+
+    import flink_elasticsearch_ingestion_spark.catalog as cat
+
+    for mod in cat.MODULES:
+        src = pathlib.Path(mod.__file__).read_text()
+        tree = ast.parse(src)
+        for node in tree.body:
+            if not (
+                isinstance(node, ast.Assign)
+                and getattr(node.targets[0], "id", "") in ("QUERIES", "ORACLES")
+                and isinstance(node.value, ast.Dict)
+            ):
+                continue
+            keys = [ast.literal_eval(k) for k in node.value.keys]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, (
+                f"{mod.__name__}.{node.targets[0].id} has duplicate "
+                f"keys: {dupes}"
+            )

@@ -102,6 +102,21 @@ def register_png_decoder(grid: int = 8) -> None:
     )
 
 
+def register_wav_decoder(bands: int = 8) -> None:
+    """Audio twin of :func:`register_png_decoder`: swap the stub for
+    the pure-Python WAV/PCM codec (functions/wav_codec.py — RIFF chunk
+    walk + temporal RMS bands + zero-crossing rate). Same opt-in
+    contract: the sha stub stays the default oracle path; perceptual
+    behavior is pinned by tests/test_multimodal_wav.py."""
+    from flink_elasticsearch_ingestion_spark.functions.wav_codec import (
+        wav_energy_features,
+    )
+
+    DECODERS["audio"] = lambda payload, kind: wav_energy_features(
+        payload, kind, bands=bands
+    )
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter for the test fixtures: treat document text bytes as an
     opaque payload so the multimodal plumbing is exercised end-to-end

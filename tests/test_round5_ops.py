@@ -360,3 +360,80 @@ def test_similar_part_names_plan_has_no_all_pairs_join(spark, sf_dir):
     assert_no_accidental_quadratic_join(
         similar_part_names(load_table(spark, sf_dir, "part"))
     )
+
+
+def test_seasonal_decompose_identity_and_invariants(spark, sf_dir):
+    """rev == trend + seasonal + residual on every full-window day
+    (within the declared rounding), seasonal components are mean-zero,
+    and edge days carry null trend/residual instead of extrapolations."""
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        seasonal_decompose,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    rows = seasonal_decompose(load_table(spark, sf_dir, "orders")).collect()
+    assert len(rows) > 30
+    # first/last 3 days can't center a 7-day window
+    for r in rows[:3] + rows[-3:]:
+        assert r["trend"] is None and r["residual"] is None
+    full = [r for r in rows if r["trend"] is not None]
+    assert len(full) == len(rows) - 6
+    for r in full:
+        assert abs(r["rev"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-3
+    # mean-zero seasonals: one component value per weekday, summing ~0
+    seasonal_by_day = {r["day"]: r["seasonal"] for r in rows}
+    distinct = sorted({v for v in seasonal_by_day.values()})
+    assert len(distinct) <= 7
+    assert abs(sum(r["seasonal"] for r in rows) / len(rows)) < 1e-3
+
+
+def test_mixing_epochs_invariants(spark, sf_dir):
+    """Weights sum to 1, drawn tokens sum to the budget, and epochs
+    equal drawn/available per source."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        mixing_epochs_plan,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    budget = 1_000_000.0
+    rows = mixing_epochs_plan(
+        load_table(spark, sf_dir, "documents"), token_budget=budget
+    ).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["drawn_tokens"] for r in rows) - budget) < 1.0
+    for r in rows:
+        assert abs(r["epochs"] - r["drawn_tokens"] / r["avail_tokens"]) < 1e-3
+        assert r["avail_tokens"] > 0
+    # sqrt weighting: bigger sources draw more tokens but FEWER epochs
+    by_avail = sorted(rows, key=lambda r: r["avail_tokens"])
+    assert by_avail[-1]["drawn_tokens"] > by_avail[0]["drawn_tokens"]
+    assert by_avail[-1]["epochs"] < by_avail[0]["epochs"]
+
+
+def test_corpus_datasheet_semantics(spark):
+    """On a crafted fixture: dup_rate counts normalized-content
+    duplicates, the email probe counts real addresses, token/char
+    totals are exact."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        corpus_datasheet,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello  world", "en", "web", 12),
+            (2, "Hello world", "en", "web", 11),      # dup after normalize
+            (3, "mail me at a.b@example.com now", "en", "web", 30),
+            (4, "autre texte", "fr", "web", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {(r["source"], r["lang"]): r for r in corpus_datasheet(docs).collect()}
+    en = rows[("web", "en")]
+    assert en["n_docs"] == 3
+    assert en["n_distinct_contents"] == 2  # docs 1+2 collapse
+    assert abs(en["dup_rate"] - 1 / 3) < 1e-3
+    assert en["email_hits"] == 1
+    assert en["total_ws_tokens"] == 2 + 2 + 5
+    fr = rows[("web", "fr")]
+    assert fr["n_docs"] == 1 and fr["dup_rate"] == 0.0 and fr["email_hits"] == 0

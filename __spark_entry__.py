@@ -31,45 +31,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return C.incremental_copy(events, checkpoint_ts=CHECKPOINT)
 
 
-# Round-6 driver window (the driver hash-checks the FIRST 50 entries of
-# ``queries()`` per round).  Priority: the 39 catalog entries that have
-# NEVER produced a driver-verified row — the 22 round-4 leftovers plus
-# the 17 round-5 additions (all hash-green under the type-strict local
-# gate AND the vanilla-session driver replica,
-# scripts/check_oracle.py --vanilla) — topped up to 50 with 11 stable
-# round-1 re-checks.  Names absent from the catalog are skipped, extras
-# append in catalog order, so the list is safe to edit.
+# Round-7 driver window (the driver hash-checks the FIRST 50 entries of
+# ``queries()`` per round).  Priority: the 7 round-6 additions that have
+# NEVER produced a driver-verified row (judge-verified green on a
+# vanilla session in round 6, VERDICT.md), then round-7 additions,
+# topped up to 50 with the oldest round-2 re-checks (CORRECTNESS_r02,
+# oldest driver proof in the archive; rows-only ``ivf_topk`` skipped in
+# favor of hash-checkable entries).  Names absent from the catalog are
+# skipped, extras append in catalog order, so the list is safe to edit.
 #
-# ROUND-7 ROTATION NOTE: after this window lands green, every catalog
-# entry authored through round 5 is driver-proven.  Round-6 additions
-# land at position 51+ and need promotion next round:
-# interval_overlap, sqrt_frequency_cap, corpus_datasheet,
-# mixing_epochs, quality_threshold_sweep, dormant_rich_customers,
-# seasonal_decompose (see the family modules in
-# flink_elasticsearch_ingestion_spark/catalog/); fill the remainder
-# with round-2/3 re-checks oldest-first.
+# ROUND-8 ROTATION NOTE: after this window lands green, every entry
+# authored through round 6 is driver-proven.  Any round-7 additions
+# beyond position 50 plus the remaining round-2/3 re-checks
+# (CORRECTNESS_r02 tail from ``near_dup_clusters`` on, then the
+# CORRECTNESS_r03 list) fill the next window oldest-first.
 _WINDOW_PRIORITY = [
-    # 22 round-4 leftovers, never driver-checked:
-    "probe_calibration", "session_occupancy", "contrastive_triples",
-    "score_normalize", "winnowing", "neyman_sample",
-    "source_similarity", "kcenter_select", "kmeans_fixed",
-    "holt_forecast", "skyline_docs", "dp_histogram", "l_diversity",
-    "dim_truncation_recall", "groupwise_ols", "textrank_keywords",
-    "weighted_quantiles", "priority_spanning_customers",
-    "join_size_estimate", "incremental_join_view", "hilbert_key",
-    "top_component",
-    # 17 round-5 additions, never driver-checked:
-    "streaming_admission_replay", "bucketed_join",
-    "leakage_safe_folds", "time_travel_diff", "kn_bigram_score",
-    "scrub_shared_spans", "es_search_after_page",
-    "dedup_passages_global", "unimax_sample",
-    "cluster_weighted_sample", "window_novelty", "forecast_backtest",
-    "waiting_suppliers", "difficulty_stratified_eval", "ql_search",
-    "containment_pairs", "trimmed_stats",
-    # 11 round-1 re-checks (stable, cheap) to fill the 50:
-    "pricing_summary", "top_orders", "dedup_exact", "cosine_topk",
-    "text_stats", "json_extract", "url_parse", "asof_join",
-    "tumbling_windows", "latest_event_per_user", "string_functions",
+    # 7 round-6 additions, never driver-checked:
+    "interval_overlap", "sqrt_frequency_cap", "corpus_datasheet",
+    "mixing_epochs", "quality_threshold_sweep",
+    "dormant_rich_customers", "seasonal_decompose",
+    # round-7 additions, never driver-checked:
+    "perceptual_dedup_real", "doc_minmax_norm", "robust_zscore",
+    "online_lr_probe", "isotonic_calibration", "group_auc",
+    "reservoir_summary",
+    # round-2 re-checks, oldest-first (CORRECTNESS_r02 order):
+    "text_stats", "quality_scores", "language_id", "fingerprints",
+    "token_counts", "event_type_share", "training_data_pipeline",
+    "hash_split", "dedup_content", "dedup_exact", "minhash_near_dup",
+    "ngram_jaccard", "simhash_buckets", "cosine_topk",
+    "pandas_cosine_topk", "knn_join", "embedding_near_dup",
+    "lsh_topk", "media_stats", "media_features", "media_resize",
+    "media_frames", "user_event_sets", "bulk_chunks_distributed",
+    "near_dup_clusters", "tfidf_top_terms", "pack_documents",
+    "deterministic_sample", "repetition_ratio", "contamination",
+    "redact_pii", "promo_revenue_share", "idle_rich_customers",
+    "lonely_late_suppliers", "ingestion_diff", "value_histogram",
+    "revenue_forecast", "late_shipment_priorities", "volume_shipping",
+    "order_count_distribution", "top_supplier", "disjunctive_revenue",
+    "passage_dedup",
 ]
 
 

@@ -145,14 +145,23 @@ def multi_poll_admission(
             portable=portable,
             batch_sigs=all_sigs.filter(F.col("doc_id") % n_polls == poll),
         )
-        survivor_sigs = survivor_sigs.persist()
-        survivor_sigs.count()  # materialize BEFORE the next poll joins it
-        cached.append(survivor_sigs)
+        # localCheckpoint TRUNCATES the lineage: without it every poll's
+        # store union drags the previous polls' full dedup plan into the
+        # next near_duplicates_incremental call, and the final plan grows
+        # linearly with n_polls (round-6 audit: 1,925 exchanges for 3
+        # polls).  After truncation the store is a union of
+        # materialized LogicalRDDs — the plan the foreachBatch stream
+        # actually has, since it re-reads the signature store from
+        # parquet each epoch.
+        survivor_sigs = survivor_sigs.localCheckpoint(eager=True)
         batch_sigs.unpersist()  # the slice cache served its one poll
-        # ONE aggregate over the flagged batch — no 1-row scalar joins
+        # ONE aggregate over the flagged batch — no 1-row scalar joins;
+        # eagerly checkpointed so the returned union is 3 tiny 1-row
+        # scans, not 3 copies of the admission tree.
         adm = F.col("__drop").isNull()
         summaries.append(
-            batch.join(drop.withColumn("__drop", F.lit(1)), "doc_id", "left").agg(
+            batch.join(drop.withColumn("__drop", F.lit(1)), "doc_id", "left")
+            .agg(
                 F.lit(poll).alias("poll"),
                 F.count(F.lit(1)).cast("bigint").alias("n_arrived"),
                 F.count(F.when(adm, 1)).cast("bigint").alias("n_admitted"),
@@ -161,6 +170,7 @@ def multi_poll_admission(
                 .cast("bigint")
                 .alias("admitted_chars"),
             )
+            .localCheckpoint(eager=True)
         )
         store_sigs = (
             survivor_sigs
@@ -170,8 +180,7 @@ def multi_poll_admission(
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionByName(s)
-    out = out.orderBy("poll").persist()
-    out.count()  # materialize the 3-row result, then release the stores
+    out = out.orderBy("poll")
     for c in cached:
         c.unpersist()
     return out

@@ -1223,7 +1223,18 @@ def seasonal_decompose(orders: DataFrame, *, period: int = 7) -> DataFrame:
     every window after that runs on the bounded frame (passes the
     unpartitioned-window audit structurally). Edge days without a full
     centered window carry null trend/residual — honest, not
-    extrapolated."""
+    extrapolated.
+
+    ``period`` must be odd: the centered ``rowsBetween(-half, half)``
+    frame holds exactly ``period`` rows only then. An even period needs
+    the classical 2xMA (half-weighted endpoints) — with this frame it
+    would hold ``period + 1`` rows, the count guard would never fire,
+    and trend/residual would silently come back all-null."""
+    if period % 2 == 0:
+        raise ValueError(
+            f"period must be odd for the centered moving average; got "
+            f"{period} (even periods need a 2xMA trend, not supported)"
+        )
     half = period // 2
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("rev")

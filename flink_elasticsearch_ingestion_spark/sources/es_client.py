@@ -168,11 +168,18 @@ def time_flushed_foreach_batch(
 class BulkIndexError(RuntimeError):
     """Bulk items failed with non-retryable statuses (e.g. 400 mapping
     errors): retrying cannot help, the caller must fix the documents.
-    ``failures`` holds the per-item error payloads."""
+    ``failures`` holds the per-item error payloads. ``pending`` holds
+    the still-retryable actions from the same response (429/5xx items
+    that were NOT re-sent because the permanent failures aborted the
+    retry loop) — a caller that fixes the bad documents resumes by
+    re-sending ``pending`` plus the repaired ones."""
 
-    def __init__(self, message: str, failures: list[dict]):
+    def __init__(
+        self, message: str, failures: list[dict], pending: list[dict] | None = None
+    ):
         super().__init__(message)
         self.failures = failures
+        self.pending = pending if pending is not None else []
 
 
 class BulkRetriesExhausted(RuntimeError):
@@ -247,8 +254,11 @@ def send_bulk_with_retry(
         if permanent:
             raise BulkIndexError(
                 f"{len(permanent)} bulk items failed non-retryably "
-                f"(first: {permanent[0].get('error')})",
+                f"(first: {permanent[0].get('error')}); "
+                f"{len(transient)} retryable items not re-sent "
+                f"(carried on .pending)",
                 failures=permanent,
+                pending=transient,
             )
         if not transient:  # errors flag set but every item says ok
             return {

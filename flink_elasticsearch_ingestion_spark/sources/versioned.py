@@ -125,6 +125,14 @@ class VersionedTable:
                     f"commit rejected, expectations violated: {failed}"
                 )
         latest = self.latest_version()
+        # The publish below is an exclusive compare-and-swap UNLESS the
+        # caller explicitly re-publishes a version it owns (the
+        # foreachBatch at-least-once replay contract: epoch N re-points
+        # N's manifest at a fresh attempt dir). Auto-assigned versions
+        # and OCC commits must never overwrite a manifest another
+        # writer published between our latest_version() read and the
+        # publish — check-then-act alone leaves that window open.
+        exclusive = version is None or expected_version is not None
         if version is None:
             version = 0 if latest is None else latest + 1
         # Published directories are NEVER mutated in place: an
@@ -153,12 +161,30 @@ class VersionedTable:
         # parent would replay the full cumulative list as one version's
         # delta, breaking the exactly-once contract).
         manifest = {"version": version, "mode": mode, "dirs": dirs, "added": [rel]}
-        # ... then the atomic publish: tmp + rename IS the commit point
+        # ... then the atomic publish. For new/OCC commits the commit
+        # point itself is the compare-and-swap: os.link fails with
+        # FileExistsError if any other writer published this version
+        # first, so two racers can never both succeed — the loser's
+        # staged data dir becomes unreferenced garbage vacuum()
+        # reclaims. Replay re-publishes (explicit version, no OCC) keep
+        # the idempotent overwrite via os.replace.
         os.makedirs(self._manifest_dir, exist_ok=True)
-        tmp = self._manifest_path(version) + ".tmp"
+        tmp = self._manifest_path(version) + f".tmp-{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path(version))
+        if exclusive:
+            try:
+                os.link(tmp, self._manifest_path(version))
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    f"version {version} was published by a concurrent "
+                    f"writer between this commit's read and its publish; "
+                    f"re-read and retry"
+                ) from None
+            finally:
+                os.remove(tmp)
+        else:
+            os.replace(tmp, self._manifest_path(version))
         return version
 
     def read(
@@ -221,7 +247,14 @@ class VersionedTable:
 
         latest = self.latest_version()
         if latest is None:
-            return self.commit(df, mode="overwrite", expected_version=-1)
+            # version 0 gets the SAME last-wins grain as steady state:
+            # duplicate keys inside the very first batch must collapse,
+            # or the key-uniqueness invariant only holds from version 1
+            return self.commit(
+                last_wins(df, key=key, order_col=order_col),
+                mode="overwrite",
+                expected_version=-1,
+            )
         merged = last_wins(
             self.read(latest).unionByName(df), key=key, order_col=order_col
         )

@@ -208,3 +208,37 @@ def test_bulk_retries_exhausted_raises_with_pending_items():
     assert len(sent) == 4
     assert delays == [2.0, 4.0, 8.0]  # full exponential schedule
     assert [a["doc_id"] for a in exc.value.pending] == [0]
+
+
+def test_bulk_mixed_failures_carry_pending_transients_on_the_error():
+    """A response mixing permanent (400) and transient (429) item
+    failures raises immediately for the 400s, but the never-re-sent
+    retryable actions ride along on ``.pending`` so a caller that fixes
+    the bad documents can resume the retryable remainder."""
+    from flink_elasticsearch_ingestion_spark.sources.es_client import (
+        BulkIndexError,
+        send_bulk_with_retry,
+    )
+
+    def mixed(ids):
+        status = {"1": 400, "3": 429}
+        return {
+            "errors": True,
+            "items": [
+                {
+                    "index": {
+                        "_id": i,
+                        "status": status.get(i, 201),
+                        **({"error": {"type": "x"}} if i in status else {}),
+                    }
+                }
+                for i in ids
+            ],
+        }
+
+    client, sent = _retry_client([mixed])
+    with pytest.raises(BulkIndexError, match="not re-sent") as exc:
+        send_bulk_with_retry(client, _actions(4), sleep=lambda s: None)
+    assert len(sent) == 1  # permanent failure aborts before any retry
+    assert [f["_id"] for f in exc.value.failures] == ["1"]
+    assert [a["doc_id"] for a in exc.value.pending] == [3]

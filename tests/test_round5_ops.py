@@ -4,6 +4,8 @@ duplicates, keep-first passage dedup preserves first occurrences,
 Kneser-Ney is a proper probability model, group-aware folds partition
 the corpus with zero leakage."""
 
+import pytest
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
@@ -437,3 +439,16 @@ def test_corpus_datasheet_semantics(spark):
     assert en["total_ws_tokens"] == 2 + 2 + 5
     fr = rows[("web", "fr")]
     assert fr["n_docs"] == 1 and fr["dup_rate"] == 0.0 and fr["email_hits"] == 0
+
+
+def test_seasonal_decompose_rejects_even_period(spark, sf_dir):
+    """Even periods need a 2xMA trend the centered frame can't express;
+    silently returning all-null trend/residual (the pre-guard behavior)
+    is worse than refusing."""
+    from flink_elasticsearch_ingestion_spark.operators.windows import (
+        seasonal_decompose,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    with pytest.raises(ValueError, match="period must be odd"):
+        seasonal_decompose(load_table(spark, sf_dir, "orders"), period=12)

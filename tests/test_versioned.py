@@ -427,3 +427,66 @@ def test_schema_evolution_reads_added_columns(tmp_path, spark, sf_dir):
     assert evolved.filter(F2.col("priority") == "HIGH").count() == 5
     # time travel before the addition never shows the column
     assert "priority" not in t.read(0, merge_schema=True).columns
+
+
+def test_publish_point_cas_rejects_racing_publish(
+    tmp_path, spark, sf_dir, monkeypatch
+):
+    """The commit point itself is a compare-and-swap: even when the
+    check-then-act window is forced open (stale version listing), the
+    exclusive manifest link fails for the loser instead of silently
+    overwriting the winner's manifest."""
+    from flink_elasticsearch_ingestion_spark.sources.versioned import (
+        ConcurrentWriteError,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    t.commit(orders.limit(10))  # v0
+    t.commit(orders.limit(5))  # v1 — the racing writer's publish
+    # writer A read the version list BEFORE v1 landed: force that stale
+    # view so A's auto-assigned next version collides with v1
+    monkeypatch.setattr(t, "versions", lambda: [0])
+    with pytest.raises(ConcurrentWriteError, match="between this commit"):
+        t.commit(orders.limit(7))
+    monkeypatch.undo()
+    # the winner's snapshot is untouched and the table is not torn
+    assert t.latest_version() == 1
+    assert t.read(1).count() == 15  # v0's 10 + v1's appended 5
+    # no leftover tmp manifest
+    leftovers = [
+        f
+        for f in os.listdir(os.path.join(str(tmp_path / "tbl"), "_versions"))
+        if not f.endswith(".json")
+    ]
+    assert leftovers == []
+
+
+def test_replay_republish_of_owned_version_still_converges(
+    tmp_path, spark, sf_dir
+):
+    """The at-least-once replay contract survives the CAS: an explicit
+    re-publish of a version the writer owns (foreachBatch epoch replay,
+    no OCC) re-points the manifest idempotently instead of raising."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    t.commit(orders.limit(10), version=0)
+    before = sorted(map(tuple, t.read(0).collect()))
+    t.commit(orders.limit(10), version=0)  # replayed epoch
+    assert t.latest_version() == 0
+    assert sorted(map(tuple, t.read(0).collect())) == before
+
+
+def test_upsert_dedupes_duplicate_keys_in_the_first_batch(tmp_path, spark):
+    """Version 0 gets the same last-wins grain as steady state: dup
+    keys inside the very first upserted batch collapse to the
+    (order_col, tuple)-winning row."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    first = spark.createDataFrame(
+        [(1, 10.0, 1), (1, 20.0, 2), (2, 5.0, 1)],
+        "doc_id long, val double, ts bigint",
+    )
+    v0 = t.upsert(first, key="doc_id", order_col="ts")
+    assert v0 == 0
+    rows = {r["doc_id"]: r["val"] for r in t.read(0).collect()}
+    assert rows == {1: 20.0, 2: 5.0}  # later ts won inside batch 0

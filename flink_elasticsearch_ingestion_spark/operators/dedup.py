@@ -1162,6 +1162,7 @@ def substring_contamination(
     text_col: str = "text",
     engine: str = "auto",
     max_broadcast_needles: int = 10_000,
+    max_needles: int = 1_000_000,
 ) -> DataFrame:
     """Exact-substring decontamination: (corpus_id, probe_id) for every
     corpus document containing a probe document's leading
@@ -1188,6 +1189,13 @@ def substring_contamination(
     ``'broadcast'`` (the contains BNLJ) at or below
     ``max_broadcast_needles``, ``'aho'`` above — so the broadcast
     nested-loop never sees a needle table it would melt on.
+
+    ``max_needles``: structural ceiling on the probe side. BOTH engines
+    materialize the needles on the driver (broadcast literally, aho to
+    build the automaton), so a fact-sized table pointed at the probe
+    argument must raise, not OOM the driver — the check is a
+    limit-bounded probe that costs O(max_needles) rows, never a full
+    scan of the mistake.
     """
     if engine not in ("auto", "broadcast", "aho"):
         raise ValueError(f"unknown engine: {engine!r}")
@@ -1198,13 +1206,20 @@ def substring_contamination(
             F.slice(F.split(norm(F.col(text_col)), " "), 1, needle_words), " "
         ).alias("needle"),
     ).filter(F.size(F.split(F.col("needle"), " ")) >= needle_words)
+    # limit-bounded probe (same guard class as knn_join's query cap,
+    # similarity.py): scans until max_needles+1 rows exist, never the
+    # whole probe side
+    n_needles = needles.limit(max_needles + 1).count()
+    if n_needles > max_needles:
+        raise ValueError(
+            f"substring_contamination materializes the probe side on "
+            f"the driver (got >{max_needles} needles); decontamination "
+            f"probes are benchmark-sized — for corpus-vs-corpus overlap "
+            f"use cross_corpus_contamination / shared_span_mining"
+        )
     if engine == "auto":
-        # probe tables are benchmark-sized by contract, so this count
-        # is a cheap dimension-side action, never a fact scan
         engine = (
-            "broadcast"
-            if needles.count() <= max_broadcast_needles
-            else "aho"
+            "broadcast" if n_needles <= max_broadcast_needles else "aho"
         )
     # the match scan is the CPU-heavy stage: spread a narrow local scan
     # to full parallelism (no-op at real scale where the scan already
@@ -1260,6 +1275,89 @@ def _build_aho_corasick(patterns: "list[tuple[str, list]]"):
     return goto, fail, out
 
 
+#: dense-DFA cell budget per executor: states x alphabet int32 cells.
+#: 64M cells = 256 MB — above this the vectorized path would cost more
+#: memory than it saves time, so the scan falls back to the sparse
+#: per-char walk. Needle sets that big should also question the
+#: substring-decontamination framing (see max_needles).
+_AC_DENSE_CELL_BUDGET = 64_000_000
+
+#: per-step matrix budget for the lockstep scan (cells = docs x chars
+#: buffered at once); bounds executor memory independent of Arrow batch
+#: size. 16M uint32 cells = 64 MB.
+_AC_CHUNK_CELL_BUDGET = 16_000_000
+
+
+def _ac_dense_tables(goto, fail, out):
+    """Determinize the sparse automaton into numpy lookup tables:
+    ``delta[state, char_idx]`` (full transition function, failure links
+    folded in), ``has_out[state]``, and the sorted codepoint array that
+    maps document chars to ``char_idx`` (0 = any char outside the
+    needle alphabet, which always transitions to the root). Built once
+    per executor from the broadcast; None when over the cell budget."""
+    import numpy as np
+
+    cps = sorted({ord(ch) for g in goto for ch in g})
+    n, a = len(goto), len(cps) + 1
+    if n * a > _AC_DENSE_CELL_BUDGET:
+        return None
+    cmap = {cp: i + 1 for i, cp in enumerate(cps)}
+    delta = np.zeros((n, a), dtype=np.int32)
+    # BFS order guarantees delta[fail[s]] is complete before s copies it
+    from collections import deque
+
+    q = deque([0])
+    seen = [False] * n
+    seen[0] = True
+    while q:
+        s = q.popleft()
+        if s:
+            delta[s] = delta[fail[s]]
+        for ch, nxt in goto[s].items():
+            delta[s, cmap[ord(ch)]] = nxt
+            if not seen[nxt]:
+                seen[nxt] = True
+                q.append(nxt)
+    has_out = np.array([bool(o) for o in out], dtype=bool)
+    return np.asarray(cps, dtype=np.uint32), delta, has_out
+
+
+def _ac_scan_block(texts, cps, delta, has_out):
+    """Lockstep-vectorized automaton walk over a block of documents:
+    one state vector for the whole block, each step a single fancy-
+    index ``delta[states, chars]`` — the per-char Python interpreter
+    loop becomes ~L numpy steps over the block. Documents are consumed
+    longest-first so the active set is always a prefix slice. Returns
+    {row_index: set(hit_states)}."""
+    import numpy as np
+
+    order = sorted(range(len(texts)), key=lambda i: -len(texts[i]))
+    lengths = np.array([len(texts[i]) for i in order], dtype=np.int64)
+    maxlen = int(lengths[0]) if len(lengths) else 0
+    # char -> column index, vectorized via utf-32 codepoints +
+    # searchsorted over the needle alphabet (OOV -> 0 -> root)
+    mat = np.zeros((len(order), maxlen), dtype=np.uint32)
+    for r, i in enumerate(order):
+        t = texts[i]
+        if not t:
+            continue
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
+        pos = np.searchsorted(cps, codes)
+        pos_c = np.minimum(pos, len(cps) - 1)
+        mat[r, : len(codes)] = np.where(cps[pos_c] == codes, pos_c + 1, 0)
+    states = np.zeros(len(order), dtype=np.int32)
+    doc_states: dict[int, set] = {}
+    for t in range(maxlen):
+        k = int(np.searchsorted(-lengths, -t, side="right"))  # active prefix
+        if k == 0:
+            break
+        states[:k] = delta[states[:k], mat[:k, t]]
+        hot = np.nonzero(has_out[states[:k]])[0]
+        for r in hot:
+            doc_states.setdefault(order[int(r)], set()).add(int(states[r]))
+    return doc_states
+
+
 def _aho_corasick_scan(hay: DataFrame, needles: DataFrame) -> DataFrame:
     """One corpus pass, all needles at once: build the automaton on the
     driver from the (bounded) needle table, ship it ONCE per executor
@@ -1267,31 +1365,70 @@ def _aho_corasick_scan(hay: DataFrame, needles: DataFrame) -> DataFrame:
     Arrow-batched ``mapInPandas``. Per-doc cost is O(len(doc)) plus
     matches — independent of needle count, unlike the contains scan's
     O(needles) substring searches. No join, no shuffle: the output is a
-    map-side flatMap of the corpus scan."""
+    map-side flatMap of the corpus scan.
+
+    The hot loop is numpy-lockstep over dense transition tables
+    (``_ac_dense_tables``): measured ~16 MB/s/core at a 5k-needle /
+    180k-state shape vs ~3 MB/s for the per-char Python walk it
+    replaced (5.2x; the sparse walk remains as the over-budget
+    fallback). SCALE.md records the measurement and the remaining
+    headroom (pyahocorasick / JVM codegen)."""
     import pandas as pd
 
     grouped: dict[str, list] = {}
-    for r in needles.collect():  # bounded: benchmark-sized by contract
+    for r in needles.collect():  # bounded: max_needles-guarded upstream
         grouped.setdefault(r["needle"], []).append(r["probe_id"])
     automaton = _build_aho_corasick(sorted(grouped.items()))
     bc = hay.sparkSession.sparkContext.broadcast(automaton)
+    dense_cache: list = []  # per-executor memo (rebuilt per worker)
 
     def scan(batches):
         goto, fail, out = bc.value
+        if not dense_cache:
+            dense_cache.append(_ac_dense_tables(goto, fail, out))
+        dense = dense_cache[0]
         for pdf in batches:
+            texts = ["" if t is None else t for t in pdf["hay"]]
+            cids = list(pdf["corpus_id"])
+            doc_hits: dict[int, set] = {}
+            if dense is not None:
+                cps, delta, has_out = dense
+                # chunk so the lockstep matrix stays within budget
+                i = 0
+                while i < len(texts):
+                    j, cells = i, 0
+                    width = max(
+                        (len(t) for t in texts[i : i + 1]), default=1
+                    )
+                    while j < len(texts) and cells <= _AC_CHUNK_CELL_BUDGET:
+                        width = max(width, len(texts[j]) or 1)
+                        j += 1
+                        cells = (j - i) * width
+                    for row, sts in _ac_scan_block(
+                        texts[i:j], cps, delta, has_out
+                    ).items():
+                        hits = doc_hits.setdefault(i + row, set())
+                        for st in sts:
+                            hits.update(out[st])
+                    i = j
+            else:  # sparse fallback: automaton too wide for dense tables
+                for r_i, text in enumerate(texts):
+                    node = 0
+                    hits = set()
+                    for ch in text:
+                        while node and ch not in goto[node]:
+                            node = fail[node]
+                        node = goto[node].get(ch, 0)
+                        if out[node]:
+                            hits.update(out[node])
+                    if hits:
+                        doc_hits[r_i] = hits
             pairs_c, pairs_p = [], []
-            for cid, text in zip(pdf["corpus_id"], pdf["hay"]):
-                node = 0
-                hits = set()
-                for ch in text or "":
-                    while node and ch not in goto[node]:
-                        node = fail[node]
-                    node = goto[node].get(ch, 0)
-                    if out[node]:
-                        hits.update(out[node])
-                hits.discard(cid)
+            for r_i in sorted(doc_hits):
+                hits = doc_hits[r_i]
+                hits.discard(cids[r_i])
                 for pid in sorted(hits):
-                    pairs_c.append(cid)
+                    pairs_c.append(cids[r_i])
                     pairs_p.append(pid)
             yield pd.DataFrame({"corpus_id": pairs_c, "probe_id": pairs_p})
 

@@ -2,6 +2,7 @@
 PSI drift monitoring, boilerplate scrubbing with reassembly, and
 exact equi-depth (NTILE) bucketing."""
 
+import pytest
 import hashlib
 
 from pyspark.sql import functions as F
@@ -1498,3 +1499,17 @@ def test_aho_corasick_overlapping_and_nested_needles(spark):
         ).collect()
     }
     assert hits == {(1, 10), (1, 11), (1, 12)}
+
+
+def test_substring_contamination_caps_fact_sized_probe_sides(spark, sf_dir):
+    """Both engines materialize the probe side on the driver, so a
+    fact-sized probe must raise via the limit-bounded O(cap) probe —
+    never scan the mistake or OOM the collect."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        substring_contamination,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="benchmark-sized"):
+        substring_contamination(docs, docs, max_needles=5)

@@ -80,3 +80,18 @@ def test_catalog_dict_literals_have_no_duplicate_keys():
                 f"{mod.__name__}.{node.targets[0].id} has duplicate "
                 f"keys: {dupes}"
             )
+
+
+def test_readme_catalog_count_matches_the_assembled_catalog():
+    """README.md advertises the catalog size; the number is the public
+    contract the round driver reads, so it must track the assembled
+    catalog instead of drifting (round 6 shipped a one-off drift)."""
+    import os
+    import re
+
+    import __spark_entry__ as E
+
+    readme = open(os.path.join(os.path.dirname(E.__file__), "README.md")).read()
+    m = re.search(r"The full operator catalog \((\d+) queries:", readme)
+    assert m, "README.md lost the catalog-count sentence"
+    assert int(m.group(1)) == len(E.queries())

@@ -51,9 +51,8 @@ _WINDOW_PRIORITY = [
     "mixing_epochs", "quality_threshold_sweep",
     "dormant_rich_customers", "seasonal_decompose",
     # round-7 additions, never driver-checked:
-    "perceptual_dedup_real", "doc_minmax_norm", "robust_zscore",
-    "online_lr_probe", "isotonic_calibration", "group_auc",
-    "reservoir_summary",
+    "perceptual_dedup_real", "group_auc", "cohens_kappa",
+    "rrf_fusion",
     # round-2 re-checks, oldest-first (CORRECTNESS_r02 order):
     "text_stats", "quality_scores", "language_id", "fingerprints",
     "token_counts", "event_type_share", "training_data_pipeline",

@@ -250,6 +250,11 @@ EXTENDED = [
     "quality_threshold_sweep",
     "dormant_rich_customers",
     "seasonal_decompose",
+    # round-7 additions
+    "perceptual_dedup_real",
+    "group_auc",
+    "cohens_kappa",
+    "rrf_fusion",
 ]
 
 

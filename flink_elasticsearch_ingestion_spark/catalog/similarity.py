@@ -160,8 +160,14 @@ def q_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label-disagreement mislabel scan: LSH-candidate kNN with
     the corpus as its own query set, then per-vector share of
     different-label neighbors; majority disagreement = suspect."""
+    # bits="auto" = auto_lsh_bits(count): resolves to 4 at the sf0.01
+    # oracle fixture (500 vectors / target bucket 32) — the value the
+    # oracle's inlined plane literals assume — and keeps growing with
+    # the corpus so bucket occupancy (and candidate volume per vector)
+    # stays constant at scale. Fixed bits=4 measured 36x wall-clock on
+    # a 10x corpus (sf1 spot-run, SCALE.md).
     return S.label_disagreement_knn(
-        _t(spark, sf_dir, "embeddings"), k=5, bits=4, tables=4
+        _t(spark, sf_dir, "embeddings"), k=5, bits="auto", tables=4
     )
 
 def q_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,14 +300,16 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hyperplane buckets from inlined literals, the cosine verify,
     and the component closure via a recursive CTE."""
     pairs = S.embedding_near_duplicates(
-        # bits=6 (vs the pair query's recall-tuned 4): the capstone
-        # favors precision + bounded candidates — 64 buckets/table
-        # keeps the bucket self-join subquadratic as n grows.
-        # arrow=True: per-partition BLAS bucket matmul (parity-tested
-        # against the expression form, which stays the oracle twin)
+        # bits="auto" = auto_lsh_bits(count): 4 at the sf0.01 oracle
+        # fixture (500 vectors / target bucket 32 — what the oracle's
+        # inlined plane literals assume), growing log2 with the corpus
+        # so the bucket self-join stays ~linear. The old fixed bits=6
+        # measured 15x wall-clock on a 10x corpus (sf1 spot-run,
+        # SCALE.md). arrow=True: per-partition BLAS bucket matmul
+        # (parity-tested against the expression form, the oracle twin)
         _t(spark, sf_dir, "embeddings"),
         threshold=0.4,
-        bits=6,
+        bits="auto",
         tables=8,
         arrow=True,
     )
@@ -603,8 +611,10 @@ ORACLES = {
         " ORDER BY cosine DESC, vec_id LIMIT 10"
     ),
     "embedding_dup_clusters": (
+        # plane literals generated for bits = auto_lsh_bits(500) = 4
+        # (the sf0.01 fixture count; pinned by a unit so drift raises)
         "WITH RECURSIVE planes AS (SELECT * FROM (VALUES "
-        + _plane_values(6, [42 + t for t in range(8)])
+        + _plane_values(4, [42 + t for t in range(8)])
         + ") AS t(tbl, i, p)),"
         " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
         " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"

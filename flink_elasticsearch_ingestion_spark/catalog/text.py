@@ -475,6 +475,44 @@ def q_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.kneser_ney_score(_t(spark, sf_dir, "documents"))
 
 
+def q_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tie-aware ROC-AUC (Mann-Whitney, midrank convention)
+    of the char-length score against the lang=='en' label — does the
+    cheap score separate the classes, per source? Computed WITHOUT
+    ranking fact rows: one agg to (source, score) bounded by the score
+    domain, then a window over that bounded table; the U numerator
+    stays in integer arithmetic so no cross-engine float drift."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        group_auc,
+    )
+
+    return group_auc(_t(spark, sf_dir, "documents"))
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two heuristic keep/drop gates (char-length
+    vs token-count) per source — chance-corrected agreement, the
+    annotation-QA metric raw agreement overstates. Single scan, one
+    2x2 contingency agg per group; every output is a ratio of integer
+    counts."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        gate_agreement_kappa,
+    )
+
+    return gate_agreement_kappa(_t(spark, sf_dir, "documents"))
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 and Dirichlet-QL rankers
+    (hybrid search, the ES `rrf` retriever's algorithm): 1/(60+rank)
+    per ranker over each top-20, fused on two <= 20-row post-
+    TakeOrdered frames — adds nothing to the two scorers' scan cost."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        rrf_fusion,
+    )
+
+    return rrf_fusion(
+        _t(spark, sf_dir, "documents"), ["spark", "merge", "window"], k=10
+    )
+
 def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release-note datasheet per (source, lang): volume, exact-dup
     rate, PII probe — one hash aggregate, formulas shared verbatim
@@ -551,6 +589,9 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "term_postings": q_term_postings,
     "bm25_search": q_bm25_search,
+    "group_auc": q_group_auc,
+    "cohens_kappa": q_cohens_kappa,
+    "rrf_fusion": q_rrf_fusion,
     "source_mix": q_source_mix,
     "chunk_documents": q_chunk_documents,
     "chunk_documents_udtf": q_chunk_documents_udtf,
@@ -677,6 +718,78 @@ ORACLES = {
         "WITH " + _bm25_cte()
         + " SELECT doc_id, doclen, bm25 FROM scored WHERE bm25 > 0.0"
         " ORDER BY bm25 DESC, doc_id LIMIT 10"
+    ),
+    "group_auc": (
+        # integer Mann-Whitney numerator: each positive at score s sees
+        # 2*(negatives strictly below) + (negatives tied at s)
+        "WITH per AS (SELECT source AS grp, n_chars AS score,"
+        "  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)"
+        "    AS pos,"
+        "  CAST(count(*) AS BIGINT) AS n"
+        "  FROM documents GROUP BY 1, 2),"
+        " w AS (SELECT grp, pos, n - pos AS neg,"
+        "  COALESCE(CAST(sum(n - pos) OVER (PARTITION BY grp ORDER BY"
+        "   score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        "   AS BIGINT), 0) AS neg_below FROM per)"
+        " SELECT grp AS source, CAST(sum(pos) AS BIGINT) AS n_pos,"
+        "  CAST(sum(neg) AS BIGINT) AS n_neg,"
+        "  round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)"
+        "   / (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE))"
+        "   + 1e-9, 6) AS auc"
+        " FROM w GROUP BY grp ORDER BY source"
+    ),
+    "cohens_kappa": (
+        "WITH g AS (SELECT source,"
+        "  CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS a,"
+        r"  CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 60"
+        "   THEN 1 ELSE 0 END AS b FROM documents),"
+        " c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(sum(a * b) AS BIGINT) AS n11,"
+        "  CAST(sum(a * (1 - b)) AS BIGINT) AS n10,"
+        "  CAST(sum((1 - a) * b) AS BIGINT) AS n01,"
+        "  CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00"
+        "  FROM g GROUP BY source)"
+        " SELECT source, n, n11, n10, n01, n00,"
+        "  round((n11 + n00) / CAST(n AS DOUBLE) + 1e-9, 6) AS agreement,"
+        "  round(("
+        "    (n11 + n00) / CAST(n AS DOUBLE)"
+        "    - (((n11 + n10) / CAST(n AS DOUBLE))"
+        "        * ((n11 + n01) / CAST(n AS DOUBLE))"
+        "       + (1.0 - (n11 + n10) / CAST(n AS DOUBLE))"
+        "        * (1.0 - (n11 + n01) / CAST(n AS DOUBLE)))"
+        "  ) / (1.0 - (((n11 + n10) / CAST(n AS DOUBLE))"
+        "        * ((n11 + n01) / CAST(n AS DOUBLE))"
+        "       + (1.0 - (n11 + n10) / CAST(n AS DOUBLE))"
+        "        * (1.0 - (n11 + n01) / CAST(n AS DOUBLE))))"
+        "  + 1e-9, 6) AS kappa"
+        " FROM c ORDER BY source"
+    ),
+    "rrf_fusion": (
+        "WITH " + _bm25_cte() + ","
+        " btop AS (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0"
+        "  ORDER BY bm25 DESC, doc_id LIMIT 20),"
+        " brk AS (SELECT doc_id, CAST(row_number() OVER ("
+        "  ORDER BY bm25 DESC, doc_id) AS INT) AS bm25_rank FROM btop),"
+        " qstats AS (SELECT CAST(sum(doclen) AS DOUBLE) AS c_total,"
+        "  CAST(sum(tf_0) AS DOUBLE) AS cf_0,"
+        "  CAST(sum(tf_1) AS DOUBLE) AS cf_1,"
+        "  CAST(sum(tf_2) AS DOUBLE) AS cf_2 FROM feat),"
+        " qscored AS (SELECT doc_id, round(0.0"
+        "   + ln((tf_0 + 2000.0 * (cf_0 / c_total)) / (doclen + 2000.0))"
+        "   + ln((tf_1 + 2000.0 * (cf_1 / c_total)) / (doclen + 2000.0))"
+        "   + ln((tf_2 + 2000.0 * (cf_2 / c_total)) / (doclen + 2000.0))"
+        "   + 1e-9, 6) AS ql FROM feat CROSS JOIN qstats),"
+        " qtop AS (SELECT doc_id, ql FROM qscored"
+        "  ORDER BY ql DESC, doc_id LIMIT 20),"
+        " qrk AS (SELECT doc_id, CAST(row_number() OVER ("
+        "  ORDER BY ql DESC, doc_id) AS INT) AS ql_rank FROM qtop)"
+        " SELECT CAST(COALESCE(brk.doc_id, qrk.doc_id) AS BIGINT)"
+        "   AS doc_id, brk.bm25_rank, qrk.ql_rank,"
+        "  round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + brk.bm25_rank), 0.0)"
+        "   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + qrk.ql_rank), 0.0)"
+        "   + 1e-9, 6) AS rrf"
+        " FROM brk FULL OUTER JOIN qrk ON brk.doc_id = qrk.doc_id"
+        " ORDER BY rrf DESC, doc_id LIMIT 10"
     ),
     "ndcg_eval": (
         "WITH " + _bm25_cte() + ","

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Any, Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -962,3 +962,119 @@ def quality_threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+def group_auc(
+    documents: DataFrame,
+    *,
+    group_col: str = "source",
+    score_col: str = "n_chars",
+    label: Column | None = None,
+) -> DataFrame:
+    """Tie-aware per-group ROC-AUC (Mann-Whitney U) of an integer-
+    domain score against a binary label, WITHOUT ranking individual
+    rows — the ranking-quality audit for any model- or heuristic-scored
+    corpus gate (does the score actually separate the classes, per
+    source?).
+
+    Shape for 100 TB: ONE fact aggregation to (group, score) — bounded
+    by the score DOMAIN, not the corpus (quantize continuous scores
+    first) — then a window over that bounded table. The textbook
+    formulation (rank every row, sum positive ranks) needs a
+    whole-group sort of the fact table; this one never ranks rows.
+    Tie handling is the midrank convention, exactly: each positive at
+    score s counts every negative strictly below s as 1 and the
+    negatives tied at s as 1/2, so AUC = sum_s pos(s) *
+    (2*neg_below(s) + neg_at(s)) / (2*P*N). The numerator stays in
+    INTEGER arithmetic (order-insensitive; IEEE summation order can
+    never flip a rounded digit across engines).
+    """
+    lbl = label if label is not None else (F.col("lang") == "en")
+    per = (
+        documents.groupBy(
+            F.col(group_col).alias("grp"), F.col(score_col).alias("score")
+        )
+        .agg(
+            F.sum(lbl.cast("long")).alias("pos"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("neg", F.col("n") - F.col("pos"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = per.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum("neg").cast("bigint").alias("n_neg"),
+            F.round(
+                F.try_divide(
+                    F.sum(
+                        F.col("pos")
+                        * (F.lit(2) * F.col("neg_below") + F.col("neg"))
+                    ).cast("double"),
+                    (F.lit(2.0) * F.sum("pos") * F.sum("neg")),
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("auc"),
+        )
+        .select(F.col("grp").alias(group_col), "n_pos", "n_neg", "auc")
+        .orderBy(group_col)
+    )
+
+
+def gate_agreement_kappa(
+    documents: DataFrame,
+    *,
+    group_col: str = "source",
+    chars_threshold: int = 300,
+    tokens_threshold: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cohen's kappa between two heuristic keep/drop gates (char-length
+    vs token-count), per group — the inter-annotator-agreement audit
+    applied to automated labelers. Raw agreement overstates consensus
+    when both gates mostly say "keep"; kappa subtracts the agreement
+    expected from the marginals alone, which is what you report before
+    trusting two cheap quality filters to vote.
+
+    Shape: single scan, one 2x2 contingency aggregation per group —
+    every derived quantity (po, pe, kappa) is a ratio of per-group
+    INTEGER counts, so no cross-engine float-summation drift exists.
+    kappa is null (not an error, not infinity) for the degenerate
+    group where pe == 1 (both gates constant).
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    a = (F.length(text_col) >= chars_threshold).cast("long")
+    b = (toks >= tokens_threshold).cast("long")
+    agg = documents.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a * b).cast("bigint").alias("n11"),
+        F.sum(a * (1 - b)).cast("bigint").alias("n10"),
+        F.sum((1 - a) * b).cast("bigint").alias("n01"),
+        F.sum((1 - a) * (1 - b)).cast("bigint").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pa1 = (F.col("n11") + F.col("n10")) / n
+    pb1 = (F.col("n11") + F.col("n01")) / n
+    pe = pa1 * pb1 + (1.0 - pa1) * (1.0 - pb1)
+    return agg.select(
+        group_col,
+        F.col("n").cast("bigint").alias("n"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po + F.lit(1e-9), 6).alias("agreement"),
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe) + F.lit(1e-9), 6).alias(
+            "kappa"
+        ),
+    ).orderBy(group_col)

@@ -110,6 +110,27 @@ def pandas_cosine_topk(
     )
 
 
+def auto_lsh_bits(
+    n: int,
+    *,
+    target_bucket: int = 32,
+    min_bits: int = 3,
+    max_bits: int = 24,
+) -> int:
+    """Sign-LSH hash width that TRACKS corpus size: ``2^bits`` buckets
+    per table, sized so expected bucket occupancy stays near
+    ``target_bucket``. Fixed ``bits`` is the classic LSH scale bug —
+    10x the vectors in the same ``2^bits`` buckets is ~100x the
+    candidate pairs per bucket (measured on the sf1 spot-run:
+    label_disagreement 36x, embedding_dup_clusters 15x wall-clock on a
+    10x corpus; SCALE.md) — whereas ``bits = log2(n / target)`` keeps
+    per-bucket work constant and total candidate work ~linear in n.
+    ``max_bits`` bounds the literal plane matrix the oracle inlines."""
+    if n <= target_bucket:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n / target_bucket))))
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (Gaussian, seeded)."""
     rng = random.Random(seed)
@@ -441,7 +462,7 @@ def knn_join_lsh(
     corpus: DataFrame,
     k: int = 5,
     *,
-    bits: int = 4,
+    bits: "int | str" = 4,
     tables: int = 4,
     seed: int = 42,
     query_id: str = "vec_id",
@@ -458,7 +479,12 @@ def knn_join_lsh(
     (seed + t per table), so the DuckDB oracle re-derives the exact
     candidate set; queries with fewer than k collisions return fewer
     rows — that is the approximate contract, identically on both
-    engines."""
+    engines.
+
+    ``bits="auto"`` resolves to :func:`auto_lsh_bits` of the CORPUS
+    count (the side whose bucket occupancy drives candidate volume)."""
+    if bits == "auto":
+        bits = auto_lsh_bits(corpus.count())
     sample = queries.select(vec_col).first()
     dim = len(sample[0]) if sample else 0
 
@@ -521,7 +547,7 @@ def knn_join_lsh(
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    bits: int = 8,
+    bits: "int | str" = 8,
     tables: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -538,11 +564,18 @@ def embedding_near_duplicates(
     bits up for precision (fewer candidates), tables up for recall.
     Candidate pairs dedupe before the verify so each pair is rescored
     once even when it collides in several tables.
+
+    ``bits="auto"`` resolves to :func:`auto_lsh_bits` of the corpus
+    count, so bucket occupancy — and with it per-bucket candidate work
+    — stays constant as the corpus grows (the count is one cheap
+    planning action; a real deployment reads table statistics instead).
     """
     from flink_elasticsearch_ingestion_spark.operators.util import (
         ensure_parallelism,
     )
 
+    if bits == "auto":
+        bits = auto_lsh_bits(embeddings.count())
     sample = embeddings.select(vec_col).first()
     dim = len(sample[0]) if sample else 0
     # the bucket build is the CPU-heavy map stage (tables x bits plane
@@ -942,7 +975,7 @@ def label_disagreement_knn(
     embeddings: DataFrame,
     *,
     k: int = 5,
-    bits: int = 4,
+    bits: "int | str" = 4,
     tables: int = 4,
     seed: int = 42,
     vec_col: str = "embedding",

@@ -2788,3 +2788,60 @@ def ql_search(
         .orderBy(F.col("ql").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def rrf_fusion(
+    documents: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    depth: int = 20,
+    rrf_c: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of the
+    BM25 and Dirichlet-QL rankers: each ranker contributes
+    ``1/(rrf_c + rank)`` for documents inside its top-``depth``; the
+    fused score needs no score normalization across rankers — which is
+    the whole point of RRF and why every hybrid-search stack (including
+    Elasticsearch's own ``rrf`` retriever, the reference's target
+    system) ships it.
+
+    Shape for 100 TB: the two underlying scorers are each one corpus
+    scan + TakeOrderedAndProject; fusion itself runs on two
+    <= depth-row frames (row_number over a TakeOrdered result, then a
+    full-outer equi-join of two tiny sides) — it adds nothing to the
+    scan cost, exactly like ``ndcg_eval``'s post-TakeOrdered frame.
+    Ranks tie-break on ``id_col`` in both engines so fusion is stable.
+    """
+    b = bm25_search(
+        documents, query_terms, k=depth, id_col=id_col, text_col=text_col
+    )
+    q = ql_search(
+        documents, query_terms, k=depth, id_col=id_col, text_col=text_col
+    )
+    wb = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    wq = Window.orderBy(F.col("ql").desc(), F.col(id_col))
+    br = b.select(
+        id_col, F.row_number().over(wb).cast("int").alias("bm25_rank")
+    )
+    qr = q.select(
+        id_col, F.row_number().over(wq).cast("int").alias("ql_rank")
+    )
+    contrib = lambda rank: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(rrf_c) + F.col(rank)), F.lit(0.0)
+    )
+    return (
+        br.join(qr, id_col, "full_outer")
+        .select(
+            id_col,
+            "bm25_rank",
+            "ql_rank",
+            F.round(
+                contrib("bm25_rank") + contrib("ql_rank") + F.lit(1e-9), 6
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), id_col)
+        .limit(k)
+    )

@@ -1,0 +1,131 @@
+"""Generate an sf1 fixture set (~6M lineitem) by tiling the read-only
+driver-generated sf0.1 tables 10x with foreign-key-consistent key
+offsets — the scale-validation corpus VERDICT r6 item 5 asked for.
+
+Design choices (all deterministic, seed-free by construction):
+
+- Every fact/dim key is offset by ``replica * (max_key + 1)`` so FK
+  joins (orders->customer, lineitem->orders/part/supplier) stay valid
+  and selectivities match sf0.1 exactly. region/nation are genuinely
+  fixed-cardinality dimensions and are NOT tiled (customers of every
+  replica share the 25 nations, as a real sf1 would).
+- ``documents.text`` is word-shuffled per replica (seeded per
+  (replica, doc_id)): a verbatim 10x clone would hand the near-dup
+  operators clone-clusters of 10 and blow the pair count up ~100x —
+  a workload-shape change, not a scale-up. Shuffling kills cross-
+  replica shingle overlap while preserving length/vocabulary, so the
+  near-dup workload scales ~linearly like a real corpus.
+- ``embeddings.embedding`` gets small seeded per-replica noise for the
+  same reason (exact duplicate vectors degenerate ANN top-k ties).
+- ``events.parquet`` is written through pyarrow preserving the
+  TIMESTAMP(NANOS) physical type — the loaders' nanos path
+  (tables.load_events) must exercise the same code it does on the
+  driver fixtures.
+
+Output: ``/root/repo/.localdata/sf1/*.parquet`` (gitignored, ~150 MB).
+Usage: ``python scripts/make_sf1.py``
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/.localdata/sf1"
+REPLICAS = 10
+
+#: (table, {column: stride-source-column}) — key columns offset per
+#: replica by the stride of the table that OWNS the key space
+KEYED = {
+    "customer": {"c_custkey": "c_custkey"},
+    "supplier": {"s_suppkey": "s_suppkey"},
+    "part": {"p_partkey": "p_partkey"},
+    "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+    "lineitem": {
+        "l_orderkey": "o_orderkey",
+        "l_partkey": "p_partkey",
+        "l_suppkey": "s_suppkey",
+    },
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+
+
+def _strides() -> dict[str, int]:
+    """max(key)+1 per key-owning column, read from the source tables."""
+    out: dict[str, int] = {}
+    for table, cols in KEYED.items():
+        t = pq.read_table(os.path.join(SRC, f"{table}.parquet"))
+        for col in set(cols.values()):
+            if col in t.column_names:
+                out[col] = int(pc.max(t[col]).as_py()) + 1
+    return out
+
+
+def _shuffle_words(text: str, seed: str) -> str:
+    words = text.split(" ")
+    random.Random(seed).shuffle(words)
+    return " ".join(words)
+
+
+def _replica_table(name: str, src: pa.Table, r: int, strides: dict) -> pa.Table:
+    t = src
+    if r > 0:
+        for col, owner in KEYED.get(name, {}).items():
+            shifted = pc.add(t[col], r * strides[owner]).cast(t[col].type)
+            t = t.set_column(t.column_names.index(col), t.field(col), shifted)
+        if name == "documents":
+            ids = t["doc_id"].to_pylist()
+            texts = t["text"].to_pylist()
+            new = [_shuffle_words(x, f"{r}:{i}") for i, x in zip(ids, texts)]
+            t = t.set_column(
+                t.column_names.index("text"), t.field("text"), pa.array(new, t["text"].type)
+            )
+            lens = pa.array([len(x) for x in new], t["n_chars"].type)
+            t = t.set_column(t.column_names.index("n_chars"), t.field("n_chars"), lens)
+        if name == "embeddings":
+            ids = t["vec_id"].to_pylist()
+            vecs = t["embedding"].to_pylist()
+            out = []
+            for i, v in zip(ids, vecs):
+                rng = random.Random(f"{r}:{i}")
+                out.append([x + (rng.random() - 0.5) * 0.05 for x in v])
+            t = t.set_column(
+                t.column_names.index("embedding"),
+                t.field("embedding"),
+                pa.array(out, t["embedding"].type),
+            )
+    return t
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    strides = _strides()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        dst_path = os.path.join(DST, f"{name}.parquet")
+        if name in ("region", "nation"):
+            pq.write_table(src, dst_path)
+            print(f"{name}: copied ({src.num_rows} rows)")
+            continue
+        writer = pq.ParquetWriter(dst_path, src.schema)
+        total = 0
+        for r in range(REPLICAS):
+            rep = _replica_table(name, src, r, strides)
+            writer.write_table(rep)
+            total += rep.num_rows
+        writer.close()
+        print(f"{name}: {total} rows ({REPLICAS}x)")
+
+
+if __name__ == "__main__":
+    main()

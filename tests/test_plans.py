@@ -111,6 +111,10 @@ SCALAR_JOIN_OK = {
     # 1-row (|C|, cf_i) corpus-statistics broadcast — same class as
     # bm25_search
     "ql_search",
+    # embeds BOTH scorers' 1-row corpus-statistics broadcasts; the
+    # fusion join itself is an equi full-outer of two <= 20-row
+    # post-TakeOrdered frames
+    "rrf_fusion",
     # 1-row water-filling level broadcast onto the |langs|-row frame
     "unimax_sample",
     # three 1-row scalars (n, last-train value, train seasonal MAE)

@@ -127,3 +127,25 @@ def test_bm25_multi_term_accumulates(spark):
     # adding a matching term strictly raises doc 1's score, not doc 2's
     assert two[1] > one[1]
     assert abs(two[2] - one[2]) < 1e-6
+
+
+def test_auto_lsh_bits_tracks_corpus_size():
+    """bits = log2(n/target): bucket occupancy — and with it candidate
+    volume per vector — must stay constant as the corpus grows (the sf1
+    spot-run measured 36x wall-clock from fixed bits on a 10x corpus).
+    The sf0.01 value (500 vectors -> 4) is what the DuckDB oracles'
+    inlined plane literals assume, so drift here must fail loudly."""
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        auto_lsh_bits,
+    )
+
+    assert auto_lsh_bits(500) == 4  # sf0.01 oracle fixture — pinned
+    assert auto_lsh_bits(10) == 3  # floor
+    assert auto_lsh_bits(2_000) == 6
+    assert auto_lsh_bits(20_000) == 10
+    assert auto_lsh_bits(10**12) == 24  # literal-budget ceiling
+    # occupancy invariant: expected bucket size within [target/2, 2*target]
+    for n in (100, 10_000, 1_000_000, 10**8):
+        bits = auto_lsh_bits(n)
+        if bits not in (3, 24):  # outside the clamps
+            assert 16 <= n / 2**bits <= 64

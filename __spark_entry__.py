@@ -52,7 +52,7 @@ _WINDOW_PRIORITY = [
     "dormant_rich_customers", "seasonal_decompose",
     # round-7 additions, never driver-checked:
     "perceptual_dedup_real", "group_auc", "cohens_kappa",
-    "rrf_fusion",
+    "rrf_fusion", "ann_recall_eval", "purged_time_split",
     # round-2 re-checks, oldest-first (CORRECTNESS_r02 order):
     "text_stats", "quality_scores", "language_id", "fingerprints",
     "token_counts", "event_type_share", "training_data_pipeline",

@@ -255,6 +255,8 @@ EXTENDED = [
     "group_auc",
     "cohens_kappa",
     "rrf_fusion",
+    "ann_recall_eval",
+    "purged_time_split",
 ]
 
 

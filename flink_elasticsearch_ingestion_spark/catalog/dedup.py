@@ -272,8 +272,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine verify. Threshold/bits/tables tuned so the synthetic corpus
     (random vectors, max pairwise cosine ~0.5) yields a non-trivial
     result."""
+    # bits="auto" resolves to 4 at the sf0.01 fixture (500 vectors) —
+    # the width the oracle's plane literals assume — and grows log2
+    # with the corpus (auto_lsh_bits; see the sf1 LSH lesson, SCALE.md)
     return S.embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, bits=4, tables=8
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, bits="auto", tables=8
     )
 
 def q_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,7 +31,9 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = M.sha_features_expr(
         M.documents_as_media(_t(spark, sf_dir, "documents"))
     ).select(F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding"))
-    pairs = S.embedding_near_duplicates(feats, threshold=0.995, bits=4, tables=4)
+    # bits="auto" = 4 at the sf0.01 fixture (oracle plane literals);
+    # grows with the corpus so media dedup stays candidate-linear
+    pairs = S.embedding_near_duplicates(feats, threshold=0.995, bits="auto", tables=4)
     return pairs.select(
         F.col("vec_a").alias("media_a"),
         F.col("vec_b").alias("media_b"),

@@ -317,7 +317,21 @@ def q_mixing_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
+def q_purged_time_split(spark, sf_dir):
+    """Purged temporal train/test split with a 2-day embargo band
+    (cutoff 2024-01-22): train strictly before cutoff-embargo, test
+    at/after cutoff, the band between PURGED — the time-series
+    eval-hygiene twin of leakage_safe_folds (which guards content
+    leakage). One scan, one 3-key agg, pushdown-friendly predicate."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        purged_time_split,
+    )
+
+    return purged_time_split(_t(spark, sf_dir, "events"))
+
+
 QUERIES = {
+    "purged_time_split": q_purged_time_split,
     "mixing_epochs": q_mixing_epochs,
     "sqrt_frequency_cap": q_sqrt_frequency_cap,
     "hash_split": q_hash_split,
@@ -342,6 +356,20 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "purged_time_split": (
+        "WITH e AS (SELECT CASE"
+        "  WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'"
+        "   THEN 'train'"
+        "  WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22 00:00:00'"
+        "   THEN 'purged'"
+        "  ELSE 'test' END AS split, CAST(ts AS TIMESTAMP) AS ts, user_id"
+        "  FROM events)"
+        " SELECT split, CAST(count(*) AS BIGINT) AS n_events,"
+        "  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,"
+        "  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,"
+        "  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts"
+        " FROM e GROUP BY split ORDER BY split"
+    ),
     "mixing_epochs": (
         "WITH per AS (SELECT source,"
         "  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"

@@ -375,6 +375,36 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vector(spark, sf_dir)
     return S.lsh_topk(_t(spark, sf_dir, "embeddings"), qv, k=10, bits=4)
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the sign-LSH approximate top-k against the exact
+    cosine top-k ground truth — the ANN quality account every
+    approximate index owes its users (the missing piece between
+    `cosine_topk`, the baseline, and `lsh_topk`, the scale path).
+    Shape: both sides are TakeOrdered 10-row frames; the recall join
+    is 10x10. At 100 TB the same query runs over a SAMPLED query panel
+    — recall estimation never needs the full corpus as queries."""
+    qv = _query_vector(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, qv, k=10).select(
+        F.col("vec_id").alias("evid")
+    )
+    approx = S.lsh_topk(emb, qv, k=10, bits=4).select(
+        F.col("vec_id").alias("avid"), F.lit(1).alias("__hit")
+    )
+    return exact.join(
+        approx, F.col("evid") == F.col("avid"), "left"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_exact"),
+        F.count("__hit").cast("bigint").alias("n_hit"),
+        F.round(
+            F.try_divide(
+                F.count("__hit").cast("double"), F.count(F.lit(1))
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("recall"),
+    )
+
 def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF SEARCH path, hash-verified end-to-end: deterministic
     centroids (first 8 embeddings, L2-normalized — the same family
@@ -433,6 +463,7 @@ QUERIES = {
     "jl_projection": q_jl_projection,
     "probe_calibration": q_probe_calibration,
     "ivf_topk_fixed": q_ivf_topk_fixed,
+    "ann_recall_eval": q_ann_recall_eval,
     "source_similarity": q_source_similarity,
     "mmr_rerank": q_mmr_rerank,
     "pq_encode": q_pq_encode,
@@ -566,6 +597,34 @@ ORACLES = {
         "   FROM nv a CROSS JOIN cents c)"
         " SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM scored"
         " WHERE rn = 1 ORDER BY vec_id"
+    ),
+    "ann_recall_eval": (
+        "WITH planes AS (SELECT * FROM (VALUES "
+        + _plane_values(4, [42])
+        + ") AS t(tbl, i, p)),"
+        " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        "   FROM embeddings),"
+        " q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),"
+        " exact AS (SELECT vec_id FROM (SELECT vec_id,"
+        "   round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v))"
+        "    * sqrt(list_dot_product(qv, qv))), 6) AS cosine"
+        "   FROM vecs CROSS JOIN q ORDER BY cosine DESC, vec_id LIMIT 10)),"
+        " buckets AS (SELECT vec_id, v, CAST(sum(CASE WHEN"
+        "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+        "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes"
+        "   GROUP BY vec_id, v),"
+        " qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),"
+        " approx AS (SELECT vec_id FROM (SELECT b.vec_id,"
+        "   round(list_dot_product(b.v, q.qv) /"
+        "    (sqrt(list_dot_product(b.v, b.v))"
+        "     * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine"
+        "   FROM buckets b, q, qb WHERE b.bucket = qb.qbucket"
+        "   ORDER BY cosine DESC, b.vec_id LIMIT 10))"
+        " SELECT CAST(count(*) AS BIGINT) AS k_exact,"
+        "  CAST(count(a.vec_id) AS BIGINT) AS n_hit,"
+        "  round(count(a.vec_id) / CAST(count(*) AS DOUBLE) + 1e-9, 6)"
+        "   AS recall"
+        " FROM exact e LEFT JOIN approx a ON a.vec_id = e.vec_id"
     ),
     "ivf_topk_fixed": (
         # full IVF search replay: normalized fixed centroids, the

@@ -1183,3 +1183,46 @@ def mixing_epochs_plan(
         )
         .orderBy("source")
     )
+
+
+def purged_time_split(
+    events: DataFrame,
+    *,
+    cutoff: str = "2024-01-22 00:00:00",
+    embargo_days: int = 2,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Purged temporal train/test split with an embargo band (the
+    time-series eval-hygiene counterpart of ``leakage_safe_folds``,
+    which guards CONTENT leakage): train is everything strictly before
+    ``cutoff - embargo``, test is everything at/after ``cutoff``, and
+    the embargo band between them is PURGED — rows whose effects
+    (labels computed over trailing windows, sessions straddling the
+    boundary, delayed feedback) would otherwise leak future information
+    into training. Returns per-split accounting (row/user counts, time
+    bounds) — the audit row a training run logs before trusting its
+    holdout.
+
+    Shape: one scan, one 3-key aggregate; the split predicate is a
+    pushed-down timestamp comparison, so at 100 TB with date
+    partitioning each split prunes to its own partitions.
+    """
+    cut = F.to_timestamp(F.lit(cutoff))
+    emb = cut - F.expr(f"INTERVAL {int(embargo_days)} DAYS")
+    split = (
+        F.when(F.col(ts_col) < emb, F.lit("train"))
+        .when(F.col(ts_col) < cut, F.lit("purged"))
+        .otherwise(F.lit("test"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        events.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct(user_col).cast("bigint").alias("n_users"),
+            F.date_format(F.min(ts_col), fmt).alias("min_ts"),
+            F.date_format(F.max(ts_col), fmt).alias("max_ts"),
+        )
+        .orderBy("split")
+    )

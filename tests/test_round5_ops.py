@@ -452,3 +452,90 @@ def test_seasonal_decompose_rejects_even_period(spark, sf_dir):
 
     with pytest.raises(ValueError, match="period must be odd"):
         seasonal_decompose(load_table(spark, sf_dir, "orders"), period=12)
+
+
+def test_group_auc_matches_brute_force_pair_counting(spark):
+    """AUC from the rankless aggregate formulation == the definitional
+    pair count ((pos > neg) + 0.5 * ties) / (P * N) on a crafted group
+    with ties on both sides."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        group_auc,
+    )
+    from pyspark.sql import functions as F2
+
+    rows = [  # (score, is_pos)
+        (10, 1), (10, 0), (8, 1), (8, 1), (8, 0), (5, 0), (5, 0),
+        (3, 1), (1, 0),
+    ]
+    df = spark.createDataFrame(
+        [("g", s, p) for s, p in rows], "source string, n_chars int, pos int"
+    )
+    got = group_auc(
+        df, label=(F2.col("pos") == 1)
+    ).collect()[0]
+    pos = [s for s, p in rows if p]
+    neg = [s for s, p in rows if not p]
+    want = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0) for a in pos for b in neg
+    ) / (len(pos) * len(neg))
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - round(want + 1e-9, 6)) < 1e-9
+    # perfect separation and perfect anti-separation pin the endpoints
+    sep = spark.createDataFrame(
+        [("g", 9, 1), ("g", 8, 1), ("g", 2, 0)],
+        "source string, n_chars int, pos int",
+    )
+    assert group_auc(sep, label=(F2.col("pos") == 1)).collect()[0]["auc"] == 1.0
+
+
+def test_cohens_kappa_matches_the_textbook_2x2(spark):
+    """kappa on a crafted contingency table equals the hand-computed
+    (po - pe) / (1 - pe); the degenerate both-gates-constant group is
+    null, not an error."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        gate_agreement_kappa,
+    )
+
+    long = "w " * 100  # 200 chars, 100 tokens -> a=0 (chars<300), b=1
+    both = "x" * 300 + " y" * 99  # >=300 chars, 100 tokens -> a=1, b=1
+    neither = "short"  # a=0, b=0
+    a_only = "z" * 400  # 400 chars, 1 token -> a=1, b=0
+    docs = spark.createDataFrame(
+        [("s", both)] * 4 + [("s", neither)] * 3 + [("s", long)] * 2
+        + [("s", a_only)] * 1 + [("t", "tiny")] * 2,
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in gate_agreement_kappa(docs).collect()}
+    s = out["s"]
+    assert (s["n11"], s["n10"], s["n01"], s["n00"]) == (4, 1, 2, 3)
+    po = 7 / 10
+    pe = (5 / 10) * (6 / 10) + (5 / 10) * (4 / 10)
+    want = round((po - pe) / (1 - pe) + 1e-9, 6)
+    assert abs(s["kappa"] - want) < 1e-9
+    assert out["t"]["kappa"] is None  # pe == 1: chance-only, undefined
+
+
+def test_rrf_fusion_places_consensus_docs_first(spark, sf_dir):
+    """A document ranked by BOTH scorers must outscore one ranked by a
+    single scorer at similar depth; fused scores equal the hand
+    formula from the two rank columns."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        rrf_fusion,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    out = rrf_fusion(
+        load_table(spark, sf_dir, "documents"),
+        ["spark", "merge", "window"],
+        k=10,
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        want = 0.0
+        if r["bm25_rank"] is not None:
+            want += 1.0 / (60 + r["bm25_rank"])
+        if r["ql_rank"] is not None:
+            want += 1.0 / (60 + r["ql_rank"])
+        assert abs(r["rrf"] - round(want + 1e-9, 6)) < 1e-9
+    scores = [r["rrf"] for r in out]
+    assert scores == sorted(scores, reverse=True)

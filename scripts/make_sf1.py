@@ -9,12 +9,14 @@ Design choices (all deterministic, seed-free by construction):
   and selectivities match sf0.1 exactly. region/nation are genuinely
   fixed-cardinality dimensions and are NOT tiled (customers of every
   replica share the 25 nations, as a real sf1 would).
-- ``documents.text`` is word-shuffled per replica (seeded per
-  (replica, doc_id)): a verbatim 10x clone would hand the near-dup
-  operators clone-clusters of 10 and blow the pair count up ~100x —
-  a workload-shape change, not a scale-up. Shuffling kills cross-
-  replica shingle overlap while preserving length/vocabulary, so the
-  near-dup workload scales ~linearly like a real corpus.
+- ``documents.text`` is word-shuffled AND every-3rd-word
+  replica-substituted (seeded per (replica, doc_id)): a verbatim 10x
+  clone would hand the near-dup operators clone-clusters of 10 and
+  blow the pair count up ~100x, and shuffling ALONE preserves the
+  token SET exactly, which does the same to set-based similarity
+  (containment, token-set join) — both are clone-farm artifacts, not
+  scale-ups. With substitution, every similarity family scales
+  ~linearly like a real corpus.
 - ``embeddings.embedding`` gets small seeded per-replica noise for the
   same reason (exact duplicate vectors degenerate ANN top-k ties).
 - ``events.parquet`` is written through pyarrow preserving the
@@ -68,10 +70,21 @@ def _strides() -> dict[str, int]:
     return out
 
 
-def _shuffle_words(text: str, seed: str) -> str:
+def _shuffle_words(text: str, seed: str, replica: int) -> str:
+    """Shuffle word order AND substitute every 3rd word with a
+    replica-salted variant. Shuffling alone kills shingle overlap
+    (order-sensitive ops) but preserves the token SET exactly — the
+    first sf1 run showed set-based operators (containment, token-set
+    join) drowning in 10 set-identical copies of every document, a
+    clone-farm artifact no real corpus has. Substitution breaks set
+    equality while keeping length/vocabulary shape."""
     words = text.split(" ")
-    random.Random(seed).shuffle(words)
-    return " ".join(words)
+    rng = random.Random(seed)
+    rng.shuffle(words)
+    return " ".join(
+        f"{w}{replica}" if i % 3 == 0 and w else w
+        for i, w in enumerate(words)
+    )
 
 
 def _replica_table(name: str, src: pa.Table, r: int, strides: dict) -> pa.Table:
@@ -83,7 +96,7 @@ def _replica_table(name: str, src: pa.Table, r: int, strides: dict) -> pa.Table:
         if name == "documents":
             ids = t["doc_id"].to_pylist()
             texts = t["text"].to_pylist()
-            new = [_shuffle_words(x, f"{r}:{i}") for i, x in zip(ids, texts)]
+            new = [_shuffle_words(x, f"{r}:{i}", r) for i, x in zip(ids, texts)]
             t = t.set_column(
                 t.column_names.index("text"), t.field("text"), pa.array(new, t["text"].type)
             )

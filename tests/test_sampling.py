@@ -95,3 +95,35 @@ def test_weighted_sample_k_biases_toward_heavy_rows(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_purged_time_split_embargo_boundaries(spark):
+    """Boundary semantics: embargo band is [cutoff-embargo, cutoff) —
+    a row AT cutoff-embargo is purged (not train), a row AT cutoff is
+    test, and the three splits partition the input exactly."""
+    from flink_elasticsearch_ingestion_spark.operators.sampling import (
+        purged_time_split,
+    )
+
+    rows = [
+        (1, "2024-01-19 23:59:59", 1),  # train (strictly before embargo)
+        (2, "2024-01-20 00:00:00", 1),  # purged (embargo start, inclusive)
+        (3, "2024-01-21 12:00:00", 2),  # purged
+        (4, "2024-01-22 00:00:00", 2),  # test (cutoff, inclusive)
+        (5, "2024-01-25 00:00:00", 3),  # test
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id")
+    out = {
+        r["split"]: r
+        for r in purged_time_split(
+            df, cutoff="2024-01-22 00:00:00", embargo_days=2
+        ).collect()
+    }
+    assert out["train"]["n_events"] == 1
+    assert out["purged"]["n_events"] == 2
+    assert out["test"]["n_events"] == 2
+    assert sum(r["n_events"] for r in out.values()) == len(rows)
+    assert out["purged"]["min_ts"] == "2024-01-20 00:00:00"
+    assert out["test"]["min_ts"] == "2024-01-22 00:00:00"

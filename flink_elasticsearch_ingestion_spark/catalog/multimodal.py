@@ -32,8 +32,15 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.documents_as_media(_t(spark, sf_dir, "documents"))
     ).select(F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding"))
     # bits="auto" = 4 at the sf0.01 fixture (oracle plane literals);
-    # grows with the corpus so media dedup stays candidate-linear
-    pairs = S.embedding_near_duplicates(feats, threshold=0.995, bits="auto", tables=4)
+    # grows with the corpus so media dedup stays candidate-linear.
+    # bucket_shift=0.5: sha features live in [0,1]^8 (all-positive
+    # orthant) where raw hyperplane signs correlate and buckets
+    # collapse — measured 248/2048 occupied, 40x wall-clock at sf1;
+    # centering restores ~uniform occupancy (SCALE.md). The verify
+    # still scores the ORIGINAL features.
+    pairs = S.embedding_near_duplicates(
+        feats, threshold=0.995, bits="auto", tables=4, bucket_shift=0.5
+    )
     return pairs.select(
         F.col("vec_a").alias("media_a"),
         F.col("vec_b").alias("media_b"),
@@ -213,8 +220,11 @@ ORACLES = {
             for i in range(8)
         )
         + " ]::DOUBLE[] AS v FROM documents),"
+        # bucket dots run on CENTERED components (x - 0.5, mirroring
+        # bucket_shift=0.5); the cosine verify below stays on v
         " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
-        "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+        "   list_dot_product(list_transform(v, x -> x - 0.5), p) >= 0"
+        "   THEN (1::BIGINT << i) ELSE 0 END)"
         "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
         " cand AS (SELECT DISTINCT a.vec_id AS media_a, b.vec_id AS media_b"
         "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl"

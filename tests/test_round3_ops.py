@@ -1513,3 +1513,44 @@ def test_substring_contamination_caps_fact_sized_probe_sides(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="benchmark-sized"):
         substring_contamination(docs, docs, max_needles=5)
+
+
+def test_bucket_shift_arrow_matches_expression_and_rebalances(spark, sf_dir):
+    """bucket_shift parity across the two bucket builders (BLAS matmul
+    vs unrolled SQL expression) on the all-positive media features —
+    the distribution the shift exists for — plus the rebalancing claim:
+    shifted bucketing must spread the same vectors over MORE buckets
+    than raw bucketing does."""
+    from flink_elasticsearch_ingestion_spark.operators import (
+        multimodal as M,
+        similarity as S,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    feats = M.sha_features_expr(
+        M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    ).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    kw = dict(threshold=0.9, bits=5, tables=3, bucket_shift=0.5)
+    a = sorted(
+        map(tuple, S.embedding_near_duplicates(feats, arrow=True, **kw).collect())
+    )
+    b = sorted(
+        map(tuple, S.embedding_near_duplicates(feats, arrow=False, **kw).collect())
+    )
+    assert a == b
+    # rebalancing: distinct buckets (table 0) strictly increase
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_expr,
+    )
+
+    planes = _hyperplanes(8, 5, 42)
+    raw = feats.select(lsh_bucket_expr("embedding", planes).alias("b"))
+    shifted = feats.withColumn(
+        "s", F.expr("transform(embedding, x -> CAST(x AS DOUBLE) - 0.5D)")
+    ).select(lsh_bucket_expr("s", planes).alias("b"))
+    n_raw = raw.distinct().count()
+    n_shifted = shifted.distinct().count()
+    assert n_shifted > n_raw, (n_raw, n_shifted)

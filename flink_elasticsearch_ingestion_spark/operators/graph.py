@@ -110,7 +110,14 @@ def pagerank_fixed(
                     )
                 ).alias("rank"),
             )
-        ).persist()  # |V| rows; each iteration is read 3x by the next
+        ).localCheckpoint(eager=True)
+        # |V| rows, read 3x by the next iteration. localCheckpoint (not
+        # persist) because it also TRUNCATES lineage: persist keeps the
+        # values but Catalyst still drags every prior iteration's plan
+        # into the next one — the round-7 audit measured 2,476 exchanges
+        # in the 3-iteration plan (the admission-replay lesson again);
+        # after truncation each iteration plans against a materialized
+        # LogicalRDD and the plan is constant in n_iter.
     return ranks.select(
         "node",
         "out_degree",
@@ -231,7 +238,10 @@ def label_propagation(
                 "node",
                 F.coalesce("new_label", F.col("label")).alias("label"),
             )
-            .persist()
+            # lineage truncation per iteration (the pagerank_fixed /
+            # multi_poll_admission lesson): persist alone keeps values
+            # but Catalyst still re-plans every prior iteration
+            .localCheckpoint(eager=True)
         )
     return labels.orderBy("node")
 
@@ -300,7 +310,17 @@ def triangle_count(
     ).unionByName(
         oriented.select(F.col("s").alias("z"), F.col("t").alias("y"))
     )
-    tri = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+    # localCheckpoint: the triangle list feeds FOUR downstream branches
+    # (x/y/z per-node unions + the total), and each branch would
+    # otherwise re-plan the whole wedge join — 403 exchanges in the
+    # round-7 audit for what executes as one join. Materializing the
+    # (bounded: one row per triangle) list makes the result plan a
+    # union of four aggregates over one LogicalRDD.
+    tri = (
+        wedges.join(closing, ["y", "z"])
+        .select("x", "y", "z")
+        .localCheckpoint(eager=True)
+    )
     per_node = (
         tri.select(F.col("x").alias("node"))
         .union(tri.select(F.col("y").alias("node")))

@@ -283,3 +283,30 @@ def test_full_loop_ingest_then_cdc_consume(tmp_path, spark, sf_dir):
     assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in tbl.read().collect()
     )
+
+
+def test_multi_poll_admission_plan_size_constant_in_polls(spark, sf_dir):
+    """The round-6 audit caught the replay twin's plan growing linearly
+    with poll count (1,925 exchanges at 3 polls). After the per-poll
+    localCheckpoint truncation the RETURNED plan must be O(polls) tiny
+    unions of materialized RDDs — its explain string may not grow with
+    the admission tree, and more polls must not re-introduce lineage."""
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+    from flink_elasticsearch_ingestion_spark.streaming.pipeline import (
+        multi_poll_admission,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    plans = {}
+    for n in (2, 4):
+        out = multi_poll_admission(docs, n_polls=n, jaccard_threshold=0.4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        plans[n] = plan
+        # the truncated plan scans LogicalRDDs, never the dedup tree
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # doubling the polls must not double the plan: allow only the
+    # per-poll union row (a few hundred chars), never a lineage copy
+    assert len(plans[4]) < len(plans[2]) + 2000, (
+        len(plans[2]),
+        len(plans[4]),
+    )

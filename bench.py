@@ -356,6 +356,21 @@ def main() -> None:
             if ext_best[n] > 1.3 * prev_ext[n] and ext_best[n] > 0.2
         }
 
+    #: slowdowns that are DELIBERATE scale trade-offs, annotated so the
+    #: per-round diff is self-explaining (the timing still appears in
+    #: ext_regressions when it trips; this map says why it's accepted)
+    KNOWN_TRADEOFFS = {
+        "substring_contamination": (
+            "r7: auto-routes to the Aho-Corasick engine above 512"
+            " needles (sf0.1 probe = 1000) — ~+0.3s automaton build at"
+            " toy scale buys needle-count-free linear scans; measured"
+            " 2.8-3.4x faster from 2k needles / 50k docs up (SCALE.md)"
+        ),
+    }
+    ext_tradeoffs = {
+        n: KNOWN_TRADEOFFS[n] for n in ext_regressions if n in KNOWN_TRADEOFFS
+    }
+
     payload = json.dumps(
         {
                 "metric": "headline_queries_total_runtime",
@@ -376,6 +391,7 @@ def main() -> None:
                 "value_ext_warm": round(sum(ext_warm.values()), 4),
                 "ext_overlap_vs_prev_round": ext_overlap_ratio,
                 "ext_regressions_vs_prev_round": ext_regressions,
+                "ext_regressions_known_tradeoffs": ext_tradeoffs,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

@@ -209,7 +209,7 @@ def label_propagation(
         .distinct()
     )
     labels = nodes.select("node", F.col("node").alias("label")).persist()
-    for _ in range(n_iter):
+    for it in range(n_iter):
         nbr = (
             e.join(
                 labels.select(
@@ -238,11 +238,17 @@ def label_propagation(
                 "node",
                 F.coalesce("new_label", F.col("label")).alias("label"),
             )
-            # lineage truncation per iteration (the pagerank_fixed /
-            # multi_poll_admission lesson): persist alone keeps values
-            # but Catalyst still re-plans every prior iteration
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        # Periodic (not per-iteration) lineage truncation: checkpoint
+        # replaces the plan with a stats-less LogicalRDD, which demotes
+        # the tiny label-table joins from broadcast to SMJ — measured
+        # 0.61s -> 2.12s at sf0.1 when done EVERY iteration (both eager
+        # and lazy). Every 8th keeps the plan depth bounded for long
+        # propagation runs while the default n_iter=3 stays on the
+        # fully-fused persist path.
+        if (it + 1) % 8 == 0:
+            labels = labels.localCheckpoint(eager=True)
     return labels.orderBy("node")
 
 

@@ -38,8 +38,15 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapse — measured 248/2048 occupied, 40x wall-clock at sf1;
     # centering restores ~uniform occupancy (SCALE.md). The verify
     # still scores the ORIGINAL features.
+    # bucket_cap=256 (8x the auto-bits occupancy target): low-dim
+    # features bucket SKEWED even after centering (sf3 measured: max
+    # bucket 1,661 vs mean 46 -> candidate exponent ~1.5); the cap
+    # bounds a degenerate bucket's pair contribution while dropped
+    # pairs still collide in the other 3 tables. Never fires at the
+    # sf0.01 oracle scale, so the SQL twin is unchanged.
     pairs = S.embedding_near_duplicates(
-        feats, threshold=0.995, bits="auto", tables=4, bucket_shift=0.5
+        feats, threshold=0.995, bits="auto", tables=4, bucket_shift=0.5,
+        bucket_cap=256,
     )
     return pairs.select(
         F.col("vec_a").alias("media_a"),

@@ -554,6 +554,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     arrow: bool = False,
     bucket_shift: "float | None" = None,
+    bucket_cap: "int | None" = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH self-join.
 
@@ -667,6 +668,23 @@ def embedding_near_duplicates(
             .persist()
         )
     banded.count()
+    if bucket_cap is not None:
+        # per-(table, bucket) occupancy cap — the minhash band_cap
+        # guard transplanted: skewed bucket occupancy makes candidate
+        # volume grow as sum(occ^2), superlinear even when MEAN
+        # occupancy is flat (measured on the low-dim media features at
+        # sf3: max bucket 1,661 vs mean 46, candidate exponent ~1.5).
+        # Each bucket keeps its first bucket_cap ids (deterministic:
+        # by vid); a pair dropped from one degenerate bucket still
+        # collides in any of the other tables-1 tables. NOT silent:
+        # documented here, surfaced in the docstring, and sized so it
+        # never fires at oracle scale.
+        w = Window.partitionBy("table_idx", "bucket").orderBy("vid")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(

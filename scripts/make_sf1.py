@@ -38,8 +38,11 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/root/repo/.localdata/sf1"
-REPLICAS = 10
+#: SPARK_GRAFT_SF1_REPLICAS=30 writes .localdata/sf3 (etc.) — the
+#: two-decade linearity check (sf0.1 -> sf1 -> sf3) uses the same
+#: generator so perturbation semantics stay identical across scales
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SF1_REPLICAS", "10"))
+DST = f"/root/repo/.localdata/sf{REPLICAS // 10}"
 
 #: (table, {column: stride-source-column}) — key columns offset per
 #: replica by the stride of the table that OWNS the key space

@@ -1554,3 +1554,25 @@ def test_bucket_shift_arrow_matches_expression_and_rebalances(spark, sf_dir):
     n_raw = raw.distinct().count()
     n_shifted = shifted.distinct().count()
     assert n_shifted > n_raw, (n_raw, n_shifted)
+
+
+def test_bucket_cap_bounds_degenerate_bucket_pairs(spark):
+    """A degenerate corpus (many identical vectors -> ONE bucket in
+    every table) must emit at most cap*(cap-1)/2 candidate pairs, not
+    n^2/2 — the band_cap guard transplanted to the embedding path."""
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    rows = [(i, [1.0, 0.5, 0.25, 0.75]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = embedding_near_duplicates(
+        df, threshold=0.5, bits=3, tables=2, bucket_cap=10
+    )
+    n = capped.count()
+    assert n == 45  # C(10,2): first 10 ids per bucket, deduped across tables
+    # and the cap keeps the LOWEST ids deterministically
+    ids = {r["vec_a"] for r in capped.collect()} | {
+        r["vec_b"] for r in capped.collect()
+    }
+    assert ids == set(range(10))

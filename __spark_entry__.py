@@ -31,43 +31,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return C.incremental_copy(events, checkpoint_ts=CHECKPOINT)
 
 
-# Round-7 driver window (the driver hash-checks the FIRST 50 entries of
-# ``queries()`` per round).  Priority: the 7 round-6 additions that have
-# NEVER produced a driver-verified row (judge-verified green on a
-# vanilla session in round 6, VERDICT.md), then round-7 additions,
-# topped up to 50 with the oldest round-2 re-checks (CORRECTNESS_r02,
-# oldest driver proof in the archive; rows-only ``ivf_topk`` skipped in
-# favor of hash-checkable entries).  Names absent from the catalog are
-# skipped, extras append in catalog order, so the list is safe to edit.
+# Round-8 driver window (the driver hash-checks the FIRST 50 entries of
+# ``queries()`` per round).  Priority: round-8 additions (never
+# driver-checked), then the stale-proof backlog oldest-first — entries
+# whose newest driver proof is CORRECTNESS_r01 (37 hash-checkable, in
+# r01 order), then the remaining r02 entries (11), topped up from the
+# head of the r03 list.  Rows-only entries (``approx_distinct``,
+# ``ivf_topk``) are skipped in favor of hash-checkable ones, same
+# policy as round 7.  Names absent from the catalog are skipped,
+# extras append in catalog order, so the list is safe to edit.
 #
-# ROUND-8 ROTATION NOTE: after this window lands green, every entry
-# authored through round 6 is driver-proven.  Any round-7 additions
-# beyond position 50 plus the remaining round-2/3 re-checks
-# (CORRECTNESS_r02 tail from ``near_dup_clusters`` on, then the
-# CORRECTNESS_r03 list) fill the next window oldest-first.
+# ROUND-9 ROTATION NOTE: after this window lands green, no entry's
+# newest driver proof predates round 3.  The next window = any round-8
+# additions beyond position 50, then the CORRECTNESS_r03 remainder
+# (listed below after position 50, ``small_quantity_revenue`` on),
+# then the rows-only pair for their weaker rows-check refresh.
 _WINDOW_PRIORITY = [
-    # 7 round-6 additions, never driver-checked:
-    "interval_overlap", "sqrt_frequency_cap", "corpus_datasheet",
-    "mixing_epochs", "quality_threshold_sweep",
-    "dormant_rich_customers", "seasonal_decompose",
-    # round-7 additions, never driver-checked:
-    "perceptual_dedup_real", "group_auc", "cohens_kappa",
-    "rrf_fusion", "ann_recall_eval", "purged_time_split",
-    # round-2 re-checks, oldest-first (CORRECTNESS_r02 order):
-    "text_stats", "quality_scores", "language_id", "fingerprints",
-    "token_counts", "event_type_share", "training_data_pipeline",
-    "hash_split", "dedup_content", "dedup_exact", "minhash_near_dup",
-    "ngram_jaccard", "simhash_buckets", "cosine_topk",
-    "pandas_cosine_topk", "knn_join", "embedding_near_dup",
-    "lsh_topk", "media_stats", "media_features", "media_resize",
-    "media_frames", "user_event_sets", "bulk_chunks_distributed",
-    "near_dup_clusters", "tfidf_top_terms", "pack_documents",
-    "deterministic_sample", "repetition_ratio", "contamination",
-    "redact_pii", "promo_revenue_share", "idle_rich_customers",
-    "lonely_late_suppliers", "ingestion_diff", "value_histogram",
-    "revenue_forecast", "late_shipment_priorities", "volume_shipping",
+    # round-8 additions, never driver-checked:
+    # (inserted as they land this round)
+    # r1 re-checks, oldest driver proof in the archive (CORRECTNESS_r01
+    # order; several sit on since-rewritten code — diamond fix r4,
+    # two-phase bulk_chunks r5, global-rank path r5):
+    "copy_incremental", "copy_full", "checkpoint_max_ts", "bulk_chunks",
+    "users_never_purchased", "top_revenue_orders",
+    "local_supplier_volume", "returned_item_losses",
+    "large_quantity_orders", "nation_region_join",
+    "customers_with_orders", "customers_without_orders",
+    "top_order_per_customer", "revenue_rollup", "order_priority_cube",
+    "ship_within_30d", "events_by_day", "math_functions", "event_gaps",
+    "funnel", "event_gaps_pandas", "running_revenue",
+    "order_moving_avg", "next_event_type", "price_rank_distribution",
+    "orders_above_cust_avg", "purchases_after_click", "date_functions",
+    "array_functions", "map_functions", "embedding_dim_stats",
+    "price_quantiles", "order_stats", "arg_extremes", "salted_agg",
+    "grouping_sets", "top_words",
+    # r2 re-checks (CORRECTNESS_r02 order, rows-only ivf_topk skipped):
+    "late_shipment_priorities", "volume_shipping",
     "order_count_distribution", "top_supplier", "disjunctive_revenue",
-    "passage_dedup",
+    "passage_dedup", "top_bigrams", "embedding_norms",
+    "quantize_embeddings", "shuffle_order", "sliding_windows",
+    # r3 head, filling to 50:
+    "market_share", "product_type_profit",
+    # --- position 50 boundary; r3 remainder queues for round 9 ---
+    "small_quantity_revenue", "trailing_revenue_window",
+    "priority_value_percentiles", "similar_part_names",
+    "parts_supplier_counts", "dominant_suppliers",
+    "cheapest_supplier_per_part", "prior_event_counts",
+    "chunk_documents", "chunk_documents_udtf", "approx_stats",
+    "hybrid_search", "text_dup_components", "label_centroids",
+    "cdc_classify", "important_part_value", "scd2_user_state",
+    "vocab_with_ids", "zorder_key", "incremental_rollup",
+    "stratified_exact_k", "token_entropy", "constraint_report",
+    "bigram_lm", "weighted_discount_udaf", "quantize_embeddings_arrow",
+    "resample_events", "unpivot_metrics", "null_safe_rollup",
+    "clean_text", "token_budget", "priority_shipping_mix",
+    "source_mix", "es_bulk_roundtrip",
 ]
 
 

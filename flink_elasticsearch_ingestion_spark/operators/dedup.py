@@ -1336,6 +1336,12 @@ def _ac_scan_block(texts, cps, delta, has_out):
     {row_index: set(hit_states)}."""
     import numpy as np
 
+    if len(cps) == 0:
+        # Empty needle alphabet (zero usable needles with engine='aho'
+        # forced): nothing can match, and the searchsorted remap below
+        # would index cps[-1] on an empty array. The sparse walk
+        # handles this shape gracefully; so must the dense one.
+        return {}
     order = sorted(range(len(texts)), key=lambda i: -len(texts[i]))
     lengths = np.array([len(texts[i]) for i in order], dtype=np.int64)
     maxlen = int(lengths[0]) if len(lengths) else 0

@@ -81,40 +81,50 @@ DECODERS: dict[str, object] = {
 }
 
 
-def register_png_decoder(grid: int = 8) -> None:
-    """Swap the stub image decoder for the REAL pure-Python PNG codec
-    (functions/png_codec.py: stdlib zlib inflate + full filter
-    unfiltering + aHash pooling). After this, two byte-different
-    re-encodes of the same pixels produce IDENTICAL features, so
-    media near-dup is perceptual, not payload-hash equality.
-
-    Opt-in (not the default) because the catalog's hash-verified media
-    queries pin the sha-derived stub as their DuckDB-rederivable
-    oracle; deployments whose image payloads are PNGs call this once
-    at startup. Perceptual behavior is pinned by
-    tests/test_multimodal_png.py."""
+def png_decoder(grid: int = 8):
+    """The REAL pure-Python PNG decode callable (functions/png_codec.py:
+    stdlib zlib inflate + full filter unfiltering + aHash pooling),
+    suitable for ``DECODERS['image']`` or an ``extract_features(...,
+    decoders=)`` override. Two byte-different re-encodes of the same
+    pixels produce IDENTICAL features, so media near-dup is perceptual,
+    not payload-hash equality."""
     from flink_elasticsearch_ingestion_spark.functions.png_codec import (
         png_ahash_features,
     )
 
-    DECODERS["image"] = lambda payload, kind: png_ahash_features(
-        payload, kind, grid=grid
-    )
+    return lambda payload, kind: png_ahash_features(payload, kind, grid=grid)
 
 
-def register_wav_decoder(bands: int = 8) -> None:
-    """Audio twin of :func:`register_png_decoder`: swap the stub for
-    the pure-Python WAV/PCM codec (functions/wav_codec.py — RIFF chunk
-    walk + temporal RMS bands + zero-crossing rate). Same opt-in
-    contract: the sha stub stays the default oracle path; perceptual
-    behavior is pinned by tests/test_multimodal_wav.py."""
+def wav_decoder(bands: int = 8):
+    """Audio twin of :func:`png_decoder`: the pure-Python WAV/PCM decode
+    callable (functions/wav_codec.py — RIFF chunk walk + temporal RMS
+    bands + zero-crossing rate)."""
     from flink_elasticsearch_ingestion_spark.functions.wav_codec import (
         wav_energy_features,
     )
 
-    DECODERS["audio"] = lambda payload, kind: wav_energy_features(
-        payload, kind, bands=bands
-    )
+    return lambda payload, kind: wav_energy_features(payload, kind, bands=bands)
+
+
+def register_png_decoder(grid: int = 8) -> None:
+    """Swap the stub image decoder for the real PNG codec process-wide.
+
+    Opt-in (not the default) because the catalog's hash-verified media
+    queries pin the sha-derived stub as their DuckDB-rederivable
+    oracle; deployments whose image payloads are PNGs call this once
+    at startup. Scoped use (a single query against real PNGs while the
+    rest of the session keeps the stub) should pass
+    ``extract_features(..., decoders={**DECODERS, 'image':
+    png_decoder()})`` instead of mutating this registry. Perceptual
+    behavior is pinned by tests/test_multimodal_png.py."""
+    DECODERS["image"] = png_decoder(grid)
+
+
+def register_wav_decoder(bands: int = 8) -> None:
+    """Audio twin of :func:`register_png_decoder`. Same opt-in
+    contract: the sha stub stays the default oracle path; perceptual
+    behavior is pinned by tests/test_multimodal_wav.py."""
+    DECODERS["audio"] = wav_decoder(bands)
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
@@ -134,12 +144,22 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+def extract_features(
+    media: DataFrame, decoders: dict | None = None
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``decoders``: optional per-call decode registry (kind -> callable),
+    captured by value into the task closure. Passing it scopes a real
+    codec to THIS query without mutating the process-global ``DECODERS``
+    dict — concurrent sibling queries in the same session keep seeing
+    the registry they expect. None (the default) reads ``DECODERS`` at
+    execution time, preserving the register-once-at-startup contract."""
+    fixed = dict(decoders) if decoders is not None else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decode = DECODERS
+            decode = fixed if fixed is not None else DECODERS
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -55,6 +56,24 @@ class VersionedTable:
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
+
+    def _claim(self, rel: str) -> bool:
+        """Atomically reserve a staging-directory NAME: O_EXCL marker
+        under ``_claims/`` (outside ``data/`` so vacuum's rmtree sweep
+        never sees it). Returns False when another writer — thread or
+        process — holds the name. Claims are permanent tombstones: a
+        name is never reused, even after vacuum reclaims its data."""
+        claims = os.path.join(self.root, "_claims")
+        os.makedirs(claims, exist_ok=True)
+        try:
+            fd = os.open(
+                os.path.join(claims, os.path.basename(rel)),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            return False
+        os.close(fd)
+        return True
 
     # -- public surface -----------------------------------------------------
     def versions(self) -> list[int]:
@@ -142,13 +161,23 @@ class VersionedTable:
         # delete files the current manifest still references, tearing
         # concurrent readers of that version. The superseded attempt
         # directory becomes unreferenced garbage that vacuum() reclaims.
+        # Staging-name reservation is ATOMIC (O_EXCL claim marker), not
+        # a bare exists() probe: two writers racing on the same version
+        # — threads in one driver or separate processes — must never
+        # stage parquet into one directory (the loser would die on
+        # "path already exists" mid-write instead of reaching the CAS
+        # and getting a clean ConcurrentWriteError). The exists() check
+        # stays as a second condition for crash leftovers staged by
+        # anything that never claimed.
         rel = f"data/v={version}"
-        data_dir = os.path.join(self.root, rel)
         attempt = 0
-        while os.path.exists(data_dir):
+        while not (
+            self._claim(rel)
+            and not os.path.exists(os.path.join(self.root, rel))
+        ):
             attempt += 1
             rel = f"data/v={version}-attempt={attempt}"
-            data_dir = os.path.join(self.root, rel)
+        data_dir = os.path.join(self.root, rel)
         # data first (invisible until the manifest publishes) ...
         df.write.parquet(data_dir)
         dirs = [rel]
@@ -169,7 +198,15 @@ class VersionedTable:
         # reclaims. Replay re-publishes (explicit version, no OCC) keep
         # the idempotent overwrite via os.replace.
         os.makedirs(self._manifest_dir, exist_ok=True)
-        tmp = self._manifest_path(version) + f".tmp-{os.getpid()}"
+        # Tmp name is unique PER COMMIT ATTEMPT, not per process: two
+        # threads in one driver (exactly the concurrent-foreachBatch /
+        # OCC scenario the CAS exists for) racing on the same version
+        # must never share a tmp path, or the link winner could publish
+        # the loser's manifest bytes (wrong "added"/"dirs").
+        tmp = (
+            self._manifest_path(version)
+            + f".tmp-{os.getpid()}-{uuid.uuid4().hex}"
+        )
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         if exclusive:

@@ -1576,3 +1576,25 @@ def test_bucket_cap_bounds_degenerate_bucket_pairs(spark):
         r["vec_b"] for r in capped.collect()
     }
     assert ids == set(range(10))
+
+
+def test_aho_engine_survives_empty_needle_alphabet(spark):
+    """Zero usable needles with engine='aho' forced (empty/whitespace
+    probe texts -> empty needle alphabet) must return an empty result,
+    not IndexError out of the dense-table codepoint remap (the sparse
+    walk always handled this shape; round-8 guard in _ac_scan_block)."""
+    from flink_elasticsearch_ingestion_spark.operators.dedup import (
+        substring_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "some ordinary corpus text"), (2, "another document body")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(10, ""), (11, "   "), (12, None)], "doc_id long, text string"
+    )
+    out = substring_contamination(
+        corpus, probe, needle_words=3, engine="aho"
+    )
+    assert out.count() == 0

@@ -490,3 +490,58 @@ def test_upsert_dedupes_duplicate_keys_in_the_first_batch(tmp_path, spark):
     assert v0 == 0
     rows = {r["doc_id"]: r["val"] for r in t.read(0).collect()}
     assert rows == {1: 20.0, 2: 5.0}  # later ts won inside batch 0
+
+
+def test_same_process_thread_race_publishes_each_writers_own_manifest(
+    tmp_path, spark, sf_dir, monkeypatch
+):
+    """Two threads in ONE driver process racing on the same version
+    (the concurrent foreachBatch / OCC-writer scenario the CAS exists
+    for) must never share a manifest tmp file: with a pid-only tmp
+    suffix the link winner could publish the LOSER's manifest bytes.
+    A json.dump barrier holds both tmp files fully written before
+    either links, forcing the interleaving; the winner's published
+    snapshot must reference the winner's own data."""
+    import json as _json
+    import threading
+
+    from flink_elasticsearch_ingestion_spark.sources import versioned as V
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    orders = _orders(spark, sf_dir)
+    t.commit(orders.limit(3))  # v0
+
+    barrier = threading.Barrier(2, timeout=60)
+    real_dump = _json.dump
+
+    def sync_dump(obj, fh, *a, **kw):
+        real_dump(obj, fh, *a, **kw)
+        if ".tmp-" in getattr(fh, "name", ""):
+            barrier.wait()  # both racers' tmp bytes down before any link
+
+    monkeypatch.setattr(V.json, "dump", sync_dump)
+    results: dict[int, object] = {}
+
+    def commit(n):
+        try:
+            results[n] = t.commit(orders.limit(n), expected_version=0)
+        except V.ConcurrentWriteError:
+            results[n] = "lost"
+        except Exception as e:  # pragma: no cover - the failure mode
+            results[n] = e
+
+    threads = [threading.Thread(target=commit, args=(n,)) for n in (5, 7)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    monkeypatch.undo()
+
+    assert sorted(results) == [5, 7]
+    losers = [n for n, r in results.items() if r == "lost"]
+    winners = [n for n, r in results.items() if r == 1]
+    assert len(losers) == 1 and len(winners) == 1, results
+    # the winner's manifest references the WINNER's data: v0's 3 rows
+    # plus exactly the winner's appended rows — never the loser's
+    assert t.latest_version() == 1
+    assert t.read(1).count() == 3 + winners[0]

@@ -18,6 +18,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _nrows(sf_dir: str, name: str) -> int:
+    """Table row count from the parquet FOOTER metadata — the "table
+    statistics" source the ``corpus_rows=`` auto-LSH-bits hint expects:
+    no Spark job, no data pages read (pyarrow dataset counts row-group
+    metadata only; handles both a single .parquet file and a
+    Spark-written directory)."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(f"{sf_dir}/{name}.parquet", format="parquet").count_rows()
+
+
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()

@@ -16,6 +16,7 @@ from flink_elasticsearch_ingestion_spark.operators import (
 )
 from flink_elasticsearch_ingestion_spark.catalog._shared import (
     _t,
+    _nrows,
     _minhash_pairs_cte,
     _shared_spans_cte,
     _plane_values,
@@ -275,8 +276,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bits="auto" resolves to 4 at the sf0.01 fixture (500 vectors) —
     # the width the oracle's plane literals assume — and grows log2
     # with the corpus (auto_lsh_bits; see the sf1 LSH lesson, SCALE.md)
+    # corpus_rows from the parquet footer: auto-bits costs no count job
     return S.embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, bits="auto", tables=8
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, bits="auto", tables=8,
+        corpus_rows=_nrows(sf_dir, "embeddings"),
     )
 
 def q_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,7 @@ from flink_elasticsearch_ingestion_spark.operators import (
 )
 from flink_elasticsearch_ingestion_spark.catalog._shared import (
     _t,
+    _nrows,
     _plane_values,
 )
 
@@ -44,9 +45,11 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounds a degenerate bucket's pair contribution while dropped
     # pairs still collide in the other 3 tables. Never fires at the
     # sf0.01 oracle scale, so the SQL twin is unchanged.
+    # corpus_rows: one feature row per document, so the documents
+    # parquet footer IS the stats source — no count job for auto-bits
     pairs = S.embedding_near_duplicates(
         feats, threshold=0.995, bits="auto", tables=4, bucket_shift=0.5,
-        bucket_cap=256,
+        bucket_cap=256, corpus_rows=_nrows(sf_dir, "documents"),
     )
     return pairs.select(
         F.col("vec_a").alias("media_a"),

@@ -16,6 +16,7 @@ from flink_elasticsearch_ingestion_spark.operators import (
 )
 from flink_elasticsearch_ingestion_spark.catalog._shared import (
     _t,
+    _nrows,
     _query_vector,
     _hash_embed_values,
     _pq_values,
@@ -166,8 +167,10 @@ def q_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus so bucket occupancy (and candidate volume per vector)
     # stays constant at scale. Fixed bits=4 measured 36x wall-clock on
     # a 10x corpus (sf1 spot-run, SCALE.md).
+    # corpus_rows from the parquet footer: auto-bits costs no count job
     return S.label_disagreement_knn(
-        _t(spark, sf_dir, "embeddings"), k=5, bits="auto", tables=4
+        _t(spark, sf_dir, "embeddings"), k=5, bits="auto", tables=4,
+        corpus_rows=_nrows(sf_dir, "embeddings"),
     )
 
 def q_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +315,7 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits="auto",
         tables=8,
         arrow=True,
+        corpus_rows=_nrows(sf_dir, "embeddings"),
     )
     edges = pairs.select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")

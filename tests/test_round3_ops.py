@@ -1598,3 +1598,98 @@ def test_aho_engine_survives_empty_needle_alphabet(spark):
         corpus, probe, needle_words=3, engine="aho"
     )
     assert out.count() == 0
+
+
+def test_corpus_rows_hint_skips_the_count_job(spark, sf_dir):
+    """bits='auto' with a corpus_rows= stats hint must resolve WITHOUT
+    running count() on the input frame (the hint is the table-stats
+    path; count() is only the fallback). The input's count method is
+    instance-patched to fail loudly if the operator touches it."""
+    from flink_elasticsearch_ingestion_spark.operators import similarity as S
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # known row count, counted by the TEST only
+
+    def boom():
+        raise AssertionError("corpus count() ran despite corpus_rows hint")
+
+    emb.count = boom  # instance shadow; operator must never call it
+    try:
+        hinted = S.embedding_near_duplicates(
+            emb, threshold=0.4, bits="auto", tables=8, corpus_rows=n
+        ).collect()
+    finally:
+        del emb.count
+    # identical result to the count()-fallback path (same auto bits)
+    want = S.embedding_near_duplicates(
+        emb, threshold=0.4, bits="auto", tables=8
+    ).collect()
+    assert [tuple(r) for r in hinted] == [tuple(r) for r in want]
+
+    # knn_join_lsh takes the same hint for its corpus side
+    emb.count = boom
+    try:
+        got = S.knn_join_lsh(
+            emb.limit(20), emb, k=3, bits="auto", corpus_rows=n
+        )
+        assert got.count() > 0
+    finally:
+        del emb.count
+
+
+def test_center_preflight_trips_on_uncentered_features(spark, sf_dir):
+    """The sign-LSH centering preflight (round-8): [0,1]^8 sha-stub
+    features with NO bucket_shift warn; the shifted call does not; the
+    strict flag raises; zero-centered embeddings never trip."""
+    import warnings as W
+
+    from flink_elasticsearch_ingestion_spark.operators import (
+        multimodal as M,
+        similarity as S,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    feats = M.sha_features_expr(
+        M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    ).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    with pytest.warns(UserWarning, match="off-center"):
+        S.embedding_near_duplicates(feats, threshold=0.999, bits=4, tables=2)
+    with pytest.raises(ValueError, match="off-center"):
+        S.embedding_near_duplicates(
+            feats, threshold=0.999, bits=4, tables=2, center_check="strict"
+        )
+    # the shifted call and the centered corpus stay silent
+    with W.catch_warnings():
+        W.simplefilter("error")
+        S.embedding_near_duplicates(
+            feats, threshold=0.999, bits=4, tables=2, bucket_shift=0.5
+        )
+        S.embedding_near_duplicates(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.4, bits=4
+        )
+
+
+def test_bucket_cap_truncation_is_observable(spark, sf_dir):
+    """bucket_cap must not be a silent recall trade: when the cap
+    actually truncates banded rows, a warning carries the dropped-row
+    count; when it never fires (oracle-scale sizing) there is no
+    warning."""
+    import warnings as W
+
+    from flink_elasticsearch_ingestion_spark.operators import similarity as S
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    # bits=3 over 60 vectors: some bucket must exceed an occupancy of 2
+    with pytest.warns(UserWarning, match="truncated"):
+        S.embedding_near_duplicates(
+            emb, threshold=0.0, bits=3, tables=2, bucket_cap=2
+        ).collect()
+    with W.catch_warnings():
+        W.simplefilter("error")
+        S.embedding_near_duplicates(
+            emb, threshold=0.0, bits=3, tables=2, bucket_cap=10_000
+        ).collect()

@@ -339,22 +339,46 @@ def main() -> None:
     prior_path = os.path.join(here, f"bench_out_r{round_n - 1}.json")
     ext_overlap_ratio = None
     ext_regressions: dict[str, list[float]] = {}
+    ext_noise_filtered: dict[str, list[float]] = {}
     if os.path.exists(prior_path):
         with open(prior_path) as fh:
             prev_ext = json.load(fh).get("queries_ext", {})
         overlap = sorted(set(prev_ext) & set(ext_best))
+        flagged = [
+            # floor at 0.2 s: sub-200ms queries flap on host noise,
+            # not on plan changes
+            n
+            for n in overlap
+            if ext_best[n] > 1.3 * prev_ext[n] and ext_best[n] > 0.2
+        ]
+        # Noise self-triage (VERDICT r7 #6): a 2-sample min still flaps
+        # under host contention (the r7 driver run flagged 24 rows its
+        # builder's exclusive runs couldn't reproduce). Rows that flag
+        # get up to 3 EXTRA runs, min-of-N; only rows still >1.3x after
+        # that survive into ext_regressions — the committed list holds
+        # reproducible slowdowns, cleared rows move to
+        # ext_regressions_noise_filtered with their full sample trail.
+        if flagged:
+            spark._jvm.System.gc()
+        for n in flagged:
+            samples = [ext[n], ext_warm[n]]
+            for _ in range(3):
+                t0 = time.perf_counter()
+                queries[n](spark, sf_dir).count()
+                samples.append(round(time.perf_counter() - t0, 4))
+                spark.catalog.clearCache()
+                if samples[-1] <= 1.3 * prev_ext[n]:
+                    break
+            ext_best[n] = min(samples)  # more samples, same estimator
+            if ext_best[n] > 1.3 * prev_ext[n] and ext_best[n] > 0.2:
+                ext_regressions[n] = [prev_ext[n], ext_best[n]]
+            else:
+                ext_noise_filtered[n] = [prev_ext[n]] + samples
         prev_sum = sum(prev_ext[n] for n in overlap)
         if overlap and prev_sum > 0:
             ext_overlap_ratio = round(
                 sum(ext_best[n] for n in overlap) / prev_sum, 4
             )
-        ext_regressions = {
-            # floor at 0.2 s: sub-200ms queries flap on host noise,
-            # not on plan changes
-            n: [prev_ext[n], ext_best[n]]
-            for n in overlap
-            if ext_best[n] > 1.3 * prev_ext[n] and ext_best[n] > 0.2
-        }
 
     #: slowdowns that are DELIBERATE scale trade-offs, annotated so the
     #: per-round diff is self-explaining (the timing still appears in
@@ -391,6 +415,7 @@ def main() -> None:
                 "value_ext_warm": round(sum(ext_warm.values()), 4),
                 "ext_overlap_vs_prev_round": ext_overlap_ratio,
                 "ext_regressions_vs_prev_round": ext_regressions,
+                "ext_regressions_noise_filtered": ext_noise_filtered,
                 "ext_regressions_known_tradeoffs": ext_tradeoffs,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
@@ -422,6 +447,7 @@ def main() -> None:
             "ext_worst": max(ext_best, key=ext_best.get),
             "ext_overlap_vs_prev_round": ext_overlap_ratio,
             "n_ext_regressions": len(ext_regressions),
+            "n_ext_noise_filtered": len(ext_noise_filtered),
             "detail": f"bench_out_r{round_n}.json",
         },
         separators=(",", ":"),

@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the rows-only pair for their weaker rows-check refresh.
 _WINDOW_PRIORITY = [
     # round-8 additions, never driver-checked:
-    # (inserted as they land this round)
+    "token_fertility", "duplicate_token_share", "cross_source_near_dup",
     # r1 re-checks, oldest driver proof in the archive (CORRECTNESS_r01
     # order; several sit on since-rewritten code — diamond fix r4,
     # two-phase bulk_chunks r5, global-rank path r5):

@@ -74,6 +74,77 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_cap=None,
     )
 
+def q_duplicate_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup KPI (the datasheet number a curation run
+    reports): what share of the corpus' TOKENS sits in documents that
+    have at least one verified near-duplicate. Portable-MinHash pairs
+    (the hash-proven banded self-join) -> distinct flagged doc ids ->
+    one left-semi-style flag join + a single global aggregate. Scale
+    shape: the only wide work is the LSH band join minhash_near_dup
+    already pays; the KPI itself adds an ids-only distinct and one
+    agg over a map-side token count."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, jaccard_threshold=0.4, portable=True, band_cap=None
+    )
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    toks = docs.select("doc_id", X.token_count("text").alias("n_tokens"))
+    return toks.join(dup_ids, "doc_id", "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+        F.count("__dup").cast("bigint").alias("dup_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.coalesce(F.sum(F.when(F.col("__dup") == 1, F.col("n_tokens"))), F.lit(0))
+        .cast("bigint")
+        .alias("dup_tokens"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("__dup") == 1, F.col("n_tokens"))), F.lit(0)
+            )
+            / F.sum("n_tokens"),
+            6,
+        ).alias("dup_token_share"),
+    )
+
+def q_cross_source_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset contamination matrix: verified near-dup pairs
+    grouped by (source, source) — the audit that tells a corpus
+    engineer WHICH ingested datasets overlap before mixing them
+    (same-source rows expose intra-dataset duplication). max(jaccard)
+    instead of avg: exact and summation-order-insensitive, so the
+    cross-engine hash is stable. Scale shape: the pair table is the
+    LSH-banded join's output (never all-pairs); sources attach via two
+    narrow id-keyed joins, then a |sources|^2-bounded aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, jaccard_threshold=0.4, portable=True, band_cap=None
+    )
+    src = docs.select("doc_id", "source")
+    j = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+        "doc_b",
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+            "jaccard",
+        )
+        .groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
 def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal shared token spans across doc pairs (exact-substring
     dedup, Lee et al. 2022): window-hash join + diagonal
@@ -478,6 +549,8 @@ QUERIES = {
     "dedup_content": q_dedup_content,
     "dedup_exact": q_dedup_exact,
     "minhash_near_dup": q_minhash_near_dup,
+    "duplicate_token_share": q_duplicate_token_share,
+    "cross_source_near_dup": q_cross_source_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_buckets": q_simhash_buckets,
     "embedding_near_dup": q_embedding_near_dup,
@@ -611,6 +684,36 @@ ORACLES = {
     "minhash_near_dup": (
         "WITH " + _minhash_pairs_cte(0.4)
         + " SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b"
+    ),
+    "duplicate_token_share": (
+        "WITH " + _minhash_pairs_cte(0.4)
+        + ", dup_ids AS (SELECT DISTINCT doc_id FROM"
+        "   (SELECT doc_a AS doc_id FROM mh_pairs"
+        "    UNION ALL SELECT doc_b AS doc_id FROM mh_pairs)),"
+        " tok AS (SELECT doc_id,"
+        "   len(string_split_regex(trim(text), '\\s+')) AS n_tokens"
+        "   FROM documents)"
+        " SELECT CAST(count(*) AS BIGINT) AS total_docs,"
+        " CAST(count(d.doc_id) AS BIGINT) AS dup_docs,"
+        " CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,"
+        " CAST(coalesce(sum(CASE WHEN d.doc_id IS NOT NULL"
+        "   THEN t.n_tokens END), 0) AS BIGINT) AS dup_tokens,"
+        " round(coalesce(sum(CASE WHEN d.doc_id IS NOT NULL"
+        "   THEN t.n_tokens END), 0) * 1.0 / sum(t.n_tokens), 6)"
+        "   AS dup_token_share"
+        " FROM tok t LEFT JOIN dup_ids d ON t.doc_id = d.doc_id"
+    ),
+    "cross_source_near_dup": (
+        "WITH " + _minhash_pairs_cte(0.4)
+        + ", s AS (SELECT doc_id, source FROM documents)"
+        " SELECT least(sa.source, sb.source) AS source_x,"
+        " greatest(sa.source, sb.source) AS source_y,"
+        " CAST(count(*) AS BIGINT) AS n_pairs,"
+        " round(max(jaccard), 6) AS max_jaccard"
+        " FROM mh_pairs p"
+        " JOIN s sa ON sa.doc_id = p.doc_a"
+        " JOIN s sb ON sb.doc_id = p.doc_b"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "split_leakage": (
         "WITH " + _minhash_pairs_cte(0.4)

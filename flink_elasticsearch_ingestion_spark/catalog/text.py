@@ -54,6 +54,13 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.bpe_ish_token_count("text").alias("bpe_tokens"),
     ).orderBy("doc_id")
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE-ish subwords per
+    whitespace word + subwords per 100 chars): the multiplier that
+    turns a per-language word budget into an actual token budget.
+    Integer sums -> exact, order-insensitive ratios."""
+    return X.token_fertility_by_lang(_t(spark, sf_dir, "documents"))
+
 def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quality normalization: per-document token-entropy
     percentile WITHIN its source, so one percentile threshold means
@@ -549,6 +556,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "language_id": q_language_id,
     "token_counts": q_token_counts,
+    "token_fertility": q_token_fertility,
     "event_trigrams": q_event_trigrams,
     "table_profile": q_table_profile,
     "drift_psi": q_drift_psi,
@@ -696,6 +704,19 @@ ORACLES = {
         " len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,"
         " len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens"
         " FROM documents ORDER BY doc_id"
+    ),
+    "token_fertility": (
+        "WITH t AS (SELECT lang,"
+        "  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe,"
+        "  len(string_split_regex(trim(text), '\\s+')) AS ws,"
+        "  length(text) AS ch FROM documents)"
+        " SELECT lang, count(*) AS n_docs,"
+        " CAST(sum(bpe) AS BIGINT) AS bpe_tokens,"
+        " CAST(sum(ws) AS BIGINT) AS ws_tokens,"
+        " CAST(sum(ch) AS BIGINT) AS n_chars,"
+        " round(sum(bpe) * 1.0 / sum(ws), 6) AS fertility,"
+        " round(sum(bpe) * 100.0 / sum(ch), 6) AS tokens_per_100_chars"
+        " FROM t GROUP BY lang ORDER BY lang"
     ),
     "top_bigrams": (
         "WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),"

@@ -64,6 +64,40 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def token_fertility_by_lang(documents: DataFrame) -> DataFrame:
+    """Tokenizer fertility profile per language: subword-ish (BPE
+    regex) tokens per whitespace word — the per-language multiplier a
+    tokenizer charges — plus subwords per 100 chars. The companion
+    metric every multilingual token-budget plan needs: a lang whose
+    fertility is 2x costs 2x the budget for the same word count.
+
+    Plan: one map-side expression pass (both token counts are JVM
+    regex expressions, no UDF), one |langs|-group aggregation; ratios
+    derive from exact integer sums, so they are order-insensitive and
+    engine-portable at any scale."""
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_ish_token_count("text")).cast("bigint").alias("bpe_tokens"),
+            F.sum(token_count("text")).cast("bigint").alias("ws_tokens"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "bpe_tokens",
+            "ws_tokens",
+            "n_chars",
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 6).alias("fertility"),
+            F.round(F.col("bpe_tokens") * 100.0 / F.col("n_chars"), 6).alias(
+                "tokens_per_100_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def quality_scores(documents: DataFrame, *, keep: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic quality scoring: length band + punctuation density +
     stopword ratio -> [0,1] score. Mirrors common LLM-corpus filters

@@ -257,6 +257,10 @@ EXTENDED = [
     "rrf_fusion",
     "ann_recall_eval",
     "purged_time_split",
+    # round-8 additions
+    "token_fertility",
+    "duplicate_token_share",
+    "cross_source_near_dup",
 ]
 
 

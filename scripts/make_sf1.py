@@ -109,7 +109,25 @@ def _replica_table(name: str, src: pa.Table, r: int, strides: dict) -> pa.Table:
             ids = t["vec_id"].to_pylist()
             vecs = t["embedding"].to_pylist()
             out = []
-            for i, v in zip(ids, vecs):
+            # BOUNDED duplication groups (round-8 fixture lesson): with
+            # noise-only perturbation every replica of a base vector is
+            # a genuine near-dup of every other (sibling cosine ~0.99
+            # at +-0.025 noise on 0.125-std components), so thresholded
+            # pair output grows as replicas^2 — the sf10 sweep measured
+            # exactly 11x pairs on 3.33x data, a clone-farm artifact on
+            # the VECTOR grain (the r7 rule's third instance). A real
+            # corpus has bounded duplication clusters: replicas are now
+            # grouped in fives — each group of 5 shares a base (group 0
+            # keeps the ORIGINAL vectors, so sf0.1-derived results stay
+            # comparable; groups >= 1 draw a fresh gaussian base with
+            # the same per-dim scale, std 0.125) — so every vector has
+            # exactly 4 near-identical siblings at ANY replica count
+            # and true near-dup output scales linearly with the data.
+            g = r // 5
+            for j, (i, v) in enumerate(zip(ids, vecs)):
+                if g > 0:
+                    base_rng = random.Random(f"emb-base:{g}:{j}")
+                    v = [base_rng.gauss(0.0, 0.125) for _ in v]
                 rng = random.Random(f"{r}:{i}")
                 out.append([x + (rng.random() - 0.5) * 0.05 for x in v])
             t = t.set_column(

@@ -88,19 +88,34 @@ def main() -> None:
     for d in dirs:
         rows = _nrows(d)
         t: dict[str, float] = {}
+        out_rows: dict[str, int] = {}
         for name in panel:
             fn = queries[name]
             t0 = time.perf_counter()
-            fn(spark, d).count()
+            n_out = fn(spark, d).count()
             first = time.perf_counter() - t0
             t0 = time.perf_counter()
             fn(spark, d).count()
             t[name] = round(min(first, time.perf_counter() - t0), 3)
+            out_rows[name] = n_out
             spark.catalog.clearCache()
-            print(f"{d.rsplit('/', 1)[-1]:>6} {name:<32} {t[name]:>8.2f}s", flush=True)
+            print(
+                f"{d.rsplit('/', 1)[-1]:>6} {name:<32} {t[name]:>8.2f}s"
+                f"  ({n_out} rows)",
+                flush=True,
+            )
         spark._jvm.System.gc()
-        results[d] = {"lineitem_rows": rows, "timings": t}
-        print(json.dumps({"sf_dir": d, "lineitem_rows": rows, "timings": t}))
+        results[d] = {"lineitem_rows": rows, "timings": t, "out_rows": out_rows}
+        print(
+            json.dumps(
+                {
+                    "sf_dir": d,
+                    "lineitem_rows": rows,
+                    "timings": t,
+                    "out_rows": out_rows,
+                }
+            )
+        )
 
     ladder = []
     for lo, hi in zip(dirs, dirs[1:]):
@@ -109,12 +124,27 @@ def main() -> None:
         for name in panel:
             a, b = results[lo]["timings"][name], results[hi]["timings"][name]
             ratio = b / a if a > 0 else float("nan")
+            # output-normalized exponent: for pair-emitting operators a
+            # thresholded join's TRUE result can grow faster than the
+            # input (duplication cliques, random low-dim features near
+            # a loose threshold); time vs (input + output) separates
+            # "the engine goes quadratic" from "the answer got bigger"
+            o_lo = results[lo]["out_rows"][name] + results[lo]["lineitem_rows"]
+            o_hi = results[hi]["out_rows"][name] + results[hi]["lineitem_rows"]
+            work_scale = o_hi / o_lo if o_lo > 0 else scale
             step["queries"][name] = {
                 "t_lo": a,
                 "t_hi": b,
+                "out_lo": results[lo]["out_rows"][name],
+                "out_hi": results[hi]["out_rows"][name],
                 "ratio": round(ratio, 2),
                 "exponent": round(math.log(ratio) / math.log(scale), 2)
                 if ratio > 0
+                else None,
+                "exponent_vs_work": round(
+                    math.log(ratio) / math.log(work_scale), 2
+                )
+                if ratio > 0 and work_scale > 1
                 else None,
             }
         ladder.append(step)
@@ -131,7 +161,8 @@ def main() -> None:
             flag = "  <-- SUPERLINEAR" if (row["exponent"] or 0) > 1.2 else ""
             print(
                 f"{name:<32} {row['t_lo']:>8.2f}s -> {row['t_hi']:>8.2f}s"
-                f"  x{row['ratio']:<6} exp {row['exponent']}{flag}"
+                f"  x{row['ratio']:<6} exp {row['exponent']}"
+                f" (vs work {row['exponent_vs_work']}){flag}"
             )
 
 

@@ -42,10 +42,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # extras append in catalog order, so the list is safe to edit.
 #
 # ROUND-9 ROTATION NOTE: after this window lands green, no entry's
-# newest driver proof predates round 3.  The next window = any round-8
-# additions beyond position 50, then the CORRECTNESS_r03 remainder
-# (listed below after position 50, ``small_quantity_revenue`` on),
-# then the rows-only pair for their weaker rows-check refresh.
+# newest driver proof predates round 2, and only 3 r2 entries remain.
+# The next window = the 3 displaced r2/r3 entries (``sliding_windows``,
+# ``market_share``, ``product_type_profit`` — pushed past position 50
+# by the 3 round-8 additions), then the CORRECTNESS_r03 remainder
+# (listed below the boundary, ``small_quantity_revenue`` on), then the
+# rows-only pair (``approx_distinct``, ``ivf_topk``) for their weaker
+# rows-check refresh.
 _WINDOW_PRIORITY = [
     # round-8 additions, never driver-checked:
     "token_fertility", "duplicate_token_share", "cross_source_near_dup",
@@ -65,14 +68,16 @@ _WINDOW_PRIORITY = [
     "array_functions", "map_functions", "embedding_dim_stats",
     "price_quantiles", "order_stats", "arg_extremes", "salted_agg",
     "grouping_sets", "top_words",
-    # r2 re-checks (CORRECTNESS_r02 order, rows-only ivf_topk skipped):
+    # r2 re-checks (CORRECTNESS_r02 order, rows-only ivf_topk skipped);
+    # the 3 round-8 additions above displace the last three names past
+    # the 50-entry window — they queue first for round 9:
     "late_shipment_priorities", "volume_shipping",
     "order_count_distribution", "top_supplier", "disjunctive_revenue",
     "passage_dedup", "top_bigrams", "embedding_norms",
     "quantize_embeddings", "shuffle_order", "sliding_windows",
-    # r3 head, filling to 50:
     "market_share", "product_type_profit",
-    # --- position 50 boundary; r3 remainder queues for round 9 ---
+    # --- position 50 boundary (wnd = 3 new + 37 r1 + 10 r2);
+    #     r3 remainder queues for round 9 ---
     "small_quantity_revenue", "trailing_revenue_window",
     "priority_value_percentiles", "similar_part_names",
     "parts_supplier_counts", "dominant_suppliers",

@@ -261,6 +261,13 @@ EXTENDED = [
     "token_fertility",
     "duplicate_token_share",
     "cross_source_near_dup",
+    "fleiss_kappa",
+    "balanced_shards",
+    "compaction_plan",
+    "autocorrelation",
+    "mutual_matches",
+    "sorted_neighborhood_dedup",
+    "theil_sen_trend",
 ]
 
 

@@ -234,6 +234,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), threshold=0.15, max_docs=200
     )
 
+def q_sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (merge/purge) near-dup pairs: normalized
+    32-char-prefix sort, window-5 rank adjacency, exact token-Jaccard
+    verify — the third blocking family next to LSH buckets and the
+    inverted index, with a guaranteed O(n x window) candidate budget.
+    Global rank via the two-phase coarse-range discipline."""
+    return D.sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"), window=5, threshold=0.4
+    )
+
 def q_text_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters with a FULLY SQL-expressible edge set: n-gram
     Jaccard pairs (deterministic, no engine-specific hashing) resolved
@@ -552,6 +562,7 @@ QUERIES = {
     "duplicate_token_share": q_duplicate_token_share,
     "cross_source_near_dup": q_cross_source_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
+    "sorted_neighborhood_dedup": q_sorted_neighborhood_dedup,
     "simhash_buckets": q_simhash_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "scrub_boilerplate": q_scrub_boilerplate,
@@ -623,6 +634,25 @@ ORACLES = {
     # DuckDB list slice w[i:i+2] is 1-based INCLUSIVE == F.slice(w, i, 3);
     # generate_series is end-inclusive; list comprehension + list_distinct
     # mirrors word_shingles() exactly
+    "sorted_neighborhood_dedup": (
+        "WITH d AS (SELECT doc_id,"
+        r"  substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 32)"
+        "   AS key,"
+        r"  list_distinct(string_split(regexp_replace(lower(trim(text)),"
+        r"   '\s+', ' ', 'g'), ' ')) AS toks"
+        "  FROM documents),"
+        " r AS (SELECT *, row_number() OVER (ORDER BY key, doc_id) AS rn"
+        "  FROM d),"
+        " cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        "   a.toks AS ta, b.toks AS tb"
+        "  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5),"
+        " j AS (SELECT doc_a, doc_b,"
+        "   round(len(list_intersect(ta, tb)) * 1.0 /"
+        "    (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) AS jaccard"
+        "  FROM cand)"
+        " SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4"
+        " ORDER BY doc_a, doc_b"
+    ),
     "ngram_jaccard": (
         "WITH docs AS (SELECT doc_id,"
         " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"

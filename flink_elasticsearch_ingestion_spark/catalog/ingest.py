@@ -52,6 +52,14 @@ def q_bulk_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("chunk_id")
     )
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning over the ingested event segments
+    (one file per (event_type, day)): exclusive-running-bytes binning
+    into ~32 KiB groups — the force-merge/OPTIMIZE planner a polling
+    bulk sink eventually requires. Integer arithmetic only; windows
+    partitioned per type on the bounded day axis."""
+    return C.compaction_plan(_t(spark, sf_dir, "events"))
+
 def q_bulk_chunks_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path bulk chunking (per-partition chunk ids — no global
     single-partition window). The chunk layout depends on the physical
@@ -345,6 +353,7 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "checkpoint_max_ts": q_checkpoint_max_ts,
     "bulk_chunks": q_bulk_chunks,
+    "compaction_plan": q_compaction_plan,
 }
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
@@ -365,6 +374,23 @@ ORACLES = {
     ),
     "checkpoint_max_ts": (
         "SELECT max(CAST(ts AS TIMESTAMP)) AS checkpoint_ts FROM events"
+    ),
+    "compaction_plan": (
+        "WITH files AS (SELECT event_type, CAST(ts AS DATE) AS day,"
+        "  CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(length(props) + 64) AS BIGINT) AS bytes"
+        "  FROM events GROUP BY 1, 2),"
+        " planned AS (SELECT *,"
+        "  CAST(floor(coalesce(sum(bytes) OVER (PARTITION BY event_type"
+        "    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        "   0) / 32768.0) AS INTEGER) AS compaction_group FROM files)"
+        " SELECT event_type, compaction_group,"
+        "  CAST(count(*) AS BIGINT) AS n_files,"
+        "  CAST(sum(n_docs) AS BIGINT) AS n_docs,"
+        "  CAST(sum(bytes) AS BIGINT) AS total_bytes,"
+        "  strftime(min(day), '%Y-%m-%d') AS first_day,"
+        "  strftime(max(day), '%Y-%m-%d') AS last_day"
+        " FROM planned GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "bulk_chunks": (
         "WITH docs AS (SELECT event_id AS doc_id FROM events),"

@@ -347,6 +347,25 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5), emb, k=4, bits=4, tables=8
     )
 
+def q_mutual_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best match (bitext-mining shape) between the even-id
+    and odd-id halves of the embeddings table: LSH-blocked candidates
+    scored once, ranked in BOTH directions, mutual top-1 survives.
+    Oracle re-derives planes, candidates, and both rank frames."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mutual_best_match(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        # auto = auto_lsh_bits(500) = 4 at the sf0.01 oracle fixture
+        # (what the inlined plane literals assume), growing with the
+        # corpus so bucket occupancy — and candidate volume — stays
+        # flat (the round-7 LSH law; fixed bits=4 measured 5.8s at
+        # sf0.1 vs 1.3s with auto)
+        bits="auto",
+        tables=8,
+        corpus_rows=_nrows(sf_dir, "embeddings"),
+    )
+
 def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH top-k (query bucket + all Hamming-1
     buckets): the recall lever over plain lsh_topk, oracle-checked —
@@ -462,6 +481,7 @@ QUERIES = {
     "ivf_assign": q_ivf_assign,
     "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     "knn_join_lsh": q_knn_join_lsh,
+    "mutual_matches": q_mutual_matches,
     "embedding_gramian": q_embedding_gramian,
     "embedding_pca": q_embedding_pca,
     "jl_projection": q_jl_projection,
@@ -570,6 +590,30 @@ ORACLES = {
         "   AS INT) AS rank FROM scored)"
         " SELECT query_id, neighbor_id, cosine, rank FROM ranked"
         " WHERE rank <= 4 ORDER BY query_id, rank"
+    ),
+    "mutual_matches": (
+        "WITH planes AS (SELECT * FROM (VALUES "
+        + _plane_values(4, [42 + t for t in range(8)])
+        + ") AS t(tbl, i, p)),"
+        " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
+        "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+        "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
+        " cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb"
+        "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket"
+        "   WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),"
+        " scored AS (SELECT va, vb,"
+        "   round(list_dot_product(a.v, b.v) /"
+        "     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),"
+        "     6) AS cosine"
+        "   FROM cand JOIN vecs a ON a.vec_id = cand.va"
+        "   JOIN vecs b ON b.vec_id = cand.vb),"
+        " ranked AS (SELECT va, vb, cosine,"
+        "   row_number() OVER (PARTITION BY va ORDER BY cosine DESC, vb) AS rl,"
+        "   row_number() OVER (PARTITION BY vb ORDER BY cosine DESC, va) AS rr"
+        "   FROM scored)"
+        " SELECT va AS vec_a, vb AS vec_b, cosine FROM ranked"
+        " WHERE rl = 1 AND rr = 1 ORDER BY vec_a"
     ),
     "lsh_topk_multiprobe": (
         "WITH planes AS (SELECT * FROM (VALUES "

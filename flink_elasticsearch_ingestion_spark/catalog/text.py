@@ -302,6 +302,21 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = pack_documents(docs, capacity=512, n_shards=8)
     return packing_summary(assigned, capacity=512)
 
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snake-balanced (LPT-style) assignment of documents into 8
+    training shards by whitespace-token size — the export step that
+    keeps data-parallel workers' token totals flat. Global size rank
+    via the two-phase (coarse-range + broadcast offsets) discipline;
+    no single-partition window."""
+    from flink_elasticsearch_ingestion_spark.operators.packing import (
+        balanced_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", X.token_count("text").cast("long")
+    )
+    return balanced_shards(docs, n_shards=8)
+
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repeated-trigram fraction (Gopher-style repetition
     filter) — map-side only."""
@@ -507,6 +522,18 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return gate_agreement_kappa(_t(spark, sf_dir, "documents"))
 
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across a THREE-gate keep/drop panel (char length,
+    token count, space count) per source — the m-rater agreement
+    statistic a filter-panel datasheet quotes where pairwise Cohen's
+    kappas under-report joint reliability. Integer-sum aggregation
+    only; single scan."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        gate_fleiss_kappa,
+    )
+
+    return gate_fleiss_kappa(_t(spark, sf_dir, "documents"))
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the BM25 and Dirichlet-QL rankers
     (hybrid search, the ES `rrf` retriever's algorithm): 1/(60+rank)
@@ -599,6 +626,8 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "group_auc": q_group_auc,
     "cohens_kappa": q_cohens_kappa,
+    "fleiss_kappa": q_fleiss_kappa,
+    "balanced_shards": q_balanced_shards,
     "rrf_fusion": q_rrf_fusion,
     "source_mix": q_source_mix,
     "chunk_documents": q_chunk_documents,
@@ -784,6 +813,49 @@ ORACLES = {
         "        * (1.0 - (n11 + n01) / CAST(n AS DOUBLE))))"
         "  + 1e-9, 6) AS kappa"
         " FROM c ORDER BY source"
+    ),
+    "balanced_shards": (
+        "WITH t AS (SELECT doc_id,"
+        r"  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens"
+        "  FROM documents),"
+        " r AS (SELECT *, row_number() OVER"
+        "  (ORDER BY n_tokens DESC, doc_id) - 1 AS rank0 FROM t),"
+        " s AS (SELECT n_tokens, CAST(CASE WHEN rank0 % 16 < 8"
+        "  THEN rank0 % 16 ELSE 15 - (rank0 % 16) END AS INTEGER)"
+        "  AS shard FROM r)"
+        " SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
+        "  CAST(min(n_tokens) AS BIGINT) AS min_tokens,"
+        "  CAST(max(n_tokens) AS BIGINT) AS max_tokens"
+        " FROM s GROUP BY shard ORDER BY shard"
+    ),
+    "fleiss_kappa": (
+        "WITH g AS (SELECT source,"
+        "  (CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END"
+        r"   + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 60"
+        "     THEN 1 ELSE 0 END"
+        "   + CASE WHEN length(text) - length(replace(text, ' ', '')) >= 50"
+        "     THEN 1 ELSE 0 END) AS k FROM documents),"
+        " c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(sum(k) AS BIGINT) AS keep_votes,"
+        "  CAST(sum(k * (k - 1) + (3 - k) * (2 - k)) AS BIGINT)"
+        "   AS agree_pairs"
+        "  FROM g GROUP BY source),"
+        " r AS (SELECT *,"
+        "  agree_pairs / (CAST(n AS DOUBLE) * 6.0) AS p_bar_raw,"
+        "  keep_votes / (CAST(n AS DOUBLE) * 3.0) AS p_keep_raw FROM c)"
+        " SELECT source, n, CAST(3 AS INTEGER) AS m_raters,"
+        "  keep_votes, agree_pairs,"
+        "  round(p_keep_raw + 1e-9, 6) AS p_keep,"
+        "  round(p_bar_raw + 1e-9, 6) AS p_bar,"
+        "  round(p_keep_raw * p_keep_raw"
+        "   + (1.0 - p_keep_raw) * (1.0 - p_keep_raw) + 1e-9, 6) AS p_e,"
+        "  round((p_bar_raw - (p_keep_raw * p_keep_raw"
+        "     + (1.0 - p_keep_raw) * (1.0 - p_keep_raw)))"
+        "   / nullif(1.0 - (p_keep_raw * p_keep_raw"
+        "     + (1.0 - p_keep_raw) * (1.0 - p_keep_raw)), 0.0)"
+        "   + 1e-9, 6) AS kappa"
+        " FROM r ORDER BY source"
     ),
     "rrf_fusion": (
         "WITH " + _bm25_cte() + ","

@@ -269,11 +269,28 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.seasonal_decompose(_t(spark, sf_dir, "orders"))
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (Theil-Sen) daily-revenue trend: median of pairwise
+    slopes over day pairs <= 30 apart — block-bucketed on the time
+    axis, so O(days x span) local pairs, never all-pairs."""
+    return W.theil_sen_trend(_t(spark, sf_dir, "orders"))
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of daily revenue at lags 1..14 — the period-selection
+    diagnostic that justifies seasonal_decompose's period=7. One fact
+    aggregate to the bounded day axis, then lag alignment + a 14-group
+    Pearson aggregate on that small frame."""
+    return W.revenue_autocorrelation(_t(spark, sf_dir, "orders"))
+
+
 
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
     "seasonal_decompose": q_seasonal_decompose,
+    "autocorrelation": q_autocorrelation,
+    "theil_sen_trend": q_theil_sen_trend,
     "event_type_share": q_event_type_share,
     "time_weighted_value": q_time_weighted_value,
     "cohort_retention": q_cohort_retention,
@@ -311,6 +328,31 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "theil_sen_trend": (
+        "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
+        "  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS rev"
+        "  FROM orders GROUP BY 1),"
+        " d0 AS (SELECT min(day) AS d0 FROM daily),"
+        " di AS (SELECT date_diff('day', d0, day) AS t, rev"
+        "  FROM daily CROSS JOIN d0),"
+        " slopes AS (SELECT (b.rev - a.rev) / (b.t - a.t) AS slope"
+        "  FROM di a JOIN di b ON b.t > a.t AND b.t <= a.t + 30)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_pairs,"
+        "  round(median(slope) + 1e-9, 4) AS slope_per_day FROM slopes"
+    ),
+    "autocorrelation": (
+        "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
+        "  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS rev"
+        "  FROM orders GROUP BY 1),"
+        " rn AS (SELECT rev, row_number() OVER (ORDER BY day) AS r"
+        "  FROM daily)"
+        " SELECT CAST(ks.k AS INTEGER) AS lag,"
+        "  CAST(count(*) AS BIGINT) AS n_pairs,"
+        "  round(corr(b.rev, a.rev) + 1e-9, 6) AS acf"
+        " FROM generate_series(1, 14) AS ks(k)"
+        " JOIN rn a ON TRUE JOIN rn b ON b.r = a.r + ks.k"
+        " GROUP BY 1 ORDER BY 1"
+    ),
     "seasonal_decompose": (
         "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
         "  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS rev"

@@ -440,3 +440,60 @@ def incremental_join_view(
         )
         .orderBy("segment")
     )
+
+
+def compaction_plan(
+    events: DataFrame,
+    *,
+    target_bytes: int = 32 * 1024,
+    per_doc_overhead: int = 64,
+) -> DataFrame:
+    """Small-file compaction planner — the index-maintenance pass every
+    long-running ingestion needs (the ES force-merge / lakehouse
+    OPTIMIZE analog of the reference's continuously-appending bulk
+    sink, core.clj:55-79): a polling copy job writing per-day
+    per-type segments leaves thousands of small files, and read
+    amplification grows until someone coalesces them.
+
+    Plans, deterministically: one "segment file" per (event_type, day)
+    with bytes = sum(len(props) + per_doc_overhead); consecutive
+    day-files of one type bin into compaction groups by EXCLUSIVE
+    running bytes — group = floor(cum_before / target_bytes) — so a
+    group closes at the first file that carries it past the target
+    (size-banded grouping; a group may exceed target by at most one
+    file, never splits a file). Pure integer arithmetic end-to-end.
+
+    Scale shape: one fact aggregate to the bounded (type, day) axis;
+    the running sum is a PARTITIONED window (per event_type) over that
+    small axis, and the plan output is bounded by total_bytes /
+    target_bytes. Nothing after the first agg touches fact rows."""
+    files = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("props") + F.lit(per_doc_overhead))
+        .cast("bigint")
+        .alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    ).withColumn(
+        "compaction_group",
+        F.floor(F.col("cum_before") / F.lit(target_bytes)).cast("int"),
+    )
+    return (
+        planned.groupBy("event_type", "compaction_group")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        )
+        .orderBy("event_type", "compaction_group")
+    )

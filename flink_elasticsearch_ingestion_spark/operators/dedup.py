@@ -2126,3 +2126,104 @@ def containment_pairs(
         )
         .orderBy("contained_id", "container_id")
     )
+
+
+def sorted_neighborhood_pairs(
+    documents: DataFrame,
+    *,
+    window: int = 5,
+    key_len: int = 32,
+    threshold: float = 0.4,
+    coarse_edges: tuple[str, ...] = ("d", "h", "l", "p", "t"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood near-dup mining (Hernandez & Stolfo's
+    merge/purge blocking): sort the corpus by a normalized text-prefix
+    key and compare each record only to its ``window`` successors in
+    that order — the THIRD blocking family next to LSH (probabilistic
+    buckets) and the inverted index (shared-token candidates). It
+    shines exactly where those are weak: near-identical records with a
+    common head (boilerplate templates, versioned re-crawls) pair up
+    regardless of how many hot shingles they share, at a guaranteed
+    O(n x window) candidate budget — no skew, no df_cap tuning.
+
+    The global sort rank uses the two-phase discipline of
+    ``equi_depth_buckets`` — literal string ``coarse_edges`` range-split
+    the key domain (the coarse bucket is a PREFIX of the sort key, so
+    coarse order == global order), ``row_number`` ranks inside each
+    range in parallel, broadcast prefix-sum offsets lift to exact
+    global ranks. Edge choice balances work, never results.
+
+    Candidates then join on rank-adjacency WITHOUT a fact-wide window:
+    rank div window blocks, each left row probes its own and the next
+    block (a 2-way explode of narrow int keys), and 1 <= rb - ra <=
+    window filters exactly. Token arrays re-attach AFTER candidate
+    generation (ids-only wide join, the minhash discipline); the exact
+    token-Jaccard verify runs once per candidate pair.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(norm, 1, key_len).alias("__key"),
+        F.array_distinct(F.split(norm, " ")).alias("__toks"),
+    )
+    coarse = F.lit(len(coarse_edges))
+    for i, e in reversed(list(enumerate(coarse_edges))):
+        coarse = F.when(F.col("__key") < F.lit(e), F.lit(i)).otherwise(coarse)
+    keyed = base.withColumn("__coarse", coarse)
+    within = F.row_number().over(
+        Window.partitionBy("__coarse").orderBy("__key", "doc_id")
+    )
+    counts = keyed.groupBy("__coarse").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__coarse",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__coarse").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    ranked = (
+        keyed.withColumn("__within", within)
+        .join(F.broadcast(offsets), "__coarse")
+        .select(
+            "doc_id",
+            (F.col("__offset") + F.col("__within")).alias("__rank"),
+        )
+    )
+    blk = F.floor((F.col("__rank") - 1) / F.lit(window))
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__rank").alias("ra"),
+        F.explode(F.array(blk, blk + 1)).alias("__blk"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__rank").alias("rb"),
+        blk.alias("__blk"),
+    )
+    cand = (
+        left.join(right, "__blk")
+        .filter(
+            (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + window)
+        )
+        # no dedup needed: b's block is fixed, so each qualifying pair
+        # matches exactly one of a's two probe blocks
+        .select("doc_a", "doc_b")
+    )
+    ta = base.select(F.col("doc_id").alias("doc_a"), F.col("__toks").alias("ta"))
+    tb = base.select(F.col("doc_id").alias("doc_b"), F.col("__toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter / (F.size("ta") + F.size("tb") - inter)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

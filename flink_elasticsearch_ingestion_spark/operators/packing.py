@@ -88,3 +88,78 @@ def packing_summary(assignments: DataFrame, *, capacity: int, size_col: str = "n
         )
         .orderBy(*group_cols)
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    *,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    coarse_edges: tuple[int, ...] = (80, 65, 50, 35, 20),
+) -> DataFrame:
+    """Snake-balanced shard assignment — the training-export last mile:
+    documents sort by size DESC and deal into ``n_shards`` in
+    boustrophedon order (0..N-1, N-1..0, ...), the classic LPT-style
+    heuristic that keeps every shard's TOKEN total within one document
+    of its neighbors, so no data-parallel worker stalls on a fat shard.
+    ``pack_documents`` bins docs into fixed-capacity sequences; this
+    balances TOTALS across a fixed shard count — the other half of the
+    export contract.
+
+    The global size rank uses the two-phase discipline of
+    ``equi_depth_buckets`` (no single-partition window): literal
+    DESCENDING ``coarse_edges`` range-bucket the size column (the
+    coarse bucket is a prefix of the DESC sort key, so coarse order ==
+    global order), ``row_number`` ranks within each range in parallel,
+    and broadcast prefix-sum offsets of the tiny per-range count table
+    lift within-range ranks to exact global ranks. Edge choice only
+    balances work, never results.
+
+    Returns per-shard stats: doc/token totals plus the size extremes,
+    the table a launch checklist reads to confirm the split is flat.
+    """
+    from pyspark.sql import Window
+
+    # edges are descending thresholds; the when-chain tests the largest
+    # edge first so each row lands in the first range it clears
+    coarse = F.lit(len(coarse_edges))
+    for i, e in reversed(list(enumerate(coarse_edges))):
+        coarse = F.when(F.col(size_col) >= F.lit(e), F.lit(i)).otherwise(coarse)
+    narrow = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(size_col).cast("bigint").alias("__v"),
+        coarse.alias("__coarse"),
+    )
+    within = F.row_number().over(
+        Window.partitionBy("__coarse").orderBy(F.col("__v").desc(), "__id")
+    )
+    counts = narrow.groupBy("__coarse").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__coarse",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__coarse").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    ranked = narrow.withColumn("__within", within).join(
+        F.broadcast(offsets), "__coarse"
+    )
+    rank0 = F.col("__offset") + F.col("__within") - 1  # 0-based global rank
+    pos = rank0 % (2 * n_shards)
+    shard = F.when(pos < n_shards, pos).otherwise(2 * n_shards - 1 - pos)
+    return (
+        ranked.select(shard.cast("int").alias("shard"), "__v")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__v").cast("bigint").alias("total_tokens"),
+            F.min("__v").cast("bigint").alias("min_tokens"),
+            F.max("__v").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("shard")
+    )

@@ -1078,3 +1078,63 @@ def gate_agreement_kappa(
             "kappa"
         ),
     ).orderBy(group_col)
+
+
+def gate_fleiss_kappa(
+    documents: DataFrame,
+    *,
+    group_col: str = "source",
+    chars_threshold: int = 300,
+    tokens_threshold: int = 60,
+    spaces_threshold: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fleiss' kappa across THREE heuristic keep/drop gates (char
+    length, whitespace-token count, space count) per group — the
+    m-rater generalization of :func:`gate_agreement_kappa`. With a
+    gate PANEL (the production shape: several cheap filters vote
+    before an expensive judge runs), pairwise Cohen's kappas
+    under-report the panel's joint reliability; Fleiss' single
+    statistic is what a filtering datasheet quotes.
+
+    With m raters and 2 categories, per-item agreement is the fraction
+    of concordant rater pairs: P_i = (k(k-1) + (m-k)(m-k-1)) / (m(m-1))
+    where k = keep votes. Both the P_i numerator and the marginal vote
+    total aggregate as exact INTEGER sums, so p_bar / p_e / kappa are
+    ratios of integers — no cross-engine float-summation drift, same
+    discipline as the Cohen twin. kappa is null (not inf) when
+    p_e == 1 (all gates constant in the group).
+
+    Shape: single scan, one small-integer aggregation per group —
+    adds nothing wide at any corpus size."""
+    m = 3
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    spaces = F.length(text_col) - F.length(F.regexp_replace(text_col, " ", ""))
+    votes = (
+        (F.length(text_col) >= chars_threshold).cast("long")
+        + (toks >= tokens_threshold).cast("long")
+        + (spaces >= spaces_threshold).cast("long")
+    )
+    pairs_i = votes * (votes - 1) + (m - votes) * (m - votes - 1)
+    agg = documents.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(votes).cast("bigint").alias("keep_votes"),
+        F.sum(pairs_i).cast("bigint").alias("agree_pairs"),
+    )
+    n = F.col("n").cast("double")
+    p_bar = F.col("agree_pairs") / (n * m * (m - 1))
+    p_keep = F.col("keep_votes") / (n * m)
+    p_e = p_keep * p_keep + (1.0 - p_keep) * (1.0 - p_keep)
+    return agg.select(
+        group_col,
+        "n",
+        F.lit(m).cast("int").alias("m_raters"),
+        "keep_votes",
+        "agree_pairs",
+        F.round(p_keep + F.lit(1e-9), 6).alias("p_keep"),
+        F.round(p_bar + F.lit(1e-9), 6).alias("p_bar"),
+        F.round(p_e + F.lit(1e-9), 6).alias("p_e"),
+        F.round(F.try_divide(p_bar - p_e, F.lit(1.0) - p_e) + F.lit(1e-9), 6).alias(
+            "kappa"
+        ),
+    ).orderBy(group_col)

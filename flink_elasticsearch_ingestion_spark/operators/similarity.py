@@ -530,6 +530,43 @@ def knn_join_lsh(
         bits = auto_lsh_bits(
             corpus_rows if corpus_rows is not None else corpus.count()
         )
+    scored = _lsh_scored_pairs(
+        queries,
+        corpus,
+        bits=bits,
+        tables=tables,
+        seed=seed,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lsh_scored_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    bits: int,
+    tables: int,
+    seed: int,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared candidate stage of ``knn_join_lsh`` / ``mutual_best_match``:
+    multi-table sign-LSH bucket collisions between two vector frames,
+    ids-only dedup, then ONE exact-cosine verify per distinct pair.
+    Returns (query_id, neighbor_id, cosine) with cosine rounded to 6dp
+    (rank ties downstream break on the rounded value + id, identically
+    to the DuckDB oracle)."""
     sample = queries.select(vec_col).first()
     dim = len(sample[0]) if sample else 0
 
@@ -570,7 +607,7 @@ def knn_join_lsh(
     c_vecs = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = (
+    return (
         cand_ids.join(q_vecs, "query_id")
         .join(c_vecs, "neighbor_id")
         .select(
@@ -579,14 +616,68 @@ def knn_join_lsh(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
+
+
+def mutual_best_match(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    bits: "int | str" = 4,
+    tables: int = 8,
+    seed: int = 42,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_rows: "int | None" = None,
+) -> DataFrame:
+    """Reciprocal best match between two vector corpora — the
+    bitext-mining / cross-dataset alignment primitive (Artetxe &
+    Schwenk's margin-free baseline): keep pair (a, b) only when b is
+    a's best candidate AND a is b's best candidate. Mutuality is the
+    cheap precision filter that kills hub vectors which are "best" for
+    everything.
+
+    Candidates come from the same multi-table sign-LSH family as
+    ``knn_join_lsh`` (seed + t per table, so a DuckDB oracle re-derives
+    the exact candidate set from inlined plane literals); the candidate
+    join is computed ONCE and ranked in both directions — two window
+    ranks over the same scored frame, not two LSH joins. Ties break on
+    (cosine DESC at 6dp, partner id), identically on both engines.
+
+    Scale shape: the only wide work is the (table, bucket) equi-join
+    both directions share; per-direction ranking partitions by the
+    respective id. Sub-quadratic for the same reason knn_join_lsh is —
+    a vector is scored only against its bucket collisions."""
+    if bits == "auto":
+        bits = auto_lsh_bits(
+            corpus_rows if corpus_rows is not None else right.count()
+        )
+    scored = _lsh_scored_pairs(
+        left,
+        right,
+        bits=bits,
+        tables=tables,
+        seed=seed,
+        query_id=left_id,
+        corpus_id=right_id,
+        vec_col=vec_col,
+    )
+    wl = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+    wr = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cosine").desc(), F.col("query_id")
     )
+    best = (
+        scored.withColumn("rl", F.row_number().over(wl))
+        .withColumn("rr", F.row_number().over(wr))
+        .filter((F.col("rl") == 1) & (F.col("rr") == 1))
+    )
+    return best.select(
+        F.col("query_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        "cosine",
+    ).orderBy("vec_a")
 
 
 def embedding_near_duplicates(

@@ -1271,3 +1271,97 @@ def seasonal_decompose(orders: DataFrame, *, period: int = 7) -> DataFrame:
             F.col("rev") - F.col("trend") - F.col("seasonal") + F.lit(1e-9), 4
         ).alias("residual"),
     ).orderBy("day")
+
+
+def revenue_autocorrelation(orders: DataFrame, *, max_lag: int = 14) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..max_lag —
+    the diagnostic read BEFORE picking a seasonal period (a weekly
+    cycle shows as peaks at 7 and 14) or an AR forecaster's order;
+    the companion ``seasonal_decompose`` ASSUMES period=7, this is the
+    plot that justifies it.
+
+    Pearson r at lag k over the aligned pairs (x_t, x_{t+k}) — the
+    sample-overlap convention, so each lag's correlation is computed
+    on exactly the pairs both engines can enumerate (no circular wrap,
+    no global-mean plug-in), making the DuckDB mirror a literal
+    lag-k self-join.
+
+    Scale shape: ONE fact aggregate to the calendar-bounded day axis
+    (same discipline as ``seasonal_decompose``); the lag alignment and
+    the max_lag-group aggregate run on that bounded frame — nothing
+    here grows with the fact table beyond the first agg."""
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("day")
+    # window pass first, generator second: Spark disallows a window
+    # expression inside the same projection as explode()
+    shifted = daily.select(
+        "rev",
+        *[F.lag("rev", k).over(w).alias(f"prev_{k}") for k in range(1, max_lag + 1)],
+    )
+    lagged = shifted.select(
+        "rev",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("lag"),
+                        F.col(f"prev_{k}").alias("prev"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("lp"),
+    ).select("rev", "lp.lag", "lp.prev")
+    return (
+        lagged.filter(F.col("prev").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.corr("rev", "prev") + F.lit(1e-9), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def theil_sen_trend(orders: DataFrame, *, max_span: int = 30) -> DataFrame:
+    """Theil-Sen trend of daily revenue: the MEDIAN of pairwise slopes
+    (rev_j - rev_i) / (t_j - t_i) over day pairs at most ``max_span``
+    apart — the robust alternative to the OLS slope (``groupwise_ols``
+    family) that one promotional spike or outage day cannot drag. The
+    span bound is the estimator's scale contract: slopes come from
+    O(days x max_span) LOCAL pairs, not the O(days^2) all-pairs
+    classic, and short-range pairs are exactly the ones that carry
+    trend information on a long series.
+
+    Shape: one fact aggregate to the bounded day axis; the pair join
+    block-buckets the day index (t div max_span, probe own + next
+    block — the sorted-neighborhood trick on the time axis) so no
+    quadratic shape exists even on a decades-long axis. One global
+    median over the bounded slope set."""
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    di = daily.join(F.broadcast(d0)).select(
+        F.datediff("day", "d0").alias("t"), "rev"
+    )
+    blk = F.floor(F.col("t") / F.lit(max_span))
+    left = di.select(
+        F.col("t").alias("ta"),
+        F.col("rev").alias("va"),
+        F.explode(F.array(blk, blk + 1)).alias("__blk"),
+    )
+    right = di.select(
+        F.col("t").alias("tb"), F.col("rev").alias("vb"), blk.alias("__blk")
+    )
+    slopes = (
+        left.join(right, "__blk")
+        .filter((F.col("tb") > F.col("ta")) & (F.col("tb") <= F.col("ta") + max_span))
+        .select(((F.col("vb") - F.col("va")) / (F.col("tb") - F.col("ta"))).alias("slope"))
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.median("slope") + F.lit(1e-9), 4).alias("slope_per_day"),
+    )

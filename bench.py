@@ -268,6 +268,7 @@ EXTENDED = [
     "mutual_matches",
     "sorted_neighborhood_dedup",
     "theil_sen_trend",
+    "margin_matches",
 ]
 
 

@@ -364,6 +364,30 @@ def q_mutual_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits="auto",
         tables=8,
         corpus_rows=_nrows(sf_dir, "embeddings"),
+        # per-batch BLAS bucket matmul (parity-tested against the
+        # expression form, the oracle twin) — under auto bits the
+        # per-vector bucket cost is tables x bits dots, the n log n
+        # term the sf1->sf3 ladder measured at exp 1.1 on the
+        # interpreted-HOF path (SCALE.md)
+        arrow=True,
+    )
+
+def q_margin_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-scored bitext matching (Artetxe-Schwenk ratio margin):
+    cosine normalized by both endpoints' k-NN neighborhood averages,
+    forward best-by-margin per left vector — the density-aware
+    refinement of mutual_matches, over the SAME single LSH candidate
+    pass. Oracle replays planes, candidates, averages, and margins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.margin_best_match(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k_neighborhood=4,
+        margin_threshold=1.0,
+        bits="auto",
+        tables=8,
+        corpus_rows=_nrows(sf_dir, "embeddings"),
+        arrow=True,
     )
 
 def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,6 +506,7 @@ QUERIES = {
     "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     "knn_join_lsh": q_knn_join_lsh,
     "mutual_matches": q_mutual_matches,
+    "margin_matches": q_margin_matches,
     "embedding_gramian": q_embedding_gramian,
     "embedding_pca": q_embedding_pca,
     "jl_projection": q_jl_projection,
@@ -614,6 +639,39 @@ ORACLES = {
         "   FROM scored)"
         " SELECT va AS vec_a, vb AS vec_b, cosine FROM ranked"
         " WHERE rl = 1 AND rr = 1 ORDER BY vec_a"
+    ),
+    "margin_matches": (
+        "WITH planes AS (SELECT * FROM (VALUES "
+        + _plane_values(4, [42 + t for t in range(8)])
+        + ") AS t(tbl, i, p)),"
+        " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
+        "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+        "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
+        " cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb"
+        "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket"
+        "   WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),"
+        " scored AS (SELECT va, vb,"
+        "   round(list_dot_product(a.v, b.v) /"
+        "     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),"
+        "     6) AS cosine"
+        "   FROM cand JOIN vecs a ON a.vec_id = cand.va"
+        "   JOIN vecs b ON b.vec_id = cand.vb),"
+        " ranked AS (SELECT va, vb, cosine,"
+        "   row_number() OVER (PARTITION BY va ORDER BY cosine DESC, vb) AS rl,"
+        "   row_number() OVER (PARTITION BY vb ORDER BY cosine DESC, va) AS rr"
+        "   FROM scored),"
+        " al AS (SELECT va, sum(cosine) / count(*) AS avg_a FROM ranked"
+        "   WHERE rl <= 4 GROUP BY va),"
+        " ar AS (SELECT vb, sum(cosine) / count(*) AS avg_b FROM ranked"
+        "   WHERE rr <= 4 GROUP BY vb),"
+        " m AS (SELECT s.va, s.vb, s.cosine,"
+        "   round(s.cosine / ((al.avg_a + ar.avg_b) / 2) + 1e-9, 4) AS margin"
+        "   FROM scored s JOIN al ON al.va = s.va JOIN ar ON ar.vb = s.vb),"
+        " best AS (SELECT *, row_number() OVER (PARTITION BY va"
+        "   ORDER BY margin DESC, vb) AS rm FROM m)"
+        " SELECT va AS vec_a, vb AS vec_b, cosine, margin FROM best"
+        " WHERE rm = 1 AND margin >= 1.0 ORDER BY vec_a"
     ),
     "lsh_topk_multiprobe": (
         "WITH planes AS (SELECT * FROM (VALUES "

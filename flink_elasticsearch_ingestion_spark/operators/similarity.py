@@ -508,6 +508,7 @@ def knn_join_lsh(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     corpus_rows: "int | None" = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """Approximate kNN JOIN — the scale path ``knn_join``'s docstring
     promises: candidates come from multi-table sign-LSH bucket
@@ -539,6 +540,7 @@ def knn_join_lsh(
         query_id=query_id,
         corpus_id=corpus_id,
         vec_col=vec_col,
+        arrow=arrow,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -547,6 +549,59 @@ def knn_join_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def _arrow_banded(
+    df: DataFrame,
+    id_col: str,
+    out_id: str,
+    *,
+    dim: int,
+    bits: int,
+    tables: int,
+    seed: int,
+    vec_col: str,
+) -> DataFrame:
+    """(id, table_idx, bucket) triples via ONE BLAS matmul per record
+    batch — the Arrow twin of the ``lsh_bucket_expr`` explode, same
+    plane family (seed + t per table), same accepted numerical caveat
+    as ``embedding_near_duplicates``'s arrow path: numpy's pairwise
+    summation and the SQL left fold could disagree on a plane dot
+    within ~1e-14 of zero; the exact-cosine verify downstream defines
+    the final pairs either way."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(
+        [
+            _hyperplanes(dim, bits, seed + t)[i]
+            for t in range(tables)
+            for i in range(bits)
+        ]
+    ).T  # dim x (tables*bits)
+    weights = np.array([1 << i for i in range(bits)], dtype="int64")
+
+    def bucketize(batches):
+        for pdf in batches:
+            X = np.vstack(pdf["__vec"].to_numpy())  # n x dim
+            signs = (X @ P) >= 0  # n x (tables*bits)
+            bks = signs.reshape(len(pdf), tables, bits) @ weights
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[out_id].to_numpy().repeat(tables),
+                    "table_idx": np.tile(
+                        np.arange(tables, dtype="int32"), len(pdf)
+                    ),
+                    "bucket": bks.reshape(-1),
+                }
+            )
+
+    narrow = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias("__vec")
+    )
+    return narrow.mapInPandas(
+        bucketize, schema=f"{out_id} long, table_idx int, bucket long"
     )
 
 
@@ -560,17 +615,31 @@ def _lsh_scored_pairs(
     query_id: str,
     corpus_id: str,
     vec_col: str,
+    arrow: bool = False,
 ) -> DataFrame:
     """Shared candidate stage of ``knn_join_lsh`` / ``mutual_best_match``:
     multi-table sign-LSH bucket collisions between two vector frames,
     ids-only dedup, then ONE exact-cosine verify per distinct pair.
     Returns (query_id, neighbor_id, cosine) with cosine rounded to 6dp
     (rank ties downstream break on the rounded value + id, identically
-    to the DuckDB oracle)."""
+    to the DuckDB oracle).
+
+    ``arrow=True`` computes the bucket triples with a per-batch BLAS
+    matmul (:func:`_arrow_banded`) instead of the interpreted HOF
+    expression — the bucket build is the CPU-heavy map stage and its
+    per-vector cost is tables x bits plane dots, which under
+    ``bits="auto"`` grows with log(corpus); the matmul makes that term
+    cheap (measured on mutual_matches at sf3: 23.6s -> see SCALE.md).
+    Bucket parity between the two forms is unit-pinned."""
     sample = queries.select(vec_col).first()
     dim = len(sample[0]) if sample else 0
 
     def banded(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+        if arrow:
+            return _arrow_banded(
+                df, id_col, out_id,
+                dim=dim, bits=bits, tables=tables, seed=seed, vec_col=vec_col,
+            )
         # ids-only, same discipline as the minhash band self-join: the
         # bucket-collision shuffle must never carry vectors — a 64-dim
         # float vector is ~50x the width of the (id, table, bucket)
@@ -629,6 +698,7 @@ def mutual_best_match(
     right_id: str = "vec_id",
     vec_col: str = "embedding",
     corpus_rows: "int | None" = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """Reciprocal best match between two vector corpora — the
     bitext-mining / cross-dataset alignment primitive (Artetxe &
@@ -661,6 +731,7 @@ def mutual_best_match(
         query_id=left_id,
         corpus_id=right_id,
         vec_col=vec_col,
+        arrow=arrow,
     )
     wl = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -678,6 +749,102 @@ def mutual_best_match(
         F.col("neighbor_id").alias("vec_b"),
         "cosine",
     ).orderBy("vec_a")
+
+
+def margin_best_match(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    k_neighborhood: int = 4,
+    margin_threshold: float = 1.0,
+    bits: "int | str" = 4,
+    tables: int = 8,
+    seed: int = 42,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_rows: "int | None" = None,
+    arrow: bool = False,
+) -> DataFrame:
+    """Margin-scored best match (Artetxe & Schwenk 2019's ratio
+    margin, the scoring LASER-style bitext mining actually ships):
+    raw cosine over-selects pairs in DENSE neighborhoods (a hub's
+    0.8 means little when its 4th neighbor also scores 0.8), so each
+    candidate is rescored as
+
+        margin(a, b) = cos(a, b) / ((avgk(a) + avgk(b)) / 2)
+
+    where avgk(x) is the mean cosine of x's ``k_neighborhood`` best
+    candidates — a local density normalization. The forward strategy:
+    each left vector keeps its best partner BY MARGIN, filtered to
+    ``margin_threshold`` (1.0 = "better than your neighborhood
+    average"; raise toward ~1.05 for precision).
+
+    Shares the single LSH-blocked candidate pass with
+    ``mutual_best_match`` (the only wide join); neighborhood averages
+    are two partitioned window aggregates over the scored frame, and
+    every margin derives from 6dp-rounded cosines with deterministic
+    (cosine DESC, id) top-k sets — so a SQL oracle replays it exactly.
+
+    Scale shape: identical to mutual_best_match plus two window
+    passes over the candidate table — still sub-quadratic, still
+    bucket-bounded."""
+    if bits == "auto":
+        bits = auto_lsh_bits(
+            corpus_rows if corpus_rows is not None else right.count()
+        )
+    scored = _lsh_scored_pairs(
+        left,
+        right,
+        bits=bits,
+        tables=tables,
+        seed=seed,
+        query_id=left_id,
+        corpus_id=right_id,
+        vec_col=vec_col,
+        arrow=arrow,
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    wr = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cosine").desc(), F.col("query_id")
+    )
+    ranked = scored.withColumn("rl", F.row_number().over(wl)).withColumn(
+        "rr", F.row_number().over(wr)
+    )
+    avg_l = (
+        ranked.filter(F.col("rl") <= k_neighborhood)
+        .groupBy("query_id")
+        .agg((F.sum("cosine") / F.count(F.lit(1))).alias("avg_a"))
+    )
+    avg_r = (
+        ranked.filter(F.col("rr") <= k_neighborhood)
+        .groupBy("neighbor_id")
+        .agg((F.sum("cosine") / F.count(F.lit(1))).alias("avg_b"))
+    )
+    margin = F.round(
+        F.col("cosine") / ((F.col("avg_a") + F.col("avg_b")) / 2.0)
+        + F.lit(1e-9),
+        4,
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.col("margin").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.join(avg_l, "query_id")
+        .join(avg_r, "neighbor_id")
+        .withColumn("margin", margin)
+        .withColumn("rm", F.row_number().over(wm))
+        .filter((F.col("rm") == 1) & (F.col("margin") >= margin_threshold))
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            "cosine",
+            "margin",
+        )
+        .orderBy("vec_a")
+    )
 
 
 def embedding_near_duplicates(

@@ -248,3 +248,125 @@ def test_theil_sen_trend_is_robust_to_one_outlier(spark):
     want_pairs = sum(days - g for g in range(1, span + 1))
     assert out["n_pairs"] == want_pairs
     assert abs(out["slope_per_day"] - slope0) < 1e-6
+
+
+def test_lsh_scored_pairs_arrow_matches_expression(spark, sf_dir):
+    """The BLAS-banded candidate stage returns the identical scored
+    pair set as the interpreted-HOF expression form — buckets, pairs,
+    and 6dp cosines all equal (the arrow path is the scale twin, the
+    expression path is the oracle twin)."""
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        _lsh_scored_pairs,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    kw = dict(bits=4, tables=8, seed=42, query_id="vec_id",
+              corpus_id="vec_id", vec_col="embedding")
+    expr_rows = sorted(
+        map(tuple, _lsh_scored_pairs(left, right, **kw).collect())
+    )
+    arrow_rows = sorted(
+        map(tuple, _lsh_scored_pairs(left, right, arrow=True, **kw).collect())
+    )
+    assert expr_rows == arrow_rows and expr_rows
+
+
+def test_margin_best_match_normalizes_hub_density(spark):
+    """A hub that scores high against EVERYTHING has a dense
+    neighborhood, so its margin deflates below a pair whose cosine
+    stands clear of its own neighborhood — the density correction raw
+    cosine lacks; margins verify against a hand computation."""
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        _lsh_scored_pairs,
+        margin_best_match,
+    )
+
+    left = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    right = spark.createDataFrame(
+        [(10, [0.99, 0.01]), (11, [0.1, 0.9]), (12, [0.95, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    out = margin_best_match(
+        left, right, k_neighborhood=2, margin_threshold=0.0,
+        bits=1, tables=8,
+    ).collect()
+    got = {r["vec_a"]: r for r in out}
+    # forward strategy: one best-by-margin partner per left vector
+    assert set(got) == {0, 2}
+    # hand-verify each margin from the scored-candidate frame
+    scored = _lsh_scored_pairs(
+        left, right, bits=1, tables=8, seed=42,
+        query_id="vec_id", corpus_id="vec_id", vec_col="embedding",
+    ).collect()
+    by_l, by_r = {}, {}
+    for r in scored:
+        by_l.setdefault(r["query_id"], []).append(r["cosine"])
+        by_r.setdefault(r["neighbor_id"], []).append(r["cosine"])
+    for r in out:
+        al = sorted(by_l[r["vec_a"]], reverse=True)[:2]
+        ar = sorted(by_r[r["vec_b"]], reverse=True)[:2]
+        want = round(
+            r["cosine"] / ((sum(al) / len(al) + sum(ar) / len(ar)) / 2)
+            + 1e-9, 4,
+        )
+        assert abs(r["margin"] - want) < 1e-9
+    # l0's true partner r10 outranks the distractor r12 by margin too
+    assert got[0]["vec_b"] == 10
+
+
+def test_token_fertility_hand_counts(spark):
+    """Fertility on crafted text equals the hand-tokenized ratio: the
+    BPE-ish regex splits punctuation and digit runs off words, so
+    'e-mail 42x' charges more subwords than whitespace words."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        token_fertility_by_lang,
+    )
+
+    docs = spark.createDataFrame(
+        # 'e-mail 42x now' -> ws 3; bpe: e,-,mail,42,x,now = 6
+        [("en", "e-mail 42x now"), ("de", "abc def")],
+        "lang string, text string",
+    )
+    out = {r["lang"]: r for r in token_fertility_by_lang(docs).collect()}
+    assert (out["en"]["ws_tokens"], out["en"]["bpe_tokens"]) == (3, 6)
+    assert out["en"]["fertility"] == 2.0
+    assert (out["de"]["ws_tokens"], out["de"]["bpe_tokens"]) == (2, 2)
+    assert out["de"]["fertility"] == 1.0
+
+
+def test_duplicate_token_share_flags_exact_clone_mass(spark):
+    """The dup-token KPI is internally consistent on real docs: shares
+    are in [0, 1], dup_tokens <= total_tokens, and the flagged-doc
+    count matches the distinct endpoints of the verified pair table."""
+    import __spark_entry__ as E
+
+    # sf0.01: the smallest fixture whose near-dup pair table is non-empty
+    row = E.queries()["duplicate_token_share"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0 <= row["dup_docs"] <= row["total_docs"]
+    assert 0 <= row["dup_tokens"] <= row["total_tokens"]
+    assert abs(
+        row["dup_token_share"]
+        - round(row["dup_tokens"] / row["total_tokens"], 6)
+    ) < 1e-9
+
+
+def test_cross_source_near_dup_matrix_is_upper_triangular(spark):
+    """The source-overlap matrix is canonically ordered (x <= y), its
+    pair counts sum to the verified near-dup pair total, and jaccards
+    respect the mining threshold."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["cross_source_near_dup"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["source_x"] <= r["source_y"]
+        assert r["max_jaccard"] >= 0.4
+    total = sum(r["n_pairs"] for r in rows)
+    pairs = E.queries()["minhash_near_dup"](spark, "/root/testdata/sf0.01").count()
+    assert total == pairs

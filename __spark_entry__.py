@@ -42,9 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # extras append in catalog order, so the list is safe to edit.
 #
 # ROUND-9 ROTATION NOTE: after this window lands green, no entry's
-# newest driver proof predates round 2, and only 11 r2 entries remain.
-# The next window = the 11 displaced r2 entries (``order_count_distribution``
-# through ``product_type_profit`` — pushed past position 50 by the 11
+# newest driver proof predates round 2, and only 12 r2 entries remain.
+# The next window = the 12 displaced r2 entries (``volume_shipping``
+# through ``product_type_profit`` — pushed past position 50 by the 12
 # round-8 additions), then the CORRECTNESS_r03 remainder (listed below
 # the boundary, ``small_quantity_revenue`` on), then the rows-only
 # pair (``approx_distinct``, ``ivf_topk``) for their weaker rows-check
@@ -54,7 +54,7 @@ _WINDOW_PRIORITY = [
     "token_fertility", "duplicate_token_share", "cross_source_near_dup",
     "fleiss_kappa", "balanced_shards", "compaction_plan",
     "autocorrelation", "mutual_matches", "sorted_neighborhood_dedup",
-    "theil_sen_trend", "margin_matches",
+    "theil_sen_trend", "margin_matches", "spearman_scores",
     # r1 re-checks, oldest driver proof in the archive (CORRECTNESS_r01
     # order; several sit on since-rewritten code — diamond fix r4,
     # two-phase bulk_chunks r5, global-rank path r5):
@@ -72,11 +72,12 @@ _WINDOW_PRIORITY = [
     "price_quantiles", "order_stats", "arg_extremes", "salted_agg",
     "grouping_sets", "top_words",
     # r2 re-checks (CORRECTNESS_r02 order, rows-only ivf_topk skipped);
-    # the 11 round-8 additions above displace the last eleven names
+    # the 12 round-8 additions above displace the last twelve names
     # past the 50-entry window — they queue first for round 9:
-    "late_shipment_priorities", "volume_shipping",
-    # --- position 50 boundary (wnd = 11 new + 37 r1 + 2 r2);
+    "late_shipment_priorities",
+    # --- position 50 boundary (wnd = 12 new + 37 r1 + 1 r2);
     #     displaced r2 tail + r3 remainder queue for round 9 ---
+    "volume_shipping",
     "order_count_distribution",
     "top_supplier", "disjunctive_revenue",
     "passage_dedup", "top_bigrams", "embedding_norms",

@@ -269,6 +269,7 @@ EXTENDED = [
     "sorted_neighborhood_dedup",
     "theil_sen_trend",
     "margin_matches",
+    "spearman_scores",
 ]
 
 

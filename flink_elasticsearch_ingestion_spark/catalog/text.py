@@ -534,6 +534,18 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return gate_fleiss_kappa(_t(spark, sf_dir, "documents"))
 
+def q_spearman_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (midrank ties) between the char-length
+    and token-count quality signals per source — the gate-redundancy
+    audit next to fleiss_kappa. Computed without ranking fact rows:
+    bounded joint distribution -> marginal midranks -> weighted
+    Pearson, the group_auc discipline."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        spearman_gate_correlation,
+    )
+
+    return spearman_gate_correlation(_t(spark, sf_dir, "documents"))
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the BM25 and Dirichlet-QL rankers
     (hybrid search, the ES `rrf` retriever's algorithm): 1/(60+rank)
@@ -628,6 +640,7 @@ QUERIES = {
     "cohens_kappa": q_cohens_kappa,
     "fleiss_kappa": q_fleiss_kappa,
     "balanced_shards": q_balanced_shards,
+    "spearman_scores": q_spearman_scores,
     "rrf_fusion": q_rrf_fusion,
     "source_mix": q_source_mix,
     "chunk_documents": q_chunk_documents,
@@ -813,6 +826,32 @@ ORACLES = {
         "        * (1.0 - (n11 + n01) / CAST(n AS DOUBLE))))"
         "  + 1e-9, 6) AS kappa"
         " FROM c ORDER BY source"
+    ),
+    "spearman_scores": (
+        "WITH j AS (SELECT source AS grp, length(text) AS x,"
+        r"  len(regexp_split_to_array(trim(text), '\s+')) AS y,"
+        "  count(*) * 1.0 AS c FROM documents GROUP BY 1, 2, 3),"
+        " mxm AS (SELECT grp, x, sum(c) AS cm FROM j GROUP BY 1, 2),"
+        " mx AS (SELECT grp, x, coalesce(sum(cm) OVER (PARTITION BY grp"
+        "   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        "   0) + (cm + 1) / 2.0 AS rx FROM mxm),"
+        " mym AS (SELECT grp, y, sum(c) AS cm FROM j GROUP BY 1, 2),"
+        " my AS (SELECT grp, y, coalesce(sum(cm) OVER (PARTITION BY grp"
+        "   ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        "   0) + (cm + 1) / 2.0 AS ry FROM mym),"
+        " t AS (SELECT j.grp, j.c, mx.rx, my.ry FROM j"
+        "   JOIN mx ON mx.grp = j.grp AND mx.x = j.x"
+        "   JOIN my ON my.grp = j.grp AND my.y = j.y),"
+        " a AS (SELECT grp, sum(c) AS n, count(*) AS n_joint,"
+        "   sum(c * rx) AS sx, sum(c * ry) AS sy,"
+        "   sum(c * rx * rx) AS sxx, sum(c * ry * ry) AS syy,"
+        "   sum(c * rx * ry) AS sxy FROM t GROUP BY grp)"
+        " SELECT grp AS source, CAST(n AS BIGINT) AS n,"
+        "  CAST(n_joint AS BIGINT) AS n_joint,"
+        "  round((n * sxy - sx * sy) /"
+        "   nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)"
+        "   + 1e-9, 6) AS spearman"
+        " FROM a ORDER BY source"
     ),
     "balanced_shards": (
         "WITH t AS (SELECT doc_id,"

@@ -1138,3 +1138,75 @@ def gate_fleiss_kappa(
             "kappa"
         ),
     ).orderBy(group_col)
+
+
+def spearman_gate_correlation(
+    documents: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Spearman rank correlation between two quality signals (char
+    length vs whitespace-token count) per group — the redundancy audit
+    for a filter panel: two gates with rho ~ 1 are one gate, and the
+    datasheet should say so before anyone sums their votes
+    (:func:`gate_fleiss_kappa` tells you agreement; this tells you
+    whether the agreement is just the same signal twice).
+
+    Tie-aware (midrank convention), computed WITHOUT ranking fact rows
+    — the ``group_auc`` discipline: aggregate to the bounded
+    (group, x, y) joint distribution first, derive each value's
+    midrank from the MARGINAL count table with a partitioned window
+    over the bounded score domain, then weighted-Pearson over
+    midranks. Midranks are exact halves and counts are exact integers,
+    so every sum is exact in double precision far past any realistic
+    group size — the 6dp rho is engine-portable.
+
+    Scale shape: one fact aggregate bounded by the joint score domain;
+    everything after runs on that bounded table."""
+    x = F.length(text_col)
+    y = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    joint = documents.groupBy(
+        F.col(group_col).alias("grp"), x.alias("x"), y.alias("y")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+
+    def midranks(marg_col: str) -> DataFrame:
+        marg = joint.groupBy("grp", marg_col).agg(F.sum("c").alias("cm"))
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(marg_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return marg.select(
+            "grp",
+            marg_col,
+            (
+                F.coalesce(F.sum("cm").over(w), F.lit(0.0))
+                + (F.col("cm") + 1.0) / 2.0
+            ).alias(f"r{marg_col}"),
+        )
+
+    j = joint.join(midranks("x"), ["grp", "x"]).join(
+        midranks("y"), ["grp", "y"]
+    )
+    agg = j.groupBy("grp").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_joint"),
+        F.sum(F.col("c") * F.col("rx")).alias("sx"),
+        F.sum(F.col("c") * F.col("ry")).alias("sy"),
+        F.sum(F.col("c") * F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("c") * F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("c") * F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        n.cast("bigint").alias("n"),
+        "n_joint",
+        F.round(F.try_divide(num, den) + F.lit(1e-9), 6).alias("spearman"),
+    ).orderBy(group_col)

@@ -370,3 +370,28 @@ def test_cross_source_near_dup_matrix_is_upper_triangular(spark):
     total = sum(r["n_pairs"] for r in rows)
     pairs = E.queries()["minhash_near_dup"](spark, "/root/testdata/sf0.01").count()
     assert total == pairs
+
+
+def test_spearman_endpoints_and_degenerate_group(spark):
+    """Monotone signals pin rho = 1, inverse signals pin rho = -1, and
+    a zero-variance group returns null (not a division error)."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        spearman_gate_correlation,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # chars and tokens rise together -> rho 1
+            ("m", "aa bb"), ("m", "aaa bbb cc"), ("m", "aaaa bbbb cccc d"),
+            # chars rise while tokens fall -> rho -1
+            ("inv", "a b c d"), ("inv", "abcde fgh"), ("inv", "abcdefghijk"),
+            # identical docs: zero rank variance -> null
+            ("z", "same text"), ("z", "same text"),
+        ],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in spearman_gate_correlation(docs).collect()}
+    assert out["m"]["spearman"] == 1.0
+    assert out["inv"]["spearman"] == -1.0
+    assert out["z"]["spearman"] is None
+    assert out["m"]["n"] == 3 and out["z"]["n_joint"] == 1

@@ -31,57 +31,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return C.incremental_copy(events, checkpoint_ts=CHECKPOINT)
 
 
-# Round-8 driver window (the driver hash-checks the FIRST 50 entries of
-# ``queries()`` per round).  Priority: round-8 additions (never
-# driver-checked), then the stale-proof backlog oldest-first — entries
-# whose newest driver proof is CORRECTNESS_r01 (37 hash-checkable, in
-# r01 order), then the remaining r02 entries (11), topped up from the
-# head of the r03 list.  Rows-only entries (``approx_distinct``,
-# ``ivf_topk``) are skipped in favor of hash-checkable ones, same
-# policy as round 7.  Names absent from the catalog are skipped,
-# extras append in catalog order, so the list is safe to edit.
+# Round-9 driver window (the driver hash-checks the FIRST 50 entries of
+# ``queries()`` per round).  Priority: round-9 additions (never
+# driver-checked), then the stale-proof backlog oldest-first — the 10
+# hash-checkable r2 entries displaced past round 8's boundary, the
+# rows-only pair (``approx_distinct`` r1 / ``ivf_topk`` r2, due their
+# weaker rows-check refresh — skipped in favor of hash-checkable rows
+# since round 7), then the CORRECTNESS_r03 remainder in r03 order.
+# Names absent from the catalog are skipped, extras append in catalog
+# order, so the list is safe to edit.
 #
-# ROUND-9 ROTATION NOTE: after this window lands green, no entry's
-# newest driver proof predates round 2, and only 12 r2 entries remain.
-# The next window = the 12 displaced r2 entries (``volume_shipping``
-# through ``product_type_profit`` — pushed past position 50 by the 12
-# round-8 additions), then the CORRECTNESS_r03 remainder (listed below
-# the boundary, ``small_quantity_revenue`` on), then the rows-only
-# pair (``approx_distinct``, ``ivf_topk``) for their weaker rows-check
-# refresh.
+# ROUND-10 ROTATION NOTE: after this window lands green, the only
+# entries with a driver proof older than round 4 are the r3 names that
+# fall past position 50 below (the tail after the boundary marker).
+# The next window = round-10 additions, then that r3 tail, then the
+# oldest r4 entries in CORRECTNESS_r04 order.
 _WINDOW_PRIORITY = [
-    # round-8 additions, never driver-checked:
-    "token_fertility", "duplicate_token_share", "cross_source_near_dup",
-    "fleiss_kappa", "balanced_shards", "compaction_plan",
-    "autocorrelation", "mutual_matches", "sorted_neighborhood_dedup",
-    "theil_sen_trend", "margin_matches", "spearman_scores",
-    # r1 re-checks, oldest driver proof in the archive (CORRECTNESS_r01
-    # order; several sit on since-rewritten code — diamond fix r4,
-    # two-phase bulk_chunks r5, global-rank path r5):
-    "copy_incremental", "copy_full", "checkpoint_max_ts", "bulk_chunks",
-    "users_never_purchased", "top_revenue_orders",
-    "local_supplier_volume", "returned_item_losses",
-    "large_quantity_orders", "nation_region_join",
-    "customers_with_orders", "customers_without_orders",
-    "top_order_per_customer", "revenue_rollup", "order_priority_cube",
-    "ship_within_30d", "events_by_day", "math_functions", "event_gaps",
-    "funnel", "event_gaps_pandas", "running_revenue",
-    "order_moving_avg", "next_event_type", "price_rank_distribution",
-    "orders_above_cust_avg", "purchases_after_click", "date_functions",
-    "array_functions", "map_functions", "embedding_dim_stats",
-    "price_quantiles", "order_stats", "arg_extremes", "salted_agg",
-    "grouping_sets", "top_words",
-    # r2 re-checks (CORRECTNESS_r02 order, rows-only ivf_topk skipped);
-    # the 12 round-8 additions above displace the last twelve names
-    # past the 50-entry window — they queue first for round 9:
-    "late_shipment_priorities",
-    # --- position 50 boundary (wnd = 12 new + 37 r1 + 1 r2);
-    #     displaced r2 tail + r3 remainder queue for round 9 ---
-    "volume_shipping",
-    "order_count_distribution",
-    "top_supplier", "disjunctive_revenue",
-    "passage_dedup", "top_bigrams", "embedding_norms",
-    "quantize_embeddings", "shuffle_order", "sliding_windows",
+    # round-9 additions, never driver-checked:
+    "mutual_matches_agg",
+    "centered_mutual_matches",
+    "recall_vs_bucket_cap",
+    "string_id_knn",
+    "saturating_dedup_rate",
+    "minhash_band_stats",
+    "reservoir_sample",
+    "stable_segment_ids",
+    "group_quantile_bands",
+    "doc_length_calibration",
+    "poll_latency_profile",
+    "shard_skew_report",
+    # r2 re-checks (CORRECTNESS_r02 order): displaced past round 8's
+    # 50-entry boundary by the round-8 additions:
+    "volume_shipping", "order_count_distribution", "top_supplier",
+    "disjunctive_revenue", "passage_dedup", "top_bigrams",
+    "embedding_norms", "quantize_embeddings", "shuffle_order",
+    "sliding_windows",
+    # rows-only pair — weaker rows-check refresh (oldest proofs in the
+    # archive: approx_distinct r1, ivf_topk r2):
+    "approx_distinct", "ivf_topk",
+    # r3 re-checks (CORRECTNESS_r03 order):
     "market_share", "product_type_profit",
     "small_quantity_revenue", "trailing_revenue_window",
     "priority_value_percentiles", "similar_part_names",
@@ -92,7 +80,10 @@ _WINDOW_PRIORITY = [
     "cdc_classify", "important_part_value", "scd2_user_state",
     "vocab_with_ids", "zorder_key", "incremental_rollup",
     "stratified_exact_k", "token_entropy", "constraint_report",
-    "bigram_lm", "weighted_discount_udaf", "quantize_embeddings_arrow",
+    "bigram_lm",
+    # --- position 50 boundary (wnd = 12 new + 10 r2 + 2 rows-only
+    #     + 26 r3); r3 tail below queues for round 10 ---
+    "weighted_discount_udaf", "quantize_embeddings_arrow",
     "resample_events", "unpivot_metrics", "null_safe_rollup",
     "clean_text", "token_budget", "priority_shipping_mix",
     "source_mix", "es_bulk_roundtrip",

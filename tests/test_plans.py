@@ -128,6 +128,12 @@ SCALAR_JOIN_OK = {
     "growth_accounting",
     "rolling_wau",
     "bm25_search",
+    # both BNLJs are the 1-row ``d0 = min(day)`` scalar broadcast
+    # (operators/windows.py theil_sen_trend), re-executed once per side
+    # of the time-axis block join; the pair join itself is a
+    # BroadcastHashJoin on the block key — same scalar-subquery class
+    # as dormant_rich_customers
+    "theil_sen_trend",
 }
 
 

@@ -140,13 +140,17 @@ def _warn_if_off_center(
     sample_vecs: list, *, strict: bool = False, limit: float = _CENTER_RATIO_LIMIT
 ) -> None:
     """Diagnostic preflight for sign-LSH bucketing: on a small driver
-    sample, flag feature distributions materially off-center on any
-    dimension (max |mean|/std over dims > ``limit``). Sign-LSH assumes
-    roughly centered data; all-positive features (e.g. [0,1]-scaled)
-    correlate the hyperplane signs and collapse the buckets — the 40x
-    wall-clock bug class ``bucket_shift`` fixes (SCALE.md, media
-    features at sf1: 248/2048 buckets occupied). Diagnostic ONLY: never
-    changes the bucket family, so oracle determinism is untouched."""
+    sample, flag feature distributions materially off-center across
+    dimensions (MEDIAN |mean|/std over dims > ``limit``). Sign-LSH
+    assumes roughly centered data; all-positive features (e.g.
+    [0,1]-scaled) correlate the hyperplane signs and collapse the
+    buckets — the 40x wall-clock bug class ``bucket_shift`` fixes
+    (SCALE.md, media features at sf1: 248/2048 buckets occupied). The
+    median (not max) is the statistic because the bug class
+    off-centers EVERY dimension, while a tiny sample (e.g. a 5-vector
+    query panel) off-centers a few dims by pure noise — max fired
+    false alarms there (round-9). Diagnostic ONLY: never changes the
+    bucket family, so oracle determinism is untouched."""
     vecs = [v for v in sample_vecs if v is not None]
     if not vecs:
         return
@@ -154,12 +158,12 @@ def _warn_if_off_center(
     X = np.asarray([list(v) for v in vecs if len(v) == dim], dtype=float)
     if X.size == 0:
         return
-    ratio = float(np.max(np.abs(X.mean(axis=0)) / (X.std(axis=0) + 1e-12)))
+    ratio = float(np.median(np.abs(X.mean(axis=0)) / (X.std(axis=0) + 1e-12)))
     if ratio <= limit:
         return
     msg = (
         f"sign-LSH centering preflight: sampled features are off-center "
-        f"(max |mean|/std over dims = {ratio:.2f} > {limit}) and no "
+        f"(median |mean|/std over dims = {ratio:.2f} > {limit}) and no "
         f"bucket_shift is set — hyperplane signs will correlate and "
         f"buckets collapse (superlinear candidate volume at scale). "
         f"Pass bucket_shift=<per-dim offset, e.g. 0.5 for [0,1]-scaled "
@@ -509,6 +513,8 @@ def knn_join_lsh(
     vec_col: str = "embedding",
     corpus_rows: "int | None" = None,
     arrow: bool = False,
+    bucket_shift: "float | None" = None,
+    center_check: "bool | str" = True,
 ) -> DataFrame:
     """Approximate kNN JOIN — the scale path ``knn_join``'s docstring
     promises: candidates come from multi-table sign-LSH bucket
@@ -526,7 +532,11 @@ def knn_join_lsh(
     count (the side whose bucket occupancy drives candidate volume).
     ``corpus_rows`` short-circuits that count with a caller-known row
     count (table statistics / parquet footer) so auto-bits costs no
-    planning job; count() stays the fallback."""
+    planning job; count() stays the fallback.
+
+    ``bucket_shift`` / ``center_check``: off-center sign-LSH guard,
+    threaded to the shared candidate stage — see
+    :func:`_lsh_scored_pairs`."""
     if bits == "auto":
         bits = auto_lsh_bits(
             corpus_rows if corpus_rows is not None else corpus.count()
@@ -541,6 +551,8 @@ def knn_join_lsh(
         corpus_id=corpus_id,
         vec_col=vec_col,
         arrow=arrow,
+        bucket_shift=bucket_shift,
+        center_check=center_check,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -562,6 +574,7 @@ def _arrow_banded(
     tables: int,
     seed: int,
     vec_col: str,
+    bucket_shift: "float | None" = None,
 ) -> DataFrame:
     """(id, table_idx, bucket) triples via ONE BLAS matmul per record
     batch — the Arrow twin of the ``lsh_bucket_expr`` explode, same
@@ -569,9 +582,18 @@ def _arrow_banded(
     as ``embedding_near_duplicates``'s arrow path: numpy's pairwise
     summation and the SQL left fold could disagree on a plane dot
     within ~1e-14 of zero; the exact-cosine verify downstream defines
-    the final pairs either way."""
+    the final pairs either way.
+
+    Parity with the expression path on dirty input: null vectors and
+    vectors of the wrong dimension are dropped per batch BEFORE the
+    vstack (the expression form yields null buckets that fall out of
+    the equi-join; vstack would raise on the same rows).  The output
+    id column carries the INPUT id type (string doc ids survive
+    ``arrow=True`` identically to the expression path)."""
     import numpy as np
     import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     P = np.array(
         [
@@ -584,7 +606,15 @@ def _arrow_banded(
 
     def bucketize(batches):
         for pdf in batches:
+            keep = pdf["__vec"].map(
+                lambda v: v is not None and len(v) == dim
+            )
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
             X = np.vstack(pdf["__vec"].to_numpy())  # n x dim
+            if bucket_shift is not None:
+                X = X - float(bucket_shift)
             signs = (X @ P) >= 0  # n x (tables*bits)
             bks = signs.reshape(len(pdf), tables, bits) @ weights
             yield pd.DataFrame(
@@ -601,7 +631,7 @@ def _arrow_banded(
         F.col(id_col).alias(out_id), F.col(vec_col).alias("__vec")
     )
     return narrow.mapInPandas(
-        bucketize, schema=f"{out_id} long, table_idx int, bucket long"
+        bucketize, schema=f"{out_id} {id_type}, table_idx int, bucket long"
     )
 
 
@@ -616,6 +646,8 @@ def _lsh_scored_pairs(
     corpus_id: str,
     vec_col: str,
     arrow: bool = False,
+    bucket_shift: "float | None" = None,
+    center_check: "bool | str" = True,
 ) -> DataFrame:
     """Shared candidate stage of ``knn_join_lsh`` / ``mutual_best_match``:
     multi-table sign-LSH bucket collisions between two vector frames,
@@ -630,23 +662,57 @@ def _lsh_scored_pairs(
     per-vector cost is tables x bits plane dots, which under
     ``bits="auto"`` grows with log(corpus); the matmul makes that term
     cheap (measured on mutual_matches at sf3: 23.6s -> see SCALE.md).
-    Bucket parity between the two forms is unit-pinned."""
-    sample = queries.select(vec_col).first()
-    dim = len(sample[0]) if sample else 0
+    Bucket parity between the two forms is unit-pinned.
+
+    ``bucket_shift`` / ``center_check``: the same off-center guard as
+    ``embedding_near_duplicates`` — sign-LSH on all-positive features
+    (e.g. [0,1]-scaled) correlates the hyperplane signs and collapses
+    the buckets (the measured 40x candidate blow-up class).  The shift
+    is a CONSTANT subtracted from every component before the sign
+    projection only (the exact-cosine verify always scores the
+    original vectors), so the bucket family stays deterministic and
+    oracle-replayable; the preflight warns (``"strict"``: raises) on a
+    small driver sample when no shift is set.  Defaults (None, True)
+    leave every existing oracle bit-identical."""
+    head = [
+        r[0] for r in queries.select(vec_col).limit(64).collect()
+        if r[0] is not None
+    ]
+    dim = len(head[0]) if head else 0
+    if center_check and bucket_shift is None and head:
+        _warn_if_off_center(head, strict=(center_check == "strict"))
+
+    if bucket_shift is not None:
+        shifted = f"transform({vec_col}, x -> CAST(x AS DOUBLE) - {float(bucket_shift)!r}D)"
+    else:
+        shifted = None
 
     def banded(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+        # null / wrong-dimension vectors can never produce a candidate
+        # (their plane dots are undefined); drop them explicitly so BOTH
+        # forms degrade identically on dirty input — the unrolled
+        # low-dim expression would otherwise raise on element_at past a
+        # short array, and the arrow vstack on a null row
+        df = df.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        )
         if arrow:
             return _arrow_banded(
                 df, id_col, out_id,
                 dim=dim, bits=bits, tables=tables, seed=seed, vec_col=vec_col,
+                bucket_shift=bucket_shift,
             )
         # ids-only, same discipline as the minhash band self-join: the
         # bucket-collision shuffle must never carry vectors — a 64-dim
         # float vector is ~50x the width of the (id, table, bucket)
         # triple, and duplicate collisions (up to `tables` per pair)
         # would all pay it
+        lsh_vec = vec_col
+        if shifted is not None:
+            df = df.withColumn("__vec_lsh", F.expr(shifted))
+            lsh_vec = "__vec_lsh"
         buckets = [
-            lsh_bucket_expr(vec_col, _hyperplanes(dim, bits, seed + t)).alias(f"b{t}")
+            lsh_bucket_expr(lsh_vec, _hyperplanes(dim, bits, seed + t)).alias(f"b{t}")
             for t in range(tables)
         ]
         return df.select(F.col(id_col).alias(out_id), *buckets).select(
@@ -699,6 +765,8 @@ def mutual_best_match(
     vec_col: str = "embedding",
     corpus_rows: "int | None" = None,
     arrow: bool = False,
+    bucket_shift: "float | None" = None,
+    center_check: "bool | str" = True,
 ) -> DataFrame:
     """Reciprocal best match between two vector corpora — the
     bitext-mining / cross-dataset alignment primitive (Artetxe &
@@ -710,17 +778,32 @@ def mutual_best_match(
     Candidates come from the same multi-table sign-LSH family as
     ``knn_join_lsh`` (seed + t per table, so a DuckDB oracle re-derives
     the exact candidate set from inlined plane literals); the candidate
-    join is computed ONCE and ranked in both directions — two window
-    ranks over the same scored frame, not two LSH joins. Ties break on
-    (cosine DESC at 6dp, partner id), identically on both engines.
+    join is computed ONCE and reduced in both directions. Mutual top-1
+    needs only each side's ARGMAX, not full ranks — so each direction
+    is a ``min(struct(-cosine, partner))`` partial+final hash aggregate
+    (map-side combine, no sort, no per-partition full materialization)
+    instead of a full-candidate-frame sort window; the two 1-row-per-id
+    argmax frames then equi-join back. Ties break on (cosine DESC at
+    6dp, partner id ASC), identically to the old rank form and to the
+    SQL oracle.
+
+    ``corpus_rows`` contract for ``bits="auto"``: pass the row count
+    of the FULL vector universe the planes must discriminate (e.g. the
+    source table both halves were split from) — an oracle inlining
+    plane literals assumes exactly that count. The fallback when it is
+    omitted is ``left.count() + right.count()`` (the union size), NOT
+    one half-table, so a caller who splits a table and forgets the
+    hint still gets the full-universe bucket width.
 
     Scale shape: the only wide work is the (table, bucket) equi-join
-    both directions share; per-direction ranking partitions by the
-    respective id. Sub-quadratic for the same reason knn_join_lsh is —
-    a vector is scored only against its bucket collisions."""
+    both directions share; each argmax is a hash aggregate keyed by
+    the respective id. Sub-quadratic for the same reason knn_join_lsh
+    is — a vector is scored only against its bucket collisions."""
     if bits == "auto":
         bits = auto_lsh_bits(
-            corpus_rows if corpus_rows is not None else right.count()
+            corpus_rows
+            if corpus_rows is not None
+            else left.count() + right.count()
         )
     scored = _lsh_scored_pairs(
         left,
@@ -732,23 +815,53 @@ def mutual_best_match(
         corpus_id=right_id,
         vec_col=vec_col,
         arrow=arrow,
+        bucket_shift=bucket_shift,
+        center_check=center_check,
     )
-    wl = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+    # argmax per direction: min over ((-cosine), partner) = max cosine,
+    # smallest partner id on ties — struct comparison is lexicographic,
+    # and works for any orderable partner id type
+    best_l = (
+        scored.groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cosine")).alias("nc"),
+                    F.col("neighbor_id").alias("partner"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "query_id",
+            F.col("m.partner").alias("neighbor_id"),
+            (-F.col("m.nc")).alias("cosine"),
+        )
     )
-    wr = Window.partitionBy("neighbor_id").orderBy(
-        F.col("cosine").desc(), F.col("query_id")
+    best_r = (
+        scored.groupBy("neighbor_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cosine")).alias("nc"),
+                    F.col("query_id").alias("partner"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col("neighbor_id"), F.col("m.partner").alias("query_id")
+        )
     )
-    best = (
-        scored.withColumn("rl", F.row_number().over(wl))
-        .withColumn("rr", F.row_number().over(wr))
-        .filter((F.col("rl") == 1) & (F.col("rr") == 1))
+    return (
+        best_l.join(best_r, ["query_id", "neighbor_id"])
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            # -(-x) can materialize -0.0 where the window form kept
+            # 0.0; normalize so hashes stay identical
+            (F.col("cosine") + F.lit(0.0)).alias("cosine"),
+        )
+        .orderBy("vec_a")
     )
-    return best.select(
-        F.col("query_id").alias("vec_a"),
-        F.col("neighbor_id").alias("vec_b"),
-        "cosine",
-    ).orderBy("vec_a")
 
 
 def margin_best_match(
@@ -765,6 +878,8 @@ def margin_best_match(
     vec_col: str = "embedding",
     corpus_rows: "int | None" = None,
     arrow: bool = False,
+    bucket_shift: "float | None" = None,
+    center_check: "bool | str" = True,
 ) -> DataFrame:
     """Margin-scored best match (Artetxe & Schwenk 2019's ratio
     margin, the scoring LASER-style bitext mining actually ships):
@@ -788,10 +903,17 @@ def margin_best_match(
 
     Scale shape: identical to mutual_best_match plus two window
     passes over the candidate table — still sub-quadratic, still
-    bucket-bounded."""
+    bucket-bounded.
+
+    ``corpus_rows`` contract for ``bits="auto"``: the FULL vector
+    universe the planes must discriminate (see
+    :func:`mutual_best_match`); omitted, the fallback is
+    ``left.count() + right.count()``, never one half-table."""
     if bits == "auto":
         bits = auto_lsh_bits(
-            corpus_rows if corpus_rows is not None else right.count()
+            corpus_rows
+            if corpus_rows is not None
+            else left.count() + right.count()
         )
     scored = _lsh_scored_pairs(
         left,
@@ -803,6 +925,8 @@ def margin_best_match(
         corpus_id=right_id,
         vec_col=vec_col,
         arrow=arrow,
+        bucket_shift=bucket_shift,
+        center_check=center_check,
     )
     wl = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -1354,6 +1478,8 @@ def label_disagreement_knn(
     id_col: str = "vec_id",
     label_col: str = "label",
     corpus_rows: "int | None" = None,
+    bucket_shift: "float | None" = None,
+    center_check: "bool | str" = True,
 ) -> DataFrame:
     """kNN label-disagreement scan (the confident-learning-style
     mislabel detector, one level up from ``centroid_margin``): for
@@ -1380,6 +1506,8 @@ def label_disagreement_knn(
         corpus_id=id_col,
         vec_col=vec_col,
         corpus_rows=corpus_rows,
+        bucket_shift=bucket_shift,
+        center_check=center_check,
     )
     lab = embeddings.select(F.col(id_col), F.col(label_col))
     joined = nn.join(

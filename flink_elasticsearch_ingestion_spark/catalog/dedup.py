@@ -551,9 +551,37 @@ def q_scrub_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.scrub_shared_spans(_t(spark, sf_dir, "documents"))
 
 
+def q_saturating_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup saturation curve: per id-ordered ingest batch, the share
+    of documents whose normalized content hash is a FIRST occurrence,
+    plus the cumulative unique share — the is-this-source-mined-out
+    signal. One content-hash aggregate + bounded batch-axis windows."""
+    return D.dedup_saturation(_t(spark, sf_dir, "documents"), batch_size=100)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence trigram novelty per document (share of a doc's
+    distinct word trigrams seen in NO earlier doc) — the ordered
+    complement of window_novelty's shared-with-anyone view. One
+    gram-keyed min(doc) aggregate + re-join on the same key."""
+    return D.ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket occupancy histogram (same signatures and band
+    keys as minhash_near_dup, portable family): per (band, occupancy),
+    bucket count and implied candidate-pair budget — the
+    observability readout that predicts band_cap truncation and join
+    cost BEFORE the pair join runs."""
+    return D.minhash_band_stats(_t(spark, sf_dir, "documents"), portable=True)
+
+
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
+    "saturating_dedup_rate": q_saturating_dedup_rate,
+    "ngram_novelty": q_ngram_novelty,
+    "minhash_band_stats": q_minhash_band_stats,
     "fingerprints": q_fingerprints,
     "training_data_pipeline": q_training_data_pipeline,
     "dedup_content": q_dedup_content,
@@ -591,6 +619,54 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "saturating_dedup_rate": (
+        "WITH h AS (SELECT doc_id AS doc,"
+        " sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh"
+        " FROM documents),"
+        " fo AS (SELECT hh, min(doc) AS first_doc FROM h GROUP BY hh),"
+        " fl AS (SELECT CAST(doc // 100 AS INT) AS batch,"
+        "  CASE WHEN doc = first_doc THEN 1 ELSE 0 END AS is_new"
+        "  FROM h JOIN fo USING (hh)),"
+        " per AS (SELECT batch, count(*) AS n_docs,"
+        "  CAST(sum(is_new) AS BIGINT) AS n_new FROM fl GROUP BY batch)"
+        " SELECT batch, n_docs, n_new,"
+        " round(n_new * 1.0 / n_docs + 1e-9, 6) AS new_rate,"
+        " round(sum(n_new) OVER w * 1.0 / sum(n_docs) OVER w + 1e-9, 6)"
+        "  AS cum_unique_share"
+        " FROM per WINDOW w AS (ORDER BY batch ROWS UNBOUNDED PRECEDING)"
+        " ORDER BY batch"
+    ),
+    "ngram_novelty": (
+        # same trigram construction as ngram_jaccard (w[i:i+2] 1-based
+        # inclusive == F.slice(w, i, 3)), min-doc first-owner attribution
+        "WITH d AS (SELECT doc_id AS doc,"
+        " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+        "  AS w FROM documents),"
+        " g AS (SELECT doc, unnest(list_distinct(["
+        "  array_to_string(w[i:i+2], ' ')"
+        "  FOR i IN generate_series(1, greatest(len(w)-2, 1))])) AS gram"
+        "  FROM d),"
+        " o AS (SELECT gram, min(doc) AS first_doc FROM g GROUP BY gram),"
+        " per AS (SELECT doc AS doc_id, count(*) AS n_grams,"
+        "  CAST(sum(CASE WHEN doc = first_doc THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_novel"
+        "  FROM g JOIN o USING (gram) GROUP BY doc)"
+        " SELECT doc_id, n_grams, n_novel,"
+        " round(n_novel * 1.0 / n_grams + 1e-9, 6) AS novelty"
+        " FROM per ORDER BY doc_id"
+    ),
+    "minhash_band_stats": (
+        # reuses the portable-MinHash chain's `bands` CTE (unreferenced
+        # tail CTEs are never evaluated); occupancy histogram on top
+        "WITH " + _minhash_pairs_cte(0.4)
+        + ", bk AS (SELECT band_idx, band_key, count(*) AS occupancy"
+        "  FROM bands GROUP BY 1, 2)"
+        " SELECT CAST(band_idx AS INT) AS band_idx, occupancy,"
+        " count(*) AS n_buckets,"
+        " CAST(sum(occupancy * (occupancy - 1) // 2) AS BIGINT)"
+        "  AS candidate_pairs"
+        " FROM bk GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
     "fingerprints": (
         "SELECT doc_id,"
         " sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,"

@@ -609,7 +609,22 @@ def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
+def q_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-shard balance audit of lineitem's join key (32 portable
+    md5 shards): per-shard rows, share, and skew vs the balanced
+    expectation — predicts the straggler task before the 100 TB
+    shuffle runs. One aggregate + a bounded 32-row share window."""
+    from flink_elasticsearch_ingestion_spark.operators.skew import (
+        shard_skew_report,
+    )
+
+    return shard_skew_report(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", n_shards=32
+    )
+
+
 QUERIES = {
+    "shard_skew_report": q_shard_skew_report,
     "dormant_rich_customers": q_dormant_rich_customers,
     "interval_overlap": q_interval_overlap,
     "user_event_sets": q_user_event_sets,
@@ -687,6 +702,16 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "shard_skew_report": (
+        "WITH s AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),"
+        " 1, 8))::BIGINT % 32 AS shard FROM lineitem),"
+        " per AS (SELECT CAST(shard AS INT) AS shard, count(*) AS n_rows"
+        "  FROM s GROUP BY 1)"
+        " SELECT shard, n_rows,"
+        " round(n_rows * 1.0 / sum(n_rows) OVER () + 1e-9, 6) AS share,"
+        " round(n_rows * 32.0 / sum(n_rows) OVER () + 1e-9, 4) AS skew"
+        " FROM per ORDER BY shard"
+    ),
     "dormant_rich_customers": (
         "WITH avg_pos AS (SELECT avg(c_acctbal) AS avg_bal FROM customer"
         "  WHERE c_acctbal > 0)"

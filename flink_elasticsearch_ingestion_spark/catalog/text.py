@@ -586,9 +586,61 @@ def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution —
+    one-number concentration KPI; built on vocab_with_ids' two-phase
+    global rank (no single-partition window), ONE vocab-sized
+    aggregate, integer until the final division."""
+    from flink_elasticsearch_ingestion_spark.operators.text import token_gini
+
+    return token_gini(_t(spark, sf_dir, "documents"))
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (labeled lang vs the stopword-vote
+    guess): the eval that locates WHERE the heuristic fails before it
+    routes documents to per-language pipelines. One aggregate over
+    language_id's projection + a bounded |langs|-axis share window."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        langid_confusion,
+    )
+
+    return langid_confusion(_t(spark, sf_dir, "documents"))
+
+
+def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution KL divergence vs the corpus over
+    the top-200 vocab (add-one smoothed) — the mixing-drift diagnostic.
+    One token explode + (source, token) agg; vocab is a broadcast
+    post-limit frame; the source x vocab completion grid is the
+    bounded label-dimension cross-expansion (chi2_terms class)."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        source_kl_drift,
+    )
+
+    return source_kl_drift(_t(spark, sf_dir, "documents"), vocab_k=200)
+
+
+def q_doc_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration by length decile (mean score + keep
+    rate per band): catches a quality filter that is secretly a length
+    filter. Breakpoints via ONE exact 1-row percentile aggregate
+    broadcast map-side (the rfm_segments discipline — no global ntile
+    window); the 1-row broadcast is the allowlisted scalar BNLJ."""
+    from flink_elasticsearch_ingestion_spark.operators.quality import (
+        doc_length_calibration,
+    )
+
+    return doc_length_calibration(_t(spark, sf_dir, "documents"))
+
+
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
+    "token_gini": q_token_gini,
+    "langid_confusion": q_langid_confusion,
+    "source_kl_drift": q_source_kl_drift,
+    "doc_length_calibration": q_doc_length_calibration,
     "quality_threshold_sweep": q_quality_threshold_sweep,
     "corpus_datasheet": q_corpus_datasheet,
     "text_stats": q_text_stats,
@@ -655,6 +707,89 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "token_gini": (
+        # same tokenization as vocab_with_ids (lower + \s+ split, drop
+        # empties); rank DESC by (cnt, token) = token_id; formula kept
+        # in doubles with the identical operation order as the engine
+        "WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)),"
+        " '\\s+')) AS token FROM documents),"
+        " c AS (SELECT token, count(*) AS cnt FROM toks"
+        "  WHERE length(token) > 0 GROUP BY token),"
+        " r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token)"
+        "  AS token_id FROM c),"
+        " a AS (SELECT CAST(count(*) AS BIGINT) AS v,"
+        "  CAST(sum(cnt) AS BIGINT) AS t,"
+        "  CAST(sum(token_id * cnt) AS BIGINT) AS s_desc FROM r)"
+        " SELECT v AS distinct_tokens, t AS total_tokens,"
+        " round(2.0 * ((v + 1) * t - s_desc) / (v * t)"
+        "  - (v + 1.0) / v + 1e-9, 6) AS gini FROM a"
+    ),
+    "langid_confusion": (
+        "WITH toks AS (SELECT doc_id, lang,"
+        "  string_split_regex(trim(text), '\\s+') AS t FROM documents),"
+        " hits AS (SELECT doc_id, lang,"
+        "  len(list_filter(t, x -> lower(x) IN ('der','die','das','und','ist'))) AS hits_de,"
+        "  len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to'))) AS hits_en,"
+        "  len(list_filter(t, x -> lower(x) IN ('le','la','de','et','est'))) AS hits_fr"
+        "  FROM toks),"
+        " pred AS (SELECT lang,"
+        "  CASE WHEN greatest(hits_de, hits_en, hits_fr) <= 0 THEN 'und'"
+        "   WHEN hits_de = greatest(hits_de, hits_en, hits_fr) THEN 'de'"
+        "   WHEN hits_en = greatest(hits_de, hits_en, hits_fr) THEN 'en'"
+        "   ELSE 'fr' END AS lang_guess FROM hits),"
+        " g AS (SELECT lang, lang_guess, count(*) AS n_docs"
+        "  FROM pred GROUP BY 1, 2)"
+        " SELECT lang, lang_guess, n_docs,"
+        " round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang)"
+        "  + 1e-9, 6) AS share,"
+        " lang = lang_guess AS correct"
+        " FROM g ORDER BY lang, lang_guess"
+    ),
+    "source_kl_drift": (
+        "WITH f AS (SELECT source, unnest(string_split_regex(trim(text),"
+        " '\\s+')) AS token FROM documents),"
+        " ff AS (SELECT source, token FROM f WHERE length(token) > 0),"
+        " vocab AS (SELECT token, count(*) AS corpus_cnt FROM ff"
+        "  GROUP BY token ORDER BY corpus_cnt DESC, token LIMIT 200),"
+        " qv AS (SELECT token, corpus_cnt,"
+        "  (corpus_cnt + 1) / (sum(corpus_cnt) OVER () + 200) AS qq"
+        "  FROM vocab),"
+        " st AS (SELECT source, ff.token, count(*) AS cnt FROM ff"
+        "  JOIN vocab USING (token) GROUP BY 1, 2),"
+        " grid AS (SELECT s.source, qv.token, qv.qq,"
+        "  coalesce(st.cnt, 0) AS cnt"
+        "  FROM (SELECT DISTINCT source FROM st) s CROSS JOIN qv"
+        "  LEFT JOIN st ON st.source = s.source AND st.token = qv.token),"
+        " p AS (SELECT source, qq, cnt,"
+        "  (cnt + 1) / (sum(cnt) OVER (PARTITION BY source) + 200) AS pp"
+        "  FROM grid)"
+        " SELECT source,"
+        " round(sum(pp * (ln(pp) - ln(qq))) + 1e-9, 6) AS kl_divergence,"
+        " CAST(sum(cnt) AS BIGINT) AS vocab_tokens"
+        " FROM p GROUP BY source ORDER BY source"
+    ),
+    "doc_length_calibration": (
+        "WITH scored AS (SELECT n_chars, round("
+        "  (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)"
+        "  + (CASE WHEN len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
+        "      / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END)"
+        "  + (CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        "      t -> lower(t) IN ('the','a','of','and','to')))"
+        "      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) > 0.01"
+        "      THEN 0.3 ELSE 0.0 END), 2) AS q"
+        " FROM documents),"
+        " b AS (SELECT quantile_disc(n_chars,"
+        "  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS lb FROM scored),"
+        " banded AS (SELECT q, n_chars,"
+        "  CAST(1 + len(list_filter(b.lb, x -> n_chars > x)) AS INT)"
+        "   AS length_band FROM scored CROSS JOIN b)"
+        " SELECT length_band, count(*) AS n_docs,"
+        " min(n_chars) AS min_chars, max(n_chars) AS max_chars,"
+        " round(round(sum(q), 2) / count(*) + 1e-9, 4) AS avg_quality,"
+        " round(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) * 1.0 / count(*)"
+        "  + 1e-9, 6) AS keep_rate"
+        " FROM banded GROUP BY 1 ORDER BY 1"
+    ),
     "quality_threshold_sweep": (
         "WITH scored AS (SELECT"
         "  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,"

@@ -2227,3 +2227,148 @@ def sorted_neighborhood_pairs(
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_saturation(
+    documents: DataFrame,
+    *,
+    batch_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup saturation curve: ingest the corpus in ``id``-ordered
+    batches and report, per batch, how many documents were NEW content
+    (first occurrence of their normalized content hash) plus the
+    cumulative unique share — the curve a crawl operator watches to
+    decide when a source is mined out (new-content yield decays as a
+    source saturates).
+
+    Scale shape: one content-hash aggregate (``min(id)`` per hash — the
+    same normalized-sha256 family as ``dedup_by_content``), a map-side
+    first-occurrence flag, a bounded batch-axis aggregate, then running
+    sums over the bounded batch axis only."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    hashed = documents.select(
+        F.col(id_col).alias("doc"), F.sha2(normalized, 256).alias("h")
+    )
+    first = hashed.groupBy("h").agg(F.min("doc").alias("first_doc"))
+    flagged = hashed.join(first, "h").select(
+        (F.col("doc") / batch_size).cast("int").alias("batch"),
+        F.when(F.col("doc") == F.col("first_doc"), 1).otherwise(0).alias("is_new"),
+    )
+    per = flagged.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "batch",
+        "n_docs",
+        "n_new",
+        F.round(F.col("n_new") / F.col("n_docs") + 1e-9, 6).alias("new_rate"),
+        F.round(
+            F.sum("n_new").over(w) / F.sum("n_docs").over(w) + 1e-9, 6
+        ).alias("cum_unique_share"),
+    ).orderBy("batch")
+
+
+def ngram_novelty(
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-occurrence n-gram novelty per document: the share of a
+    doc's distinct word ``n``-grams that appear in NO earlier document
+    (by ``id`` order) — the marginal-novelty curve of a growing corpus,
+    and the ordered complement of ``window_novelty`` (which asks
+    "shared with ANYONE", not "seen BEFORE").
+
+    Scale shape: explode distinct n-grams (map-side), ONE hash
+    aggregate keyed by n-gram computing ``min(doc_id)`` (the n-gram
+    dictionary with first-owner attribution), re-join to the exploded
+    frame on the same key (exchange reuse), one per-doc aggregate."""
+    w = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " "
+    )
+    docs = documents.select(F.col(id_col).alias("doc"), w.alias("w"))
+    grams = docs.select(
+        "doc",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size("w") - (n - 1), F.lit(1)),
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+    owner = grams.groupBy("gram").agg(F.min("doc").alias("first_doc"))
+    return (
+        grams.join(owner, "gram")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc") == F.col("first_doc"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_grams") + 1e-9, 6),
+        )
+        .orderBy(id_col)
+    )
+
+
+def minhash_band_stats(
+    documents: DataFrame,
+    *,
+    word_k: int | None = 3,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """LSH band-bucket occupancy histogram — the observability number
+    behind every MinHash dedup run: per band, how many buckets hold
+    exactly ``occupancy`` docs and how many candidate pairs
+    (occ*(occ-1)/2 each) they emit. Reading it tells you whether
+    band_cap will truncate, whether a band's hash family degenerated,
+    and what the candidate-pair budget of the real dedup join will be
+    BEFORE paying for it — same signatures, same ``_banded`` keys, no
+    pair join.
+
+    Scale shape: signature map stage, band explode, one (band, key)
+    aggregate, one bounded (band, occupancy) aggregate."""
+    sigs = minhash_signature_table(
+        documents,
+        word_k=word_k,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        id_col=id_col,
+        text_col=text_col,
+        portable=portable,
+    ).select("doc_id", "sig")
+    banded = _banded(
+        sigs, num_hashes=num_hashes, bands=bands, portable=portable
+    )
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("occupancy")
+    )
+    return (
+        buckets.groupBy("band_idx", "occupancy")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                F.col("occupancy") * (F.col("occupancy") - 1) / 2
+            ).cast("bigint").alias("candidate_pairs"),
+        )
+        .orderBy("band_idx", "occupancy")
+    )

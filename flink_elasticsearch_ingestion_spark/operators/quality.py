@@ -1210,3 +1210,69 @@ def spearman_gate_correlation(
         "n_joint",
         F.round(F.try_divide(num, den) + F.lit(1e-9), 6).alias("spearman"),
     ).orderBy(group_col)
+
+
+def doc_length_calibration(
+    documents: DataFrame,
+    *,
+    n_bands: int = 10,
+    pass_threshold: float = 0.7,
+) -> DataFrame:
+    """Quality-score calibration against document length: bucket the
+    corpus into length-decile bands and report each band's mean
+    quality score and keep rate — the diagnostic that catches a filter
+    that is secretly a length filter (keep rate should vary smoothly,
+    not step at a band boundary).
+
+    Scale shape (the ``rfm_segments`` discipline — NO global ntile
+    window): decile breakpoints come from ONE exact 1-row
+    ``percentile_approx`` aggregate (accuracy=max => quantile_disc
+    semantics) broadcast everywhere; band assignment is a map-side
+    comparison count; the summary is one bounded aggregate. The 1-row
+    breakpoint broadcast is the allowlisted scalar-subquery BNLJ."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        quality_scores,
+    )
+
+    exact = 2147483647
+    qs = [i / n_bands for i in range(1, n_bands)]
+    scored = quality_scores(documents)
+    breaks = scored.agg(
+        F.percentile_approx("n_chars", qs, exact).alias("lb")
+    )  # 1 row
+    with_band = scored.crossJoin(F.broadcast(breaks)).withColumn(
+        "length_band",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("lb"),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("n_chars") > b, 1).otherwise(0),
+            )
+        ).cast("int"),
+    )
+    return (
+        with_band.groupBy("length_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(
+                F.round(F.sum("quality_score"), 2) / F.count(F.lit(1))
+                + 1e-9,
+                4,
+            ).alias("avg_quality"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("quality_score") >= pass_threshold, 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1))
+                + 1e-9,
+                6,
+            ).alias("keep_rate"),
+        )
+        .orderBy("length_band")
+    )

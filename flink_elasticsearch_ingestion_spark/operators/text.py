@@ -2879,3 +2879,136 @@ def rrf_fusion(
         .orderBy(F.col("rrf").desc(), id_col)
         .limit(k)
     )
+
+
+def token_gini(documents: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution —
+    the one-number concentration KPI next to ``token_entropy`` (0 =
+    every type equally frequent, ->1 = a few types dominate). Corpus
+    curation watches it drift when a boilerplate-heavy source joins
+    the mix.
+
+    Computed from the frequency-ranked vocabulary ``vocab_with_ids``
+    already builds (two-phase global rank — NO single-partition
+    window): with ``token_id`` = 1..V ordered by count DESC, the
+    ascending-rank index is ``i = V - token_id + 1`` and
+
+        G = 2 * sum(i * c_i) / (V * T)  -  (V + 1) / V
+
+    Within a tie group (equal counts) sum(i * c_i) is invariant under
+    permutation, so the DESC-rank reversal is exact. Everything stays
+    integer until the final division — one aggregate over the
+    vocabulary-sized frame, bit-stable on any engine."""
+    v = vocab_with_ids(documents, text_col=text_col)
+    agg = v.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cnt").alias("t"),
+        F.sum(F.col("token_id").cast("long") * F.col("cnt")).alias("s_desc"),
+    )
+    # sum(i*c) with ascending i = (V+1)*T - sum(token_id*c)
+    s_asc = (F.col("v") + 1) * F.col("t") - F.col("s_desc")
+    gini = (
+        F.lit(2.0) * s_asc / (F.col("v") * F.col("t"))
+        - (F.col("v") + F.lit(1.0)) / F.col("v")
+    )
+    return agg.select(
+        F.col("v").cast("bigint").alias("distinct_tokens"),
+        F.col("t").cast("bigint").alias("total_tokens"),
+        F.round(gini + 1e-9, 6).alias("gini"),
+    )
+
+
+def langid_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID confusion matrix: labeled ``lang`` vs the stopword
+    vote ``language_id`` predicts — the eval that tells you WHERE the
+    heuristic fails (which true language leaks into which guess)
+    before it routes documents to per-language pipelines. One extra
+    aggregate over ``language_id``'s projection; share is within the
+    true-language row (bounded |langs| axis window)."""
+    from pyspark.sql import Window as Wnd
+
+    pred = language_id(documents).groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_lang = Wnd.partitionBy("lang")
+    return pred.select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(per_lang) + 1e-9, 6
+        ).alias("share"),
+        (F.col("lang") == F.col("lang_guess")).alias("correct"),
+    ).orderBy("lang", "lang_guess")
+
+
+def source_kl_drift(
+    documents: DataFrame,
+    *,
+    vocab_k: int = 200,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token-distribution drift: KL(source || corpus) over
+    the corpus' top-``vocab_k`` token types, add-one smoothed — the
+    mixing diagnostic that flags an ingested dataset whose language
+    shifted away from the blend (tokenizer fertility and filter
+    calibrations silently degrade downstream).
+
+    Scale shape: one token explode -> (source, token) hash aggregate;
+    the reference vocabulary is a TakeOrdered ``vocab_k``-row frame
+    broadcast back; per-source normalization windows partition on the
+    bounded (source) axis over <= vocab_k rows. KL sums ~vocab_k ln
+    terms then rounds to 6dp, far above cross-libm ulp noise."""
+    from pyspark.sql import Window as Wnd
+
+    toks = documents.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).filter(F.length("token") > 0)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("corpus_cnt"))
+        .orderBy(F.col("corpus_cnt").desc(), "token")
+        .limit(vocab_k)
+    )
+    # corpus q over the vocab, add-one smoothed; the normalizer is a
+    # window over the post-limit vocab_k-row frame (bounded by
+    # construction, the shape the window audit passes structurally) —
+    # computed BEFORE the source grid so it normalizes over the vocab,
+    # not vocab x sources
+    q_norm = F.sum("corpus_cnt").over(
+        Wnd.partitionBy(F.lit(1)).rowsBetween(
+            Wnd.unboundedPreceding, Wnd.unboundedFollowing
+        )
+    )
+    vocab = vocab.withColumn(
+        "__q", (F.col("corpus_cnt") + 1) / (q_norm + F.lit(vocab_k))
+    )
+    st = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # complete the (source x vocab) grid so absent tokens still carry
+    # their smoothed mass (otherwise KL silently drops terms)
+    grid = (
+        st.select("source").distinct().crossJoin(F.broadcast(vocab))
+    )
+    full = grid.join(st, ["source", "token"], "left").fillna(
+        {"cnt": 0}
+    )
+    w_src = Wnd.partitionBy("source")
+    p = (F.col("cnt") + 1) / (F.sum("cnt").over(w_src) + F.lit(vocab_k))
+    q = F.col("__q")
+    terms = full.select(
+        "source", (p * (F.log(p) - F.log(q))).alias("term"), F.col("cnt")
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.round(F.sum("term") + 1e-9, 6).alias("kl_divergence"),
+            F.sum("cnt").cast("bigint").alias("vocab_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -128,6 +128,12 @@ SCALAR_JOIN_OK = {
     "growth_accounting",
     "rolling_wau",
     "bm25_search",
+    # |sources| x top-200-vocab completion grid: bounded
+    # label-dimension cross-expansion (chi2_terms class)
+    "source_kl_drift",
+    # 1-row decile-breakpoint row broadcast onto the doc frame — same
+    # class as rfm_segments / quantile_normalize
+    "doc_length_calibration",
     # both BNLJs are the 1-row ``d0 = min(day)`` scalar broadcast
     # (operators/windows.py theil_sen_trend), re-executed once per side
     # of the time-axis block join; the pair join itself is a

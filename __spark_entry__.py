@@ -48,17 +48,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest r4 entries in CORRECTNESS_r04 order.
 _WINDOW_PRIORITY = [
     # round-9 additions, never driver-checked:
-    "mutual_matches_agg",
     "centered_mutual_matches",
     "recall_vs_bucket_cap",
     "string_id_knn",
     "saturating_dedup_rate",
     "minhash_band_stats",
-    "reservoir_sample",
-    "stable_segment_ids",
-    "group_quantile_bands",
+    "event_sessions",
     "doc_length_calibration",
-    "poll_latency_profile",
+    "ngram_novelty",
+    "token_gini",
+    "langid_confusion",
+    "source_kl_drift",
     "shard_skew_report",
     # r2 re-checks (CORRECTNESS_r02 order): displaced past round 8's
     # 50-entry boundary by the round-8 additions:

@@ -496,7 +496,93 @@ def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
+def q_string_id_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_join_lsh over STRING document ids on the Arrow bucket path —
+    the id-type parity the round-9 `_arrow_banded` fix guarantees (the
+    mapInPandas schema now derives the id field from the input type
+    instead of hardcoding long). Rank ties break on the string id,
+    identically in the SQL oracle's collation (ASCII codepoints)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("doc_"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+        F.col("vec_id").alias("num_id"),
+    )
+    out = S.knn_join_lsh(
+        emb.filter(F.col("num_id") < 5).drop("num_id"),
+        emb.drop("num_id"),
+        k=4,
+        bits=4,
+        tables=8,
+        arrow=True,
+    )
+    return out
+
+
+def q_centered_mutual_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best match over ALL-POSITIVE [0,1]^8 sha-stub media
+    features with bucket_shift=0.5 on the SHARED candidate stage — the
+    round-9 closure of the LSH centering gap (round 7's 40x
+    bucket-collapse class): the shift recenters the sign projection
+    (the exact-cosine verify still scores the original features), and
+    the oracle replays the shifted planes bit-for-bit. Arrow bucket
+    path (BLAS matmul with the same shift)."""
+    from flink_elasticsearch_ingestion_spark.catalog import multimodal as MM
+
+    feats = MM.M.sha_features_expr(
+        MM.M.documents_as_media(_t(spark, sf_dir, "documents"))
+    ).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    return S.mutual_best_match(
+        feats.filter(F.col("vec_id") % 2 == 0),
+        feats.filter(F.col("vec_id") % 2 == 1),
+        bits=4,
+        tables=4,
+        bucket_shift=0.5,
+        arrow=True,
+    )
+
+
+def q_recall_vs_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket_cap recall account (VERDICT r8 #7): run the SAME
+    sign-LSH near-dup join capped (bucket_cap=8, deliberately
+    truncating at oracle scale) and uncapped, and report the measured
+    pair — pairs kept, pairs lost, recall — so the cap's recall trade
+    is ONE query's output instead of a warning counter and a separate
+    run. Capped candidates are a strict subset, so recall is exact
+    from a left join. Runs the candidate stage twice by design (the
+    comparison IS the product); both runs are bucket-bounded."""
+    import warnings as _w
+
+    emb = _t(spark, sf_dir, "embeddings")
+    kw = dict(threshold=0.4, bits=4, tables=8)
+    unc = S.embedding_near_duplicates(emb, **kw).select("vec_a", "vec_b")
+    with _w.catch_warnings():
+        # the cap is SUPPOSED to truncate here; the warning is the
+        # runtime signal, this query is the measured account of it
+        _w.simplefilter("ignore", UserWarning)
+        cap = (
+            S.embedding_near_duplicates(emb, bucket_cap=8, **kw)
+            .select("vec_a", "vec_b")
+            .withColumn("hit", F.lit(1))
+        )
+    return unc.join(cap, ["vec_a", "vec_b"], "left").agg(
+        F.count(F.lit(1)).alias("pairs_uncapped"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("pairs_capped"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+            + 1e-9,
+            6,
+        ).alias("recall"),
+    )
+
+
 QUERIES = {
+    "string_id_knn": q_string_id_knn,
+    "centered_mutual_matches": q_centered_mutual_matches,
+    "recall_vs_bucket_cap": q_recall_vs_bucket_cap,
     "cosine_topk": q_cosine_topk,
     "pandas_cosine_topk": q_pandas_cosine_topk,
     "knn_join": q_knn_join,
@@ -538,7 +624,104 @@ QUERIES = {
 }
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
+#: sha-stub media feature vector SQL (identical to the multimodal
+#: family's oracles — 8 hex pairs of sha256(text) scaled to [0,1])
+_SHA_VECS = (
+    "vecs AS (SELECT doc_id AS vec_id, ["
+    + ", ".join(
+        f"('0x' || substr(sha256(text), {1 + 2 * i}, 2))::INT / 255.0"
+        for i in range(8)
+    )
+    + "]::DOUBLE[] AS v FROM documents)"
+)
+
 ORACLES = {
+    "string_id_knn": (
+        "WITH planes AS (SELECT * FROM (VALUES "
+        + _plane_values(4, [42 + t for t in range(8)])
+        + ") AS t(tbl, i, p)),"
+        " vecs AS (SELECT vec_id, 'doc_' || CAST(vec_id AS VARCHAR) AS sid,"
+        "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        " buckets AS (SELECT vec_id, sid, v, tbl, CAST(sum(CASE WHEN"
+        "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+        "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes"
+        "   GROUP BY vec_id, sid, v, tbl),"
+        " cand AS (SELECT DISTINCT q.sid AS query_id, c.sid AS neighbor_id"
+        "   FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket"
+        "   AND q.sid <> c.sid WHERE q.vec_id < 5),"
+        " scored AS (SELECT query_id, neighbor_id,"
+        "   round(list_dot_product(a.v, b.v) /"
+        "     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),"
+        "     6) AS cosine"
+        "   FROM cand JOIN vecs a ON a.sid = cand.query_id"
+        "   JOIN vecs b ON b.sid = cand.neighbor_id),"
+        " ranked AS (SELECT query_id, neighbor_id, cosine, CAST(row_number()"
+        "   OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)"
+        "   AS INT) AS rank FROM scored)"
+        " SELECT query_id, neighbor_id, cosine, rank FROM ranked"
+        " WHERE rank <= 4 ORDER BY query_id, rank"
+    ),
+    "centered_mutual_matches": (
+        "WITH planes AS (SELECT * FROM (VALUES "
+        + _plane_values(4, [42 + t for t in range(4)], dim=8)
+        + ") AS t(tbl, i, p)), "
+        + _SHA_VECS
+        + ","
+        " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
+        "   list_dot_product(list_transform(v, x -> x - 0.5), p) >= 0"
+        "   THEN (1::BIGINT << i) ELSE 0 END)"
+        "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
+        " cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb"
+        "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket"
+        "   WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),"
+        " scored AS (SELECT va, vb,"
+        "   round(list_dot_product(a.v, b.v) /"
+        "     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),"
+        "     6) AS cosine"
+        "   FROM cand JOIN vecs a ON a.vec_id = cand.va"
+        "   JOIN vecs b ON b.vec_id = cand.vb),"
+        " ranked AS (SELECT va, vb, cosine,"
+        "   row_number() OVER (PARTITION BY va ORDER BY cosine DESC, vb) AS rl,"
+        "   row_number() OVER (PARTITION BY vb ORDER BY cosine DESC, va) AS rr"
+        "   FROM scored)"
+        " SELECT va AS vec_a, vb AS vec_b, cosine FROM ranked"
+        " WHERE rl = 1 AND rr = 1 ORDER BY vec_a"
+    ),
+    "recall_vs_bucket_cap": (
+        "WITH planes AS (SELECT * FROM (VALUES "
+        + _plane_values(4, [42 + t for t in range(8)])
+        + ") AS t(tbl, i, p)),"
+        " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
+        "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+        "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
+        " cand_u AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
+        "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl"
+        "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"
+        " ver_u AS (SELECT vec_a, vec_b"
+        "   FROM cand_u JOIN vecs va ON va.vec_id = cand_u.vec_a"
+        "   JOIN vecs vb ON vb.vec_id = cand_u.vec_b"
+        "   WHERE round(list_dot_product(va.v, vb.v) /"
+        "     (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),"
+        "     6) >= 0.4),"
+        " kept AS (SELECT vec_id, tbl, bucket FROM ("
+        "   SELECT vec_id, tbl, bucket, row_number() OVER"
+        "    (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn FROM buckets)"
+        "   WHERE rn <= 8),"
+        " cand_c AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
+        "   FROM kept a JOIN kept b ON a.tbl = b.tbl"
+        "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"
+        " ver_c AS (SELECT vec_a, vec_b, 1 AS hit"
+        "   FROM cand_c JOIN vecs va ON va.vec_id = cand_c.vec_a"
+        "   JOIN vecs vb ON vb.vec_id = cand_c.vec_b"
+        "   WHERE round(list_dot_product(va.v, vb.v) /"
+        "     (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),"
+        "     6) >= 0.4)"
+        " SELECT CAST(count(*) AS BIGINT) AS pairs_uncapped,"
+        " CAST(sum(coalesce(hit, 0)) AS BIGINT) AS pairs_capped,"
+        " round(sum(coalesce(hit, 0)) * 1.0 / count(*) + 1e-9, 6) AS recall"
+        " FROM ver_u LEFT JOIN ver_c USING (vec_a, vec_b)"
+    ),
     "array_functions": (
         "SELECT vec_id, len(embedding) AS n_dims,"
         " round(CAST(embedding AS DOUBLE[])[1], 6) AS first_val,"

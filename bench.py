@@ -270,6 +270,19 @@ EXTENDED = [
     "theil_sen_trend",
     "margin_matches",
     "spearman_scores",
+    # round-9 additions
+    "centered_mutual_matches",
+    "recall_vs_bucket_cap",
+    "string_id_knn",
+    "saturating_dedup_rate",
+    "minhash_band_stats",
+    "event_sessions",
+    "doc_length_calibration",
+    "ngram_novelty",
+    "token_gini",
+    "langid_confusion",
+    "source_kl_drift",
+    "shard_skew_report",
 ]
 
 

@@ -752,8 +752,8 @@ ORACLES = {
         " vocab AS (SELECT token, count(*) AS corpus_cnt FROM ff"
         "  GROUP BY token ORDER BY corpus_cnt DESC, token LIMIT 200),"
         " qv AS (SELECT token, corpus_cnt,"
-        "  (corpus_cnt + 1) / (sum(corpus_cnt) OVER () + 200) AS qq"
-        "  FROM vocab),"
+        "  (corpus_cnt + 1) / (sum(corpus_cnt) OVER () + count(*) OVER ())"
+        "   AS qq FROM vocab),"
         " st AS (SELECT source, ff.token, count(*) AS cnt FROM ff"
         "  JOIN vocab USING (token) GROUP BY 1, 2),"
         " grid AS (SELECT s.source, qv.token, qv.qq,"
@@ -761,7 +761,8 @@ ORACLES = {
         "  FROM (SELECT DISTINCT source FROM st) s CROSS JOIN qv"
         "  LEFT JOIN st ON st.source = s.source AND st.token = qv.token),"
         " p AS (SELECT source, qq, cnt,"
-        "  (cnt + 1) / (sum(cnt) OVER (PARTITION BY source) + 200) AS pp"
+        "  (cnt + 1) / (sum(cnt) OVER (PARTITION BY source)"
+        "   + count(*) OVER (PARTITION BY source)) AS pp"
         "  FROM grid)"
         " SELECT source,"
         " round(sum(pp * (ln(pp) - ln(qq))) + 1e-9, 6) AS kl_divergence,"

@@ -2972,18 +2972,21 @@ def source_kl_drift(
         .orderBy(F.col("corpus_cnt").desc(), "token")
         .limit(vocab_k)
     )
-    # corpus q over the vocab, add-one smoothed; the normalizer is a
-    # window over the post-limit vocab_k-row frame (bounded by
-    # construction, the shape the window audit passes structurally) —
-    # computed BEFORE the source grid so it normalizes over the vocab,
-    # not vocab x sources
-    q_norm = F.sum("corpus_cnt").over(
-        Wnd.partitionBy(F.lit(1)).rowsBetween(
-            Wnd.unboundedPreceding, Wnd.unboundedFollowing
-        )
+    # corpus q over the vocab, add-one smoothed over the ACTUAL vocab
+    # size (a corpus with fewer than vocab_k types must still yield a
+    # normalized distribution — smoothing by vocab_k would leave
+    # sum(q) < 1 and a spurious nonzero KL on identical inputs); the
+    # normalizers are windows over the post-limit vocab_k-row frame
+    # (bounded by construction, the shape the window audit passes
+    # structurally), computed BEFORE the source grid so they normalize
+    # over the vocab, not vocab x sources
+    w_all = Wnd.partitionBy(F.lit(1)).rowsBetween(
+        Wnd.unboundedPreceding, Wnd.unboundedFollowing
     )
     vocab = vocab.withColumn(
-        "__q", (F.col("corpus_cnt") + 1) / (q_norm + F.lit(vocab_k))
+        "__q",
+        (F.col("corpus_cnt") + 1)
+        / (F.sum("corpus_cnt").over(w_all) + F.count(F.lit(1)).over(w_all)),
     )
     st = (
         toks.join(F.broadcast(vocab), "token")
@@ -2999,7 +3002,11 @@ def source_kl_drift(
         {"cnt": 0}
     )
     w_src = Wnd.partitionBy("source")
-    p = (F.col("cnt") + 1) / (F.sum("cnt").over(w_src) + F.lit(vocab_k))
+    # per-source support == vocab size (the grid completes it), so the
+    # same actual-size smoothing keeps p normalized too
+    p = (F.col("cnt") + 1) / (
+        F.sum("cnt").over(w_src) + F.count(F.lit(1)).over(w_src)
+    )
     q = F.col("__q")
     terms = full.select(
         "source", (p * (F.log(p) - F.log(q))).alias("term"), F.col("cnt")

@@ -952,6 +952,16 @@ def margin_best_match(
         + F.lit(1e-9),
         4,
     )
+    # Forward best-by-margin stays a rank WINDOW deliberately (round-9
+    # measured both forms at sf10): `row_number + filter rm == 1` gets
+    # Spark's WindowGroupLimit pushdown — a per-partition partial TOP-1
+    # over primitive columns before the shuffle — while the
+    # min(struct(-margin, ...)) argmax aggregate forces an
+    # ObjectHashAggregate (struct buffer) that measured 45s -> 123s on
+    # the 60M-row ladder (exp 1.09 -> 1.64). mutual_best_match keeps
+    # its argmax rewrite because its OLD form chained two
+    # different-key rank windows on the same frame with no group-limit
+    # pushdown (exp 1.15 -> 0.99 the other way).
     wm = Window.partitionBy("query_id").orderBy(
         F.col("margin").desc(), F.col("neighbor_id")
     )

@@ -52,6 +52,14 @@ PANEL = [
     "bootstrap_ci",
     "join_size_estimate",
     "training_data_pipeline",
+    # round-9 additions with a candidate/explode term worth watching:
+    "mutual_matches",
+    "margin_matches",
+    "ngram_novelty",
+    "minhash_band_stats",
+    "saturating_dedup_rate",
+    "source_kl_drift",
+    "event_sessions",
 ]
 
 

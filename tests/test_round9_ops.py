@@ -240,3 +240,25 @@ def test_mutual_best_match_plan_has_no_sort_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_margin_best_match_windows_get_group_limit_pushdown(spark, sf_dir):
+    """margin_best_match keeps its rank windows DELIBERATELY (the
+    argmax-aggregate form measured 2.7x slower at sf10 — ObjectHash
+    aggregate on a struct buffer vs WindowGroupLimit partial top-k);
+    this pins the load-bearing property: every rank window in the plan
+    carries the WindowGroupLimit pushdown, so per-partition partial
+    top-k runs before the shuffle."""
+    from flink_elasticsearch_ingestion_spark.plans import physical_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.margin_best_match(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        bits=4,
+        tables=8,
+    )
+    plan = physical_plan(df)
+    window_nodes = [ln for ln in plan.splitlines() if "+- Window [" in ln]
+    assert len(window_nodes) == 3, window_nodes  # rl, rr, rm
+    assert "WindowGroupLimit" in plan

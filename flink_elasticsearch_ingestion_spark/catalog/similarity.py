@@ -544,38 +544,19 @@ def q_centered_mutual_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_recall_vs_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The bucket_cap recall account (VERDICT r8 #7): run the SAME
-    sign-LSH near-dup join capped (bucket_cap=8, deliberately
-    truncating at oracle scale) and uncapped, and report the measured
-    pair — pairs kept, pairs lost, recall — so the cap's recall trade
-    is ONE query's output instead of a warning counter and a separate
-    run. Capped candidates are a strict subset, so recall is exact
-    from a left join. Runs the candidate stage twice by design (the
-    comparison IS the product); both runs are bucket-bounded."""
-    import warnings as _w
-
-    emb = _t(spark, sf_dir, "embeddings")
-    kw = dict(threshold=0.4, bits=4, tables=8)
-    unc = S.embedding_near_duplicates(emb, **kw).select("vec_a", "vec_b")
-    with _w.catch_warnings():
-        # the cap is SUPPOSED to truncate here; the warning is the
-        # runtime signal, this query is the measured account of it
-        _w.simplefilter("ignore", UserWarning)
-        cap = (
-            S.embedding_near_duplicates(emb, bucket_cap=8, **kw)
-            .select("vec_a", "vec_b")
-            .withColumn("hit", F.lit(1))
-        )
-    return unc.join(cap, ["vec_a", "vec_b"], "left").agg(
-        F.count(F.lit(1)).alias("pairs_uncapped"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-        .cast("bigint")
-        .alias("pairs_capped"),
-        F.round(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
-            + 1e-9,
-            6,
-        ).alias("recall"),
+    """The bucket_cap recall account (VERDICT r8 #7): verified near-dup
+    pairs with and without the per-bucket occupancy cap (bucket_cap=8,
+    deliberately truncating at oracle scale) plus the recall ratio —
+    the cap's recall trade as ONE query's output instead of a warning
+    counter and a separate run. Single bucket build, single cosine
+    verify: capped candidates are a strict subset of uncapped ones, so
+    capped membership is a semi-join flag, never a second LSH run."""
+    return S.bucket_cap_recall_account(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        bits=4,
+        tables=8,
+        bucket_cap=8,
     )
 
 

@@ -1555,3 +1555,100 @@ def label_disagreement_knn(
         )
         .orderBy("vec_id")
     )
+
+
+def bucket_cap_recall_account(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.4,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    bucket_cap: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The bucket_cap recall trade as ONE measured row: verified
+    near-dup pairs with and without the per-(table, bucket) occupancy
+    cap, plus the recall ratio — computed from a SINGLE bucket build
+    and a SINGLE exact-cosine verify pass (the capped candidate set is
+    a strict subset of the uncapped one, so capped membership is a
+    semi-join flag on the uncapped pair table, never a second LSH run).
+
+    Scale shape: one banded frame (persisted across its four join
+    consumers), the uncapped band self-join, a rank filter + self-join
+    for the capped candidates (same shuffle keys — AQE reuses the
+    exchange), one verify, one global aggregate."""
+    head = [
+        r[0] for r in embeddings.select(vec_col).limit(64).collect()
+        if r[0] is not None
+    ]
+    dim = len(head[0]) if head else 0
+    keyed = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    buckets = [
+        lsh_bucket_expr("vec", _hyperplanes(dim, bits, seed + t)).alias(f"b{t}")
+        for t in range(tables)
+    ]
+    banded = (
+        keyed.select("vid", *buckets)
+        .select(
+            "vid",
+            F.posexplode(
+                F.array(*[F.col(f"b{t}") for t in range(tables)])
+            ).alias("table_idx", "bucket"),
+        )
+        .persist()
+    )
+    banded.count()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand_u = (
+        a.join(
+            b,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    w = Window.partitionBy("table_idx", "bucket").orderBy("vid")
+    kept = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
+    ka, kb = kept.alias("ka"), kept.alias("kb")
+    cand_c = (
+        ka.join(
+            kb,
+            (F.col("ka.table_idx") == F.col("kb.table_idx"))
+            & (F.col("ka.bucket") == F.col("kb.bucket"))
+            & (F.col("ka.vid") < F.col("kb.vid")),
+        )
+        .select(F.col("ka.vid").alias("vec_a"), F.col("kb.vid").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("hit", F.lit(1))
+    )
+    va = keyed.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va"))
+    vb = keyed.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb"))
+    verified = (
+        cand_u.join(cand_c, ["vec_a", "vec_b"], "left")
+        .join(va, "vec_a")
+        .join(vb, "vec_b")
+        .filter(
+            F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold)
+        )
+    )
+    return verified.agg(
+        F.count(F.lit(1)).alias("pairs_uncapped"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("pairs_capped"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+            + 1e-9,
+            6,
+        ).alias("recall"),
+    )

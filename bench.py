@@ -276,7 +276,7 @@ EXTENDED = [
     "string_id_knn",
     "saturating_dedup_rate",
     "minhash_band_stats",
-    "event_sessions",
+    "token_coverage_curve",
     "doc_length_calibration",
     "ngram_novelty",
     "token_gini",

@@ -634,9 +634,22 @@ def q_doc_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_length_calibration(_t(spark, sf_dir, "documents"))
 
 
+def q_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-mass coverage at candidate vocab sizes (5 ..
+    5000; the small sizes keep the curve populated at tiny fixtures) — the vocab-sizing curve between oov_rate (one fixed vocab)
+    and token_gini (one number). Two-phase global frequency rank +
+    vocab-axis running sum, sampled at a literal grid."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        token_coverage_curve,
+    )
+
+    return token_coverage_curve(_t(spark, sf_dir, "documents"))
+
+
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
+    "token_coverage_curve": q_token_coverage_curve,
     "token_gini": q_token_gini,
     "langid_confusion": q_langid_confusion,
     "source_kl_drift": q_source_kl_drift,
@@ -707,6 +720,26 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
+    "token_coverage_curve": (
+        # same tokenization + (cnt DESC, token) rank as vocab_with_ids
+        "WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)),"
+        " '\\s+')) AS token FROM documents),"
+        " c AS (SELECT token, count(*) AS cnt FROM toks"
+        "  WHERE length(token) > 0 GROUP BY token),"
+        " r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token)"
+        "  AS token_id FROM c),"
+        " s AS (SELECT token_id, cnt,"
+        "  sum(cnt) OVER (ORDER BY token_id ROWS UNBOUNDED PRECEDING)"
+        "   AS covered_tokens,"
+        "  sum(cnt) OVER () AS total_tokens FROM r)"
+        " SELECT CAST(token_id AS INT) AS vocab_size,"
+        " CAST(covered_tokens AS BIGINT) AS covered_tokens,"
+        " CAST(total_tokens AS BIGINT) AS total_tokens,"
+        " round(covered_tokens * 1.0 / total_tokens + 1e-9, 6) AS coverage,"
+        " CAST(cnt AS BIGINT) AS min_in_vocab_count"
+        " FROM s WHERE token_id IN (5, 10, 20, 50, 100, 500, 1000, 5000)"
+        " ORDER BY vocab_size"
+    ),
     "token_gini": (
         # same tokenization as vocab_with_ids (lower + \s+ split, drop
         # empties); rank DESC by (cnt, token) = token_id; formula kept

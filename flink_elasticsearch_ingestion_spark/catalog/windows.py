@@ -285,17 +285,9 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (30-min-gap gaps-and-islands, the batch
-    twin of session_windows with a materialized session id): every
-    window partitions by user_id, summary is one keyed aggregate."""
-    return W.event_sessions(_t(spark, sf_dir, "events"), gap_minutes=30)
-
-
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
-    "event_sessions": q_event_sessions,
     "seasonal_decompose": q_seasonal_decompose,
     "autocorrelation": q_autocorrelation,
     "theil_sen_trend": q_theil_sen_trend,
@@ -336,23 +328,6 @@ QUERIES = {
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
 ORACLES = {
-    "event_sessions": (
-        "WITH e AS (SELECT user_id, event_id, event_type,"
-        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),"
-        " l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id"
-        "  ORDER BY ts_us, event_id) AS prev FROM e),"
-        " f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >"
-        "  1800000000 THEN 1 ELSE 0 END AS is_start FROM l),"
-        " s AS (SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id"
-        "  ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS INT)"
-        "  AS session_id FROM f)"
-        " SELECT user_id, session_id, count(*) AS n_events,"
-        " count(DISTINCT event_type) AS n_event_types,"
-        " min(ts_us) AS start_us, max(ts_us) AS end_us,"
-        " CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT)"
-        "  AS duration_s"
-        " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
-    ),
     "theil_sen_trend": (
         "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
         "  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS rev"

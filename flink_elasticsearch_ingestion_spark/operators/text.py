@@ -3019,3 +3019,46 @@ def source_kl_drift(
         )
         .orderBy("source")
     )
+
+
+
+def token_coverage_curve(
+    documents: DataFrame,
+    *,
+    vocab_sizes: tuple[int, ...] = (5, 10, 20, 50, 100, 500, 1000, 5000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Cumulative corpus token coverage at candidate vocabulary sizes —
+    the vocab-sizing curve ("how large must the vocabulary be to cover
+    95% of token mass?"), the planning tool between ``oov_rate`` (one
+    fixed vocab) and ``token_gini`` (one concentration number).
+
+    Built on ``vocab_with_ids``' two-phase global frequency rank (no
+    single-partition window over the vocabulary): a running token-mass
+    sum over the ranked vocab, sampled at the literal ``vocab_sizes``
+    grid. For each size: covered tokens, coverage share, and the rarest
+    in-vocab frequency (the natural min_count cut)."""
+    v = vocab_with_ids(documents, text_col=text_col)
+    total = F.sum("cnt").over(
+        Window.partitionBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    running = F.sum("cnt").over(
+        Window.orderBy("token_id").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = v.select(
+        "token_id",
+        "cnt",
+        running.alias("covered_tokens"),
+        total.alias("total_tokens"),
+    ).filter(F.col("token_id").isin(*[int(s) for s in vocab_sizes]))
+    return curve.select(
+        F.col("token_id").cast("int").alias("vocab_size"),
+        F.col("covered_tokens").cast("bigint").alias("covered_tokens"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.col("covered_tokens") / F.col("total_tokens") + 1e-9, 6
+        ).alias("coverage"),
+        F.col("cnt").cast("bigint").alias("min_in_vocab_count"),
+    ).orderBy("vocab_size")

@@ -1367,49 +1367,3 @@ def theil_sen_trend(orders: DataFrame, *, max_span: int = 30) -> DataFrame:
     )
 
 
-def event_sessions(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
-    """Batch sessionization (gaps-and-islands on the time axis): a new
-    session starts when a user's inter-event gap exceeds
-    ``gap_minutes`` — the clickstream primitive behind funnel and
-    engagement metrics, and the batch twin of the streaming session
-    window (``session_windows``) with an explicitly materialized
-    session id.
-
-    Scale shape: every window partitions by ``user_id`` (the natural
-    key, never global); session ids are a running sum of session-start
-    flags within the user partition; the summary is one keyed
-    aggregate. Exact integer microsecond arithmetic throughout."""
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap_us = gap_minutes * 60 * 1_000_000
-    micros = events.select(
-        "user_id", "event_id", "event_type", ts_us.alias("ts_us")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    prev = F.lag("ts_us").over(w)
-    flagged = micros.withColumn(
-        "is_start",
-        F.when(
-            (F.col("ts_us") - prev).isNull()
-            | ((F.col("ts_us") - prev) > gap_us),
-            1,
-        ).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "session_id",
-        F.sum("is_start").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).cast("int"),
-    )
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("event_type").alias("n_event_types"),
-            F.min("ts_us").alias("start_us"),
-            F.max("ts_us").alias("end_us"),
-            ((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000))
-            .cast("bigint")
-            .alias("duration_s"),
-        )
-        .orderBy("user_id", "session_id")
-    )

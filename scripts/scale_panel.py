@@ -59,7 +59,7 @@ PANEL = [
     "minhash_band_stats",
     "saturating_dedup_rate",
     "source_kl_drift",
-    "event_sessions",
+    "sessionize",
 ]
 
 

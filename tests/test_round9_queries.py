@@ -61,31 +61,6 @@ def test_ngram_novelty_first_owner_attribution(spark):
     assert out[3]["novelty"] == 1.0
 
 
-def test_event_sessions_gap_splits(spark):
-    from flink_elasticsearch_ingestion_spark.operators.windows import (
-        event_sessions,
-    )
-
-    df = spark.createDataFrame(
-        [
-            (1, 10, "2024-01-01 00:00:00", "view"),
-            (2, 10, "2024-01-01 00:10:00", "click"),
-            (3, 10, "2024-01-01 01:00:00", "view"),  # 50 min gap -> new
-            (4, 20, "2024-01-01 00:00:00", "view"),
-        ],
-        "event_id long, user_id long, ts string, event_type string",
-    ).withColumn("ts", F.to_timestamp("ts"))
-    out = event_sessions(df, gap_minutes=30).collect()
-    by_user = {}
-    for r in out:
-        by_user.setdefault(r["user_id"], []).append(r)
-    assert len(by_user[10]) == 2
-    assert by_user[10][0]["n_events"] == 2
-    assert by_user[10][0]["duration_s"] == 600
-    assert by_user[10][1]["n_events"] == 1
-    assert len(by_user[20]) == 1
-
-
 def test_shard_skew_report_shares_sum_to_one(spark, sf_dir):
     from flink_elasticsearch_ingestion_spark.operators.skew import (
         shard_skew_report,
@@ -206,3 +181,19 @@ def test_recall_vs_bucket_cap_bounds(spark, sf_dir):
     row = E.queries()["recall_vs_bucket_cap"](spark, sf_dir).first()
     assert row["pairs_capped"] <= row["pairs_uncapped"]
     assert 0.0 < row["recall"] <= 1.0
+
+
+def test_token_coverage_curve_monotone(spark):
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        token_coverage_curve,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(30)) + " the the the") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_coverage_curve(df, vocab_sizes=(5, 10, 20)).collect()
+    assert [r["vocab_size"] for r in out] == [5, 10, 20]
+    covs = [r["coverage"] for r in out]
+    assert covs == sorted(covs)
+    mins = [r["min_in_vocab_count"] for r in out]
+    assert mins == sorted(mins, reverse=True)
+    assert all(0 < r["coverage"] <= 1.0 for r in out)

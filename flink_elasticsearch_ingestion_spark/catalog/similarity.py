@@ -545,18 +545,22 @@ def q_centered_mutual_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_recall_vs_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucket_cap recall account (VERDICT r8 #7): verified near-dup
-    pairs with and without the per-bucket occupancy cap (bucket_cap=8,
-    deliberately truncating at oracle scale) plus the recall ratio —
-    the cap's recall trade as ONE query's output instead of a warning
-    counter and a separate run. Single bucket build, single cosine
-    verify: capped candidates are a strict subset of uncapped ones, so
-    capped membership is a semi-join flag, never a second LSH run."""
+    pairs with the production per-bucket occupancy cap (bucket_cap=8,
+    deliberately truncating at oracle scale) vs the df-style BOUNDED
+    reference arm (reference_cap=1024, VERDICT r9 #3 — a truly
+    uncapped self-join is the degenerate-bucket blow-up the cap
+    prevents), plus the recall ratio and the reference arm's own
+    truncation counter. Single bucket build, single cosine verify:
+    capped candidates are a strict subset of reference ones, so capped
+    membership is a semi-join flag, never a second LSH run. The oracle
+    replays the shared rank bound exactly."""
     return S.bucket_cap_recall_account(
         _t(spark, sf_dir, "embeddings"),
         threshold=0.4,
         bits=4,
         tables=8,
         bucket_cap=8,
+        reference_cap=1024,
     )
 
 
@@ -676,8 +680,14 @@ ORACLES = {
         " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
         "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
         "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
+        " ranked AS (SELECT vec_id, tbl, bucket, row_number() OVER"
+        "    (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn FROM buckets),"
+        " trunc AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets_truncated"
+        "   FROM (SELECT tbl, bucket FROM ranked"
+        "         GROUP BY tbl, bucket HAVING max(rn) > 1024)),"
+        " ref AS (SELECT vec_id, tbl, bucket FROM ranked WHERE rn <= 1024),"
         " cand_u AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
-        "   FROM buckets a JOIN buckets b ON a.tbl = b.tbl"
+        "   FROM ref a JOIN ref b ON a.tbl = b.tbl"
         "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"
         " ver_u AS (SELECT vec_a, vec_b"
         "   FROM cand_u JOIN vecs va ON va.vec_id = cand_u.vec_a"
@@ -685,10 +695,7 @@ ORACLES = {
         "   WHERE round(list_dot_product(va.v, vb.v) /"
         "     (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),"
         "     6) >= 0.4),"
-        " kept AS (SELECT vec_id, tbl, bucket FROM ("
-        "   SELECT vec_id, tbl, bucket, row_number() OVER"
-        "    (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn FROM buckets)"
-        "   WHERE rn <= 8),"
+        " kept AS (SELECT vec_id, tbl, bucket FROM ranked WHERE rn <= 8),"
         " cand_c AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
         "   FROM kept a JOIN kept b ON a.tbl = b.tbl"
         "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"
@@ -700,7 +707,8 @@ ORACLES = {
         "     6) >= 0.4)"
         " SELECT CAST(count(*) AS BIGINT) AS pairs_uncapped,"
         " CAST(sum(coalesce(hit, 0)) AS BIGINT) AS pairs_capped,"
-        " round(sum(coalesce(hit, 0)) * 1.0 / count(*) + 1e-9, 6) AS recall"
+        " round(sum(coalesce(hit, 0)) * 1.0 / count(*) + 1e-9, 6) AS recall,"
+        " (SELECT n_buckets_truncated FROM trunc) AS n_buckets_truncated"
         " FROM ver_u LEFT JOIN ver_c USING (vec_a, vec_b)"
     ),
     "array_functions": (

@@ -321,6 +321,146 @@ def simhash64(hashed_col: str, bits: int = 64) -> F.Column:
     return F.expr(sig)
 
 
+def _arrow_signature_table(
+    documents: DataFrame,
+    *,
+    word_k: int | None,
+    shingle_k: int,
+    num_hashes: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Arrow/numpy twin of the PORTABLE signature build — the measured
+    100 TB-wall constant of the MinHash family (the 16-perm portable
+    map stage under ``minhash_band_stats`` ran exactly linear but at
+    124 s/sf10; see SCALE.md). Bit-identical to the expression form
+    (parity unit-pinned, same oracle hashes), same discipline as
+    similarity's ``_arrow_banded``:
+
+    - normalize/tokenize replicated operator-for-operator: ``trim``
+      strips ASCII space only, ``\\s`` is the Java ASCII class, and
+      the split keeps empty tokens — each matching the Spark
+      expression, not the Python defaults;
+    - md5-31 token hashes memoized per batch (Zipf: the unique-token
+      count is a small fraction of occurrences — the expression form
+      re-hashes every occurrence);
+    - the poly shingle combine runs as k vectorized int64 passes over
+      a sliding window view; every intermediate stays < 2^62 exactly
+      as in the SQL fold;
+    - all ``num_hashes`` affine perms run as ONE (H x N) vectorized
+      modmul over the batch-concatenated shingle array with a
+      segment-min (``np.minimum.reduceat``) per doc.
+
+    Null text degrades identically to the expression form:
+    ``shingles = [null]`` (the HOF fold over a null input collapses to
+    a single null element, not a null array) and sig = array of
+    ``num_hashes`` nulls."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = documents.schema[id_col].dataType.simpleString()
+    A = np.array([a for a, _ in MINHASH_COEFFS[:num_hashes]], dtype=np.int64)
+    B = np.array([b for _, b in MINHASH_COEFFS[:num_hashes]], dtype=np.int64)
+    P = MERSENNE31
+
+    def build(batches):
+        import hashlib
+        import re
+
+        # Java \s (no UNICODE_CHARACTER_CLASS) = ASCII whitespace only;
+        # Python's \s would also eat \xa0 etc. and drift from the
+        # expression form on unicode whitespace
+        ws = re.compile("[ \t\n\x0b\f\r]+")
+        cache: dict[str, int] = {}
+
+        def h31(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % P
+                cache[s] = v
+            return v
+
+        for pdf in batches:
+            ids, sh_lists = [], []
+            for did, txt in zip(pdf["doc_id"], pdf["__text"]):
+                if txt is None:
+                    ids.append(did)
+                    sh_lists.append(None)
+                    continue
+                # F.regexp_replace(F.lower(F.trim(col)), "\\s+", " "):
+                # trim strips ASCII 0x20 only, then lowercase, then the
+                # ASCII-\s collapse — same operator order
+                norm = ws.sub(" ", str(txt).strip(" ").lower())
+                if word_k:
+                    # F.split(norm, " ") keeps empty tokens ("" -> [""])
+                    toks = norm.split(" ")
+                    ht = np.fromiter(
+                        (h31(t) for t in toks), dtype=np.int64, count=len(toks)
+                    )
+                    if len(ht) >= word_k:
+                        W = np.lib.stride_tricks.sliding_window_view(ht, word_k)
+                        acc = np.zeros(len(W), dtype=np.int64)
+                        for j in range(word_k):
+                            acc = (acc * POLY_C % P + W[:, j]) % P
+                    else:
+                        # slice(ht, 1, k) on a short array folds what's
+                        # there — one shingle from all tokens
+                        a = np.int64(0)
+                        for h in ht:
+                            a = (a * POLY_C % P + h) % P
+                        acc = np.array([a], dtype=np.int64)
+                    sh = pd.unique(acc)  # array_distinct: first-occurrence order
+                else:
+                    n = max(len(norm) - (shingle_k - 1), 1)
+                    grams = dict.fromkeys(
+                        norm[i : i + shingle_k] for i in range(n)
+                    )  # inner array_distinct on the shingle strings
+                    hs = np.fromiter(
+                        (h31(g) for g in grams), dtype=np.int64, count=len(grams)
+                    )
+                    sh = pd.unique(hs)  # outer array_distinct on the hashes
+                ids.append(did)
+                sh_lists.append(sh)
+            live = [s for s in sh_lists if s is not None]
+            if live:
+                lens = np.array([len(s) for s in live])
+                starts = np.zeros(len(live), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                allv = np.concatenate(live)
+                # one (H x N) vectorized affine pass; products < 2^62
+                vals = (A[:, None] * allv[None, :] + B[:, None]) % P
+                mins = np.stack(
+                    [np.minimum.reduceat(vals[j], starts) for j in range(num_hashes)],
+                    axis=1,
+                )  # n_live x num_hashes
+            sigs, li = [], 0
+            for s in sh_lists:
+                if s is None:
+                    sigs.append([None] * num_hashes)
+                else:
+                    sigs.append(mins[li].tolist())
+                    li += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    # null text: the expression fold yields a single
+                    # null ELEMENT ([null]), not a null array
+                    "shingles": [
+                        [None] if s is None else s.tolist() for s in sh_lists
+                    ],
+                    "sig": sigs,
+                }
+            )
+
+    narrow = ensure_parallelism(documents).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    )
+    return narrow.mapInPandas(
+        build,
+        schema=f"doc_id {id_type}, shingles array<bigint>, sig array<bigint>",
+    )
+
+
 def minhash_signature_table(
     documents: DataFrame,
     *,
@@ -330,6 +470,7 @@ def minhash_signature_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
+    arrow: bool = False,
 ) -> DataFrame:
     """(doc_id, shingles, sig): the materializable signature table —
     hashed shingle sets (``array<bigint>``, ~1% of corpus size on
@@ -340,7 +481,28 @@ def minhash_signature_table(
 
     ``portable=True`` swaps xxhash64 for the md5-based engine-portable
     family (module comment above) so an independent SQL engine can
-    re-derive the identical signatures."""
+    re-derive the identical signatures.
+
+    ``arrow=True`` (portable only) computes the identical table with
+    the vectorized Arrow twin (:func:`_arrow_signature_table`) — same
+    values, same oracle hashes, measured materially faster on the
+    md5 + 16-perm map stage (the xxhash64 path is already JVM-cheap
+    and has no Python md5 equivalent, so arrow is portable-only)."""
+    if arrow:
+        if not portable:
+            raise ValueError(
+                "arrow=True requires portable=True: the arrow twin "
+                "replays the md5-31/affine family; xxhash64 has no "
+                "Python-side equivalent"
+            )
+        return _arrow_signature_table(
+            documents,
+            word_k=word_k,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            id_col=id_col,
+            text_col=text_col,
+        )
     if word_k:
         # two-step build: token hashes behind a column boundary so the
         # string-hash pass runs once per row, not once per gram (see
@@ -486,6 +648,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     band_cap: int | None = 1000,
     portable: bool = False,
+    arrow: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
@@ -519,6 +682,7 @@ def minhash_near_duplicates(
         id_col=id_col,
         text_col=text_col,
         portable=portable,
+        arrow=arrow,
     ).persist()
     # Fill the cache EAGERLY: persist() alone is lazy, and the first
     # action schedules the band join's four consumers (left/right band
@@ -966,6 +1130,7 @@ def near_dup_clusters(
     text_col: str = "text",
     portable: bool = False,
     band_cap: int | None = 1000,
+    arrow: bool = False,
 ) -> DataFrame:
     """The dedup capstone: MinHash near-dup pairs -> connected
     components -> one row per cluster with its size and kept
@@ -980,6 +1145,7 @@ def near_dup_clusters(
         text_col=text_col,
         portable=portable,
         band_cap=band_cap,
+        arrow=arrow,
     )
     comp = connected_components(pairs)
     return (
@@ -1640,6 +1806,7 @@ def near_dup_threshold_sweep(
         text_col=text_col,
         portable=True,
         band_cap=None,
+        arrow=True,  # bit-identical vectorized signature twin
     ).select("doc_a", "doc_b", "jaccard")
     spark = documents.sparkSession
     pair_hist = pairs.groupBy(
@@ -1807,6 +1974,7 @@ def contrastive_triples(
         text_col=text_col,
         portable=True,
         band_cap=None,
+        arrow=True,  # bit-identical vectorized signature twin
     ).select(
         F.col("doc_a").alias("anchor"),
         F.col("doc_b").alias("positive"),
@@ -1860,6 +2028,7 @@ def quality_dedup_survivors(
     text_col: str = "text",
     portable: bool = False,
     band_cap: int | None = 1000,
+    arrow: bool = False,
 ) -> DataFrame:
     """Quality-aware canonical selection per near-dup cluster: where
     ``near_dup_clusters`` keeps the MIN doc id (a tie-break, not a
@@ -1883,6 +2052,7 @@ def quality_dedup_survivors(
         text_col=text_col,
         portable=portable,
         band_cap=band_cap,
+        arrow=arrow,
     )
     comp = connected_components(pairs)
     ent = token_entropy(documents, id_col=id_col, text_col=text_col).select(
@@ -2084,8 +2254,8 @@ def containment_pairs(
     Returns (contained_id, container_id, containment), containment
     rounded to 6 dp.
     """
-    sigs = minhash_signature_table(documents, portable=True, id_col=id_col,
-                                   text_col=text_col).select(
+    sigs = minhash_signature_table(documents, portable=True, arrow=True,
+                                   id_col=id_col, text_col=text_col).select(
         F.col(id_col).alias("doc"), F.col("shingles").alias("sh")
     ).persist()
     sigs.count()  # eager fill (see minhash_near_duplicates)
@@ -2335,6 +2505,7 @@ def minhash_band_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
+    arrow: bool = False,
 ) -> DataFrame:
     """LSH band-bucket occupancy histogram — the observability number
     behind every MinHash dedup run: per band, how many buckets hold
@@ -2355,6 +2526,7 @@ def minhash_band_stats(
         id_col=id_col,
         text_col=text_col,
         portable=portable,
+        arrow=arrow,
     ).select("doc_id", "sig")
     banded = _banded(
         sigs, num_hashes=num_hashes, bands=bands, portable=portable

@@ -678,8 +678,18 @@ def _lsh_scored_pairs(
         r[0] for r in queries.select(vec_col).limit(64).collect()
         if r[0] is not None
     ]
-    dim = len(head[0]) if head else 0
-    if center_check and bucket_shift is None and head:
+    if not head:
+        # ADVICE r9: an all-null or empty query head used to yield
+        # dim=0, silently filter out EVERY corpus row, and return an
+        # empty result — fail loudly instead (an empty-but-intended
+        # query frame has nothing to score anyway)
+        raise ValueError(
+            f"no non-null '{vec_col}' vector in the first 64 query rows: "
+            "cannot infer the LSH dimension; pass a non-empty query frame "
+            "or filter nulls upstream"
+        )
+    dim = len(head[0])
+    if center_check and bucket_shift is None:
         _warn_if_off_center(head, strict=(center_check == "strict"))
 
     if bucket_shift is not None:
@@ -1565,20 +1575,37 @@ def bucket_cap_recall_account(
     tables: int = 8,
     seed: int = 42,
     bucket_cap: int = 8,
+    reference_cap: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The bucket_cap recall trade as ONE measured row: verified
-    near-dup pairs with and without the per-(table, bucket) occupancy
-    cap, plus the recall ratio — computed from a SINGLE bucket build
-    and a SINGLE exact-cosine verify pass (the capped candidate set is
-    a strict subset of the uncapped one, so capped membership is a
-    semi-join flag on the uncapped pair table, never a second LSH run).
+    near-dup pairs with the production per-(table, bucket) occupancy
+    cap vs a high-cap REFERENCE arm, plus the recall ratio — computed
+    from a SINGLE bucket build and a SINGLE exact-cosine verify pass
+    (the capped candidate set is a strict subset of the reference one,
+    so capped membership is a semi-join flag on the reference pair
+    table, never a second LSH run).
 
-    Scale shape: one banded frame (persisted across its four join
-    consumers), the uncapped band self-join, a rank filter + self-join
-    for the capped candidates (same shuffle keys — AQE reuses the
-    exchange), one verify, one global aggregate."""
+    ``reference_cap`` (VERDICT r9 #3): the reference arm is itself
+    df-style bounded — a truly uncapped band self-join is exactly the
+    degenerate-bucket blow-up ``bucket_cap`` exists to prevent, so on
+    a pathological corpus (one giant bucket) the *measurement* would
+    go quadratic even though production stays capped. Both arms now
+    share one deterministic ``row_number`` ordering (by id), the
+    reference arm keeps ``reference_cap`` members per bucket (128x the
+    default production cap — pairs per pathological bucket bounded at
+    cap*(cap-1)/2, the dedup.py ``band_cap`` contract), and
+    ``n_buckets_truncated`` reports how many buckets hit the bound so
+    a truncated reading is self-qualifying: 0 means the recall number
+    is exact; >0 means it is measured against the bounded reference.
+
+    Returns the diagnostic EAGERLY (it is one global aggregate row):
+    the banded frame's executor cache is released before returning —
+    a lazy return would leak the persist for the session lifetime
+    (ADVICE r9) — and the caller receives the materialized row as a
+    local DataFrame."""
+    spark = embeddings.sparkSession
     head = [
         r[0] for r in embeddings.select(vec_col).limit(64).collect()
         if r[0] is not None
@@ -1591,6 +1618,7 @@ def bucket_cap_recall_account(
         lsh_bucket_expr("vec", _hyperplanes(dim, bits, seed + t)).alias(f"b{t}")
         for t in range(tables)
     ]
+    w = Window.partitionBy("table_idx", "bucket").orderBy("vid")
     banded = (
         keyed.select("vid", *buckets)
         .select(
@@ -1599,56 +1627,77 @@ def bucket_cap_recall_account(
                 F.array(*[F.col(f"b{t}") for t in range(tables)])
             ).alias("table_idx", "bucket"),
         )
+        # ONE deterministic rank serves both arms: reference keeps
+        # rn <= reference_cap, production keeps rn <= bucket_cap (a
+        # strict subset by construction)
+        .withColumn("_rn", F.row_number().over(w))
         .persist()
     )
-    banded.count()
-    a, b = banded.alias("a"), banded.alias("b")
-    cand_u = (
-        a.join(
-            b,
-            (F.col("a.table_idx") == F.col("b.table_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid")),
+    try:
+        banded.count()
+        n_truncated = (
+            banded.groupBy("table_idx", "bucket")
+            .agg(F.max("_rn").alias("occ"))
+            .filter(F.col("occ") > reference_cap)
+            .count()
         )
-        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    w = Window.partitionBy("table_idx", "bucket").orderBy("vid")
-    kept = (
-        banded.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= bucket_cap)
-        .drop("_rn")
-    )
-    ka, kb = kept.alias("ka"), kept.alias("kb")
-    cand_c = (
-        ka.join(
-            kb,
-            (F.col("ka.table_idx") == F.col("kb.table_idx"))
-            & (F.col("ka.bucket") == F.col("kb.bucket"))
-            & (F.col("ka.vid") < F.col("kb.vid")),
+        ref = banded.filter(F.col("_rn") <= reference_cap)
+        a, b = ref.alias("a"), ref.alias("b")
+        cand_u = (
+            a.join(
+                b,
+                (F.col("a.table_idx") == F.col("b.table_idx"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vid") < F.col("b.vid")),
+            )
+            .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"])
         )
-        .select(F.col("ka.vid").alias("vec_a"), F.col("kb.vid").alias("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-        .withColumn("hit", F.lit(1))
-    )
-    va = keyed.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va"))
-    vb = keyed.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb"))
-    verified = (
-        cand_u.join(cand_c, ["vec_a", "vec_b"], "left")
-        .join(va, "vec_a")
-        .join(vb, "vec_b")
-        .filter(
-            F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold)
+        kept = banded.filter(F.col("_rn") <= bucket_cap)
+        ka, kb = kept.alias("ka"), kept.alias("kb")
+        cand_c = (
+            ka.join(
+                kb,
+                (F.col("ka.table_idx") == F.col("kb.table_idx"))
+                & (F.col("ka.bucket") == F.col("kb.bucket"))
+                & (F.col("ka.vid") < F.col("kb.vid")),
+            )
+            .select(F.col("ka.vid").alias("vec_a"), F.col("kb.vid").alias("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"])
+            .withColumn("hit", F.lit(1))
         )
-    )
-    return verified.agg(
-        F.count(F.lit(1)).alias("pairs_uncapped"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-        .cast("bigint")
-        .alias("pairs_capped"),
-        F.round(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
-            + 1e-9,
-            6,
-        ).alias("recall"),
+        va = keyed.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va"))
+        vb = keyed.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb"))
+        verified = (
+            cand_u.join(cand_c, ["vec_a", "vec_b"], "left")
+            .join(va, "vec_a")
+            .join(vb, "vec_b")
+            .filter(
+                F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold)
+            )
+        )
+        row = verified.agg(
+            F.count(F.lit(1)).alias("pairs_uncapped"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("pairs_capped"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+                + 1e-9,
+                6,
+            ).alias("recall"),
+        ).first()
+    finally:
+        banded.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                row["pairs_uncapped"],
+                row["pairs_capped"],
+                row["recall"],
+                n_truncated,
+            )
+        ],
+        "pairs_uncapped bigint, pairs_capped bigint, recall double,"
+        " n_buckets_truncated bigint",
     )

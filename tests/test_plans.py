@@ -13,143 +13,15 @@ import pytest
 
 import __spark_entry__ as E
 
-#: EMPTY as of round 6: similar_part_names (the last intentional
-#: all-pairs) moved to SymSpell deletion-neighborhood blocking; its
-#: naive form survives only as the blocked=False unit baseline. Keep
-#: this empty by restructuring, never by allowlisting.
-CROSS_JOIN_OK: set[str] = set()
-#: join a single-row scalar aggregate (corr over lineitem; the corpus
-#: size N for idf) — a 1-row broadcast nested loop is the correct plan
-#: for a scalar subquery
-#: important_part_value joins a 1-row (total, count) threshold
-#: aggregate back onto the per-part table — AQE sometimes leaves the
-#: 1-row broadcast as a BNLJ, which is the correct scalar-subquery plan
-#: growth_accounting / rolling_wau join a 1-row corpus-horizon aggregate
-#: bm25_search joins the 1-row (n_docs, avgdl, df_i) corpus-statistics
-#: aggregate onto the per-doc term-frequency table — scalar subquery
-#: substring_contamination is an INTENTIONAL broadcast nested-loop
-#: needle scan: the benchmark-sized needle table broadcasts and the
-#: corpus is scanned once map-side with a `contains` predicate — the
-#: documented shape for exact-substring decontamination
-#: heavy_hitters joins the 1-row global decrement-budget scalar
-#: corpus_build_pipeline embeds substring_contamination's needle scan
-#: kmv_overlap's pairwise sketch comparison is a theta self-join over
-#: the GROUPS-SIZED sketch table (<= |event types| rows, each row one
-#: k-element sketch) — quadratic in group count by definition of
-#: "all pairs", never in data volume
-#: dedup_threshold_sweep joins the literal threshold grid (8 rows)
-#: against <= 10-row jaccard histograms — bounded by construction
-#: skew_profile joins the 1-row (total, n_keys) summary onto the
-#: top-N frame — scalar subquery
-SCALAR_JOIN_OK = {
-    # knn_join broadcasts its BOUNDED query panel (max_queries
-    # structural cap; count-checked at build) onto a single corpus
-    # scan — the BNLJ small side is panel-sized by construction, and
-    # the per-query rank is two-phase salted (no corpus-sized window
-    # partitions). Fact-sized query sides raise and route to
-    # knn_join_lsh.
-    "knn_join",
-    # 1-row avg-positive-balance scalar broadcast onto the customer
-    # frame (TPC-H Q22 pattern)
-    "dormant_rich_customers",
-    "kmv_overlap",
-    "dedup_threshold_sweep",
-    "skew_profile",
-    "bigram_pmi",
-    "ab_test",
-    # 1-row sqrt-sum denominator broadcast onto the |langs|-row frame
-    "temperature_sample",
-    # 11-row shared negative pool broadcast onto the pair frame
-    "contrastive_triples",
-    # 1-row Neyman weight denominator broadcast onto the strata frame
-    "neyman_sample",
-    # all-pairs over the |sources|-row vector table (bounded
-    # combinatorics, same class as kmv_overlap)
-    "source_similarity",
-    "substring_contamination",
-    "corpus_build_pipeline",
-    # per-iteration 1-row dangling-mass scalar broadcast
-    "copurchase_pagerank",
-    # vocab x |classes| grid: bounded label-dimension cross-expansion
-    "chi2_terms",
-    # 1-row smoothed-distribution totals broadcast onto bucket models
-    "dsir_weights",
-    # 1-row quantile-breakpoint row broadcast onto the customer frame
-    "rfm_segments",
-    # 1-row global-mean broadcast onto the category frame
-    "target_encode",
-    # 1-row global-quantile-grid broadcast onto the doc frame
-    "quantile_normalize",
-    # 1-row horizon + n_total scalars broadcast onto the duration axis
-    "survival_curve",
-    # 1-row digit-total broadcast onto the 9-row digit axis
-    "benford_check",
-    # 1-row revenue-total broadcast onto the |nations|-row frame
-    "market_concentration",
-    # 1-row idcg scalar broadcast onto the 1-row dcg aggregate
-    "ndcg_eval",
-    # 1-row bootstrap summary broadcast onto the 1-row point estimate
-    "bootstrap_ci",
-    # |labels|-row centroid-vector table broadcast onto the corpus
-    # (bounded label-dimension cross-expansion, same class as
-    # chi2_terms)
-    "centroid_margin",
-    # bounded eval-panel broadcast (16 query vectors) onto the corpus
-    # -- an eval runs on a sampled panel by design
-    "dim_truncation_recall",
-    # four 1-row scalar frames (n_left/n_right/true/estimate) chained
-    "join_size_estimate",
-    # 1-row (mean, std, k, h) CUSUM-parameter aggregate broadcast onto
-    # the calendar-bounded day axis — scalar subquery
-    "cusum_changepoints",
-    # 1-row |distinct bigram types| normalizer broadcast onto the
-    # vocabulary-keyed scoring stream — scalar subquery (same class as
-    # bm25_search's corpus statistics)
-    "kn_bigram_score",
-    # embeds kn_bigram_score's 1-row normalizer broadcast
-    "difficulty_stratified_eval",
-    # 1-row (|C|, cf_i) corpus-statistics broadcast — same class as
-    # bm25_search
-    "ql_search",
-    # embeds BOTH scorers' 1-row corpus-statistics broadcasts; the
-    # fusion join itself is an equi full-outer of two <= 20-row
-    # post-TakeOrdered frames
-    "rrf_fusion",
-    # 1-row water-filling level broadcast onto the |langs|-row frame
-    "unimax_sample",
-    # three 1-row scalars (n, last-train value, train seasonal MAE)
-    # broadcast onto the calendar-bounded day axis
-    "forecast_backtest",
-    "heavy_hitters",
-    "order_stats",
-    "tfidf_top_terms",
-    "idle_rich_customers",
-    "important_part_value",
-    "growth_accounting",
-    "rolling_wau",
-    "bm25_search",
-    # |sources| x top-200-vocab completion grid: bounded
-    # label-dimension cross-expansion (chi2_terms class)
-    "source_kl_drift",
-    # 1-row decile-breakpoint row broadcast onto the doc frame — same
-    # class as rfm_segments / quantile_normalize
-    "doc_length_calibration",
-    # both BNLJs are the 1-row ``d0 = min(day)`` scalar broadcast
-    # (operators/windows.py theil_sen_trend), re-executed once per side
-    # of the time-axis block join; the pair join itself is a
-    # BroadcastHashJoin on the block key — same scalar-subquery class
-    # as dormant_rich_customers
-    "theil_sen_trend",
-}
-
-
-#: unpartitioned-window audit exceptions — every entry must say WHY the
-#: window input is bounded even though the plan can't prove it.
-#: Currently EMPTY: the one bounded-in-fact-but-not-structurally case
-#: (ndcg_eval's post-join rank windows) was rewritten as aggregate
-#: folds over the collected <= k-row array, so the whole catalog passes
-#: the audit structurally.
-UNPARTITIONED_WINDOW_OK: set[str] = set()
+# The allowlists are shared with scripts/plan_report.py so the
+# committed artifact runs the EXACT audits this module runs — they
+# live in the package (plans/allowlists.py), not here (ADVICE r9:
+# the report must not depend on the tests/ directory layout).
+from flink_elasticsearch_ingestion_spark.plans.allowlists import (
+    CROSS_JOIN_OK,
+    SCALAR_JOIN_OK,
+    UNPARTITIONED_WINDOW_OK,
+)
 
 
 from flink_elasticsearch_ingestion_spark.plans import (

@@ -475,9 +475,22 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE training (5 merges). Rows-only by design: the
     merge LOOP is driver-side control flow (argmax -> merge -> recount
     like IVF training), not a single SQL expression; the inner-loop
-    recount has its own hash-green oracle (bpe_pair_counts) and the
-    loop is pinned by a pure-Python reference differential test."""
+    recount has its own hash-green oracle (bpe_pair_counts), the loop
+    is pinned by a pure-Python reference differential test, and the
+    2-merge unrolled trainer (bpe_train_fixed) is HASH-verified via
+    the sentinel-replace state encoding."""
     return X.bpe_train(_t(spark, sf_dir, "documents"), n_merges=5)
+
+def q_bpe_train_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-merge fixed-iteration BPE trainer, hash-oracle-checked end to
+    end (VERDICT r9 #6): the symbol state is a \\x01<sym>\\x02 sentinel
+    string, so each greedy merge is ONE literal replace that DuckDB
+    replays exactly; the oracle unrolls both iterations as
+    materialized CTEs (the kmeans_fixed pattern) — argmax pair,
+    replace, recount, argmax. Parity of the replace encoding with
+    bpe_train's struct fold is unit-pinned, so this hash proof covers
+    the shared merge semantics."""
+    return X.bpe_train_fixed(_t(spark, sf_dir, "documents"), n_merges=2)
 
 def q_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft /
@@ -694,6 +707,7 @@ QUERIES = {
     "feature_hashing": q_feature_hashing,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train": q_bpe_train,
+    "bpe_train_fixed": q_bpe_train_fixed,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pack_documents": q_pack_documents,
     "repetition_ratio": q_repetition_ratio,
@@ -1938,6 +1952,39 @@ ORACLES = {
         " string_agg(e.syms_csv, ' ' ORDER BY tk.pos) AS encoded"
         " FROM tk JOIN enc e USING (token)"
         " GROUP BY tk.doc_id ORDER BY tk.doc_id"
+    ),
+    "bpe_train_fixed": (
+        # 2-merge BPE trainer unrolled as materialized CTEs; symbol
+        # state = \x01<sym>\x02 sentinel string, merge = ONE literal
+        # replace (both engines scan left-to-right non-overlapping,
+        # which IS the greedy BPE pass)
+        "WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (SELECT"
+        "  unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),"
+        "    ' ')) AS w FROM documents) WHERE w <> '' GROUP BY w),"
+        " v0 AS (SELECT wc, chr(1) ||"
+        "   array_to_string(string_split(w, ''), chr(2)||chr(1)) || chr(2)"
+        "   AS enc FROM words),"
+        " s1 AS (SELECT wc, string_split(substr(enc, 2, length(enc)-2),"
+        "   chr(2)||chr(1)) AS s FROM v0),"
+        " p1 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (SELECT wc,"
+        "   unnest([s[i] || ' ' || s[i+1] FOR i IN generate_series(1, len(s)-1)])"
+        "   AS pair FROM s1 WHERE len(s) >= 2) GROUP BY pair),"
+        " m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),"
+        " v1 AS (SELECT wc, replace(enc,"
+        "   chr(1) || split_part((SELECT pair FROM m1), ' ', 1) || chr(2) ||"
+        "   chr(1) || split_part((SELECT pair FROM m1), ' ', 2) || chr(2),"
+        "   chr(1) || replace((SELECT pair FROM m1), ' ', '') || chr(2))"
+        "   AS enc FROM v0),"
+        " s2 AS (SELECT wc, string_split(substr(enc, 2, length(enc)-2),"
+        "   chr(2)||chr(1)) AS s FROM v1),"
+        " p2 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (SELECT wc,"
+        "   unnest([s[i] || ' ' || s[i+1] FOR i IN generate_series(1, len(s)-1)])"
+        "   AS pair FROM s2 WHERE len(s) >= 2) GROUP BY pair),"
+        " m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1)"
+        " SELECT CAST(0 AS INT) AS rank, pair, cnt AS pair_count FROM m1"
+        " UNION ALL"
+        " SELECT CAST(1 AS INT) AS rank, pair, cnt AS pair_count FROM m2"
+        " ORDER BY rank"
     ),
     "bpe_pair_counts": (
         "WITH words AS (SELECT w, count(*) AS wc FROM (SELECT"

@@ -2415,8 +2415,14 @@ def dedup_saturation(
 
     Scale shape: one content-hash aggregate (``min(id)`` per hash — the
     same normalized-sha256 family as ``dedup_by_content``), a map-side
-    first-occurrence flag, a bounded batch-axis aggregate, then running
-    sums over the bounded batch axis only."""
+    first-occurrence flag, one batch-axis aggregate, then TWO-PHASE
+    running sums over the batch axis (ADVICE r9: the batch axis is
+    corpus-proportional — corpus/batch_size rows — so a single
+    unpartitioned prefix window was a one-task straggler at scale):
+    within-coarse-range running sums in parallel (the coarse key
+    ``batch div 4096`` is a prefix of the order key, the
+    ``global_distribution_ranks`` discipline), plus broadcast
+    per-range mass offsets from the 4096x-smaller range histogram."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
     hashed = documents.select(
         F.col(id_col).alias("doc"), F.sha2(normalized, 256).alias("h")
@@ -2429,17 +2435,39 @@ def dedup_saturation(
     per = flagged.groupBy("batch").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("is_new").cast("bigint").alias("n_new"),
+    ).withColumn("__coarse", (F.col("batch") / 4096).cast("int"))
+    w_in = (
+        Window.partitionBy("__coarse")
+        .orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
-    return per.select(
-        "batch",
-        "n_docs",
-        "n_new",
-        F.round(F.col("n_new") / F.col("n_docs") + 1e-9, 6).alias("new_rate"),
-        F.round(
-            F.sum("n_new").over(w) / F.sum("n_docs").over(w) + 1e-9, 6
-        ).alias("cum_unique_share"),
-    ).orderBy("batch")
+    hist = per.groupBy("__coarse").agg(
+        F.sum("n_docs").alias("__docs"), F.sum("n_new").alias("__new")
+    )
+    w_hist = Window.orderBy("__coarse").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "__coarse",
+        F.coalesce(F.sum("__docs").over(w_hist), F.lit(0)).alias("__docs_off"),
+        F.coalesce(F.sum("__new").over(w_hist), F.lit(0)).alias("__new_off"),
+    )
+    return (
+        per.withColumn("__run_docs", F.sum("n_docs").over(w_in))
+        .withColumn("__run_new", F.sum("n_new").over(w_in))
+        .join(F.broadcast(offsets), "__coarse")
+        .select(
+            "batch",
+            "n_docs",
+            "n_new",
+            F.round(F.col("n_new") / F.col("n_docs") + 1e-9, 6).alias("new_rate"),
+            F.round(
+                (F.col("__new_off") + F.col("__run_new"))
+                / (F.col("__docs_off") + F.col("__run_docs"))
+                + 1e-9,
+                6,
+            ).alias("cum_unique_share"),
+        )
+        .orderBy("batch")
+    )
 
 
 def ngram_novelty(

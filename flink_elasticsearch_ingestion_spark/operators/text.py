@@ -1246,6 +1246,98 @@ def bpe_train(
     )
 
 
+#: symbol-boundary sentinels for the SQL-replayable BPE state encoding
+#: (bpe_train_fixed): every symbol is wrapped \x01<sym>\x02, so a merge
+#: is ONE literal string replace whose pattern can only match two
+#: complete adjacent symbols — never a symbol prefix/suffix. \x01/\x02
+#: cannot occur in whitespace-split word text.
+_BPE_S, _BPE_E = "\x01", "\x02"
+
+
+def bpe_train_fixed(
+    documents: DataFrame,
+    *,
+    n_merges: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-iteration BPE trainer with a fully SQL-replayable state —
+    the hash-oracle twin of ``bpe_train`` (VERDICT r9 #6: the loop was
+    rows-only because the (result, pending) struct fold has no DuckDB
+    expression; this variant makes the merge itself engine-portable).
+
+    State: each word's symbol sequence is ONE string with every symbol
+    wrapped in \\x01..\\x02 sentinels.  A greedy left-to-right
+    non-overlapping BPE merge of (a, b) is then EXACTLY a literal
+    ``replace(state, \\x01a\\x02\\x01b\\x02, \\x01ab\\x02)`` — both
+    engines' ``replace`` scan left-to-right, consume the replacement,
+    and continue after it, which is the (result, pending) fold's
+    semantics (a freshly merged symbol never re-merges with the next
+    symbol in the same pass; parity with ``bpe_merge_fold`` is
+    unit-pinned).  The sentinels make cross-symbol false matches
+    impossible: a pattern must cover two complete adjacent symbols.
+
+    Same scale shape as ``bpe_train``: one corpus word-count shuffle,
+    then every pass is vocabulary-sized (pair recount + argmax — one
+    1-row driver action per iteration — + one map-side replace).
+    Returns (rank, pair, pair_count), the learned merge table."""
+    spark = documents.sparkSession
+    toks = tokens(text_col)
+    words = (
+        documents.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    enc0 = F.concat(
+        F.lit(_BPE_S),
+        F.array_join(F.split("w", ""), _BPE_E + _BPE_S),
+        F.lit(_BPE_E),
+    )
+    cur = words.select("wc", enc0.alias("enc")).persist()
+    merges: list[tuple[int, str, int]] = []
+    try:
+        for r in range(n_merges):
+            syms = F.split(
+                F.col("enc").substr(F.lit(2), F.length("enc") - 2),
+                _BPE_E + _BPE_S,
+            )
+            pair_col = F.transform(
+                F.sequence(F.lit(1), F.size(syms) - F.lit(1)),
+                lambda i: F.concat(
+                    F.element_at(syms, i),
+                    F.lit(" "),
+                    F.element_at(syms, i + F.lit(1)),
+                ),
+            )
+            top = (
+                cur.filter(F.size(syms) >= 2)
+                .select("wc", F.explode(pair_col).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["pair"].split(" ")
+            merges.append((r, top[0]["pair"], int(top[0]["cnt"])))
+            merged = F.replace(
+                F.col("enc"),
+                F.lit(_BPE_S + a + _BPE_E + _BPE_S + b + _BPE_E),
+                F.lit(_BPE_S + a + b + _BPE_E),
+            )
+            nxt = cur.select("wc", merged.alias("enc")).persist()
+            nxt.count()  # materialize before releasing the parent
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, pair string, pair_count long"
+    )
+
+
 def bigram_pmi(
     documents: DataFrame,
     *,
@@ -3033,26 +3125,55 @@ def token_coverage_curve(
     95% of token mass?"), the planning tool between ``oov_rate`` (one
     fixed vocab) and ``token_gini`` (one concentration number).
 
-    Built on ``vocab_with_ids``' two-phase global frequency rank (no
-    single-partition window over the vocabulary): a running token-mass
-    sum over the ranked vocab, sampled at the literal ``vocab_sizes``
-    grid. For each size: covered tokens, coverage share, and the rarest
-    in-vocab frequency (the natural min_count cut)."""
-    v = vocab_with_ids(documents, text_col=text_col)
-    total = F.sum("cnt").over(
-        Window.partitionBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
+    Built on ``vocab_with_ids``' two-phase global frequency rank, and
+    the running token-mass sum is two-phase TOO (ADVICE r9: the rank
+    phase avoided the single-partition window but the mass prefix sum
+    still ordered the full vocabulary through one task — and the vocab
+    grows with the corpus): within-sub-bucket running sums run
+    partitioned by the same (cnt, first-char) keys the rank phase
+    uses (first-char order IS token order inside a count group, so
+    bucket order matches token_id order), and each bucket's global
+    mass offset + the corpus total come from ONE prefix sum over the
+    tiny (distinct-counts x alphabet) histogram, broadcast back.
+    Sampled at the literal ``vocab_sizes`` grid: covered tokens,
+    coverage share, and the rarest in-vocab frequency (the natural
+    min_count cut)."""
+    v = vocab_with_ids(documents, text_col=text_col).withColumn(
+        "__pfx", F.substring("token", 1, 1)
+    )
+    within_run = F.sum("cnt").over(
+        Window.partitionBy("cnt", "__pfx")
+        .orderBy("token")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = v.groupBy("cnt", "__pfx").agg(F.sum("cnt").alias("__mass"))
+    w_hist = Window.orderBy(F.col("cnt").desc(), F.col("__pfx"))
+    offsets = hist.select(
+        "cnt",
+        "__pfx",
+        F.coalesce(
+            F.sum("__mass").over(w_hist.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__mass_offset"),
+        F.sum("__mass")
+        .over(
+            w_hist.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__total"),
+    )
+    curve = (
+        v.withColumn("__within_run", within_run)
+        .filter(F.col("token_id").isin(*[int(s) for s in vocab_sizes]))
+        .join(F.broadcast(offsets), ["cnt", "__pfx"])
+        .select(
+            "token_id",
+            "cnt",
+            (F.col("__mass_offset") + F.col("__within_run")).alias("covered_tokens"),
+            F.col("__total").alias("total_tokens"),
         )
     )
-    running = F.sum("cnt").over(
-        Window.orderBy("token_id").rowsBetween(Window.unboundedPreceding, 0)
-    )
-    curve = v.select(
-        "token_id",
-        "cnt",
-        running.alias("covered_tokens"),
-        total.alias("total_tokens"),
-    ).filter(F.col("token_id").isin(*[int(s) for s in vocab_sizes]))
     return curve.select(
         F.col("token_id").cast("int").alias("vocab_size"),
         F.col("covered_tokens").cast("bigint").alias("covered_tokens"),

@@ -162,3 +162,68 @@ def test_lsh_scored_pairs_rejects_all_null_query_head(spark):
     empty_q = null_q.filter(F.lit(False))
     with pytest.raises(ValueError, match="no non-null"):
         _lsh_scored_pairs(empty_q, corpus, **kw)
+
+
+# -- Discrete-quantile convention equivalence (ADVICE r9) ---------------------
+
+@pytest.mark.parametrize("n", [7, 10, 20, 33, 100, 101])
+def test_percentile_approx_matches_duckdb_quantile_disc(spark, n):
+    """doc_length_calibration derives its band breakpoints from
+    percentile_approx at accuracy=INT_MAX and its oracle uses DuckDB
+    quantile_disc; the two engines' discrete-quantile rank conventions
+    must select the SAME element at every decile — including row
+    counts divisible by n_bands, where an off-by-one at the exact
+    p*N boundary would silently shift a band edge."""
+    import duckdb
+
+    vals = [(i * 37) % 1009 for i in range(n)]  # distinct-ish, unsorted
+    qs = [i / 10 for i in range(1, 10)]
+    sdf = spark.createDataFrame([(v,) for v in vals], "n_chars int")
+    got = sdf.agg(
+        F.percentile_approx("n_chars", qs, 2147483647).alias("lb")
+    ).collect()[0]["lb"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({v})" for v in vals) + ") AS t(n_chars)")
+    want = [
+        con.execute(
+            f"SELECT quantile_disc(n_chars, {q}) FROM t"
+        ).fetchone()[0]
+        for q in qs
+    ]
+    assert got == want, f"n={n}: spark={got} duck={want}"
+
+
+# -- bpe_train_fixed: sentinel-replace state == struct-fold semantics --------
+
+def test_bpe_train_fixed_matches_fold_trainer(spark, sf_dir):
+    """The sentinel-string replace encoding implements the SAME greedy
+    left-to-right non-overlapping merge pass as bpe_merge_fold: the
+    2-merge fixed trainer and the fold-based bpe_train learn the
+    identical merge table on the fixture corpus."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        bpe_train,
+        bpe_train_fixed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold = [tuple(r) for r in bpe_train(docs, n_merges=2).collect()]
+    fixed = [tuple(r) for r in bpe_train_fixed(docs, n_merges=2).collect()]
+    assert fold == fixed and len(fixed) == 2
+
+
+def test_bpe_fixed_replace_handles_overlap_and_boundaries(spark):
+    """The two classic replace-encoding hazards: overlapping merge
+    runs ('aaaa' + merge (a,a) must give [aa, aa], not [aa, a, a] or a
+    re-merged [aaaa]) and cross-symbol false matches (symbol 'bc' must
+    never donate its 'b' to an (a, b) merge)."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        bpe_train,
+        bpe_train_fixed,
+    )
+
+    rows = [(1, "aaaa aaaa ab"), (2, "abc abc abc bc bc")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    fold = [tuple(r) for r in bpe_train(docs, n_merges=3).collect()]
+    fixed = [tuple(r) for r in bpe_train_fixed(docs, n_merges=3).collect()]
+    assert fold == fixed

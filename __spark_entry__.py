@@ -31,62 +31,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return C.incremental_copy(events, checkpoint_ts=CHECKPOINT)
 
 
-# Round-9 driver window (the driver hash-checks the FIRST 50 entries of
-# ``queries()`` per round).  Priority: round-9 additions (never
-# driver-checked), then the stale-proof backlog oldest-first — the 10
-# hash-checkable r2 entries displaced past round 8's boundary, the
-# rows-only pair (``approx_distinct`` r1 / ``ivf_topk`` r2, due their
-# weaker rows-check refresh — skipped in favor of hash-checkable rows
-# since round 7), then the CORRECTNESS_r03 remainder in r03 order.
-# Names absent from the catalog are skipped, extras append in catalog
-# order, so the list is safe to edit.
+# Round-10 driver window (the driver hash-checks the FIRST 50 entries
+# of ``queries()`` per round).  Executes round 9's rotation plan
+# exactly: round-10 additions first (never driver-checked), then the
+# r3 tail displaced past round 9's 50-entry boundary, then the oldest
+# r4 entries in CORRECTNESS_r04 order.  Names absent from the catalog
+# are skipped, extras append in catalog order, so the list is safe to
+# edit.
 #
-# ROUND-10 ROTATION NOTE: after this window lands green, the only
-# entries with a driver proof older than round 4 are the r3 names that
-# fall past position 50 below (the tail after the boundary marker).
-# The next window = round-10 additions, then that r3 tail, then the
-# oldest r4 entries in CORRECTNESS_r04 order.
+# ROUND-11 ROTATION NOTE: after this window lands green, the oldest
+# driver proofs are the CORRECTNESS_r04 remainder (the 17 r4 names
+# past position 50 below) and then the r5 block.  The next window =
+# round-11 additions, then that r4 remainder in r04 order, then the
+# oldest r5 entries in CORRECTNESS_r05 order.
 _WINDOW_PRIORITY = [
-    # round-9 additions, never driver-checked:
-    "centered_mutual_matches",
-    "recall_vs_bucket_cap",
-    "string_id_knn",
-    "saturating_dedup_rate",
-    "minhash_band_stats",
-    "token_coverage_curve",
-    "doc_length_calibration",
-    "ngram_novelty",
-    "token_gini",
-    "langid_confusion",
-    "source_kl_drift",
-    "shard_skew_report",
-    # r2 re-checks (CORRECTNESS_r02 order): displaced past round 8's
-    # 50-entry boundary by the round-8 additions:
-    "volume_shipping", "order_count_distribution", "top_supplier",
-    "disjunctive_revenue", "passage_dedup", "top_bigrams",
-    "embedding_norms", "quantize_embeddings", "shuffle_order",
-    "sliding_windows",
-    # rows-only pair — weaker rows-check refresh (oldest proofs in the
-    # archive: approx_distinct r1, ivf_topk r2):
-    "approx_distinct", "ivf_topk",
-    # r3 re-checks (CORRECTNESS_r03 order):
-    "market_share", "product_type_profit",
-    "small_quantity_revenue", "trailing_revenue_window",
-    "priority_value_percentiles", "similar_part_names",
-    "parts_supplier_counts", "dominant_suppliers",
-    "cheapest_supplier_per_part", "prior_event_counts",
-    "chunk_documents", "chunk_documents_udtf", "approx_stats",
-    "hybrid_search", "text_dup_components", "label_centroids",
-    "cdc_classify", "important_part_value", "scd2_user_state",
-    "vocab_with_ids", "zorder_key", "incremental_rollup",
-    "stratified_exact_k", "token_entropy", "constraint_report",
-    "bigram_lm",
-    # --- position 50 boundary (wnd = 12 new + 10 r2 + 2 rows-only
-    #     + 26 r3); r3 tail below queues for round 10 ---
+    # round-10 additions, never driver-checked:
+    "bpe_train_fixed",
+    "minhash_estimate_error",
+    "planted_dup_recall",
+    "context_window_fit",
+    "token_burstiness",
+    "pq_distortion",
+    "kcore_fixed",
+    # r3 tail (displaced past round 9's boundary):
     "weighted_discount_udaf", "quantize_embeddings_arrow",
     "resample_events", "unpivot_metrics", "null_safe_rollup",
     "clean_text", "token_budget", "priority_shipping_mix",
     "source_mix", "es_bulk_roundtrip",
+    # oldest r4 re-checks (CORRECTNESS_r04 order):
+    "es_scroll_roundtrip", "token_budget_by_source",
+    "time_weighted_value", "event_trigrams", "cohort_retention",
+    "table_profile", "growth_accounting", "drift_psi",
+    "scrub_boilerplate", "equi_depth_buckets", "sessionize",
+    "rolling_wau", "winsorized_stats", "merge_apply",
+    "embedding_gramian", "embedding_pca", "cms_word_counts",
+    "scd2_lookup", "jl_projection", "ohlc_bars", "erase_users",
+    "gopher_quality", "substring_contamination", "token_set_join",
+    "bloom_prefilter_join", "mad_outliers", "heavy_hitters",
+    "linear_probe", "corpus_build_pipeline", "feature_hashing",
+    "bpe_pair_counts", "bpe_train", "embedding_dup_clusters",
+    # --- position 50 boundary (wnd = 7 new + 10 r3 + 33 r4); the r4
+    #     remainder below queues for round 11 ---
+    "training_batches", "incremental_near_dup", "split_leakage",
+    "term_postings", "bm25_search", "weighted_sample", "salted_join",
 ]
 
 

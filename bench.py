@@ -283,6 +283,14 @@ EXTENDED = [
     "langid_confusion",
     "source_kl_drift",
     "shard_skew_report",
+    # round-10 additions
+    "bpe_train_fixed",
+    "minhash_estimate_error",
+    "planted_dup_recall",
+    "context_window_fit",
+    "token_burstiness",
+    "pq_distortion",
+    "kcore_fixed",
 ]
 
 

@@ -120,12 +120,15 @@ def _kn_scores_sql() -> str:
     )
 
 
-def _minhash_pairs_cte(threshold: float = 0.4) -> str:
+def _minhash_pairs_cte(threshold: float = 0.4, source: str = "documents") -> str:
     """Shared CTE chain re-deriving the portable-MinHash near-dup pairs
     in pure DuckDB SQL: same md5-31-bit shingle hashes, same affine
     perms (coefficients inlined from MINHASH_COEFFS), same
     signature-slice band keys, same exact-Jaccard verify. Used by the
-    minhash_near_dup and near_dup_clusters oracles."""
+    minhash_near_dup and near_dup_clusters oracles. ``source`` swaps
+    the corpus relation (default keeps every existing oracle string
+    byte-identical); pass an aliased subquery exposing (doc_id, text)
+    to run the chain over a derived corpus (planted_dup_recall)."""
     from flink_elasticsearch_ingestion_spark.operators.dedup import (
         MERSENNE31,
         MINHASH_COEFFS,
@@ -138,7 +141,7 @@ def _minhash_pairs_cte(threshold: float = 0.4) -> str:
     return (
         "docs AS (SELECT doc_id,"
         " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"
-        " FROM documents),"
+        f" FROM {source}),"
         " th AS (SELECT doc_id, list_transform(w,"
         f"   t -> ('0x' || substr(md5(t),1,8))::BIGINT % {p}) AS ht FROM docs),"
         " hv AS (SELECT doc_id, list_distinct(["

@@ -259,6 +259,30 @@ def q_text_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return D.connected_components_star(pairs).orderBy("node")
 
+def q_kcore_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round k-core peel (k=16) on the bipartite customer-part
+    purchase graph (r10): iteratively drop customers with < k distinct
+    parts and parts with < k distinct buyers, report survivors with
+    residual degree — the recsys data-cleaning core (prune cold users
+    and cold items BEFORE training interaction embeddings; one pass of
+    each filter is not enough because dropping cold items cools some
+    users, hence the peel). Part nodes are offset by 10^7 to keep the
+    bipartite id spaces disjoint. Fixed rounds -> hash-checked CTE
+    unroll (the kmeans_fixed discipline)."""
+    from flink_elasticsearch_ingestion_spark.operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10_000_000) + F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=16, rounds=2)
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup capstone — portable-MinHash near-dup pairs resolved
     into clusters via iterative connected components; one row per
@@ -578,6 +602,28 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
 
 
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (r10): over ALL band-collision
+    candidate pairs, the 16-perm signature match rate vs the exact
+    shingle-set Jaccard — mean absolute error, worst error, and signed
+    bias of the estimator on this corpus. The number that justifies
+    num_hashes: S-curve band math assumes the estimate tracks truth.
+    band_cap=None to match the uncapped oracle candidate set (see
+    q_minhash_near_dup); the production default caps buckets."""
+    return D.minhash_estimate_error(
+        _t(spark, sf_dir, "documents"), band_cap=None
+    )
+
+def q_planted_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup recall on planted truncation twins (r10):
+    every doc's first 4/5 of tokens (exact integer arithmetic) is
+    unioned in as a twin, the full portable MinHash -> banding ->
+    verify pipeline runs on the doubled corpus, and the row reports
+    how many planted pairs it recovered — the banding S-curve's
+    recall, measured on this corpus instead of assumed from theory.
+    The oracle replays twin construction AND the whole pair chain."""
+    return D.planted_dup_recall(_t(spark, sf_dir, "documents"))
+
 def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-bucket occupancy histogram (same signatures and band
     keys as minhash_near_dup, portable family): per (band, occupancy),
@@ -595,6 +641,8 @@ QUERIES = {
     "saturating_dedup_rate": q_saturating_dedup_rate,
     "ngram_novelty": q_ngram_novelty,
     "minhash_band_stats": q_minhash_band_stats,
+    "minhash_estimate_error": q_minhash_estimate_error,
+    "planted_dup_recall": q_planted_dup_recall,
     "fingerprints": q_fingerprints,
     "training_data_pipeline": q_training_data_pipeline,
     "dedup_content": q_dedup_content,
@@ -623,6 +671,7 @@ QUERIES = {
     "corpus_build_pipeline": q_corpus_build_pipeline,
     "training_batches": q_training_batches,
     "near_dup_clusters": q_near_dup_clusters,
+    "kcore_fixed": q_kcore_fixed,
     "incremental_near_dup": q_incremental_near_dup,
     "split_leakage": q_split_leakage,
     "contamination": q_contamination,
@@ -667,6 +716,47 @@ ORACLES = {
         " SELECT doc_id, n_grams, n_novel,"
         " round(n_novel * 1.0 / n_grams + 1e-9, 6) AS novelty"
         " FROM per ORDER BY doc_id"
+    ),
+    "planted_dup_recall": (
+        # the pair chain over the doubled corpus (docs + 4/5-token
+        # truncation twins), then the planted-pair recall account
+        "WITH " + _minhash_pairs_cte(0.4, source="(SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000 AS doc_id, array_to_string(list_slice(t, 1, (4 * len(t) + 4) // 5), ' ') AS text FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t   FROM documents)) AS planted_src")
+        + ", planted AS (SELECT doc_id AS doc_a,"
+        "   doc_id + 1000000 AS doc_b FROM documents),"
+        " found AS (SELECT jaccard FROM planted"
+        "   JOIN mh_pairs USING (doc_a, doc_b)),"
+        " np AS (SELECT count(*) AS n_planted FROM documents)"
+        " SELECT CAST(n_planted AS BIGINT) AS n_planted,"
+        " CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,"
+        " round((SELECT count(*) FROM found) * 1.0 / n_planted + 1e-9, 6)"
+        "  AS recall,"
+        " round(round((SELECT sum(jaccard) FROM found), 2) /"
+        "  (SELECT count(*) FROM found) + 1e-9, 4) AS mean_found_jaccard"
+        " FROM np"
+    ),
+    "minhash_estimate_error": (
+        # reuses the portable-MinHash chain's cand/sig/hv CTEs; the
+        # signature match rate (matches/16, exact binary) vs the exact
+        # hashed-shingle Jaccard per candidate pair, then the repo's
+        # float discipline: round(round(sum, 2)/n + 1e-9, 4)
+        "WITH " + _minhash_pairs_cte(0.4)
+        + ", ps AS (SELECT c.doc_a, c.doc_b,"
+        "   sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est"
+        "   FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a"
+        "   JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j"
+        "   GROUP BY c.doc_a, c.doc_b),"
+        " ex AS (SELECT c.doc_a, c.doc_b,"
+        "   round(len(list_intersect(ha.h, hb.h)) * 1.0 /"
+        "     greatest(len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h)), 1),"
+        "     6) AS exact"
+        "   FROM cand c JOIN hv ha ON ha.doc_id = c.doc_a"
+        "   JOIN hv hb ON hb.doc_id = c.doc_b)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_pairs,"
+        " round(round(sum(abs(est - exact)), 2) / count(*) + 1e-9, 4)"
+        "  AS mean_abs_err,"
+        " round(max(round(abs(est - exact), 6)), 6) AS max_abs_err,"
+        " round(round(sum(est - exact), 2) / count(*) + 1e-9, 4) AS bias"
+        " FROM ps JOIN ex USING (doc_a, doc_b)"
     ),
     "minhash_band_stats": (
         # reuses the portable-MinHash chain's `bands` CTE (unreferenced
@@ -996,6 +1086,7 @@ ORACLES = {
         "  max(CASE WHEN rk = 1 THEN entropy END) AS keep_entropy"
         " FROM rk GROUP BY component ORDER BY component"
     ),
+    "kcore_fixed": 'WITH e0 AS (SELECT DISTINCT o_custkey AS u, 10000000 + l_partkey AS v   FROM lineitem JOIN orders ON l_orderkey = o_orderkey), d1 AS (SELECT node, count(*) AS dg FROM (SELECT u AS node FROM e0   UNION ALL SELECT v FROM e0) GROUP BY node), k1 AS (SELECT node FROM d1 WHERE dg >= 16), e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM k1)   AND v IN (SELECT node FROM k1)), d2 AS (SELECT node, count(*) AS dg FROM (SELECT u AS node FROM e1   UNION ALL SELECT v FROM e1) GROUP BY node), k2 AS (SELECT node FROM d2 WHERE dg >= 16), e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM k2)   AND v IN (SELECT node FROM k2)) SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (   SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY node ORDER BY node',
     "text_dup_components": (
         "WITH RECURSIVE docs AS (SELECT doc_id,"
         " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"

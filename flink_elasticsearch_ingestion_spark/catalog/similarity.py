@@ -564,10 +564,19 @@ def q_recall_vs_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization error (r10): mean and worst
+    squared-L2 distance from each vector to its assigned centroid —
+    the codebook-adequacy eval behind trusting ADC scores. Oracle
+    replays the deterministic codebook and the min-distance selection
+    exactly (same rounded-distance convention as pq_encode)."""
+    return S.pq_distortion(_t(spark, sf_dir, "embeddings"))
+
 QUERIES = {
     "string_id_knn": q_string_id_knn,
     "centered_mutual_matches": q_centered_mutual_matches,
     "recall_vs_bucket_cap": q_recall_vs_bucket_cap,
+    "pq_distortion": q_pq_distortion,
     "cosine_topk": q_cosine_topk,
     "pandas_cosine_topk": q_pandas_cosine_topk,
     "knn_join": q_knn_join,
@@ -671,6 +680,26 @@ ORACLES = {
         "   FROM scored)"
         " SELECT va AS vec_a, vb AS vec_b, cosine FROM ranked"
         " WHERE rl = 1 AND rr = 1 ORDER BY vec_a"
+    ),
+    "pq_distortion": (
+        "WITH cb AS (SELECT * FROM (VALUES "
+        + _pq_values()
+        + ") AS t(sub, cid, c)),"
+        " v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        "  FROM embeddings),"
+        " d AS (SELECT vec_id, sub,"
+        "  round(list_dot_product(xs, xs)"
+        "   - 2.0 * list_dot_product(xs, c)"
+        "   + list_dot_product(c, c) + 1e-9, 6) AS d"
+        "  FROM (SELECT vec_id, sub, cid, c,"
+        "   list_slice(v, sub * 16 + 1, sub * 16 + 16) AS xs"
+        "   FROM v CROSS JOIN cb)),"
+        " md AS (SELECT vec_id, sub, min(d) AS d FROM d GROUP BY vec_id, sub)"
+        " SELECT CAST(sub AS INT) AS sub,"
+        " CAST(count(*) AS BIGINT) AS n_vectors,"
+        " round(round(sum(d), 2) / count(*) + 1e-9, 4) AS mean_distortion,"
+        " round(max(d), 6) AS max_distortion"
+        " FROM md GROUP BY sub ORDER BY sub"
     ),
     "recall_vs_bucket_cap": (
         "WITH planes AS (SELECT * FROM (VALUES "

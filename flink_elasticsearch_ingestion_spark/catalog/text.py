@@ -661,6 +661,23 @@ def q_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: driver-contract queries owned by this family (names are the
 #: catalog keys the driver and the oracle gate use verbatim)
+def q_context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budget curve (r10): per candidate sequence
+    length, the share of documents that fit whole, the token mass in
+    fitting docs, and the mass surviving clip-at-window — the
+    truncation-waste account behind picking a training context length.
+    One aggregate row of conditional integer sums, inlined to the
+    size grid; no corpus fan-out, no grid join."""
+    return X.context_window_fit(_t(spark, sf_dir, "documents"))
+
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness / dispersion (Church & Gale 1995), r10: VMR of
+    per-doc counts for the top-20 corpus tokens — Poisson-like scatter
+    vs topical burst, the signal behind stop-lists, df-caps and BM25
+    TF saturation. Integer moments (sum, sum-of-squares) until the
+    final division, so both engines round identical doubles."""
+    return X.token_burstiness(_t(spark, sf_dir, "documents"), k=20)
+
 QUERIES = {
     "token_coverage_curve": q_token_coverage_curve,
     "token_gini": q_token_gini,
@@ -708,6 +725,8 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train": q_bpe_train,
     "bpe_train_fixed": q_bpe_train_fixed,
+    "context_window_fit": q_context_window_fit,
+    "token_burstiness": q_token_burstiness,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pack_documents": q_pack_documents,
     "repetition_ratio": q_repetition_ratio,
@@ -1953,6 +1972,8 @@ ORACLES = {
         " FROM tk JOIN enc e USING (token)"
         " GROUP BY tk.doc_id ORDER BY tk.doc_id"
     ),
+    "context_window_fit": "WITH n AS (SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS nt FROM documents), a AS (SELECT count(*) AS nd, sum(nt) AS tt, sum(CASE WHEN nt <= 8 THEN 1 ELSE 0 END) AS f8, sum(CASE WHEN nt <= 8 THEN nt ELSE 0 END) AS m8, sum(least(nt, 8)) AS l8, sum(CASE WHEN nt <= 16 THEN 1 ELSE 0 END) AS f16, sum(CASE WHEN nt <= 16 THEN nt ELSE 0 END) AS m16, sum(least(nt, 16)) AS l16, sum(CASE WHEN nt <= 32 THEN 1 ELSE 0 END) AS f32, sum(CASE WHEN nt <= 32 THEN nt ELSE 0 END) AS m32, sum(least(nt, 32)) AS l32, sum(CASE WHEN nt <= 64 THEN 1 ELSE 0 END) AS f64, sum(CASE WHEN nt <= 64 THEN nt ELSE 0 END) AS m64, sum(least(nt, 64)) AS l64, sum(CASE WHEN nt <= 128 THEN 1 ELSE 0 END) AS f128, sum(CASE WHEN nt <= 128 THEN nt ELSE 0 END) AS m128, sum(least(nt, 128)) AS l128 FROM n) SELECT * FROM (SELECT CAST(8 AS INT) AS context_size, CAST(f8 AS BIGINT) AS n_docs_fit, round(f8 * 1.0 / nd + 1e-9, 6) AS doc_fit_share, round(m8 * 1.0 / tt + 1e-9, 6) AS token_fit_share, round(l8 * 1.0 / tt + 1e-9, 6) AS clipped_token_share FROM a UNION ALL SELECT CAST(16 AS INT) AS context_size, CAST(f16 AS BIGINT) AS n_docs_fit, round(f16 * 1.0 / nd + 1e-9, 6) AS doc_fit_share, round(m16 * 1.0 / tt + 1e-9, 6) AS token_fit_share, round(l16 * 1.0 / tt + 1e-9, 6) AS clipped_token_share FROM a UNION ALL SELECT CAST(32 AS INT) AS context_size, CAST(f32 AS BIGINT) AS n_docs_fit, round(f32 * 1.0 / nd + 1e-9, 6) AS doc_fit_share, round(m32 * 1.0 / tt + 1e-9, 6) AS token_fit_share, round(l32 * 1.0 / tt + 1e-9, 6) AS clipped_token_share FROM a UNION ALL SELECT CAST(64 AS INT) AS context_size, CAST(f64 AS BIGINT) AS n_docs_fit, round(f64 * 1.0 / nd + 1e-9, 6) AS doc_fit_share, round(m64 * 1.0 / tt + 1e-9, 6) AS token_fit_share, round(l64 * 1.0 / tt + 1e-9, 6) AS clipped_token_share FROM a UNION ALL SELECT CAST(128 AS INT) AS context_size, CAST(f128 AS BIGINT) AS n_docs_fit, round(f128 * 1.0 / nd + 1e-9, 6) AS doc_fit_share, round(m128 * 1.0 / tt + 1e-9, 6) AS token_fit_share, round(l128 * 1.0 / tt + 1e-9, 6) AS clipped_token_share FROM a) ORDER BY context_size",
+    "token_burstiness": "WITH pd AS (SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) WHERE w <> '' GROUP BY doc_id, w), m AS (SELECT w, count(*) AS df, sum(c) AS s1, sum(c*c) AS s2 FROM pd GROUP BY w) SELECT w AS token, CAST(df AS BIGINT) AS df, CAST(s1 AS BIGINT) AS total_count, round((s2 * 1.0 / df - (s1 * 1.0 / df) * (s1 * 1.0 / df))   / (s1 * 1.0 / df) + 1e-9, 6) AS vmr FROM m ORDER BY total_count DESC, token LIMIT 20",
     "bpe_train_fixed": (
         # 2-merge BPE trainer unrolled as materialized CTEs; symbol
         # state = \x01<sym>\x02 sentinel string, merge = ONE literal

@@ -2399,6 +2399,182 @@ def sorted_neighborhood_pairs(
     )
 
 
+def planted_dup_recall(
+    documents: DataFrame,
+    *,
+    keep_share_num: int = 4,
+    keep_share_den: int = 5,
+    jaccard_threshold: float = 0.4,
+    id_offset: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """END-TO-END dedup recall on PLANTED near-duplicates: every
+    document gets a deterministic truncation twin (its first
+    ``keep_share_num/keep_share_den`` of tokens — integer arithmetic,
+    no float boundary), the twins are unioned into the corpus, the
+    full production pipeline (portable MinHash -> banding -> exact
+    verify) runs over the combined corpus, and the output is ONE row:
+    how many planted (doc, twin) pairs the pipeline recovered.  This
+    is ``ann_recall_eval``'s analog for text dedup — the banding
+    S-curve's theoretical recall at the twins' Jaccard, measured
+    instead of assumed.
+
+    Scale shape: the corpus doubles (map-side twin construction, one
+    union), then exactly ``minhash_near_duplicates``' plan; the recall
+    account adds one ids-only join against the planted pair list and
+    a global aggregate."""
+    spark = documents.sparkSession
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    keep = (F.size(toks) * keep_share_num + F.lit(keep_share_den - 1)).cast(
+        "bigint"
+    ) / F.lit(keep_share_den)
+    keep = F.floor(keep).cast("int")  # ceil(num*n/den) via int math
+    base = documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    twins = documents.select(
+        (F.col(id_col) + id_offset).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, keep), " ").alias("text"),
+    )
+    combined = base.unionByName(twins)
+    pairs = minhash_near_duplicates(
+        combined,
+        jaccard_threshold=jaccard_threshold,
+        band_cap=None,
+        portable=True,
+        arrow=True,
+    )
+    planted = base.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + id_offset).alias("doc_b"),
+    )
+    found = planted.join(pairs, ["doc_a", "doc_b"])
+    n_planted = documents.count()
+    row = found.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_found"),
+        F.round(
+            F.round(F.sum("jaccard"), 2) / F.count(F.lit(1)) + 1e-9, 4
+        ).alias("mean_found_jaccard"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                n_planted,
+                row["n_found"],
+                round(row["n_found"] / n_planted + 1e-9, 6),
+                row["mean_found_jaccard"],
+            )
+        ],
+        "n_planted bigint, n_found bigint, recall double,"
+        " mean_found_jaccard double",
+    )
+
+
+def minhash_estimate_error(
+    documents: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 8,
+    band_cap: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash ESTIMATOR calibration as one measured row: over the
+    band-collision candidate pairs, compare the signature-slot match
+    rate (the MinHash Jaccard estimate, matches/num_hashes) against
+    the exact shingle-set Jaccard, and report the estimator's mean
+    absolute error, worst error, and signed bias.  This is the number
+    that justifies ``num_hashes``: the dedup S-curve math assumes the
+    16-perm estimate tracks true Jaccard, and this query makes that
+    assumption a measured quantity on YOUR corpus (too few perms ->
+    fat error -> band thresholds drift from the theory).
+
+    Scale shape: identical to ``minhash_near_duplicates`` — one
+    signature map stage (arrow twin), one banded ids-only self-join
+    (``band_cap``-bounded), one verify join carrying both signatures
+    and shingle sets, one global aggregate.  Portable hash family, so
+    the DuckDB oracle re-derives estimate AND exact value per pair."""
+    spark = documents.sparkSession
+    sigs = minhash_signature_table(
+        documents,
+        num_hashes=num_hashes,
+        id_col=id_col,
+        text_col=text_col,
+        portable=True,
+        arrow=True,
+    ).persist()
+    sigs.count()  # eager fill (see minhash_near_duplicates)
+    banded = _banded(
+        sigs.select("doc_id", "sig"),
+        num_hashes=num_hashes,
+        bands=bands,
+        portable=True,
+    )
+    if band_cap is not None:
+        w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= band_cap)
+            .drop("_rn")
+        )
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    est = matches / F.lit(float(num_hashes))  # exact binary multiples
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    exact = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            (est - exact).alias("diff"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
+    n = F.count(F.lit(1))
+    # one global aggregate row: materialize eagerly and release the
+    # signature cache (the bucket_cap_recall_account discipline — a
+    # lazy return would leak the persist for the session lifetime)
+    try:
+        row = scored.agg(
+            n.cast("bigint").alias("n_pairs"),
+            F.round(F.round(F.sum(F.abs(F.col("diff"))), 2) / n + 1e-9, 4).alias(
+                "mean_abs_err"
+            ),
+            F.round(F.max("abs_err"), 6).alias("max_abs_err"),
+            F.round(F.round(F.sum("diff"), 2) / n + 1e-9, 4).alias("bias"),
+        ).first()
+    finally:
+        sigs.unpersist()
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_pairs bigint, mean_abs_err double, max_abs_err double, bias double",
+    )
+
+
 def dedup_saturation(
     documents: DataFrame,
     *,

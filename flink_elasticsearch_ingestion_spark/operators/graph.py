@@ -30,6 +30,58 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def kcore_peel(
+    edges: DataFrame,
+    *,
+    k: int = 2,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peel (Matula & Beck 1983, the degeneracy
+    peel, truncated at ``rounds`` iterations so the whole computation
+    is SQL-replayable — the kmeans_fixed discipline): repeatedly drop
+    nodes of degree < ``k`` and the edges they carry, then report the
+    surviving nodes with their residual degree.
+
+    On a near-dup pair graph this separates DENSE duplication cores
+    (template families, boilerplate clusters — every member ties to
+    many others, surviving every peel) from star-shaped clusters (one
+    canonical + leaves — the leaves peel off in round one), which is
+    exactly the triage a dedup operator wants before choosing between
+    cluster-representative and pairwise-drop strategies.
+
+    Scale shape per round: one degree aggregate (explode + groupBy)
+    and two semi-joins keyed by node — the iterative-graph shuffle
+    pattern of ``pagerank_fixed``, with the frontier SHRINKING each
+    round. ``rounds`` is a fixed small constant; full-convergence
+    peeling belongs to the driver-loop family."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = (
+            und.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        keep = deg.filter(F.col("dg") >= k).select("node")
+        und = und.join(
+            keep.withColumnRenamed("node", "u"), "u", "semi"
+        ).join(keep.withColumnRenamed("node", "v"), "v", "semi")
+    return (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .orderBy("node")
+    )
+
+
 def pagerank_fixed(
     edges: DataFrame,
     src: str = "src",

@@ -1439,6 +1439,57 @@ def pq_encode(
     return embeddings.select(*out).orderBy("vec_id")
 
 
+def pq_distortion(
+    embeddings: DataFrame,
+    codebook: list[list[list[float]]] | None = None,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ quantization-error account: for every vector,
+    the squared L2 distance to its ASSIGNED (nearest) centroid — i.e.
+    the minimum of the same rounded distance list ``pq_encode``
+    argmins over — aggregated per subspace into mean and worst
+    distortion. This is the eval that tells you whether a codebook is
+    adequate BEFORE trusting ADC search scores: a subspace with fat
+    distortion dominates the asymmetric distance error.
+
+    Scale shape: pure map-side expression work (one distance list per
+    subspace, one ``array_min``), an ``m_sub``-way posexplode, one
+    bounded (m_sub rows) aggregate. Same plan-size discipline as
+    ``_pq_code`` — one copy of the codebook literal per subspace."""
+    cb = codebook if codebook is not None else pq_codebook()
+    sub = len(cb[0][0])
+    mins = []
+    for j, cents in enumerate(cb):
+        xs = F.slice(F.col(vec_col), j * sub + 1, sub)
+        cb_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+        )
+        dists = F.transform(
+            cb_lit,
+            lambda c: F.round(
+                dot(xs, xs) - F.lit(2.0) * dot(xs, c) + dot(c, c) + F.lit(1e-9),
+                6,
+            ),
+        )
+        mins.append(F.array_min(dists))
+    exploded = embeddings.select(
+        F.posexplode(F.array(*mins)).alias("sub", "d")
+    )
+    n = F.count(F.lit(1))
+    return (
+        exploded.groupBy("sub")
+        .agg(
+            n.cast("bigint").alias("n_vectors"),
+            F.round(F.round(F.sum("d"), 2) / n + 1e-9, 4).alias(
+                "mean_distortion"
+            ),
+            F.round(F.max("d"), 6).alias("max_distortion"),
+        )
+        .orderBy("sub")
+    )
+
+
 def pq_search_adc(
     embeddings: DataFrame,
     query_vector: list[float],

@@ -1338,6 +1338,105 @@ def bpe_train_fixed(
     )
 
 
+def context_window_fit(
+    documents: DataFrame,
+    *,
+    sizes: tuple[int, ...] = (8, 16, 32, 64, 128),
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window budget curve: for each candidate sequence length,
+    what share of DOCUMENTS fits whole, what share of TOKEN MASS lives
+    in those fitting documents, and what share survives if every
+    document is clipped at the window — the three numbers behind
+    choosing a training context length (and the truncation-waste bill
+    of choosing it too small).
+
+    Scale shape: ONE map-side token count + ONE aggregate row holding
+    3 x |sizes| conditional sums (no per-size fan-out of the corpus,
+    no grid join), inlined to |sizes| rows at the end. Shares divide
+    exact integer sums, so the cross-engine hash is stable."""
+    per = documents.select(token_count(text_col).alias("nt"))
+    aggs = [
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("nt").alias("tt"),
+    ]
+    for c in sizes:
+        fit = F.col("nt") <= c
+        aggs += [
+            F.sum(F.when(fit, 1).otherwise(0)).alias(f"f{c}"),
+            F.sum(F.when(fit, F.col("nt")).otherwise(0)).alias(f"m{c}"),
+            F.sum(F.least(F.col("nt"), F.lit(c))).alias(f"l{c}"),
+        ]
+    one = per.agg(*aggs)
+    rows = F.inline(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(c)).alias("context_size"),
+                    F.col(f"f{c}").cast("bigint").alias("n_docs_fit"),
+                    F.round(F.col(f"f{c}") / F.col("nd") + 1e-9, 6).alias(
+                        "doc_fit_share"
+                    ),
+                    F.round(F.col(f"m{c}") / F.col("tt") + 1e-9, 6).alias(
+                        "token_fit_share"
+                    ),
+                    F.round(F.col(f"l{c}") / F.col("tt") + 1e-9, 6).alias(
+                        "clipped_token_share"
+                    ),
+                )
+                for c in sizes
+            ]
+        )
+    )
+    return one.select(rows).orderBy("context_size")
+
+
+def token_burstiness(
+    documents: DataFrame,
+    *,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token burstiness (Church & Gale 1995): for the top-``k`` corpus
+    tokens, the variance-to-mean ratio of their per-document counts
+    over the documents that contain them. VMR ~ 1 is Poisson
+    (function-word-like scatter); VMR >> 1 is bursty (topical words
+    concentrate in few documents) — the dispersion signal behind
+    stop-lists, df-caps, and TF saturation constants (BM25's k1).
+
+    Scale shape: one (doc, token) count aggregate (map-side combine),
+    one per-token moment aggregate (sum, sum of squares — exact BIGINT
+    arithmetic until the final division), TakeOrdered top-k. The
+    population variance comes from integer moments, so both engines
+    round the same doubles."""
+    toks = tokens(text_col)
+    per_doc = (
+        documents.select(
+            F.col("doc_id"), F.explode(toks).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    moments = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("df")
+    var = F.col("s2") / F.col("df") - mean * mean
+    return (
+        moments.select(
+            F.col("w").alias("token"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("s1").cast("bigint").alias("total_count"),
+            F.round(var / mean + 1e-9, 6).alias("vmr"),
+        )
+        .orderBy(F.col("total_count").desc(), "token")
+        .limit(k)
+    )
+
+
 def bigram_pmi(
     documents: DataFrame,
     *,

@@ -227,3 +227,114 @@ def test_bpe_fixed_replace_handles_overlap_and_boundaries(spark):
     fold = [tuple(r) for r in bpe_train(docs, n_merges=3).collect()]
     fixed = [tuple(r) for r in bpe_train_fixed(docs, n_merges=3).collect()]
     assert fold == fixed
+
+
+# -- Round-10 query operators -------------------------------------------------
+
+def test_minhash_estimate_error_zero_on_identical_docs(spark):
+    """Identical documents: every candidate pair has estimate 1.0 and
+    exact Jaccard 1.0 — the estimator error account must read exactly
+    zero (n_pairs > 0 proves the banding produced candidates)."""
+    docs = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    row = D.minhash_estimate_error(docs, band_cap=None).collect()[0]
+    assert row["n_pairs"] == 15  # C(6,2)
+    assert row["mean_abs_err"] == 0.0
+    assert row["max_abs_err"] == 0.0
+    assert row["bias"] == 0.0
+
+
+def test_context_window_fit_exact_accounting(spark):
+    """Hand-checkable grid: docs of 2/4/8 tokens against sizes 2 and
+    4 — fit counts, token mass, and clipped mass are exact integers."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        context_window_fit,
+    )
+
+    rows = [(1, "a b"), (2, "a b c d"), (3, "a b c d e f g h")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["context_size"]: r
+        for r in context_window_fit(docs, sizes=(2, 4)).collect()
+    }
+    # total tokens = 14
+    assert out[2]["n_docs_fit"] == 1
+    assert out[2]["token_fit_share"] == round(2 / 14 + 1e-9, 6)
+    assert out[2]["clipped_token_share"] == round(6 / 14 + 1e-9, 6)
+    assert out[4]["n_docs_fit"] == 2
+    assert out[4]["clipped_token_share"] == round(10 / 14 + 1e-9, 6)
+
+
+def test_token_burstiness_separates_poisson_from_bursty(spark):
+    """A token spread evenly (count 1 in every doc -> VMR 0) vs a
+    bursty token (counts 1 and 9 -> VMR 3.2): the dispersion stat
+    must rank the bursty one higher from exact integer moments."""
+    from flink_elasticsearch_ingestion_spark.operators.text import (
+        token_burstiness,
+    )
+
+    rows = [
+        (1, "flat burst " + "burst " * 8),  # flat:1 burst:9
+        (2, "flat burst"),
+        (3, "flat"),
+        (4, "flat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["token"]: r for r in token_burstiness(docs, k=5).collect()}
+    assert out["flat"]["vmr"] == 0.0  # count 1 in each of 4 docs
+    # burst: counts [9, 1] -> mean 5, var ((81+1)/2 - 25) = 16, vmr 3.2
+    assert out["burst"]["df"] == 2
+    assert out["burst"]["vmr"] == round(16 / 5 + 1e-9, 6)
+
+
+def test_pq_distortion_zero_at_centroids(spark):
+    """Vectors sitting exactly on codebook centroids quantize with
+    zero distortion; a midpoint vector reports the exact squared-L2
+    residual."""
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        pq_distortion,
+    )
+
+    cb = [[[0.0, 0.0], [2.0, 2.0]]]  # 1 subspace, dim 2
+    emb = spark.createDataFrame(
+        [(1, [2.0, 2.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    row = pq_distortion(emb, cb).collect()[0]
+    assert row["sub"] == 0 and row["n_vectors"] == 3
+    # midpoint residual: (1-0)^2*2 = 2 (ties resolve to either centroid,
+    # same distance); mean = round(round(0+0+2, 2)/3 + 1e-9, 4)
+    assert row["max_distortion"] == 2.0
+    assert row["mean_distortion"] == round(2.0 / 3 + 1e-9, 4)
+
+
+def test_kcore_peel_drops_stars_keeps_cores(spark):
+    """k=2 peel on a star (hub + 3 leaves) plus a triangle: the star
+    evaporates (leaves have degree 1; removing them strands the hub),
+    the triangle survives with residual degree 2 everywhere."""
+    from flink_elasticsearch_ingestion_spark.operators.graph import kcore_peel
+
+    edges = [(100, 1), (100, 2), (100, 3),  # star
+             (10, 11), (11, 12), (10, 12)]  # triangle
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {r["node"]: r["degree"] for r in kcore_peel(df, k=2, rounds=2).collect()}
+    assert out == {10: 2, 11: 2, 12: 2}
+
+
+def test_planted_dup_recall_perfect_on_identical_twins(spark):
+    """keep_share 5/5 plants BYTE-IDENTICAL twins — the pipeline must
+    recover every planted pair (jaccard 1.0 >= any threshold)."""
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words here for doc number{i} padding tokens")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    row = D.planted_dup_recall(
+        docs, keep_share_num=5, keep_share_den=5
+    ).collect()[0]
+    assert row["n_planted"] == 8
+    assert row["n_found"] == 8
+    assert row["recall"] == 1.0
+    assert row["mean_found_jaccard"] == 1.0

@@ -59,6 +59,85 @@ SCALAR_JOIN_OK = {
     "bigram_pmi",
     "ab_test",
     # 1-row sqrt-sum denominator broadcast onto the |langs|-row frame
+    "temperature_sample",
+    # 11-row shared negative pool broadcast onto the pair frame
+    "contrastive_triples",
+    # 1-row Neyman weight denominator broadcast onto the strata frame
+    "neyman_sample",
+    # all-pairs over the |sources|-row vector table (bounded
+    # combinatorics, same class as kmv_overlap)
+    "source_similarity",
+    "substring_contamination",
+    "corpus_build_pipeline",
+    # per-iteration 1-row dangling-mass scalar broadcast
+    "copurchase_pagerank",
+    # vocab x |classes| grid: bounded label-dimension cross-expansion
+    "chi2_terms",
+    # 1-row smoothed-distribution totals broadcast onto bucket models
+    "dsir_weights",
+    # 1-row quantile-breakpoint row broadcast onto the customer frame
+    "rfm_segments",
+    # 1-row global-mean broadcast onto the category frame
+    "target_encode",
+    # 1-row global-quantile-grid broadcast onto the doc frame
+    "quantile_normalize",
+    # 1-row horizon + n_total scalars broadcast onto the duration axis
+    "survival_curve",
+    # 1-row digit-total broadcast onto the 9-row digit axis
+    "benford_check",
+    # 1-row revenue-total broadcast onto the |nations|-row frame
+    "market_concentration",
+    # 1-row idcg scalar broadcast onto the 1-row dcg aggregate
+    "ndcg_eval",
+    # 1-row bootstrap summary broadcast onto the 1-row point estimate
+    "bootstrap_ci",
+    # |labels|-row centroid-vector table broadcast onto the corpus
+    # (bounded label-dimension cross-expansion, same class as
+    # chi2_terms)
+    "centroid_margin",
+    # bounded eval-panel broadcast (16 query vectors) onto the corpus
+    # -- an eval runs on a sampled panel by design
+    "dim_truncation_recall",
+    # four 1-row scalar frames (n_left/n_right/true/estimate) chained
+    "join_size_estimate",
+    # 1-row (mean, std, k, h) CUSUM-parameter aggregate broadcast onto
+    # the calendar-bounded day axis — scalar subquery
+    "cusum_changepoints",
+    # 1-row |distinct bigram types| normalizer broadcast onto the
+    # vocabulary-keyed scoring stream — scalar subquery (same class as
+    # bm25_search's corpus statistics)
+    "kn_bigram_score",
+    # embeds kn_bigram_score's 1-row normalizer broadcast
+    "difficulty_stratified_eval",
+    # 1-row (|C|, cf_i) corpus-statistics broadcast — same class as
+    # bm25_search
+    "ql_search",
+    # embeds BOTH scorers' 1-row corpus-statistics broadcasts; the
+    # fusion join itself is an equi full-outer of two <= 20-row
+    # post-TakeOrdered frames
+    "rrf_fusion",
+    # 1-row water-filling level broadcast onto the |langs|-row frame
+    "unimax_sample",
+    # three 1-row scalars (n, last-train value, train seasonal MAE)
+    # broadcast onto the calendar-bounded day axis
+    "forecast_backtest",
+    "heavy_hitters",
+    "order_stats",
+    "tfidf_top_terms",
+    "idle_rich_customers",
+    "important_part_value",
+    "growth_accounting",
+    "rolling_wau",
+    "bm25_search",
+    # |sources| x top-200-vocab completion grid: bounded
+    # label-dimension cross-expansion (chi2_terms class)
+    "source_kl_drift",
+    # 1-row decile-breakpoint row broadcast onto the doc frame — same
+    # class as rfm_segments / quantile_normalize
+    "doc_length_calibration",
+    # both BNLJs are the 1-row ``d0 = min(day)`` scalar broadcast
+    # (operators/windows.py theil_sen_trend), re-executed once per side
+    # of the time-axis block join; the pair join itself is a
     # BroadcastHashJoin on the block key — same scalar-subquery class
     # as dormant_rich_customers
     "theil_sen_trend",

@@ -330,7 +330,10 @@ def q_streaming_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return multi_poll_admission(
-        _t(spark, sf_dir, "documents"), n_polls=3, jaccard_threshold=0.4
+        _t(spark, sf_dir, "documents"),
+        n_polls=3,
+        jaccard_threshold=0.4,
+        arrow=True,  # bit-identical vectorized signature twin (r10)
     )
 
 

@@ -54,6 +54,7 @@ def admit_batch(
     bands: int = 8,
     band_cap: int | None = None,
     portable: bool = True,
+    arrow: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_sigs: DataFrame | None = None,
@@ -83,7 +84,7 @@ def admit_batch(
     if sigs is None:
         sigs = minhash_signature_table(
             batch_docs, num_hashes=num_hashes, portable=portable,
-            id_col=id_col, text_col=text_col,
+            arrow=arrow, id_col=id_col, text_col=text_col,
         )
     sigs = sigs.persist()
     sigs.count()  # eager fill (see minhash_near_duplicates)
@@ -112,6 +113,7 @@ def multi_poll_admission(
     num_hashes: int = 16,
     bands: int = 8,
     portable: bool = True,
+    arrow: bool = False,
 ) -> DataFrame:
     """Deterministic batch replay of the streaming admission pipeline:
     split ``docs`` into ``n_polls`` arrival waves by ``doc_id %
@@ -129,7 +131,7 @@ def multi_poll_admission(
     store_sigs: DataFrame | None = None
     # shingle + minhash the corpus ONCE; each poll joins its slice
     all_sigs = minhash_signature_table(
-        docs, num_hashes=num_hashes, portable=portable
+        docs, num_hashes=num_hashes, portable=portable, arrow=arrow
     ).persist()
     all_sigs.count()
     cached = [all_sigs]

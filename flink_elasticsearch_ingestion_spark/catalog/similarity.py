@@ -547,7 +547,8 @@ def q_recall_vs_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucket_cap recall account (VERDICT r8 #7): verified near-dup
     pairs with the production per-bucket occupancy cap (bucket_cap=8,
     deliberately truncating at oracle scale) vs the df-style BOUNDED
-    reference arm (reference_cap=1024, VERDICT r9 #3 — a truly
+    reference arm (reference_cap=256 = 32x production, VERDICT r9 #3
+    — never truncating at oracle scale, max occupancy 61 — a truly
     uncapped self-join is the degenerate-bucket blow-up the cap
     prevents), plus the recall ratio and the reference arm's own
     truncation counter. Single bucket build, single cosine verify:
@@ -560,7 +561,7 @@ def q_recall_vs_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=4,
         tables=8,
         bucket_cap=8,
-        reference_cap=1024,
+        reference_cap=256,
     )
 
 
@@ -713,8 +714,8 @@ ORACLES = {
         "    (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn FROM buckets),"
         " trunc AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets_truncated"
         "   FROM (SELECT tbl, bucket FROM ranked"
-        "         GROUP BY tbl, bucket HAVING max(rn) > 1024)),"
-        " ref AS (SELECT vec_id, tbl, bucket FROM ranked WHERE rn <= 1024),"
+        "         GROUP BY tbl, bucket HAVING max(rn) > 256)),"
+        " ref AS (SELECT vec_id, tbl, bucket FROM ranked WHERE rn <= 256),"
         " cand_u AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
         "   FROM ref a JOIN ref b ON a.tbl = b.tbl"
         "   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),"

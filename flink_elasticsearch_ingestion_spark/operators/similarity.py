@@ -1626,7 +1626,7 @@ def bucket_cap_recall_account(
     tables: int = 8,
     seed: int = 42,
     bucket_cap: int = 8,
-    reference_cap: int = 1024,
+    reference_cap: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1644,7 +1644,7 @@ def bucket_cap_recall_account(
     a pathological corpus (one giant bucket) the *measurement* would
     go quadratic even though production stays capped. Both arms now
     share one deterministic ``row_number`` ordering (by id), the
-    reference arm keeps ``reference_cap`` members per bucket (128x the
+    reference arm keeps ``reference_cap`` members per bucket (32x the
     default production cap — pairs per pathological bucket bounded at
     cap*(cap-1)/2, the dedup.py ``band_cap`` contract), and
     ``n_buckets_truncated`` reports how many buckets hit the bound so

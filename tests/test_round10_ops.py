@@ -338,3 +338,31 @@ def test_planted_dup_recall_perfect_on_identical_twins(spark):
     assert row["n_found"] == 8
     assert row["recall"] == 1.0
     assert row["mean_found_jaccard"] == 1.0
+
+
+def test_arrow_signature_parity_randomized_batch(spark):
+    """Seeded-random parity sweep: 60 adversarial texts (mixed
+    unicode, repeated tokens, ASCII/unicode whitespace, long runs,
+    empty-ish strings) through BOTH signature builds in one job —
+    the broad-input pin behind the oracle-scale parity tests."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = ["tok", "x", "λ", "Ωmega", "été", "12", "a" * 30,
+                "İi", "ß", "中文", "word"]
+    ws = [" ", "  ", "\t", "\n", "\r", " \x0b "]
+    rows = []
+    for i in range(60):
+        n = rng.randrange(0, 25)
+        parts = []
+        for _ in range(n):
+            parts.append(rng.choice(alphabet))
+            parts.append(rng.choice(ws))
+        rows.append((str(i), "".join(parts)))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for mode in (dict(word_k=3), dict(word_k=None, shingle_k=4)):
+        e = D.minhash_signature_table(docs, portable=True, **mode).orderBy("doc_id")
+        a = D.minhash_signature_table(
+            docs, portable=True, arrow=True, **mode
+        ).orderBy("doc_id")
+        assert e.collect() == a.collect(), mode

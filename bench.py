@@ -457,6 +457,12 @@ def main() -> None:
             " toy scale buys needle-count-free linear scans; measured"
             " 2.8-3.4x faster from 2k needles / 50k docs up (SCALE.md)"
         ),
+        "saturating_dedup_rate": (
+            "r10: the batch-axis running sums went two-phase (coarse"
+            " ranges + broadcast offsets, ADVICE r9) — ~+0.15s of"
+            " histogram/broadcast constant at sf0.1 buys removing the"
+            " corpus-proportional single-task prefix window"
+        ),
     }
     ext_tradeoffs = {
         n: KNOWN_TRADEOFFS[n] for n in ext_regressions if n in KNOWN_TRADEOFFS

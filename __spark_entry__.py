@@ -31,49 +31,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return C.incremental_copy(events, checkpoint_ts=CHECKPOINT)
 
 
-# Round-10 driver window (the driver hash-checks the FIRST 50 entries
-# of ``queries()`` per round).  Executes round 9's rotation plan
-# exactly: round-10 additions first (never driver-checked), then the
-# r3 tail displaced past round 9's 50-entry boundary, then the oldest
-# r4 entries in CORRECTNESS_r04 order.  Names absent from the catalog
-# are skipped, extras append in catalog order, so the list is safe to
-# edit.
+# Round-11 driver window (the driver hash-checks the FIRST 50 entries
+# of ``queries()`` per round).  Executes round 10's rotation plan
+# exactly: round-11 additions first (never driver-checked), then the
+# CORRECTNESS_r04 remainder displaced past round 10's 50-entry
+# boundary (in r04 order), then the oldest r5 entries in
+# CORRECTNESS_r05 order.  Names absent from the catalog are skipped,
+# extras append in catalog order, so the list is safe to edit.
 #
-# ROUND-11 ROTATION NOTE: after this window lands green, the oldest
-# driver proofs are the CORRECTNESS_r04 remainder (the 17 r4 names
-# past position 50 below) and then the r5 block.  The next window =
-# round-11 additions, then that r4 remainder in r04 order, then the
-# oldest r5 entries in CORRECTNESS_r05 order.
+# ROUND-12 ROTATION NOTE: after this window lands green, the oldest
+# driver proofs are the CORRECTNESS_r05 remainder (r05 positions 29+:
+# quantile_normalize, hash_embed, survival_curve, benford_check,
+# market_concentration, langid_eval, revenue_gini, ewma_forecast,
+# span_corruption, kfold_split, correlation_matrix, ndcg_eval,
+# yoy_growth, bootstrap_ci, diversified_topk, cdc_chunk_stats,
+# cusum_changepoints, quality_dedup_survivors, centroid_margin,
+# label_disagreement, lexical_diversity, oov_rate) and then the r6
+# block.  The next window = round-12 additions, then that r5
+# remainder in r05 order, then the oldest r6 entries in
+# CORRECTNESS_r06 order.
 _WINDOW_PRIORITY = [
-    # round-10 additions, never driver-checked:
-    "bpe_train_fixed",
-    "minhash_estimate_error",
-    "planted_dup_recall",
-    "context_window_fit",
-    "token_burstiness",
-    "pq_distortion",
-    "kcore_fixed",
-    # r3 tail (displaced past round 9's boundary):
-    "weighted_discount_udaf", "quantize_embeddings_arrow",
-    "resample_events", "unpivot_metrics", "null_safe_rollup",
-    "clean_text", "token_budget", "priority_shipping_mix",
-    "source_mix", "es_bulk_roundtrip",
-    # oldest r4 re-checks (CORRECTNESS_r04 order):
-    "es_scroll_roundtrip", "token_budget_by_source",
-    "time_weighted_value", "event_trigrams", "cohort_retention",
-    "table_profile", "growth_accounting", "drift_psi",
-    "scrub_boilerplate", "equi_depth_buckets", "sessionize",
-    "rolling_wau", "winsorized_stats", "merge_apply",
-    "embedding_gramian", "embedding_pca", "cms_word_counts",
-    "scd2_lookup", "jl_projection", "ohlc_bars", "erase_users",
-    "gopher_quality", "substring_contamination", "token_set_join",
-    "bloom_prefilter_join", "mad_outliers", "heavy_hitters",
-    "linear_probe", "corpus_build_pipeline", "feature_hashing",
-    "bpe_pair_counts", "bpe_train", "embedding_dup_clusters",
-    # --- position 50 boundary (wnd = 7 new + 10 r3 + 33 r4); the r4
-    #     remainder below queues for round 11 ---
+    # round-11 additions, never driver-checked:
+    "simhash_hamming_pairs",
+    "embedding_anisotropy",
+    "length_bucketing_waste",
+    "rbo_eval",
+    "es_http_roundtrip",
+    # r4 remainder (displaced past round 10's boundary, r04 order):
     "training_batches", "incremental_near_dup", "split_leakage",
     "term_postings", "bm25_search", "weighted_sample", "salted_join",
+    "hll_rollup", "ivf_assign", "lsh_topk_multiprobe", "knn_join_lsh",
+    "pricing_summary", "asof_join", "tumbling_windows",
+    "session_windows", "returnflag_pivot", "segment_set_ops",
+    # oldest r5 re-checks (CORRECTNESS_r05 order):
+    "basket_rules", "copurchase_pagerank", "lp_communities",
+    "triangle_count", "pq_encode", "pq_search", "bpe_encode",
+    "ivf_topk_fixed", "kmv_overlap", "ks_drift",
+    "dedup_threshold_sweep", "shared_spans", "media_near_dup",
+    "span_leakage", "skew_profile", "bigram_pmi", "binary_ingest",
+    "ab_test", "temperature_sample", "dsir_weights", "chi2_terms",
+    "mmr_rerank", "zipf_fit", "target_encode", "k_anonymity",
+    "rfm_segments", "touch_attribution", "revenue_anomalies",
 ]
 
 

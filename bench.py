@@ -291,6 +291,12 @@ EXTENDED = [
     "token_burstiness",
     "pq_distortion",
     "kcore_fixed",
+    # round-11 additions
+    "simhash_hamming_pairs",
+    "embedding_anisotropy",
+    "length_bucketing_waste",
+    "rbo_eval",
+    "es_http_roundtrip",
 ]
 
 

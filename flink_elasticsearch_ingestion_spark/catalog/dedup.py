@@ -382,6 +382,20 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "n_docs", F.array_join("doc_ids", ",").alias("doc_ids_csv")
     ).orderBy("bucket")
 
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SimHash near-dup pairs: Manku-pigeonhole band
+    blocking (hamming <= 2 over 24 portable bits MUST collide on one
+    of 3 exact 8-bit bands — guaranteed recall, no S-curve) + popcount
+    verify. The oracle re-derives signatures, bands, candidates, and
+    hamming distances bit-for-bit from the md5-31 feature family."""
+    return D.simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"),
+        bits=24,
+        max_hamming=2,
+        portable=True,
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH near-dup pairs, hash-verified: the oracle
     re-derives buckets from inlined hyperplane literals plus the exact
@@ -653,6 +667,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "sorted_neighborhood_dedup": q_sorted_neighborhood_dedup,
     "simhash_buckets": q_simhash_buckets,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "scrub_boilerplate": q_scrub_boilerplate,
     "substring_contamination": q_substring_contamination,
@@ -889,6 +904,35 @@ ORACLES = {
         "   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)"
         "     FILTER (WHERE rn <= 100) AS doc_ids_csv"
         " FROM ranked GROUP BY bucket HAVING count(*) > 1 ORDER BY bucket"
+    ),
+    "simhash_hamming_pairs": (
+        # same portable signature derivation as simhash_buckets (md5-31
+        # word-bigram features, 24-bit signature), then the pigeonhole
+        # band join + popcount verify
+        "WITH docs AS (SELECT doc_id,"
+        " string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w"
+        " FROM documents),"
+        " th AS (SELECT doc_id, list_transform(w,"
+        "   t -> ('0x' || substr(md5(t),1,8))::BIGINT % 2147483647) AS ht FROM docs),"
+        " hv AS (SELECT doc_id, list_distinct(["
+        "   list_reduce(list_prepend(0::BIGINT, ht[i:i+1]),"
+        "     (a, x) -> ((a*1000003) % 2147483647 + x) % 2147483647)"
+        "   FOR i IN generate_series(1, greatest(len(ht)-1, 1))]) AS h FROM th),"
+        " sig AS (SELECT doc_id, CAST(list_sum([CASE WHEN"
+        "   list_sum(list_transform(h, x -> CASE WHEN (x >> b) & 1 = 1"
+        "     THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END"
+        "   FOR b IN generate_series(0, 23)]) AS BIGINT) AS s FROM hv),"
+        " banded AS (SELECT doc_id, b AS band_idx,"
+        "   (s >> (b * 8)) & 255 AS band_bits"
+        "   FROM sig, LATERAL (SELECT unnest(generate_series(0, 2)) AS b) g),"
+        " cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        "   FROM banded a JOIN banded b ON a.band_idx = b.band_idx"
+        "   AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)"
+        " SELECT c.doc_a, c.doc_b,"
+        "   CAST(bit_count(xor(sa.s, sb.s)) AS INTEGER) AS hamming"
+        " FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a"
+        " JOIN sig sb ON sb.doc_id = c.doc_b"
+        " WHERE bit_count(xor(sa.s, sb.s)) <= 2 ORDER BY doc_a, doc_b"
     ),
     "minhash_near_dup": (
         "WITH " + _minhash_pairs_cte(0.4)

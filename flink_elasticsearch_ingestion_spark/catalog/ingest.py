@@ -125,6 +125,84 @@ def q_es_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("index_id")
     )
 
+def q_es_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end over REAL HTTP (r11): bulk-index a bounded document
+    slice into the hermetic in-process ES lookalike
+    (sources/es_testing.py — sockets, basic auth, NDJSON framing, the
+    reference's 64-action bulks with the core.clj:72-78 retry wrapper),
+    then scroll-walk it back page by page and rebuild the DataFrame.
+    Hash-green against the oracle on the raw parquet proves every
+    (doc_id, source, n_chars) survived the HTTP wire in both
+    directions — the dev-env conformance probe the sandbox could not
+    run live through round 10.  Driver-side by construction: the slice
+    is <= 1000 rows (the distributed path is the es_bulk / es_scroll
+    formats, proven by their own roundtrip queries)."""
+    from flink_elasticsearch_ingestion_spark.config import SinkConfig
+    from flink_elasticsearch_ingestion_spark.sources.es_client import (
+        ElasticsearchRestClient,
+        send_bulk_with_retry,
+        urllib_transport,
+    )
+    from flink_elasticsearch_ingestion_spark.sources.es_testing import (
+        FakeElasticsearchServer,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "source", "n_chars")
+    )
+    rows = [r.asDict() for r in docs.collect()]  # bounded: id < 1000
+    out_rows: list[tuple] = []
+    with FakeElasticsearchServer(username="elastic", password="rt") as url:
+        client = ElasticsearchRestClient(
+            SinkConfig(urls=url, username="elastic", password="rt"),
+            transport=urllib_transport,
+        )
+        client.send(client.request("PUT", "/docs-rt"))
+        actions = [
+            {
+                "index_id": "docs-rt",
+                "doc_id": r["doc_id"],
+                "body": {"source": r["source"], "n_chars": r["n_chars"]},
+            }
+            for r in rows
+        ]
+        bulk = client.cfg.bulk_max_actions  # the reference's 64
+        for i in range(0, len(actions), bulk):
+            send_bulk_with_retry(client, actions[i : i + bulk])
+        client.send(client.request("POST", "/docs-rt/_refresh"))
+        page = client.send(
+            client.request(
+                "POST", "/docs-rt/_search?scroll=1m",
+                {"size": 200, "sort": ["_doc"]},
+            )
+        )
+        sid = page["_scroll_id"]
+        while page["hits"]["hits"]:
+            out_rows += [
+                (
+                    int(h["_id"]),
+                    h["_source"]["source"],
+                    int(h["_source"]["n_chars"]),
+                )
+                for h in page["hits"]["hits"]
+            ]
+            page = client.send(
+                client.request(
+                    "POST", "/_search/scroll",
+                    {"scroll": "1m", "scroll_id": sid},
+                )
+            )
+            sid = page["_scroll_id"]
+        client.send(
+            client.request("DELETE", "/_search/scroll", {"scroll_id": sid})
+        )
+    return spark.createDataFrame(
+        out_rows, "doc_id bigint, source string, n_chars bigint"
+    ).orderBy("doc_id")
+
+
 def q_es_scroll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end through the REAL scroll-source read path: stage a 5%
     event slice as a sharded es_scroll index (JSONL shard files, the
@@ -341,6 +419,7 @@ def q_streaming_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: catalog keys the driver and the oracle gate use verbatim)
 QUERIES = {
     "es_bulk_roundtrip": q_es_bulk_roundtrip,
+    "es_http_roundtrip": q_es_http_roundtrip,
     "es_scroll_roundtrip": q_es_scroll_roundtrip,
     "merge_apply": q_merge_apply,
     "erase_users": q_erase_users,
@@ -401,6 +480,10 @@ ORACLES = {
         "   AS BIGINT) AS chunk_id FROM docs)"
         " SELECT chunk_id, count(*) AS n_docs, min(doc_id) AS first_doc,"
         " max(doc_id) AS last_doc FROM chunked GROUP BY chunk_id ORDER BY chunk_id"
+    ),
+    "es_http_roundtrip": (
+        "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars"
+        " FROM documents WHERE doc_id < 1000 ORDER BY doc_id"
     ),
     "es_bulk_roundtrip": (
         # the engine side routes every event through the es_bulk

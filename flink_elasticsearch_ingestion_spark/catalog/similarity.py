@@ -472,6 +472,39 @@ def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vector(spark, sf_dir)
     return S.ivf_topk(emb, qv, k=10, nprobe=3, centroids=c)
 
+def q_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap between the exact cosine top-10 and the
+    LSH top-10 per panel query (r11): the rank-weighted ANN quality
+    account next to ann_recall_eval's set recall — catches "right set,
+    wrong order". Oracle replays the exact ranking, the plane-literal
+    LSH ranking, the depth-overlap counts, and the literal RBO
+    weights."""
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        rbo_eval,
+    )
+
+    return rbo_eval(
+        _t(spark, sf_dir, "embeddings"), k=10, p=0.9, n_queries=4,
+        bits=4, tables=8,
+    )
+
+
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected cosine between unrelated vectors (Ethayarajh-style
+    anisotropy) over the deterministic i <-> i + N/2 pairing — the
+    calibration constant every cosine threshold downstream sits on.
+    One narrow equi-join + one global agg; the oracle replays the
+    pairing and the 6dp cosine mean exactly."""
+    from flink_elasticsearch_ingestion_spark.operators.embeddings import (
+        embedding_anisotropy,
+    )
+
+    n = _nrows(sf_dir, "embeddings")
+    return embedding_anisotropy(
+        _t(spark, sf_dir, "embeddings"), offset=n // 2
+    )
+
+
 def q_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability curve of the broadcast linear probe: margin bins vs
     per-bin label agreement — the calibration audit for any
@@ -592,6 +625,8 @@ QUERIES = {
     "embedding_pca": q_embedding_pca,
     "jl_projection": q_jl_projection,
     "probe_calibration": q_probe_calibration,
+    "embedding_anisotropy": q_embedding_anisotropy,
+    "rbo_eval": q_rbo_eval,
     "ivf_topk_fixed": q_ivf_topk_fixed,
     "ann_recall_eval": q_ann_recall_eval,
     "source_similarity": q_source_similarity,
@@ -1361,6 +1396,69 @@ ORACLES = {
         "  WHERE j >= i)"
         " SELECT i, j, round(sum(v) + 1e-9, 6) AS dot"
         " FROM p GROUP BY i, j ORDER BY i, j"
+    ),
+    "rbo_eval": (
+        # exact panel ranking + plane-literal LSH ranking; RBO depth
+        # weights inlined as the SAME repr() literals the Spark plan
+        # uses (operators/similarity._rbo_coeffs)
+        "WITH planes AS (SELECT * FROM (VALUES "
+        + _plane_values(4, [42 + t for t in range(8)])
+        + ") AS t(tbl, i, p)),"
+        " vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        " eq AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        "   round(list_dot_product(a.v, b.v) /"
+        "     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),"
+        "     6) AS cosine FROM vecs a, vecs b"
+        "   WHERE a.vec_id < 4 AND a.vec_id <> b.vec_id),"
+        " ex AS (SELECT query_id, neighbor_id, ra FROM (SELECT query_id,"
+        "   neighbor_id, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY cosine DESC, neighbor_id) AS ra FROM eq) WHERE ra <= 10),"
+        " buckets AS (SELECT vec_id, v, tbl, CAST(sum(CASE WHEN"
+        "   list_dot_product(v, p) >= 0 THEN (1::BIGINT << i) ELSE 0 END)"
+        "   AS BIGINT) AS bucket FROM vecs CROSS JOIN planes GROUP BY vec_id, v, tbl),"
+        " cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id"
+        "   FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket"
+        "   AND q.vec_id <> c.vec_id WHERE q.vec_id < 4),"
+        " scored AS (SELECT query_id, neighbor_id,"
+        "   round(list_dot_product(a.v, b.v) /"
+        "     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),"
+        "     6) AS cosine"
+        "   FROM cand JOIN vecs a ON a.vec_id = cand.query_id"
+        "   JOIN vecs b ON b.vec_id = cand.neighbor_id),"
+        " ap AS (SELECT query_id, neighbor_id, rb FROM (SELECT query_id,"
+        "   neighbor_id, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY cosine DESC, neighbor_id) AS rb FROM scored) WHERE rb <= 10),"
+        " paired AS (SELECT ex.query_id, ex.ra, ap.rb FROM ex"
+        "   JOIN ap USING (query_id, neighbor_id)),"
+        " xd AS (SELECT query_id, d, count(*) AS x FROM paired,"
+        "   (SELECT unnest(generate_series(1, 10)) AS d) g"
+        "   WHERE ra <= d AND rb <= d GROUP BY 1, 2),"
+        " rbo AS (SELECT query_id, round(sum(x * CASE d WHEN 1 THEN 0.15353399327876294 WHEN 2 THEN 0.06909029697544332 WHEN 3 THEN 0.041454178185266 WHEN 4 THEN 0.02798157027505455 WHEN 5 THEN 0.020146730598039272 WHEN 6 THEN 0.015110047948529456 WHEN 7 THEN 0.011656322703151294 WHEN 8 THEN 0.009179354128731646 WHEN 9 THEN 0.007343483302985317 WHEN 10 THEN 0.005948221475418106 END)"
+        "   + 1e-9, 6) AS rbo FROM xd GROUP BY 1),"
+        " ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),"
+        " na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx FROM ap GROUP BY 1),"
+        " nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common FROM paired GROUP BY 1)"
+        " SELECT ne.query_id, ne.n_exact,"
+        " CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,"
+        " CAST(COALESCE(nc.n_common, 0) AS BIGINT) AS n_common,"
+        " COALESCE(rbo.rbo, 0.0) AS rbo"
+        " FROM ne LEFT JOIN na USING (query_id) LEFT JOIN nc USING (query_id)"
+        " LEFT JOIN rbo USING (query_id) ORDER BY ne.query_id"
+    ),
+    "embedding_anisotropy": (
+        # offset = floor(N/2) as a scalar subquery, so the oracle is
+        # sf-agnostic like the Spark side's _nrows(sf_dir)//2
+        "WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va"
+        "   FROM embeddings),"
+        " b AS (SELECT vec_id - (SELECT count(*) // 2 FROM embeddings)"
+        "   AS vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings),"
+        " p AS (SELECT round(list_dot_product(va, vb) /"
+        "   (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))"
+        "   , 6) AS c FROM a JOIN b USING (vec_id))"
+        " SELECT CAST(count(*) AS BIGINT) AS n_pairs,"
+        " round(round(sum(c), 4) / count(*) + 1e-9, 6) AS mean_cosine,"
+        " round(round(sum(abs(c)), 4) / count(*) + 1e-9, 6) AS mean_abs_cosine,"
+        " max(abs(c)) AS max_abs_cosine FROM p"
     ),
     "cosine_topk": (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"

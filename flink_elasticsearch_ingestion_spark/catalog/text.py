@@ -670,6 +670,15 @@ def q_context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     size grid; no corpus fan-out, no grid join."""
     return X.context_window_fit(_t(spark, sf_dir, "documents"))
 
+def q_length_bucketing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste vs bucket-count sweep (r11): the PADDING side of
+    the batch-assembly budget next to context_window_fit's truncation
+    side — per equi-depth length-bucket count nb in {1,2,4,8}, the pad
+    tokens burned when each bucket pads to its own max. Two-phase
+    global length rank (no single-partition window) + SQL-standard
+    ntile arithmetic the oracle replays in integers."""
+    return X.length_bucketing_waste(_t(spark, sf_dir, "documents"))
+
 def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token burstiness / dispersion (Church & Gale 1995), r10: VMR of
     per-doc counts for the top-20 corpus tokens — Poisson-like scatter
@@ -726,6 +735,7 @@ QUERIES = {
     "bpe_train": q_bpe_train,
     "bpe_train_fixed": q_bpe_train_fixed,
     "context_window_fit": q_context_window_fit,
+    "length_bucketing_waste": q_length_bucketing_waste,
     "token_burstiness": q_token_burstiness,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pack_documents": q_pack_documents,
@@ -1971,6 +1981,31 @@ ORACLES = {
         " string_agg(e.syms_csv, ' ' ORDER BY tk.pos) AS encoded"
         " FROM tk JOIN enc e USING (token)"
         " GROUP BY tk.doc_id ORDER BY tk.doc_id"
+    ),
+    "length_bucketing_waste": (
+        # two-phase rank == plain row_number here; buckets use the
+        # SQL-standard ntile distribution in integer arithmetic
+        # (first total%nb buckets take base+1 rows), replicated rather
+        # than ntile(nb) so the bucket math is explicit on both engines
+        "WITH tok AS (SELECT doc_id,"
+        "  len(string_split_regex(trim(text), '\\s+')) AS n FROM documents),"
+        " axis AS (SELECT unnest([1, 2, 4, 8]) AS nb),"
+        " ranked AS (SELECT nb, n,"
+        "  row_number() OVER (PARTITION BY nb ORDER BY n, doc_id) AS r,"
+        "  count(*) OVER (PARTITION BY nb) AS total FROM tok, axis),"
+        " b AS (SELECT nb, n,"
+        "  CASE WHEN r <= (total // nb + 1) * (total % nb)"
+        "   THEN (r - 1) // (total // nb + 1) + 1"
+        "   ELSE (total % nb) + (r - (total // nb + 1) * (total % nb) - 1)"
+        "        // (total // nb) + 1 END AS bucket FROM ranked),"
+        " pb AS (SELECT nb, bucket, count(*) AS docs, max(n) AS cap,"
+        "  sum(n) AS toks FROM b GROUP BY 1, 2)"
+        " SELECT CAST(nb AS BIGINT) AS n_buckets,"
+        "  CAST(sum(toks) AS BIGINT) AS total_tokens,"
+        "  CAST(sum(cap * docs) AS BIGINT) AS padded_tokens,"
+        "  round((sum(cap * docs) - sum(toks)) * 1.0 / sum(cap * docs)"
+        "   + 1e-9, 6) AS waste_share"
+        " FROM pb GROUP BY nb ORDER BY n_buckets"
     ),
     "context_window_fit": "WITH n AS (SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS nt FROM documents), a AS (SELECT count(*) AS nd, sum(nt) AS tt, sum(CASE WHEN nt <= 8 THEN 1 ELSE 0 END) AS f8, sum(CASE WHEN nt <= 8 THEN nt ELSE 0 END) AS m8, sum(least(nt, 8)) AS l8, sum(CASE WHEN nt <= 16 THEN 1 ELSE 0 END) AS f16, sum(CASE WHEN nt <= 16 THEN nt ELSE 0 END) AS m16, sum(least(nt, 16)) AS l16, sum(CASE WHEN nt <= 32 THEN 1 ELSE 0 END) AS f32, sum(CASE WHEN nt <= 32 THEN nt ELSE 0 END) AS m32, sum(least(nt, 32)) AS l32, sum(CASE WHEN nt <= 64 THEN 1 ELSE 0 END) AS f64, sum(CASE WHEN nt <= 64 THEN nt ELSE 0 END) AS m64, sum(least(nt, 64)) AS l64, sum(CASE WHEN nt <= 128 THEN 1 ELSE 0 END) AS f128, sum(CASE WHEN nt <= 128 THEN nt ELSE 0 END) AS m128, sum(least(nt, 128)) AS l128 FROM n) SELECT * FROM (SELECT CAST(8 AS INT) AS context_size, CAST(f8 AS BIGINT) AS n_docs_fit, round(f8 * 1.0 / nd + 1e-9, 6) AS doc_fit_share, round(m8 * 1.0 / tt + 1e-9, 6) AS token_fit_share, round(l8 * 1.0 / tt + 1e-9, 6) AS clipped_token_share FROM a UNION ALL SELECT CAST(16 AS INT) AS context_size, CAST(f16 AS BIGINT) AS n_docs_fit, round(f16 * 1.0 / nd + 1e-9, 6) AS doc_fit_share, round(m16 * 1.0 / tt + 1e-9, 6) AS token_fit_share, round(l16 * 1.0 / tt + 1e-9, 6) AS clipped_token_share FROM a UNION ALL SELECT CAST(32 AS INT) AS context_size, CAST(f32 AS BIGINT) AS n_docs_fit, round(f32 * 1.0 / nd + 1e-9, 6) AS doc_fit_share, round(m32 * 1.0 / tt + 1e-9, 6) AS token_fit_share, round(l32 * 1.0 / tt + 1e-9, 6) AS clipped_token_share FROM a UNION ALL SELECT CAST(64 AS INT) AS context_size, CAST(f64 AS BIGINT) AS n_docs_fit, round(f64 * 1.0 / nd + 1e-9, 6) AS doc_fit_share, round(m64 * 1.0 / tt + 1e-9, 6) AS token_fit_share, round(l64 * 1.0 / tt + 1e-9, 6) AS clipped_token_share FROM a UNION ALL SELECT CAST(128 AS INT) AS context_size, CAST(f128 AS BIGINT) AS n_docs_fit, round(f128 * 1.0 / nd + 1e-9, 6) AS doc_fit_share, round(m128 * 1.0 / tt + 1e-9, 6) AS token_fit_share, round(l128 * 1.0 / tt + 1e-9, 6) AS clipped_token_share FROM a) ORDER BY context_size",
     "token_burstiness": "WITH pd AS (SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) WHERE w <> '' GROUP BY doc_id, w), m AS (SELECT w, count(*) AS df, sum(c) AS s1, sum(c*c) AS s2 FROM pd GROUP BY w) SELECT w AS token, CAST(df AS BIGINT) AS df, CAST(s1 AS BIGINT) AS total_count, round((s2 * 1.0 / df - (s1 * 1.0 / df) * (s1 * 1.0 / df))   / (s1 * 1.0 / df) + 1e-9, 6) AS vmr FROM m ORDER BY total_count DESC, token LIMIT 20",

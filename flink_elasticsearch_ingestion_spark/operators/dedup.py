@@ -1319,6 +1319,91 @@ def simhash_buckets(
     )
 
 
+def simhash_hamming_pairs(
+    documents: DataFrame,
+    *,
+    word_k: int = 2,
+    bits: int = 24,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS, end to end — the verify stage
+    ``simhash_buckets`` leaves to its consumers (that operator emits
+    bucket membership; this one emits the actual (doc_a, doc_b,
+    hamming) pairs within ``max_hamming`` signature bits).
+
+    Blocking is Manku et al.'s (WWW'07) pigeonhole split, NOT the
+    single-prefix bucket: the signature is cut into ``max_hamming + 1``
+    disjoint bit-bands, and any pair within hamming <= max_hamming must
+    agree EXACTLY on at least one band (at most ``max_hamming`` bits
+    differ, so they cannot touch every one of the ``max_hamming + 1``
+    bands).  Candidates are therefore equi-join collisions on
+    (band_index, band_bits) with GUARANTEED total recall — this is an
+    exact algorithm, unlike MinHash banding's probabilistic S-curve.
+
+    Plan shape (the 100 TB path), same discipline as the MinHash and
+    sign-LSH families:
+      1. map: one SimHash signature per doc (persisted once)
+      2. explode into ``max_hamming + 1`` ids-only band keys
+      3. self-equi-join on (band_index, band_bits)  <- only wide shuffle
+      4. distinct candidate pairs -> re-attach signatures (narrow)
+      5. verify: ``bit_count(sig_a ^ sig_b) <= max_hamming``
+
+    ``portable=True`` (md5-31 feature hashes, bits <= 31) keeps every
+    signature bit DuckDB-replayable so the oracle re-derives the exact
+    pair set; the xxhash64 family is the production default elsewhere.
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    sig = simhash_signature(
+        documents, word_k=word_k, id_col=id_col, text_col=text_col,
+        bits=bits, portable=portable,
+    ).persist()
+    sig.count()  # eager: the band join has 2 consumers + 2 re-attaches
+
+    def band_val(b: int) -> F.Column:
+        lo = b * width
+        w = width if b < n_bands - 1 else bits - lo  # last takes the rest
+        return F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
+    banded = sig.select(
+        F.col("doc_id"),
+        F.posexplode(F.array(*[band_val(b) for b in range(n_bands)])).alias(
+            "band_idx", "band_bits"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(__sa ^ __sb)").cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def substring_contamination(
     corpus: DataFrame,
     probe: DataFrame,

@@ -44,6 +44,63 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def embedding_anisotropy(
+    embeddings: DataFrame,
+    *,
+    offset: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus anisotropy estimate (Ethayarajh 2019's "How contextual
+    are contextualized representations?" diagnostic): the expected
+    cosine between UNRELATED vectors.  An isotropic embedding space
+    scores ~0; a high value means the vectors live in a narrow cone —
+    every downstream cosine (dedup thresholds, ANN margins, centroid
+    classifiers) is then inflated by a constant the pipeline should
+    subtract or whiten away, so this is the calibration reading to
+    take BEFORE fixing any cosine threshold at corpus scale.
+
+    The pair sample is deterministic, not random: vector ``i`` pairs
+    with vector ``i + offset`` (callers pass ~half the corpus so pairs
+    span the id range) — replayable by any SQL engine, stable across
+    runs/engines, and one narrow shuffle-on-id equi-join at any scale
+    (contrast a uniform random pairing, whose sample — and hence the
+    statistic — would differ per run).  Per-pair cosines round to 6dp
+    before the mean (the repo-wide cross-engine float discipline).
+
+    Returns ONE row: n_pairs, mean_cosine (the anisotropy), the mean
+    ABSOLUTE cosine (cone width even when signs cancel), max_abs.
+    """
+    from flink_elasticsearch_ingestion_spark.operators.similarity import (
+        cosine,
+    )
+
+    a = embeddings.select(
+        F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = embeddings.select(
+        (F.col(id_col) - F.lit(offset)).alias("__ida"),
+        F.col(vec_col).alias("__vb"),
+    )
+    c6 = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        a.join(b, "__ida")
+        .select(c6.alias("__c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.round(F.sum("__c"), 4) / F.count(F.lit(1)) + 1e-9, 6
+            ).alias("mean_cosine"),
+            F.round(
+                F.round(F.sum(F.abs(F.col("__c"))), 4) / F.count(F.lit(1))
+                + 1e-9,
+                6,
+            ).alias("mean_abs_cosine"),
+            F.max(F.abs(F.col("__c"))).alias("max_abs_cosine"),
+        )
+    )
+
+
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     """Per-vector symmetric int8 quantization parameters + worst-case
     reconstruction error — the storage/serving compression report.

@@ -513,6 +513,7 @@ def knn_join_lsh(
     vec_col: str = "embedding",
     corpus_rows: "int | None" = None,
     arrow: bool = False,
+    arrow_score: "bool | None" = None,
     bucket_shift: "float | None" = None,
     center_check: "bool | str" = True,
 ) -> DataFrame:
@@ -551,6 +552,7 @@ def knn_join_lsh(
         corpus_id=corpus_id,
         vec_col=vec_col,
         arrow=arrow,
+        arrow_score=arrow_score,
         bucket_shift=bucket_shift,
         center_check=center_check,
     )
@@ -635,6 +637,100 @@ def _arrow_banded(
     )
 
 
+def _arrow_pair_cosines(pairs: DataFrame) -> DataFrame:
+    """Exact-cosine scoring of a (query_id, neighbor_id, q_vec, c_vec)
+    candidate frame via per-batch numpy — the Arrow twin of the
+    ``cosine()`` HOF expression (VERDICT r10 "Next round #3": the
+    bitext scoring stage was the fattest remaining per-pair constant,
+    mutual/margin 156/151 s at sf30).
+
+    BIT-PARITY by construction, not by accident: the accumulators
+    replay the SQL left fold's exact FP op sequence — ``acc + x_i*y_i``
+    in index order, in float64 — as a column-wise loop (``acc +=
+    Q[:, j] * C[:, j]``), never numpy's pairwise-summed ``dot``/
+    ``einsum``, so every pair's double is bit-identical to the
+    expression form (IEEE ops in the same order are deterministic).
+    Rounding stays a Spark-side ``F.round`` on the returned raw double,
+    so HALF_UP semantics are literally the same code path.
+
+    Degenerate-input parity with the expression form under ANSI:
+
+    - null vector or length-mismatched pair -> NULL cosine (zip_with
+      null-padding nulls the fold); here: never computed, and the
+      NaN-in-float64 Arrow conversion yields SQL NULL.
+    - NaN vector elements -> NaN cosine (a VALUE, not null): flagged
+      per row (``nan_flag``) because the Arrow float64 conversion
+      would otherwise fold real NaN into NULL; the caller re-issues
+      ``lit(NaN)`` for flagged rows.
+    - zero-norm vector -> raises, mirroring ANSI DIVIDE_BY_ZERO from
+      the expression path (silently guessing Inf/NaN would diverge).
+
+    Both vectors ride the candidate frame into ONE mapInPandas pass —
+    no extra shuffle versus the expression select it replaces.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qt = pairs.schema["query_id"].dataType.simpleString()
+    nt = pairs.schema["neighbor_id"].dataType.simpleString()
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            qv, cv = pdf["q_vec"], pdf["c_vec"]
+            lq = np.array([-1 if v is None else len(v) for v in qv])
+            lc = np.array([-1 if v is None else len(v) for v in cv])
+            raw = np.full(n, np.nan)
+            computed = np.zeros(n, dtype=bool)
+            valid = (lq == lc) & (lq >= 0)
+            for L in np.unique(lq[valid]):
+                m = valid & (lq == L)
+                rows = int(m.sum())
+                if L == 0:
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero-length vector in cosine "
+                        "(ANSI parity with the expression path)"
+                    )
+                Q = np.vstack(qv[m].to_numpy()).astype("float64")
+                C = np.vstack(cv[m].to_numpy()).astype("float64")
+                acc = np.zeros(rows)
+                nq = np.zeros(rows)
+                nc = np.zeros(rows)
+                for j in range(int(L)):  # the SQL fold, column-wise
+                    acc += Q[:, j] * C[:, j]
+                    nq += Q[:, j] * Q[:, j]
+                    nc += C[:, j] * C[:, j]
+                den = np.sqrt(nq) * np.sqrt(nc)
+                if np.any(den == 0.0):
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero-norm vector in cosine "
+                        "(ANSI parity with the expression path)"
+                    )
+                raw[m] = acc / den
+                computed[m] = True
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    # NaN -> SQL NULL in the Arrow conversion: exactly
+                    # right for never-computed rows; true NaNs restored
+                    # from the flag by the caller
+                    "cosine_raw": raw,
+                    "nan_flag": computed & np.isnan(raw),
+                }
+            )
+
+    return pairs.mapInPandas(
+        score,
+        schema=(
+            f"query_id {qt}, neighbor_id {nt}, "
+            "cosine_raw double, nan_flag boolean"
+        ),
+    )
+
+
 def _lsh_scored_pairs(
     queries: DataFrame,
     corpus: DataFrame,
@@ -646,6 +742,7 @@ def _lsh_scored_pairs(
     corpus_id: str,
     vec_col: str,
     arrow: bool = False,
+    arrow_score: "bool | None" = None,
     bucket_shift: "float | None" = None,
     center_check: "bool | str" = True,
 ) -> DataFrame:
@@ -663,6 +760,13 @@ def _lsh_scored_pairs(
     ``bits="auto"`` grows with log(corpus); the matmul makes that term
     cheap (measured on mutual_matches at sf3: 23.6s -> see SCALE.md).
     Bucket parity between the two forms is unit-pinned.
+
+    ``arrow_score`` (default: follow ``arrow``) swaps the per-pair
+    exact-cosine SCORING stage the same way: one vectorized numpy pass
+    (:func:`_arrow_pair_cosines`, fold-order bit-parity pinned)
+    instead of the interpreted ``aggregate``/``zip_with`` expression —
+    the other per-candidate constant the sf30 ladder surfaced on
+    mutual/margin (VERDICT r10 #3).
 
     ``bucket_shift`` / ``center_check``: the same off-center guard as
     ``embedding_near_duplicates`` — sign-LSH on all-positive features
@@ -752,14 +856,22 @@ def _lsh_scored_pairs(
     c_vecs = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    return (
-        cand_ids.join(q_vecs, "query_id")
-        .join(c_vecs, "neighbor_id")
-        .select(
+    pairs = cand_ids.join(q_vecs, "query_id").join(c_vecs, "neighbor_id")
+    if arrow if arrow_score is None else arrow_score:
+        return _arrow_pair_cosines(pairs).select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            F.round(
+                F.when(F.col("nan_flag"), F.lit(float("nan"))).otherwise(
+                    F.col("cosine_raw")
+                ),
+                6,
+            ).alias("cosine"),
         )
+    return pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
     )
 
 
@@ -775,6 +887,7 @@ def mutual_best_match(
     vec_col: str = "embedding",
     corpus_rows: "int | None" = None,
     arrow: bool = False,
+    arrow_score: "bool | None" = None,
     bucket_shift: "float | None" = None,
     center_check: "bool | str" = True,
 ) -> DataFrame:
@@ -825,6 +938,7 @@ def mutual_best_match(
         corpus_id=right_id,
         vec_col=vec_col,
         arrow=arrow,
+        arrow_score=arrow_score,
         bucket_shift=bucket_shift,
         center_check=center_check,
     )
@@ -888,6 +1002,7 @@ def margin_best_match(
     vec_col: str = "embedding",
     corpus_rows: "int | None" = None,
     arrow: bool = False,
+    arrow_score: "bool | None" = None,
     bucket_shift: "float | None" = None,
     center_check: "bool | str" = True,
 ) -> DataFrame:
@@ -935,6 +1050,7 @@ def margin_best_match(
         corpus_id=right_id,
         vec_col=vec_col,
         arrow=arrow,
+        arrow_score=arrow_score,
         bucket_shift=bucket_shift,
         center_check=center_check,
     )
@@ -1751,4 +1867,108 @@ def bucket_cap_recall_account(
         ],
         "pairs_uncapped bigint, pairs_capped bigint, recall double,"
         " n_buckets_truncated bigint",
+    )
+
+
+def _rbo_coeffs(k: int, p: float) -> list[float]:
+    """Truncated, normalized rank-biased-overlap depth weights:
+    c_d = p^(d-1) * (1-p) / (1-p^k) / d for d = 1..k, so identical
+    k-deep rankings score exactly 1.0.  Computed ONCE in Python and
+    inlined as double literals into BOTH the Spark plan and the DuckDB
+    oracle — repr-roundtripped literals cannot drift across engines
+    the way pow() ulps could."""
+    norm = (1.0 - p) / (1.0 - p**k)
+    return [(p ** (d - 1)) * norm / d for d in range(1, k + 1)]
+
+
+def rbo_eval(
+    embeddings: DataFrame,
+    *,
+    k: int = 10,
+    p: float = 0.9,
+    n_queries: int = 4,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    the EXACT cosine top-k ranking and the LSH-approximate ranking for
+    a bounded query panel — the rank-weighted ANN quality account next
+    to ``ann_recall_eval``'s set recall@k: recall@k cannot see "right
+    set, wrong order", RBO weights agreement at depth d by p^(d-1), so
+    a scale path that returns the true top-1 first scores near 1 even
+    when the tail shuffles, and one that buries it scores low at equal
+    recall.
+
+    RBO@k(q) = sum_{d=1..k} c_d * |exact_:d INTERSECT approx_:d| with
+    the normalized truncated weights of :func:`_rbo_coeffs` (identical
+    rankings -> 1.0).  Overlap-at-depth is computed by exploding each
+    agreeing pair over the bounded literal depth axis (k rows) and
+    counting pairs with both ranks <= d — no per-depth rescan.
+
+    Plan shape: one exact ``knn_join`` (broadcast panel, two-phase
+    rank), one ``knn_join_lsh`` (bucket-blocked), then joins/aggs over
+    panel-sized (<= n_queries * k row) frames only.  The <= k-term RBO
+    sum is the one float accumulation whose order differs across
+    engines; terms are O(0.01)-magnitude distinct doubles, absorbed by
+    the +1e-9, round-6 discipline.
+
+    Returns per panel query: n_exact, n_approx (LSH may return fewer
+    than k), n_common (set overlap at k), rbo.
+    """
+    panel = embeddings.filter(F.col(id_col) < n_queries)
+    exact = knn_join(
+        panel, embeddings, k=k, query_id=id_col, corpus_id=id_col,
+        vec_col=vec_col,
+    )
+    approx = knn_join_lsh(
+        panel, embeddings, k=k, bits=bits, tables=tables, seed=seed,
+        query_id=id_col, corpus_id=id_col, vec_col=vec_col,
+    )
+    ex = exact.select("query_id", "neighbor_id", F.col("rank").alias("ra"))
+    ap = approx.select("query_id", "neighbor_id", F.col("rank").alias("rb"))
+    paired = ex.join(ap, ["query_id", "neighbor_id"])
+    coeffs = _rbo_coeffs(k, p)
+    weight = F.element_at(
+        F.array(*[F.lit(float(c)) for c in coeffs]), F.col("d")
+    )
+    per_depth = (
+        paired.select(
+            "query_id",
+            "ra",
+            "rb",
+            F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias("d"),
+        )
+        .filter((F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")))
+        .groupBy("query_id", "d")
+        .agg(F.count(F.lit(1)).alias("xd"))
+    )
+    rbo = (
+        per_depth.select("query_id", (weight * F.col("xd")).alias("__term"))
+        .groupBy("query_id")
+        .agg(F.round(F.sum("__term") + 1e-9, 6).alias("rbo"))
+    )
+    n_exact = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    n_approx = ap.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_approx")
+    )
+    n_common = paired.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return (
+        n_exact.join(n_approx, "query_id", "left")
+        .join(n_common, "query_id", "left")
+        .join(rbo, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).cast("bigint").alias("n_approx"),
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.coalesce("rbo", F.lit(0.0)).alias("rbo"),
+        )
+        .orderBy("query_id")
     )

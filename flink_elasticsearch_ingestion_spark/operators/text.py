@@ -3282,3 +3282,112 @@ def token_coverage_curve(
         ).alias("coverage"),
         F.col("cnt").cast("bigint").alias("min_in_vocab_count"),
     ).orderBy("vocab_size")
+
+
+def length_bucketing_waste(
+    documents: DataFrame,
+    *,
+    bucket_counts: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    coarse_edges: tuple[float, ...] = (30.0, 45.0, 60.0, 80.0),
+) -> DataFrame:
+    """Padding-waste account for LENGTH-BUCKETED batch assembly: if the
+    corpus is split into ``nb`` equi-depth length buckets and every doc
+    in a bucket pads to that bucket's longest doc (the dynamic-batching
+    regime between "pad everything to global max" at nb=1 and per-batch
+    packing), how many pad tokens does each choice of ``nb`` burn?
+
+    The reading that sizes a training-batch pipeline's bucket count:
+    waste_share(nb=1) is the cost of naive global padding,
+    ``pack_documents`` is the zero-waste-asymptote alternative, and
+    ``context_window_fit`` accounts the TRUNCATION side of the same
+    budget — this operator measures the PADDING side as a function of
+    bucketing granularity.
+
+    The global length order is ranked two-phase (the
+    ``global_distribution_ranks``/``equi_depth_buckets`` discipline,
+    windows.py:1046 — coarse literal ranges + per-range row_number +
+    broadcast prefix offsets, no single-partition window); buckets use
+    the SQL-standard NTILE distribution (first ``n % nb`` buckets take
+    one extra row), in pure integer arithmetic an oracle replays
+    exactly. One rank shuffle, then a bounded ``|bucket_counts|``-way
+    explode and two hash aggregations.
+
+    Returns one row per ``nb``: n_buckets, total_tokens,
+    padded_tokens (sum over buckets of bucket_max * bucket_size),
+    waste_share = 1 - total/padded.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    edges = list(coarse_edges)
+    coarse = F.lit(len(edges))
+    for i, e in reversed(list(enumerate(edges))):
+        coarse = F.when(n_tok < F.lit(e), F.lit(i)).otherwise(coarse)
+    src = documents.select(
+        F.col(id_col).alias("__id"), n_tok.alias("__n"), coarse.alias("__coarse")
+    )
+    within = F.row_number().over(
+        Window.partitionBy("__coarse").orderBy("__n", "__id")
+    )
+    counts = src.groupBy("__coarse").agg(F.count(F.lit(1)).alias("__cnt"))
+    offsets = counts.select(
+        "__coarse",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.orderBy("__coarse").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+        F.sum("__cnt")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__total"),
+    )
+    ranked = src.withColumn("__within", within).join(
+        F.broadcast(offsets), "__coarse"
+    )
+    r = F.col("__offset") + F.col("__within")
+    n = F.col("__total")
+    nb = F.col("n_buckets")
+    exploded = ranked.select(
+        r.alias("__r"),
+        n.alias("__tot"),
+        F.col("__n"),
+        F.explode(
+            F.array(*[F.lit(int(b)) for b in bucket_counts])
+        ).alias("n_buckets"),
+    )
+    base = (F.col("__tot") / nb).cast("bigint")
+    extra = F.col("__tot") % nb
+    big_span = (base + F.lit(1)) * extra
+    bucket = F.when(
+        F.col("__r") <= big_span,
+        ((F.col("__r") - 1) / (base + F.lit(1))).cast("bigint") + 1,
+    ).otherwise(
+        extra + ((F.col("__r") - big_span - 1) / base).cast("bigint") + 1
+    )
+    per_bucket = (
+        exploded.withColumn("__bucket", bucket)
+        .groupBy("n_buckets", "__bucket")
+        .agg(
+            F.count(F.lit(1)).alias("__docs"),
+            F.max("__n").alias("__cap"),
+            F.sum("__n").alias("__toks"),
+        )
+    )
+    padded = F.sum(F.col("__cap") * F.col("__docs"))
+    total = F.sum("__toks")
+    return (
+        per_bucket.groupBy(F.col("n_buckets").cast("bigint").alias("n_buckets"))
+        .agg(
+            total.cast("bigint").alias("total_tokens"),
+            padded.cast("bigint").alias("padded_tokens"),
+            F.round((padded - total) / padded + 1e-9, 6).alias("waste_share"),
+        )
+        .orderBy("n_buckets")
+    )

@@ -50,6 +50,10 @@ SCALAR_JOIN_OK = {
     # partitions). Fact-sized query sides raise and route to
     # knn_join_lsh.
     "knn_join",
+    # embeds knn_join's bounded-panel BNLJ (4 query vectors broadcast
+    # onto one corpus scan) as the exact arm of the RBO ranking
+    # comparison — panel-sized by construction, same class as knn_join
+    "rbo_eval",
     # 1-row avg-positive-balance scalar broadcast onto the customer
     # frame (TPC-H Q22 pattern)
     "dormant_rich_customers",
@@ -150,3 +154,39 @@ SCALAR_JOIN_OK = {
 #: folds over the collected <= k-row array, so the whole catalog passes
 #: the audit structurally.
 UNPARTITIONED_WINDOW_OK: set[str] = set()
+
+#: catalog semantic-dedup allowlist (scripts/check_oracle.py
+#: --dupescan, VERDICT r10 "What's wrong #3"): pairs of catalog
+#: queries whose sf0.001 RESULTS are intentionally identical because
+#: one is a pinned twin of the other (a different execution strategy
+#: over the same semantics), not accidental duplicate capability.
+#: Every entry must say WHY the twin exists. Any OTHER result-hash
+#: collision the scan reports is a candidate duplicate and must be
+#: removed or justified here — the round-9 incident class (3 shipped
+#: duplicates caught by hand) is what this guard automates.
+SEMANTIC_TWINS: set[frozenset] = {
+    # UDTF (lateral-join) twin of the expression chunker: pins the
+    # python UDTF surface (SURVEY §2.9) on identical semantics
+    frozenset({"chunk_documents", "chunk_documents_udtf"}),
+    # Arrow/pandas-UDF execution twin of the expression quantizer:
+    # pins the §2.9 mapInArrow surface on identical semantics
+    frozenset({"quantize_embeddings", "quantize_embeddings_arrow"}),
+    # pandas GROUPED_MAP twin of the expression gap/session derivation
+    frozenset({"event_gaps", "event_gaps_pandas"}),
+    # exact top-k baseline vs its §2.9 pandas-UDF twin vs IVF probing
+    # with fixed centroids: IVF attains recall 1.0 on the sf0.001
+    # panel (coarse quantizer probes cover every true neighbor), so
+    # all three coincide there; they separate at larger sf (the
+    # recall-vs-probes account is measured by dim_truncation_recall /
+    # recall_vs_bucket_cap)
+    frozenset({"cosine_topk", "pandas_cosine_topk"}),
+    frozenset({"cosine_topk", "ivf_topk_fixed"}),
+    frozenset({"pandas_cosine_topk", "ivf_topk_fixed"}),
+    # the same near-dup SEMANTICS via two different scale paths —
+    # MinHash/LSH banding + exact-jaccard verify vs PPJoin-style
+    # token-set prefix filtering: both return exactly the
+    # above-threshold jaccard pairs (the banding stage is recall-1 at
+    # sf0.001 density), which is the point of having both (SURVEY §2.3
+    # similarity self-join vs §2.8 near-dup rows)
+    frozenset({"minhash_near_dup", "token_set_join"}),
+}

@@ -91,6 +91,29 @@ class ElasticsearchRestClient:
         return self.transport(req)
 
 
+def urllib_transport(req: dict) -> Any:
+    """Stdlib HTTP transport for :class:`ElasticsearchRestClient`: puts
+    a built request dict on the wire with ``urllib`` and returns the
+    parsed JSON body.  This is the real-network path the dev env uses
+    (reference dev/docker-compose.yml:3-23) and the hermetic fake
+    server tests ride; the distributed write path stays the es_bulk /
+    es_scroll DataFrame formats — this transport serves driver-side
+    admin/bootstrap/conformance calls only."""
+    import urllib.request
+
+    body = req.get("body")
+    data = (
+        body.encode()
+        if isinstance(body, str)
+        else (json.dumps(body).encode() if body is not None else None)
+    )
+    r = urllib.request.Request(
+        req["url"], data=data, headers=req["headers"], method=req["method"]
+    )
+    with urllib.request.urlopen(r, timeout=30) as resp:
+        return json.loads(resp.read().decode() or "{}")
+
+
 @dataclass
 class BulkBuffer:
     """Count-OR-time bulk flush (64 actions / 5000 ms, core.clj:72-73).

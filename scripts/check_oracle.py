@@ -123,10 +123,67 @@ def _vanilla_spark():
     return spark
 
 
+def dupescan() -> int:
+    """Semantic-duplicate guard (VERDICT r10 "What's wrong #3"): run
+    EVERY catalog query at sf0.001, hash the normalized result, and
+    report name pairs with identical hashes as candidate duplicates.
+    Intentional twins (a pinned alternate execution strategy over the
+    same semantics) live in plans/allowlists.SEMANTIC_TWINS with a
+    justification; anything else colliding is the round-9 incident
+    class (3 shipped duplicates caught only by hand) and fails the
+    scan.  0-row results are reported informationally, not failed —
+    distinct queries can both be legitimately empty at sf0.001."""
+    import hashlib
+    import itertools
+
+    from flink_elasticsearch_ingestion_spark.plans.allowlists import (
+        SEMANTIC_TWINS,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark = get_spark("oracle-dupescan")
+    hashes: dict[str, list[str]] = {}
+    empties: list[str] = []
+    for name, fn in E.queries().items():
+        try:
+            pdf = normalize(fn(spark, sf_dir).toPandas())
+        except Exception:
+            print(f"ERROR {name}: query failed at sf0.001")
+            traceback.print_exc()
+            return 1
+        if len(pdf) == 0:
+            empties.append(name)
+            continue
+        digest = hashlib.sha256(
+            ("|".join(pdf.columns) + "\n" + pdf.to_csv(index=False)).encode()
+        ).hexdigest()
+        hashes.setdefault(digest, []).append(name)
+        print(f"scan  {name}: {len(pdf)} rows {digest[:12]}")
+    if empties:
+        print(f"\nempty at sf0.001 (not compared): {sorted(empties)}")
+    bad = []
+    for names in hashes.values():
+        # pairwise: a 3-way collision group needs every pair justified
+        uncovered = [
+            sorted(p)
+            for p in itertools.combinations(sorted(names), 2)
+            if frozenset(p) not in SEMANTIC_TWINS
+        ]
+        bad.extend(uncovered)
+    if bad:
+        print(f"\nCANDIDATE DUPLICATES (identical sf0.001 result hash): {bad}")
+        print("remove the duplicate or justify it in plans/allowlists.SEMANTIC_TWINS")
+        return 1
+    print("\nno unexplained result-hash collisions")
+    return 0
+
+
 def main():
     args = sys.argv[1:]
     window_n = None
     vanilla = False
+    if "--dupescan" in args:
+        sys.exit(dupescan())
     if "--vanilla" in args:
         vanilla = True
         args.remove("--vanilla")

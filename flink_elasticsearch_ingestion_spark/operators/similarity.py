@@ -637,6 +637,33 @@ def _arrow_banded(
     )
 
 
+def cosine_unrolled(a: F.Column, b: F.Column, dim: int) -> F.Column:
+    """``cosine(a, b)`` as a FLAT unrolled expression over a known
+    ``dim`` — the whole-stage-codegen twin of the interpreted
+    ``aggregate``/``zip_with`` fold (higher-order-function lambdas are
+    CodegenFallback in Spark, costing an interpreted eval per element;
+    at 64 dims x 3 folds that is ~200 interpreted ops per candidate
+    pair).  The sums are built as LEFT-DEEP ``(((t1)+t2)+t3)...``
+    chains, so the IEEE addition order — and therefore every result
+    bit — is identical to the fold's ``acc + x_i*y_i``.
+
+    ``try_element_at`` (1-based) yields NULL past a short array, which
+    nulls the whole sum exactly like ``zip_with``'s null-padding; the
+    caller guards length > ``dim`` (a longer vector would fold over
+    all its elements while this form stops at ``dim``)."""
+    def at(col: F.Column, j: int) -> F.Column:
+        return F.try_element_at(col, F.lit(j)).cast("double")
+
+    dot_c = F.lit(0.0)
+    na = F.lit(0.0)
+    nb = F.lit(0.0)
+    for j in range(1, dim + 1):
+        dot_c = dot_c + at(a, j) * at(b, j)
+        na = na + at(a, j) * at(a, j)
+        nb = nb + at(b, j) * at(b, j)
+    return dot_c / (F.sqrt(na) * F.sqrt(nb))
+
+
 def _arrow_pair_cosines(pairs: DataFrame) -> DataFrame:
     """Exact-cosine scoring of a (query_id, neighbor_id, q_vec, c_vec)
     candidate frame via per-batch numpy — the Arrow twin of the
@@ -857,7 +884,21 @@ def _lsh_scored_pairs(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     pairs = cand_ids.join(q_vecs, "query_id").join(c_vecs, "neighbor_id")
-    if arrow if arrow_score is None else arrow_score:
+    mode = arrow if arrow_score is None else arrow_score
+    if mode == "unrolled":
+        # codegen path: flat left-deep expression, zero Arrow transfer;
+        # the size guard nulls length-mismatched rows like the fold's
+        # zip_with padding (equal-length-but-wrong-dim pairs — possible
+        # only via duplicate ids with inconsistent vectors — null here
+        # where the fold would score over their full length)
+        c = F.when(
+            (F.size(F.col("q_vec")) == dim) & (F.size(F.col("c_vec")) == dim),
+            cosine_unrolled(F.col("q_vec"), F.col("c_vec"), dim),
+        )
+        return pairs.select(
+            "query_id", "neighbor_id", F.round(c, 6).alias("cosine")
+        )
+    if mode:
         return _arrow_pair_cosines(pairs).select(
             "query_id",
             "neighbor_id",

@@ -163,6 +163,24 @@ def test_arrow_score_bit_parity_mutual_end_to_end(spark):
     assert ra == rb
 
 
+def test_unrolled_score_bit_parity(spark):
+    """arrow_score="unrolled" (flat left-deep codegen expression) is
+    bit-identical to the interpreted fold on well-formed input — the
+    left-deep chain replays the fold's IEEE addition order.  (Measured
+    r11: wins at sf10 where the ~600-op codegen method still JITs,
+    loses at sf30 to JIT method limits + GC — kept as a documented
+    opt-in, the arrow pair scorer is the scale default.)"""
+    emb = _emb_frame(spark, n=300, dim=16, seed=31)
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    kw = dict(bits=4, tables=8, corpus_rows=300)
+    a = S.mutual_best_match(left, right, arrow_score=False, **kw)
+    b = S.mutual_best_match(left, right, arrow_score="unrolled", **kw)
+    ra = [(r.vec_a, r.vec_b, _bits(r.cosine)) for r in a.collect()]
+    rb = [(r.vec_a, r.vec_b, _bits(r.cosine)) for r in b.collect()]
+    assert len(ra) > 10 and ra == rb
+
+
 def test_arrow_score_bit_parity_margin_and_knn(spark):
     emb = _emb_frame(spark, n=240, dim=8, seed=23)
     left = emb.filter(F.col("vec_id") % 2 == 0)

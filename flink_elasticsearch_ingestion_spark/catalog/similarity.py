@@ -171,6 +171,9 @@ def q_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_disagreement_knn(
         _t(spark, sf_dir, "embeddings"), k=5, bits="auto", tables=4,
         corpus_rows=_nrows(sf_dir, "embeddings"),
+        # r11: arrow banding + bucket-local scoring (bit-parity pinned;
+        # the pair-attach vector shuffle was the sf100 disk wall)
+        arrow=True,
     )
 
 def q_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:

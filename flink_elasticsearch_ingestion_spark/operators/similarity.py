@@ -758,6 +758,93 @@ def _arrow_pair_cosines(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _bucket_matmul_scores(
+    ql: DataFrame, cl: DataFrame, *, dim: int, block: int = 2048
+) -> DataFrame:
+    """Bucket-LOCAL pairwise cosine scoring (the sixth-decade shape):
+    ``ql``/``cl`` carry (id, table_idx, bucket, vec); each (table_idx,
+    bucket) cogroup scores its query x corpus members with the same
+    column-loop float64 accumulation as :func:`_arrow_pair_cosines`
+    (k-order adds -> bit-identical to the SQL fold), emitting thin
+    (query_id, neighbor_id, cosine_raw, nan_flag) rows.
+
+    Why this exists (measured, r11): the pair-attach shape — join both
+    64-dim vectors onto every candidate pair, then score — shuffles
+    ``pairs x 0.5 KB``; at sf100 (2M vectors, ~260M candidate pairs)
+    that is ~130 GB of exchange+spill and filled the sandbox disk.
+    Here every vector ships ONCE per band membership
+    (``n x tables x 0.26 KB`` ~ 4 GB at sf100, a ~30x shuffle
+    reduction) and the wide data never rides the pair grain; the only
+    pair-grain traffic is the ~24 B scored row into the dedup.  The
+    price is duplicate scoring for pairs colliding in several tables
+    (bounded by ``tables``; values are bit-identical, so the
+    downstream ``dropDuplicates`` keeps any one).
+
+    Groups are occupancy-bounded by auto-bits (~32 target / table);
+    query rows are additionally blocked at ``block`` so a pathological
+    bucket bounds worker memory at ``block x |bucket|`` doubles.
+    Same degenerate-input contract as ``_arrow_pair_cosines``
+    (upstream banding already dropped null/wrong-dim vectors)."""
+    import numpy as np
+    import pandas as pd
+
+    qt = ql.schema["query_id"].dataType.simpleString()
+    nt = cl.schema["neighbor_id"].dataType.simpleString()
+
+    def score(key, qg: "pd.DataFrame", cg: "pd.DataFrame"):
+        if not len(qg) or not len(cg):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_raw": [],
+                 "nan_flag": []}
+            )
+        Q = np.vstack(qg["__vec"].to_numpy()).astype("float64")
+        C = np.vstack(cg["__vec"].to_numpy()).astype("float64")
+        nq = np.zeros(len(qg))
+        nc = np.zeros(len(cg))
+        for k in range(dim):
+            nq += Q[:, k] * Q[:, k]
+            nc += C[:, k] * C[:, k]
+        if np.any(nq == 0.0) or np.any(nc == 0.0):
+            raise ArithmeticError(
+                "[DIVIDE_BY_ZERO] zero-norm vector in cosine "
+                "(ANSI parity with the expression path)"
+            )
+        qids = qg["query_id"].to_numpy()
+        nids = cg["neighbor_id"].to_numpy()
+        outs = []
+        for lo in range(0, len(qg), block):
+            hi = min(lo + block, len(qg))
+            acc = np.zeros((hi - lo, len(cg)))
+            for k in range(dim):  # the SQL fold, k-order, per pair
+                acc += Q[lo:hi, k : k + 1] * C[:, k]
+            raw = acc / (np.sqrt(nq[lo:hi])[:, None] * np.sqrt(nc)[None, :])
+            qi, ci = np.nonzero(qids[lo:hi, None] != nids[None, :])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[lo:hi][qi],
+                        "neighbor_id": nids[ci],
+                        "cosine_raw": raw[qi, ci],
+                        "nan_flag": np.isnan(raw[qi, ci]),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ql.groupBy("table_idx", "bucket")
+        .cogroup(cl.groupBy("table_idx", "bucket"))
+        .applyInPandas(
+            score,
+            schema=(
+                f"query_id {qt}, neighbor_id {nt}, "
+                "cosine_raw double, nan_flag boolean"
+            ),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
 def _lsh_scored_pairs(
     queries: DataFrame,
     corpus: DataFrame,
@@ -788,12 +875,25 @@ def _lsh_scored_pairs(
     cheap (measured on mutual_matches at sf3: 23.6s -> see SCALE.md).
     Bucket parity between the two forms is unit-pinned.
 
-    ``arrow_score`` (default: follow ``arrow``) swaps the per-pair
-    exact-cosine SCORING stage the same way: one vectorized numpy pass
-    (:func:`_arrow_pair_cosines`, fold-order bit-parity pinned)
-    instead of the interpreted ``aggregate``/``zip_with`` expression —
+    ``arrow_score`` swaps the per-pair exact-cosine SCORING stage —
     the other per-candidate constant the sf30 ladder surfaced on
-    mutual/margin (VERDICT r10 #3).
+    mutual/margin (VERDICT r10 #3).  All modes are fold-order
+    BIT-parity pinned (identical hashes); they differ only in plan
+    shape, all measured r11 (SCALE.md):
+
+    - ``None`` (default): ``"bucket"`` when ``arrow=True``, else the
+      fold.
+    - ``"bucket"`` (:func:`_bucket_matmul_scores`): bucket-LOCAL
+      numpy scoring — vectors ship once per band membership, never on
+      the pair grain; the shape that survived the sixth decade (the
+      pair-attach form's ~130 GB spill at sf100 filled the disk) and
+      measured fastest at sf10/sf30 too.
+    - ``True`` (:func:`_arrow_pair_cosines`): one mapInPandas over
+      the vector-attached candidate-pair frame.
+    - ``"unrolled"`` (:func:`cosine_unrolled`): flat codegen chain;
+      wins small, trips JIT method limits at scale.
+    - ``False``: the interpreted ``aggregate``/``zip_with`` fold (the
+      oracle's literal twin).
 
     ``bucket_shift`` / ``center_check``: the same off-center guard as
     ``embedding_near_duplicates`` — sign-LSH on all-positive features
@@ -883,8 +983,38 @@ def _lsh_scored_pairs(
     c_vecs = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
+    mode = ("bucket" if arrow else False) if arrow_score is None else arrow_score
+    if mode == "bucket":
+        # sixth-decade shape: vectors ride the banded frame ONCE per
+        # band membership; scoring is bucket-local (no pair-grain
+        # vector shuffle), dedup happens on thin scored rows.  bq/bc
+        # are ids-only — re-attach the vector per (id, table, bucket)
+        # row with one narrow keyed join per side.
+        ql = bq.join(
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(vec_col).alias("__vec"),
+            ),
+            "query_id",
+        )
+        cl = bc.join(
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(vec_col).alias("__vec"),
+            ),
+            "neighbor_id",
+        )
+        return _bucket_matmul_scores(ql, cl, dim=dim).select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.when(F.col("nan_flag"), F.lit(float("nan"))).otherwise(
+                    F.col("cosine_raw")
+                ),
+                6,
+            ).alias("cosine"),
+        )
     pairs = cand_ids.join(q_vecs, "query_id").join(c_vecs, "neighbor_id")
-    mode = arrow if arrow_score is None else arrow_score
     if mode == "unrolled":
         # codegen path: flat left-deep expression, zero Arrow transfer;
         # the size guard nulls length-mismatched rows like the fold's
@@ -1706,6 +1836,8 @@ def label_disagreement_knn(
     id_col: str = "vec_id",
     label_col: str = "label",
     corpus_rows: "int | None" = None,
+    arrow: bool = False,
+    arrow_score: "bool | None" = None,
     bucket_shift: "float | None" = None,
     center_check: "bool | str" = True,
 ) -> DataFrame:
@@ -1734,6 +1866,8 @@ def label_disagreement_knn(
         corpus_id=id_col,
         vec_col=vec_col,
         corpus_rows=corpus_rows,
+        arrow=arrow,
+        arrow_score=arrow_score,
         bucket_shift=bucket_shift,
         center_check=center_check,
     )

@@ -163,6 +163,46 @@ def test_arrow_score_bit_parity_mutual_end_to_end(spark):
     assert ra == rb
 
 
+def test_bucket_score_bit_parity_mutual_margin_knn(spark):
+    """arrow_score="bucket" (bucket-local matmul, the sixth-decade
+    default for arrow=True) is bit-identical to the fold on mutual,
+    margin AND the knn rank surface — the dedup keeps any one of the
+    per-table duplicate scores, which are themselves bit-identical."""
+    emb = _emb_frame(spark, n=320, dim=16, seed=47)
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    kw = dict(bits=4, tables=8, corpus_rows=320)
+    a = S.mutual_best_match(left, right, arrow_score=False, **kw)
+    b = S.mutual_best_match(left, right, arrow_score="bucket", **kw)
+    ra = [(r.vec_a, r.vec_b, _bits(r.cosine)) for r in a.collect()]
+    rb = [(r.vec_a, r.vec_b, _bits(r.cosine)) for r in b.collect()]
+    assert len(ra) > 10 and ra == rb
+    ma = S.margin_best_match(left, right, arrow_score=False, **kw)
+    mb = S.margin_best_match(left, right, arrow_score="bucket", **kw)
+    assert sorted(map(tuple, ma.collect())) == sorted(map(tuple, mb.collect()))
+    ka = S.knn_join_lsh(left.limit(15), emb, k=3, arrow_score=False, **kw)
+    kb = S.knn_join_lsh(left.limit(15), emb, k=3, arrow_score="bucket", **kw)
+    pa = [(r.query_id, r.neighbor_id, r.rank, _bits(r.cosine)) for r in ka.collect()]
+    pb = [(r.query_id, r.neighbor_id, r.rank, _bits(r.cosine)) for r in kb.collect()]
+    assert len(pa) == 45 and pa == pb
+
+
+def test_bucket_score_zero_norm_raises(spark):
+    """ANSI parity on the bucket path: a zero-norm vector raises."""
+    # zero vectors on BOTH sides: every plane dot is 0 -> >= 0 -> the
+    # all-ones bucket on both, so the collision (and the zero norm in
+    # a non-empty cogroup) is guaranteed
+    rows = [(0, [0.0] * 8), (1, [0.0] * 8), (2, [0.5] * 8), (3, [1.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        S.mutual_best_match(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+            bits=2, tables=2, corpus_rows=4, arrow_score="bucket",
+            center_check=False,
+        ).collect()
+
+
 def test_unrolled_score_bit_parity(spark):
     """arrow_score="unrolled" (flat left-deep codegen expression) is
     bit-identical to the interpreted fold on well-formed input — the

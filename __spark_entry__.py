@@ -40,16 +40,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # extras append in catalog order, so the list is safe to edit.
 #
 # ROUND-12 ROTATION NOTE: after this window lands green, the oldest
-# driver proofs are the CORRECTNESS_r05 remainder (r05 positions 29+:
-# quantile_normalize, hash_embed, survival_curve, benford_check,
-# market_concentration, langid_eval, revenue_gini, ewma_forecast,
-# span_corruption, kfold_split, correlation_matrix, ndcg_eval,
-# yoy_growth, bootstrap_ci, diversified_topk, cdc_chunk_stats,
+# driver proofs are the r5 entries displaced past this round's 50-slot
+# boundary by the ES-aggregation family (chi2_terms, mmr_rerank,
+# zipf_fit, target_encode, k_anonymity, rfm_segments,
+# touch_attribution, revenue_anomalies — last proven r5), then the
+# CORRECTNESS_r05 remainder (r05 positions 29+: quantile_normalize,
+# hash_embed, survival_curve, benford_check, market_concentration,
+# langid_eval, revenue_gini, ewma_forecast, span_corruption,
+# kfold_split, correlation_matrix, ndcg_eval, yoy_growth,
+# bootstrap_ci, diversified_topk, cdc_chunk_stats,
 # cusum_changepoints, quality_dedup_survivors, centroid_margin,
 # label_disagreement, lexical_diversity, oov_rate) and then the r6
-# block.  The next window = round-12 additions, then that r5
-# remainder in r05 order, then the oldest r6 entries in
-# CORRECTNESS_r06 order.
+# block.  The next window = round-12 additions, then that displaced
+# r5 tail, then the r5 remainder in r05 order, then the oldest r6
+# entries in CORRECTNESS_r06 order.
 _WINDOW_PRIORITY = [
     # round-11 additions, never driver-checked:
     "simhash_hamming_pairs",
@@ -57,6 +61,16 @@ _WINDOW_PRIORITY = [
     "length_bucketing_waste",
     "rbo_eval",
     "es_http_roundtrip",
+    # round-11 ES-aggregation parity family (catalog/es_aggs.py),
+    # never driver-checked:
+    "significant_terms",
+    "decay_score_topk",
+    "composite_agg_page",
+    "terms_shard_error",
+    "percolate_matches",
+    "more_like_this",
+    "percentile_ranks",
+    "filters_adjacency",
     # r4 remainder (displaced past round 10's boundary, r04 order):
     "training_batches", "incremental_near_dup", "split_leakage",
     "term_postings", "bm25_search", "weighted_sample", "salted_join",

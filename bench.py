@@ -297,6 +297,15 @@ EXTENDED = [
     "length_bucketing_waste",
     "rbo_eval",
     "es_http_roundtrip",
+    # round-11 ES-aggregation parity family
+    "significant_terms",
+    "decay_score_topk",
+    "composite_agg_page",
+    "terms_shard_error",
+    "percolate_matches",
+    "more_like_this",
+    "percentile_ranks",
+    "filters_adjacency",
 ]
 
 

@@ -14,7 +14,8 @@ from flink_elasticsearch_ingestion_spark.catalog import (
     multimodal,
     sampling,
     graph,
+    es_aggs,
 )
 
 #: assembly order (drives catalog iteration order past the window)
-MODULES = [ingest, relational, windows, text, dedup, similarity, multimodal, sampling, graph]
+MODULES = [ingest, relational, windows, text, dedup, similarity, multimodal, sampling, graph, es_aggs]

@@ -145,6 +145,17 @@ SCALAR_JOIN_OK = {
     # BroadcastHashJoin on the block key — same scalar-subquery class
     # as dormant_rich_customers
     "theil_sen_trend",
+    # ES-aggregation parity family (catalog/es_aggs.py): 1-row
+    # corpus-size scalar broadcast (superset_size) onto the vocab-keyed
+    # term-score frame — same class as bm25_search's corpus statistics
+    "significant_terms",
+    # 1-row total_floor scalar broadcast onto the <= |candidates|-row
+    # merged-terms frame (the complement identity that REPLACES the
+    # candidates x shards cross join)
+    "terms_shard_error",
+    # 1-row n_docs scalar broadcast into the idf computation (Lucene
+    # MLT formula) — same class as bm25_search / ql_search
+    "more_like_this",
 }
 
 #: unpartitioned-window audit exceptions — every entry must say WHY the

@@ -41,7 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-12 ROTATION NOTE: after this window lands green, the oldest
 # driver proofs are the r5 entries displaced past this round's 50-slot
-# boundary by the ES-aggregation family (chi2_terms, mmr_rerank,
+# boundary by the three ES-parity families (r05 positions 8+:
+# ivf_topk_fixed, kmv_overlap, ks_drift,
+# dedup_threshold_sweep, shared_spans, media_near_dup, span_leakage,
+# skew_profile, bigram_pmi, binary_ingest, ab_test,
+# temperature_sample, dsir_weights, chi2_terms, mmr_rerank,
 # zipf_fit, target_encode, k_anonymity, rfm_segments,
 # touch_attribution, revenue_anomalies — last proven r5), then the
 # CORRECTNESS_r05 remainder (r05 positions 29+: quantile_normalize,
@@ -71,6 +75,23 @@ _WINDOW_PRIORITY = [
     "more_like_this",
     "percentile_ranks",
     "filters_adjacency",
+    # round-11 ES-aggregation parity part II (catalog/es_aggs2.py),
+    # never driver-checked:
+    "rare_terms",
+    "auto_date_histogram",
+    "date_histogram_dense",
+    "variable_width_histogram",
+    "boxplot_agg",
+    "welch_t_test",
+    "categorize_text",
+    "string_stats",
+    "fuzzy_match",
+    "search_highlight",
+    # round-11 ES query-DSL compiler family (catalog/es_query.py),
+    # never driver-checked:
+    "bool_dsl_filter",
+    "wildcard_query",
+    "match_phrase_count",
     # r4 remainder (displaced past round 10's boundary, r04 order):
     "training_batches", "incremental_near_dup", "split_leakage",
     "term_postings", "bm25_search", "weighted_sample", "salted_join",

@@ -306,6 +306,21 @@ EXTENDED = [
     "more_like_this",
     "percentile_ranks",
     "filters_adjacency",
+    # round-11 ES-aggregation parity part II
+    "rare_terms",
+    "auto_date_histogram",
+    "date_histogram_dense",
+    "variable_width_histogram",
+    "boxplot_agg",
+    "welch_t_test",
+    "categorize_text",
+    "string_stats",
+    "fuzzy_match",
+    "search_highlight",
+    # round-11 ES query-DSL compiler family
+    "bool_dsl_filter",
+    "wildcard_query",
+    "match_phrase_count",
 ]
 
 

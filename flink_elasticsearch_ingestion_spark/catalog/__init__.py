@@ -15,7 +15,9 @@ from flink_elasticsearch_ingestion_spark.catalog import (
     sampling,
     graph,
     es_aggs,
+    es_aggs2,
+    es_query,
 )
 
 #: assembly order (drives catalog iteration order past the window)
-MODULES = [ingest, relational, windows, text, dedup, similarity, multimodal, sampling, graph, es_aggs]
+MODULES = [ingest, relational, windows, text, dedup, similarity, multimodal, sampling, graph, es_aggs, es_aggs2, es_query]

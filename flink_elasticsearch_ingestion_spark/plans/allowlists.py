@@ -156,6 +156,13 @@ SCALAR_JOIN_OK = {
     # 1-row n_docs scalar broadcast into the idf computation (Lucene
     # MLT formula) — same class as bm25_search / ql_search
     "more_like_this",
+    # ES-aggregation parity part II (catalog/es_aggs2.py): the
+    # 11-row literal ladder x 1-row span frame, then the 1-row chosen
+    # interval broadcast onto the fact scan — scalar-subquery class
+    "auto_date_histogram",
+    # 1-row sorted boundary-array broadcast (post-TakeOrdered k-1
+    # rows aggregated to one list) onto the distinct-value grid
+    "variable_width_histogram",
 }
 
 #: unpartitioned-window audit exceptions — every entry must say WHY the

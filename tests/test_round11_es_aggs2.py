@@ -198,6 +198,65 @@ def test_boxplot_tukey_fences_and_outliers(spark):
     assert r["n_rows"] == 10
 
 
+def test_grouped_quantiles_exact_matches_percentile_aggregate(spark):
+    # the two-phase grid-rank quantile must reproduce Spark's exact
+    # `percentile` aggregate at the 4dp pin over adversarial shapes:
+    # ties (few distinct values), singleton and two-row groups, and a
+    # seeded random spread — any mismatch means the rank/interpolation
+    # arithmetic drifted from the quantile_cont contract
+    import random
+
+    rng = random.Random(411)
+    rows = []
+    for i in range(500):
+        rows.append((i, float(rng.choice([1.0, 2.0, 7.5])), "ties"))
+    for i in range(500, 1500):
+        rows.append((i, round(rng.uniform(0, 100_000), 2), "spread"))
+    rows.append((2000, 42.5, "single"))
+    rows.append((2001, 1.0, "pair"))
+    rows.append((2002, 2.0, "pair"))
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_extendedprice double, l_returnflag string"
+    )
+    from flink_elasticsearch_ingestion_spark.operators.es_aggs2 import (
+        grouped_quantiles_exact,
+    )
+
+    got = {
+        r["l_returnflag"]: (r["q_0.25"], r["q_0.5"], r["q_0.75"])
+        for r in grouped_quantiles_exact(
+            df, "l_extendedprice", "l_returnflag"
+        ).collect()
+    }
+    exp = {
+        r["l_returnflag"]: (r["e1"], r["e2"], r["e3"])
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("e1"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("e2"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("e3"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_grouped_quantiles_coarse_edges_do_not_affect_result(spark):
+    rows = [(i, float(i * 3 % 101), "g") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_extendedprice double, l_returnflag string"
+    )
+    from flink_elasticsearch_ingestion_spark.operators.es_aggs2 import (
+        grouped_quantiles_exact,
+    )
+
+    a = grouped_quantiles_exact(df, "l_extendedprice", "l_returnflag").collect()
+    b = grouped_quantiles_exact(
+        df, "l_extendedprice", "l_returnflag", coarse_edges=(13.0, 50.5, 77.0)
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 # --------------------------------------------------------- welch_t_test
 
 

@@ -402,6 +402,7 @@ def main() -> None:
     round_n = (max(rounds) + 1) if rounds else 1
     prior_path = os.path.join(here, f"bench_out_r{round_n - 1}.json")
     ext_overlap_ratio = None
+    drift = 1.0
     ext_regressions: dict[str, list[float]] = {}
     ext_noise_filtered: dict[str, list[float]] = {}
     headline_regressions: dict[str, list[float]] = {}
@@ -417,11 +418,29 @@ def main() -> None:
         # prior-round reading re-runs min-of-3 with the sample trail
         # recorded, exactly like the ext panel's 1.3x triage.
         prev_head = _prior.get("queries", {})
+        # Host-drift normalization (r11): the sandbox VM is
+        # re-provisioned between recordings (observed 2026-08-17:
+        # reboot mid-round, after which IDENTICAL code measured a
+        # 1.15x median ratio across 221 overlap queries, with
+        # stage-latency-bound iterative jobs hit 2-3x — min-of-5
+        # reproducible, so per-query retries cannot filter it). The
+        # panel-median ratio estimates the host-speed change;
+        # regressions flag on the RESIDUAL above it. Clamped at 1.0
+        # so a faster box never hides a real regression, and applied
+        # only when the overlap is wide enough to estimate a median.
+        _drift_samples = sorted(
+            ext_best[n] / prev_ext[n]
+            for n in set(prev_ext) & set(ext_best)
+            if prev_ext[n] > 0.2 and ext_best[n] > 0
+        )
+        drift = 1.0
+        if len(_drift_samples) >= 20:
+            drift = max(1.0, _drift_samples[len(_drift_samples) // 2])
         head_flagged = [
             n
             for n in HEADLINE
             if n in prev_head
-            and best[n] > 1.2 * prev_head[n]
+            and best[n] > 1.2 * drift * prev_head[n]
             and best[n] > 0.2
         ]
         if head_flagged:
@@ -433,10 +452,10 @@ def main() -> None:
                 queries[n](spark, sf_dir).count()
                 samples.append(round(time.perf_counter() - t0, 4))
                 spark.catalog.clearCache()
-                if samples[-1] <= 1.2 * prev_head[n]:
+                if samples[-1] <= 1.2 * drift * prev_head[n]:
                     break
             best[n] = min(samples)
-            if best[n] > 1.2 * prev_head[n] and best[n] > 0.2:
+            if best[n] > 1.2 * drift * prev_head[n] and best[n] > 0.2:
                 headline_regressions[n] = [prev_head[n], best[n]]
             else:
                 headline_noise_filtered[n] = [prev_head[n]] + samples
@@ -446,7 +465,7 @@ def main() -> None:
             # not on plan changes
             n
             for n in overlap
-            if ext_best[n] > 1.3 * prev_ext[n] and ext_best[n] > 0.2
+            if ext_best[n] > 1.3 * drift * prev_ext[n] and ext_best[n] > 0.2
         ]
         # Noise self-triage (VERDICT r7 #6): a 2-sample min still flaps
         # under host contention (the r7 driver run flagged 24 rows its
@@ -464,10 +483,10 @@ def main() -> None:
                 queries[n](spark, sf_dir).count()
                 samples.append(round(time.perf_counter() - t0, 4))
                 spark.catalog.clearCache()
-                if samples[-1] <= 1.3 * prev_ext[n]:
+                if samples[-1] <= 1.3 * drift * prev_ext[n]:
                     break
             ext_best[n] = min(samples)  # more samples, same estimator
-            if ext_best[n] > 1.3 * prev_ext[n] and ext_best[n] > 0.2:
+            if ext_best[n] > 1.3 * drift * prev_ext[n] and ext_best[n] > 0.2:
                 ext_regressions[n] = [prev_ext[n], ext_best[n]]
             else:
                 ext_noise_filtered[n] = [prev_ext[n]] + samples
@@ -517,6 +536,7 @@ def main() -> None:
                 "queries_ext_warm": ext_warm,
                 "value_ext_warm": round(sum(ext_warm.values()), 4),
                 "ext_overlap_vs_prev_round": ext_overlap_ratio,
+                "host_drift_ratio_vs_prev_round": round(drift, 4),
                 "ext_regressions_vs_prev_round": ext_regressions,
                 "ext_regressions_noise_filtered": ext_noise_filtered,
                 "ext_regressions_known_tradeoffs": ext_tradeoffs,
@@ -551,6 +571,7 @@ def main() -> None:
             "n_ext_queries": len(ext),
             "ext_worst": max(ext_best, key=ext_best.get),
             "ext_overlap_vs_prev_round": ext_overlap_ratio,
+            "host_drift_ratio": round(drift, 4),
             "n_ext_regressions": len(ext_regressions),
             "n_ext_noise_filtered": len(ext_noise_filtered),
             "n_headline_regressions": len(headline_regressions),

@@ -321,6 +321,10 @@ EXTENDED = [
     "bool_dsl_filter",
     "wildcard_query",
     "match_phrase_count",
+    # round-11 `_search` endpoint family
+    "search_endpoint_hits",
+    "search_endpoint_aggs",
+    "search_endpoint_histo",
 ]
 
 

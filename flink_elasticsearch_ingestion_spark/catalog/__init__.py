@@ -17,7 +17,8 @@ from flink_elasticsearch_ingestion_spark.catalog import (
     es_aggs,
     es_aggs2,
     es_query,
+    es_search,
 )
 
 #: assembly order (drives catalog iteration order past the window)
-MODULES = [ingest, relational, windows, text, dedup, similarity, multimodal, sampling, graph, es_aggs, es_aggs2, es_query]
+MODULES = [ingest, relational, windows, text, dedup, similarity, multimodal, sampling, graph, es_aggs, es_aggs2, es_query, es_search]

@@ -41,7 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-12 ROTATION NOTE: after this window lands green, the oldest
 # driver proofs are the r5 entries displaced past this round's 50-slot
-# boundary by the four ES-parity families (r05 positions 5+:
+# boundary by the four ES-parity families (r05 positions 3+:
+# lp_communities, triangle_count,
 # pq_encode, pq_search, bpe_encode,
 # ivf_topk_fixed, kmv_overlap, ks_drift,
 # dedup_threshold_sweep, shared_spans, media_near_dup, span_leakage,
@@ -98,6 +99,8 @@ _WINDOW_PRIORITY = [
     "search_endpoint_hits",
     "search_endpoint_aggs",
     "search_endpoint_histo",
+    "search_endpoint_collapse",
+    "search_endpoint_highlight",
     # r4 remainder (displaced past round 10's boundary, r04 order):
     "training_batches", "incremental_near_dup", "split_leakage",
     "term_postings", "bm25_search", "weighted_sample", "salted_join",

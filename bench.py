@@ -325,6 +325,8 @@ EXTENDED = [
     "search_endpoint_hits",
     "search_endpoint_aggs",
     "search_endpoint_histo",
+    "search_endpoint_collapse",
+    "search_endpoint_highlight",
 ]
 
 

@@ -51,6 +51,22 @@ HISTO_BODY = {
     },
 }
 
+COLLAPSE_BODY = {
+    "query": {"range": {"n_chars": {"gte": 80}}},
+    "collapse": {"field": "lang", "inner_hits": {"size": 2}},
+    "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": "asc"}],
+    "size": 3,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
+HIGHLIGHT_BODY = {
+    "query": {"match": {"text": "vector stream"}},
+    "highlight": {"fields": {"text": {}}},
+    "sort": [{"doc_id": {"order": "asc"}}],
+    "size": 15,
+    "_source": ["doc_id"],
+}
+
 
 def q_search_endpoint_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hit mode: match+range bool query, n_chars-desc sort with
@@ -67,11 +83,23 @@ def q_search_endpoint_histo(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg(value) sub-agg."""
     return es_search(_t(spark, sf_dir, "events"), HISTO_BODY)
 
+def q_search_endpoint_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing: top-3 language groups by best n_chars doc,
+    2 inner hits per group under the main sort."""
+    return es_search(_t(spark, sf_dir, "documents"), COLLAPSE_BODY)
+
+def q_search_endpoint_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-field highlighting of the match terms ('vector stream')
+    over the first 15 matching docs."""
+    return es_search(_t(spark, sf_dir, "documents"), HIGHLIGHT_BODY)
+
 
 QUERIES = {
     "search_endpoint_hits": q_search_endpoint_hits,
     "search_endpoint_aggs": q_search_endpoint_aggs,
     "search_endpoint_histo": q_search_endpoint_histo,
+    "search_endpoint_collapse": q_search_endpoint_collapse,
+    "search_endpoint_highlight": q_search_endpoint_highlight,
 }
 
 #: DuckDB oracle per query — keys MUST be a subset of QUERIES
@@ -101,5 +129,30 @@ ORACLES = {
         "  AS value_avg"
         " FROM events WHERE event_type = 'purchase'"
         " GROUP BY key ORDER BY key"
+    ),
+    "search_endpoint_collapse": (
+        "WITH h AS (SELECT doc_id, lang, n_chars FROM documents"
+        "  WHERE n_chars >= 80),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY lang"
+        "  ORDER BY n_chars DESC, doc_id) AS inner_rank FROM h),"
+        " rep AS (SELECT lang, row_number() OVER"
+        "  (ORDER BY n_chars DESC, doc_id) AS group_rank"
+        "  FROM r WHERE inner_rank = 1 QUALIFY group_rank <= 3)"
+        " SELECT rep.group_rank, r.inner_rank, r.doc_id, r.lang,"
+        "  r.n_chars"
+        " FROM r JOIN rep USING (lang) WHERE r.inner_rank <= 2"
+        " ORDER BY group_rank, inner_rank"
+    ),
+    "search_endpoint_highlight": (
+        "WITH w AS (SELECT doc_id,"
+        "  string_split_regex(trim(text), '\\s+') AS toks"
+        "  FROM documents)"
+        " SELECT doc_id, array_to_string(list_transform(toks,"
+        "  t -> CASE WHEN t IN ('stream', 'vector')"
+        "   THEN '<em>' || t || '</em>' ELSE t END), ' ')"
+        "  AS highlight_text"
+        " FROM w WHERE list_contains(toks, 'vector')"
+        "  OR list_contains(toks, 'stream')"
+        " ORDER BY doc_id LIMIT 15"
     ),
 }

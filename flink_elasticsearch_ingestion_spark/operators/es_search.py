@@ -12,6 +12,15 @@ plan:
 - hits mode  → ``sort`` (field/order list, ES default order asc) and
   ``size`` (default 10) over the ``_source`` projection: a
   TakeOrderedAndProject, never a global sort.
+- ``collapse`` → field collapsing with ``inner_hits``: one result
+  GROUP per distinct collapse-key ranked by its best hit under the
+  main sort, each group carrying its top ``inner_hits.size`` rows
+  (``inner_rank`` 1 = the collapsed representative; inner hits
+  inherit the main sort, the engine's documented default rendering).
+- ``highlight`` → whole-field highlighting (the
+  ``number_of_fragments: 0`` mode): every token of the highlighted
+  field that matches a `match` term of the query wraps in
+  ``pre_tags``/``post_tags``.
 - aggs mode  → ONE top-level aggregation, matching the documented ES
   families: bucket ``terms`` (size, _count/_key order, optional
   nested metric sub-aggs) and ``date_histogram`` (calendar_interval
@@ -30,12 +39,32 @@ window — the endpoint composes the already-audited primitives.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_elasticsearch_ingestion_spark.operators.es_query import compile_query
+from flink_elasticsearch_ingestion_spark.operators.text import tokens
 
 __all__ = ["es_search"]
+
+
+def _match_terms(dsl, field: str) -> list[str]:
+    """Every analyzed `match` term the query applies to ``field`` —
+    the highlighter's term set (ES highlights the query's analyzed
+    terms; phrase/term/wildcard highlighting is out of scope here)."""
+    out: list[str] = []
+    if isinstance(dsl, dict):
+        for k, v in dsl.items():
+            if k == "match" and isinstance(v, dict) and field in v:
+                spec = v[field]
+                query = spec["query"] if isinstance(spec, dict) else spec
+                out += [t for t in query.lower().split() if t]
+            else:
+                out += _match_terms(v, field)
+    elif isinstance(dsl, list):
+        for item in dsl:
+            out += _match_terms(item, field)
+    return out
 
 #: metric agg family → column-function (ES value semantics); each
 #: numeric result is rounded 4dp (+1e-9) so oracle hashes are stable
@@ -76,14 +105,94 @@ def _metric_exprs(aggs: dict) -> list[Column]:
     return out
 
 
+def _sort_cols(body: dict) -> list[Column]:
+    out = []
+    for entry in body.get("sort", []):
+        ((field, spec),) = entry.items()
+        direction = spec.get("order", "asc") if isinstance(spec, dict) else spec
+        if direction == "desc":
+            out.append(F.col(field).desc())
+        elif direction == "asc":
+            out.append(F.col(field).asc())
+        else:
+            raise ValueError(f"unsupported sort order: {direction!r}")
+    return out
+
+
 def es_search(df: DataFrame, body: dict) -> DataFrame:
     """Run one ES `_search` body against a table. See module doc."""
-    unknown = set(body) - {"query", "aggs", "sort", "size", "_source"}
+    unknown = set(body) - {
+        "query",
+        "aggs",
+        "sort",
+        "size",
+        "_source",
+        "collapse",
+        "highlight",
+    }
     if unknown:
         raise ValueError(f"unsupported search body keys: {sorted(unknown)}")
     hits = df
     if "query" in body:
         hits = hits.where(compile_query(body["query"]))
+
+    highlight_cols: list[str] = []
+    if "highlight" in body:
+        if "aggs" in body:
+            raise ValueError("highlight applies to hit mode only")
+        fields = body["highlight"].get("fields", {})
+        pre = body["highlight"].get("pre_tags", ["<em>"])[0]
+        post = body["highlight"].get("post_tags", ["</em>"])[0]
+        for hfield in fields:
+            terms = sorted(set(_match_terms(body.get("query", {}), hfield)))
+            if not terms:
+                raise ValueError(
+                    f"highlight on {hfield!r} needs a match clause on it"
+                )
+            wrapped = F.transform(
+                tokens(hfield),
+                lambda t: F.when(
+                    t.isin(terms), F.concat(F.lit(pre), t, F.lit(post))
+                ).otherwise(t),
+            )
+            hits = hits.withColumn(
+                f"highlight_{hfield}", F.concat_ws(" ", wrapped)
+            )
+            highlight_cols.append(f"highlight_{hfield}")
+
+    if "collapse" in body:
+        if "aggs" in body:
+            raise ValueError("collapse and aggs are mutually exclusive")
+        order_cols = _sort_cols(body)
+        if not order_cols:
+            raise ValueError("collapse requires an explicit sort")
+        key = body["collapse"]["field"]
+        k = int(body["collapse"].get("inner_hits", {}).get("size", 1))
+        w = Window.partitionBy(key).orderBy(*order_cols)
+        ranked = hits.withColumn(
+            "inner_rank", F.row_number().over(w)
+        ).where(F.col("inner_rank") <= k)
+        # top `size` GROUPS by their representative under the main
+        # sort; the rep frame is post-limit (bounded), so its group
+        # rank window is audit-safe and the join back is a broadcast
+        reps = (
+            ranked.where(F.col("inner_rank") == 1)
+            .orderBy(*order_cols)
+            .limit(int(body.get("size", 10)))
+            .withColumn(
+                "group_rank", F.row_number().over(Window.orderBy(*order_cols))
+            )
+            .select(F.col(key).alias("__ck"), "group_rank")
+        )
+        out = ranked.join(
+            F.broadcast(reps), ranked[key] == reps["__ck"]
+        ).drop("__ck")
+        cols = body.get("_source")
+        if cols:
+            out = out.select(
+                "group_rank", "inner_rank", *cols, *highlight_cols
+            )
+        return out.orderBy("group_rank", "inner_rank")
 
     if "aggs" in body:
         if "sort" in body or "_source" in body:
@@ -136,19 +245,10 @@ def es_search(df: DataFrame, body: dict) -> DataFrame:
         raise ValueError(f"unsupported aggregation family: {family!r}")
 
     # hit mode: _source projection, sort, size (ES defaults)
+    order_cols = _sort_cols(body)
     cols = body.get("_source")
     if cols:
-        hits = hits.select(*cols)
-    order_cols = []
-    for entry in body.get("sort", []):
-        ((field, spec),) = entry.items()
-        direction = spec.get("order", "asc") if isinstance(spec, dict) else spec
-        if direction == "desc":
-            order_cols.append(F.col(field).desc())
-        elif direction == "asc":
-            order_cols.append(F.col(field).asc())
-        else:
-            raise ValueError(f"unsupported sort order: {direction!r}")
+        hits = hits.select(*cols, *highlight_cols)
     if order_cols:
         hits = hits.orderBy(*order_cols)
     return hits.limit(int(body.get("size", 10)))

@@ -121,6 +121,69 @@ def test_standalone_metric_agg(docs):
     assert len(out) == 1 and out[0]["n_langs"] == 2
 
 
+def test_collapse_groups_inner_hits_and_size(docs):
+    body = {
+        "collapse": {"field": "lang", "inner_hits": {"size": 2}},
+        "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": "asc"}],
+        "size": 2,
+        "_source": ["doc_id", "lang", "n_chars"],
+    }
+    out = [tuple(r) for r in es_search(docs, body).collect()]
+    # en's best is n_chars 300 (doc 2 by doc_id tiebreak vs doc 1?
+    # no — doc 1 is de); group order: en(300, doc 2) ties de(300,
+    # doc 1): ordering on (n_chars desc, doc_id asc) puts de's doc 1
+    # first -> group 1 = de (1 doc), group 2 = en (top-2 of 3)
+    assert out == [
+        (1, 1, 1, "de", 300),
+        (2, 1, 2, "en", 300),
+        (2, 2, 3, "en", 200),
+    ]
+
+
+def test_collapse_requires_sort_and_excludes_aggs(docs):
+    with pytest.raises(ValueError, match="explicit sort"):
+        es_search(docs, {"collapse": {"field": "lang"}})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        es_search(
+            docs,
+            {
+                "collapse": {"field": "lang"},
+                "sort": [{"doc_id": "asc"}],
+                "aggs": {"a": {"terms": {"field": "lang"}}},
+            },
+        )
+
+
+def test_highlight_wraps_all_match_terms(docs):
+    body = {
+        "query": {"match": {"text": "vector stream"}},
+        "highlight": {"fields": {"text": {}}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 10,
+        "_source": ["doc_id"],
+    }
+    out = {r["doc_id"]: r["highlight_text"] for r in es_search(docs, body).collect()}
+    assert out[0] == "<em>vector</em> <em>stream</em>"
+    assert out[1] == "<em>vector</em> table"
+    assert 2 not in out  # no match -> not a hit
+    # custom tags
+    body2 = dict(body, highlight={"fields": {"text": {}},
+                                  "pre_tags": ["["], "post_tags": ["]"]})
+    out2 = {r["doc_id"]: r["highlight_text"] for r in es_search(docs, body2).collect()}
+    assert out2[3] == "[vector] query"
+
+
+def test_highlight_without_match_clause_raises(docs):
+    with pytest.raises(ValueError, match="needs a match clause"):
+        es_search(
+            docs,
+            {
+                "query": {"term": {"lang": "en"}},
+                "highlight": {"fields": {"text": {}}},
+            },
+        )
+
+
 def test_error_paths(docs):
     with pytest.raises(ValueError, match="unsupported search body keys"):
         es_search(docs, {"quarry": {}})

@@ -1920,6 +1920,7 @@ def bucket_cap_recall_account(
     reference_cap: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_local: bool = True,
 ) -> DataFrame:
     """The bucket_cap recall trade as ONE measured row: verified
     near-dup pairs with the production per-(table, bucket) occupancy
@@ -1941,6 +1942,21 @@ def bucket_cap_recall_account(
     ``n_buckets_truncated`` reports how many buckets hit the bound so
     a truncated reading is self-qualifying: 0 means the recall number
     is exact; >0 means it is measured against the bounded reference.
+
+    ``bucket_local`` (r11 optimization round, guide §2.3/§8): the
+    default verify is bucket-LOCAL — each (table, bucket) group scores
+    its own members with the same k-order float64 accumulation as
+    :func:`_bucket_matmul_scores` (bit-identical to the ``cosine``
+    expression fold), carrying the two arms' rank flags, and only thin
+    (vec_a, vec_b, cosine, hit) rows reach the pair-grain dedup.  The
+    legacy pair-attach form (banded self-join -> pair dedup -> join
+    both 64-dim vectors onto every pair -> interpreted fold per pair)
+    is exactly the shape the sf100 ladder killed for the bitext family
+    (SCALE.md round-11 part 2: pairs x 0.5 KB of exchange+spill); it
+    stays available as ``bucket_local=False`` for the parity pin.
+    Both arms agree bit-for-bit (unit-pinned) because cosine is a
+    pure, symmetric function of the pair and duplicate (table, bucket)
+    evaluations are value-identical.
 
     Returns the diagnostic EAGERLY (it is one global aggregate row):
     the banded frame's executor cache is released before returning —
@@ -1983,6 +1999,110 @@ def bucket_cap_recall_account(
             .filter(F.col("occ") > reference_cap)
             .count()
         )
+        if bucket_local:
+            # guide §2.3/§8: decide (and score) with bucket-local
+            # groups; never shuffle vectors on the pair grain.  Rank
+            # columns ride along so BOTH arms come out of one scoring
+            # pass.  Null / wrong-dim vectors keep their rank slot
+            # (banded is built from every row, as in the legacy arm)
+            # but can never produce a verified pair there either —
+            # their cosine is null — so dropping them from the scoring
+            # input is value-identical.
+            import numpy as np
+            import pandas as pd
+
+            vt = embeddings.schema[id_col].dataType.simpleString()
+            ref_v = (
+                banded.filter(F.col("_rn") <= reference_cap)
+                .join(
+                    keyed.filter(
+                        F.col("vec").isNotNull()
+                        & (F.size(F.col("vec")) == dim)
+                    ),
+                    "vid",
+                )
+                .select("table_idx", "bucket", "vid", "_rn", "vec")
+            )
+
+            def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                n = len(pdf)
+                empty = pd.DataFrame(
+                    {"vec_a": [], "vec_b": [], "cos": [], "hit": []}
+                )
+                if n < 2:
+                    return empty
+                V = np.vstack(pdf["vec"].to_numpy()).astype("float64")
+                nrm = np.zeros(n)
+                for k in range(dim):  # the SQL fold, k-order
+                    nrm += V[:, k] * V[:, k]
+                if np.any(nrm == 0.0):
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero-norm vector in cosine "
+                        "(ANSI parity with the expression path)"
+                    )
+                ids = pdf["vid"].to_numpy()
+                rn = pdf["_rn"].to_numpy()
+                acc = np.zeros((n, n))
+                for k in range(dim):  # k-order adds, per pair
+                    acc += V[:, k : k + 1] * V[:, k]
+                raw = acc / (np.sqrt(nrm)[:, None] * np.sqrt(nrm)[None, :])
+                ia, ib = np.nonzero(ids[:, None] < ids[None, :])
+                return pd.DataFrame(
+                    {
+                        "vec_a": ids[ia],
+                        "vec_b": ids[ib],
+                        "cos": raw[ia, ib],
+                        "hit": (rn[ia] <= bucket_cap)
+                        & (rn[ib] <= bucket_cap),
+                    }
+                )
+
+            pair = (
+                ref_v.groupBy("table_idx", "bucket")
+                .applyInPandas(
+                    score,
+                    schema=(
+                        f"vec_a {vt}, vec_b {vt}, cos double, hit boolean"
+                    ),
+                )
+                # duplicate (table, bucket) evaluations of one pair are
+                # value-identical (same IEEE op order); max() keeps any
+                # one cosine and ORs the capped-arm flag exactly like
+                # the legacy semi-join
+                .groupBy("vec_a", "vec_b")
+                .agg(
+                    F.max("cos").alias("cos"),
+                    F.max(F.col("hit").cast("int")).alias("hit"),
+                )
+            )
+            row = (
+                pair.filter(F.round(F.col("cos"), 6) >= F.lit(threshold))
+                .agg(
+                    F.count(F.lit(1)).alias("pairs_uncapped"),
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    .cast("bigint")
+                    .alias("pairs_capped"),
+                    F.round(
+                        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                        / F.count(F.lit(1))
+                        + 1e-9,
+                        6,
+                    ).alias("recall"),
+                )
+                .first()
+            )
+            return spark.createDataFrame(
+                [
+                    (
+                        row["pairs_uncapped"],
+                        row["pairs_capped"],
+                        row["recall"],
+                        n_truncated,
+                    )
+                ],
+                "pairs_uncapped bigint, pairs_capped bigint, recall double,"
+                " n_buckets_truncated bigint",
+            )
         ref = banded.filter(F.col("_rn") <= reference_cap)
         a, b = ref.alias("a"), ref.alias("b")
         cand_u = (

@@ -1411,11 +1411,23 @@ def cms_word_counts(
     bucket = portable_hash31(
         F.concat(F.lit("cms"), F.col("j").cast("string"), F.lit(":"), F.col("w"))
     ) % width
-    fan = words.select("w", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"))
+    # r11 optimization round (guide §2.3, aggregate before you shuffle):
+    # every sketch cell is a pure function of the per-word exact counts
+    # — which this operator computes anyway for its exact arm — so the
+    # depth-fan + md5 run over the VOCABULARY (one row per distinct
+    # word, weighted by true_count), not over every token occurrence.
+    # Cell values are bit-identical: count of occurrences per bucket =
+    # sum of per-word counts mapping to it.  md5 work drops by the
+    # corpus occurrence/vocabulary ratio (~40x on the prose fixtures).
+    fan = exact.select(
+        "w",
+        "true_count",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    )
     sketch = (
-        fan.select("j", bucket.alias("bucket"))
+        fan.select("j", bucket.alias("bucket"), "true_count")
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("true_count").alias("c"))
     )
     probe_fan = probes.select(
         "w",

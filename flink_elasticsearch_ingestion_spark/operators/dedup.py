@@ -1793,27 +1793,31 @@ def token_set_similarity_join(
     # path els already ARE hashes; on the string fallback the keys are
     # hashed here (a key collision only ADDS a candidate pair — the
     # exact verify removes it)
-    els = sets.select(
-        "doc_id",
-        F.explode(
-            F.col("els")
-            if a["ns"] == a["nh"]
-            else F.transform("els", lambda e: F.xxhash64(e))
-        ).alias("el"),
+    hashed_els = (
+        F.col("els")
+        if a["ns"] == a["nh"]
+        else F.transform("els", lambda e: F.xxhash64(e))
     )
+    els = sets.select("doc_id", F.explode(hashed_els).alias("el"))
     dfreq = els.groupBy("el").agg(F.count(F.lit(1)).alias("df"))
     # rank each doc's elements rare-first; keep only the prefix.
     # Persisted because the candidate self-join consumes it TWICE —
     # without it both sides replay the df shuffle and the rank window.
+    # r11 optimization round (guide §2.4): the set size rides the
+    # element explode as a per-row int — the old form joined the ranked
+    # element stream back to the sets table by doc_id just to fetch
+    # size(els), shuffling the stream one extra time.  Values identical.
+    els_n = sets.select(
+        "doc_id", F.size("els").alias("n"), F.explode(hashed_els).alias("el")
+    )
     ranked = (
-        els.join(dfreq, "el")
+        els_n.join(dfreq, "el")
         .withColumn(
             "rn",
             F.row_number().over(
                 Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("el"))
             ),
         )
-        .join(sets.select("doc_id", F.size("els").alias("n")), "doc_id")
         .filter(
             F.col("rn")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
@@ -2344,16 +2348,21 @@ def containment_pairs(
         F.col(id_col).alias("doc"), F.col("shingles").alias("sh")
     ).persist()
     sigs.count()  # eager fill (see minhash_near_duplicates)
-    ex = sigs.select("doc", F.explode("sh").alias("s"))
-    dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # r11 optimization round (guide §2.4): the prefix length is a pure
+    # function of the set SIZE, so it rides the element explode as a
+    # per-row int instead of joining the element stream back to the
+    # sets table by doc (that join shuffled the whole element stream a
+    # second time just to fetch size(sh)).  Values identical.
     plen = (F.floor((F.lit(1.0) - F.lit(threshold)) * F.size("sh")) + 1).cast("int")
+    ex = sigs.select("doc", F.explode("sh").alias("s"))
+    ex_p = sigs.select("doc", plen.alias("plen"), F.explode("sh").alias("s"))
+    dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
-        ex.join(dfc, "s")
+        ex_p.join(dfc, "s")
         .withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("doc").orderBy("df", "s")),
         )
-        .join(sigs.select("doc", plen.alias("plen")), "doc")
         .filter(F.col("rn") <= F.col("plen"))
         .select("doc", "s")
     )

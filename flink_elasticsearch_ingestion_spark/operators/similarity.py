@@ -1113,6 +1113,18 @@ def mutual_best_match(
         bucket_shift=bucket_shift,
         center_check=center_check,
     )
+    # r11 optimization round (guide §5 caching): BOTH argmax directions
+    # consume the scored frame, and without a persist each consumer
+    # re-evaluates the whole candidate+scoring subtree — the plan
+    # carried TWO copies of the banding MapInPandas and the scoring
+    # cogroup (plans/r11/mutual_matches_before.txt).  The scored frame
+    # is thin (ids + cosine, ~24 B/row), so caching it costs far less
+    # than recomputing the Python scoring stage; the eager fill avoids
+    # concurrently-scheduled consumers racing the cache (the
+    # token_set_join lesson).  Same pattern as token_set_join's
+    # sets/ranked caches: the returned lazy plan reads the cache.
+    scored = scored.persist()
+    scored.count()
     # argmax per direction: min over ((-cosine), partner) = max cosine,
     # smallest partner id on ties — struct comparison is lexicographic,
     # and works for any orderable partner id type
@@ -1225,6 +1237,14 @@ def margin_best_match(
         bucket_shift=bucket_shift,
         center_check=center_check,
     )
+    # r11 optimization round (guide §5 caching): the scored frame feeds
+    # THREE consumers (both neighborhood averages + the final margin
+    # join) and the plan evaluated the banding MapInPandas and the
+    # scoring cogroup three times over (plans/r11/
+    # margin_matches_before.txt).  Persist the thin scored rows once;
+    # eager fill so concurrent consumers never race the cache.
+    scored = scored.persist()
+    scored.count()
     wl = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -299,6 +299,149 @@ def ks_drift(
     ).orderBy("bin")
 
 
+def _grid_percentile_bounds(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: Sequence[float],
+    coarse_edges: Sequence[float],
+    out_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group EXACT percentiles, BIT-IDENTICAL to Spark's
+    ``percentile`` aggregate, computed through two-phase grid ranks
+    instead of the per-group value buffer (r12, guide §2.3/§5: the
+    ``Percentile`` aggregate holds every (value, count) pair of a group
+    in ONE aggregation buffer — the known OOM/spill class at scale; the
+    grid shape is the ``grouped_quantiles_exact`` discipline, already
+    laddered to sf100 on the boxplot family).
+
+    Parity contract (pinned by tests/test_opt_r12.py at full double
+    precision, no rounding): nulls ignored; values sorted ascending
+    with NaN last; ``position = q * (n - 1)``; result is the value at
+    rank ``floor(position)+1`` when the position is whole or when the
+    two spanning values compare equal, else the linear interpolation
+    ``(ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi`` — the
+    exact expression ``Percentile.getPercentile`` evaluates, in the
+    same operand order, so every float op matches ULP-for-ULP.  (Known
+    non-difference: ``Percentile``'s hash map keeps -0.0 and 0.0 as
+    distinct keys where the grid's groupBy normalizes them; both sort
+    adjacent and compare equal, so the returned double is identical.)
+
+    ``coarse_edges`` range-partition the value axis (the
+    equi_depth_buckets two-phase trick) so no window partition holds a
+    whole group's grid; edges that miss the data degrade to one range
+    per group — still grid-sized state, never a value buffer.
+
+    Returns one row per group that has >= 1 non-null value:
+    ``(group_col, *out_cols)`` with unrounded double percentiles —
+    callers LEFT-join so all-null groups keep their legacy null bounds.
+    """
+    edges = list(coarse_edges)
+    coarse = F.lit(len(edges))
+    for i, e in reversed(list(enumerate(edges))):
+        coarse = F.when(F.col("__v") < F.lit(float(e)), F.lit(i)).otherwise(
+            coarse
+        )
+    grid = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__coarse", coarse)
+    )
+    range_counts = grid.groupBy("__g", "__coarse").agg(
+        F.sum("__n").alias("__rn")
+    )
+    w_off = (
+        Window.partitionBy("__g")
+        .orderBy("__coarse")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = range_counts.select(
+        "__g",
+        "__coarse",
+        F.coalesce(F.sum("__rn").over(w_off), F.lit(0)).alias("__offset"),
+        F.sum("__rn")
+        .over(
+            Window.partitionBy("__g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__total"),
+    )
+    w_cum = (
+        Window.partitionBy("__g", "__coarse")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        grid.withColumn("__cum_in_range", F.sum("__n").over(w_cum))
+        .join(F.broadcast(offsets), ["__g", "__coarse"])
+        .select(
+            "__g",
+            "__v",
+            (
+                F.col("__offset") + F.col("__cum_in_range") - F.col("__n") + 1
+            ).alias("__start"),
+            (F.col("__offset") + F.col("__cum_in_range")).alias("__end"),
+        )
+    )
+    targets = offsets.groupBy("__g").agg(F.max("__total").alias("__n_rows"))
+    pos_rows = []
+    for qi, q in enumerate(qs):
+        # Percentile.scala: maxPosition * percentile with maxPosition =
+        # count - 1 (a Long); Long * Double promotes — one IEEE multiply
+        pos = F.lit(float(q)) * (F.col("__n_rows") - 1).cast("double")
+        pos_rows.append(
+            targets.select(
+                F.col("__g").alias("__pg"),
+                F.lit(qi).alias("__qi"),
+                pos.alias("__pos"),
+                (F.floor(pos) + 1).cast("bigint").alias("__lo_rank"),
+                (F.ceil(pos) + 1).cast("bigint").alias("__hi_rank"),
+            )
+        )
+    positions = pos_rows[0]
+    for p in pos_rows[1:]:
+        positions = positions.unionByName(p)
+    spans_lo = (F.col("__lo_rank") >= F.col("__start")) & (
+        F.col("__lo_rank") <= F.col("__end")
+    )
+    spans_hi = (F.col("__hi_rank") >= F.col("__start")) & (
+        F.col("__hi_rank") <= F.col("__end")
+    )
+    hit = ranked.join(
+        F.broadcast(positions),
+        (F.col("__g") == F.col("__pg")) & (spans_lo | spans_hi),
+    )
+    per_q = hit.groupBy("__g", "__qi", "__pos", "__lo_rank", "__hi_rank").agg(
+        F.max(F.when(spans_lo, F.col("__v").cast("double"))).alias("__v_lo"),
+        F.max(F.when(spans_hi, F.col("__v").cast("double"))).alias("__v_hi"),
+    )
+    # Percentile.getPercentile, same special cases, same operand order:
+    # whole position -> lower key; equal keys -> lower key; else
+    # (higher - position) * lowerKey + (position - lower) * higherKey
+    val = (
+        F.when(F.col("__hi_rank") == F.col("__lo_rank"), F.col("__v_lo"))
+        .when(F.col("__v_hi") == F.col("__v_lo"), F.col("__v_lo"))
+        .otherwise(
+            ((F.col("__hi_rank") - 1).cast("double") - F.col("__pos"))
+            * F.col("__v_lo")
+            + (F.col("__pos") - (F.col("__lo_rank") - 1).cast("double"))
+            * F.col("__v_hi")
+        )
+    )
+    long_form = per_q.select("__g", "__qi", val.alias("__val"))
+    return long_form.groupBy("__g").agg(
+        *[
+            F.max(F.when(F.col("__qi") == i, F.col("__val"))).alias(
+                out_cols[i]
+            )
+            for i in range(len(qs))
+        ]
+    ).select(F.col("__g").alias(group_col), *out_cols)
+
+
 def winsorized_stats(
     df: DataFrame,
     value_col: str,
@@ -306,6 +449,9 @@ def winsorized_stats(
     *,
     lo: float = 0.01,
     hi: float = 0.99,
+    coarse_edges: Sequence[float] = tuple(
+        float(e) for e in range(50_000, 500_000, 50_000)
+    ),
 ) -> DataFrame:
     """Per-group winsorized summary: exact ``lo``/``hi`` percentile
     bounds per group, values clipped to those bounds, then robust
@@ -313,16 +459,18 @@ def winsorized_stats(
     corrupt measurements from poisoning corpus statistics.
 
     Scale shape: two passes over the fact, both single-shuffle — pass
-    1 computes the exact per-group percentile bounds (partial+final
-    sort-based percentile aggregate, group-cardinality output), pass 2
-    clips against the BROADCAST bounds table and aggregates per group.
-    The bounds table is group-cardinality-sized, never fact-sized.
+    1 computes the exact per-group percentile bounds through two-phase
+    GRID ranks (r12: bit-identical to Spark's ``Percentile`` aggregate
+    — see :func:`_grid_percentile_bounds` — without its per-group
+    value buffer, the OOM class at 100 TB groups), pass 2 clips
+    against the BROADCAST bounds table and aggregates per group.  The
+    bounds table is group-cardinality-sized, never fact-sized.  The
+    LEFT join keeps all-null-value groups on their legacy null bounds.
     """
-    bounds = df.groupBy(group_col).agg(
-        F.percentile(value_col, F.lit(lo)).alias("__lo"),
-        F.percentile(value_col, F.lit(hi)).alias("__hi"),
+    bounds = _grid_percentile_bounds(
+        df, value_col, group_col, (lo, hi), coarse_edges, ("__lo", "__hi")
     )
-    clipped = df.join(F.broadcast(bounds), group_col).select(
+    clipped = df.join(F.broadcast(bounds), group_col, "left").select(
         F.col(group_col),
         F.col(value_col).alias("__v"),
         F.greatest(F.least(F.col(value_col), F.col("__hi")), F.col("__lo")).alias(
@@ -353,6 +501,12 @@ def mad_outliers(
     group_col: str,
     *,
     z_cut: float = 3.0,
+    coarse_edges: Sequence[float] = tuple(
+        float(e) for e in range(50, 500, 50)
+    ),
+    dev_coarse_edges: Sequence[float] = tuple(
+        float(e) for e in range(25, 250, 25)
+    ),
 ) -> DataFrame:
     """Per-group robust outlier detection via median / MAD: a value is
     an outlier when |v - median| > ``z_cut`` * 1.4826 * MAD (the
@@ -364,25 +518,27 @@ def mad_outliers(
     group-cardinality output — (1) exact per-group median, (2) exact
     median of absolute deviations against the BROADCAST median table,
     (3) flag-and-count against the broadcast (median, mad) table. The
-    fact never shuffles; only tiny group tables move. Exact percentile
-    holds per-group value vectors in the aggregate state, so for
-    groups above executor memory the documented swap is
-    ``approx_percentile`` behind the same contract.
+    fact never shuffles; only tiny group tables move.  r12: both exact
+    medians run through two-phase GRID ranks (bit-identical to Spark's
+    ``Percentile`` aggregate — :func:`_grid_percentile_bounds`) instead
+    of the per-group value-buffer aggregate, so no single aggregation
+    buffer ever holds a group's values; LEFT joins keep all-null
+    groups on their legacy null medians.
     """
-    med = df.groupBy(group_col).agg(
-        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    med = _grid_percentile_bounds(
+        df, value_col, group_col, (0.5,), coarse_edges, ("__med",)
     )
-    dev = df.join(F.broadcast(med), group_col).select(
+    dev = df.join(F.broadcast(med), group_col, "left").select(
         F.col(group_col),
         F.col(value_col).alias("__v"),
         F.col("__med"),
         F.abs(F.col(value_col) - F.col("__med")).alias("__ad"),
     )
-    mad = dev.groupBy(group_col).agg(
-        F.percentile("__ad", F.lit(0.5)).alias("__mad")
+    mad = _grid_percentile_bounds(
+        dev, "__ad", group_col, (0.5,), dev_coarse_edges, ("__mad",)
     )
     cut = F.lit(z_cut) * F.lit(1.4826) * F.col("__mad")
-    flagged = dev.join(F.broadcast(mad), group_col)
+    flagged = dev.join(F.broadcast(mad), group_col, "left")
     return (
         flagged.groupBy(group_col)
         .agg(

@@ -2211,12 +2211,18 @@ def join_size_estimate(
     # value is bit-identical: bucket counts are sums of per-key counts,
     # n_left/n_right are sums of the same counts (null keys included —
     # groupBy keeps the null group exactly as count(1) did).
-    ca = left.groupBy(
-        F.col(left_key).cast("string").alias("k")
-    ).agg(F.count(F.lit(1)).alias("ca"))
-    cb = right.groupBy(
-        F.col(right_key).cast("string").alias("k")
-    ).agg(F.count(F.lit(1)).alias("cb"))
+    # r12 (ADVICE r11): the count tables keep the NATIVE key type —
+    # the exact arm joins native keys again (keys equal under numeric
+    # coercion, e.g. int 1 vs decimal 1.00, match as they did before
+    # r11), and the groupBy exchange carries the narrower native
+    # column; the string cast happens only inside sketch(), where the
+    # md5 needs text.
+    ca = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
 
     def sketch(kc: DataFrame, cnt: str) -> DataFrame:
         fan = kc.select(
@@ -2230,7 +2236,7 @@ def join_size_estimate(
                     F.lit("jse"),
                     F.col("j").cast("string"),
                     F.lit(":"),
-                    F.col("k"),
+                    F.col("k").cast("string"),
                 )
             )
             % width

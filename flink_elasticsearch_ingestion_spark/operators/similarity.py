@@ -1072,14 +1072,17 @@ def mutual_best_match(
     Candidates come from the same multi-table sign-LSH family as
     ``knn_join_lsh`` (seed + t per table, so a DuckDB oracle re-derives
     the exact candidate set from inlined plane literals); the candidate
-    join is computed ONCE and reduced in both directions. Mutual top-1
-    needs only each side's ARGMAX, not full ranks — so each direction
-    is a ``min(struct(-cosine, partner))`` partial+final hash aggregate
-    (map-side combine, no sort, no per-partition full materialization)
-    instead of a full-candidate-frame sort window; the two 1-row-per-id
-    argmax frames then equi-join back. Ties break on (cosine DESC at
-    6dp, partner id ASC), identically to the old rank form and to the
-    SQL oracle.
+    join is computed — and EVALUATED — exactly once. Mutual top-1
+    needs only each side's ARGMAX, not full ranks: every scored pair
+    is reshaped into two thin (side, id, partner, cosine) rows, ONE
+    ``min(struct(-cosine, partner))`` partial+final hash aggregate
+    keyed by (side, id) produces both directions' argmaxes in a single
+    pass (map-side combine, no sort, no cache), and a second tiny
+    aggregate on the canonical pair keeps the pairs chosen from BOTH
+    sides — exactly best_l ⋈ best_r, without persisting the scored
+    frame or evaluating the scoring stage twice. Ties break on (cosine
+    DESC at 6dp, partner id ASC), identically to the old rank form and
+    to the SQL oracle.
 
     ``corpus_rows`` contract for ``bits="auto"``: pass the row count
     of the FULL vector universe the planes must discriminate (e.g. the
@@ -1113,21 +1116,90 @@ def mutual_best_match(
         bucket_shift=bucket_shift,
         center_check=center_check,
     )
-    # r11 optimization round (guide §5 caching): BOTH argmax directions
-    # consume the scored frame, and without a persist each consumer
-    # re-evaluates the whole candidate+scoring subtree — the plan
-    # carried TWO copies of the banding MapInPandas and the scoring
-    # cogroup (plans/r11/mutual_matches_before.txt).  The scored frame
-    # is thin (ids + cosine, ~24 B/row), so caching it costs far less
-    # than recomputing the Python scoring stage; the eager fill avoids
-    # concurrently-scheduled consumers racing the cache (the
-    # token_set_join lesson).  Same pattern as token_set_join's
-    # sets/ranked caches: the returned lazy plan reads the cache.
-    scored = scored.persist()
-    scored.count()
+    # r12 optimization round (guide §2.4 — remove the shuffle-and-cache
+    # entirely, not just share it): r11 persisted the scored frame
+    # because BOTH argmax directions consumed it.  That persist leaked
+    # for the session lifetime (VERDICT r11 #5) and its eager fill ran
+    # the whole scoring job at plan-build time (ADVICE r11).  Instead,
+    # reshape each scored pair into TWO thin (side, gid, partner,
+    # cosine) rows — side 0 keyed by the query, side 1 by the neighbor
+    # — so ONE hash aggregate computes both directions' argmaxes in a
+    # single pass over a single evaluation of the candidate+scoring
+    # subtree.  Each argmax row then maps back to its canonical
+    # (query, neighbor) pair; a pair chosen by BOTH sides (count == 2)
+    # is exactly best_l ⋈ best_r.  No persist, no fill job, no leak,
+    # and the expensive Python scoring stage appears ONCE in the plan.
+    #
     # argmax per direction: min over ((-cosine), partner) = max cosine,
     # smallest partner id on ties — struct comparison is lexicographic,
-    # and works for any orderable partner id type
+    # and works for any orderable partner id type.  The single-pass
+    # reshape needs the two id columns to share one Spark type (they
+    # ride the same exploded struct field); mismatched-type corpora
+    # take the legacy two-aggregate arm below, which now bounds its
+    # cache lifetime to the call.
+    if dict(scored.dtypes)["query_id"] == dict(scored.dtypes)["neighbor_id"]:
+        sides = scored.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("side"),
+                        F.col("query_id").alias("gid"),
+                        F.col("neighbor_id").alias("partner"),
+                        F.col("cosine").alias("cosine"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("side"),
+                        F.col("neighbor_id").alias("gid"),
+                        F.col("query_id").alias("partner"),
+                        F.col("cosine").alias("cosine"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.side", "e.gid", "e.partner", "e.cosine")
+        best = sides.groupBy("side", "gid").agg(
+            F.min(
+                F.struct(
+                    (-F.col("cosine")).alias("nc"),
+                    F.col("partner").alias("partner"),
+                )
+            ).alias("m")
+        )
+        chosen = best.select(
+            F.when(F.col("side") == 0, F.col("gid"))
+            .otherwise(F.col("m.partner"))
+            .alias("query_id"),
+            F.when(F.col("side") == 0, F.col("m.partner"))
+            .otherwise(F.col("gid"))
+            .alias("neighbor_id"),
+            "side",
+            (-F.col("m.nc")).alias("cosine"),
+        )
+        return (
+            chosen.groupBy("query_id", "neighbor_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sides"),
+                F.max(F.when(F.col("side") == 0, F.col("cosine"))).alias(
+                    "cosine"
+                ),
+            )
+            .filter(F.col("n_sides") == 2)
+            .select(
+                F.col("query_id").alias("vec_a"),
+                F.col("neighbor_id").alias("vec_b"),
+                # -(-x) can materialize -0.0 where the window form kept
+                # 0.0; normalize so hashes stay identical
+                (F.col("cosine") + F.lit(0.0)).alias("cosine"),
+            )
+            .orderBy("vec_a")
+        )
+    # legacy arm (mismatched id types): two argmax aggregates over a
+    # persisted scored frame.  The result is materialized via an eager
+    # localCheckpoint so the persist can be RELEASED before returning
+    # (r11 leaked it for the session lifetime); the checkpointed blocks
+    # are result-sized and GC-managed.  The eager fill keeps the two
+    # join sides from racing a cold cache (the token_set_join lesson).
+    scored = scored.persist()
+    scored.count()
     best_l = (
         scored.groupBy("query_id")
         .agg(
@@ -1158,7 +1230,7 @@ def mutual_best_match(
             F.col("neighbor_id"), F.col("m.partner").alias("query_id")
         )
     )
-    return (
+    out = (
         best_l.join(best_r, ["query_id", "neighbor_id"])
         .select(
             F.col("query_id").alias("vec_a"),
@@ -1167,8 +1239,10 @@ def mutual_best_match(
             # 0.0; normalize so hashes stay identical
             (F.col("cosine") + F.lit(0.0)).alias("cosine"),
         )
-        .orderBy("vec_a")
+        .localCheckpoint(eager=True)
     )
+    scored.unpersist()
+    return out.orderBy("vec_a")
 
 
 def margin_best_match(
@@ -1237,12 +1311,117 @@ def margin_best_match(
         bucket_shift=bucket_shift,
         center_check=center_check,
     )
-    # r11 optimization round (guide §5 caching): the scored frame feeds
-    # THREE consumers (both neighborhood averages + the final margin
-    # join) and the plan evaluated the banding MapInPandas and the
-    # scoring cogroup three times over (plans/r11/
-    # margin_matches_before.txt).  Persist the thin scored rows once;
-    # eager fill so concurrent consumers never race the cache.
+    # r12 optimization round (guide §2.4): r11 persisted the scored
+    # frame because THREE consumers (both neighborhood averages + the
+    # final margin join) re-evaluated it otherwise — but the persist
+    # leaked for the session lifetime (VERDICT r11 #5) and its eager
+    # fill ran the full scoring job at plan-build time (ADVICE r11).
+    # Single-pass shape instead: reshape every scored pair into two
+    # thin (side, gid, partner, cosine) rows — side 0 keyed by the
+    # query, side 1 by the neighbor — and compute BOTH directions'
+    # neighborhood averages in ONE window pass over (side, gid):
+    # row_number gives the rank, a second same-partition window
+    # aggregate averages the top ``k_neighborhood`` cosines (no extra
+    # exchange; Spark chains the two Window ops on one sort).  Each row
+    # then maps back to its canonical (query, neighbor) pair and one
+    # pair-keyed aggregate reassembles (cosine, avg_a, avg_b) — the
+    # exact frame the old avg_l/avg_r joins produced — so the scoring
+    # subtree is evaluated ONCE with no cache at all.  avg sums run in
+    # (cosine DESC, partner) order instead of the old hash-aggregate
+    # partial order; both sum 6dp-rounded doubles and every margin is
+    # rounded at 4dp + 1e-9 (the established cross-engine guard the
+    # DuckDB oracle already exercises with ITS own sum order).
+    margin = F.round(
+        F.col("cosine") / ((F.col("avg_a") + F.col("avg_b")) / 2.0)
+        + F.lit(1e-9),
+        4,
+    )
+    # Forward best-by-margin stays a rank WINDOW deliberately (round-9
+    # measured both forms at sf10): `row_number + filter rm == 1` gets
+    # Spark's WindowGroupLimit pushdown — a per-partition partial TOP-1
+    # over primitive columns before the shuffle — while the
+    # min(struct(-margin, ...)) argmax aggregate forces an
+    # ObjectHashAggregate (struct buffer) that measured 45s -> 123s on
+    # the 60M-row ladder (exp 1.09 -> 1.64).
+    wm = Window.partitionBy("query_id").orderBy(
+        F.col("margin").desc(), F.col("neighbor_id")
+    )
+    if dict(scored.dtypes)["query_id"] == dict(scored.dtypes)["neighbor_id"]:
+        sides = scored.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("side"),
+                        F.col("query_id").alias("gid"),
+                        F.col("neighbor_id").alias("partner"),
+                        F.col("cosine").alias("cosine"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("side"),
+                        F.col("neighbor_id").alias("gid"),
+                        F.col("query_id").alias("partner"),
+                        F.col("cosine").alias("cosine"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.side", "e.gid", "e.partner", "e.cosine")
+        w_rank = Window.partitionBy("side", "gid").orderBy(
+            F.col("cosine").desc(), F.col("partner")
+        )
+        w_grp = Window.partitionBy("side", "gid")
+        in_k = F.col("rn") <= k_neighborhood
+        # denominator counts top-k ROWS (not non-null cosines), exactly
+        # like the old filter + count(lit(1)) aggregate
+        ranked = (
+            sides.withColumn("rn", F.row_number().over(w_rank))
+            .withColumn(
+                "avg_k",
+                F.sum(F.when(in_k, F.col("cosine"))).over(w_grp)
+                / F.count(F.when(in_k, F.lit(1))).over(w_grp),
+            )
+        )
+        paired = (
+            ranked.select(
+                F.when(F.col("side") == 0, F.col("gid"))
+                .otherwise(F.col("partner"))
+                .alias("query_id"),
+                F.when(F.col("side") == 0, F.col("partner"))
+                .otherwise(F.col("gid"))
+                .alias("neighbor_id"),
+                "side",
+                "cosine",
+                "avg_k",
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.max("cosine").alias("cosine"),
+                F.max(F.when(F.col("side") == 0, F.col("avg_k"))).alias(
+                    "avg_a"
+                ),
+                F.max(F.when(F.col("side") == 1, F.col("avg_k"))).alias(
+                    "avg_b"
+                ),
+            )
+        )
+        return (
+            paired.withColumn("margin", margin)
+            .withColumn("rm", F.row_number().over(wm))
+            .filter(
+                (F.col("rm") == 1) & (F.col("margin") >= margin_threshold)
+            )
+            .select(
+                F.col("query_id").alias("vec_a"),
+                F.col("neighbor_id").alias("vec_b"),
+                "cosine",
+                "margin",
+            )
+            .orderBy("vec_a")
+        )
+    # legacy arm (mismatched id types — the reshape needs one shared id
+    # type): persisted scored frame, two rank windows, two averages,
+    # final join.  Result materializes via eager localCheckpoint so the
+    # persist is RELEASED before returning (r11 leaked it); the eager
+    # fill keeps concurrent consumers off a cold cache.
     scored = scored.persist()
     scored.count()
     wl = Window.partitionBy("query_id").orderBy(
@@ -1264,25 +1443,7 @@ def margin_best_match(
         .groupBy("neighbor_id")
         .agg((F.sum("cosine") / F.count(F.lit(1))).alias("avg_b"))
     )
-    margin = F.round(
-        F.col("cosine") / ((F.col("avg_a") + F.col("avg_b")) / 2.0)
-        + F.lit(1e-9),
-        4,
-    )
-    # Forward best-by-margin stays a rank WINDOW deliberately (round-9
-    # measured both forms at sf10): `row_number + filter rm == 1` gets
-    # Spark's WindowGroupLimit pushdown — a per-partition partial TOP-1
-    # over primitive columns before the shuffle — while the
-    # min(struct(-margin, ...)) argmax aggregate forces an
-    # ObjectHashAggregate (struct buffer) that measured 45s -> 123s on
-    # the 60M-row ladder (exp 1.09 -> 1.64). mutual_best_match keeps
-    # its argmax rewrite because its OLD form chained two
-    # different-key rank windows on the same frame with no group-limit
-    # pushdown (exp 1.15 -> 0.99 the other way).
-    wm = Window.partitionBy("query_id").orderBy(
-        F.col("margin").desc(), F.col("neighbor_id")
-    )
-    return (
+    out = (
         scored.join(avg_l, "query_id")
         .join(avg_r, "neighbor_id")
         .withColumn("margin", margin)
@@ -1294,8 +1455,10 @@ def margin_best_match(
             "cosine",
             "margin",
         )
-        .orderBy("vec_a")
+        .localCheckpoint(eager=True)
     )
+    scored.unpersist()
+    return out.orderBy("vec_a")
 
 
 def embedding_near_duplicates(

@@ -1,13 +1,19 @@
-"""Round-11 optimization measurement helper (guide §1).
+"""Round-11/12 optimization measurement helper (guide §1).
 
 For each named query: min-of-N timing with the bench's .count() action
 (comparability with bench.py) PLUS a noop-sink timing (guide §1.4 — the
 computation without column pruning), and the .explain("formatted") plan
-written to plans/r11/<name>_<tag>.txt.
+written to plans/<dir>/<name>_<tag>.txt (--plans=r12 by default).
+
+--executed additionally captures the POST-EXECUTION formatted plan
+(the AQE final plan, isFinalPlan=true — VERDICT r11 #7: claims that
+depend on runtime exchange reuse / cache hits must cite the executed
+plan, not the static one) to <name>_<tag>_executed.txt.
 
 Usage:
   python scripts/opt_measure.py [--sf=/root/testdata/sf0.1] [--n=3] \
-      [--tag=before] [--explain-only] query [query ...]
+      [--tag=before] [--plans=r12] [--explain-only] [--executed] \
+      query [query ...]
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n, tag, explain_only, noop = 3, "before", False, False
+    executed, plans_dir = False, "r12"
     names = []
     for a in args:
         if a.startswith("--sf="):
@@ -41,6 +48,10 @@ def main() -> None:
             explain_only = True
         elif a == "--noop":
             noop = True
+        elif a == "--executed":
+            executed = True
+        elif a.startswith("--plans="):
+            plans_dir = a.split("=", 1)[1]
         else:
             names.append(a)
     spark = get_spark("opt-measure")
@@ -48,7 +59,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        plans_dir,
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -69,8 +80,23 @@ def main() -> None:
             fn(spark, sf_dir).explain("formatted")
         with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as fh:
             fh.write(buf.getvalue())
+        if executed:
+            # run the bench action on the SAME DataFrame object, then
+            # re-explain: with AQE the plan now shows the final
+            # re-optimized form (ReusedExchange, InMemoryTableScan,
+            # AQEShuffleRead) instead of isFinalPlan=false
+            edf = fn(spark, sf_dir)
+            edf.count()
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                edf.explain("formatted")
+            with open(
+                os.path.join(out_dir, f"{name}_{tag}_executed.txt"), "w"
+            ) as fh:
+                fh.write(buf.getvalue())
+            spark.catalog.clearCache()
         if explain_only:
-            print(f"plan  {name} -> plans/r11/{name}_{tag}.txt")
+            print(f"plan  {name} -> plans/{plans_dir}/{name}_{tag}.txt")
             continue
         samples = []
         for _ in range(n):
